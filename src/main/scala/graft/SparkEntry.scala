@@ -1,13 +1,49 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each operator in SURVEY.md §2 has an entry in [[queries]]; those
+  * with a SQL-expressible semantics also appear in [[oracleSql]]
+  * (DuckDB, hash-compared by the driver at sf0.01).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    all("q1_agg").build(spark, "/root/testdata/sf0.001")
+
+  private val streamingDefs: Map[String, QueryDef] = Map(
+    "s1_stream_tumbling" -> QueryDef.of(
+      """SELECT event_type,
+        | (epoch_us(ts) // 3600000000) * 3600 AS win_start,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin)(
+      graft.streaming.StreamingQueries.streamTumbling),
+    "s2_stream_pattern" -> QueryDef.of(
+      """SELECT a.user_id AS user_id, a.event_id AS a_id, b.event_id AS b_id,
+        | epoch_us(b.ts) - epoch_us(a.ts) AS span_us
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id AND b.event_id > a.event_id
+        | AND epoch_us(b.ts) - epoch_us(a.ts) <= 1800000000
+        |WHERE a.event_type = 'signup' AND b.event_type = 'purchase'""".stripMargin)(
+      graft.streaming.StreamingQueries.streamPattern))
+
+  /** Full registry: name → definition (Spark plan + optional oracle). */
+  val all: Map[String, QueryDef] =
+    CoreQueries.defs ++ WindowQueries.defs ++ PatternQueries.defs ++
+      TextQueries.defs ++ VectorQueries.defs ++ streamingDefs
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map { case (k, d) => k -> d.build }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] =
+    all.collect { case (k, QueryDef(_, Some(sql))) => k -> sql }
 }

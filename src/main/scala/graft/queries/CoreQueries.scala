@@ -1,0 +1,158 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.dsl.EventStream
+
+/** Relational core: filter/project/join/merge/sort/limit/distinct/
+  * enrich (SURVEY §2 #1–7, #14). TPC-H-ish tables exercise the same
+  * operator surface the reference's stream pipeline offers on events.
+  */
+object CoreQueries {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(14,2)")
+  private def dec4(c: org.apache.spark.sql.Column) = c.cast("decimal(4,2)")
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // --- #14 aggregate functions over grouped data (TPC-H Q1 shape) ---
+    "q1_agg" -> QueryDef.of(
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_base,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        | COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin) {
+      (s, dir) =>
+        Tables(s, dir).lineitem
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+            sum(dec(col("l_extendedprice"))).cast("double").as("sum_base"),
+            sum(dec(col("l_extendedprice")) * (lit(1) - dec4(col("l_discount"))))
+              .cast("double").as("sum_disc"),
+            (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+            count(lit(1)).as("n"))
+    },
+
+    // --- #1 filter + #2 projection with computed fields ---
+    "q2_filter_project" -> QueryDef.of(
+      """SELECT l_orderkey, l_linenumber,
+        | CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+        |  AND l_discount >= 0.05 AND l_quantity < 24""".stripMargin) {
+      (s, dir) =>
+        EventStream.events(Tables(s, dir).lineitem)
+          .where(col("l_shipdate") >= to_timestamp(lit("1995-01-01")) &&
+            col("l_shipdate") < to_timestamp(lit("1996-01-01")) &&
+            col("l_discount") >= 0.05 && col("l_quantity") < 24)
+          .emit(
+            "l_orderkey" -> col("l_orderkey"),
+            "l_linenumber" -> col("l_linenumber"),
+            "revenue" -> (dec(col("l_extendedprice")) *
+              (lit(1) - dec4(col("l_discount")))).cast("double"))
+    },
+
+    // --- #3 multi-way join (dims broadcast) ---
+    "q3_join" -> QueryDef.of(
+      """SELECT n_name,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+        | COUNT(*) AS n
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin) {
+      (s, dir) =>
+        val t = Tables(s, dir)
+        t.lineitem
+          .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+          .join(t.customer, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+          .groupBy("n_name")
+          .agg(
+            sum(dec(col("l_extendedprice")) * (lit(1) - dec4(col("l_discount"))))
+              .cast("double").as("revenue"),
+            count(lit(1)).as("n"))
+    },
+
+    // --- #5 order_by + limit (top-k → TakeOrderedAndProject, no full sort) ---
+    "q4_topk" -> QueryDef.of(
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin) {
+      (s, dir) =>
+        EventStream.events(Tables(s, dir).orders)
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(20)
+          .emit("o_orderkey" -> col("o_orderkey"),
+            "o_totalprice" -> col("o_totalprice"))
+    },
+
+    // --- #6 distinct ---
+    "q5_distinct" -> QueryDef.of(
+      "SELECT DISTINCT event_type, user_id FROM events") {
+      (s, dir) =>
+        EventStream.events(Tables(s, dir).events)
+          .select("event_type" -> col("event_type"), "user_id" -> col("user_id"))
+          .distinct().df
+    },
+
+    // --- #4 merge (stream union) then aggregate ---
+    "q6_merge" -> QueryDef.of(
+      """SELECT event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+        |FROM (
+        |  SELECT * FROM events WHERE event_type = 'purchase' AND value > 100
+        |  UNION ALL
+        |  SELECT * FROM events WHERE event_type = 'error'
+        |) GROUP BY event_type""".stripMargin) {
+      (s, dir) =>
+        val ev = Tables(s, dir).events
+        val purchases = EventStream.events(
+          ev.filter(col("event_type") === "purchase" && col("value") > 100))
+        val errors = EventStream.events(ev.filter(col("event_type") === "error"))
+        purchases.merge(errors)
+          .partitionBy("event_type")
+          .aggregate(
+            "n" -> count(lit(1)),
+            "sum_value" -> sum(dec(col("value"))).cast("double"))
+    },
+
+    // --- #2 dynamic props access (JSON attrs on events) ---
+    "q7_props" -> QueryDef.of(
+      """SELECT event_id,
+        | CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
+        |FROM events WHERE event_type = 'purchase'""".stripMargin) {
+      (s, dir) =>
+        EventStream.events(Tables(s, dir).events)
+          .where(col("event_type") === "purchase")
+          .emit(
+            "event_id" -> col("event_id"),
+            "k" -> regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast("long"))
+    },
+
+    // --- #7 enrichment: broadcast lookup join + fallback ---
+    "e1_enrich" -> QueryDef.of(
+      """SELECT event_id, user_id,
+        | COALESCE(c_name, 'unknown') AS cust_name,
+        | COALESCE(c_mktsegment, 'unknown') AS segment,
+        | CASE WHEN c_name IS NULL THEN 'fallback' ELSE 'ok' END AS enrich_status
+        |FROM events LEFT JOIN customer ON user_id = c_custkey""".stripMargin) {
+      (s, dir) =>
+        val t = Tables(s, dir)
+        EventStream.events(t.events)
+          .enrich(t.customer.select("c_custkey", "c_name", "c_mktsegment"),
+            col("user_id"), "c_custkey",
+            fields = Seq("c_name", "c_mktsegment"),
+            fallback = Map("c_name" -> lit("unknown"),
+              "c_mktsegment" -> lit("unknown")))
+          .emit(
+            "event_id" -> col("event_id"),
+            "user_id" -> col("user_id"),
+            "cust_name" -> col("c_name"),
+            "segment" -> col("c_mktsegment"),
+            "enrich_status" -> col("enrich_status"))
+    })
+}

@@ -1,0 +1,166 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.cep._
+
+/** SASE+ pattern surface (SURVEY §2 #21–30): sequences, negation,
+  * conjunction/disjunction, Kleene trend aggregation, earliest-match
+  * (as-of) policy, and forecasting.
+  */
+object PatternQueries {
+
+  private val US = 1000000L
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // --- #21 two-step sequence, skip-till-any-match, within 30m ---
+    "p1_seq2" -> QueryDef.of(
+      """SELECT a.event_id AS a_id, b.event_id AS b_id,
+        | a.user_id AS user_id, b.value AS b_value
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id AND b.event_id > a.event_id
+        | AND epoch_us(b.ts) - epoch_us(a.ts) <= 1800000000
+        |WHERE a.event_type = 'signup' AND b.event_type = 'purchase'""".stripMargin) {
+      (s, dir) =>
+        SeqPattern(
+          steps = Seq(
+            Step("a", col("event_type") === "signup"),
+            Step("b", col("event_type") === "purchase")),
+          withinSec = 1800,
+          partitionKeys = Seq("user_id"))
+          .compile(Tables(s, dir).events)
+          .select(col("a_event_id").as("a_id"), col("b_event_id").as("b_id"),
+            col("a_user_id").as("user_id"), col("b_value").as("b_value"))
+    },
+
+    // --- #22 three-step sequence + cross-event predicate, within 8h ---
+    "p2_seq3" -> QueryDef.of(
+      """SELECT a.event_id AS a_id, b.event_id AS b_id, c.event_id AS c_id,
+        | a.user_id AS user_id
+        |FROM events a
+        |JOIN events b ON a.user_id = b.user_id AND b.event_id > a.event_id
+        | AND epoch_us(b.ts) - epoch_us(a.ts) <= 28800000000
+        |JOIN events c ON b.user_id = c.user_id AND c.event_id > b.event_id
+        | AND epoch_us(c.ts) - epoch_us(a.ts) <= 28800000000
+        |WHERE a.event_type = 'signup' AND b.event_type = 'click'
+        |  AND c.event_type = 'purchase' AND c.value > b.value""".stripMargin) {
+      (s, dir) =>
+        SeqPattern(
+          steps = Seq(
+            Step("a", col("event_type") === "signup"),
+            Step("b", col("event_type") === "click"),
+            Step("c", col("event_type") === "purchase")),
+          withinSec = 28800,
+          partitionKeys = Seq("user_id"))
+          .compile(Tables(s, dir).events,
+            crossPreds = Seq(col("c_value") > col("b_value")))
+          .select(col("a_event_id").as("a_id"), col("b_event_id").as("b_id"),
+            col("c_event_id").as("c_id"), col("a_user_id").as("user_id"))
+    },
+
+    // --- #24 negation: purchase NOT followed by error within 15m ---
+    "p3_negation" -> QueryDef.of(
+      """SELECT p.event_id AS p_id, p.user_id AS user_id
+        |FROM events p
+        |WHERE p.event_type = 'purchase' AND NOT EXISTS (
+        |  SELECT 1 FROM events e
+        |  WHERE e.user_id = p.user_id AND e.event_type = 'error'
+        |    AND e.event_id > p.event_id
+        |    AND epoch_us(e.ts) - epoch_us(p.ts) <= 900000000)""".stripMargin) {
+      (s, dir) =>
+        SeqPattern(
+          steps = Seq(Step("p", col("event_type") === "purchase")),
+          withinSec = 900,
+          partitionKeys = Seq("user_id"))
+          .compileNegation(Tables(s, dir).events,
+            Step("e", col("event_type") === "error"))
+          .select(col("p_event_id").as("p_id"), col("p_user_id").as("user_id"))
+    },
+
+    // --- #25 AND: click & error within 10m of each other, any order ---
+    "p4_and" -> QueryDef.of(
+      """SELECT a.event_id AS click_id, b.event_id AS error_id,
+        | a.user_id AS user_id
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 600000000
+        | AND a.event_id != b.event_id
+        |WHERE a.event_type = 'click' AND b.event_type = 'error'""".stripMargin) {
+      (s, dir) =>
+        Pattern.conjunction(Tables(s, dir).events,
+          Step("a", col("event_type") === "click"),
+          Step("b", col("event_type") === "error"),
+          withinSec = 600,
+          partitionKeys = Seq("user_id"))
+          .select(col("a_event_id").as("click_id"),
+            col("b_event_id").as("error_id"),
+            col("a_user_id").as("user_id"))
+    },
+
+    // --- #26 OR: disjunctive match, pure filter ---
+    "p5_or" -> QueryDef.of(
+      """SELECT event_id, user_id, event_type FROM events
+        |WHERE event_type = 'signup' OR (event_type = 'purchase' AND value > 150)""".stripMargin) {
+      (s, dir) =>
+        Pattern.disjunction(Tables(s, dir).events,
+          col("event_type") === "signup",
+          col("event_type") === "purchase" && col("value") > 150)
+          .select("event_id", "user_id", "event_type")
+    },
+
+    // --- #27/#28 GRETA trend aggregation for error+ per user × 1h ---
+    "p6_trend_count" -> QueryDef.of(
+      """SELECT user_id, (epoch_us(ts) // 3600000000) * 3600 AS win_start,
+        | COUNT(*) AS event_count,
+        | CAST(round(pow(2.0::DOUBLE, COUNT(*)) - 1, 0) AS BIGINT) AS count_trends,
+        | pow(2.0::DOUBLE, COUNT(*) - 1) * CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_trends
+        |FROM events WHERE event_type = 'error' GROUP BY 1, 2""".stripMargin) {
+      (s, dir) =>
+        TrendAggregate.kleene(Tables(s, dir).events,
+          pred = col("event_type") === "error",
+          valueCol = col("value"),
+          windowSize = "1 hour",
+          partitionKeys = Seq("user_id"))
+    },
+
+    // --- #23 earliest-match (as-of): first purchase after each signup ---
+    "p8_seq_earliest" -> QueryDef.of(
+      """SELECT a.event_id AS signup_id, MIN(b.event_id) AS purchase_id,
+        | arg_min(b.value, b.event_id) AS purchase_value
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id AND b.event_id > a.event_id
+        | AND epoch_us(b.ts) - epoch_us(a.ts) <= 3600000000
+        |WHERE a.event_type = 'signup' AND b.event_type = 'purchase'
+        |GROUP BY a.event_id""".stripMargin) {
+      (s, dir) =>
+        Pattern.earliestMatch(Tables(s, dir).events,
+          Step("a", col("event_type") === "signup"),
+          Step("b", col("event_type") === "purchase"),
+          withinSec = 3600,
+          partitionKeys = Seq("user_id"),
+          carryB = Seq("value"))
+          .select(col("event_id").as("signup_id"),
+            col("__next_b.o").as("purchase_id"),
+            col("__next_b.value").as("purchase_value"))
+    },
+
+    // --- #29 forecast: order-1 transition model (P(next | cur)) ---
+    "f1_forecast" -> QueryDef.of(
+      """WITH p AS (
+        |  SELECT event_type AS cur,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS nxt
+        |  FROM events)
+        |SELECT cur, nxt, COUNT(*) AS cnt,
+        |  CAST(COUNT(*) AS DOUBLE) / CAST(SUM(COUNT(*)) OVER (PARTITION BY cur) AS DOUBLE) AS prob
+        |FROM p WHERE nxt IS NOT NULL GROUP BY cur, nxt""".stripMargin) {
+      (s, dir) =>
+        Forecast.transitions(Tables(s, dir).events)
+    },
+
+    // --- #29 PST variable-order model (rows-only; spec-tested) ---
+    "f2_pst" -> QueryDef.rowsOnly {
+      (s, dir) =>
+        Forecast.pstScores(Tables(s, dir).events, maxDepth = 3)
+    })
+}

@@ -1,0 +1,170 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.dedup.Dedup
+import graft.functions.TextFunctions._
+import graft.multimodal.Multimodal
+
+/** Text-analysis + dedup + multimodal surface (SURVEY §2 #35–38,
+  * #42–46) over the documents table.
+  */
+object TextQueries {
+
+  /** DuckDB twin of TextFunctions.normalize (note the 'g' flags —
+    * DuckDB's regexp_replace is first-match-only by default).
+    */
+  private val normSql =
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+
+  /** DuckDB twin of TextFunctions.words / shingles(k=3). */
+  private val wordsSql =
+    s"list_filter(string_split($normSql, ' '), x -> x != '')"
+  private val shinglesSql =
+    s"""CASE WHEN len(w) >= 3
+       | THEN list_distinct([array_to_string(w[i:i+2], ' ') for i in generate_series(1, len(w) - 2)])
+       | ELSE [array_to_string(w, ' ')] END""".stripMargin
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // --- #42 language ID (stopword/CJK heuristic, deterministic ties) ---
+    "t1_langid" -> QueryDef.of(
+      """WITH s AS (
+        |  SELECT doc_id, lang,
+        |    len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS zh,
+        |    len(regexp_extract_all(lower(text), '\b(the|and|is|of|to|in|that|it|was|for)\b')) AS en,
+        |    len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|ein|zu|mit|auf)\b')) AS de,
+        |    len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|un|une|que|pour|dans)\b')) AS fr,
+        |    len(regexp_extract_all(lower(text), '\b(el|los|las|y|es|un|una|que|por|para)\b')) AS es
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN zh >= 5 THEN 'zh'
+        |       WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+        |       WHEN de >= fr AND de >= es THEN 'de'
+        |       WHEN fr >= es THEN 'fr'
+        |       ELSE 'es' END AS pred_lang,
+        |  (CASE WHEN zh >= 5 THEN 'zh'
+        |       WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+        |       WHEN de >= fr AND de >= es THEN 'de'
+        |       WHEN fr >= es THEN 'fr'
+        |       ELSE 'es' END) = lang AS is_correct
+        |FROM s""".stripMargin) {
+      (s, dir) =>
+        Tables(s, dir).documents
+          .select(col("doc_id"), langId(col("text")).as("pred_lang"),
+            (langId(col("text")) === col("lang")).as("is_correct"))
+    },
+
+    // --- #43 quality scoring (surface statistics) ---
+    "t2_quality" -> QueryDef.of(
+      """WITH s AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,
+        |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS n_punct,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(the|and|is|of|to|in|that|it|was|for)\b')) AS BIGINT) AS n_stop
+        |  FROM documents)
+        |SELECT doc_id, n_words,
+        |  CAST(n_punct AS DOUBLE) / greatest(CAST(n_words AS DOUBLE), 1.0) AS punct_ratio,
+        |  CAST(n_stop AS DOUBLE) / greatest(CAST(n_words AS DOUBLE), 1.0) AS stop_ratio,
+        |  round((CASE WHEN n_chars BETWEEN 100 AND 10000 THEN 1.0::DOUBLE ELSE 0.5::DOUBLE END) * 0.4
+        |    + (CASE WHEN CAST(n_punct AS DOUBLE) / greatest(CAST(n_words AS DOUBLE), 1.0) <= 0.3 THEN 1.0::DOUBLE ELSE 0.5::DOUBLE END) * 0.3
+        |    + least(CAST(n_stop AS DOUBLE) / greatest(CAST(n_words AS DOUBLE), 1.0) * 2.0, 1.0::DOUBLE) * 0.3, 6) AS quality
+        |FROM s""".stripMargin) {
+      (s, dir) => {
+        val nW = wordCount(col("text")).cast("long")
+        val wc = nW.cast("double")
+        val punctRatio = punctCount(col("text")).cast("double") / greatest(wc, lit(1.0))
+        val stopRatio = stopwordHits(col("text"), "en").cast("double") / greatest(wc, lit(1.0))
+        Tables(s, dir).documents.select(
+          col("doc_id"),
+          nW.as("n_words"),
+          punctRatio.as("punct_ratio"),
+          stopRatio.as("stop_ratio"),
+          round(
+            when(col("n_chars").between(100, 10000), lit(1.0)).otherwise(lit(0.5)) * 0.4 +
+              when(punctRatio <= 0.3, lit(1.0)).otherwise(lit(0.5)) * 0.3 +
+              least(stopRatio * 2.0, lit(1.0)) * 0.3, 6).as("quality"))
+      }
+    },
+
+    // --- #44 token counting: whitespace + BPE-ish regex ---
+    "t3_tokens" -> QueryDef.of(
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS ws_tokens,
+        | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS BIGINT) AS bpe_tokens,
+        | CAST(n_chars AS DOUBLE) / greatest(CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS DOUBLE), 1.0) AS chars_per_token
+        |FROM documents""".stripMargin) {
+      (s, dir) => {
+        val bpe = bpeishTokenCount(col("text")).cast("long")
+        Tables(s, dir).documents.select(
+          col("doc_id"),
+          wordCount(col("text")).cast("long").as("ws_tokens"),
+          bpe.as("bpe_tokens"),
+          (col("n_chars").cast("double") /
+            greatest(bpe.cast("double"), lit(1.0))).as("chars_per_token"))
+      }
+    },
+
+    // --- #45 content fingerprints ---
+    "t4_fingerprint" -> QueryDef.of(
+      s"""SELECT doc_id, md5(text) AS fp,
+         | substr(md5(text), 1, 16) AS fp16,
+         | md5($normSql) AS fp_norm
+         |FROM documents""".stripMargin) {
+      (s, dir) =>
+        Tables(s, dir).documents.select(
+          col("doc_id"),
+          fingerprint(col("text")).as("fp"),
+          fingerprintPrefix(col("text")).as("fp16"),
+          md5(normalize(col("text"))).as("fp_norm"))
+    },
+
+    // --- #35 exact dedup on normalized-content hash ---
+    "d1_exact_dedup" -> QueryDef.of(
+      s"""SELECT md5($normSql) AS fp, MIN(doc_id) AS canonical_id,
+         | COUNT(*) AS n_docs
+         |FROM documents GROUP BY 1""".stripMargin) {
+      (s, dir) => Dedup.exact(Tables(s, dir).documents)
+    },
+
+    // --- #36 n-gram (3-shingle) Jaccard near-dup pairs, lang-blocked ---
+    "d2_ngram_jaccard" -> QueryDef.of(
+      s"""WITH d AS (
+         |  SELECT doc_id, lang, $shinglesSql AS sh
+         |  FROM (SELECT doc_id, lang, $wordsSql AS w FROM documents))
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |  CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+         |FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |      CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.6""".stripMargin) {
+      (s, dir) =>
+        Dedup.ngramJaccardPairs(Tables(s, dir).documents,
+          k = 3, threshold = 0.6, blockCols = Seq(col("lang")))
+    },
+
+    // --- #37 MinHash+LSH near-dup (verified); spec checks vs exact ---
+    "d3_minhash_lsh" -> QueryDef.rowsOnly {
+      (s, dir) =>
+        Dedup.minhashLshPairs(Tables(s, dir).documents,
+          k = 3, nBands = 4, rowsPerBand = 4, verifyThreshold = 0.6)
+    },
+
+    // --- #38 SimHash near-dup (Hamming ≤ 3, chunk-blocked) ---
+    "d4_simhash" -> QueryDef.rowsOnly {
+      (s, dir) =>
+        Dedup.simhashPairs(Tables(s, dir).documents, maxHamming = 3)
+    },
+
+    // --- #46 multimodal: binary payload + stub decode (SQL twin) ---
+    "m1_multimodal" -> QueryDef.of(
+      """SELECT doc_id AS media_id, 'text/plain' AS media_type,
+        | CAST(strlen(text) AS BIGINT) AS n_bytes,
+        | md5(text) AS checksum,
+        | CAST(1 + strlen(text) % 640 AS BIGINT) AS width,
+        | CAST(1 + strlen(text) % 480 AS BIGINT) AS height
+        |FROM documents""".stripMargin) {
+      (s, dir) =>
+        Multimodal.extractFeaturesSql(Multimodal.asMedia(Tables(s, dir).documents))
+    })
+}

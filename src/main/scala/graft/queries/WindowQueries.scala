@@ -1,0 +1,212 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.dsl._
+
+/** Windowed aggregation surface (SURVEY §2 #8–20): tumbling, sliding,
+  * session, count, sliding-count, partitioned windows, and the
+  * aggregation function set (stddev/count_distinct/percentile/ema/
+  * first/last/collect).
+  */
+object WindowQueries {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(14,2)")
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // --- #8 tumbling event-time window (epoch-aligned, 1h) ---
+    "w1_tumbling" -> QueryDef.of(
+      """SELECT event_type,
+        | (epoch_us(ts) // 3600000000) * 3600 AS win_start,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin) {
+      (s, dir) =>
+        EventStream.events(Tables(s, dir).events)
+          .partitionBy("event_type")
+          .window(Tumbling("1 hour"))
+          .aggregate(
+            "n" -> count(lit(1)),
+            "sum_value" -> sum(dec(col("value"))).cast("double"))
+    },
+
+    // --- #9 sliding window (1h size, 30m slide → 2 windows/event) ---
+    "w2_sliding" -> QueryDef.of(
+      """SELECT event_type,
+        | ((epoch_us(ts) // 1800000000) - k) * 1800 AS win_start,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+        |FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) offs
+        |GROUP BY 1, 2""".stripMargin) {
+      (s, dir) =>
+        EventStream.events(Tables(s, dir).events)
+          .partitionBy("event_type")
+          .window(Sliding("1 hour", "30 minutes"))
+          .aggregate(
+            "n" -> count(lit(1)),
+            "sum_value" -> sum(dec(col("value"))).cast("double"))
+    },
+
+    // --- #10 session window (10m gap) per user; µs-exact start ---
+    "w3_session" -> QueryDef.of(
+      """WITH o AS (
+        |  SELECT user_id, event_id, value, epoch_us(ts) AS us,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+        |         WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 600000000 THEN 1
+        |         ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+        |), sess AS (
+        |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY event_id
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o)
+        |SELECT user_id, MIN(us) AS sess_start_us, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+        |FROM sess GROUP BY user_id, sid""".stripMargin) {
+      (s, dir) =>
+        EventStream.events(Tables(s, dir).events)
+          .partitionBy("user_id")
+          .window(SessionWin("10 minutes"))
+          .aggregate(
+            "n" -> count(lit(1)),
+            "sum_value" -> sum(dec(col("value"))).cast("double"))
+    },
+
+    // --- #11 count window: batches of 10 events per user (full only) ---
+    "w4_count_window" -> QueryDef.of(
+      """WITH r AS (
+        |  SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+        |  FROM events)
+        |SELECT user_id, CAST((rn - 1) // 10 AS BIGINT) AS win_id,
+        |  MIN(event_id) AS first_id, MAX(event_id) AS last_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+        |FROM r GROUP BY user_id, (rn - 1) // 10 HAVING COUNT(*) = 10""".stripMargin) {
+      (s, dir) =>
+        EventStream.events(Tables(s, dir).events)
+          .partitionBy("user_id")
+          .window(CountWin(10))
+          .aggregate(
+            "first_id" -> min(col("event_id")),
+            "last_id" -> max(col("event_id")),
+            "sum_value" -> sum(dec(col("value"))).cast("double"))
+    },
+
+    // --- #12 sliding count window: last 20 events, every 5, per user ---
+    "w5_sliding_count" -> QueryDef.of(
+      """WITH r AS (
+        |  SELECT user_id, event_id,
+        |    row_number() OVER w AS rn,
+        |    SUM(CAST(value AS DECIMAL(14,2))) OVER
+        |      (w ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS sv,
+        |    COUNT(*) OVER
+        |      (w ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS n
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id))
+        |SELECT user_id, event_id, CAST(sv AS DOUBLE) AS sum_value, n
+        |FROM r WHERE rn % 5 = 0 AND rn >= 20""".stripMargin) {
+      (s, dir) =>
+        EventStream.events(Tables(s, dir).events)
+          .partitionBy("user_id")
+          .window(SlidingCountWin(20, 5))
+          .aggregate(
+            "sum_value_dec" -> sum(dec(col("value"))),
+            "n" -> count(lit(1)))
+          .withColumn("sum_value", col("sum_value_dec").cast("double"))
+          .drop("sum_value_dec")
+    },
+
+    // --- #13 partitioned tumbling + #15 first/last by event order ---
+    "w6_partitioned" -> QueryDef.of(
+      """SELECT user_id, (epoch_us(ts) // 3600000000) * 3600 AS win_start,
+        | COUNT(*) AS n,
+        | arg_min(value, event_id) AS first_val,
+        | arg_max(value, event_id) AS last_val
+        |FROM events GROUP BY 1, 2""".stripMargin) {
+      (s, dir) =>
+        EventStream.events(Tables(s, dir).events)
+          .partitionBy("user_id")
+          .window(Tumbling("1 hour"))
+          .aggregate(
+            "n" -> count(lit(1)),
+            "first_val" -> min_by(col("value"), col("event_id")),
+            "last_val" -> max_by(col("value"), col("event_id")))
+    },
+
+    // --- #16/#17/#18 stddev, count_distinct, percentiles (exact) ---
+    "a1_stats" -> QueryDef.of(
+      """WITH s AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    COUNT(DISTINCT user_id) AS nd_users,
+        |    CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(value AS DECIMAL(14,2)) * CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sxx,
+        |    round(quantile_cont(value, 0.5), 6) AS median_value,
+        |    round(quantile_cont(value, 0.9), 6) AS p90_value
+        |  FROM events GROUP BY event_type)
+        |SELECT event_type, n, nd_users,
+        |  round(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS stddev_value,
+        |  median_value, p90_value
+        |FROM s""".stripMargin) {
+      (s, dir) =>
+        Tables(s, dir).events
+          .groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n"),
+            countDistinct(col("user_id")).as("nd_users"),
+            sum(dec(col("value"))).cast("double").as("sx"),
+            sum(dec(col("value")) * dec(col("value"))).cast("double").as("sxx"),
+            round(expr("percentile(value, 0.5D)"), 6).as("median_value"),
+            round(expr("percentile(value, 0.9D)"), 6).as("p90_value"))
+          .select(col("event_type"), col("n"), col("nd_users"),
+            round(sqrt((col("sxx") - col("sx") * col("sx") / col("n")) /
+              (col("n") - 1)), 6).as("stddev_value"),
+            col("median_value"), col("p90_value"))
+    },
+
+    // --- #19 ema(value, 10): explicit in-order fold, bit-deterministic ---
+    "a2_ema" -> QueryDef.of(
+      """SELECT user_id,
+        | list_reduce(
+        |   list_transform(list(struct_pack(eid := event_id, v := value) ORDER BY event_id), r -> r.v),
+        |   (acc, x) -> (2.0::DOUBLE / 11.0::DOUBLE) * x + (1.0::DOUBLE - 2.0::DOUBLE / 11.0::DOUBLE) * acc
+        | ) AS ema10,
+        | COUNT(*) AS n
+        |FROM events GROUP BY user_id""".stripMargin) {
+      (s, dir) => {
+        val lst = array_sort(collect_list(struct(col("event_id"), col("value"))))
+        val xs = transform(lst, r => r.getField("value"))
+        Tables(s, dir).events
+          .groupBy("user_id")
+          .agg(xs.as("xs"), count(lit(1)).as("n"))
+          .select(
+            col("user_id"),
+            aggregate(
+              slice(col("xs"), lit(2), greatest(size(col("xs")) - 1, lit(0))),
+              element_at(col("xs"), 1),
+              (acc, x) => lit(2.0 / 11.0) * x + lit(1.0 - 2.0 / 11.0) * acc)
+              .as("ema10"),
+            col("n"))
+      }
+    },
+
+    // --- #20 collect() — ordered value list (string-normalized) ---
+    "a3_collect" -> QueryDef.of(
+      """SELECT user_id,
+        | array_to_string(
+        |   list_transform(list(struct_pack(eid := event_id, v := value) ORDER BY event_id),
+        |     r -> CAST(CAST(r.v AS DECIMAL(14,2)) AS VARCHAR)), ',') AS vals,
+        | COUNT(*) AS n
+        |FROM events GROUP BY user_id""".stripMargin) {
+      (s, dir) => {
+        val lst = array_sort(collect_list(struct(col("event_id"), col("value"))))
+        Tables(s, dir).events
+          .groupBy("user_id")
+          .agg(
+            array_join(transform(lst,
+              r => r.getField("value").cast("decimal(14,2)").cast("string")), ",")
+              .as("vals"),
+            count(lit(1)).as("n"))
+      }
+    })
+}

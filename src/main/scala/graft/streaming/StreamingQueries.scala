@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming surface (SURVEY §2 #31–34).
+  *
+  * These run a real `readStream → transform → writeStream(memory)`
+  * pipeline synchronously over the test parquet (file source), then
+  * return the sink table — so the driver's batch verify/oracle
+  * machinery checks true streaming results. In production the same
+  * plans run unbounded with `append` + watermark to a real sink; the
+  * `complete`+memory form here is the test harness, not the design.
+  */
+object StreamingQueries {
+
+  /** The file streaming source requires a directory; the test tables
+    * are single files. Stage a temp dir holding a symlink — in
+    * production the source would already be a directory/object-store
+    * prefix.
+    */
+  private def streamDir(file: String): String = {
+    import java.nio.file.{Files, Paths}
+    val src = Paths.get(file).toAbsolutePath
+    val dir = Files.createTempDirectory("graft_stream_")
+    Files.createSymbolicLink(dir.resolve(src.getFileName), src)
+    dir.toString
+  }
+
+  private def runToTable(
+      spark: SparkSession, streamed: DataFrame, name: String,
+      mode: String): DataFrame = {
+    // drop leftovers from a previous invocation in this session
+    spark.sql(s"DROP VIEW IF EXISTS $name")
+    val q = streamed.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .start()
+    try {
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+    }
+    spark.table(name)
+  }
+
+  /** #31 streaming tumbling aggregation with watermark (same oracle
+    * as the batch w1 query — the two paths must agree).
+    */
+  def streamTumbling(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    val src = graft.Tables.normalizeTs(
+      spark.readStream.schema(schema).parquet(streamDir(path)))
+    val agg = src
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("event_type"), window(col("ts"), "1 hour"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(14,2)")).cast("double").as("sum_value"))
+      .select(col("event_type"), col("window.start").cast("long").as("win_start"),
+        col("n"), col("sum_value"))
+    runToTable(spark, agg, "graft_s1_sink", "complete")
+  }
+
+  /** #32 streaming SASE sequence detection (NFA over state store);
+    * count must equal the batch p1_seq2 join — asserted in specs.
+    */
+  def streamPattern(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import PatternStream._
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    val src = graft.Tables.normalizeTs(
+      spark.readStream.schema(schema).parquet(streamDir(path)))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), unix_micros(col("ts")).as("ts_us"))
+      .as[Ev]
+    val matches = detect(src,
+      Seq(StepSpec("signup"), StepSpec("purchase")),
+      withinUs = 1800L * 1000000L)(spark)
+    val out = matches.toDF()
+      .select(col("user_id"), col("ids")(0).as("a_id"), col("ids")(1).as("b_id"),
+        col("span_us"))
+    runToTable(spark, out, "graft_s2_sink", "append")
+  }
+}
