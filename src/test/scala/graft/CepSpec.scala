@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.cep._
+
+/** Cross-validation of the pattern-matching paths: the streaming NFA,
+  * the batch join compiler, and the closed-form trend aggregation
+  * must agree with each other / with brute-force definitions.
+  */
+class CepSpec extends SparkSpec {
+
+  private def events = Tables(spark, sf).events
+
+  test("streaming NFA match count == batch join compiler count") {
+    val batch = SparkEntry.all("p1_seq2").build(spark, sf).count()
+    val stream = SparkEntry.all("s2_stream_pattern").build(spark, sf).count()
+    assert(batch == stream)
+  }
+
+  test("earliest-match is a subset of all-matches with min policy") {
+    val all = SparkEntry.all("p1_seq2").build(spark, sf)
+    val earliest = Pattern.earliestMatch(events,
+      Step("a", col("event_type") === "signup"),
+      Step("b", col("event_type") === "purchase"),
+      withinSec = 1800, partitionKeys = Seq("user_id"), carryB = Seq("value"))
+      .select(col("event_id").as("a_id"), col("__next_b.o").as("b_id"))
+    // for each a_id, earliest-match picks exactly min(b_id) of all-matches
+    val expected = all.groupBy("a_id").agg(min("b_id").as("b_id"))
+    assert(earliest.except(expected).count() == 0)
+    assert(expected.except(earliest).count() == 0)
+  }
+
+  test("trend aggregation closed form: 2^n - 1 trends, n capped") {
+    val out = TrendAggregate.kleene(events,
+      col("event_type") === "error", col("value"), "1 hour", Seq("user_id"))
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val n = r.getAs[Long]("event_count")
+      val trends = r.getAs[Long]("count_trends")
+      assert(trends == (1L << n) - 1, s"n=$n trends=$trends")
+    }
+  }
+
+  test("negation + sequence partition the anchors") {
+    // purchases followed by an error within 15m + purchases not = all purchases
+    val negated = SparkEntry.all("p3_negation").build(spark, sf).count()
+    val violating = events.as("p").filter(col("p.event_type") === "purchase")
+      .join(events.as("e"),
+        col("p.user_id") === col("e.user_id") &&
+          col("e.event_type") === "error" &&
+          col("e.event_id") > col("p.event_id") &&
+          (unix_micros(col("e.ts")) - unix_micros(col("p.ts"))) <= 900000000L,
+        "left_semi")
+      .count()
+    val total = events.filter(col("event_type") === "purchase").count()
+    assert(negated + violating == total)
+  }
+
+  test("PST depth-1 scores equal order-1 transition model") {
+    val t1 = Forecast.transitions(events)
+      .select(col("cur").as("context"), col("nxt"), col("prob"))
+    val pst1 = Forecast.pstScores(events, maxDepth = 2)
+      .filter(col("depth") === 1)
+      .select(col("context"), col("nxt"), col("prob"))
+    assert(pst1.except(t1).count() == 0)
+    assert(t1.except(pst1).count() == 0)
+  }
+
+  test("forecastPattern emits calibrated probabilities in [0,1]") {
+    val out = Forecast.forecastPattern(spark, events, "purchase", maxDepth = 2)
+    val probs = out.select("forecast_probability").collect().map(_.getDouble(0))
+    assert(probs.nonEmpty)
+    assert(probs.forall(p => p >= 0.0 && p <= 1.0))
+    assert(probs.exists(_ > 0.0), "model should score some contexts > 0")
+  }
+}

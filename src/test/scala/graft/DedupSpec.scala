@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.ann.Knn
+import graft.functions.TextFunctions
+
+/** Dedup / ANN cross-validation: approximate paths (LSH, SimHash)
+  * against their exact counterparts on the same corpus.
+  */
+class DedupSpec extends SparkSpec {
+
+  private def docs = Tables(spark, sf).documents
+  private def embs = Tables(spark, sf).embeddings
+
+  test("exact dedup: every doc lands in exactly one group") {
+    val groups = Dedup.exact(docs)
+    val docsTotal = docs.count()
+    val grouped = groups.agg(sum("n_docs")).head.getLong(0)
+    assert(grouped == docsTotal)
+  }
+
+  test("minhash-LSH pairs are verified-correct and recall high-sim pairs") {
+    val lsh = Dedup.minhashLshPairs(docs, k = 3, nBands = 4, rowsPerBand = 4,
+      verifyThreshold = 0.6).select("a_id", "b_id")
+    val exact = Dedup.ngramJaccardPairs(docs, k = 3, threshold = 0.6,
+      blockCols = Seq(lit(1))).select("a_id", "b_id", "jaccard")
+    // soundness: every LSH pair is a true pair (post-verification)
+    assert(lsh.except(exact.select("a_id", "b_id")).count() == 0)
+    // recall: banding (4x4) catches nearly-identical docs (j >= 0.9)
+    val hi = exact.filter(col("jaccard") >= 0.9).select("a_id", "b_id")
+    val missed = hi.except(lsh).count()
+    val total = hi.count()
+    assert(total == 0 || missed.toDouble / total <= 0.2,
+      s"LSH missed $missed of $total high-sim pairs")
+  }
+
+  test("simhash pairs have low hamming distance and shared chunks") {
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 3).collect()
+    pairs.foreach(r => assert(r.getAs[Int]("hamming") <= 3))
+  }
+
+  test("simhash of identical token lists is identical") {
+    val df = spark.range(2).select(
+      Dedup.simhash64(TextFunctions.words(lit("the quick brown fox"))).as("h"))
+    val hs = df.collect().map(_.getLong(0)).distinct
+    assert(hs.length == 1)
+  }
+
+  test("LSH knn results are a subset of brute-force cosine space") {
+    val q = embs.filter(col("vec_id") < 10)
+    val bf = Knn.bruteForce(embs, q, k = 10).select("q_id", "n_id")
+    val lsh = Knn.lshTopK(embs, q, k = 10, nBits = 4)
+    // sanity: lsh returns some neighbors and scores are valid cosines
+    val rows = lsh.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val c = r.getAs[Double]("cos")
+      assert(c >= -1.0001 && c <= 1.0001)
+    }
+    // recall vs exact top-10 is expected partial; just require overlap > 0
+    assert(lsh.select("q_id", "n_id").intersect(bf).count() > 0)
+  }
+
+  test("embedding near-dup pairs are symmetric-free (a < b) and above threshold") {
+    val pairs = Dedup.embeddingPairs(embs, 0.35, col("label")).collect()
+    pairs.foreach { r =>
+      assert(r.getAs[Long]("a_id") < r.getAs[Long]("b_id"))
+      assert(r.getAs[Double]("cos") >= 0.35 - 1e-9)
+    }
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+import graft.multimodal.Multimodal
+
+/** Text-analysis and multimodal operator properties. */
+class TextSpec extends SparkSpec {
+
+  private def docs = Tables(spark, sf).documents
+
+  test("language ID is deterministic and in-vocabulary") {
+    // the synthetic corpus text does not carry its lang label (random
+    // metadata), so accuracy is meaningless here; the properties that
+    // matter are a closed label set and run-to-run determinism (the
+    // oracle hash-compare depends on it)
+    val a = docs.select(col("doc_id"), langId(col("text")).as("l"))
+    val b = docs.select(col("doc_id"), langId(col("text")).as("l"))
+    assert(a.except(b).count() == 0)
+    val labels = a.select("l").distinct().collect().map(_.getString(0)).toSet
+    assert(labels.subsetOf(Set("en", "de", "fr", "es", "zh")))
+  }
+
+  test("language ID detects clearly-marked languages") {
+    val samples = Seq(
+      ("the cat is in the hat and it was for fun", "en"),
+      ("der hund ist nicht zu haus und die katze", "de"),
+      ("le chat est dans la maison et pour les amis", "fr"),
+      ("el gato es un animal y los perros para casa", "es"),
+      ("汉字文本测试这里有很多汉字字符", "zh"))
+    import spark.implicits._
+    val got = samples.toDF("text", "want")
+      .select(col("want"), langId(col("text")).as("got")).collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"want ${r.getString(0)} got ${r.getString(1)}"))
+  }
+
+  test("shingles: k-gram count = max(words - k + 1, 1) before dedup") {
+    val df = spark.sql("SELECT 'a b c d e' AS t UNION ALL SELECT 'x y'")
+      .select(size(shingles(col("t"), 3)).as("n"), col("t"))
+    val m = df.collect().map(r => r.getString(1) -> r.getInt(0)).toMap
+    assert(m("a b c d e") == 3)
+    assert(m("x y") == 1)
+  }
+
+  test("quality score stays within [0, 1]") {
+    val qs = SparkEntry.all("t2_quality").build(spark, sf)
+      .select("quality").collect().map(_.getDouble(0))
+    assert(qs.forall(q => q >= 0.0 && q <= 1.0))
+  }
+
+  test("token counts: bpe-ish >= whitespace tokens") {
+    val rows = SparkEntry.all("t3_tokens").build(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("bpe_tokens") >= r.getAs[Long]("ws_tokens"))
+    }
+  }
+
+  test("multimodal stub decode agrees with its SQL twin") {
+    val media = Multimodal.asMedia(docs)
+    val typed = Multimodal.extractFeatures(media).toDF()
+    val sql = Multimodal.extractFeaturesSql(media)
+      .select("media_id", "media_type", "n_bytes", "checksum", "width", "height")
+    val typedSel = typed.select("media_id", "media_type", "n_bytes",
+      "checksum", "width", "height")
+      .withColumn("width", col("width").cast("long"))
+      .withColumn("height", col("height").cast("long"))
+    assert(typedSel.except(sql).count() == 0)
+    assert(sql.except(typedSel).count() == 0)
+  }
+}
