@@ -25,10 +25,18 @@ object Knn {
       k: Int,
       vecCol: String = "embedding",
       idCol: String = "vec_id"): DataFrame = {
+    // norms once per vector, not once per (query, vector) pair; fan
+    // the corpus out of its (possibly single-file) scan partitioning
+    // so the broadcast-probe side scores in parallel
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_v"))
-    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_v"))
+      .withColumn("q_n", norm(col("q_v")))
+    val c = corpus
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism,
+        col(idCol))
+      .select(col(idCol).as("n_id"), col(vecCol).as("n_v"))
+      .withColumn("n_n", norm(col("n_v")))
     val scored = c.join(broadcast(q), col("q_id") =!= col("n_id"))
-      .withColumn("cos", cosine(col("q_v"), col("n_v")))
+      .withColumn("cos", dot(col("q_v"), col("n_v")) / (col("q_n") * col("n_n")))
     val w = W.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -43,14 +51,14 @@ object Knn {
       nBits: Int = 8,
       vecCol: String = "embedding",
       idCol: String = "vec_id"): DataFrame = {
-    val sig = (d: DataFrame) => hyperplaneSig(col(vecCol), nBits)
+    val sig = hyperplaneSig(col(vecCol), nBits)
     val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_v"),
-      sig(corpus).as("bucket"))
+      sig.as("bucket")).withColumn("n_n", norm(col("n_v")))
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_v"),
-      sig(queries).as("bucket"))
+      sig.as("bucket")).withColumn("q_n", norm(col("q_v")))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("q_id") =!= col("n_id"))
-      .withColumn("cos", cosine(col("q_v"), col("n_v")))
+      .withColumn("cos", dot(col("q_v"), col("n_v")) / (col("q_n") * col("n_n")))
     val w = W.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

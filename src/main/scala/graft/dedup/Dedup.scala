@@ -20,17 +20,46 @@ import graft.functions.TextFunctions._
   */
 object Dedup {
 
+  /** Fan the (often few/unsplittable) input files out across the
+    * cluster before per-document heavy compute (normalize, shingle,
+    * hash). The shuffle moves raw text once; every downstream stage
+    * then runs at full parallelism instead of one task per input
+    * file. At 100 TB the input is usually already well-split, but a
+    * repartition keyed on the doc id stays correct and cheap relative
+    * to the compute it unlocks.
+    */
+  private def fanOut(docs: DataFrame, idCol: String): DataFrame =
+    // explicit partition count: AQE would otherwise coalesce the
+    // byte-small (but compute-heavy) text rows back into one task
+    docs.repartition(docs.sparkSession.sparkContext.defaultParallelism,
+      col(idCol))
+
   /** Exact dedup on normalized content hash: canonical id = min doc id
     * per group (deterministic survivor pick).
     */
   def exact(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
-    docs
+    fanOut(docs, idCol)
       .select(md5(normalize(col(textCol))).as("fp"), col(idCol))
       .groupBy("fp")
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_docs"))
 
   /** Near-dup pairs by exact word-k-gram Jaccard within blocking
     * buckets. Jaccard = |A∩B| / |A∪B| over distinct shingles.
+    *
+    * Inverted-index plan, NOT a quadratic pair join: explode each
+    * doc's distinct shingles into postings, equi-join postings on
+    * (shingle, block) to enumerate shared-shingle occurrences, then
+    * a single count per (a,b) IS |A∩B|; |A∪B| = |A| + |B| − |A∩B|.
+    * Pairs with an empty intersection can never reach a positive
+    * threshold, so dropping them is exact.
+    *
+    * Cost is Σ_shingle freq² (912k at sf0.1) instead of Σ_block n²
+    * (2.9M pairs × array-hash work) — and the shuffle keys (shingle,
+    * then pair id) are high-cardinality, so a 1000-executor cluster
+    * actually fans out; blocking-key cardinality no longer caps
+    * parallelism. Degenerate boilerplate shingles bound the skew at
+    * max-doc-frequency²; cap them upstream (stopword-shingle filter)
+    * if a corpus needs it.
     */
   def ngramJaccardPairs(
       docs: DataFrame,
@@ -39,31 +68,37 @@ object Dedup {
       blockCols: Seq[Column],
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    val base = docs.select(
+    val blockNames = blockCols.indices.map(i => s"blk$i")
+    val base = fanOut(docs, idCol).select(
       (col(idCol) +: shingles(col(textCol), k).as("sh") +:
         blockCols.zipWithIndex.map { case (c, i) => c.as(s"blk$i") }): _*)
-    val a = base.columns.foldLeft(base)((d, c) => d.withColumnRenamed(c, s"a_$c"))
-    val b = base.columns.foldLeft(base)((d, c) => d.withColumnRenamed(c, s"b_$c"))
-    val blockEq = blockCols.indices
-      .map(i => col(s"a_blk$i") === col(s"b_blk$i")).reduce(_ && _)
-    val inter = size(array_intersect(col("a_sh"), col("b_sh"))).cast("double")
-    val uni = size(array_union(col("a_sh"), col("b_sh"))).cast("double")
-    a.join(b, blockEq && col(s"a_$idCol") < col(s"b_$idCol"))
-      .withColumn("jaccard", inter / uni)
+      .withColumn("n", size(col("sh")))
+    val postings = base.select(
+      (col(idCol) +: col("n") +: explode(col("sh")).as("s") +:
+        blockNames.map(col)): _*)
+    val a = postings.select((col("s") +: col(idCol).as("a_id") +:
+      col("n").as("a_n") +: blockNames.map(col)): _*)
+    val b = postings.select((col("s") +: col(idCol).as("b_id") +:
+      col("n").as("b_n") +: blockNames.map(col)): _*)
+    val shared = a.join(b, Seq("s") ++ blockNames)
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id", "a_n", "b_n")
+      .agg(count(lit(1)).as("inter"))
+    shared
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("a_n") + col("b_n") - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
-      .select(col(s"a_$idCol").as("a_id"), col(s"b_$idCol").as("b_id"),
-        col("jaccard"))
+      .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
-  /** MinHash signature: for each of nHashes hash families, the min
-    * over shingles of a deterministic 60-bit integer derived from
-    * md5(shingle # seed). Pure column expressions.
+  /** MinHash signature: hash family i = xxhash64(shingle, i) —
+    * native codegen'd hashing (an affine h·a+b re-hash would be
+    * cheaper still, but ANSI mode rejects wrapping multiplication;
+    * xxhash64 is native enough that the hash is not the bottleneck).
     */
   def minhashSig(sh: Column, nHashes: Int): Column =
     array((0 until nHashes).map { seed =>
-      array_min(transform(sh, s =>
-        conv(substring(md5(concat(s, lit("#"), lit(seed))), 1, 15), 16, 10)
-          .cast("long")))
+      array_min(transform(sh, s => xxhash64(s, lit(seed))))
     }: _*)
 
   /** MinHash + LSH near-dup candidate pairs, verified by exact
@@ -80,7 +115,7 @@ object Dedup {
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     val nH = nBands * rowsPerBand
-    val base = docs
+    val base = fanOut(docs, idCol)
       .select(col(idCol), shingles(col(textCol), k).as("sh"))
       .withColumn("sig", minhashSig(col("sh"), nH))
     // explode into (band, bandKey) — shuffle key is the band bucket
@@ -109,17 +144,13 @@ object Dedup {
   }
 
   /** 64-bit SimHash from word tokens: bit j of the signature is the
-    * sign of Σ_tokens (bit j of xxhash64(token) ? +1 : −1).
+    * sign of Σ_tokens (bit j of hash(token) ? +1 : −1). Single-pass
+    * native Catalyst expression (see [[graft.functions.SimHashUtil]]).
     */
   def simhash64(tokens: Column): Column = {
-    val bits = (0 until 64).map { j =>
-      val contrib = aggregate(
-        transform(tokens, t =>
-          when(shiftright(xxhash64(t), j).bitwiseAND(1) === 1, 1).otherwise(-1)),
-        lit(0), (acc, v) => acc + v)
-      when(contrib >= 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.SimHash64(
+      ColumnBridge.expression(tokens)))
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming (< 16),
@@ -131,7 +162,7 @@ object Dedup {
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     require(maxHamming < 4, "chunk blocking assumes maxHamming ≤ 3 over 4 chunks")
-    val base = docs.select(col(idCol),
+    val base = fanOut(docs, idCol).select(col(idCol),
       simhash64(words(col(textCol))).as("sh64"))
     val chunked = base.select(col(idCol), col("sh64"),
       posexplode(array((0 until 4).map(c =>
@@ -149,7 +180,10 @@ object Dedup {
       .select("a_id", "b_id", "hamming")
   }
 
-  /** Embedding-cosine near-dup pairs within blocking buckets. */
+  /** Embedding-cosine near-dup pairs within blocking buckets. Norms
+    * are computed once per vector before the pair join (a per-pair
+    * norm recompute would triple the fold work).
+    */
   def embeddingPairs(
       embs: DataFrame,
       threshold: Double,
@@ -157,12 +191,16 @@ object Dedup {
       vecCol: String = "embedding",
       idCol: String = "vec_id"): DataFrame = {
     import graft.functions.VectorFunctions._
-    val base = embs.select(col(idCol), col(vecCol).as("v"), blockCol.as("blk"))
-    val a = base.select(col("blk"), col(idCol).as("a_id"), col("v").as("a_v"))
-    val b = base.select(col("blk"), col(idCol).as("b_id"), col("v").as("b_v"))
+    val base = fanOut(embs, idCol)
+      .select(col(idCol), col(vecCol).as("v"), blockCol.as("blk"))
+      .withColumn("nrm", norm(col("v")))
+    val a = base.select(col("blk"), col(idCol).as("a_id"), col("v").as("a_v"),
+      col("nrm").as("a_n"))
+    val b = base.select(col("blk"), col(idCol).as("b_id"), col("v").as("b_v"),
+      col("nrm").as("b_n"))
     a.join(b, Seq("blk"))
       .filter(col("a_id") < col("b_id"))
-      .withColumn("cos", cosine(col("a_v"), col("b_v")))
+      .withColumn("cos", dot(col("a_v"), col("b_v")) / (col("a_n") * col("b_n")))
       .filter(col("cos") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cos"))
   }

@@ -23,15 +23,12 @@ object TextFunctions {
     filter(split(normalize(text), " "), w => w =!= "")
 
   /** Distinct word k-gram shingles ("a b c" style), the unit for
-    * MinHash / Jaccard dedup.
+    * MinHash / Jaccard dedup. Native single-pass expression — see
+    * [[WordShingles]] for why not a transform/slice HOF chain.
     */
   def shingles(text: Column, k: Int): Column = {
-    val ws = words(text)
-    array_distinct(
-      when(size(ws) >= k,
-        transform(sequence(lit(0), size(ws) - k),
-          i => concat_ws(" ", slice(ws, i + 1, lit(k)))))
-        .otherwise(array(concat_ws(" ", ws))))
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(WordShingles(ColumnBridge.expression(words(text)), k))
   }
 
   private val stop = Map(

@@ -11,11 +11,14 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** elementwise products summed left-to-right in double precision */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** elementwise products summed left-to-right in double precision
+    * (native codegen'd expression; see [[DotProduct]])
+    */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(DotProduct(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
