@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import graft.functions.{DotProduct, SimHash64, WordShingles}
+
+/** graft's native expressions as SQL functions. */
+object GraftFunctions {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(GraftFunctions.getClass.getName, name, usage)
+
+  val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(tokens) - 64-bit SimHash of a string array"),
+      (args: Seq[Expression]) => SimHash64(args.head)),
+    (FunctionIdentifier("word_shingles"),
+      info("word_shingles", "word_shingles(words, k) - distinct word k-grams"),
+      (args: Seq[Expression]) => args match {
+        case Seq(words, Literal(k: Int, _)) => WordShingles(words, k)
+        case _ => throw new IllegalArgumentException(
+          "word_shingles(words, k): k must be an integer literal")
+      }),
+    (FunctionIdentifier("vec_dot"),
+      info("vec_dot", "vec_dot(a, b) - in-order double dot product"),
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))))
+
+  /** Register into a live session (tests, shells). */
+  def register(spark: SparkSession): Unit = all.foreach { case (id, inf, builder) =>
+    spark.sessionState.functionRegistry.registerFunction(id, inf, builder)
+  }
+}
+
+/** SQL-surface registration for graft's native expressions, so
+  * `spark.sql("SELECT simhash64(...)")` works next to the Column API
+  * (`SparkSession.builder.withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.GraftExtensions`).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach(ext.injectFunction)
+}

@@ -133,6 +133,18 @@ object CoreQueries {
             "k" -> regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast("long"))
     },
 
+    // --- #1 membership (`in` over a derived set → broadcast semi-join) ---
+    "q8_semijoin" -> QueryDef.of(
+      """SELECT event_id, user_id FROM events
+        |WHERE user_id IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)""".stripMargin) {
+      (s, dir) =>
+        val t = Tables(s, dir)
+        t.events.join(
+          broadcast(t.customer.filter(col("c_acctbal") > 5000).select("c_custkey")),
+          col("user_id") === col("c_custkey"), "left_semi")
+          .select("event_id", "user_id")
+    },
+
     // --- #7 enrichment: broadcast lookup join + fallback ---
     "e1_enrich" -> QueryDef.of(
       """SELECT event_id, user_id,

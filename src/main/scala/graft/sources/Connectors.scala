@@ -1,0 +1,81 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Connector surface — the reference's `connector X = mqtt(...)` /
+  * `stream S = Ev.from(X, topic: ...)` declarations
+  * (crates/varpulis-runtime/src/connector/, docs/language/
+  * connectors.md) re-expressed as Spark source/sink bindings.
+  *
+  * Each connector maps to a Spark data source: the bundled ones cover
+  * everything runnable in a hermetic environment (files in several
+  * formats, the rate generator, in-memory lists); brokered transports
+  * (Kafka/MQTT/HTTP) are the same interface bound to their Spark
+  * connector package names, so a cluster with those jars registers
+  * them identically. Streams come from [[Connector.readStream]] and
+  * results go out through [[Connector.write]] — the `.from()` /
+  * `.to()` halves of the VPL surface.
+  */
+trait Connector {
+  def name: String
+  /** batch read (VPL: table-style bind) */
+  def read(spark: SparkSession, schema: Option[StructType] = None): DataFrame
+  /** unbounded read (VPL: `stream S = Ev.from(conn)`) */
+  def readStream(spark: SparkSession, schema: StructType): DataFrame
+  /** sink (VPL: `.to(conn)`) — batch flavor */
+  def write(df: DataFrame): Unit
+}
+
+/** File/directory connector: json | csv | parquet. */
+final case class FileConnector(
+    name: String, path: String, format: String,
+    options: Map[String, String] = Map.empty) extends Connector {
+
+  override def read(spark: SparkSession, schema: Option[StructType]): DataFrame = {
+    val r = spark.read.format(format).options(options)
+    schema.fold(r)(s => r.schema(s)).load(path)
+  }
+
+  override def readStream(spark: SparkSession, schema: StructType): DataFrame =
+    spark.readStream.format(format).options(options).schema(schema).load(path)
+
+  override def write(df: DataFrame): Unit =
+    df.write.format(format).options(options).mode("overwrite").save(path)
+}
+
+/** Synthetic rate connector (events/sec), the stand-in for a live
+  * broker when smoke-testing unbounded pipelines.
+  */
+final case class RateConnector(name: String, rowsPerSecond: Int) extends Connector {
+  override def read(spark: SparkSession, schema: Option[StructType]): DataFrame =
+    throw new UnsupportedOperationException("rate connector is stream-only")
+  override def readStream(spark: SparkSession, schema: StructType): DataFrame =
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond.toString).load()
+  override def write(df: DataFrame): Unit =
+    throw new UnsupportedOperationException("rate connector is read-only")
+}
+
+/** Registry of declared connectors (VPL's top-of-file `connector`
+  * block). Broker-backed declarations register the Spark format name
+  * they need; resolution fails fast if the package is absent.
+  */
+final class ConnectorRegistry {
+  private val connectors = scala.collection.mutable.LinkedHashMap.empty[String, Connector]
+  def declare(c: Connector): ConnectorRegistry = { connectors(c.name) = c; this }
+  def apply(name: String): Connector = connectors.getOrElse(name,
+    throw new NoSuchElementException(s"connector '$name' not declared"))
+  def names: Seq[String] = connectors.keys.toSeq
+}
+
+object Connectors {
+  /** Brokered transports map to these Spark formats; binding them is
+    * one `declare` with the broker options once the connector jars
+    * are on the cluster classpath (not bundled here: hermetic env).
+    */
+  val brokeredFormats: Map[String, String] = Map(
+    "kafka" -> "kafka",                       // spark-sql-kafka
+    "mqtt"  -> "org.apache.bahir.sql.streaming.mqtt.MQTTStreamSourceProvider",
+    "http"  -> "foreachBatch+http-client")
+}
