@@ -30,7 +30,15 @@ object SparkEntry {
         |  ON a.user_id = b.user_id AND b.event_id > a.event_id
         | AND epoch_us(b.ts) - epoch_us(a.ts) <= 1800000000
         |WHERE a.event_type = 'signup' AND b.event_type = 'purchase'""".stripMargin)(
-      graft.streaming.StreamingQueries.streamPattern))
+      graft.streaming.StreamingQueries.streamPattern),
+    "s3_stream_join" -> QueryDef.of(
+      """SELECT a.user_id AS user_id, a.event_id AS a_id, b.event_id AS b_id,
+        | epoch_us(b.ts) - epoch_us(a.ts) AS span_us
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id AND b.event_id > a.event_id
+        | AND epoch_us(b.ts) - epoch_us(a.ts) <= 1800000000
+        |WHERE a.event_type = 'signup' AND b.event_type = 'purchase'""".stripMargin)(
+      graft.streaming.StreamingQueries.streamStreamJoin))
 
   /** Full registry: name → definition (Spark plan + optional oracle). */
   val all: Map[String, QueryDef] =

@@ -128,6 +128,50 @@ object Pattern {
   def disjunction(events: DataFrame, preds: Column*): DataFrame =
     events.filter(preds.reduce(_ || _))
 
+  /** Kleene-plus detection `A -> B+ -> C within d`: one output row per
+    * (A, C) anchor pair, aggregating the B-run between them (ids,
+    * count, sum). The reference's detection mode enumerates each of
+    * the 2^n−1 B-subsets as separate matches (sase.rs Kleene stack) —
+    * on 100 TB that enumeration is exactly what GRETA/trend
+    * aggregation exists to avoid, so the batch surface emits the
+    * maximal run + aggregates (the enumerable subsets are derivable,
+    * and [[TrendAggregate]] covers their counts in closed form).
+    *
+    * Plan shape: anchor-pair equi-join on the key, then one more
+    * equi-join for the B events and a groupBy on the anchor pair —
+    * all shuffles on (partition key) or (pair id), never a cross
+    * product.
+    */
+  def kleeneBetween(
+      events: DataFrame,
+      a: Step, b: Step, c: Step,
+      withinSec: Long,
+      partitionKeys: Seq[String],
+      bValueCol: String,
+      tsCol: String = "ts",
+      orderCol: String = "event_id"): DataFrame = {
+    val pairs = SeqPattern(Seq(a, c), withinSec, partitionKeys, tsCol, orderCol)
+      .compile(events)
+    def prefixed(df: DataFrame, alias: String): DataFrame =
+      df.columns.foldLeft(df)((d, cc) => d.withColumnRenamed(cc, s"${alias}_$cc"))
+    val bs = prefixed(events.filter(b.pred), b.alias)
+    val keyEq = partitionKeys
+      .map(k => col(s"${a.alias}_$k") === col(s"${b.alias}_$k"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val between =
+      col(s"${b.alias}_$orderCol") > col(s"${a.alias}_$orderCol") &&
+        col(s"${b.alias}_$orderCol") < col(s"${c.alias}_$orderCol")
+    pairs.join(bs, keyEq && between)
+      .groupBy(col(s"${a.alias}_$orderCol").as("a_id"),
+        col(s"${c.alias}_$orderCol").as("c_id"))
+      .agg(
+        count(lit(1)).as("n_b"),
+        min(col(s"${b.alias}_$orderCol")).as("first_b"),
+        max(col(s"${b.alias}_$orderCol")).as("last_b"),
+        sum(col(s"${b.alias}_$bValueCol").cast("decimal(14,2)"))
+          .cast("double").as("sum_b"))
+  }
+
   /** Earliest-match sequence `A -> B within d` under the reference's
     * non-greedy first-match policy: for each A, the first B after it.
     *

@@ -64,6 +64,34 @@ object StreamingQueries {
     runToTable(spark, agg, "graft_s1_sink", "complete")
   }
 
+  /** #33 stream-stream interval join (VPL `join(...).on(...).window()`
+    * over two live streams): signups ⋈ purchases of the same user
+    * within 30 minutes. Watermarks bound the join state on both
+    * sides — the knob that keeps state finite on an unbounded run.
+    * Same match set as the batch p1_seq2 join (event ids are
+    * time-ordered, so `p.ts > s.ts` ≡ `p.event_id > s.event_id`).
+    */
+  def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    def src = graft.Tables.normalizeTs(
+      spark.readStream.schema(schema).parquet(streamDir(path)))
+    val signups = src.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("event_id").as("a_id"),
+        col("ts").as("s_ts"))
+      .withWatermark("s_ts", "1 hour")
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("b_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = signups.join(purchases,
+      expr("""s_user = p_user AND p_ts > s_ts AND
+             |p_ts <= s_ts + interval 30 minutes""".stripMargin))
+      .select(col("s_user").as("user_id"), col("a_id"), col("b_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("s_ts"))).as("span_us"))
+    runToTable(spark, joined, "graft_s3_sink", "append")
+  }
+
   /** #32 streaming SASE sequence detection (NFA over state store);
     * count must equal the batch p1_seq2 join — asserted in specs.
     */
