@@ -43,7 +43,7 @@ object SparkEntry {
   /** Full registry: name → definition (Spark plan + optional oracle). */
   val all: Map[String, QueryDef] =
     CoreQueries.defs ++ WindowQueries.defs ++ PatternQueries.defs ++
-      TextQueries.defs ++ VectorQueries.defs ++ streamingDefs
+      TextQueries.defs ++ VectorQueries.defs ++ MlQueries.defs ++ streamingDefs
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
