@@ -38,7 +38,13 @@ object SparkEntry {
         |  ON a.user_id = b.user_id AND b.event_id > a.event_id
         | AND epoch_us(b.ts) - epoch_us(a.ts) <= 1800000000
         |WHERE a.event_type = 'signup' AND b.event_type = 'purchase'""".stripMargin)(
-      graft.streaming.StreamingQueries.streamStreamJoin))
+      graft.streaming.StreamingQueries.streamStreamJoin),
+    // negation timers hold back end-of-stream anchors (watermark
+    // semantics) → rows-only here; exact equality vs the batch
+    // anti-join is proven in StreamingSpec with a sentinel-closed
+    // stream
+    "s4_stream_negation" -> QueryDef.rowsOnly(
+      graft.streaming.StreamingQueries.streamNegation))
 
   /** Full registry: name → definition (Spark plan + optional oracle). */
   val all: Map[String, QueryDef] =

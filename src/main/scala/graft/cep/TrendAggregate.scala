@@ -27,6 +27,33 @@ import org.apache.spark.sql.functions._
   */
 object TrendAggregate {
 
+  /** Multi-query sharing (Hamlet, hamlet/): trend aggregates for
+    * several Kleene patterns over the same stream computed in ONE
+    * pass — conditional aggregation inside a single (key, window)
+    * groupBy, so N patterns share one scan and one shuffle exactly
+    * the way Hamlet shares graphlets across queries.
+    */
+  def kleeneShared(
+      events: DataFrame,
+      patterns: Seq[(String, Column)],
+      windowSize: String,
+      partitionKeys: Seq[String],
+      tsCol: String = "ts"): DataFrame = {
+    val any = patterns.map(_._2).reduce(_ || _)
+    val g = partitionKeys.map(col) :+ window(col(tsCol), windowSize).as("w")
+    val aggs = patterns.flatMap { case (name, pred) =>
+      val n = count(when(pred, 1)).as(s"n_$name")
+      val trends = round(pow(lit(2.0), count(when(pred, 1))) - 1.0, 0)
+        .cast("long").as(s"trends_$name")
+      Seq(n, trends)
+    }
+    events.filter(any)
+      .groupBy(g: _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("win_start", col("w.start").cast("long"))
+      .drop("w")
+  }
+
   /** count_trends / count_events / sum_trends for `pred+` per
     * (partitionKeys × tumbling window).
     */

@@ -67,8 +67,14 @@ object CoreQueries {
         |GROUP BY n_name""".stripMargin) {
       (s, dir) =>
         val t = Tables(s, dir)
-        t.lineitem
-          .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        // pre-shuffle the fact side on its join key: this IS the
+        // shuffle the join needs (HashPartitioning is reused, no
+        // second exchange), and it decouples parallelism from the
+        // input file split — one row-group locally, and the same
+        // co-partitioning a bucketed 100 TB table would give
+        val li = t.lineitem.repartition(
+          s.sparkContext.defaultParallelism, col("l_orderkey"))
+        li.join(t.orders, col("l_orderkey") === col("o_orderkey"))
           .join(t.customer, col("o_custkey") === col("c_custkey"))
           .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
           .groupBy("n_name")

@@ -168,6 +168,58 @@ object PatternQueries {
             col("__next_b.value").as("purchase_value"))
     },
 
+    // --- per-transition within: signup -[any]-> click within 2h of
+    // signup, then purchase within 30m OF THE CLICK (sase-patterns.md
+    // "Per-Transition Constraints") ---
+    "p9_transition_within" -> QueryDef.of(
+      """SELECT a.event_id AS a_id, b.event_id AS b_id, c.event_id AS c_id
+        |FROM events a
+        |JOIN events b ON a.user_id = b.user_id AND b.event_id > a.event_id
+        | AND epoch_us(b.ts) - epoch_us(a.ts) <= 28800000000
+        |JOIN events c ON b.user_id = c.user_id AND c.event_id > b.event_id
+        | AND epoch_us(c.ts) - epoch_us(a.ts) <= 28800000000
+        | AND epoch_us(c.ts) - epoch_us(b.ts) <= 1800000000
+        |WHERE a.event_type = 'signup' AND b.event_type = 'click'
+        |  AND c.event_type = 'purchase'""".stripMargin) {
+      (s, dir) =>
+        SeqPattern(
+          steps = Seq(
+            Step("a", col("event_type") === "signup"),
+            Step("b", col("event_type") === "click"),
+            Step("c", col("event_type") === "purchase",
+              withinPrevSec = Some(1800))),
+          withinSec = 28800,
+          partitionKeys = Seq("user_id"))
+          .compile(Tables(s, dir).events)
+          .select(col("a_event_id").as("a_id"), col("b_event_id").as("b_id"),
+            col("c_event_id").as("c_id"))
+    },
+
+    // --- Hamlet-style multi-query sharing: trend aggregates for
+    // SEVERAL Kleene patterns (error+, click+, purchase+) computed in
+    // ONE pass / one shuffle via pivoted conditional aggregation —
+    // the Spark form of hamlet/'s shared graphlet propagation ---
+    "p10_multi_trend" -> QueryDef.of(
+      """SELECT user_id, (epoch_us(ts) // 3600000000) * 3600 AS win_start,
+        | CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS n_error,
+        | CAST(round(pow(2.0::DOUBLE, COUNT(CASE WHEN event_type = 'error' THEN 1 END)) - 1, 0) AS BIGINT) AS trends_error,
+        | CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS n_click,
+        | CAST(round(pow(2.0::DOUBLE, COUNT(CASE WHEN event_type = 'click' THEN 1 END)) - 1, 0) AS BIGINT) AS trends_click,
+        | CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS n_purchase,
+        | CAST(round(pow(2.0::DOUBLE, COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)) - 1, 0) AS BIGINT) AS trends_purchase
+        |FROM events
+        |WHERE event_type IN ('error', 'click', 'purchase')
+        |GROUP BY 1, 2""".stripMargin) {
+      (s, dir) =>
+        TrendAggregate.kleeneShared(Tables(s, dir).events,
+          patterns = Seq(
+            "error" -> (col("event_type") === "error"),
+            "click" -> (col("event_type") === "click"),
+            "purchase" -> (col("event_type") === "purchase")),
+          windowSize = "1 hour",
+          partitionKeys = Seq("user_id"))
+    },
+
     // --- #29 forecast: order-1 transition model (P(next | cur)) ---
     "f1_forecast" -> QueryDef.of(
       """WITH p AS (

@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.functions._
 
 /** Streaming SASE+ sequence detection — the true-streaming twin of
   * [[graft.cep.SeqPattern]] (reference NFA:
@@ -23,7 +24,10 @@ object PatternStream {
 
   final case class Ev(
       event_id: Long, user_id: Long, event_type: String,
-      value: Double, ts_us: Long)
+      value: Double, ts_us: Long,
+      // the watermarked event-time attribute must survive into the
+      // typed Dataset or EventTimeTimeout loses its watermark
+      ts: java.sql.Timestamp)
 
   final case class Run(stepIdx: Int, firstTsUs: Long, ids: List[Long])
   final case class NfaState(runs: List[Run])
@@ -33,6 +37,60 @@ object PatternStream {
     * added per-step; type match is what the verified queries need).
     */
   final case class StepSpec(eventType: String)
+
+  final case class AbsenceState(pending: List[Run])
+  final case class Absence(user_id: Long, a_id: Long)
+
+  /** Streaming negation `A -> NOT(B) within d` (sase.rs
+    * NegationInfo / timer.rs timeout semantics): pending A's are
+    * killed by a matching B inside the window and emitted once the
+    * event-time watermark passes their deadline — via
+    * EventTimeTimeout timers, the streaming analog of the
+    * reference's negation timers. Requires `withWatermark` on the
+    * input's ts column.
+    */
+  def detectAbsence(
+      events: Dataset[Ev],
+      aType: String, bType: String,
+      withinUs: Long)(implicit spark: SparkSession): Dataset[Absence] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AbsenceState, Absence](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[Ev], state: GroupState[AbsenceState]) =>
+          var pending = state.getOption.map(_.pending).getOrElse(Nil)
+          val out = scala.collection.mutable.ArrayBuffer.empty[Absence]
+          val wm = state.getCurrentWatermarkMs() * 1000L
+          val batch = it.toArray.sortBy(_.event_id)
+          for (ev <- batch) {
+            // deadline passed before this B arrived → absence held
+            if (ev.event_type == bType) {
+              val (expired, live) =
+                pending.partition(r => ev.ts_us - r.firstTsUs > withinUs)
+              expired.foreach(r => out += Absence(user, r.ids.head))
+              // a B inside the window kills the pending A
+              pending = live.filterNot(r =>
+                ev.event_id > r.ids.head && ev.ts_us - r.firstTsUs <= withinUs)
+            }
+            if (ev.event_type == aType)
+              pending = Run(0, ev.ts_us, List(ev.event_id)) :: pending
+          }
+          // watermark passed a deadline → no B can retract it anymore
+          val (safe, waiting) = pending.partition(r => r.firstTsUs + withinUs < wm)
+          safe.foreach(r => out += Absence(user, r.ids.head))
+          pending = waiting
+          if (pending.isEmpty) state.remove()
+          else {
+            state.update(AbsenceState(pending))
+            val nextDeadlineMs =
+              (pending.map(_.firstTsUs + withinUs).min / 1000L) + 1L
+            state.setTimeoutTimestamp(math.max(nextDeadlineMs,
+              state.getCurrentWatermarkMs() + 1L))
+          }
+          out.iterator
+      }
+  }
 
   def detect(
       events: Dataset[Ev],

@@ -92,6 +92,28 @@ object StreamingQueries {
     runToTable(spark, joined, "graft_s3_sink", "append")
   }
 
+  /** #24-streaming: negation via event-time timers. Absences emit
+    * once the watermark passes the deadline, so pending anchors near
+    * the end of a bounded run stay unemitted (correct streaming
+    * semantics — the spec closes the stream with a sentinel event to
+    * compare against the batch anti-join exactly).
+    */
+  def streamNegation(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import PatternStream._
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    val src = graft.Tables.normalizeTs(
+      spark.readStream.schema(schema).parquet(streamDir(path)))
+      .withWatermark("ts", "1 second")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), unix_micros(col("ts")).as("ts_us"), col("ts"))
+      .as[Ev]
+    val absences = detectAbsence(src, "purchase", "error",
+      withinUs = 900L * 1000000L)(spark)
+    runToTable(spark, absences.toDF(), "graft_s4_sink", "append")
+  }
+
   /** #32 streaming SASE sequence detection (NFA over state store);
     * count must equal the batch p1_seq2 join — asserted in specs.
     */
@@ -103,7 +125,7 @@ object StreamingQueries {
     val src = graft.Tables.normalizeTs(
       spark.readStream.schema(schema).parquet(streamDir(path)))
       .select(col("event_id"), col("user_id"), col("event_type"),
-        col("value"), unix_micros(col("ts")).as("ts_us"))
+        col("value"), unix_micros(col("ts")).as("ts_us"), col("ts"))
       .as[Ev]
     val matches = detect(src,
       Seq(StepSpec("signup"), StepSpec("purchase")),

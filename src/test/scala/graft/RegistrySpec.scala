@@ -8,8 +8,9 @@ package graft
 class RegistrySpec extends SparkSpec {
 
   // queries that legitimately may be empty at this tiny scale
-  // (p2_seq3's 3-step chain first fires at sf0.01)
-  private val mayBeEmpty = Set("d3_minhash_lsh", "d4_simhash", "p2_seq3")
+  // (the 3-step chains first fire at sf0.01)
+  private val mayBeEmpty =
+    Set("d3_minhash_lsh", "d4_simhash", "p2_seq3", "p9_transition_within")
 
   SparkEntry.all.foreach { case (name, qd) =>
     test(s"$name runs at sf0.001") {

@@ -22,6 +22,38 @@ class StreamingSpec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(0) % 3600 == 0))
   }
 
+  test("streaming negation equals batch anti-join on a closed stream") {
+    import spark.implicits._
+    import graft.streaming.PatternStream._
+    // close the stream with a sentinel far past every deadline so the
+    // watermark releases all pending anchors
+    val events = Tables(spark, sf).events
+    val maxTs = events.agg(max("ts")).head.getTimestamp(0)
+    val sentinel = Seq((999999L, java.sql.Timestamp.from(
+      maxTs.toInstant.plusSeconds(7200)), 0L, "sentinel", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("graft_neg_").toString
+    events.unionByName(sentinel).write.mode("overwrite").parquet(dir)
+
+    val src = spark.readStream.schema(events.schema).parquet(dir)
+      .withWatermark("ts", "1 second")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), unix_micros(col("ts")).as("ts_us"), col("ts"))
+      .as[Ev]
+    val absences = detectAbsence(src, "purchase", "error",
+      withinUs = 900L * 1000000L)(spark)
+    val q = absences.toDF().writeStream.format("memory")
+      .queryName("graft_neg_sink").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("graft_neg_sink")
+      .select(col("a_id").as("p_id"), col("user_id"))
+    val batch = SparkEntry.all("p3_negation").build(spark, sf)
+    assert(streamed.count() == batch.count(),
+      s"streamed=${streamed.count()} batch=${batch.count()}")
+    assert(streamed.except(batch.select("p_id", "user_id")).count() == 0)
+  }
+
   test("session windows respect the gap") {
     // no two sessions of the same user may be closer than the gap
     val s = SparkEntry.all("w3_session").build(spark, sf)
