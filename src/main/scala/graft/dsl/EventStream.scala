@@ -167,4 +167,29 @@ object EventStream {
     * schema (VPL: `stream S = EventType.from(connector)`).
     */
   def events(df: DataFrame): EventStream = EventStream(df)
+
+  /** Skew-salted equi-join: when `left`'s key distribution has hot
+    * keys (one user with millions of events, one boilerplate doc
+    * fingerprint), a plain shuffle join puts a whole hot key in one
+    * task. Salting splits each left key into `buckets` subkeys and
+    * replicates the right side once per salt — same join result, hot
+    * keys fan out over `buckets` tasks. Use when AQE's skew handling
+    * isn't available (non-sort-merge plans) or the skew is known
+    * up front; `buckets` multiplies the right side's volume, so keep
+    * it small and the right side lean.
+    */
+  def saltedJoin(
+      lhs: DataFrame, rhs: DataFrame,
+      leftKey: String, rightKey: String,
+      buckets: Int,
+      how: String = "inner"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val l = lhs.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(buckets))
+        .cast("int"))
+    val r = rhs.withColumn("__salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    l.join(r, l(leftKey) === r(rightKey) && l("__salt") === r("__salt"), how)
+      .drop("__salt")
+  }
 }

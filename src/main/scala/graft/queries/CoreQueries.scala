@@ -151,6 +151,35 @@ object CoreQueries {
           .select("event_id", "user_id")
     },
 
+    // --- scalar builtin surface (strings/math/timestamps, builtins.md) ---
+    "b1_builtins" -> QueryDef.of(
+      """SELECT event_id,
+        | length(event_type) AS type_len,
+        | upper(event_type) AS type_upper,
+        | contains(event_type, 'ur') AS has_ur,
+        | abs(value - 100.0) AS dist,
+        | round(sqrt(value), 4) AS root,
+        | CAST(floor(value) AS BIGINT) AS flr,
+        | year(ts) AS y, month(ts) AS m, hour(ts) AS h,
+        | coalesce(NULL, event_type) AS coal
+        |FROM events""".stripMargin) {
+      (s, dir) => {
+        import graft.functions.VplBuiltins._
+        Tables(s, dir).events.select(
+          col("event_id"),
+          len(col("event_type")).cast("long").as("type_len"),
+          upperF(col("event_type")).as("type_upper"),
+          containsF(col("event_type"), "ur").as("has_ur"),
+          absF(col("value") - 100.0).as("dist"),
+          roundF(sqrtF(col("value")), 4).as("root"),
+          floorF(col("value")).cast("long").as("flr"),
+          yearF(col("ts")).cast("long").as("y"),
+          monthF(col("ts")).cast("long").as("m"),
+          hourF(col("ts")).cast("long").as("h"),
+          coalesceF(lit(null).cast("string"), col("event_type")).as("coal"))
+      }
+    },
+
     // --- #7 enrichment: broadcast lookup join + fallback ---
     "e1_enrich" -> QueryDef.of(
       """SELECT event_id, user_id,

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dsl.EventStream
+
+/** DSL utilities: salted joins and the builtin function mapping. */
+class DslSpec extends SparkSpec {
+
+  test("salted join returns exactly the plain join's rows under skew") {
+    val t = Tables(spark, sf)
+    val ev = t.events
+    val cust = t.customer
+    val plain = ev.join(cust, ev("user_id") === cust("c_custkey"))
+      .select(col("event_id"), col("c_custkey"))
+    val salted = EventStream.saltedJoin(
+      ev, cust, "user_id", "c_custkey", buckets = 8)
+      .select(col("event_id"), col("c_custkey"))
+    assert(salted.count() == plain.count())
+    assert(salted.except(plain).count() == 0)
+    assert(plain.except(salted).count() == 0)
+  }
+
+  test("salted left join keeps unmatched left rows exactly once") {
+    val t = Tables(spark, sf)
+    val salted = EventStream.saltedJoin(
+      t.events, t.customer.filter(col("c_custkey") < 5),
+      "user_id", "c_custkey", buckets = 4, how = "left")
+    assert(salted.count() == t.events.count())
+  }
+
+  test("builtins: deterministic scalar surface") {
+    import graft.functions.VplBuiltins._
+    val r = spark.range(1).select(
+      len(lit("hello")).as("l"),
+      upperF(lit("ab")).as("u"),
+      containsF(lit("purchase"), "ur").as("c"),
+      replaceF(lit("a.b.c"), ".", "-").as("rep"),
+      regexMatch(lit("abc123"), "^[a-z]+[0-9]+$").as("rm"),
+      absF(lit(-3.5)).as("a"),
+      powF(lit(2.0), lit(10.0)).as("p"),
+      durationBetweenUs(
+        to_timestamp(lit("2024-01-01 00:00:00")),
+        to_timestamp(lit("2024-01-01 00:00:01"))).as("d")).head()
+    assert(r.getAs[Int]("l") == 5)
+    assert(r.getAs[String]("u") == "AB")
+    assert(r.getAs[Boolean]("c"))
+    assert(r.getAs[String]("rep") == "a-b-c")
+    assert(r.getAs[Boolean]("rm"))
+    assert(r.getAs[Double]("a") == 3.5)
+    assert(r.getAs[Double]("p") == 1024.0)
+    assert(r.getAs[Long]("d") == 1000000L)
+  }
+}
