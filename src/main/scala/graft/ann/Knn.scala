@@ -44,6 +44,86 @@ object Knn {
         round(col("cos"), 6).as("cos"))
   }
 
+  /** IVF (inverted-file) ANN: k-means coarse quantizer partitions the
+    * corpus into nlist cells; a query probes only its nProbe nearest
+    * cells. Deterministic throughout — centroid init is the first
+    * nlist vectors by id, fixed Lloyd iterations, ties broken by
+    * cluster id — so results reproduce across runs/executors.
+    *
+    * Scale: training touches the corpus iters times (map + tiny
+    * broadcast of centroids); search is a broadcast of (queries ×
+    * probed cells) against a corpus pre-bucketed by cell — the
+    * shuffle key is the cell id, and each query scans |corpus|/nlist
+    * × nProbe vectors instead of everything.
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nlist: Int = 16,
+      nProbe: Int = 4,
+      iters: Int = 3,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = corpus
+      .repartition(spark.sparkContext.defaultParallelism, col(idCol))
+      .select(col(idCol).as("n_id"), col(vecCol).as("n_v"))
+    // deterministic init: first nlist vectors by id
+    var centroids: Array[(Int, Seq[Double])] = c.orderBy("n_id").limit(nlist)
+      .collect().zipWithIndex.map { case (r, i) =>
+        i -> r.getSeq[Float](1).map(_.toDouble)
+      }
+
+    def assign(df: DataFrame, v: String): DataFrame = {
+      val cents = spark.createDataFrame(centroids.toSeq).toDF("cell", "c_v")
+      val w = W.partitionBy(col("__aid")).orderBy(col("__cos").desc, col("cell"))
+      df.withColumn("__aid", col(df.columns.head))
+        .crossJoin(broadcast(cents))
+        .withColumn("__cos", cosine(col(v), col("c_v")))
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") === 1)
+        .drop("c_v", "__cos", "__rk", "__aid")
+    }
+
+    for (_ <- 1 to iters) {
+      val assigned = assign(c, "n_v")
+      val newCents = assigned
+        .select(col("cell"), posexplode(col("n_v")))
+        .groupBy("cell", "pos")
+        .agg(avg(col("col").cast("double")).as("m"))
+        .groupBy("cell")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          r => r.getField("m")).as("c_v"))
+        .as[(Int, Seq[Double])].collect()
+      // empty cells keep their previous centroid
+      val byCell = newCents.toMap
+      centroids = centroids.map { case (cell, old) =>
+        cell -> byCell.getOrElse(cell, old)
+      }
+    }
+
+    val bucketed = assign(c, "n_v").withColumn("n_n", norm(col("n_v")))
+    val cents = spark.createDataFrame(centroids.toSeq).toDF("cell", "c_v")
+    val qw = W.partitionBy(col("q_id")).orderBy(col("__cos").desc, col("cell"))
+    val probes = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_v"))
+      .crossJoin(broadcast(cents))
+      .withColumn("__cos", cosine(col("q_v"), col("c_v")))
+      .withColumn("__rk", row_number().over(qw))
+      .filter(col("__rk") <= nProbe)
+      .select(col("q_id"), col("q_v"), col("cell"))
+      .withColumn("q_n", norm(col("q_v")))
+    val scored = bucketed.join(broadcast(probes), Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos", dot(col("q_v"), col("n_v")) / (col("q_n") * col("n_n")))
+    val w = W.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rank"),
+        round(col("cos"), 6).as("cos"))
+  }
+
   def lshTopK(
       corpus: DataFrame,
       queries: DataFrame,

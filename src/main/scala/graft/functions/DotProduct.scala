@@ -15,23 +15,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * `list_reduce(list_prepend(0.0, [a[i]*b[i] ...]), +)`.
   */
 object VecUtil {
-  def dotF(a: ArrayData, b: ArrayData): Double = {
+  /** aF/bF flag float32 element storage per side (mixed-type pairs
+    * appear in IVF, where float corpus vectors meet double centroids)
+    */
+  def dot(a: ArrayData, b: ArrayData, aF: Boolean, bF: Boolean): Double = {
     var s = 0.0
     var i = 0
     val n = Math.min(a.numElements(), b.numElements())
     while (i < n) {
-      s += a.getFloat(i).toDouble * b.getFloat(i).toDouble
-      i += 1
-    }
-    s
-  }
-
-  def dotD(a: ArrayData, b: ArrayData): Double = {
-    var s = 0.0
-    var i = 0
-    val n = Math.min(a.numElements(), b.numElements())
-    while (i < n) {
-      s += a.getDouble(i) * b.getDouble(i)
+      val x = if (aF) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bF) b.getFloat(i).toDouble else b.getDouble(i)
+      s += x * y
       i += 1
     }
     s
@@ -43,19 +37,18 @@ case class DotProduct(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_dot"
 
-  private def isFloat: Boolean = left.dataType match {
+  private def isFloat(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true
     case _ => false
   }
-  private def fn: String = if (isFloat) "dotF" else "dotD"
 
-  override protected def nullSafeEval(l: Any, r: Any): Any = {
-    val (a, b) = (l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
-    if (isFloat) VecUtil.dotF(a, b) else VecUtil.dotD(a, b)
-  }
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    VecUtil.dot(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData],
+      isFloat(left), isFloat(right))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecUtil.$fn($a, $b)")
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VecUtil.dot($a, $b, ${isFloat(left)}, ${isFloat(right)})")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProduct =

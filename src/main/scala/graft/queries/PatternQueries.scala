@@ -237,5 +237,16 @@ object PatternQueries {
     "f2_pst" -> QueryDef.rowsOnly {
       (s, dir) =>
         Forecast.pstScores(Tables(s, dir).events, maxDepth = 3)
+    },
+
+    // --- #29 live forecast: every event annotated with its pattern-
+    // completion probability from the deepest matching PST context
+    // (the forecast_probability / forecast_state builtins) ---
+    "f3_forecast_live" -> QueryDef.rowsOnly {
+      (s, dir) =>
+        Forecast.forecastPattern(s, Tables(s, dir).events, "purchase",
+          maxDepth = 2)
+          .select("event_id", "user_id", "forecast_probability",
+            "forecast_state")
     })
 }

@@ -57,5 +57,14 @@ object VectorQueries {
         val e = Tables(s, dir).embeddings
         Knn.lshTopK(e, e.filter(col("vec_id") < 10), k = 10, nBits = 4)
       }
+    },
+
+    // --- #41b IVF ANN: k-means cells + nProbe search (scale path) ---
+    "v4_knn_ivf" -> QueryDef.rowsOnly {
+      (s, dir) => {
+        val e = Tables(s, dir).embeddings
+        Knn.ivfTopK(e, e.filter(col("vec_id") < 10), k = 10,
+          nlist = 16, nProbe = 4)
+      }
     })
 }

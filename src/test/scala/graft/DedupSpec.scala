@@ -62,6 +62,23 @@ class DedupSpec extends SparkSpec {
     assert(lsh.select("q_id", "n_id").intersect(bf).count() > 0)
   }
 
+  test("IVF knn: deterministic and decent recall vs brute force") {
+    val q = embs.filter(col("vec_id") < 10)
+    val bf = Knn.bruteForce(embs, q, k = 10).select("q_id", "n_id")
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("q_id", "n_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf1 = pairs(Knn.ivfTopK(embs, q, k = 10, nlist = 8, nProbe = 4))
+    val ivf2 = pairs(Knn.ivfTopK(embs, q, k = 10, nlist = 8, nProbe = 4))
+    // determinism across runs
+    assert(ivf1 == ivf2)
+    // probing half the cells should recover a good share of true top-k
+    val bfSet = pairs(bf.toDF("q_id", "n_id"))
+    val hit = ivf1.intersect(bfSet).size
+    val total = bfSet.size
+    assert(hit.toDouble / total >= 0.3, s"IVF recall $hit/$total")
+  }
+
   test("embedding near-dup pairs are symmetric-free (a < b) and above threshold") {
     val pairs = Dedup.embeddingPairs(embs, 0.35, col("label")).collect()
     pairs.foreach { r =>
