@@ -180,6 +180,44 @@ object Dedup {
       .select("a_id", "b_id", "hamming")
   }
 
+  /** Connected components over near-dup pairs → dedup clusters: every
+    * doc in a cluster maps to the cluster's minimum doc id (the
+    * canonical survivor). Iterative min-label propagation — each
+    * round one equi-join + groupBy-min on the edge list, converging
+    * in O(component diameter) rounds; `localCheckpoint` truncates
+    * the growing lineage each round. This is the shuffle-friendly
+    * connected-components formulation that runs at corpus scale
+    * (edge list partitioned by node id, no driver-side graph).
+    */
+  def clusters(
+      pairs: DataFrame, aCol: String = "a_id", bCol: String = "b_id",
+      maxIters: Int = 50): DataFrame = {
+    val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("u").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIters) {
+      val prop = edges
+        .join(labels, edges("v") === labels("node"))
+        .groupBy(edges("u").as("n2")).agg(min("label").as("nbr"))
+      val next = labels.join(prop, labels("node") === prop("n2"), "left")
+        .select(labels("node"),
+          least(labels("label"), coalesce(col("nbr"), labels("label")))
+            .as("label"))
+        .localCheckpoint()
+      changed = next.as("n").join(labels.as("o"), Seq("node"))
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels = next
+      it += 1
+    }
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** Embedding-cosine near-dup pairs within blocking buckets. Norms
     * are computed once per vector before the pair join (a per-pair
     * norm recompute would triple the fold work).

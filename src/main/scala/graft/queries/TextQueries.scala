@@ -143,6 +143,34 @@ object TextQueries {
           k = 3, threshold = 0.6, blockCols = Seq(col("lang")))
     },
 
+    // --- near-dup clusters: connected components over d2's pairs;
+    // cluster id = canonical (min) doc id. Oracle = recursive-CTE
+    // transitive closure over the same pair set ---
+    "d5_dedup_clusters" -> QueryDef.of(
+      s"""WITH d AS (
+         |  SELECT doc_id, lang, $shinglesSql AS sh
+         |  FROM (SELECT doc_id, lang, $wordsSql AS w FROM documents)),
+         |p AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |        CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.6),
+         |e AS (SELECT a_id AS u, b_id AS v FROM p
+         |      UNION SELECT b_id, a_id FROM p),
+         |r AS (
+         |  WITH RECURSIVE reach(u, v) AS (
+         |    SELECT u, v FROM e
+         |    UNION
+         |    SELECT reach.u, e.v FROM reach JOIN e ON reach.v = e.u)
+         |  SELECT * FROM reach)
+         |SELECT u AS doc_id, least(u, MIN(v)) AS cluster_id
+         |FROM r GROUP BY u""".stripMargin) {
+      (s, dir) =>
+        Dedup.clusters(
+          Dedup.ngramJaccardPairs(Tables(s, dir).documents,
+            k = 3, threshold = 0.6, blockCols = Seq(col("lang"))))
+    },
+
     // --- #37 MinHash+LSH near-dup (verified); spec checks vs exact ---
     "d3_minhash_lsh" -> QueryDef.rowsOnly {
       (s, dir) =>

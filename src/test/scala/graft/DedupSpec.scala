@@ -79,6 +79,27 @@ class DedupSpec extends SparkSpec {
     assert(hit.toDouble / total >= 0.3, s"IVF recall $hit/$total")
   }
 
+  test("clusters: every member maps to the component's min id") {
+    import spark.implicits._
+    // two components: {1,2,3} (chain) and {10,11}
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
+    val got = Dedup.clusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("full dedup pipeline keeps one canonical doc per cluster") {
+    val pairs = Dedup.ngramJaccardPairs(docs, k = 3, threshold = 0.6,
+      blockCols = Seq(col("lang")))
+    val clusters = Dedup.clusters(pairs)
+    val nonCanonical = clusters.filter(col("doc_id") =!= col("cluster_id"))
+    val kept = docs.join(nonCanonical, Seq("doc_id"), "left_anti")
+    assert(kept.count() == docs.count() - nonCanonical.count())
+    // canonical docs themselves are kept
+    val canon = clusters.select(col("cluster_id").as("doc_id")).distinct()
+    assert(canon.join(kept, Seq("doc_id"), "left_semi").count() == canon.count())
+  }
+
   test("embedding near-dup pairs are symmetric-free (a < b) and above threshold") {
     val pairs = Dedup.embeddingPairs(embs, 0.35, col("label")).collect()
     pairs.foreach { r =>
