@@ -134,6 +134,32 @@ object WindowQueries {
             "last_val" -> max_by(col("value"), col("event_id")))
     },
 
+    // --- analytic window functions (row_number/rank/lag/lead —
+    // builtins.md "Planned Window Functions", all native here) ---
+    "w7_analytics" -> QueryDef.of(
+      """SELECT event_id, user_id,
+        | row_number() OVER w AS rn,
+        | rank() OVER (PARTITION BY user_id ORDER BY value, event_id) AS rk,
+        | lag(value, 1) OVER w AS prev_value,
+        | lead(value, 1) OVER w AS next_value,
+        | value - lag(value, 1) OVER w AS delta
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)""".stripMargin) {
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("event_id")
+        val wv = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("value", "event_id")
+        Tables(s, dir).events.select(
+          col("event_id"), col("user_id"),
+          row_number().over(w).cast("long").as("rn"),
+          rank().over(wv).cast("long").as("rk"),
+          lag("value", 1).over(w).as("prev_value"),
+          lead("value", 1).over(w).as("next_value"),
+          (col("value") - lag("value", 1).over(w)).as("delta"))
+      }
+    },
+
     // --- #16/#17/#18 stddev, count_distinct, percentiles (exact) ---
     "a1_stats" -> QueryDef.of(
       """WITH s AS (

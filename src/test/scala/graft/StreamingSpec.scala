@@ -54,6 +54,44 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.except(batch.select("p_id", "user_id")).count() == 0)
   }
 
+  test("append-mode watermark drops late data and finalizes windows once") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_late_").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def write(rows: Seq[(Long, java.sql.Timestamp)], part: String): Unit =
+      rows.toDF("id", "ts").write.mode("append")
+        .parquet(s"$dir/part=$part")
+
+    // batch 1: three events in hour 10, one watermark-pusher at hour 13
+    write(Seq(
+      (1L, ts("2024-01-01 10:05:00")), (2L, ts("2024-01-01 10:15:00")),
+      (3L, ts("2024-01-01 10:45:00")), (4L, ts("2024-01-01 13:00:00"))), "a")
+
+    val schema = spark.read.parquet(s"$dir/part=a").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/part=*")
+      .withWatermark("ts", "1 minute")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("long").as("win"), col("n"))
+    val q = stream.writeStream.format("memory").queryName("graft_late_sink")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: a LATE event for hour 10 (watermark is past 12:59)
+      // plus a pusher at hour 15 to flush remaining windows
+      write(Seq(
+        (5L, ts("2024-01-01 10:30:00")), (6L, ts("2024-01-01 15:00:00"))), "b")
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val out = spark.table("graft_late_sink")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hour10 = ts("2024-01-01 10:00:00").getTime / 1000
+    // hour-10 window finalized with the ON-TIME count only; the late
+    // event (id 5) was dropped, and the window emitted exactly once
+    assert(out(hour10) == 3L, s"got $out")
+  }
+
   test("session windows respect the gap") {
     // no two sessions of the same user may be closer than the gap
     val s = SparkEntry.all("w3_session").build(spark, sf)
