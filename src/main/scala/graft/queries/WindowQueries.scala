@@ -190,6 +190,62 @@ object WindowQueries {
             col("median_value"), col("p90_value"))
     },
 
+    // --- anomaly scoring: z-score vs trailing window (per key), the
+    // alarm-verification shape — flag |z| > 3 over the last 20 events
+    // (exact decimal moments → deterministic flags) ---
+    "w8_anomaly" -> QueryDef.of(
+      """WITH r AS (
+        |  SELECT user_id, event_id, value,
+        |    COUNT(*) OVER f AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(14,2))) OVER f AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(value AS DECIMAL(14,2)) * CAST(value AS DECIMAL(14,2))) OVER f AS DOUBLE) AS sxx
+        |  FROM events
+        |  WINDOW f AS (PARTITION BY user_id ORDER BY event_id
+        |               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+        |SELECT user_id, event_id, value,
+        |  round((value - sx / n) / sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS z,
+        |  abs((value - sx / n) / sqrt((sxx - sx * sx / n) / (n - 1))) > 3.0 AS is_anomaly
+        |FROM r WHERE n >= 5""".stripMargin) {
+      (s, dir) => {
+        val f = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("event_id").rowsBetween(-20, -1)
+        val d = Tables(s, dir).events.select(
+          col("user_id"), col("event_id"), col("value"),
+          count(lit(1)).over(f).as("n"),
+          sum(dec(col("value"))).over(f).cast("double").as("sx"),
+          sum(dec(col("value")) * dec(col("value"))).over(f)
+            .cast("double").as("sxx"))
+        val z = (col("value") - col("sx") / col("n")) /
+          sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
+        d.filter(col("n") >= 5)
+          .select(col("user_id"), col("event_id"), col("value"),
+            round(z, 6).as("z"), (abs(z) > 3.0).as("is_anomaly"))
+      }
+    },
+
+    // --- heavy hitters: top-2 event types per hour by count ---
+    "a5_heavy_hitters" -> QueryDef.of(
+      """WITH c AS (
+        |  SELECT (epoch_us(ts) // 3600000000) * 3600 AS win_start,
+        |    event_type, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT win_start, event_type, n FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY win_start
+        |    ORDER BY n DESC, event_type) AS rk FROM c)
+        |WHERE rk <= 2""".stripMargin) {
+      (s, dir) => {
+        val counts = Tables(s, dir).events
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("win_start", col("window.start").cast("long"))
+          .drop("window")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("win_start").orderBy(col("n").desc, col("event_type"))
+        counts.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 2).drop("rk")
+      }
+    },
+
     // --- #19 ema(value, 10): explicit in-order fold, bit-deterministic ---
     "a2_ema" -> QueryDef.of(
       """SELECT user_id,
