@@ -44,7 +44,12 @@ object SparkEntry {
     // anti-join is proven in StreamingSpec with a sentinel-closed
     // stream
     "s4_stream_negation" -> QueryDef.rowsOnly(
-      graft.streaming.StreamingQueries.streamNegation))
+      graft.streaming.StreamingQueries.streamNegation),
+    // sessions near end-of-stream stay pending under append-mode
+    // watermarks → rows-only; exact equality with the batch session
+    // query is proven in StreamingSpec on a sentinel-closed stream
+    "s5_stream_session" -> QueryDef.rowsOnly(
+      graft.streaming.StreamingQueries.streamSession))
 
   /** Full registry: name → definition (Spark plan + optional oracle). */
   val all: Map[String, QueryDef] =

@@ -272,6 +272,19 @@ object WindowQueries {
       }
     },
 
+    // --- sketch aggregates: the 100 TB path for count_distinct /
+    // percentile (HLL / KLL-style; exact twins are in a1_stats; sketch
+    // internals differ per engine → rows-only, spec-bounded error) ---
+    "a4_approx" -> QueryDef.rowsOnly {
+      (s, dir) =>
+        Tables(s, dir).events
+          .groupBy("event_type")
+          .agg(
+            approx_count_distinct(col("user_id")).as("approx_users"),
+            expr("approx_percentile(value, 0.5D)").as("approx_median"),
+            expr("approx_percentile(value, 0.99D)").as("approx_p99"))
+    },
+
     // --- #20 collect() — ordered value list (string-normalized) ---
     "a3_collect" -> QueryDef.of(
       """SELECT user_id,

@@ -92,6 +92,28 @@ object StreamingQueries {
     runToTable(spark, joined, "graft_s3_sink", "append")
   }
 
+  /** #10-streaming: session windows over a live stream (gap-merged
+    * state in the streaming agg). Append mode: a session emits once
+    * the watermark passes its end+gap, so end-of-stream sessions stay
+    * pending (the spec closes the stream with a sentinel and proves
+    * equality with the batch session query).
+    */
+  def streamSession(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    val src = graft.Tables.normalizeTs(
+      spark.readStream.schema(schema).parquet(streamDir(path)))
+    val agg = src
+      .withWatermark("ts", "1 second")
+      .groupBy(col("user_id"), session_window(col("ts"), "10 minutes").as("w"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(14,2)")).cast("double").as("sum_value"))
+      .select(col("user_id"), unix_micros(col("w.start")).as("sess_start_us"),
+        col("n"), col("sum_value"))
+    runToTable(spark, agg, "graft_s5_sink", "append")
+  }
+
   /** #24-streaming: negation via event-time timers. Absences emit
     * once the watermark passes the deadline, so pending anchors near
     * the end of a bounded run stay unemitted (correct streaming

@@ -92,6 +92,35 @@ class StreamingSpec extends SparkSpec {
     assert(out(hour10) == 3L, s"got $out")
   }
 
+  test("streaming session windows equal batch sessions on a closed stream") {
+    import spark.implicits._
+    val events = Tables(spark, sf).events
+    val maxTs = events.agg(max("ts")).head.getTimestamp(0)
+    val sentinel = Seq((999998L, java.sql.Timestamp.from(
+      maxTs.toInstant.plusSeconds(7200)), -1L, "sentinel", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("graft_sess_").toString
+    events.unionByName(sentinel).write.mode("overwrite").parquet(dir)
+
+    val src = spark.readStream.schema(events.schema).parquet(dir)
+      .withWatermark("ts", "1 second")
+      .groupBy(col("user_id"), session_window(col("ts"), "10 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), unix_micros(col("w.start")).as("sess_start_us"),
+        col("n"))
+    val q = src.writeStream.format("memory").queryName("graft_sess_sink")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("graft_sess_sink")
+      .filter(col("user_id") >= 0) // drop the sentinel's own session
+    val batch = SparkEntry.all("w3_session").build(spark, sf)
+      .select("user_id", "sess_start_us", "n")
+    assert(streamed.count() == batch.count())
+    assert(streamed.except(batch).count() == 0)
+    assert(batch.except(streamed).count() == 0)
+  }
+
   test("session windows respect the gap") {
     // no two sessions of the same user may be closer than the gap
     val s = SparkEntry.all("w3_session").build(spark, sf)
