@@ -151,6 +151,22 @@ object CoreQueries {
           .select("event_id", "user_id")
     },
 
+    // --- keep-latest per key (distinct-on: last state per user) ---
+    "q9_latest" -> QueryDef.of(
+      """SELECT user_id,
+        | arg_max(event_id, event_id) AS last_event_id,
+        | arg_max(event_type, event_id) AS last_type,
+        | arg_max(value, event_id) AS last_value
+        |FROM events GROUP BY user_id""".stripMargin) {
+      (s, dir) =>
+        Tables(s, dir).events
+          .groupBy("user_id")
+          .agg(
+            max_by(col("event_id"), col("event_id")).as("last_event_id"),
+            max_by(col("event_type"), col("event_id")).as("last_type"),
+            max_by(col("value"), col("event_id")).as("last_value"))
+    },
+
     // --- scalar builtin surface (strings/math/timestamps, builtins.md) ---
     "b1_builtins" -> QueryDef.of(
       """SELECT event_id,
