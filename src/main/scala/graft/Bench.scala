@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark entry point (driver contract): times every registered
   * query at SPARK_GRAFT_SF_DIR and prints ONE JSON line.
@@ -9,6 +9,11 @@ import org.apache.spark.sql.SparkSession
   * runs before timing, and results are materialized through the
   * `noop` sink — `count()` would let Catalyst prune the computed
   * columns of map-only queries and under-report their real cost.
+  *
+  * Failures are NOT swallowed into normal-looking timings: a query
+  * whose build or execution throws is reported with value -1 and an
+  * entry in the `errors` map, so a regression shows up as a failure
+  * rather than a fast bench entry.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -22,25 +27,36 @@ object Bench {
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def materialize(name: String): Long = {
-      val df = SparkEntry.queries(name)(spark, sfDir)
-      try { df.write.format("noop").mode("overwrite").save(); 0L }
-      catch { case _: Throwable => df.count() }
-    }
+    def materialize(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
 
     // warmup: exercise codegen, shuffle and the parquet reader once
     spark.range(1000000L).selectExpr("sum(id)").collect()
-    try materialize("q1_agg") catch { case _: Throwable => () }
+    try materialize(SparkEntry.queries("q1_agg")(spark, sfDir))
+    catch { case _: Throwable => () }
 
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       val t0 = System.nanoTime()
-      try materialize(name) catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { materialize(SparkEntry.queries(name)(spark, sfDir)); true }
+        catch {
+          case t: Throwable =>
+            errors(name) = Option(t.getMessage).getOrElse(t.getClass.getName)
+              .replaceAll("[\"\\\\\n\r\t]", " ").take(200)
+            false
+        }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def jstr(s: String) = "\"" + s + "\""
+    val qs = results.map { case (k, v) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    println(line)
     spark.stop()
   }
 }

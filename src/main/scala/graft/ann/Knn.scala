@@ -70,10 +70,19 @@ object Knn {
     val c = corpus
       .repartition(spark.sparkContext.defaultParallelism, col(idCol))
       .select(col(idCol).as("n_id"), col(vecCol).as("n_v"))
-    // deterministic init: first nlist vectors by id
+    // deterministic init: first nlist vectors by id. Branch on the
+    // element type — vecCol may be array<float> (raw embeddings) or
+    // array<double> (anything cast upstream), mirroring DotProduct's
+    // mixed-type handling.
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val elemIsFloat = c.schema("n_v").dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
     var centroids: Array[(Int, Seq[Double])] = c.orderBy("n_id").limit(nlist)
       .collect().zipWithIndex.map { case (r, i) =>
-        i -> r.getSeq[Float](1).map(_.toDouble)
+        i -> (if (elemIsFloat) r.getSeq[Float](1).map(_.toDouble)
+              else r.getSeq[Double](1))
       }
 
     def assign(df: DataFrame, v: String): DataFrame = {

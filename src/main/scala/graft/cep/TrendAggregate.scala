@@ -22,10 +22,25 @@ import org.apache.spark.sql.functions._
   * Spark the same collapses further into a closed form over a plain
   * windowed aggregate — a single shuffle on (key, window) with
   * map-side partial aggregation, which is exactly the plan that holds
-  * at 100 TB. n is capped far below 2^53 per window in practice, so
-  * the pow-based closed form is exact in double arithmetic.
+  * at 100 TB.
+  *
+  * Overflow contract: `count_trends` = 2^n − 1 is emitted as BIGINT
+  * only while it is exact and representable — n ≤ [[MaxExactN]] (53, the double mantissa width).
+  * Beyond that the column is NULL (a busy key × wide window at 100 TB
+  * scale can exceed any integer width; saturating silently would
+  * diverge between engines). `count_events` always carries the true
+  * n, so a NULL is recoverable downstream. The oracle SQL applies the
+  * same CASE guard.
   */
 object TrendAggregate {
+
+  /** Largest n for which 2^n − 1 is exact in double AND fits BIGINT. */
+  val MaxExactN = 53
+
+  /** 2^n − 1 as BIGINT while exact, NULL beyond [[MaxExactN]]. */
+  private def countTrends(n: Column): Column =
+    when(n <= MaxExactN,
+      round(pow(lit(2.0), n) - 1.0, 0).cast("long"))
 
   /** Multi-query sharing (Hamlet, hamlet/): trend aggregates for
     * several Kleene patterns over the same stream computed in ONE
@@ -43,8 +58,7 @@ object TrendAggregate {
     val g = partitionKeys.map(col) :+ window(col(tsCol), windowSize).as("w")
     val aggs = patterns.flatMap { case (name, pred) =>
       val n = count(when(pred, 1)).as(s"n_$name")
-      val trends = round(pow(lit(2.0), count(when(pred, 1))) - 1.0, 0)
-        .cast("long").as(s"trends_$name")
+      val trends = countTrends(count(when(pred, 1))).as(s"trends_$name")
       Seq(n, trends)
     }
     events.filter(any)
@@ -74,7 +88,7 @@ object TrendAggregate {
         (partitionKeys.map(col) :+
           col("w.start").cast("long").as("win_start") :+
           col("n").as("event_count") :+
-          round(pow(lit(2.0), col("n")) - 1.0, 0).cast("long").as("count_trends") :+
+          countTrends(col("n")).as("count_trends") :+
           (pow(lit(2.0), col("n") - 1) * col("sum_dec").cast("double"))
             .as("sum_trends")): _*)
   }

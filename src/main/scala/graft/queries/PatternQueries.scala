@@ -113,7 +113,7 @@ object PatternQueries {
     "p6_trend_count" -> QueryDef.of(
       """SELECT user_id, (epoch_us(ts) // 3600000000) * 3600 AS win_start,
         | COUNT(*) AS event_count,
-        | CAST(round(pow(2.0::DOUBLE, COUNT(*)) - 1, 0) AS BIGINT) AS count_trends,
+        | CASE WHEN COUNT(*) <= 53 THEN CAST(round(pow(2.0::DOUBLE, COUNT(*)) - 1, 0) AS BIGINT) END AS count_trends,
         | pow(2.0::DOUBLE, COUNT(*) - 1) * CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_trends
         |FROM events WHERE event_type = 'error' GROUP BY 1, 2""".stripMargin) {
       (s, dir) =>
@@ -202,11 +202,11 @@ object PatternQueries {
     "p10_multi_trend" -> QueryDef.of(
       """SELECT user_id, (epoch_us(ts) // 3600000000) * 3600 AS win_start,
         | CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS n_error,
-        | CAST(round(pow(2.0::DOUBLE, COUNT(CASE WHEN event_type = 'error' THEN 1 END)) - 1, 0) AS BIGINT) AS trends_error,
+        | CASE WHEN COUNT(CASE WHEN event_type = 'error' THEN 1 END) <= 53 THEN CAST(round(pow(2.0::DOUBLE, COUNT(CASE WHEN event_type = 'error' THEN 1 END)) - 1, 0) AS BIGINT) END AS trends_error,
         | CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS n_click,
-        | CAST(round(pow(2.0::DOUBLE, COUNT(CASE WHEN event_type = 'click' THEN 1 END)) - 1, 0) AS BIGINT) AS trends_click,
+        | CASE WHEN COUNT(CASE WHEN event_type = 'click' THEN 1 END) <= 53 THEN CAST(round(pow(2.0::DOUBLE, COUNT(CASE WHEN event_type = 'click' THEN 1 END)) - 1, 0) AS BIGINT) END AS trends_click,
         | CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS n_purchase,
-        | CAST(round(pow(2.0::DOUBLE, COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)) - 1, 0) AS BIGINT) AS trends_purchase
+        | CASE WHEN COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) <= 53 THEN CAST(round(pow(2.0::DOUBLE, COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)) - 1, 0) AS BIGINT) END AS trends_purchase
         |FROM events
         |WHERE event_type IN ('error', 'click', 'purchase')
         |GROUP BY 1, 2""".stripMargin) {

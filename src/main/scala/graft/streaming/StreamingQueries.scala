@@ -68,8 +68,11 @@ object StreamingQueries {
     * over two live streams): signups ⋈ purchases of the same user
     * within 30 minutes. Watermarks bound the join state on both
     * sides — the knob that keeps state finite on an unbounded run.
-    * Same match set as the batch p1_seq2 join (event ids are
-    * time-ordered, so `p.ts > s.ts` ≡ `p.event_id > s.event_id`).
+    * Same match set as the batch p1_seq2 join and the s3 oracle: the
+    * ordering predicate is `b_id > a_id` (exactly the oracle's), with
+    * `p_ts >= s_ts` / `p_ts <= s_ts + 30m` as the conjunctive range
+    * bounds Spark needs to derive join-state eviction — so two events
+    * sharing a timestamp cannot diverge from the oracle hash.
     */
   def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
@@ -85,7 +88,7 @@ object StreamingQueries {
         col("ts").as("p_ts"))
       .withWatermark("p_ts", "1 hour")
     val joined = signups.join(purchases,
-      expr("""s_user = p_user AND p_ts > s_ts AND
+      expr("""s_user = p_user AND b_id > a_id AND p_ts >= s_ts AND
              |p_ts <= s_ts + interval 30 minutes""".stripMargin))
       .select(col("s_user").as("user_id"), col("a_id"), col("b_id"),
         (unix_micros(col("p_ts")) - unix_micros(col("s_ts"))).as("span_us"))

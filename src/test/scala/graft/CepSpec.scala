@@ -42,6 +42,21 @@ class CepSpec extends SparkSpec {
     }
   }
 
+  test("trend count_trends exact at n=53, NULL at n=54 (overflow guard)") {
+    import spark.implicits._
+    val df = ((1 to 53).map(i => ("u53", i)) ++ (1 to 54).map(i => ("u54", i)))
+      .toDF("user_id", "i")
+      .select(col("user_id"),
+        timestamp_micros(lit(1700000000000000L) + col("i") * 1000000L).as("ts"),
+        lit(1.0).as("value"))
+    val out = TrendAggregate.kleene(df, lit(true), col("value"), "1 hour",
+      Seq("user_id")).collect().map(r => r.getString(0) -> r).toMap
+    assert(out("u53").getAs[Long]("count_trends") == (1L << 53) - 1)
+    assert(out("u54").isNullAt(out("u54").fieldIndex("count_trends")))
+    // count_events still carries the true n either side of the cap
+    assert(out("u54").getAs[Long]("event_count") == 54L)
+  }
+
   test("negation + sequence partition the anchors") {
     // purchases followed by an error within 15m + purchases not = all purchases
     val negated = SparkEntry.all("p3_negation").build(spark, sf).count()

@@ -88,6 +88,20 @@ class DedupSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("clusters: diameter-200 chain converges (pointer doubling)") {
+    import spark.implicits._
+    val pairs = (1L until 200L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val got = Dedup.clusters(pairs) // would need 200 rounds without doubling
+    assert(got.filter(col("cluster_id") =!= 1L).count() == 0)
+    assert(got.count() == 200)
+  }
+
+  test("IVF knn accepts array<double> embeddings") {
+    val embsD = embs.withColumn("embedding", col("embedding").cast("array<double>"))
+    val q = embsD.filter(col("vec_id") < 3)
+    assert(Knn.ivfTopK(embsD, q, k = 5, nlist = 4, nProbe = 2).count() > 0)
+  }
+
   test("full dedup pipeline keeps one canonical doc per cluster") {
     val pairs = Dedup.ngramJaccardPairs(docs, k = 3, threshold = 0.6,
       blockCols = Seq(col("lang")))
