@@ -47,14 +47,20 @@ object Knn {
   /** IVF (inverted-file) ANN: k-means coarse quantizer partitions the
     * corpus into nlist cells; a query probes only its nProbe nearest
     * cells. Deterministic throughout — centroid init is the first
-    * nlist vectors by id, fixed Lloyd iterations, ties broken by
-    * cluster id — so results reproduce across runs/executors.
+    * nlist sample vectors by id, fixed Lloyd iterations, ties broken
+    * by cluster id — so results reproduce across runs/executors.
     *
-    * Scale: training touches the corpus iters times (map + tiny
-    * broadcast of centroids); search is a broadcast of (queries ×
-    * probed cells) against a corpus pre-bucketed by cell — the
-    * shuffle key is the cell id, and each query scans |corpus|/nlist
-    * × nProbe vectors instead of everything.
+    * Scale: the coarse quantizer is trained DRIVER-SIDE on a bounded
+    * deterministic sample (first trainSample vectors by id) — the
+    * standard IVF recipe: quantizer quality needs a representative
+    * sample, not the full corpus, and training locally removes
+    * 2·iters distributed jobs. The corpus then takes ONE distributed
+    * assignment pass where each per-cell similarity is a
+    * literal-argument dot product and the argmax an array_max over
+    * (score, −cell) structs — row-local, codegen'd, no crossJoin, no
+    * shuffle, no window sort. Search broadcasts (queries × probed
+    * cells) against the corpus bucketed by cell id, so each query
+    * scans |corpus|/nlist × nProbe vectors instead of everything.
     */
   def ivfTopK(
       corpus: DataFrame,
@@ -64,64 +70,74 @@ object Knn {
       nProbe: Int = 4,
       iters: Int = 3,
       vecCol: String = "embedding",
-      idCol: String = "vec_id"): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val c = corpus
-      .repartition(spark.sparkContext.defaultParallelism, col(idCol))
-      .select(col(idCol).as("n_id"), col(vecCol).as("n_v"))
-    // deterministic init: first nlist vectors by id. Branch on the
-    // element type — vecCol may be array<float> (raw embeddings) or
-    // array<double> (anything cast upstream), mirroring DotProduct's
-    // mixed-type handling.
+      idCol: String = "vec_id",
+      trainSample: Int = 4096): DataFrame = {
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_v"))
+    // vecCol may be array<float> (raw embeddings) or array<double>
+    // (anything cast upstream) — branch like DotProduct does.
     import org.apache.spark.sql.types.{ArrayType, FloatType}
     val elemIsFloat = c.schema("n_v").dataType match {
       case ArrayType(FloatType, _) => true
       case _ => false
     }
-    var centroids: Array[(Int, Seq[Double])] = c.orderBy("n_id").limit(nlist)
-      .collect().zipWithIndex.map { case (r, i) =>
-        i -> (if (elemIsFloat) r.getSeq[Float](1).map(_.toDouble)
-              else r.getSeq[Double](1))
+    val sample: Array[Array[Double]] = c.orderBy("n_id").limit(trainSample)
+      .collect().map { r =>
+        if (elemIsFloat) r.getSeq[Float](1).map(_.toDouble).toArray
+        else r.getSeq[Double](1).toArray
       }
+    require(sample.nonEmpty, "ivfTopK: empty corpus")
 
-    def assign(df: DataFrame, v: String): DataFrame = {
-      val cents = spark.createDataFrame(centroids.toSeq).toDF("cell", "c_v")
-      val w = W.partitionBy(col("__aid")).orderBy(col("__cos").desc, col("cell"))
-      df.withColumn("__aid", col(df.columns.head))
-        .crossJoin(broadcast(cents))
-        .withColumn("__cos", cosine(col(v), col("c_v")))
-        .withColumn("__rk", row_number().over(w))
-        .filter(col("__rk") === 1)
-        .drop("c_v", "__cos", "__rk", "__aid")
+    def dotArr(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length && i < b.length) { s += a(i) * b(i); i += 1 }
+      s
     }
-
+    // driver-side Lloyd iterations; same scoring as the distributed
+    // assignment (dot / centroid norm — the row norm is constant per
+    // row, so the argmax matches cosine), ties to the lowest cell.
+    var cents: Array[Array[Double]] = sample.take(nlist).map(_.clone())
+    val dim = sample.head.length
     for (_ <- 1 to iters) {
-      val assigned = assign(c, "n_v")
-      val newCents = assigned
-        .select(col("cell"), posexplode(col("n_v")))
-        .groupBy("cell", "pos")
-        .agg(avg(col("col").cast("double")).as("m"))
-        .groupBy("cell")
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          r => r.getField("m")).as("c_v"))
-        .as[(Int, Seq[Double])].collect()
-      // empty cells keep their previous centroid
-      val byCell = newCents.toMap
-      centroids = centroids.map { case (cell, old) =>
-        cell -> byCell.getOrElse(cell, old)
+      val norms = cents.map(cv => math.sqrt(dotArr(cv, cv)) max 1e-300)
+      val sums = Array.fill(cents.length)(new Array[Double](dim))
+      val counts = new Array[Long](cents.length)
+      sample.foreach { v =>
+        var best = 0; var bs = Double.NegativeInfinity
+        var cell = 0
+        while (cell < cents.length) {
+          val s = dotArr(v, cents(cell)) / norms(cell)
+          if (s > bs) { bs = s; best = cell }
+          cell += 1
+        }
+        counts(best) += 1
+        var i = 0; while (i < dim) { sums(best)(i) += v(i); i += 1 }
+      }
+      cents = cents.zipWithIndex.map { case (old, cell) =>
+        if (counts(cell) == 0) old // empty cells keep their centroid
+        else sums(cell).map(_ / counts(cell))
       }
     }
 
-    val bucketed = assign(c, "n_v").withColumn("n_n", norm(col("n_v")))
-    val cents = spark.createDataFrame(centroids.toSeq).toDF("cell", "c_v")
-    val qw = W.partitionBy(col("q_id")).orderBy(col("__cos").desc, col("cell"))
+    // per-cell (score, −cell) structs from centroid literals
+    val cellScores = cents.toIndexedSeq.zipWithIndex.map { case (cv, cell) =>
+      val cn = math.sqrt(dotArr(cv, cv)) max 1e-300
+      (v: org.apache.spark.sql.Column) =>
+        struct((dot(v, typedlit(cv.toSeq)) / cn).as("s"),
+          lit(-cell).as("negcell"))
+    }
+    def scoresArr(v: org.apache.spark.sql.Column) =
+      array(cellScores.map(f => f(v)): _*)
+
+    val bucketed = c
+      .withColumn("cell", -array_max(scoresArr(col("n_v"))).getField("negcell"))
+      .withColumn("n_n", norm(col("n_v")))
+    // query → its nProbe best cells: sort the same struct array and
+    // take the top slice (still row-local; no crossJoin/window)
     val probes = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_v"))
-      .crossJoin(broadcast(cents))
-      .withColumn("__cos", cosine(col("q_v"), col("c_v")))
-      .withColumn("__rk", row_number().over(qw))
-      .filter(col("__rk") <= nProbe)
-      .select(col("q_id"), col("q_v"), col("cell"))
+      .withColumn("__top",
+        slice(reverse(array_sort(scoresArr(col("q_v")))), 1, nProbe))
+      .select(col("q_id"), col("q_v"), explode(col("__top")).as("__t"))
+      .select(col("q_id"), col("q_v"), (-col("__t.negcell")).as("cell"))
       .withColumn("q_n", norm(col("q_v")))
     val scored = bucketed.join(broadcast(probes), Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))

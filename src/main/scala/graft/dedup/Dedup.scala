@@ -215,18 +215,21 @@ object Dedup {
       val viaNbr = labels.join(prop, labels("node") === prop("n2"), "left")
         .select(labels("node"),
           least(labels("label"), coalesce(col("nbr"), labels("label")))
-            .as("label"))
+            .as("label"),
+          labels("label").as("prev"))
         .localCheckpoint()
-      // pointer doubling: label ← min(label, label(label))
+      // pointer doubling: label ← min(label, label(label)). The prev
+      // label rides along so change detection is a filter over the
+      // checkpointed result, not an extra join against the old labels.
       val byNode = viaNbr.select(col("node").as("pn"), col("label").as("pl"))
       val next = viaNbr.join(byNode, viaNbr("label") === col("pn"), "left")
         .select(viaNbr("node"),
           least(viaNbr("label"), coalesce(col("pl"), viaNbr("label")))
-            .as("label"))
+            .as("label"),
+          viaNbr("prev"))
         .localCheckpoint()
-      changed = next.as("n").join(labels.as("o"), Seq("node"))
-        .filter(col("n.label") =!= col("o.label")).count()
-      labels = next
+      changed = next.filter(col("label") =!= col("prev")).count()
+      labels = next.drop("prev")
       it += 1
     }
     if (changed > 0)

@@ -32,11 +32,20 @@ object StreamingQueries {
       mode: String): DataFrame = {
     // drop leftovers from a previous invocation in this session
     spark.sql(s"DROP VIEW IF EXISTS $name")
-    val q = streamed.writeStream
-      .outputMode(mode)
-      .format("memory")
-      .queryName(name)
-      .start()
+    // A stateful query creates/commits one state store per shuffle
+    // partition per micro-batch; on the bounded local test run that
+    // maintenance overhead dominates, so cap the stream's state
+    // partitioning (the conf is captured at query start and pinned in
+    // the checkpoint — a production run sizes it to the cluster).
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if (prev.toInt > 8) spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try streamed.writeStream
+        .outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     try {
       q.processAllAvailable()
     } finally {
