@@ -39,16 +39,34 @@ object SparkEntry {
         | AND epoch_us(b.ts) - epoch_us(a.ts) <= 1800000000
         |WHERE a.event_type = 'signup' AND b.event_type = 'purchase'""".stripMargin)(
       graft.streaming.StreamingQueries.streamStreamJoin),
-    // negation timers hold back end-of-stream anchors (watermark
-    // semantics) → rows-only here; exact equality vs the batch
-    // anti-join is proven in StreamingSpec with a sentinel-closed
-    // stream
-    "s4_stream_negation" -> QueryDef.rowsOnly(
+    // the staged end-of-stream sentinel flushes all append-mode state,
+    // so both stateful streaming queries share their batch twins'
+    // oracles (negation → p3's anti-join, sessions → w3's
+    // gaps-and-islands)
+    "s4_stream_negation" -> QueryDef.of(
+      """SELECT p.user_id AS user_id, p.event_id AS a_id
+        |FROM events p
+        |WHERE p.event_type = 'purchase' AND NOT EXISTS (
+        |  SELECT 1 FROM events e
+        |  WHERE e.user_id = p.user_id AND e.event_type = 'error'
+        |    AND e.event_id > p.event_id
+        |    AND epoch_us(e.ts) - epoch_us(p.ts) <= 900000000)""".stripMargin)(
       graft.streaming.StreamingQueries.streamNegation),
-    // sessions near end-of-stream stay pending under append-mode
-    // watermarks → rows-only; exact equality with the batch session
-    // query is proven in StreamingSpec on a sentinel-closed stream
-    "s5_stream_session" -> QueryDef.rowsOnly(
+    "s5_stream_session" -> QueryDef.of(
+      """WITH o AS (
+        |  SELECT user_id, event_id, value, epoch_us(ts) AS us,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+        |         WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 600000000 THEN 1
+        |         ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+        |), sess AS (
+        |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY event_id
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o)
+        |SELECT user_id, MIN(us) AS sess_start_us, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+        |FROM sess GROUP BY user_id, sid""".stripMargin)(
       graft.streaming.StreamingQueries.streamSession))
 
   /** Full registry: name → definition (Spark plan + optional oracle). */

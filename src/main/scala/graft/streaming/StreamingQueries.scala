@@ -27,6 +27,33 @@ object StreamingQueries {
     dir.toString
   }
 
+  /** Stage a CLOSED bounded stream: the source file plus one sentinel
+    * row 2 hours past the max event time. The end-of-stream watermark
+    * then passes every deadline / session gap, so append-mode state
+    * flushes completely and the bounded streaming run equals the batch
+    * semantics (making these queries oracle-checkable). The sentinel
+    * carries user_id −1 / event_type "__sentinel"; it must stay in the
+    * plan through the watermark node (a pre-aggregation filter would
+    * be pushed below it and the watermark would never advance) — its
+    * own pending state simply never emits in append mode.
+    * An unbounded production run simply never stages a sentinel.
+    */
+  private def closedStreamDir(spark: SparkSession, file: String): String = {
+    val dir = streamDir(file)
+    // ts arrives as a ns-epoch long (nanosAsLong) — write the sentinel
+    // in the same physical type so the staged files share one schema
+    val maxNs = spark.read.parquet(file).agg(max(col("ts"))).head.getLong(0)
+    spark.range(1).select(
+      lit(-1L).as("event_id"),
+      lit(maxNs + 7200L * 1000000000L).as("ts"),
+      lit(-1L).as("user_id"),
+      lit("__sentinel").as("event_type"),
+      lit(0.0).as("value"),
+      lit("{}").as("props"))
+      .coalesce(1).write.mode("append").parquet(dir)
+    dir
+  }
+
   private def runToTable(
       spark: SparkSession, streamed: DataFrame, name: String,
       mode: String): DataFrame = {
@@ -106,15 +133,15 @@ object StreamingQueries {
 
   /** #10-streaming: session windows over a live stream (gap-merged
     * state in the streaming agg). Append mode: a session emits once
-    * the watermark passes its end+gap, so end-of-stream sessions stay
-    * pending (the spec closes the stream with a sentinel and proves
-    * equality with the batch session query).
+    * the watermark passes its end+gap; the staged sentinel closes the
+    * bounded run so every real session flushes — the result equals
+    * the batch w3 session query and shares its oracle.
     */
   def streamSession(spark: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
     val schema = spark.read.parquet(path).schema
     val src = graft.Tables.normalizeTs(
-      spark.readStream.schema(schema).parquet(streamDir(path)))
+      spark.readStream.schema(schema).parquet(closedStreamDir(spark, path)))
     val agg = src
       .withWatermark("ts", "1 second")
       .groupBy(col("user_id"), session_window(col("ts"), "10 minutes").as("w"))
@@ -127,10 +154,9 @@ object StreamingQueries {
   }
 
   /** #24-streaming: negation via event-time timers. Absences emit
-    * once the watermark passes the deadline, so pending anchors near
-    * the end of a bounded run stay unemitted (correct streaming
-    * semantics — the spec closes the stream with a sentinel event to
-    * compare against the batch anti-join exactly).
+    * once the watermark passes the deadline; the staged sentinel
+    * closes the bounded run so every pending anchor resolves — the
+    * result equals the batch anti-join and shares its oracle.
     */
   def streamNegation(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -138,7 +164,7 @@ object StreamingQueries {
     val path = s"$dir/events.parquet"
     val schema = spark.read.parquet(path).schema
     val src = graft.Tables.normalizeTs(
-      spark.readStream.schema(schema).parquet(streamDir(path)))
+      spark.readStream.schema(schema).parquet(closedStreamDir(spark, path)))
       .withWatermark("ts", "1 second")
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("value"), unix_micros(col("ts")).as("ts_us"), col("ts"))
