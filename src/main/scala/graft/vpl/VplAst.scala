@@ -1,0 +1,89 @@
+package graft.vpl
+
+/** AST for the VPL subset this library compiles to Spark plans.
+  *
+  * The shape follows the reference grammar
+  * (crates/varpulis-parser/src/varpulis.pest, docs/language/grammar.md):
+  * a program is a list of declarations; a stream declaration is a
+  * source plus an operator chain; expressions are conventional
+  * precedence-climbing binaries over literals / field refs / calls.
+  */
+object VplAst {
+
+  // --- expressions -------------------------------------------------
+  sealed trait VExpr
+  final case class VInt(v: Long) extends VExpr
+  final case class VNum(v: Double) extends VExpr
+  final case class VStr(v: String) extends VExpr
+  final case class VBool(v: Boolean) extends VExpr
+  case object VNull extends VExpr
+  /** duration literal, canonicalized to seconds (grammar: DURATION) */
+  final case class VDur(seconds: Long) extends VExpr
+  /** bare identifier — a field of the current event (or a let-bound
+    * constant, resolved at compile time)
+    */
+  final case class VRef(name: String) extends VExpr
+  /** `alias.field` — a field of a previously bound sequence step */
+  final case class VField(qual: String, field: String) extends VExpr
+  final case class VUn(op: String, e: VExpr) extends VExpr
+  final case class VBin(op: String, l: VExpr, r: VExpr) extends VExpr
+  final case class VCall(fn: String, args: Seq[VExpr]) extends VExpr
+  final case class VList(items: Seq[VExpr]) extends VExpr
+  /** `if c then a else b` ternary */
+  final case class VIf(cond: VExpr, t: VExpr, f: VExpr) extends VExpr
+
+  // --- stream pipeline ---------------------------------------------
+  /** one `-> [all] Type [where expr] [as alias]` transition (or the
+    * aliased head of a sequence)
+    */
+  final case class SeqStep(
+      eventType: String,
+      alias: Option[String],
+      where: Option[VExpr],
+      matchAll: Boolean)
+
+  sealed trait VOp
+  final case class OpFrom(connector: String, params: Seq[(String, VExpr)]) extends VOp
+  final case class OpWhere(e: VExpr) extends VOp
+  final case class OpHaving(e: VExpr) extends VOp
+  /** select items: `name` (passthrough) or `name: expr` (computed) */
+  final case class OpSelect(items: Seq[(String, Option[VExpr])]) extends VOp
+  final case class OpWindow(positional: Seq[VExpr], named: Seq[(String, VExpr)]) extends VOp
+  final case class OpAggregate(aggs: Seq[(String, VExpr)]) extends VOp
+  final case class OpPartitionBy(cols: Seq[String]) extends VOp
+  final case class OpOrderBy(items: Seq[(VExpr, Boolean)]) extends VOp
+  final case class OpLimit(n: Long) extends VOp
+  final case class OpDistinct(cols: Seq[String]) extends VOp
+  final case class OpEmit(args: Seq[(String, VExpr)]) extends VOp
+  final case class OpTo(connector: String, params: Seq[(String, VExpr)]) extends VOp
+  final case class OpWithin(d: VExpr) extends VOp
+  final case class OpFollowedBy(step: SeqStep) extends VOp
+  final case class OpNot(step: SeqStep) extends VOp
+  final case class OpEnrich(connector: String, params: Seq[(String, VExpr)]) extends VOp
+  final case class OpContext(name: String) extends VOp
+  final case class OpForecast(params: Seq[(String, VExpr)]) extends VOp
+
+  sealed trait VSource
+  /** head of the pipeline: an event type or a previously declared
+    * stream, optionally aliased (sequence head)
+    */
+  final case class SrcName(name: String, alias: Option[String]) extends VSource
+  final case class SrcMerge(streams: Seq[VStream]) extends VSource
+
+  final case class VStream(name: String, source: VSource, ops: Seq[VOp])
+
+  // --- declarations ------------------------------------------------
+  final case class VEvent(name: String, parent: Option[String],
+      fields: Seq[(String, String)])
+  final case class VConnector(name: String, ctype: String,
+      params: Seq[(String, VExpr)])
+  final case class VLet(name: String, value: VExpr)
+  final case class VContext(name: String, cores: Seq[Int])
+
+  final case class VProgram(
+      events: Seq[VEvent],
+      connectors: Seq[VConnector],
+      lets: Seq[VLet],
+      contexts: Seq[VContext],
+      streams: Seq[VStream])
+}
