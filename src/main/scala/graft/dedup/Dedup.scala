@@ -115,12 +115,17 @@ object Dedup {
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     val nH = nBands * rowsPerBand
-    val base = fanOut(docs, idCol)
+    val shingled = fanOut(docs, idCol)
       .select(col(idCol), shingles(col(textCol), k).as("sh"))
-      .withColumn("sig", minhashSig(col("sh"), nH))
-    // explode into (band, bandKey) — shuffle key is the band bucket
+    val base = shingled.withColumn("sig", minhashSig(col("sh"), nH))
+    // explode into (band, bandKey) — shuffle key is the band bucket.
+    // The shingle arrays are NOT carried through the band shuffle or
+    // the candidate distinct: they are functionally determined by the
+    // id, and hashing/exchanging them would multiply shuffle bytes by
+    // the per-doc shingle size. They are re-attached (one cheap
+    // re-shingle scan, no minhash) only for the surviving candidates.
     val banded = base.select(
-      col(idCol), col("sh"),
+      col(idCol),
       posexplode(transform(sequence(lit(0), lit(nBands - 1)), b =>
         concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
@@ -129,16 +134,17 @@ object Dedup {
       .withColumn("__bn", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("band", "band_key")))
       .filter(col("__bn") <= maxBucket)
-    val a = bucketed.select(col("band"), col("band_key"),
-      col(idCol).as("a_id"), col("sh").as("a_sh"))
-    val b = bucketed.select(col("band"), col("band_key"),
-      col(idCol).as("b_id"), col("sh").as("b_sh"))
+    val a = bucketed.select(col("band"), col("band_key"), col(idCol).as("a_id"))
+    val b = bucketed.select(col("band"), col("band_key"), col(idCol).as("b_id"))
     val cand = a.join(b, Seq("band", "band_key"))
       .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id", "a_sh", "b_sh").distinct()
+      .select("a_id", "b_id").distinct()
+    val withSh = cand
+      .join(shingled.select(col(idCol).as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
+      .join(shingled.select(col(idCol).as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
     val inter = size(array_intersect(col("a_sh"), col("b_sh"))).cast("double")
     val uni = size(array_union(col("a_sh"), col("b_sh"))).cast("double")
-    cand.withColumn("jaccard", inter / uni)
+    withSh.withColumn("jaccard", inter / uni)
       .filter(col("jaccard") >= verifyThreshold)
       .select("a_id", "b_id", "jaccard")
   }

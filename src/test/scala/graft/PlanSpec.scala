@@ -54,6 +54,29 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("d3: band/candidate exchanges carry no array columns") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.ArrayType
+    val root = q("d3_minhash_lsh").queryExecution.executedPlan
+    val plan = root match {
+      case a: AdaptiveSparkPlanExec => a.inputPlan
+      case p                        => p
+    }
+    // the band-bucket shuffle and the (a_id,b_id) candidate distinct must
+    // exchange ids + band keys only; shingle arrays re-attach afterwards
+    val offenders = plan.collect {
+      case e: ShuffleExchangeExec
+          if e.outputPartitioning.toString.contains("band_key") ||
+            (e.outputPartitioning.toString.contains("a_id") &&
+              e.outputPartitioning.toString.contains("b_id")) =>
+        e
+    }.filter(_.output.exists(_.dataType.isInstanceOf[ArrayType]))
+    assert(offenders.isEmpty,
+      "array-typed columns cross a candidate-generation exchange:\n" +
+        offenders.mkString("\n"))
+  }
+
   test("p1: pattern join is a key equi-join (range preds post-shuffle)") {
     val p = planOf(q("p1_seq2"))
     assert(!p.contains("CartesianProduct"), p)
