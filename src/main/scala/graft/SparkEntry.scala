@@ -72,7 +72,8 @@ object SparkEntry {
   /** Full registry: name → definition (Spark plan + optional oracle). */
   val all: Map[String, QueryDef] =
     CoreQueries.defs ++ WindowQueries.defs ++ PatternQueries.defs ++
-      TextQueries.defs ++ VectorQueries.defs ++ MlQueries.defs ++ streamingDefs
+      TextQueries.defs ++ VectorQueries.defs ++ MlQueries.defs ++
+      VplQueries.defs ++ streamingDefs
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

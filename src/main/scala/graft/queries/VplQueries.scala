@@ -1,0 +1,71 @@
+package graft.queries
+
+import graft.vpl.Vpl
+
+/** VPL-front-end queries: each runs a VPL program text through the
+  * full parser + compiler ([[graft.vpl.VplParser]] /
+  * [[graft.vpl.VplCompiler]]) against the events table, and carries a
+  * DuckDB oracle over the same parquet — so the driver's hash gate
+  * exercises the whole front-end path, not just the operators.
+  *
+  * Reference surface: examples/sase_patterns.vpl and
+  * docs/language/grammar.md; the end-to-end scenario replays (the
+  * reference's own .vpl + .evt pairs) live in VplSpec.
+  */
+object VplQueries {
+
+  private val seqVpl =
+    """# sequence with cross-step predicate, bounded by .within
+      |stream SignupThenPurchase = signup as a
+      |    -> purchase where user_id == a.user_id as b
+      |    .within(30m)
+      |    .emit(user_id: a.user_id, a_id: a.event_id, b_id: b.event_id, amount: b.value)
+      |""".stripMargin
+
+  private val aggVpl =
+    """# partitioned tumbling-window aggregate with post-agg filter
+      |stream PurchaseVolume = purchase
+      |    .partition_by(user_id)
+      |    .window(1h)
+      |    .aggregate(n: count(), total: sum(value))
+      |    .where(total > 50.0)
+      |    .emit(user_id: user_id, win_start: win_start, n: n, total: total)
+      |""".stripMargin
+
+  private val negVpl =
+    """# negation: purchases with no error for the same user within 15m
+      |stream PurchaseNoError = purchase as p
+      |    .within(15m)
+      |    .not(error where user_id == p.user_id)
+      |    .emit(user_id: p.user_id, a_id: p.event_id)
+      |""".stripMargin
+
+  val defs: Map[String, QueryDef] = Map(
+    "x1_vpl_seq" -> QueryDef.of(
+      """SELECT a.user_id AS user_id, a.event_id AS a_id, b.event_id AS b_id,
+        | b.value AS amount
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id AND b.event_id > a.event_id
+        | AND epoch_us(b.ts) - epoch_us(a.ts) <= 1800000000
+        |WHERE a.event_type = 'signup' AND b.event_type = 'purchase'""".stripMargin)(
+      (s, dir) => Vpl.tableStream(s, dir, seqVpl, "SignupThenPurchase")),
+
+    "x2_vpl_agg" -> QueryDef.of(
+      """SELECT user_id,
+        | (epoch_us(ts) // 3600000000) * 3600 AS win_start,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY 1, 2 HAVING total > 50.0""".stripMargin)(
+      (s, dir) => Vpl.tableStream(s, dir, aggVpl, "PurchaseVolume")),
+
+    "x3_vpl_negation" -> QueryDef.of(
+      """SELECT p.user_id AS user_id, p.event_id AS a_id
+        |FROM events p
+        |WHERE p.event_type = 'purchase' AND NOT EXISTS (
+        |  SELECT 1 FROM events e
+        |  WHERE e.user_id = p.user_id AND e.event_type = 'error'
+        |    AND e.event_id > p.event_id
+        |    AND epoch_us(e.ts) - epoch_us(p.ts) <= 900000000)""".stripMargin)(
+      (s, dir) => Vpl.tableStream(s, dir, negVpl, "PurchaseNoError")))
+}

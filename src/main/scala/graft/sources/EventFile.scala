@@ -13,16 +13,46 @@ import org.apache.spark.sql.functions._
   * StockTick { symbol: "AAPL", price: 150.0 }
   * BATCH 100            # later events delayed 100ms from start
   * Order { id: 1 }
+  * @2s Event { x: 1 }   # absolute event time: 2s from start
   * }}}
   *
   * Parsed declaratively: text source → regexp columns → running
   * BATCH offset via a last-non-null window over the in-file line
-  * order. Field payload lands as a map<string,string>; callers cast
-  * fields as their event schema declares (VPL `event` blocks).
+  * order. Field payload lands as a map<string,string> twice: `fields`
+  * (quotes stripped — ready to use) and `fields_raw` (literal text —
+  * `"x"` vs `1` vs `1.0` lets [[graft.vpl.VplCompiler]] infer types
+  * for undeclared events exactly as the reference's dynamic payloads
+  * behave). Callers cast fields as their event schema declares (VPL
+  * `event` blocks).
   */
 object EventFile {
 
-  def read(spark: SparkSession, path: String): DataFrame = {
+  private val unitUs: Map[String, Long] = Map(
+    "ns" -> 1L, "us" -> 1L, "ms" -> 1000L, "s" -> 1000000L,
+    "m" -> 60000000L, "h" -> 3600000000L, "d" -> 86400000000L)
+
+  def read(spark: SparkSession, path: String): DataFrame = read(spark, Seq(path))
+
+  /** Multi-file read (e.g. checkpoint phase1 + phase2): files are
+    * concatenated in argument order, later files' events ordered after
+    * earlier ones (the reference's restart-and-continue replay).
+    */
+  def read(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    val perFile = paths.zipWithIndex.map { case (p, idx) =>
+      readOne(spark, p)
+        .withColumn("line_no", col("line_no") + lit(idx.toLong * 1000000000L))
+    }
+    perFile.reduce(_.unionByName(_))
+  }
+
+  /** `@([0-9]+)(unit)` prefix → microseconds, as native columns (no UDF). */
+  private def atMicros(value: org.apache.spark.sql.Column,
+      unit: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    unitUs.foldLeft(lit(null).cast("long")) { case (acc, (u, mult)) =>
+      when(unit === u, value * mult).otherwise(acc)
+    }
+
+  private def readOne(spark: SparkSession, path: String): DataFrame = {
     val lines = spark.read.text(path)
       .withColumn("line_no", monotonically_increasing_id())
       .withColumn("line", trim(col("value")))
@@ -32,22 +62,35 @@ object EventFile {
       .withColumn("batch_ms",
         when(col("line").rlike("^BATCH\\s+[0-9]+$"),
           regexp_extract(col("line"), "^BATCH\\s+([0-9]+)$", 1).cast("long")))
+      // `@2s EventType {...}` — absolute per-event time prefix
+      .withColumn("at_val",
+        regexp_extract(col("line"), "^@([0-9]+)(ns|us|ms|s|m|h|d)\\s+", 1))
+      .withColumn("at_unit",
+        regexp_extract(col("line"), "^@([0-9]+)(ns|us|ms|s|m|h|d)\\s+", 2))
+      .withColumn("eline",
+        when(col("at_val") =!= "",
+          regexp_replace(col("line"), "^@[0-9]+(?:ns|us|ms|s|m|h|d)\\s+", ""))
+          .otherwise(col("line")))
       .withColumn("event_type",
-        when(!col("line").startsWith("BATCH"),
-          regexp_extract(col("line"), "^([A-Za-z_][A-Za-z0-9_]*)\\s*\\{", 1)))
+        when(!col("eline").startsWith("BATCH"),
+          regexp_extract(col("eline"), "^([A-Za-z_][A-Za-z0-9_]*)\\s*\\{", 1)))
       .withColumn("body",
-        regexp_extract(col("line"), "\\{\\s*(.*?)\\s*\\}$", 1))
+        regexp_extract(col("eline"), "\\{\\s*(.*?)\\s*\\}$", 1))
     val w = Window.orderBy("line_no")
       .rowsBetween(Window.unboundedPreceding, 0)
     tagged
       .withColumn("delay_ms",
-        coalesce(last(col("batch_ms"), ignoreNulls = true).over(w), lit(0L)))
+        when(col("at_val") =!= "",
+          (atMicros(col("at_val").cast("long"), col("at_unit")) / 1000L).cast("long"))
+          .otherwise(
+            coalesce(last(col("batch_ms"), ignoreNulls = true).over(w), lit(0L))))
       .filter(col("event_type").isNotNull && col("event_type") =!= "")
-      .withColumn("fields",
+      .withColumn("fields_raw",
         when(col("body") === "", map())
-          .otherwise(expr(
-            "transform_values(str_to_map(body, ',\\\\s*', ':\\\\s*'), " +
-              "(k, v) -> regexp_replace(v, '^\"|\"$', ''))")))
-      .select(col("line_no"), col("event_type"), col("delay_ms"), col("fields"))
+          .otherwise(expr("str_to_map(body, ',\\\\s*', ':\\\\s*')")))
+      .withColumn("fields",
+        expr("transform_values(fields_raw, (k, v) -> regexp_replace(v, '^\"|\"$', ''))"))
+      .select(col("line_no"), col("event_type"), col("delay_ms"),
+        col("fields"), col("fields_raw"))
   }
 }

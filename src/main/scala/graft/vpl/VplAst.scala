@@ -17,8 +17,8 @@ object VplAst {
   final case class VStr(v: String) extends VExpr
   final case class VBool(v: Boolean) extends VExpr
   case object VNull extends VExpr
-  /** duration literal, canonicalized to seconds (grammar: DURATION) */
-  final case class VDur(seconds: Long) extends VExpr
+  /** duration literal, canonicalized to microseconds (grammar: duration) */
+  final case class VDur(us: Long) extends VExpr
   /** bare identifier — a field of the current event (or a let-bound
     * constant, resolved at compile time)
     */
@@ -28,9 +28,13 @@ object VplAst {
   final case class VUn(op: String, e: VExpr) extends VExpr
   final case class VBin(op: String, l: VExpr, r: VExpr) extends VExpr
   final case class VCall(fn: String, args: Seq[VExpr]) extends VExpr
+  /** `obj.method(args)` — e.g. the pattern-lambda `events.len()` */
+  final case class VMethod(target: VExpr, method: String, args: Seq[VExpr]) extends VExpr
   final case class VList(items: Seq[VExpr]) extends VExpr
   /** `if c then a else b` ternary */
   final case class VIf(cond: VExpr, t: VExpr, f: VExpr) extends VExpr
+  /** `x => body` / `(a, b) => body` lambda (grammar: lambda_expr) */
+  final case class VLambda(params: Seq[String], body: VExpr) extends VExpr
 
   // --- stream pipeline ---------------------------------------------
   /** one `-> [all] Type [where expr] [as alias]` transition (or the
@@ -54,7 +58,7 @@ object VplAst {
   final case class OpOrderBy(items: Seq[(VExpr, Boolean)]) extends VOp
   final case class OpLimit(n: Long) extends VOp
   final case class OpDistinct(cols: Seq[String]) extends VOp
-  final case class OpEmit(args: Seq[(String, VExpr)]) extends VOp
+  final case class OpEmit(args: Seq[(String, VExpr)], asType: Option[String] = None) extends VOp
   final case class OpTo(connector: String, params: Seq[(String, VExpr)]) extends VOp
   final case class OpWithin(d: VExpr) extends VOp
   final case class OpFollowedBy(step: SeqStep) extends VOp
@@ -62,13 +66,22 @@ object VplAst {
   final case class OpEnrich(connector: String, params: Seq[(String, VExpr)]) extends VOp
   final case class OpContext(name: String) extends VOp
   final case class OpForecast(params: Seq[(String, VExpr)]) extends VOp
+  /** `.pattern(name: events => expr)` — windowed match lambda */
+  final case class OpPattern(name: String, body: VExpr) extends VOp
+  final case class OpWatermark(params: Seq[(String, VExpr)]) extends VOp
+  final case class OpAllowedLateness(d: VExpr) extends VOp
+  /** `.print(...)` / `.log(...)` / `.tap(...)` — side-effect taps,
+    * no-ops in the batch realization
+    */
+  final case class OpTapLike(kind: String, args: Seq[VExpr]) extends VOp
+  final case class OpScore(params: Seq[(String, VExpr)]) extends VOp
 
   sealed trait VSource
   /** head of the pipeline: an event type or a previously declared
     * stream, optionally aliased (sequence head)
     */
   final case class SrcName(name: String, alias: Option[String]) extends VSource
-  final case class SrcMerge(streams: Seq[VStream]) extends VSource
+  final case class SrcMerge(names: Seq[String]) extends VSource
 
   final case class VStream(name: String, source: VSource, ops: Seq[VOp])
 
@@ -79,11 +92,34 @@ object VplAst {
       params: Seq[(String, VExpr)])
   final case class VLet(name: String, value: VExpr)
   final case class VContext(name: String, cores: Seq[Int])
+  /** single-expression function (grammar fn_decl; block bodies beyond
+    * one expression are out of the compiled subset)
+    */
+  final case class VFn(name: String, params: Seq[(String, String)],
+      ret: Option[String], body: VExpr)
+
+  /** SASE+ reusable pattern declaration:
+    * `pattern Name = SEQ(A, B+ where p as b, NOT C) within 10m partition by k`
+    * with OR / AND / NOT combinators between pattern expressions
+    * (grammar: sase_pattern_expr).
+    */
+  final case class SaseItem(eventType: String, kleene: Option[String],
+      where: Option[VExpr], alias: Option[String], negated: Boolean)
+  sealed trait SaseExpr
+  final case class SaseSeq(items: Seq[SaseItem]) extends SaseExpr
+  final case class SaseRef(item: SaseItem) extends SaseExpr
+  final case class SaseOr(l: SaseExpr, r: SaseExpr) extends SaseExpr
+  final case class SaseAnd(l: SaseExpr, r: SaseExpr) extends SaseExpr
+  final case class SaseNeg(e: SaseExpr) extends SaseExpr
+  final case class VPatternDecl(name: String, expr: SaseExpr,
+      withinUs: Option[Long], partitionBy: Option[String])
 
   final case class VProgram(
       events: Seq[VEvent],
       connectors: Seq[VConnector],
       lets: Seq[VLet],
       contexts: Seq[VContext],
+      fns: Seq[VFn],
+      patterns: Seq[VPatternDecl],
       streams: Seq[VStream])
 }

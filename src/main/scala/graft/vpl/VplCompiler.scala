@@ -1,0 +1,644 @@
+package graft.vpl
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.dsl._
+import graft.sources.EventFile
+import VplAst._
+
+import scala.collection.mutable
+import scala.util.{Failure, Success, Try}
+
+final case class VplCompileError(msg: String) extends RuntimeException(msg)
+
+/** Source binding: event type name → typed DataFrame carrying the
+  * injected columns `event_id` (long, arrival order) and `ts`
+  * (timestamp, event time) plus the event's own fields.
+  */
+trait VplSource {
+  def resolve(eventType: String): DataFrame
+}
+
+/** `.evt`-file source (reference test-injection format). Event time =
+  * BATCH / `@dur` offsets from an epoch origin; arrival order =
+  * file line order. Field types come from the program's `event`
+  * declarations when present, else are inferred from the payload
+  * literals (`"x"` → str, `1` → int, `1.0` → float, `true` → bool) —
+  * the reference's dynamically-typed payloads behave the same way
+  * (crates/varpulis-runtime/src/event_file.rs).
+  *
+  * Schema inference collects one first-seen raw literal per field —
+  * a driver-side action bounded by the (tiny, test-only) .evt file's
+  * field count, exactly like Spark's own csv/json inferSchema pass.
+  */
+final class EvtSource(spark: SparkSession, paths: Seq[String],
+    decls: Map[String, VEvent]) extends VplSource {
+
+  private val base: DataFrame = EventFile.read(spark, paths).cache()
+
+  private val inferred: Map[String, Seq[(String, String)]] = {
+    import org.apache.spark.sql.Row
+    val rows = base
+      .select(col("event_type"), col("line_no"), explode(col("fields_raw")))
+      .groupBy("event_type", "key")
+      .agg(min_by(col("value"), col("line_no")).as("first_raw"))
+      .collect()
+    rows.groupBy { case Row(t: String, _, _) => t }
+      .map { case (t, rs) =>
+        t -> rs.sortBy { case Row(_, k: String, _) => k }.toSeq.map {
+          case Row(_, k: String, raw: String) =>
+            val ty =
+              if (raw.startsWith("\"")) "str"
+              else if (raw.matches("^-?[0-9]+$")) "int"
+              else if (raw.matches("^-?[0-9]*\\.[0-9]+$")) "float"
+              else if (raw == "true" || raw == "false") "bool"
+              else "str"
+            k -> ty
+        }
+      }
+  }
+
+  def resolve(eventType: String): DataFrame = {
+    val fields: Seq[(String, String)] = decls.get(eventType) match {
+      case Some(ev) => ev.fields
+      case None => inferred.getOrElse(eventType,
+        // type never seen in the file and not declared → an empty
+        // stream (the reference's runtime simply never fires such
+        // transitions); schema = the injected columns only
+        return base.filter(lit(false))
+          .select(col("line_no").as("event_id"),
+            timestamp_millis(col("delay_ms")).as("ts")))
+    }
+    val sparkType: String => String = {
+      case "int" => "long"; case "float" => "double"; case "bool" => "boolean"
+      case "timestamp" => "timestamp"; case _ => "string"
+    }
+    val fieldCols = fields.collect {
+      // injected event time is authoritative for `ts` (reference
+      // payloads never carry it; BATCH/@ offsets are the event time)
+      case (f, t) if f != "ts" =>
+        element_at(col("fields"), f).cast(sparkType(t.stripSuffix("?"))).as(f)
+    }
+    base.filter(col("event_type") === eventType)
+      .select(col("line_no").as("event_id") +:
+        timestamp_millis(col("delay_ms")).as("ts") +: fieldCols: _*)
+  }
+}
+
+/** Events-parquet source: VPL event types are the values of the
+  * `event_type` column of the driver-generated events table — the
+  * binding the registered x-queries use so their DuckDB oracles run
+  * on the same data.
+  */
+final class TableSource(spark: SparkSession, dir: String) extends VplSource {
+  private val events = graft.Tables(spark, dir).events
+  def resolve(eventType: String): DataFrame =
+    events.filter(col("event_type") === eventType).drop("event_type")
+}
+
+/** Compiles a parsed [[VplAst.VProgram]] to Spark DataFrames — one per
+  * `stream` declaration — over the operators this library already
+  * implements (EventStream windows/aggregates, sequence joins as in
+  * [[graft.cep.Pattern]]).
+  *
+  * Semantics notes (vs crates/varpulis-runtime):
+  *  - `A -> B` compiles to the skip-till-any-match join chain (every
+  *    in-order combination), the same batch realization the p1..p10
+  *    queries use; `-> all` is identical here because the batch
+  *    surface already enumerates all matches.
+  *  - `.within(d)` bounds last.ts − first.ts; `.not(T where p)` is a
+  *    left-anti join over the same window (sase.rs negation-timeout
+  *    semantics).
+  *  - single-expression `fn`s are inlined at call sites (the runtime
+  *    interprets them; inlining keeps the whole plan in Catalyst).
+  *  - refs to fields an event doesn't carry resolve to NULL, like the
+  *    reference's dynamically-typed payload lookups.
+  */
+final class VplCompiler(program: VProgram, source: VplSource) {
+
+  private val fns: Map[String, VFn] = program.fns.map(f => f.name -> f).toMap
+  private val letVals: Map[String, VExpr] = program.lets.map(l => l.name -> l.value).toMap
+
+  private val compiled = mutable.LinkedHashMap.empty[String, Try[DataFrame]]
+
+  /** Compile every stream in declaration order. */
+  def compileAll(): Map[String, Try[DataFrame]] = {
+    program.streams.foreach { s =>
+      compiled.getOrElseUpdate(s.name, Try(compileStream(s)))
+    }
+    compiled.toMap
+  }
+
+  /** Compile all streams, failing on the first error. */
+  def compileAllStrict(): Seq[(String, DataFrame)] =
+    program.streams.map { s =>
+      s.name -> (compiled.getOrElseUpdate(s.name, Try(compileStream(s))) match {
+        case Success(df) => df
+        case Failure(e)  => throw e
+      })
+    }
+
+  /** Compile a declared `pattern Name = ...` (SASE+ subset: SEQ of
+    * positive non-Kleene items with per-item predicates, single
+    * filtered refs, and OR over refs — the combinators the reference
+    * itself evaluates today; Kleene/NOT inside declared patterns are
+    * parse-level only, like the reference's "stored for reference"
+    * note in examples/reusable_patterns.vpl).
+    */
+  def compilePattern(name: String): DataFrame = {
+    val decl = program.patterns.find(_.name == name)
+      .getOrElse(throw VplCompileError(s"no pattern '$name'"))
+    val keys = decl.partitionBy.toSeq
+
+    def itemDf(it: SaseItem): DataFrame = {
+      val df = resolveAny(it.eventType)
+      val cols = df.columns.toSet
+      val ctx = ExprCtx(
+        bare = f => if (cols(f)) Some(col(f)) else None,
+        qualified = (_, _) => None)
+      it.where.map(e => df.filter(translate(e, ctx))).getOrElse(df)
+    }
+
+    decl.expr match {
+      case SaseRef(it) if !it.negated && it.kleene.isEmpty => itemDf(it)
+      case SaseSeq(items) if items.forall(i => !i.negated && i.kleene.isEmpty) =>
+        val aliases = items.zipWithIndex.map { case (it, i) =>
+          it.alias.getOrElse(s"s$i")
+        }
+        // `partition by k` → equi-join conjunct on every transition
+        // (join condition, not post-filter: one shuffle per step on k)
+        val bounds = items.zipWithIndex.map { case (it, i) =>
+          val keyEq = if (i == 0) Nil
+            else keys.map(k => VBin("==", VRef(k), VField(aliases(i - 1), k)))
+          val whereAll = (it.where.toSeq ++ keyEq)
+            .reduceOption((a, b) => VBin("and", a, b))
+          // raw df: local conjuncts filter inside buildSequence, cross
+          // conjuncts become join conditions
+          Bound(aliases(i), resolveAny(it.eventType), whereAll)
+        }
+        val st = new SeqState(bounds.head)
+        st.steps ++= bounds.tail
+        st.withinUs = decl.withinUs
+        buildSequence(st)
+      case SaseOr(_, _) =>
+        def refs(e: SaseExpr): Seq[SaseItem] = e match {
+          case SaseOr(l, r) => refs(l) ++ refs(r)
+          case SaseRef(it) if !it.negated && it.kleene.isEmpty => Seq(it)
+          case other => throw VplCompileError(s"unsupported OR operand: $other")
+        }
+        refs(decl.expr).map { it =>
+          itemDf(it).select(col("event_id"), col("ts"),
+            lit(it.eventType).as("event_type"))
+        }.reduce(_.unionByName(_))
+      case other =>
+        throw VplCompileError(s"pattern '$name' uses combinators outside the compiled subset: $other")
+    }
+  }
+
+  def stream(name: String): DataFrame = {
+    compileAll()
+    compiled.get(name) match {
+      case Some(Success(df)) => df
+      case Some(Failure(e))  => throw e
+      case None              => throw VplCompileError(s"no stream '$name'")
+    }
+  }
+
+  private def resolveAny(name: String): DataFrame =
+    program.streams.find(_.name == name) match {
+      case Some(s) =>
+        compiled.getOrElseUpdate(name, Try(compileStream(s))) match {
+          case Success(df) => df
+          case Failure(e)  => throw e
+        }
+      case None => source.resolve(name)
+    }
+
+  // ------------------------------------------------------------ sequences
+  private final case class Bound(alias: String, df: DataFrame,
+      where: Option[VExpr])
+
+  private final class SeqState(head: Bound) {
+    val steps: mutable.Buffer[Bound] = mutable.Buffer(head)
+    var withinUs: Option[Long] = None
+    val negs: mutable.Buffer[SeqStep] = mutable.Buffer.empty
+    val postFilters: mutable.Buffer[VExpr] = mutable.Buffer.empty
+  }
+
+  private def prefixed(df: DataFrame, alias: String): DataFrame =
+    df.columns.foldLeft(df)((d, c) => d.withColumnRenamed(c, s"${alias}_$c"))
+
+  private def conjuncts(e: VExpr): Seq[VExpr] = e match {
+    case VBin("and", l, r) => conjuncts(l) ++ conjuncts(r)
+    case other             => Seq(other)
+  }
+
+  private def aliasRefs(e: VExpr): Set[String] = e match {
+    case VField(q, _)     => Set(q)
+    case VBin(_, l, r)    => aliasRefs(l) ++ aliasRefs(r)
+    case VUn(_, x)        => aliasRefs(x)
+    case VCall(_, args)   => args.flatMap(aliasRefs).toSet
+    case VMethod(t, _, a) => aliasRefs(t) ++ a.flatMap(aliasRefs)
+    case VIf(c, t, f)     => aliasRefs(c) ++ aliasRefs(t) ++ aliasRefs(f)
+    case VList(items)     => items.flatMap(aliasRefs).toSet
+    case _                => Set.empty
+  }
+
+  private def buildSequence(st: SeqState): DataFrame = {
+    val aliases = st.steps.map(_.alias)
+    val first = aliases.head
+
+    // head: local filter (rare) then prefix
+    def localDf(b: Bound): DataFrame = {
+      val cols = b.df.columns.toSet
+      val locals = b.where.toSeq.flatMap(conjuncts)
+        .filter(c => aliasRefs(c).forall(_ == b.alias))
+      val ctx = ExprCtx(
+        bare = f => if (cols(f)) Some(col(f)) else None,
+        qualified = (q, f) =>
+          if (q == b.alias && cols(f)) Some(col(f)) else None)
+      locals.foldLeft(b.df)((d, c) => d.filter(translate(c, ctx)))
+    }
+
+    var acc = prefixed(localDf(st.steps.head), first)
+    var prevAlias = first
+    val boundCols = mutable.Map(first -> st.steps.head.df.columns.toSet)
+
+    for (b <- st.steps.tail) {
+      val cols = b.df.columns.toSet
+      val crossConjuncts = b.where.toSeq.flatMap(conjuncts)
+        .filterNot(c => aliasRefs(c).forall(_ == b.alias))
+      val pre = prefixed(localDf(b), b.alias)
+      val joinCtx = ExprCtx(
+        bare = f => if (cols(f)) Some(col(s"${b.alias}_$f")) else None,
+        qualified = (q, f) =>
+          (if (q == b.alias) Some(cols) else boundCols.get(q)).map(cs =>
+            if (cs(f)) col(s"${q}_$f") else lit(null)))
+      val ordered = col(s"${b.alias}_event_id") > col(s"${prevAlias}_event_id")
+      val timeBound = st.withinUs.map { d =>
+        unix_micros(col(s"${b.alias}_ts")) - unix_micros(col(s"${first}_ts")) <=
+          lit(d)
+      }.getOrElse(lit(true))
+      val cross = crossConjuncts.map(c => translate(c, joinCtx))
+        .reduceOption(_ && _).getOrElse(lit(true))
+      acc = acc.join(pre, ordered && timeBound && cross)
+      boundCols(b.alias) = cols
+      prevAlias = b.alias
+    }
+
+    // cross-step `.where(...)` after the sequence
+    val postCtx = seqCtx(st)
+    acc = st.postFilters.foldLeft(acc)((d, e) => d.filter(translate(e, postCtx)))
+
+    // `.not(T where p)` — absence over the same window: left-anti join
+    for (neg <- st.negs) {
+      val negAlias = s"__neg_${neg.eventType}"
+      val negDf = resolveAny(neg.eventType)
+      val negCols = negDf.columns.toSet
+      val pre = prefixed(negDf, negAlias)
+      val ctx = ExprCtx(
+        bare = f => if (negCols(f)) Some(col(s"${negAlias}_$f")) else None,
+        qualified = (q, f) =>
+          (if (q == negAlias) Some(negCols) else boundCols.get(q)).map(cs =>
+            if (cs(f)) col(s"${q}_$f") else lit(null)))
+      val cond = neg.where.map(e => translate(e, ctx)).getOrElse(lit(true))
+      val afterLast = col(s"${negAlias}_event_id") > col(s"${prevAlias}_event_id")
+      val timeBound = st.withinUs.map { d =>
+        unix_micros(col(s"${negAlias}_ts")) - unix_micros(col(s"${first}_ts")) <=
+          lit(d)
+      }.getOrElse(lit(true))
+      acc = acc.join(pre, cond && afterLast && timeBound, "left_anti")
+    }
+    acc
+  }
+
+  /** emit/where context over a built sequence: `alias.field` →
+    * `alias_field`; bare `field` resolves through the steps, last
+    * match wins (the reference resolves against the most recent
+    * event).
+    */
+  private def seqCtx(st: SeqState): ExprCtx = {
+    val byAlias = st.steps.map(b => b.alias -> b.df.columns.toSet).toMap
+    ExprCtx(
+      bare = f =>
+        st.steps.reverse.collectFirst {
+          case b if byAlias(b.alias)(f) => col(s"${b.alias}_$f")
+        },
+      // known alias + missing field → NULL (dynamic payloads); only an
+      // unknown alias is an error
+      qualified = (q, f) =>
+        byAlias.get(q).map(cols =>
+          if (cols(f)) col(s"${q}_$f") else lit(null)))
+  }
+
+  // ------------------------------------------------------------ expressions
+  private final case class ExprCtx(
+      bare: String => Option[Column],
+      qualified: (String, String) => Option[Column])
+
+  private def scalarCtx(df: DataFrame, headAlias: Option[String]): ExprCtx = {
+    val cols = df.columns.toSet
+    ExprCtx(
+      bare = f => if (cols(f)) Some(col(f)) else None,
+      qualified = (q, f) =>
+        if (headAlias.contains(q))
+          Some(if (cols(f)) col(f) else lit(null))
+        else None)
+  }
+
+  private def inlineFns(e: VExpr, depth: Int = 0): VExpr = {
+    if (depth > 20) throw VplCompileError("fn inlining too deep (recursive fn?)")
+    e match {
+      case VCall(name, args) if fns.contains(name) =>
+        val f = fns(name)
+        if (f.params.size != args.size)
+          throw VplCompileError(s"fn $name: expected ${f.params.size} args, got ${args.size}")
+        val sub = f.params.map(_._1).zip(args).toMap
+        inlineFns(substitute(f.body, sub), depth + 1)
+      case VCall(n, args)   => VCall(n, args.map(inlineFns(_, depth)))
+      case VBin(op, l, r)   => VBin(op, inlineFns(l, depth), inlineFns(r, depth))
+      case VUn(op, x)       => VUn(op, inlineFns(x, depth))
+      case VMethod(t, m, a) => VMethod(inlineFns(t, depth), m, a.map(inlineFns(_, depth)))
+      case VIf(c, t, f)     => VIf(inlineFns(c, depth), inlineFns(t, depth), inlineFns(f, depth))
+      case VList(items)     => VList(items.map(inlineFns(_, depth)))
+      case other            => other
+    }
+  }
+
+  private def substitute(e: VExpr, sub: Map[String, VExpr]): VExpr = e match {
+    case VRef(n) if sub.contains(n) => sub(n)
+    case VBin(op, l, r)   => VBin(op, substitute(l, sub), substitute(r, sub))
+    case VUn(op, x)       => VUn(op, substitute(x, sub))
+    case VCall(n, args)   => VCall(n, args.map(substitute(_, sub)))
+    case VMethod(t, m, a) => VMethod(substitute(t, sub), m, a.map(substitute(_, sub)))
+    case VIf(c, t, f)     => VIf(substitute(c, sub), substitute(t, sub), substitute(f, sub))
+    case VList(items)     => VList(items.map(substitute(_, sub)))
+    case other            => other
+  }
+
+  private def translate(raw: VExpr, ctx: ExprCtx): Column = {
+    val e = inlineFns(raw)
+    def t(e: VExpr): Column = e match {
+      case VInt(v)  => lit(v)
+      case VNum(v)  => lit(v)
+      case VStr(v)  => lit(v)
+      case VBool(v) => lit(v)
+      case VNull    => lit(null)
+      case VDur(us) => lit(us)
+      case VRef(n) =>
+        ctx.bare(n)
+          .orElse(letVals.get(n).map(t))
+          // unknown field → NULL (reference dynamic-payload semantics)
+          .getOrElse(lit(null))
+      case VField(q, f) =>
+        ctx.qualified(q, f)
+          .orElse(ctx.bare(q).map(c => c.getField(f)))
+          .getOrElse(throw VplCompileError(s"unresolvable reference $q.$f"))
+      case VUn("-", x)   => -t(x)
+      case VUn("not", x) => !t(x)
+      case VUn(op, _)    => throw VplCompileError(s"unsupported unary '$op'")
+      case VBin(op, l, r) => op match {
+        case "and" => t(l) && t(r)
+        case "or"  => t(l) || t(r)
+        case "=="  => t(l) === t(r)
+        case "!="  => t(l) =!= t(r)
+        case "<"   => t(l) < t(r)
+        case "<="  => t(l) <= t(r)
+        case ">"   => t(l) > t(r)
+        case ">="  => t(l) >= t(r)
+        case "+"   => t(l) + t(r)
+        case "-"   => t(l) - t(r)
+        case "*"   => t(l) * t(r)
+        case "/"   => t(l) / t(r)
+        case "%"   => t(l) % t(r)
+        case "**"  => pow(t(l), t(r))
+        case "in" => r match {
+          case VList(items) => t(l).isin(items.map(litOf): _*)
+          case _            => throw VplCompileError("'in' needs a literal list")
+        }
+        case other => throw VplCompileError(s"unsupported operator '$other'")
+      }
+      case VIf(c, th, el) => when(t(c), t(th)).otherwise(t(el))
+      case VCall(fn, args) => builtin(fn, args.map(t))
+      case VMethod(target, m, args) => (m, args) match {
+        case ("len", Nil)   => length(t(target))
+        case ("upper", Nil) => upper(t(target))
+        case ("lower", Nil) => lower(t(target))
+        case ("abs", Nil)   => abs(t(target))
+        case _ => throw VplCompileError(s"unsupported method '.$m(${args.size} args)'")
+      }
+      case VList(_)      => throw VplCompileError("list literal outside 'in'")
+      case VLambda(_, _) => throw VplCompileError("lambda outside .pattern()")
+    }
+    t(e)
+  }
+
+  private def litOf(e: VExpr): Any = e match {
+    case VInt(v)  => v
+    case VNum(v)  => v
+    case VStr(v)  => v
+    case VBool(v) => v
+    case _        => throw VplCompileError("expected a literal")
+  }
+
+  private def builtin(fn: String, args: Seq[Column]): Column = (fn, args) match {
+    case ("abs", Seq(x))       => abs(x)
+    case ("len", Seq(x))       => length(x)
+    case ("length", Seq(x))    => length(x)
+    case ("upper", Seq(x))     => upper(x)
+    case ("lower", Seq(x))     => lower(x)
+    case ("round", Seq(x))     => round(x)
+    case ("floor", Seq(x))     => floor(x)
+    case ("ceil", Seq(x))      => ceil(x)
+    case ("sqrt", Seq(x))      => sqrt(x)
+    case ("min", xs) if xs.size >= 2 => least(xs: _*)
+    case ("max", xs) if xs.size >= 2 => greatest(xs: _*)
+    case ("coalesce", xs)      => coalesce(xs: _*)
+    case _ => throw VplCompileError(s"unsupported function '$fn/${args.size}'")
+  }
+
+  // ------------------------------------------------------------ aggregates
+  /** Aggregate calls — DECIMAL-exact sums (hash parity with DuckDB,
+    * see QueryDef scaladoc), native everything.
+    */
+  private def aggColumn(e: VExpr, ctx: ExprCtx): Column = inlineFns(e) match {
+    case VCall("count", Nil)      => count(lit(1))
+    case VCall("count", Seq(x))   => count(translate(x, ctx))
+    case VCall("sum", Seq(x)) =>
+      sum(translate(x, ctx).cast("decimal(14,2)")).cast("double")
+    case VCall("avg", Seq(x))     => avg(translate(x, ctx))
+    case VCall("min", Seq(x))     => min(translate(x, ctx))
+    case VCall("max", Seq(x))     => max(translate(x, ctx))
+    case VCall("stddev", Seq(x))  => stddev_samp(translate(x, ctx))
+    case VCall("variance", Seq(x)) => var_samp(translate(x, ctx))
+    case VCall("first", Seq(x))   => min_by(translate(x, ctx), col("event_id"))
+    case VCall("last", Seq(x))    => max_by(translate(x, ctx), col("event_id"))
+    case VCall("collect", Seq(x)) => collect_list(translate(x, ctx))
+    case VCall("count_distinct", Seq(x)) => count_distinct(translate(x, ctx))
+    case other => throw VplCompileError(s"unsupported aggregate: $other")
+  }
+
+  private def windowSpec(op: OpWindow): WindowSpec = {
+    val named = op.named.toMap
+    named.get("session") match {
+      case Some(VDur(us)) => SessionWin(durStr(us))
+      case Some(_)        => throw VplCompileError("session: expects a duration")
+      case None => op.positional match {
+        case Seq(VDur(us)) => named.get("sliding") match {
+          case Some(VDur(s)) => Sliding(durStr(us), durStr(s))
+          case _             => Tumbling(durStr(us))
+        }
+        case Seq(VInt(n)) => named.get("sliding") match {
+          case Some(VInt(s)) => SlidingCountWin(n.toInt, s.toInt)
+          case _             => CountWin(n.toInt)
+        }
+        case other => throw VplCompileError(s"unsupported window args: $other")
+      }
+    }
+  }
+
+  private def durStr(us: Long): String =
+    if (us % 1000000L == 0) s"${us / 1000000L} seconds"
+    else s"${us / 1000L} milliseconds"
+
+  // ------------------------------------------------------------ streams
+  private def compileStream(s: VStream): DataFrame = {
+    var headAlias: Option[String] = None
+    var df: DataFrame = s.source match {
+      case SrcMerge(names) =>
+        names.map(resolveAny).reduce(_.unionByName(_))
+      case SrcName(n, alias) =>
+        headAlias = alias
+        resolveAny(n)
+    }
+    var seq: Option[SeqState] = None
+    var keys: Seq[String] = Nil
+    var win: Option[WindowSpec] = None
+    var aggregated = false
+    var finished = false
+
+    def ctx: ExprCtx = seq match {
+      case Some(st) => seqCtx(st)
+      case None     => scalarCtx(df, headAlias)
+    }
+
+    def ensureSeq(): SeqState = seq.getOrElse {
+      val headName = s.source match {
+        case SrcName(n, _) => n
+        case _ => throw VplCompileError("sequence must start from a named source")
+      }
+      val st = new SeqState(Bound(headAlias.getOrElse(headName), df, None))
+      seq = Some(st)
+      st
+    }
+
+    def materializeSeq(): Unit = seq.foreach { st =>
+      df = buildSequence(st)
+      // keep seq for emit-resolution; mark materialized via `finished`
+    }
+
+    for (op <- s.ops if !finished) op match {
+      case OpFrom(_, _) | OpTo(_, _) | OpContext(_) | OpTapLike(_, _) |
+          OpWatermark(_) | OpAllowedLateness(_) => ()
+
+      case OpFollowedBy(step) =>
+        val st = ensureSeq()
+        st.steps += Bound(
+          step.alias.getOrElse(s"s${st.steps.size}"),
+          resolveAny(step.eventType), step.where)
+
+      case OpWithin(VDur(us)) => ensureSeq().withinUs = Some(us)
+      case OpWithin(other) =>
+        throw VplCompileError(s".within expects a duration, got $other")
+
+      case OpNot(step) => ensureSeq().negs += step
+
+      case OpWhere(e) =>
+        seq match {
+          case Some(st) if !aggregated => st.postFilters += e
+          case _                       => df = df.filter(translate(e, ctx))
+        }
+      case OpHaving(e) => df = df.filter(translate(e, ctx))
+
+      case OpSelect(items) =>
+        val c = ctx
+        df = df.select(items.map {
+          case (n, Some(e)) => translate(e, c).as(n)
+          case (n, None)    => translate(VRef(n), c).as(n)
+        }: _*)
+
+      case OpPartitionBy(cols) => keys = cols
+      case w: OpWindow         => win = Some(windowSpec(w))
+
+      case OpAggregate(aggs) =>
+        if (seq.isDefined) throw VplCompileError("aggregate after sequence not supported")
+        val c = ctx
+        df = EventStream(df, keys = keys, win = win)
+          .aggregate(aggs.map { case (n, e) => n -> aggColumn(e, c) }: _*)
+        aggregated = true
+
+      case OpPattern(_, body) =>
+        // `.pattern(name: events => events.len() CMP k)` — windowed
+        // match count over the current partition/window
+        val (cmpOp, threshold) = inlineFns(body) match {
+          case VLambda(Seq(p), VBin(op, VMethod(VRef(q), "len", Nil), rhs))
+              if p == q && Set("==", "!=", "<", "<=", ">", ">=")(op) =>
+            (op, rhs)
+          case other =>
+            throw VplCompileError(s"unsupported pattern lambda: $other")
+        }
+        df = EventStream(df, keys = keys, win = win)
+          .aggregate("match_count" -> count(lit(1)))
+        val thr = translate(threshold, ExprCtx(_ => None, (_, _) => None))
+        df = df.filter(cmpOp match {
+          case "==" => col("match_count") === thr
+          case "!=" => col("match_count") =!= thr
+          case "<"  => col("match_count") < thr
+          case "<=" => col("match_count") <= thr
+          case ">"  => col("match_count") > thr
+          case ">=" => col("match_count") >= thr
+        })
+        aggregated = true
+
+      case OpOrderBy(items) =>
+        val c = ctx
+        df = df.orderBy(items.map { case (e, asc) =>
+          val tc = translate(e, c); if (asc) tc.asc else tc.desc
+        }: _*)
+      case OpLimit(n) => df = df.limit(n.toInt)
+      case OpDistinct(cols) =>
+        df = if (cols.isEmpty) df.distinct()
+        else df.select(cols.map(col): _*).distinct()
+
+      case OpEmit(args, _) =>
+        materializeSeq()
+        val c = ctx
+        if (args.nonEmpty)
+          df = df.select(args.map { case (n, e) => translate(e, c).as(n) }: _*)
+        finished = true
+
+      case other => throw VplCompileError(s"unsupported op in batch compile: $other")
+    }
+    if (!finished && seq.isDefined) materializeSeq()
+    df
+  }
+}
+
+object Vpl {
+  /** Parse VPL text and compile every stream over an .evt file (or
+    * several, concatenated in order).
+    */
+  def runEvt(spark: SparkSession, vplText: String,
+      evtPaths: Seq[String]): Map[String, Try[DataFrame]] = {
+    val prog = VplParser.parse(vplText)
+    val decls = prog.events.map(e => e.name -> e).toMap
+    new VplCompiler(prog, new EvtSource(spark, evtPaths, decls)).compileAll()
+  }
+
+  /** Parse VPL text and compile one stream against the events table. */
+  def tableStream(spark: SparkSession, dir: String, vplText: String,
+      streamName: String): DataFrame = {
+    val prog = VplParser.parse(vplText)
+    new VplCompiler(prog, new TableSource(spark, dir)).stream(streamName)
+  }
+}

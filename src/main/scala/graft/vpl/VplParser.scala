@@ -1,0 +1,705 @@
+package graft.vpl
+
+import VplAst._
+
+/** Hand-written tokenizer + recursive-descent parser for the VPL
+  * subset compiled by [[VplCompiler]].
+  *
+  * Grammar followed: crates/varpulis-parser/src/varpulis.pest (PEG) and
+  * docs/language/grammar.md in the reference. Differences from the
+  * reference parser are deliberate simplifications, not semantics
+  * changes:
+  *
+  *  - The reference preprocesses indentation into INDENT/DEDENT tokens
+  *    for `event`/`config`/`fn` blocks. Here those blocks end at the
+  *    next statement keyword instead — equivalent on every reference
+  *    example/scenario file (field names never collide with statement
+  *    keywords).
+  *  - `fn` bodies are single expressions (all reference scenario fns
+  *    are); statement-block bodies are rejected with a clear error.
+  *  - Inside a `->` step's `where` filter, `.ident(` terminates the
+  *    expression (it starts the next stream op) exactly as the
+  *    reference's `filter_postfix_suffix` rule (`!("(")`) does.
+  */
+object VplParser {
+
+  // ---------------------------------------------------------------- tokens
+  sealed trait Tok { def pos: Int }
+  final case class TId(s: String, pos: Int) extends Tok
+  final case class TInt(v: Long, pos: Int) extends Tok
+  final case class TFloat(v: Double, pos: Int) extends Tok
+  final case class TStr(s: String, pos: Int) extends Tok
+  final case class TDur(us: Long, pos: Int) extends Tok
+  final case class TOp(s: String, pos: Int) extends Tok
+  final case class TEof(pos: Int) extends Tok
+
+  final case class VplParseError(msg: String, line: Int)
+      extends RuntimeException(s"VPL parse error at line $line: $msg")
+
+  private val multiOps = Seq("..=", "->", "=>", "==", "!=", "<=", ">=",
+    "?.", "..", "**", "<<", ">>", ":=")
+  private val singleOps = ".,:()[]{}+-*/%<>=?|^&~@!".toSet
+
+  private val durUnits = Seq("ns" -> 1L, "us" -> 1L, "ms" -> 1000L,
+    "s" -> 1000000L, "m" -> 60000000L, "h" -> 3600000000L,
+    "d" -> 86400000000L)
+
+  def tokenize(src: String): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    val n = src.length
+    def isIdStart(c: Char) = c.isLetter || c == '_'
+    def isIdChar(c: Char) = c.isLetterOrDigit || c == '_'
+    while (i < n) {
+      val c = src(i)
+      if (c == ' ' || c == '\t' || c == '\r' || c == '\n') i += 1
+      else if (c == '#') { while (i < n && src(i) != '\n') i += 1 }
+      else if (c == '/' && i + 1 < n && src(i + 1) == '/') {
+        while (i < n && src(i) != '\n') i += 1
+      } else if (c == '/' && i + 1 < n && src(i + 1) == '*') {
+        i += 2
+        while (i + 1 < n && !(src(i) == '*' && src(i + 1) == '/')) i += 1
+        i = math.min(i + 2, n)
+      } else if (c == '"') {
+        val start = i; i += 1
+        val sb = new StringBuilder
+        while (i < n && src(i) != '"') {
+          if (src(i) == '\\' && i + 1 < n) { sb.append(src(i + 1)); i += 2 }
+          else { sb.append(src(i)); i += 1 }
+        }
+        if (i >= n) throw VplParseError("unterminated string", line(src, start))
+        i += 1
+        out += TStr(sb.toString, start)
+      } else if (c.isDigit) {
+        val start = i
+        while (i < n && src(i).isDigit) i += 1
+        if (i < n && src(i) == '.' && i + 1 < n && src(i + 1).isDigit) {
+          i += 1
+          while (i < n && src(i).isDigit) i += 1
+          if (i < n && (src(i) == 'e' || src(i) == 'E')) {
+            i += 1
+            if (i < n && (src(i) == '+' || src(i) == '-')) i += 1
+            while (i < n && src(i).isDigit) i += 1
+          }
+          out += TFloat(src.substring(start, i).toDouble, start)
+        } else {
+          val numEnd = i
+          // duration suffix must be a complete word: 5s yes, 5sec no
+          val suffix = durUnits.sortBy(-_._1.length).find { case (u, _) =>
+            src.regionMatches(i, u, 0, u.length) &&
+              (i + u.length >= n || !isIdChar(src(i + u.length)))
+          }
+          suffix match {
+            case Some((u, mult)) =>
+              i += u.length
+              out += TDur(src.substring(start, numEnd).toLong * mult, start)
+            case None =>
+              out += TInt(src.substring(start, numEnd).toLong, start)
+          }
+        }
+      } else if (isIdStart(c)) {
+        val start = i
+        while (i < n && isIdChar(src(i))) i += 1
+        out += TId(src.substring(start, i), start)
+      } else {
+        val start = i
+        multiOps.find(op => src.regionMatches(i, op, 0, op.length)) match {
+          case Some(op) => i += op.length; out += TOp(op, start)
+          case None =>
+            if (singleOps(c)) { i += 1; out += TOp(c.toString, start) }
+            else throw VplParseError(s"unexpected character '$c'", line(src, i))
+        }
+      }
+    }
+    out += TEof(n)
+    out.result()
+  }
+
+  private def line(src: String, pos: Int): Int =
+    src.substring(0, math.min(pos, src.length)).count(_ == '\n') + 1
+
+  // ---------------------------------------------------------------- parser
+  private val stmtKeywords = Set("stream", "event", "connector", "pattern",
+    "fn", "let", "var", "const", "config", "context", "import", "type")
+
+  def parse(src: String): VProgram = new P(tokenize(src), src).program()
+
+  private final class P(toks: Vector[Tok], src: String) {
+    private var pos = 0
+
+    private def peek: Tok = toks(pos)
+    private def peekAt(k: Int): Tok = toks(math.min(pos + k, toks.length - 1))
+    private def advance(): Tok = { val t = toks(pos); pos += 1; t }
+    private def fail(msg: String): Nothing =
+      throw VplParseError(s"$msg (found ${show(peek)})", line(src, peek.pos))
+    private def show(t: Tok): String = t match {
+      case TId(s, _)    => s"identifier '$s'"
+      case TInt(v, _)   => s"int $v"
+      case TFloat(v, _) => s"float $v"
+      case TStr(s, _)   => s""""$s""""
+      case TDur(v, _)   => s"duration ${v}us"
+      case TOp(s, _)    => s"'$s'"
+      case TEof(_)      => "end of input"
+    }
+
+    private def isOp(s: String): Boolean = peek match {
+      case TOp(o, _) => o == s
+      case _         => false
+    }
+    private def isId(s: String): Boolean = peek match {
+      case TId(o, _) => o == s
+      case _         => false
+    }
+    private def eatOp(s: String): Unit =
+      if (isOp(s)) { pos += 1 } else fail(s"expected '$s'")
+    private def eatId(s: String): Unit =
+      if (isId(s)) { pos += 1 } else fail(s"expected '$s'")
+    private def ident(): String = peek match {
+      case TId(s, _) => pos += 1; s
+      case _         => fail("expected identifier")
+    }
+
+    // ------------------------------------------------------------ program
+    def program(): VProgram = {
+      val events = Seq.newBuilder[VEvent]
+      val connectors = Seq.newBuilder[VConnector]
+      val lets = Seq.newBuilder[VLet]
+      val contexts = Seq.newBuilder[VContext]
+      val fns = Seq.newBuilder[VFn]
+      val patterns = Seq.newBuilder[VPatternDecl]
+      val streams = Seq.newBuilder[VStream]
+      while (!peek.isInstanceOf[TEof]) peek match {
+        case TId("event", _)     => events += eventDecl()
+        case TId("connector", _) => connectors += connectorDecl()
+        case TId("stream", _)    => streams += streamDecl()
+        case TId("fn", _)        => fns += fnDecl()
+        case TId("pattern", _)   => patterns += patternDecl()
+        case TId("let", _) | TId("var", _) | TId("const", _) =>
+          advance(); val n = ident()
+          if (isOp(":")) { eatOp(":"); typeExpr() }
+          eatOp("="); lets += VLet(n, expr())
+        case TId("config", _)  => configBlock()
+        case TId("context", _) => contexts += contextDecl()
+        case TId("import", _) =>
+          advance()
+          peek match { case TStr(_, _) => advance(); case _ => fail("expected import path string") }
+          if (isId("as")) { advance(); ident() }
+        case _ => fail("expected a declaration")
+      }
+      VProgram(events.result(), connectors.result(), lets.result(),
+        contexts.result(), fns.result(), patterns.result(), streams.result())
+    }
+
+    // ------------------------------------------------------------ decls
+    private def eventDecl(): VEvent = {
+      eatId("event")
+      val name = ident()
+      val parent = if (isId("extends")) { advance(); Some(ident()) } else None
+      eatOp(":")
+      val fields = Seq.newBuilder[(String, String)]
+      var more = true
+      while (more) peek match {
+        case TId(f, _) if !stmtKeywords(f) && peekAt(1) == TOp(":", peekAt(1).pos) =>
+          advance(); eatOp(":")
+          val t = typeExpr()
+          fields += (f -> t)
+        case _ => more = false
+      }
+      val fs = fields.result()
+      if (fs.isEmpty) fail(s"event $name: expected at least one field")
+      VEvent(name, parent, fs)
+    }
+
+    private def typeExpr(): String = peek match {
+      case TOp("[", _) => advance(); val t = typeExpr(); eatOp("]"); opt(s"[$t]")
+      case TOp("{", _) =>
+        advance(); val k = typeExpr(); eatOp(":"); val v = typeExpr(); eatOp("}")
+        opt(s"{$k:$v}")
+      case TOp("(", _) =>
+        advance()
+        val parts = Seq.newBuilder[String]
+        parts += typeExpr()
+        while (isOp(",")) { advance(); parts += typeExpr() }
+        eatOp(")")
+        opt(parts.result().mkString("(", ",", ")"))
+      case TId("Stream", _) =>
+        advance(); eatOp("<"); val t = typeExpr(); eatOp(">"); opt(s"Stream<$t>")
+      case TId(t, _) => advance(); opt(t)
+      case _         => fail("expected a type")
+    }
+    private def opt(t: String): String =
+      if (isOp("?")) { advance(); s"$t?" } else t
+
+    private def connectorDecl(): VConnector = {
+      eatId("connector")
+      val name = ident()
+      eatOp("=")
+      val ctype = ident()
+      eatOp("(")
+      val params = if (isOp(")")) Nil else namedArgList()
+      eatOp(")")
+      VConnector(name, ctype, params)
+    }
+
+    private def contextDecl(): VContext = {
+      eatId("context")
+      val name = ident()
+      var cores = Seq.empty[Int]
+      if (isOp("(")) {
+        advance(); eatId("cores"); eatOp(":"); eatOp("[")
+        val b = Seq.newBuilder[Int]
+        b += intLit().toInt
+        while (isOp(",")) { advance(); b += intLit().toInt }
+        eatOp("]"); eatOp(")")
+        cores = b.result()
+      }
+      VContext(name, cores)
+    }
+
+    private def configBlock(): Unit = {
+      eatId("config")
+      if (isOp(":")) {
+        advance()
+        var more = true
+        while (more) peek match {
+          case TId(f, _) if !stmtKeywords(f) && peekAt(1) == TOp(":", peekAt(1).pos) =>
+            advance(); eatOp(":"); configValue(); if (isOp(",")) advance()
+          case _ => more = false
+        }
+      } else {
+        ident(); eatOp("{")
+        while (!isOp("}")) { ident(); eatOp(":"); configValue(); if (isOp(",")) advance() }
+        eatOp("}")
+      }
+    }
+
+    private def configValue(): VExpr = peek match {
+      case TOp("[", _) =>
+        advance()
+        val items = Seq.newBuilder[VExpr]
+        if (!isOp("]")) { items += configValue(); while (isOp(",")) { advance(); items += configValue() } }
+        eatOp("]")
+        VList(items.result())
+      case _ => primary(filter = false)
+    }
+
+    private def fnDecl(): VFn = {
+      eatId("fn")
+      val name = ident()
+      eatOp("(")
+      val params = Seq.newBuilder[(String, String)]
+      if (!isOp(")")) {
+        def one(): Unit = { val p = ident(); eatOp(":"); params += (p -> typeExpr()) }
+        one(); while (isOp(",")) { advance(); one() }
+      }
+      eatOp(")")
+      val ret = if (isOp("->")) { advance(); Some(typeExpr()) } else None
+      eatOp(":")
+      peek match {
+        case TId(k, _) if Set("for", "while", "if", "emit", "return")(k) =>
+          fail(s"fn $name: statement-block bodies are outside the compiled VPL subset")
+        case _ => ()
+      }
+      VFn(name, params.result(), ret, expr())
+    }
+
+    private def patternDecl(): VPatternDecl = {
+      eatId("pattern")
+      val name = ident()
+      eatOp("=")
+      val items = saseOr()
+      val within = if (isId("within")) {
+        advance()
+        peek match {
+          case TDur(us, _) => advance(); Some(us)
+          case _           => fail("expected duration after 'within'")
+        }
+      } else None
+      val part = if (isId("partition")) {
+        advance(); eatId("by"); Some(ident())
+      } else None
+      VPatternDecl(name, items, within, part)
+    }
+
+    private def saseOr(): SaseExpr = {
+      var l = saseAnd()
+      while (isId("OR")) { advance(); l = SaseOr(l, saseAnd()) }
+      l
+    }
+    private def saseAnd(): SaseExpr = {
+      var l = saseNot()
+      while (isId("AND")) { advance(); l = SaseAnd(l, saseNot()) }
+      l
+    }
+    private def saseNot(): SaseExpr =
+      // `NOT <ident>` inside SEQ is a negated item; at combinator level
+      // `NOT (expr)` negates a sub-pattern
+      if (isId("NOT") && peekAt(1) == TOp("(", peekAt(1).pos)) {
+        advance(); SaseNeg(sasePrimary())
+      } else sasePrimary()
+
+    private def sasePrimary(): SaseExpr =
+      if (isId("SEQ")) {
+        advance(); eatOp("(")
+        val b = Seq.newBuilder[SaseItem]
+        b += saseItem()
+        while (isOp(",")) { advance(); b += saseItem() }
+        eatOp(")")
+        SaseSeq(b.result())
+      } else if (isOp("(")) {
+        advance(); val e = saseOr(); eatOp(")"); e
+      } else SaseRef(saseItem())
+
+    private def saseItem(): SaseItem = {
+      val negated = if (isId("NOT")) { advance(); true } else false
+      val t = ident()
+      val kleene = peek match {
+        case TOp(k, _) if k == "+" || k == "*" || k == "?" => advance(); Some(k)
+        case _                                             => None
+      }
+      val where = if (isId("where")) { advance(); Some(expr()) } else None
+      val alias = if (isId("as")) { advance(); Some(ident()) } else None
+      SaseItem(t, kleene, where, alias, negated)
+    }
+
+    // ------------------------------------------------------------ streams
+    private def streamDecl(): VStream = {
+      eatId("stream")
+      val name = ident()
+      if (isOp(":")) { advance(); typeExpr() }
+      eatOp("=")
+      val source = streamSource()
+      val ops = Seq.newBuilder[VOp]
+      var more = true
+      while (more) {
+        if (isOp(".")) ops += dotOp()
+        else if (isOp("->")) ops += followedBy()
+        else more = false
+      }
+      VStream(name, source, ops.result())
+    }
+
+    private def streamSource(): VSource =
+      if (isId("merge")) {
+        advance(); eatOp("(")
+        val names = Seq.newBuilder[String]
+        names += ident()
+        while (isOp(",")) { advance(); names += ident() }
+        eatOp(")")
+        SrcMerge(names.result())
+      } else {
+        val n = ident()
+        val alias = if (isId("as")) { advance(); Some(ident()) } else None
+        SrcName(n, alias)
+      }
+
+    private def followedBy(): VOp = {
+      eatOp("->")
+      val matchAll = if (isId("all")) { advance(); true } else false
+      val t = ident()
+      val where = if (isId("where")) { advance(); Some(expr(filter = true)) } else None
+      val alias = if (isId("as")) { advance(); Some(ident()) } else None
+      OpFollowedBy(SeqStep(t, alias, where, matchAll))
+    }
+
+    private def dotOp(): VOp = {
+      eatOp(".")
+      val op = ident()
+      op match {
+        case "from" =>
+          eatOp("(")
+          val conn = ident()
+          val params = if (isOp(",")) { advance(); namedArgList() } else Nil
+          eatOp(")")
+          OpFrom(conn, params)
+        case "where"  => eatOp("("); val e = expr(); eatOp(")"); OpWhere(e)
+        case "having" => eatOp("("); val e = expr(); eatOp(")"); OpHaving(e)
+        case "filter" => eatOp("("); val e = expr(); eatOp(")"); OpWhere(e)
+        case "select" =>
+          eatOp("(")
+          val items = Seq.newBuilder[(String, Option[VExpr])]
+          def one(): Unit = {
+            val n = ident()
+            if (isOp(":")) { advance(); items += (n -> Some(expr())) }
+            else items += (n -> None)
+          }
+          one(); while (isOp(",")) { advance(); one() }
+          eatOp(")")
+          OpSelect(items.result())
+        case "window" =>
+          eatOp("(")
+          val positional = Seq.newBuilder[VExpr]
+          val named = Seq.newBuilder[(String, VExpr)]
+          def one(): Unit = peek match {
+            case TId(n, _) if peekAt(1) == TOp(":", peekAt(1).pos) =>
+              advance(); eatOp(":"); named += (n -> expr())
+            case _ => positional += expr()
+          }
+          if (!isOp(")")) { one(); while (isOp(",")) { advance(); one() } }
+          eatOp(")")
+          OpWindow(positional.result(), named.result())
+        case "aggregate" | "trend_aggregate" =>
+          eatOp("(")
+          val aggs = namedArgList()
+          eatOp(")")
+          OpAggregate(aggs)
+        case "partition_by" =>
+          eatOp("(")
+          val cols = Seq.newBuilder[String]
+          cols += ident()
+          while (isOp(",")) { advance(); cols += ident() }
+          eatOp(")")
+          OpPartitionBy(cols.result())
+        case "order_by" =>
+          eatOp("(")
+          val items = Seq.newBuilder[(VExpr, Boolean)]
+          def one(): Unit = {
+            val e = expr()
+            val asc =
+              if (isId("desc")) { advance(); false }
+              else { if (isId("asc")) advance(); true }
+            items += (e -> asc)
+          }
+          one(); while (isOp(",")) { advance(); one() }
+          eatOp(")")
+          OpOrderBy(items.result())
+        case "limit" => eatOp("("); val n = intLit(); eatOp(")"); OpLimit(n)
+        case "distinct" =>
+          eatOp("(")
+          val cols = Seq.newBuilder[String]
+          if (!isOp(")")) { cols += ident(); while (isOp(",")) { advance(); cols += ident() } }
+          eatOp(")")
+          OpDistinct(cols.result())
+        case "emit" =>
+          val asType = if (isId("as")) { advance(); Some(ident()) } else None
+          eatOp("(")
+          val args = if (isOp(")")) Nil else namedArgList()
+          eatOp(")")
+          OpEmit(args, asType)
+        case "to" =>
+          eatOp("(")
+          val conn = ident()
+          val params = if (isOp(",")) { advance(); namedArgList() } else Nil
+          eatOp(")")
+          OpTo(conn, params)
+        case "within" =>
+          eatOp("("); val d = expr(); eatOp(")"); OpWithin(d)
+        case "not" =>
+          eatOp("(")
+          val t = ident()
+          val where = if (isId("where")) { advance(); Some(expr()) } else None
+          eatOp(")")
+          OpNot(SeqStep(t, None, where, matchAll = false))
+        case "pattern" =>
+          eatOp("(")
+          val n = ident(); eatOp(":")
+          val body = expr()
+          eatOp(")")
+          OpPattern(n, body)
+        case "watermark" =>
+          eatOp("("); val params = namedArgList(); eatOp(")"); OpWatermark(params)
+        case "allowed_lateness" =>
+          eatOp("("); val d = expr(); eatOp(")"); OpAllowedLateness(d)
+        case "print" =>
+          eatOp("(")
+          val args = Seq.newBuilder[VExpr]
+          if (!isOp(")")) { args += expr(); while (isOp(",")) { advance(); args += expr() } }
+          eatOp(")")
+          OpTapLike("print", args.result())
+        case "log" | "tap" =>
+          eatOp("(")
+          val params = if (isOp(")")) Nil else namedArgList()
+          eatOp(")")
+          OpTapLike(op, params.map(_._2))
+        case "enrich" =>
+          eatOp("(")
+          val conn = ident()
+          val params = if (isOp(",")) { advance(); enrichParams() } else Nil
+          eatOp(")")
+          OpEnrich(conn, params)
+        case "forecast" =>
+          eatOp("(")
+          val params = if (isOp(")")) Nil else namedArgList()
+          eatOp(")")
+          OpForecast(params)
+        case "score" =>
+          eatOp("(")
+          val params = if (isOp(")")) Nil else scoreParams()
+          eatOp(")")
+          OpScore(params)
+        case "context" =>
+          eatOp("("); val n = ident(); eatOp(")"); OpContext(n)
+        case other => fail(s"unsupported stream op '.$other'")
+      }
+    }
+
+    /** enrich params: `key: expr` / `fields: [a, b]` / `fallback: lit` ... */
+    private def enrichParams(): Seq[(String, VExpr)] = {
+      val b = Seq.newBuilder[(String, VExpr)]
+      def one(): Unit = {
+        val n = ident(); eatOp(":")
+        val v = if (isOp("[")) {
+          advance()
+          val items = Seq.newBuilder[VExpr]
+          items += VRef(ident())
+          while (isOp(",")) { advance(); items += VRef(ident()) }
+          eatOp("]")
+          VList(items.result())
+        } else expr()
+        b += (n -> v)
+      }
+      one(); while (isOp(",")) { advance(); one() }
+      b.result()
+    }
+
+    /** score params: `model: "x.onnx"` / `inputs: [a, b]` */
+    private def scoreParams(): Seq[(String, VExpr)] = enrichParams()
+
+    private def namedArgList(): Seq[(String, VExpr)] = {
+      val b = Seq.newBuilder[(String, VExpr)]
+      def one(): Unit = {
+        val n = ident(); eatOp(":")
+        b += (n -> (if (isOp("[")) configValue() else expr()))
+      }
+      one(); while (isOp(",")) { advance(); one() }
+      b.result()
+    }
+
+    private def intLit(): Long = peek match {
+      case TInt(v, _) => advance(); v
+      case _          => fail("expected integer")
+    }
+
+    // ------------------------------------------------------------ exprs
+    /** @param filter inside a `->` step's where clause: `.ident(`
+      *               terminates the expression (next stream op)
+      */
+    def expr(filter: Boolean = false): VExpr = {
+      // lambda: `x => body`
+      peek match {
+        case TId(p, _) if peekAt(1) == TOp("=>", peekAt(1).pos) =>
+          advance(); advance()
+          return VLambda(Seq(p), expr(filter))
+        case _ => ()
+      }
+      orExpr(filter)
+    }
+
+    private def orExpr(f: Boolean): VExpr = {
+      var l = andExpr(f)
+      while (isId("or")) { advance(); l = VBin("or", l, andExpr(f)) }
+      l
+    }
+    private def andExpr(f: Boolean): VExpr = {
+      var l = notExpr(f)
+      while (isId("and")) { advance(); l = VBin("and", l, notExpr(f)) }
+      l
+    }
+    private def notExpr(f: Boolean): VExpr =
+      if (isId("not")) { advance(); VUn("not", notExpr(f)) } else cmpExpr(f)
+
+    private def cmpExpr(f: Boolean): VExpr = {
+      val l = addExpr(f)
+      val cmpOps = Seq("==", "!=", "<=", ">=", "<", ">")
+      cmpOps.find(isOp) match {
+        case Some(op) => advance(); VBin(op, l, addExpr(f))
+        case None if isId("in") => advance(); VBin("in", l, addExpr(f))
+        case None               => l
+      }
+    }
+    private def addExpr(f: Boolean): VExpr = {
+      var l = mulExpr(f)
+      var more = true
+      while (more) {
+        if (isOp("+")) { advance(); l = VBin("+", l, mulExpr(f)) }
+        else if (isOp("-")) { advance(); l = VBin("-", l, mulExpr(f)) }
+        else more = false
+      }
+      l
+    }
+    private def mulExpr(f: Boolean): VExpr = {
+      var l = powExpr(f)
+      var more = true
+      while (more) {
+        if (isOp("*")) { advance(); l = VBin("*", l, powExpr(f)) }
+        else if (isOp("/")) { advance(); l = VBin("/", l, powExpr(f)) }
+        else if (isOp("%")) { advance(); l = VBin("%", l, powExpr(f)) }
+        else more = false
+      }
+      l
+    }
+    private def powExpr(f: Boolean): VExpr = {
+      val l = unaryExpr(f)
+      if (isOp("**")) { advance(); VBin("**", l, powExpr(f)) } else l
+    }
+    private def unaryExpr(f: Boolean): VExpr =
+      if (isOp("-")) { advance(); VUn("-", unaryExpr(f)) }
+      else postfix(f)
+
+    private def postfix(f: Boolean): VExpr = {
+      var base = primary(f)
+      var more = true
+      while (more) {
+        if (isOp(".")) {
+          peekAt(1) match {
+            case TId(field, _) =>
+              val isCall = peekAt(2) == TOp("(", peekAt(2).pos)
+              if (isCall && f) {
+                // stream op boundary inside a filter — stop here
+                more = false
+              } else if (isCall) {
+                advance(); advance(); advance() // . ident (
+                val args = Seq.newBuilder[VExpr]
+                if (!isOp(")")) { args += expr(); while (isOp(",")) { advance(); args += expr() } }
+                eatOp(")")
+                base = VMethod(base, field, args.result())
+              } else {
+                advance(); advance()
+                base = base match {
+                  case VRef(q) => VField(q, field)
+                  case other   => VMethod(other, field, Nil)
+                }
+              }
+            case _ => more = false
+          }
+        } else if (isOp("(")) {
+          base match {
+            case VRef(fn) =>
+              advance()
+              val args = Seq.newBuilder[VExpr]
+              if (!isOp(")")) { args += expr(); while (isOp(",")) { advance(); args += expr() } }
+              eatOp(")")
+              base = VCall(fn, args.result())
+            case _ => more = false
+          }
+        } else more = false
+      }
+      base
+    }
+
+    private def primary(filter: Boolean): VExpr = peek match {
+      case TInt(v, _)   => advance(); VInt(v)
+      case TFloat(v, _) => advance(); VNum(v)
+      case TStr(s, _)   => advance(); VStr(s)
+      case TDur(us, _)  => advance(); VDur(us)
+      case TId("true", _)  => advance(); VBool(true)
+      case TId("false", _) => advance(); VBool(false)
+      case TId("null", _)  => advance(); VNull
+      case TId("if", _) =>
+        advance()
+        val c = expr(filter); eatId("then"); val t = expr(filter)
+        eatId("else"); val e = expr(filter)
+        VIf(c, t, e)
+      case TId(s, _) => advance(); VRef(s)
+      case TOp("(", _) =>
+        advance(); val e = expr(); eatOp(")"); e
+      case TOp("[", _) =>
+        advance()
+        val items = Seq.newBuilder[VExpr]
+        if (!isOp("]")) { items += expr(); while (isOp(",")) { advance(); items += expr() } }
+        eatOp("]")
+        VList(items.result())
+      case _ => fail("expected an expression")
+    }
+  }
+}

@@ -1,0 +1,222 @@
+package graft
+
+import graft.vpl._
+import org.apache.spark.sql.DataFrame
+
+import scala.util.Success
+
+/** End-to-end VPL front-end tests: parse the REFERENCE'S OWN example
+  * and scenario files (reference: examples/sase_patterns.vpl and the
+  * tests/scenarios VPL suite) and run them over their .evt inputs,
+  * asserting the outcomes the scenario comments document.
+  */
+class VplSpec extends SparkSpec {
+
+  private val ex = "/root/reference/examples"
+  private val sc = "/root/reference/tests/scenarios"
+
+  private def readFile(p: String): String =
+    new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)))
+
+  private def runFile(vpl: String, evt: String*): Map[String, DataFrame] =
+    Vpl.runEvt(spark, readFile(vpl), evt).map {
+      case (k, Success(df)) => k -> df
+      case (k, scala.util.Failure(e)) => fail(s"stream $k failed to compile: $e")
+    }
+
+  // ---------------------------------------------------------------- parsing
+  test("all target reference files parse") {
+    val files = Seq(
+      s"$ex/sase_patterns.vpl", s"$ex/reusable_patterns.vpl",
+      s"$sc/cxo_fraud_detection.vpl", s"$sc/checkpoint_count_window.vpl",
+      s"$sc/checkpoint_session_window.vpl", s"$sc/watermark_basic.vpl",
+      s"$sc/watermark_windowed.vpl", s"$sc/order_payment.vpl",
+      s"$sc/electrical_consumption.vpl")
+    files.foreach { f =>
+      val prog = VplParser.parse(readFile(f))
+      assert(prog.streams.nonEmpty || prog.patterns.nonEmpty, s"$f parsed empty")
+    }
+  }
+
+  test("parser: expressions, durations, lambdas, named args") {
+    val p = VplParser.parse(
+      """event E:
+        |    x: float
+        |    name: str
+        |stream S = E
+        |    .where(x * 2.0 > 10.0 and (name == "a" or name == "b"))
+        |    .window(5m, sliding: 1m)
+        |    .aggregate(n: count(), s: sum(x))
+        |    .emit(n: n, s: s)
+        |""".stripMargin)
+    assert(p.events.head.fields == Seq("x" -> "float", "name" -> "str"))
+    assert(p.streams.head.ops.size == 4)
+  }
+
+  // ---------------------------------------------------------------- sase_patterns
+  lazy val sase: Map[String, DataFrame] =
+    runFile(s"$ex/sase_patterns.vpl", s"$sc/sase_patterns.evt")
+
+  test("sase_patterns: all 10 streams compile") {
+    assert(sase.size == 14) // 4 base streams + 10 pattern streams
+  }
+
+  test("sase_patterns: login then large transaction (1 match: user1)") {
+    assert(sase("LoginThenLargeTransaction").count() == 1)
+  }
+
+  test("sase_patterns: full session (user2 + user3)") {
+    val rows = sase("FullSession").collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getAs[Double]("tx_amount")).toSet == Set(500.0, 9999.0))
+  }
+
+  test("sase_patterns: 4-step fraud chain (user3)") {
+    val rows = sase("FraudChain").collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Double]("amount") == 9999.0)
+  }
+
+  test("sase_patterns: velocity pattern lambda (user5, 7 tx in 10m)") {
+    assert(sase("VelocityAlert").count() == 1)
+  }
+
+  test("sase_patterns: impossible travel (user4 US->CN)") {
+    val rows = sase("ImpossibleTravel").collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[String]("country1") == "US")
+    assert(rows.head.getAs[String]("country2") == "CN")
+  }
+
+  test("sase_patterns: high spending 24h (user6: 55k)") {
+    assert(sase("HighSpending").count() == 1)
+  }
+
+  test("sase_patterns: same-IP money mule (mule1 -> mule2 -> tx)") {
+    assert(sase("SameIPMultipleUsers").count() == 1)
+  }
+
+  test("sase_patterns: risky transaction filter (3 large + 1 gambling)") {
+    assert(sase("RiskyTransaction").count() == 4)
+  }
+
+  test("sase_patterns: high-frequency trader (none over 20)") {
+    assert(sase("HighFrequencyTrader").count() == 0)
+  }
+
+  test("sase_patterns: match-all transactions after login") {
+    assert(sase("AllTransactionsAfterLogin").count() == 4)
+  }
+
+  // ---------------------------------------------------------------- cxo fraud
+  lazy val cxo: Map[String, DataFrame] =
+    runFile(s"$sc/cxo_fraud_detection.vpl", s"$sc/cxo_fraud_detection.evt")
+
+  test("cxo_fraud: account takeover (attacker1 only, with .not + .within)") {
+    val rows = cxo("AccountTakeover").collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[String]("user_id") == "attacker1")
+    assert(rows.head.getAs[Double]("purchase_amount") == 4999.0)
+  }
+
+  test("cxo_fraud: card testing kleene (stolen_card_42)") {
+    val rows = cxo("CardTesting").collect()
+    // batch all-matches enumerates small-purchase pairs; the reference
+    // NFA collects one alert — same card, same detection
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[String]("card_id")).toSet == Set("stolen_card_42"))
+    assert(rows.map(_.getAs[Double]("large_amount")).toSet == Set(2500.0))
+  }
+
+  test("cxo_fraud: impossible travel (traveler1 US->NG in 45min)") {
+    val rows = cxo("ImpossibleTravel").collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[String]("user_id") == "traveler1")
+    assert(rows.head.getAs[String]("location2") == "NG")
+  }
+
+  // ---------------------------------------------------------------- checkpoint scenarios
+  test("checkpoint_count_window: phase1+phase2 -> one full window of 5") {
+    val out = runFile(s"$sc/checkpoint_count_window.vpl",
+      s"$sc/checkpoint_count_window_phase1.evt",
+      s"$sc/checkpoint_count_window_phase2.evt")
+    val rows = out("WindowedSum").collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Double]("sum") == 150.0)
+    assert(rows.head.getAs[Long]("n") == 5L)
+  }
+
+  test("checkpoint_session_window: 5s gap -> two sessions") {
+    val out = runFile(s"$sc/checkpoint_session_window.vpl",
+      s"$sc/checkpoint_session_window_phase1.evt",
+      s"$sc/checkpoint_session_window_phase2.evt")
+    val rows = out("SessionAgg").collect()
+    assert(rows.length == 2)
+    val byN = rows.map(r => r.getAs[Long]("n") -> r.getAs[Double]("sum")).toMap
+    assert(byN == Map(3L -> 300.0, 1L -> 999.0))
+  }
+
+  test("watermark_windowed: 5s tumbling counts") {
+    val out = runFile(s"$sc/watermark_windowed.vpl", s"$sc/watermark_windowed.evt")
+    val rows = out("Windowed").collect()
+    assert(rows.map(_.getAs[Long]("event_count")).sorted.toSeq == Seq(1L, 3L))
+  }
+
+  // ---------------------------------------------------------------- fns + scalar streams
+  lazy val elec: Map[String, DataFrame] =
+    runFile(s"$sc/electrical_consumption.vpl", s"$sc/electrical_consumption.evt")
+
+  test("electrical: fn-inlined abnormal filter (5 alerts)") {
+    val rows = elec("AbnormalFloorConsumption").collect()
+    assert(rows.length == 5)
+    // fn percent_over_baseline inlined into the plan
+    val first = rows.minBy(_.getAs[String]("floor_id"))
+    assert(rows.forall(r =>
+      r.getAs[Double]("consumption") > r.getAs[Double]("baseline") * 1.5))
+    assert(first.getAs[Double]("percent_over") > 0.0)
+  }
+
+  test("electrical: building/site aggregates") {
+    assert(elec("BuildingConsumption").count() == 3) // B1, B2, C1
+    assert(elec("SiteConsumption").count() == 2)     // SITE-A, SITE-B
+    val anomaly = elec("BuildingAnomaly").collect()
+    assert(anomaly.length == 1)
+    assert(anomaly.head.getAs[String]("building_id") == "B2")
+  }
+
+  test("electrical: consumption spike sequence with cross-step arithmetic") {
+    val rows = elec("ConsumptionSpike").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r =>
+      r.getAs[Double]("spike") > r.getAs[Double]("previous") * 2.0))
+  }
+
+  // ---------------------------------------------------------------- pattern decls
+  test("reusable_patterns: declared SASE patterns compile and run") {
+    val prog = VplParser.parse(readFile(s"$ex/reusable_patterns.vpl"))
+    assert(prog.patterns.size == 8)
+    val decls = prog.events.map(e => e.name -> e).toMap
+    val c = new VplCompiler(prog,
+      new EvtSource(spark, Seq(s"$sc/sase_patterns.evt"), decls))
+    // SEQ(Login, Logout) within 24h partition by user_id → user2, user3
+    assert(c.compilePattern("LoginLogout").count() == 2)
+    // Transaction where amount > 1000 → 15000, 9999, 20000, 35000, 5000
+    assert(c.compilePattern("HighValueTx").count() == 5)
+    // Login OR Logout → 7 logins + 2 logouts
+    assert(c.compilePattern("AuthEvent").count() == 9)
+    // cross-step predicate on a field these events don't carry → NULL → no match
+    assert(c.compilePattern("MultiLocationAccess").count() == 0)
+  }
+
+  test("order_payment: fn calls in emit + sequence (3 matched orders)") {
+    val out = runFile(s"$sc/order_payment.vpl", s"$sc/order_payment_sequence.evt")
+    val m = out("OrderPaymentMatch").collect()
+    assert(m.length == 3)
+    assert(m.map(_.getAs[Long]("order_id")).toSet == Set(1L, 2L, 3L))
+    // fee = calculate_fee(amount) = amount * 0.02, inlined
+    val byOrder = m.map(r => r.getAs[Long]("order_id") -> r.getAs[Double]("fee")).toMap
+    assert(math.abs(byOrder(1L) - 300.0) < 1e-9)
+    // Order events carry no `amount` field -> dynamic NULL -> no rows
+    assert(out("PriorityOrders").count() == 0)
+  }
+}
