@@ -92,46 +92,72 @@ object PatternStream {
       }
   }
 
+  /** Sequence detection with full state hygiene: quiet keys are
+    * evicted by event-time timers (reference: sase.rs run expiry),
+    * not only when their next event happens to arrive. Requires
+    * `withWatermark` on the input's ts column. `droppedRuns`, when
+    * given, counts runs discarded by the `maxRuns` cap (the
+    * reference's limits.rs drop counter).
+    */
   def detect(
       events: Dataset[Ev],
       steps: Seq[StepSpec],
       withinUs: Long,
-      maxRuns: Int = 10000)(implicit spark: SparkSession): Dataset[Match] = {
+      maxRuns: Int = 10000,
+      droppedRuns: Option[org.apache.spark.util.LongAccumulator] = None)(
+      implicit spark: SparkSession): Dataset[Match] = {
     import spark.implicits._
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[NfaState, Match](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (user: Long, it: Iterator[Ev], state: GroupState[NfaState]) =>
           var runs = state.getOption.map(_.runs).getOrElse(Nil)
           val out = scala.collection.mutable.ArrayBuffer.empty[Match]
-          // arrival order = event_id order (micro-batch may be unordered)
-          val batch = it.toArray.sortBy(_.event_id)
-          for (ev <- batch) {
-            // evict expired runs first (event-time bound)
-            runs = runs.filter(r => ev.ts_us - r.firstTsUs <= withinUs)
-            // advance every run whose next step matches (skip-till-any:
-            // the run also stays alive for later alternatives)
-            val advanced = runs.flatMap { r =>
-              if (r.stepIdx + 1 < steps.size &&
-                steps(r.stepIdx + 1).eventType == ev.event_type &&
-                ev.ts_us - r.firstTsUs <= withinUs) {
-                val nr = Run(r.stepIdx + 1, r.firstTsUs, ev.event_id :: r.ids)
-                if (nr.stepIdx == steps.size - 1) {
-                  out += Match(user, nr.ids.reverse, ev.ts_us - nr.firstTsUs)
-                  None // completed runs don't persist
-                } else Some(nr)
-              } else None
+          if (!state.hasTimedOut) {
+            // arrival order = event_id order (micro-batch may be unordered)
+            val batch = it.toArray.sortBy(_.event_id)
+            for (ev <- batch) {
+              // evict expired runs first (event-time bound)
+              runs = runs.filter(r => ev.ts_us - r.firstTsUs <= withinUs)
+              // advance every run whose next step matches (skip-till-any:
+              // the run also stays alive for later alternatives)
+              val advanced = runs.flatMap { r =>
+                if (r.stepIdx + 1 < steps.size &&
+                  steps(r.stepIdx + 1).eventType == ev.event_type &&
+                  ev.ts_us - r.firstTsUs <= withinUs) {
+                  val nr = Run(r.stepIdx + 1, r.firstTsUs, ev.event_id :: r.ids)
+                  if (nr.stepIdx == steps.size - 1) {
+                    out += Match(user, nr.ids.reverse, ev.ts_us - nr.firstTsUs)
+                    None // completed runs don't persist
+                  } else Some(nr)
+                } else None
+              }
+              runs = runs ++ advanced
+              // new run from step 0
+              if (steps.head.eventType == ev.event_type) {
+                if (steps.size == 1) out += Match(user, Seq(ev.event_id), 0L)
+                else runs = Run(0, ev.ts_us, List(ev.event_id)) :: runs
+              }
+              if (runs.size > maxRuns) {
+                droppedRuns.foreach(_.add(runs.size - maxRuns))
+                runs = runs.take(maxRuns)
+              }
             }
-            runs = runs ++ advanced
-            // new run from step 0
-            if (steps.head.eventType == ev.event_type) {
-              if (steps.size == 1) out += Match(user, Seq(ev.event_id), 0L)
-              else runs = Run(0, ev.ts_us, List(ev.event_id)) :: runs
-            }
-            if (runs.size > maxRuns) runs = runs.take(maxRuns)
           }
-          state.update(NfaState(runs))
+          // timer fired OR batch done: drop every run the watermark has
+          // already expired — no future in-watermark event can advance it
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          if (wmUs > 0L) runs = runs.filter(r => r.firstTsUs + withinUs >= wmUs)
+          if (runs.isEmpty) state.remove()
+          else {
+            state.update(NfaState(runs))
+            // wake when the earliest live run's deadline passes the
+            // watermark, so quiet keys still get cleaned up
+            val nextDeadlineMs = (runs.map(_.firstTsUs + withinUs).min / 1000L) + 1L
+            state.setTimeoutTimestamp(math.max(nextDeadlineMs,
+              state.getCurrentWatermarkMs() + 1L))
+          }
           out.iterator
       }
   }

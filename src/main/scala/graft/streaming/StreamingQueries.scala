@@ -184,6 +184,8 @@ object StreamingQueries {
     val schema = spark.read.parquet(path).schema
     val src = graft.Tables.normalizeTs(
       spark.readStream.schema(schema).parquet(streamDir(path)))
+      // EventTimeTimeout state eviction in detect() needs a watermark
+      .withWatermark("ts", "1 hour")
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("value"), unix_micros(col("ts")).as("ts_us"), col("ts"))
       .as[Ev]

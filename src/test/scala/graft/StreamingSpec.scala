@@ -121,6 +121,48 @@ class StreamingSpec extends SparkSpec {
     assert(batch.except(streamed).count() == 0)
   }
 
+  test("streaming NFA evicts state for quiet keys once watermark passes") {
+    import spark.implicits._
+    import graft.streaming.PatternStream._
+    // two micro-batches: batch a opens runs (signups, never completed),
+    // batch b only advances the watermark far past every deadline. If
+    // eviction works, the final state-store row count is 0 even though
+    // the quiet keys never see another event.
+    val dir = java.nio.file.Files.createTempDirectory("graft_evict_").toString
+    def ts(sec: Long) = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(sec))
+    Seq((1L, 1L, "signup", 0.0, ts(1000)),
+        (2L, 2L, "signup", 0.0, ts(1001)),
+        (3L, 3L, "signup", 0.0, ts(1002)))
+      .toDF("event_id", "user_id", "event_type", "value", "ts")
+      .write.parquet(s"$dir/b=a")
+    Seq((4L, 99L, "noise", 0.0, ts(100000)))
+      .toDF("event_id", "user_id", "event_type", "value", "ts")
+      .write.parquet(s"$dir/b=b")
+    val schema = spark.read.parquet(s"$dir/b=a").schema
+    val src = spark.readStream.schema(schema).parquet(s"$dir/b=*")
+      .withWatermark("ts", "1 second")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), unix_micros(col("ts")).as("ts_us"), col("ts"))
+      .as[Ev]
+    val matches = detect(src,
+      Seq(StepSpec("signup"), StepSpec("purchase")),
+      withinUs = 1800L * 1000000L)(spark)
+    val q = matches.toDF().writeStream.format("memory")
+      .queryName("graft_evict_sink").outputMode("append")
+      .option("maxFilesPerTrigger", "1").start()
+    try {
+      q.processAllAvailable()
+      val sq = q.asInstanceOf[org.apache.spark.sql.streaming.StreamingQuery]
+      val prog = sq.recentProgress.reverse.find(_.stateOperators.nonEmpty)
+      assert(prog.isDefined, "no state operator progress recorded")
+      val rows = prog.get.stateOperators.map(_.numRowsTotal).sum
+      assert(rows == 0L,
+        s"state store still holds $rows rows for quiet keys")
+    } finally q.stop()
+    assert(spark.table("graft_evict_sink").count() == 0)
+  }
+
   test("session windows respect the gap") {
     // no two sessions of the same user may be closer than the gap
     val s = SparkEntry.all("w3_session").build(spark, sf)
