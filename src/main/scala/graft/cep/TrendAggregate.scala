@@ -68,6 +68,55 @@ object TrendAggregate {
       .drop("w")
   }
 
+  /** Predicate-constrained GRETA (greta.rs:20-29 adjacency;
+    * Poppe et al., VLDB'17): trend counting for `E+` where each
+    * consecutive pair in a trend must satisfy an inter-event
+    * predicate — here strictly-increasing `valueCol`, the paper's
+    * canonical example. The 2^n−1 closed form of [[kleene]] only
+    * holds when every ordered pair is adjacent; with a predicate the
+    * count needs the propagation DP
+    *
+    *   count(e) = 1 + Σ count(e')  over predecessors e' with v(e') < v(e)
+    *
+    * realized as an in-group fold over the event array sorted by
+    * `orderCol`: one shuffle on (key, window) with the O(n²) DP
+    * running inside each group as native HOF expressions (no UDF, no
+    * driver iteration) — n here is events-per-key-per-window, which
+    * stays small at any corpus scale, so the plan is the same one
+    * that holds at 100 TB.
+    */
+  def kleeneIncreasing(
+      events: DataFrame,
+      pred: Column,
+      valueCol: String,
+      windowSize: String,
+      partitionKeys: Seq[String],
+      tsCol: String = "ts",
+      orderCol: String = "event_id"): DataFrame = {
+    val g = partitionKeys.map(col) :+ window(col(tsCol), windowSize).as("w")
+    events.filter(pred)
+      .groupBy(g: _*)
+      .agg(
+        count(lit(1)).as("event_count"),
+        sort_array(collect_list(
+          struct(col(orderCol).as("o"), col(valueCol).as("v")))).as("evs"))
+      .select(
+        (partitionKeys.map(col) :+
+          col("w.start").cast("long").as("win_start") :+
+          col("event_count") :+
+          expr(
+            """aggregate(
+              |  evs,
+              |  cast(array() as array<struct<v: double, c: bigint>>),
+              |  (acc, x) -> array_append(acc, named_struct(
+              |    'v', x.v,
+              |    'c', cast(1 as bigint) + aggregate(
+              |      filter(acc, p -> p.v < x.v),
+              |      cast(0 as bigint), (s, p) -> s + p.c))),
+              |  acc -> aggregate(acc, cast(0 as bigint), (s, p) -> s + p.c))
+              |""".stripMargin).as("count_trends")): _*)
+  }
+
   /** count_trends / count_events / sum_trends for `pred+` per
     * (partitionKeys × tumbling window).
     */

@@ -124,6 +124,37 @@ object PatternQueries {
           partitionKeys = Seq("user_id"))
     },
 
+    // --- predicate-constrained GRETA: E(value increasing)+ per user/day ---
+    // oracle enumerates every strictly-increasing subsequence with a
+    // recursive CTE (exponential, but bounded: ≤11 events per group)
+    "p11_greta_pred" -> QueryDef.of(
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id, (epoch_us(ts) // 86400000000) * 86400 AS win_start,
+        |         event_id, value
+        |  FROM events
+        |), t AS (
+        |  SELECT user_id, win_start, event_id, value FROM ev
+        |  UNION ALL
+        |  SELECT t.user_id, t.win_start, e.event_id, e.value
+        |  FROM t JOIN ev e ON e.user_id = t.user_id
+        |    AND e.win_start = t.win_start
+        |    AND e.event_id > t.event_id AND e.value > t.value
+        |)
+        |SELECT n.user_id, n.win_start, n.event_count,
+        |       CAST(c.cnt AS BIGINT) AS count_trends
+        |FROM (SELECT user_id, win_start, COUNT(*) AS event_count
+        |      FROM ev GROUP BY 1, 2) n
+        |JOIN (SELECT user_id, win_start, COUNT(*) AS cnt
+        |      FROM t GROUP BY 1, 2) c
+        |  ON n.user_id = c.user_id AND n.win_start = c.win_start""".stripMargin) {
+      (s, dir) =>
+        TrendAggregate.kleeneIncreasing(Tables(s, dir).events,
+          pred = lit(true),
+          valueCol = "value",
+          windowSize = "1 day",
+          partitionKeys = Seq("user_id"))
+    },
+
     // --- Kleene+ detection: signup -> error+ -> purchase within 8h ---
     "p7_kleene" -> QueryDef.of(
       """SELECT a.event_id AS a_id, c.event_id AS c_id,

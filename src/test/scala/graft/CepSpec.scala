@@ -82,6 +82,36 @@ class CepSpec extends SparkSpec {
     assert(t1.except(pst1).count() == 0)
   }
 
+  test("kleeneIncreasing counts predicate-constrained trends (hand case)") {
+    import spark.implicits._
+    // values [1,3,2,4] in event_id order, one user, one window:
+    // increasing subsequences = 4 singles + {13,12,14,34,24} pairs
+    // + {134,124} triples = 11. An unconstrained 2^4−1 would be 15.
+    def ts(sec: Long) = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(sec))
+    val df = Seq(
+      (1L, 7L, 1.0, ts(100)), (2L, 7L, 3.0, ts(200)),
+      (3L, 7L, 2.0, ts(300)), (4L, 7L, 4.0, ts(400)))
+      .toDF("event_id", "user_id", "value", "ts")
+    val out = TrendAggregate.kleeneIncreasing(df, lit(true), "value",
+      "1 day", Seq("user_id")).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("event_count") == 4L)
+    assert(out.head.getAs[Long]("count_trends") == 11L)
+  }
+
+  test("kleeneIncreasing equals 2^n−1 when values are already increasing") {
+    import spark.implicits._
+    def ts(sec: Long) = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(sec))
+    val df = (1 to 8).map(i =>
+      (i.toLong, 1L, i.toDouble, ts(i * 60L)))
+      .toDF("event_id", "user_id", "value", "ts")
+    val out = TrendAggregate.kleeneIncreasing(df, lit(true), "value",
+      "1 day", Seq("user_id")).collect()
+    assert(out.head.getAs[Long]("count_trends") == 255L)
+  }
+
   test("forecastPattern emits calibrated probabilities in [0,1]") {
     val out = Forecast.forecastPattern(spark, events, "purchase", maxDepth = 2)
     val probs = out.select("forecast_probability").collect().map(_.getDouble(0))
