@@ -172,6 +172,44 @@ object Pattern {
           .cast("double").as("sum_b"))
   }
 
+  /** Kleene-star detection `A -> B* -> C within d` (sase.rs
+    * StateType::Kleene with skip states, sase.rs:452-474): like
+    * [[kleeneBetween]] but zero B's between the anchors is a valid
+    * match — realized by turning the B attachment into a left outer
+    * join, so an (A, C) pair with an empty B-run survives with
+    * n_b = 0 and NULL run aggregates. Same shuffle shape as
+    * kleene-plus: every join is an equi-join on the partition key.
+    */
+  def kleeneStarBetween(
+      events: DataFrame,
+      a: Step, b: Step, c: Step,
+      withinSec: Long,
+      partitionKeys: Seq[String],
+      bValueCol: String,
+      tsCol: String = "ts",
+      orderCol: String = "event_id"): DataFrame = {
+    val pairs = SeqPattern(Seq(a, c), withinSec, partitionKeys, tsCol, orderCol)
+      .compile(events)
+    def prefixed(df: DataFrame, alias: String): DataFrame =
+      df.columns.foldLeft(df)((d, cc) => d.withColumnRenamed(cc, s"${alias}_$cc"))
+    val bs = prefixed(events.filter(b.pred), b.alias)
+    val keyEq = partitionKeys
+      .map(k => col(s"${a.alias}_$k") === col(s"${b.alias}_$k"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val between =
+      col(s"${b.alias}_$orderCol") > col(s"${a.alias}_$orderCol") &&
+        col(s"${b.alias}_$orderCol") < col(s"${c.alias}_$orderCol")
+    pairs.join(bs, keyEq && between, "left_outer")
+      .groupBy(col(s"${a.alias}_$orderCol").as("a_id"),
+        col(s"${c.alias}_$orderCol").as("c_id"))
+      .agg(
+        count(col(s"${b.alias}_$orderCol")).as("n_b"),
+        min(col(s"${b.alias}_$orderCol")).as("first_b"),
+        max(col(s"${b.alias}_$orderCol")).as("last_b"),
+        sum(col(s"${b.alias}_$bValueCol").cast("decimal(14,2)"))
+          .cast("double").as("sum_b"))
+  }
+
   /** Earliest-match sequence `A -> B within d` under the reference's
     * non-greedy first-match policy: for each A, the first B after it.
     *

@@ -178,6 +178,30 @@ object PatternQueries {
           bValueCol = "value")
     },
 
+    // --- Kleene* detection: signup -> error* -> purchase within 8h;
+    //     empty B-runs survive with n_b = 0 (sase.rs skip states) ---
+    "p12_kleene_star" -> QueryDef.of(
+      """SELECT a.event_id AS a_id, c.event_id AS c_id,
+        | COUNT(b.event_id) AS n_b, MIN(b.event_id) AS first_b,
+        | MAX(b.event_id) AS last_b,
+        | CAST(SUM(CAST(b.value AS DECIMAL(14,2))) AS DOUBLE) AS sum_b
+        |FROM events a
+        |JOIN events c ON a.user_id = c.user_id AND c.event_id > a.event_id
+        | AND epoch_us(c.ts) - epoch_us(a.ts) <= 28800000000
+        |LEFT JOIN events b ON b.user_id = a.user_id AND b.event_id > a.event_id
+        | AND b.event_id < c.event_id AND b.event_type = 'error'
+        |WHERE a.event_type = 'signup' AND c.event_type = 'purchase'
+        |GROUP BY 1, 2""".stripMargin) {
+      (s, dir) =>
+        Pattern.kleeneStarBetween(Tables(s, dir).events,
+          Step("a", col("event_type") === "signup"),
+          Step("b", col("event_type") === "error"),
+          Step("c", col("event_type") === "purchase"),
+          withinSec = 28800,
+          partitionKeys = Seq("user_id"),
+          bValueCol = "value")
+    },
+
     // --- #23 earliest-match (as-of): first purchase after each signup ---
     "p8_seq_earliest" -> QueryDef.of(
       """SELECT a.event_id AS signup_id, MIN(b.event_id) AS purchase_id,

@@ -112,6 +112,18 @@ class CepSpec extends SparkSpec {
     assert(out.head.getAs[Long]("count_trends") == 255L)
   }
 
+  test("kleene-star keeps anchor pairs with empty B-runs, kleene-plus drops them") {
+    val star = SparkEntry.all("p12_kleene_star").build(spark, sf)
+    val plus = SparkEntry.all("p7_kleene").build(spark, sf)
+    val empty = star.filter(col("n_b") === 0)
+    assert(empty.count() > 0, "expected some signup->purchase pairs with no errors between")
+    assert(empty.filter(col("first_b").isNotNull || col("sum_b").isNotNull).count() == 0)
+    // star restricted to non-empty runs == plus
+    val nonEmpty = star.filter(col("n_b") > 0)
+    assert(nonEmpty.count() == plus.count())
+    assert(nonEmpty.except(plus).count() == 0)
+  }
+
   test("forecastPattern emits calibrated probabilities in [0,1]") {
     val out = Forecast.forecastPattern(spark, events, "purchase", maxDepth = 2)
     val probs = out.select("forecast_probability").collect().map(_.getDouble(0))
