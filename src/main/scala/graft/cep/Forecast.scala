@@ -73,6 +73,115 @@ object Forecast {
           .cast("double"))
   }
 
+  /** Hawkes self-exciting intensity per event (pst/hawkes.rs:7-9):
+    *
+    *   intensity(t) = mu + (intensity(prev) - mu + alpha) * exp(-beta*dt)
+    *
+    * with the first event of a key initialized to mu + alpha
+    * (hawkes.rs update()). Realized as an in-order fold over each
+    * key's event array — the O(1)-per-event recursion the reference
+    * runs, executed inside the group by native HOF expressions after
+    * one shuffle on the partition key. Parameters are fixed here
+    * (reference also re-estimates mu/beta online via EMA moment
+    * matching; a batch engine can fit them in one aggregate pass —
+    * deliberately out of scope until a query needs it).
+    *
+    * `boost_factor` = clamp(intensity/mu, 1, 5) (hawkes.rs
+    * boost_factor), the multiplier the reference applies to pattern
+    * completion probabilities during bursts.
+    *
+    * @param mu    baseline rate, events/second
+    * @param alpha excitation added per event, events/second
+    * @param beta  decay rate, 1/second
+    */
+  def hawkesIntensity(
+      events: DataFrame,
+      mu: Double,
+      alpha: Double,
+      beta: Double,
+      partitionKeys: Seq[String] = Seq("user_id"),
+      tsCol: String = "ts",
+      orderCol: String = "event_id"): DataFrame = {
+    val g = partitionKeys.map(col)
+    val folded = events
+      .groupBy(g: _*)
+      .agg(sort_array(collect_list(struct(
+        col(orderCol).as("o"), unix_micros(col(tsCol)).as("t")))).as("evs"))
+      .withColumn("res", expr(
+        s"""aggregate(
+           |  evs,
+           |  named_struct(
+           |    'acc', cast(array() as array<struct<o: bigint, i: double>>),
+           |    'li', cast(0.0 as double), 'lt', cast(-1 as bigint)),
+           |  (s, x) -> named_struct(
+           |    'acc', array_append(s.acc, named_struct('o', x.o,
+           |      'i', if(s.lt < 0, ${mu + alpha}D,
+           |        ${mu}D + (s.li - ${mu}D + ${alpha}D)
+           |          * exp(-${beta}D * (x.t - s.lt) / 1e6D)))),
+           |    'li', if(s.lt < 0, ${mu + alpha}D,
+           |      ${mu}D + (s.li - ${mu}D + ${alpha}D)
+           |        * exp(-${beta}D * (x.t - s.lt) / 1e6D)),
+           |    'lt', x.t),
+           |  s -> s.acc)
+           |""".stripMargin))
+      .select((g :+ explode(col("res")).as("e")): _*)
+    folded.select(
+      (partitionKeys.map(col) :+
+        col("e.o").as(orderCol) :+
+        col("e.i").as("intensity") :+
+        least(greatest(col("e.i") / lit(mu), lit(1.0)), lit(5.0))
+          .as("boost_factor")): _*)
+  }
+
+  /** Conformal prediction intervals on forecast probabilities
+    * (pst/conformal.rs): nonconformity = |p − outcome| over a
+    * trailing calibration window; the interval is
+    * [p − q, p + q] clamped to [0,1] where q = the coverage-quantile
+    * of trailing scores, and (0,1) when no calibration data exists.
+    *
+    * Forecast model: order-1 transitions P(next = target | current)
+    * — the same declarative model as [[transitions]], so the entire
+    * pipeline (model + outcomes + windowed quantile) stays
+    * oracle-expressible. The calibrator is per partition key (the
+    * reference keeps one global sliding window, conformal.rs:30 —
+    * per-key calibration is the shape that shards at 100 TB, and
+    * exchangeability holds within a key as well as globally).
+    * Probabilities and quantiles are rounded to 6 places on both
+    * engine and oracle sides for bit-stable parity.
+    */
+  def conformalIntervals(
+      events: DataFrame,
+      targetType: String,
+      coverage: Double = 0.9,
+      calWindow: Int = 50,
+      partitionKeys: Seq[String] = Seq("user_id"),
+      typeCol: String = "event_type",
+      orderCol: String = "event_id"): DataFrame = {
+    val w = W.partitionBy(partitionKeys.map(col): _*).orderBy(col(orderCol))
+    val pairs = events
+      .select((partitionKeys.map(col) :+ col(orderCol) :+
+        col(typeCol).as("cur")): _*)
+      .withColumn("nxt", lead(col("cur"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+    // order-1 model: P(next = target | cur); 0/1 doubles sum exactly
+    val model = pairs.groupBy("cur").agg(
+      (sum(when(col("nxt") === targetType, 1.0).otherwise(0.0)) /
+        count(lit(1)).cast("double")).as("p"))
+    val scored = pairs.join(broadcast(model), "cur")
+      .withColumn("outcome",
+        when(col("nxt") === targetType, 1.0).otherwise(0.0))
+      .withColumn("score", abs(col("p") - col("outcome")))
+    val cal = w.rowsBetween(-calWindow, -1)
+    scored
+      .withColumn("q",
+        round(expr(s"percentile(score, ${coverage}D)").over(cal), 6))
+      .withColumn("p", round(col("p"), 6))
+      .select(
+        (partitionKeys.map(col) :+ col(orderCol) :+ col("p") :+
+          coalesce(greatest(col("p") - col("q"), lit(0.0)), lit(0.0)).as("lo") :+
+          coalesce(least(col("p") + col("q"), lit(1.0)), lit(1.0)).as("hi")): _*)
+  }
+
   /** Forecast completion probability of the two-step pattern
     * `current → target` for each live event, using the deepest
     * available PST context (longest-suffix lookup, as in pst/).

@@ -294,6 +294,46 @@ object PatternQueries {
         Forecast.pstScores(Tables(s, dir).events, maxDepth = 3)
     },
 
+    // --- #29 Hawkes self-exciting intensity (pst/hawkes.rs; rows-only,
+    // recursion hand-verified in CepSpec) ---
+    "f4_hawkes" -> QueryDef.rowsOnly {
+      (s, dir) =>
+        Forecast.hawkesIntensity(Tables(s, dir).events,
+          mu = 0.001, alpha = 0.002, beta = 0.0005)
+    },
+
+    // --- #29 conformal prediction intervals (pst/conformal.rs):
+    // [p−q, p+q] from the trailing-window quantile of |p − outcome| ---
+    "f5_conformal" -> QueryDef.of(
+      """WITH pairs AS (
+        |  SELECT user_id, event_id, event_type AS cur,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS nxt
+        |  FROM events),
+        |p2 AS (SELECT * FROM pairs WHERE nxt IS NOT NULL),
+        |model AS (
+        |  SELECT cur,
+        |    SUM(CASE WHEN nxt = 'purchase' THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END)
+        |      / CAST(COUNT(*) AS DOUBLE) AS p
+        |  FROM p2 GROUP BY cur),
+        |scored AS (
+        |  SELECT p2.user_id, p2.event_id, model.p,
+        |    abs(model.p - CASE WHEN p2.nxt = 'purchase'
+        |      THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END) AS score
+        |  FROM p2 JOIN model ON p2.cur = model.cur),
+        |conf AS (
+        |  SELECT user_id, event_id, round(p, 6) AS p,
+        |    round(quantile_cont(score, 0.9) OVER (
+        |      PARTITION BY user_id ORDER BY event_id
+        |      ROWS BETWEEN 50 PRECEDING AND 1 PRECEDING), 6) AS q
+        |  FROM scored)
+        |SELECT user_id, event_id, p,
+        |  coalesce(greatest(p - q, 0.0::DOUBLE), 0.0::DOUBLE) AS lo,
+        |  coalesce(least(p + q, 1.0::DOUBLE), 1.0::DOUBLE) AS hi
+        |FROM conf""".stripMargin) {
+      (s, dir) =>
+        Forecast.conformalIntervals(Tables(s, dir).events, "purchase")
+    },
+
     // --- #29 live forecast: every event annotated with its pattern-
     // completion probability from the deepest matching PST context
     // (the forecast_probability / forecast_state builtins) ---

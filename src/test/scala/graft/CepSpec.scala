@@ -124,6 +124,49 @@ class CepSpec extends SparkSpec {
     assert(nonEmpty.except(plus).count() == 0)
   }
 
+  test("hawkesIntensity matches the hand-run recursion and decays between bursts") {
+    import spark.implicits._
+    def ts(sec: Long) = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(sec))
+    val (mu, alpha, beta) = (0.1, 0.5, 0.01)
+    val times = Seq(0L, 10L, 20L, 1000L) // burst then a long gap
+    val df = times.zipWithIndex.map { case (t, i) =>
+      ((i + 1).toLong, 1L, "e", 0.0, ts(t)) }
+      .toDF("event_id", "user_id", "event_type", "value", "ts")
+    val got = Forecast.hawkesIntensity(df, mu, alpha, beta)
+      .orderBy("event_id").collect().map(_.getAs[Double]("intensity"))
+    // hand recursion: i1 = mu+alpha; i_k = mu + (i_{k-1}-mu+alpha)*exp(-beta*dt)
+    var prev = mu + alpha
+    val expected = Seq(prev) ++ times.sliding(2).map { case Seq(t0, t1) =>
+      prev = mu + (prev - mu + alpha) * math.exp(-beta * (t1 - t0))
+      prev
+    }.toSeq
+    got.zip(expected).foreach { case (g, e) =>
+      assert(math.abs(g - e) < 1e-12, s"got $g want $e") }
+    // burst raises intensity; the long gap decays it back toward mu
+    assert(got(2) > got(1) && got(1) > got(0))
+    assert(got(3) < got(2) && got(3) >= mu)
+    // boost factor is clamped to [1, 5]
+    val boosts = Forecast.hawkesIntensity(df, mu, alpha, beta)
+      .collect().map(_.getAs[Double]("boost_factor"))
+    assert(boosts.forall(b => b >= 1.0 && b <= 5.0))
+  }
+
+  test("conformal intervals contain the point forecast and have coverage") {
+    val out = Forecast.conformalIntervals(events, "purchase")
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p, lo, hi) = (r.getAs[Double]("p"), r.getAs[Double]("lo"),
+        r.getAs[Double]("hi"))
+      assert(lo <= p + 1e-9 && p <= hi + 1e-9, s"p=$p outside [$lo,$hi]")
+      assert(lo >= 0.0 && hi <= 1.0)
+    }
+    // with a 90%-quantile calibrator, most intervals are non-degenerate
+    assert(rows.count(r =>
+      r.getAs[Double]("hi") > r.getAs[Double]("lo")) > rows.length / 2)
+  }
+
   test("forecastPattern emits calibrated probabilities in [0,1]") {
     val out = Forecast.forecastPattern(spark, events, "purchase", maxDepth = 2)
     val probs = out.select("forecast_probability").collect().map(_.getDouble(0))
