@@ -42,8 +42,10 @@ object Bench {
         try { materialize(SparkEntry.queries(name)(spark, sfDir)); true }
         catch {
           case t: Throwable =>
+            // strip everything JSON can't carry unescaped: quote,
+            // backslash, and ALL control chars (u0000-u001f)
             errors(name) = Option(t.getMessage).getOrElse(t.getClass.getName)
-              .replaceAll("[\"\\\\\n\r\t]", " ").take(200)
+              .replaceAll("[\"\\\\\\p{Cntrl}]", " ").take(200)
             false
         }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)

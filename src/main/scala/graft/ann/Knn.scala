@@ -80,7 +80,14 @@ object Knn {
       case ArrayType(FloatType, _) => true
       case _ => false
     }
-    val sample: Array[Array[Double]] = c.orderBy("n_id").limit(trainSample)
+    // deterministic but decorrelated from insertion order: an id-prefix
+    // sample is biased whenever ids track content (time/topic-ordered
+    // corpora), which skews centroids to the prefix's region. Hash
+    // order keeps the sample spread across the corpus; the id
+    // tiebreaker keeps it reproducible. Usual training floor is
+    // trainSample >= ~39*nlist (Lloyd stability rule of thumb).
+    val sample: Array[Array[Double]] = c
+      .orderBy(xxhash64(col("n_id")), col("n_id")).limit(trainSample)
       .collect().map { r =>
         if (elemIsFloat) r.getSeq[Float](1).map(_.toDouble).toArray
         else r.getSeq[Double](1).toArray

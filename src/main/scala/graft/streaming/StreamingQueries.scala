@@ -42,7 +42,13 @@ object StreamingQueries {
     val dir = streamDir(file)
     // ts arrives as a ns-epoch long (nanosAsLong) — write the sentinel
     // in the same physical type so the staged files share one schema
-    val maxNs = spark.read.parquet(file).agg(max(col("ts"))).head.getLong(0)
+    val tsField = spark.read.parquet(file).schema("ts")
+    require(tsField.dataType == org.apache.spark.sql.types.LongType,
+      s"closedStreamDir: expected ts as ns-epoch LONG (nanosAsLong " +
+        s"session conf missing?), got ${tsField.dataType}")
+    val maxRow = spark.read.parquet(file).agg(max(col("ts"))).head
+    require(!maxRow.isNullAt(0), s"closedStreamDir: empty source $file")
+    val maxNs = maxRow.getLong(0)
     spark.range(1).select(
       lit(-1L).as("event_id"),
       lit(maxNs + 7200L * 1000000000L).as("ts"),
@@ -64,6 +70,10 @@ object StreamingQueries {
     // maintenance overhead dominates, so cap the stream's state
     // partitioning (the conf is captured at query start and pinned in
     // the checkpoint — a production run sizes it to the cluster).
+    // NOTE: the override briefly mutates the session-global conf; any
+    // plan built concurrently in this session during that window would
+    // capture the capped value. The test harness runs queries
+    // sequentially in one thread, which is the supported mode here.
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     if (prev.toInt > 8) spark.conf.set("spark.sql.shuffle.partitions", "8")
     val q =
