@@ -42,7 +42,16 @@ final case class SeqPattern(
     withinSec: Long,
     partitionKeys: Seq[String],
     tsCol: String = "ts",
-    orderCol: String = "event_id") {
+    orderCol: String = "event_id",
+    /** Split each join's left side into this many salt buckets so a
+      * hot partition key (one user holding half the stream) fans out
+      * across tasks instead of serializing into one. The right step
+      * is replicated `buckets`× (it is the smaller, filtered side).
+      * None = plain equi-join; AQE's skew-join handles sort-merge
+      * plans at runtime, salting covers the rest and known-up-front
+      * skew.
+      */
+    saltBuckets: Option[Int] = None) {
 
   private def prefixed(df: DataFrame, alias: String): DataFrame =
     df.columns.foldLeft(df)((d, c) => d.withColumnRenamed(c, s"${alias}_$c"))
@@ -67,7 +76,21 @@ final case class SeqPattern(
           us(col(s"${cur.alias}_$tsCol")) - us(col(s"${prev.alias}_$tsCol")) <=
             lit(d * 1000000L)
         }.getOrElse(lit(true))
-        acc.join(curDf, keyEq && ordered && windowBound && transitionBound)
+        val cond = keyEq && ordered && windowBound && transitionBound
+        saltBuckets match {
+          case Some(b) =>
+            // deterministic row-spread salt on the left; right side
+            // replicated once per salt — same result set, hot keys
+            // hash to b shuffle partitions instead of one
+            val l = acc.withColumn("__salt",
+              pmod(spark_partition_id() + monotonically_increasing_id(),
+                lit(b)).cast("int"))
+            val r = curDf.withColumn("__salt_r",
+              explode(sequence(lit(0), lit(b - 1))))
+            l.join(r, cond && col("__salt") === col("__salt_r"))
+              .drop("__salt", "__salt_r")
+          case None => acc.join(curDf, cond)
+        }
       }
     crossPreds.foldLeft(joined)((d, p) => d.filter(p))
   }

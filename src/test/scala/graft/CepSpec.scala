@@ -167,6 +167,37 @@ class CepSpec extends SparkSpec {
       r.getAs[Double]("hi") > r.getAs[Double]("lo")) > rows.length / 2)
   }
 
+  test("salted sequence join fans a hot key across tasks with identical results") {
+    import spark.implicits._
+    def ts(sec: Long) = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(sec))
+    // one user holds 50% of all events — the canonical hot key
+    val hot = (1 to 500).map(i => (i.toLong, 1L,
+      if (i % 2 == 0) "signup" else "purchase", 1.0, ts(i * 10L)))
+    val rest = (1 to 500).map(i => (500L + i, 100L + i % 50,
+      if (i % 2 == 0) "signup" else "purchase", 1.0, ts(i * 10L)))
+    val df = (hot ++ rest)
+      .toDF("event_id", "user_id", "event_type", "value", "ts")
+      .repartition(8)
+    val pat = Seq(
+      Step("a", col("event_type") === "signup"),
+      Step("b", col("event_type") === "purchase"))
+    val plain = SeqPattern(pat, withinSec = 3600, Seq("user_id"))
+      .compile(df).select("a_event_id", "b_event_id")
+    val salted = SeqPattern(pat, withinSec = 3600, Seq("user_id"),
+      saltBuckets = Some(8)).compile(df)
+    // identity: salting must not change the match set
+    val saltedIds = salted.select("a_event_id", "b_event_id")
+    assert(saltedIds.count() == plain.count())
+    assert(saltedIds.except(plain).count() == 0)
+    assert(plain.except(saltedIds).count() == 0)
+    // fan-out: the hot user's matches are produced by >1 join task
+    val parts = salted.filter(col("a_user_id") === 1L)
+      .select(org.apache.spark.sql.functions.spark_partition_id().as("p"))
+      .distinct().count()
+    assert(parts > 1, s"hot key still confined to $parts partition(s)")
+  }
+
   test("forecastPattern emits calibrated probabilities in [0,1]") {
     val out = Forecast.forecastPattern(spark, events, "purchase", maxDepth = 2)
     val probs = out.select("forecast_probability").collect().map(_.getDouble(0))
