@@ -31,6 +31,8 @@ object VplAst {
   /** `obj.method(args)` — e.g. the pattern-lambda `events.len()` */
   final case class VMethod(target: VExpr, method: String, args: Seq[VExpr]) extends VExpr
   final case class VList(items: Seq[VExpr]) extends VExpr
+  /** `{name: expr, ...}` struct literal (emit nested payloads) */
+  final case class VStruct(items: Seq[(String, VExpr)]) extends VExpr
   /** `if c then a else b` ternary */
   final case class VIf(cond: VExpr, t: VExpr, f: VExpr) extends VExpr
   /** `x => body` / `(a, b) => body` lambda (grammar: lambda_expr) */
@@ -64,6 +66,8 @@ object VplAst {
   final case class OpFollowedBy(step: SeqStep) extends VOp
   final case class OpNot(step: SeqStep) extends VOp
   final case class OpEnrich(connector: String, params: Seq[(String, VExpr)]) extends VOp
+  /** `.on(cond)` — join condition for a [[SrcJoin]] source */
+  final case class OpOn(cond: VExpr) extends VOp
   final case class OpContext(name: String) extends VOp
   final case class OpForecast(params: Seq[(String, VExpr)]) extends VOp
   /** `.pattern(name: events => expr)` — windowed match lambda */
@@ -82,6 +86,8 @@ object VplAst {
     */
   final case class SrcName(name: String, alias: Option[String]) extends VSource
   final case class SrcMerge(names: Seq[String]) extends VSource
+  /** `join(S1, S2, ...)` — stream-stream join, condition from `.on` */
+  final case class SrcJoin(names: Seq[String]) extends VSource
 
   final case class VStream(name: String, source: VSource, ops: Seq[VOp])
 

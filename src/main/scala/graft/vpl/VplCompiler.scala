@@ -126,14 +126,14 @@ final class VplCompiler(program: VProgram, source: VplSource) {
     program.streams.foreach { s =>
       compiled.getOrElseUpdate(s.name, Try(compileStream(s)))
     }
-    compiled.toMap
+    compiled.toMap.map { case (n, t) => n -> t.map(stripHidden) }
   }
 
   /** Compile all streams, failing on the first error. */
   def compileAllStrict(): Seq[(String, DataFrame)] =
     program.streams.map { s =>
       s.name -> (compiled.getOrElseUpdate(s.name, Try(compileStream(s))) match {
-        case Success(df) => df
+        case Success(df) => stripHidden(df)
         case Failure(e)  => throw e
       })
     }
@@ -198,17 +198,50 @@ final class VplCompiler(program: VProgram, source: VplSource) {
   def stream(name: String): DataFrame = {
     compileAll()
     compiled.get(name) match {
-      case Some(Success(df)) => df
+      case Some(Success(df)) => stripHidden(df)
       case Some(Failure(e))  => throw e
       case None              => throw VplCompileError(s"no stream '$name'")
     }
   }
 
+  /** Sequence joins order on event_id; a derived stream (an
+    * aggregate's output) no longer carries one, so arrival order is
+    * its event time (the reference emits derived events stamped with
+    * the window's time — ordering by ts matches), with a
+    * deterministic content-hash tiebreak so two simultaneous derived
+    * events (two zones alerting in the same window) still order.
+    */
+  private def withOrderCol(df0: DataFrame): DataFrame = {
+    var df = df0
+    if (!df.columns.contains("ts") && df.columns.contains("win_start"))
+      df = df.withColumn("ts", timestamp_seconds(col("win_start")))
+    if (!df.columns.contains("event_id") && df.columns.contains("ts"))
+      df = df.withColumn("event_id",
+        unix_micros(col("ts")) * 1000L +
+          pmod(xxhash64(df.columns.map(col): _*), lit(1000L)))
+    df
+  }
+
+  /** Restore hidden time/order columns when composing over a derived
+    * stream; strip them entirely for the public surface.
+    */
+  private def unhide(df: DataFrame): DataFrame = {
+    var d = df
+    Seq("ts", "event_id").foreach { f =>
+      if (!d.columns.contains(f) && d.columns.contains(s"__hidden_$f"))
+        d = d.withColumnRenamed(s"__hidden_$f", f)
+    }
+    d.drop("__hidden_ts", "__hidden_event_id")
+  }
+
+  private def stripHidden(df: DataFrame): DataFrame =
+    df.drop("__hidden_ts", "__hidden_event_id")
+
   private def resolveAny(name: String): DataFrame =
     program.streams.find(_.name == name) match {
       case Some(s) =>
         compiled.getOrElseUpdate(name, Try(compileStream(s))) match {
-          case Success(df) => df
+          case Success(df) => unhide(df)
           case Failure(e)  => throw e
         }
       case None => source.resolve(name)
@@ -226,7 +259,7 @@ final class VplCompiler(program: VProgram, source: VplSource) {
   }
 
   private def prefixed(df: DataFrame, alias: String): DataFrame =
-    df.columns.foldLeft(df)((d, c) => d.withColumnRenamed(c, s"${alias}_$c"))
+    df.columns.foldLeft(df)((d, c) => d.withColumnRenamed(c, s"${alias}__$c"))
 
   private def conjuncts(e: VExpr): Seq[VExpr] = e match {
     case VBin("and", l, r) => conjuncts(l) ++ conjuncts(r)
@@ -241,6 +274,7 @@ final class VplCompiler(program: VProgram, source: VplSource) {
     case VMethod(t, _, a) => aliasRefs(t) ++ a.flatMap(aliasRefs)
     case VIf(c, t, f)     => aliasRefs(c) ++ aliasRefs(t) ++ aliasRefs(f)
     case VList(items)     => items.flatMap(aliasRefs).toSet
+    case VStruct(items)   => items.flatMap(i => aliasRefs(i._2)).toSet
     case _                => Set.empty
   }
 
@@ -270,13 +304,13 @@ final class VplCompiler(program: VProgram, source: VplSource) {
         .filterNot(c => aliasRefs(c).forall(_ == b.alias))
       val pre = prefixed(localDf(b), b.alias)
       val joinCtx = ExprCtx(
-        bare = f => if (cols(f)) Some(col(s"${b.alias}_$f")) else None,
+        bare = f => if (cols(f)) Some(col(s"${b.alias}__$f")) else None,
         qualified = (q, f) =>
           (if (q == b.alias) Some(cols) else boundCols.get(q)).map(cs =>
-            if (cs(f)) col(s"${q}_$f") else lit(null)))
-      val ordered = col(s"${b.alias}_event_id") > col(s"${prevAlias}_event_id")
+            if (cs(f)) col(s"${q}__$f") else lit(null)))
+      val ordered = col(s"${b.alias}__event_id") > col(s"${prevAlias}__event_id")
       val timeBound = st.withinUs.map { d =>
-        unix_micros(col(s"${b.alias}_ts")) - unix_micros(col(s"${first}_ts")) <=
+        unix_micros(col(s"${b.alias}__ts")) - unix_micros(col(s"${first}__ts")) <=
           lit(d)
       }.getOrElse(lit(true))
       val cross = crossConjuncts.map(c => translate(c, joinCtx))
@@ -293,18 +327,18 @@ final class VplCompiler(program: VProgram, source: VplSource) {
     // `.not(T where p)` — absence over the same window: left-anti join
     for (neg <- st.negs) {
       val negAlias = s"__neg_${neg.eventType}"
-      val negDf = resolveAny(neg.eventType)
+      val negDf = withOrderCol(resolveAny(neg.eventType))
       val negCols = negDf.columns.toSet
       val pre = prefixed(negDf, negAlias)
       val ctx = ExprCtx(
-        bare = f => if (negCols(f)) Some(col(s"${negAlias}_$f")) else None,
+        bare = f => if (negCols(f)) Some(col(s"${negAlias}__$f")) else None,
         qualified = (q, f) =>
           (if (q == negAlias) Some(negCols) else boundCols.get(q)).map(cs =>
-            if (cs(f)) col(s"${q}_$f") else lit(null)))
+            if (cs(f)) col(s"${q}__$f") else lit(null)))
       val cond = neg.where.map(e => translate(e, ctx)).getOrElse(lit(true))
-      val afterLast = col(s"${negAlias}_event_id") > col(s"${prevAlias}_event_id")
+      val afterLast = col(s"${negAlias}__event_id") > col(s"${prevAlias}__event_id")
       val timeBound = st.withinUs.map { d =>
-        unix_micros(col(s"${negAlias}_ts")) - unix_micros(col(s"${first}_ts")) <=
+        unix_micros(col(s"${negAlias}__ts")) - unix_micros(col(s"${first}__ts")) <=
           lit(d)
       }.getOrElse(lit(true))
       acc = acc.join(pre, cond && afterLast && timeBound, "left_anti")
@@ -322,13 +356,67 @@ final class VplCompiler(program: VProgram, source: VplSource) {
     ExprCtx(
       bare = f =>
         st.steps.reverse.collectFirst {
-          case b if byAlias(b.alias)(f) => col(s"${b.alias}_$f")
+          case b if byAlias(b.alias)(f) => col(s"${b.alias}__$f")
         },
       // known alias + missing field → NULL (dynamic payloads); only an
       // unknown alias is an error
       qualified = (q, f) =>
         byAlias.get(q).map(cols =>
-          if (cols(f)) col(s"${q}_$f") else lit(null)))
+          if (cols(f)) col(s"${q}__$f") else lit(null)))
+  }
+
+  /** Stream-stream `join(...)` (`.on` condition): folded left-to-right,
+    * each input attached by the `.on` conjuncts it can satisfy — a
+    * chain of (mostly equi-) joins Catalyst can plan, never a silent
+    * cartesian (an input no conjunct links is a compile error).
+    * Leftover conjuncts (referencing 3+ streams) become post-filters.
+    */
+  private def buildJoin(ins: Seq[(String, DataFrame)], on: VExpr): DataFrame = {
+    val names = ins.map(_._1)
+    def quals(x: VExpr): Set[String] = x match {
+      case VField(q, _) if names.contains(q) => Set(q)
+      case VBin(_, l, r)      => quals(l) ++ quals(r)
+      case VUn(_, y)          => quals(y)
+      case VCall(_, as)       => as.flatMap(quals).toSet
+      case VMethod(t, _, as)  => quals(t) ++ as.flatMap(quals).toSet
+      case VIf(c, a, b)       => quals(c) ++ quals(a) ++ quals(b)
+      case VList(is)          => is.flatMap(quals).toSet
+      case VStruct(is)        => is.flatMap(i => quals(i._2)).toSet
+      case _                  => Set.empty
+    }
+    val jc = joinCtx(ins)
+    val remaining = mutable.Buffer(conjuncts(inlineFns(on)): _*)
+    var joined = Set(names.head)
+    var acc = ins.head._2
+    ins.tail.foreach { case (n, d) =>
+      val usable = remaining.filter { c =>
+        val q = quals(c); q.contains(n) && q.subsetOf(joined + n)
+      }
+      if (usable.isEmpty)
+        throw VplCompileError(
+          s"join: no .on conjunct links stream '$n' (cartesian refused)")
+      remaining --= usable
+      acc = acc.join(d, usable.map(translate(_, jc)).reduce(_ && _))
+      joined += n
+    }
+    remaining.foreach(c => acc = acc.filter(translate(c, jc)))
+    acc
+  }
+
+  /** `Name.field` over prefixed join inputs; bare fields resolve
+    * first-stream-wins; known stream + missing field → NULL (dynamic
+    * payload semantics, as in [[seqCtx]]).
+    */
+  private def joinCtx(ins: Seq[(String, DataFrame)]): ExprCtx = {
+    val byName = ins.map { case (n, d) =>
+      n -> d.columns.map(_.stripPrefix(s"${n}__")).toSet
+    }.toMap
+    ExprCtx(
+      bare = f => ins.collectFirst {
+        case (n, _) if byName(n)(f) => col(s"${n}__$f")
+      },
+      qualified = (q, f) => byName.get(q).map(cols =>
+        if (cols(f)) col(s"${q}__$f") else lit(null)))
   }
 
   // ------------------------------------------------------------ expressions
@@ -361,6 +449,7 @@ final class VplCompiler(program: VProgram, source: VplSource) {
       case VMethod(t, m, a) => VMethod(inlineFns(t, depth), m, a.map(inlineFns(_, depth)))
       case VIf(c, t, f)     => VIf(inlineFns(c, depth), inlineFns(t, depth), inlineFns(f, depth))
       case VList(items)     => VList(items.map(inlineFns(_, depth)))
+      case VStruct(items)   => VStruct(items.map { case (n, x) => n -> inlineFns(x, depth) })
       case other            => other
     }
   }
@@ -373,6 +462,7 @@ final class VplCompiler(program: VProgram, source: VplSource) {
     case VMethod(t, m, a) => VMethod(substitute(t, sub), m, a.map(substitute(_, sub)))
     case VIf(c, t, f)     => VIf(substitute(c, sub), substitute(t, sub), substitute(f, sub))
     case VList(items)     => VList(items.map(substitute(_, sub)))
+    case VStruct(items)   => VStruct(items.map { case (n, x) => n -> substitute(x, sub) })
     case other            => other
   }
 
@@ -427,6 +517,8 @@ final class VplCompiler(program: VProgram, source: VplSource) {
         case ("abs", Nil)   => abs(t(target))
         case _ => throw VplCompileError(s"unsupported method '.$m(${args.size} args)'")
       }
+      case VStruct(items) =>
+        struct(items.map { case (n, x) => t(x).as(n) }: _*)
       case VList(_)      => throw VplCompileError("list literal outside 'in'")
       case VLambda(_, _) => throw VplCompileError("lambda outside .pattern()")
     }
@@ -454,14 +546,42 @@ final class VplCompiler(program: VProgram, source: VplSource) {
     case ("min", xs) if xs.size >= 2 => least(xs: _*)
     case ("max", xs) if xs.size >= 2 => greatest(xs: _*)
     case ("coalesce", xs)      => coalesce(xs: _*)
+    case ("now", Nil)          => current_timestamp()
     case _ => throw VplCompileError(s"unsupported function '$fn/${args.size}'")
   }
+
+  private val aggFnNames = Set("count", "sum", "avg", "min", "max",
+    "stddev", "variance", "first", "last", "collect", "count_distinct",
+    "ema", "median", "percentile")
+
+  private def isAggCall(e: VExpr): Boolean = e match {
+    case VCall("count", as)      => as.size <= 1
+    case VCall("percentile", as) => as.size == 2
+    case VCall("ema", as)        => as.size == 2
+    // min/max with 2+ args are the scalar least/greatest builtins
+    case VCall(fn, Seq(_))       => aggFnNames(fn)
+    case _                       => false
+  }
+
+  /** Does the (fn-inlined) expression contain an aggregate call? */
+  private def containsAgg(e: VExpr): Boolean =
+    isAggCall(e) || (e match {
+      case VBin(_, l, r)     => containsAgg(l) || containsAgg(r)
+      case VUn(_, x)         => containsAgg(x)
+      case VCall(_, as)      => as.exists(containsAgg)
+      case VMethod(t, _, as) => containsAgg(t) || as.exists(containsAgg)
+      case VIf(c, a, b)      => containsAgg(c) || containsAgg(a) || containsAgg(b)
+      case VList(is)         => is.exists(containsAgg)
+      case VStruct(is)       => is.exists(i => containsAgg(i._2))
+      case _                 => false
+    })
 
   // ------------------------------------------------------------ aggregates
   /** Aggregate calls — DECIMAL-exact sums (hash parity with DuckDB,
     * see QueryDef scaladoc), native everything.
     */
-  private def aggColumn(e: VExpr, ctx: ExprCtx): Column = inlineFns(e) match {
+  private def aggColumn(e: VExpr, ctx: ExprCtx,
+      orderCol: String = "event_id"): Column = inlineFns(e) match {
     case VCall("count", Nil)      => count(lit(1))
     case VCall("count", Seq(x))   => count(translate(x, ctx))
     case VCall("sum", Seq(x)) =>
@@ -471,11 +591,23 @@ final class VplCompiler(program: VProgram, source: VplSource) {
     case VCall("max", Seq(x))     => max(translate(x, ctx))
     case VCall("stddev", Seq(x))  => stddev_samp(translate(x, ctx))
     case VCall("variance", Seq(x)) => var_samp(translate(x, ctx))
-    case VCall("first", Seq(x))   => min_by(translate(x, ctx), col("event_id"))
-    case VCall("last", Seq(x))    => max_by(translate(x, ctx), col("event_id"))
+    case VCall("first", Seq(x))   => min_by(translate(x, ctx), col(orderCol))
+    case VCall("last", Seq(x))    => max_by(translate(x, ctx), col(orderCol))
     case VCall("collect", Seq(x)) => collect_list(translate(x, ctx))
     case VCall("count_distinct", Seq(x)) => count_distinct(translate(x, ctx))
+    case VCall("median", Seq(x)) =>
+      expr_percentile(translate(x, ctx), 0.5)
+    case VCall("percentile", Seq(x, VNum(p))) =>
+      expr_percentile(translate(x, ctx), p)
     case other => throw VplCompileError(s"unsupported aggregate: $other")
+  }
+
+  private def expr_percentile(c: Column, p: Double): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(new org.apache.spark.sql.catalyst.expressions
+      .aggregate.Percentile(ColumnBridge.expression(c.cast("double")),
+        org.apache.spark.sql.catalyst.expressions.Literal(p))
+      .toAggregateExpression())
   }
 
   private def windowSpec(op: OpWindow): WindowSpec = {
@@ -504,9 +636,20 @@ final class VplCompiler(program: VProgram, source: VplSource) {
   // ------------------------------------------------------------ streams
   private def compileStream(s: VStream): DataFrame = {
     var headAlias: Option[String] = None
+    // join(S1, S2, ...) source: inputs compiled and column-prefixed,
+    // joined when `.on` provides the condition
+    var joinInputs: Option[Seq[(String, DataFrame)]] = None
+    var joinWinUs: Option[Long] = None
     var df: DataFrame = s.source match {
       case SrcMerge(names) =>
-        names.map(resolveAny).reduce(_.unionByName(_))
+        // heterogeneous alert streams merge with NULL-filled gaps
+        // (hvac_demo AllAlerts)
+        names.map(resolveAny)
+          .reduce(_.unionByName(_, allowMissingColumns = true))
+      case SrcJoin(names) =>
+        val ins = names.map(n => n -> prefixed(resolveAny(n), n))
+        joinInputs = Some(ins)
+        ins.head._2 // placeholder until OpOn builds the join
       case SrcName(n, alias) =>
         headAlias = alias
         resolveAny(n)
@@ -516,10 +659,102 @@ final class VplCompiler(program: VProgram, source: VplSource) {
     var win: Option[WindowSpec] = None
     var aggregated = false
     var finished = false
+    // windowed `.where(first(x) < last(y))` with no explicit
+    // .aggregate (financial_markets GoldenCross) — deferred until emit
+    val pendingAggWhere = mutable.Buffer.empty[VExpr]
 
-    def ctx: ExprCtx = seq match {
-      case Some(st) => seqCtx(st)
-      case None     => scalarCtx(df, headAlias)
+    def ctx: ExprCtx = (seq, joinInputs) match {
+      case (Some(st), _)   => seqCtx(st)
+      case (None, Some(i)) => joinCtx(i)
+      case _               => scalarCtx(df, headAlias)
+    }
+
+    // `.window(d)` over a join without aggregation = the stream-join
+    // proximity bound: all sides share one tumbling bucket (reference
+    // join.rs windowed correlation). Applied once, before projection.
+    def applyJoinWindow(): Unit = (joinInputs, joinWinUs) match {
+      case (Some(ins), Some(us)) if !aggregated =>
+        val tsCols = ins.collect {
+          case (n, d) if d.columns.contains(s"${n}__ts") => col(s"${n}__ts")
+        }
+        if (tsCols.size >= 2) {
+          val cond = tsCols.map(c => floor(unix_micros(c) / lit(us)))
+            .sliding(2).map { case Seq(a, b) => a === b }.reduce(_ && _)
+          df = df.filter(cond)
+        }
+        joinWinUs = None
+      case _ => ()
+    }
+
+    /** Windowed/keyed aggregation of `items` (name → expr). Pure agg
+      * calls aggregate directly; compound expressions (`last(x) −
+      * ema(x, 9)`, MACDSignal) compute their agg leaves under temp
+      * names and re-combine scalar after; ema folds (order, value)
+      * pairs collected with a frame-compatible agg. Outputs named
+      * like a partition key (`symbol: last(symbol)`) or the order
+      * column replace those columns instead of duplicating them.
+      */
+    def runAgg(items: Seq[(String, VExpr)]): Unit = {
+      val c = ctx
+      // derived streams (aggregates of aggregates, financial_markets
+      // RSI) no longer carry event_id — order by arrival proxy
+      val ord =
+        if (df.columns.contains("event_id")) "event_id"
+        else if (df.columns.contains("ts")) "ts"
+        else throw VplCompileError(
+          "aggregate needs an event_id or ts column for ordering")
+      def collides(n: String) = keys.contains(n) || n == ord
+      val renamed = items.map { case (n, e) =>
+        (if (collides(n)) s"__agg_$n" else n) -> inlineFns(e)
+      }
+      val directB = mutable.Buffer.empty[(String, VExpr)]
+      val postB = mutable.Buffer.empty[(String, VExpr)]
+      renamed.foreach { case (n, e) =>
+        if (isAggCall(e)) directB += (n -> e)
+        else {
+          def split(x: VExpr): VExpr = x match {
+            case c2 if isAggCall(c2) =>
+              val nm = s"__sub_${directB.size}"
+              directB += (nm -> c2); VRef(nm)
+            case VBin(op, l, r) => VBin(op, split(l), split(r))
+            case VUn(op, y)     => VUn(op, split(y))
+            case VCall(f, as)   => VCall(f, as.map(split))
+            case VIf(cc, a, b)  => VIf(split(cc), split(a), split(b))
+            case other          => other
+          }
+          postB += (n -> split(e))
+        }
+      }
+      val emas = directB.collect {
+        case (n, VCall("ema", Seq(x, VInt(p)))) => (n, x, p)
+      }.toSeq
+      val direct = directB.toSeq
+        .filterNot(r => emas.exists(_._1 == r._1))
+        .map { case (n, e) => n -> aggColumn(e, c, ord) }
+      val collects = emas.map { case (n, x, _) =>
+        s"__vals_$n" -> collect_list(struct(
+          col(ord).as("o"), translate(x, c).cast("double").as("v")))
+      }
+      df = EventStream(df, orderCol = ord, keys = keys, win = win)
+        .aggregate((direct ++ collects): _*)
+      emas.foreach { case (n, _, p) =>
+        val alpha = 2.0 / (p + 1)
+        df = df.withColumn(n,
+          aggregate(sort_array(col(s"__vals_$n")),
+            lit(null).cast("double"),
+            (acc, e2) => when(acc.isNull, e2.getField("v"))
+              .otherwise(lit(alpha) * e2.getField("v") +
+                lit(1.0 - alpha) * acc)))
+          .drop(s"__vals_$n")
+      }
+      postB.foreach { case (n, e) =>
+        df = df.withColumn(n, translate(e, scalarCtx(df, None)))
+      }
+      df = df.drop(df.columns.filter(_.startsWith("__sub_")): _*)
+      items.collect { case (n, _) if collides(n) => n }.foreach { n =>
+        df = df.withColumn(n, col(s"__agg_$n")).drop(s"__agg_$n")
+      }
+      aggregated = true
     }
 
     def ensureSeq(): SeqState = seq.getOrElse {
@@ -527,7 +762,8 @@ final class VplCompiler(program: VProgram, source: VplSource) {
         case SrcName(n, _) => n
         case _ => throw VplCompileError("sequence must start from a named source")
       }
-      val st = new SeqState(Bound(headAlias.getOrElse(headName), df, None))
+      val st = new SeqState(Bound(headAlias.getOrElse(headName),
+        withOrderCol(df), None))
       seq = Some(st)
       st
     }
@@ -545,7 +781,7 @@ final class VplCompiler(program: VProgram, source: VplSource) {
         val st = ensureSeq()
         st.steps += Bound(
           step.alias.getOrElse(s"s${st.steps.size}"),
-          resolveAny(step.eventType), step.where)
+          withOrderCol(resolveAny(step.eventType)), step.where)
 
       case OpWithin(VDur(us)) => ensureSeq().withinUs = Some(us)
       case OpWithin(other) =>
@@ -556,26 +792,37 @@ final class VplCompiler(program: VProgram, source: VplSource) {
       case OpWhere(e) =>
         seq match {
           case Some(st) if !aggregated => st.postFilters += e
-          case _                       => df = df.filter(translate(e, ctx))
+          case _ =>
+            if (!aggregated && win.isDefined && containsAgg(inlineFns(e)))
+              pendingAggWhere += e // implicit aggregate, settled at emit
+            else df = df.filter(translate(e, ctx))
         }
       case OpHaving(e) => df = df.filter(translate(e, ctx))
 
       case OpSelect(items) =>
+        applyJoinWindow()
         val c = ctx
         df = df.select(items.map {
           case (n, Some(e)) => translate(e, c).as(n)
           case (n, None)    => translate(VRef(n), c).as(n)
         }: _*)
 
+      case OpOn(e) =>
+        val ins = joinInputs.getOrElse(
+          throw VplCompileError(".on without a join(...) source"))
+        df = buildJoin(ins, e)
+
       case OpPartitionBy(cols) => keys = cols
-      case w: OpWindow         => win = Some(windowSpec(w))
+      case w: OpWindow =>
+        win = Some(windowSpec(w))
+        if (joinInputs.isDefined) w.positional match {
+          case Seq(VDur(us)) => joinWinUs = Some(us)
+          case _             => ()
+        }
 
       case OpAggregate(aggs) =>
         if (seq.isDefined) throw VplCompileError("aggregate after sequence not supported")
-        val c = ctx
-        df = EventStream(df, keys = keys, win = win)
-          .aggregate(aggs.map { case (n, e) => n -> aggColumn(e, c) }: _*)
-        aggregated = true
+        runAgg(aggs)
 
       case OpPattern(_, body) =>
         // `.pattern(name: events => events.len() CMP k)` — windowed
@@ -612,9 +859,40 @@ final class VplCompiler(program: VProgram, source: VplSource) {
 
       case OpEmit(args, _) =>
         materializeSeq()
-        val c = ctx
-        if (args.nonEmpty)
-          df = df.select(args.map { case (n, e) => translate(e, c).as(n) }: _*)
+        applyJoinWindow()
+        if (!aggregated && win.isDefined &&
+          (pendingAggWhere.nonEmpty ||
+            args.exists(a => containsAgg(inlineFns(a._2))))) {
+          // windowed emit with agg calls but no explicit .aggregate
+          // (GoldenCross): aggregate emit args + deferred where
+          // predicates together, filter, project
+          val items = args ++ pendingAggWhere.zipWithIndex.map {
+            case (e, i) => s"__w_$i" -> e
+          }
+          runAgg(items)
+          pendingAggWhere.indices.foreach(i =>
+            df = df.filter(col(s"__w_$i")))
+          df = df.select(args.map(a => col(a._1)): _*)
+        } else if (args.nonEmpty) {
+          val c = ctx
+          val emitted = args.map(_._1).toSet
+          // carry event time / arrival order as hidden columns so a
+          // downstream stream can window/sequence over this one even
+          // when the emit drops them (hvac CascadeFailure); stripped
+          // from public outputs, renamed back by resolveAny
+          val hiddenTs =
+            if (emitted("ts")) None
+            else c.bare("ts")
+              // windowed aggregates carry win_start instead
+              .orElse(c.bare("win_start").map(timestamp_seconds))
+              .map(_.as("__hidden_ts"))
+          val hiddenEid =
+            if (emitted("event_id")) None
+            else c.bare("event_id").map(_.as("__hidden_event_id"))
+          val extras = hiddenTs.toSeq ++ hiddenEid.toSeq
+          df = df.select(args.map { case (n, e) =>
+            translate(e, c).as(n) } ++ extras: _*)
+        }
         finished = true
 
       case other => throw VplCompileError(s"unsupported op in batch compile: $other")

@@ -199,7 +199,10 @@ object VplParser {
       val fields = Seq.newBuilder[(String, String)]
       var more = true
       while (more) peek match {
-        case TId(f, _) if !stmtKeywords(f) && peekAt(1) == TOp(":", peekAt(1).pos) =>
+        // `type` is a fine FIELD name (functions.vpl `type: str`) —
+        // the `name ':'` lookahead disambiguates from declarations
+        case TId(f, _) if (!stmtKeywords(f) || f == "type") &&
+            peekAt(1) == TOp(":", peekAt(1).pos) =>
           advance(); eatOp(":")
           val t = typeExpr()
           fields += (f -> t)
@@ -296,11 +299,33 @@ object VplParser {
       val ret = if (isOp("->")) { advance(); Some(typeExpr()) } else None
       eatOp(":")
       peek match {
-        case TId(k, _) if Set("for", "while", "if", "emit", "return")(k) =>
+        case TId(k, _) if Set("for", "while", "emit", "return")(k) =>
           fail(s"fn $name: statement-block bodies are outside the compiled VPL subset")
         case _ => ()
       }
-      VFn(name, params.result(), ret, expr())
+      // `let x = e` prefix bindings desugar by substitution into the
+      // final expression (functions.vpl calculate_score)
+      val binds = Seq.newBuilder[(String, VExpr)]
+      while (isId("let")) {
+        advance(); val n = ident()
+        if (isOp(":")) { advance(); typeExpr() }
+        eatOp("="); binds += (n -> expr())
+      }
+      def subst(e: VExpr, n: String, r: VExpr): VExpr = e match {
+        case VRef(`n`)        => r
+        case VBin(op, l, x)   => VBin(op, subst(l, n, r), subst(x, n, r))
+        case VUn(op, x)       => VUn(op, subst(x, n, r))
+        case VCall(f, as)     => VCall(f, as.map(subst(_, n, r)))
+        case VMethod(t, m, a) => VMethod(subst(t, n, r), m, a.map(subst(_, n, r)))
+        case VIf(c, a, b)     => VIf(subst(c, n, r), subst(a, n, r), subst(b, n, r))
+        case VList(is)        => VList(is.map(subst(_, n, r)))
+        case VStruct(is)      => VStruct(is.map { case (k, v) => k -> subst(v, n, r) })
+        case other            => other
+      }
+      val body = binds.result().foldRight(expr()) { case ((n, r), acc) =>
+        subst(acc, n, r)
+      }
+      VFn(name, params.result(), ret, body)
     }
 
     private def patternDecl(): VPatternDecl = {
@@ -387,6 +412,13 @@ object VplParser {
         while (isOp(",")) { advance(); names += ident() }
         eatOp(")")
         SrcMerge(names.result())
+      } else if (isId("join") && peekAt(1) == TOp("(", peekAt(1).pos)) {
+        advance(); eatOp("(")
+        val names = Seq.newBuilder[String]
+        names += ident()
+        while (isOp(",")) { advance(); names += ident() }
+        eatOp(")")
+        SrcJoin(names.result())
       } else {
         val n = ident()
         val alias = if (isId("as")) { advance(); Some(ident()) } else None
@@ -412,6 +444,7 @@ object VplParser {
           val params = if (isOp(",")) { advance(); namedArgList() } else Nil
           eatOp(")")
           OpFrom(conn, params)
+        case "on"     => eatOp("("); val e = expr(); eatOp(")"); OpOn(e)
         case "where"  => eatOp("("); val e = expr(); eatOp(")"); OpWhere(e)
         case "having" => eatOp("("); val e = expr(); eatOp(")"); OpHaving(e)
         case "filter" => eatOp("("); val e = expr(); eatOp(")"); OpWhere(e)
@@ -699,6 +732,14 @@ object VplParser {
         if (!isOp("]")) { items += expr(); while (isOp(",")) { advance(); items += expr() } }
         eatOp("]")
         VList(items.result())
+      case TOp("{", _) =>
+        // `{name: expr, ...}` struct literal (nested emit payloads)
+        advance()
+        val items = Seq.newBuilder[(String, VExpr)]
+        def one(): Unit = { val n = ident(); eatOp(":"); items += (n -> expr()) }
+        if (!isOp("}")) { one(); while (isOp(",")) { advance(); one() } }
+        eatOp("}")
+        VStruct(items.result())
       case _ => fail("expected an expression")
     }
   }

@@ -1,0 +1,76 @@
+package graft
+
+import graft.vpl._
+
+/** Breadth coverage of the reference's own VPL corpus: every .vpl in
+  * examples/ + tests/scenarios parses (except the documented
+  * imperative-fn exclusion), and the three hardest files — stream
+  * joins, EMA/compound aggregates, implicit windowed aggregates,
+  * sequences over derived streams, heterogeneous merges — compile
+  * and run end-to-end.
+  */
+class VplCoverageSpec extends SparkSpec {
+
+  private val ex = "/root/reference/examples"
+  private val sc = "/root/reference/tests/scenarios"
+
+  private def read(p: String): String =
+    new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)))
+
+  test("every reference .vpl parses except the imperative-fn file") {
+    val files = (new java.io.File(ex).listFiles ++ new java.io.File(sc).listFiles)
+      .filter(_.getName.endsWith(".vpl")).sortBy(_.getName)
+    assert(files.length >= 29)
+    val failures = files.flatMap { f =>
+      try { VplParser.parse(read(f.getPath)); None }
+      catch { case e: Throwable => Some(f.getName -> e.getMessage) }
+    }
+    // emit_process.vpl needs imperative fn bodies (for/emit loops) —
+    // the one documented exclusion from the compiled subset
+    assert(failures.map(_._1).toSeq == Seq("emit_process.vpl"),
+      s"unexpected parse failures: ${failures.toSeq}")
+  }
+
+  private def runAll(vpl: String, evt: String): Map[String, Long] =
+    Vpl.runEvt(spark, read(vpl), Seq(evt)).map {
+      case (n, scala.util.Success(df)) => n -> df.count()
+      case (n, scala.util.Failure(e))  => fail(s"$vpl stream $n: $e")
+    }
+
+  test("financial_markets: joins, ema aggregates, compound and implicit aggs all run") {
+    val counts = runAll(s"$ex/financial_markets.vpl",
+      s"$sc/financial_markets.evt")
+    assert(counts.size >= 25)
+    assert(counts("Ticks") == 10)
+    // stream-stream join + windowed bucket: EMA12 x EMA26 correlate
+    assert(counts.contains("MACD") && counts.contains("TechnicalAnalysis"))
+    // implicit windowed aggregate (first/last inside .where)
+    assert(counts.contains("GoldenCross") && counts.contains("DeathCross"))
+  }
+
+  test("hvac_demo: sequences over derived streams and heterogeneous merge run") {
+    val counts = runAll(s"$ex/hvac_demo.vpl", s"$sc/hvac_test.evt")
+    assert(counts.size >= 20)
+    assert(counts("Temperatures") > 0)
+    assert(counts.contains("CascadeFailure"))
+    assert(counts.contains("AllAlerts"))
+  }
+
+  test("functions.vpl: let-bound fn bodies and keyword field names run") {
+    val counts = runAll(s"$ex/functions.vpl", s"$sc/order_payment_sequence.evt")
+    assert(counts("OrderStream") == 3)
+    assert(counts.contains("ValidatedOrders"))
+  }
+
+  test("stream join rejects a cartesian (.on must link every input)") {
+    val bad =
+      """stream A = X .window(1m) .aggregate(n: count())
+        |stream B = Y .window(1m) .aggregate(n: count())
+        |stream J = join(A, B) .on(1 == 1) .emit(n: 1)
+        |""".stripMargin
+    val res = Vpl.runEvt(spark, bad,
+      Seq(s"$sc/order_payment_sequence.evt"))("J")
+    assert(res.isFailure)
+    assert(res.failed.get.getMessage.contains("cartesian"))
+  }
+}
