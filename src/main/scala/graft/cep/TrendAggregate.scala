@@ -78,6 +78,11 @@ object TrendAggregate {
     *
     *   count(e) = 1 + Σ count(e')  over predecessors e' with v(e') < v(e)
     *
+    * and the paper's SUM propagation rides the same pass:
+    *
+    *   sum(e) = v(e)·count(e) + Σ sum(e')   (decimal-exact, so the
+    *   fold order cannot perturb float bits vs the oracle)
+    *
     * realized as an in-group fold over the event array sorted by
     * `orderCol`: one shuffle on (key, window) with the O(n²) DP
     * running inside each group as native HOF expressions (no UDF, no
@@ -107,14 +112,29 @@ object TrendAggregate {
           expr(
             """aggregate(
               |  evs,
-              |  cast(array() as array<struct<v: double, c: bigint>>),
+              |  cast(array() as array<struct<v: double, c: bigint, s: decimal(28,2)>>),
               |  (acc, x) -> array_append(acc, named_struct(
               |    'v', x.v,
               |    'c', cast(1 as bigint) + aggregate(
               |      filter(acc, p -> p.v < x.v),
-              |      cast(0 as bigint), (s, p) -> s + p.c))),
-              |  acc -> aggregate(acc, cast(0 as bigint), (s, p) -> s + p.c))
-              |""".stripMargin).as("count_trends")): _*)
+              |      cast(0 as bigint), (t, p) -> t + p.c),
+              |    's', cast(
+              |      cast(x.v as decimal(18,2)) *
+              |        (cast(1 as bigint) + aggregate(
+              |          filter(acc, p -> p.v < x.v),
+              |          cast(0 as bigint), (t, p) -> t + p.c)) +
+              |      aggregate(filter(acc, p -> p.v < x.v),
+              |        cast(0 as decimal(28,2)),
+              |        (t, p) -> cast(t + p.s as decimal(28,2)))
+              |      as decimal(28,2)))),
+              |  acc -> named_struct(
+              |    'c', aggregate(acc, cast(0 as bigint), (t, p) -> t + p.c),
+              |    's', cast(aggregate(acc, cast(0 as decimal(28,2)),
+              |      (t, p) -> cast(t + p.s as decimal(28,2))) as double)))
+              |""".stripMargin).as("__dp")): _*)
+      .withColumn("count_trends", col("__dp.c"))
+      .withColumn("sum_trends", col("__dp.s"))
+      .drop("__dp")
   }
 
   /** count_trends / count_events / sum_trends for `pred+` per

@@ -133,18 +133,22 @@ object PatternQueries {
         |         event_id, value
         |  FROM events
         |), t AS (
-        |  SELECT user_id, win_start, event_id, value FROM ev
+        |  SELECT user_id, win_start, event_id, value,
+        |         CAST(CAST(value AS DECIMAL(18,2)) AS DECIMAL(28,2)) AS sum_vals
+        |  FROM ev
         |  UNION ALL
-        |  SELECT t.user_id, t.win_start, e.event_id, e.value
+        |  SELECT t.user_id, t.win_start, e.event_id, e.value,
+        |         CAST(t.sum_vals + CAST(e.value AS DECIMAL(18,2)) AS DECIMAL(28,2))
         |  FROM t JOIN ev e ON e.user_id = t.user_id
         |    AND e.win_start = t.win_start
         |    AND e.event_id > t.event_id AND e.value > t.value
         |)
         |SELECT n.user_id, n.win_start, n.event_count,
-        |       CAST(c.cnt AS BIGINT) AS count_trends
+        |       CAST(c.cnt AS BIGINT) AS count_trends,
+        |       CAST(c.sv AS DOUBLE) AS sum_trends
         |FROM (SELECT user_id, win_start, COUNT(*) AS event_count
         |      FROM ev GROUP BY 1, 2) n
-        |JOIN (SELECT user_id, win_start, COUNT(*) AS cnt
+        |JOIN (SELECT user_id, win_start, COUNT(*) AS cnt, SUM(sum_vals) AS sv
         |      FROM t GROUP BY 1, 2) c
         |  ON n.user_id = c.user_id AND n.win_start = c.win_start""".stripMargin) {
       (s, dir) =>

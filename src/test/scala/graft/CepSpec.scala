@@ -98,6 +98,8 @@ class CepSpec extends SparkSpec {
     assert(out.length == 1)
     assert(out.head.getAs[Long]("event_count") == 4L)
     assert(out.head.getAs[Long]("count_trends") == 11L)
+    // sums per trend: singles 10 + pairs 25 + triples 15 = 50
+    assert(out.head.getAs[Double]("sum_trends") == 50.0)
   }
 
   test("kleeneIncreasing equals 2^n−1 when values are already increasing") {
