@@ -68,6 +68,8 @@ object VplAst {
   final case class OpEnrich(connector: String, params: Seq[(String, VExpr)]) extends VOp
   /** `.on(cond)` — join condition for a [[SrcJoin]] source */
   final case class OpOn(cond: VExpr) extends VOp
+  /** `.process(fn(args))` — per-event generation from a statement fn */
+  final case class OpProcess(call: VExpr) extends VOp
   final case class OpContext(name: String) extends VOp
   final case class OpForecast(params: Seq[(String, VExpr)]) extends VOp
   /** `.pattern(name: events => expr)` — windowed match lambda */
@@ -98,11 +100,21 @@ object VplAst {
       params: Seq[(String, VExpr)])
   final case class VLet(name: String, value: VExpr)
   final case class VContext(name: String, cores: Seq[Int])
-  /** single-expression function (grammar fn_decl; block bodies beyond
-    * one expression are out of the compiled subset)
+  // --- imperative fn bodies (the `.process()` subset) --------------
+  sealed trait VStmt
+  /** `for v in a..b:` (exclusive) / `a..=b` (inclusive) */
+  final case class SFor(v: String, from: VExpr, to: VExpr,
+      inclusive: Boolean, body: Seq[VStmt]) extends VStmt
+  /** `emit Type(name: expr, ...)` inside a processed fn */
+  final case class SEmitStmt(eventType: String,
+      args: Seq[(String, VExpr)]) extends VStmt
+
+  /** function: single-expression body (inlined at call sites), or a
+    * statement block of for/emit (compile-time unrolled by
+    * `.process()`)
     */
   final case class VFn(name: String, params: Seq[(String, String)],
-      ret: Option[String], body: VExpr)
+      ret: Option[String], body: VExpr, stmts: Seq[VStmt] = Nil)
 
   /** SASE+ reusable pattern declaration:
     * `pattern Name = SEQ(A, B+ where p as b, NOT C) within 10m partition by k`

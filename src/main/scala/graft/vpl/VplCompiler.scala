@@ -437,7 +437,8 @@ final class VplCompiler(program: VProgram, source: VplSource) {
   private def inlineFns(e: VExpr, depth: Int = 0): VExpr = {
     if (depth > 20) throw VplCompileError("fn inlining too deep (recursive fn?)")
     e match {
-      case VCall(name, args) if fns.contains(name) =>
+      case VCall(name, args)
+          if fns.contains(name) && fns(name).stmts.isEmpty =>
         val f = fns(name)
         if (f.params.size != args.size)
           throw VplCompileError(s"fn $name: expected ${f.params.size} args, got ${args.size}")
@@ -811,6 +812,68 @@ final class VplCompiler(program: VProgram, source: VplSource) {
         val ins = joinInputs.getOrElse(
           throw VplCompileError(".on without a join(...) source"))
         df = buildJoin(ins, e)
+
+      case OpProcess(call) =>
+        // `.process(gen(3, 2))`: unroll the statement fn at compile
+        // time into K emit rows per input event (loop bounds must be
+        // compile-time constants), then posexplode — each input event
+        // fans out to K generated events, fully inside Catalyst
+        // (emit_process.vpl; reference interprets the same loops per
+        // event at runtime)
+        val (fn, args) = call match {
+          case VCall(n, as) if fns.get(n).exists(_.stmts.nonEmpty) =>
+            (fns(n), as)
+          case other =>
+            throw VplCompileError(s".process expects a statement-fn call, got $other")
+        }
+        if (fn.params.size != args.size)
+          throw VplCompileError(
+            s".process ${fn.name}: expected ${fn.params.size} args, got ${args.size}")
+        def constInt(e: VExpr): Long = e match {
+          case VInt(v)       => v
+          case VBin("+", l, r) => constInt(l) + constInt(r)
+          case VBin("-", l, r) => constInt(l) - constInt(r)
+          case VBin("*", l, r) => constInt(l) * constInt(r)
+          case VUn("-", x)   => -constInt(x)
+          case other =>
+            throw VplCompileError(s".process: loop bound must be a constant, got $other")
+        }
+        val rows = mutable.Buffer.empty[Seq[(String, VExpr)]]
+        def exec(stmts: Seq[VStmt], env: Map[String, VExpr]): Unit =
+          stmts.foreach {
+            case SFor(v, from, to, incl, body) =>
+              val a = constInt(substitute(from, env))
+              val b = constInt(substitute(to, env))
+              val end = if (incl) b else b - 1
+              (a to end).foreach(i => exec(body, env + (v -> VInt(i))))
+            case SEmitStmt(_, eargs) =>
+              rows += eargs.map { case (n, e) => n -> substitute(e, env) }
+          }
+        exec(fn.stmts, fn.params.map(_._1).zip(args).toMap)
+        if (rows.isEmpty)
+          throw VplCompileError(s".process ${fn.name}: no emit reached")
+        val names = rows.head.map(_._1)
+        require(rows.forall(_.map(_._1) == names),
+          ".process: all emits must produce the same fields")
+        if (rows.size > 10000)
+          throw VplCompileError(
+            s".process ${fn.name}: unrolls to ${rows.size} emits (>10000)")
+        val c0 = ctx
+        val structs = rows.toSeq.map(r =>
+          struct(r.map { case (n, e) => translate(e, c0).as(n) }: _*))
+        val carry =
+          (if (df.columns.contains("ts")) Seq(col("ts")) else Nil) ++
+            (if (df.columns.contains("event_id")) Seq(col("event_id")) else Nil)
+        df = df
+          .select(carry :+ posexplode(array(structs: _*)): _*)
+          .withColumnRenamed("col", "__e")
+        val outCols = names.map(n => col(s"__e.$n").as(n)) ++
+          (if (df.columns.contains("ts")) Seq(col("ts")) else Nil) ++
+          (if (df.columns.contains("event_id"))
+            // unique arrival order for the generated events
+            Seq((col("event_id") * rows.size + col("pos")).as("event_id"))
+          else Nil)
+        df = df.select(outCols: _*)
 
       case OpPartitionBy(cols) => keys = cols
       case w: OpWindow =>

@@ -299,8 +299,14 @@ object VplParser {
       val ret = if (isOp("->")) { advance(); Some(typeExpr()) } else None
       eatOp(":")
       peek match {
-        case TId(k, _) if Set("for", "while", "emit", "return")(k) =>
+        case TId(k, _) if Set("while", "return")(k) =>
           fail(s"fn $name: statement-block bodies are outside the compiled VPL subset")
+        case TId(k, _) if Set("for", "emit")(k) =>
+          // imperative for/emit block — the `.process()` subset,
+          // unrolled at compile time (emit_process.vpl). Blocks are
+          // parsed greedily (indentation is not tokenized): a for's
+          // body is everything up to the next non-statement token.
+          return VFn(name, params.result(), ret, VNull, stmtBlock())
         case _ => ()
       }
       // `let x = e` prefix bindings desugar by substitution into the
@@ -326,6 +332,32 @@ object VplParser {
         subst(acc, n, r)
       }
       VFn(name, params.result(), ret, body)
+    }
+
+    private def stmtBlock(): Seq[VStmt] = {
+      val stmts = Seq.newBuilder[VStmt]
+      var more = true
+      while (more) peek match {
+        case TId("for", _) =>
+          advance(); val v = ident(); eatId("in")
+          val from = expr()
+          val incl = if (isOp("..=")) { advance(); true }
+            else { eatOp(".."); false }
+          val to = expr()
+          eatOp(":")
+          stmts += SFor(v, from, to, incl, stmtBlock())
+          more = false // greedy body: siblings after a for need indent info
+        case TId("emit", _) =>
+          advance(); val t = ident()
+          eatOp("(")
+          val args = Seq.newBuilder[(String, VExpr)]
+          def one(): Unit = { val n = ident(); eatOp(":"); args += (n -> expr()) }
+          if (!isOp(")")) { one(); while (isOp(",")) { advance(); one() } }
+          eatOp(")")
+          stmts += SEmitStmt(t, args.result())
+        case _ => more = false
+      }
+      stmts.result()
     }
 
     private def patternDecl(): VPatternDecl = {
@@ -444,7 +476,8 @@ object VplParser {
           val params = if (isOp(",")) { advance(); namedArgList() } else Nil
           eatOp(")")
           OpFrom(conn, params)
-        case "on"     => eatOp("("); val e = expr(); eatOp(")"); OpOn(e)
+        case "on"      => eatOp("("); val e = expr(); eatOp(")"); OpOn(e)
+        case "process" => eatOp("("); val e = expr(); eatOp(")"); OpProcess(e)
         case "where"  => eatOp("("); val e = expr(); eatOp(")"); OpWhere(e)
         case "having" => eatOp("("); val e = expr(); eatOp(")"); OpHaving(e)
         case "filter" => eatOp("("); val e = expr(); eatOp(")"); OpWhere(e)

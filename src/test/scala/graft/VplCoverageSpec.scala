@@ -17,7 +17,7 @@ class VplCoverageSpec extends SparkSpec {
   private def read(p: String): String =
     new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)))
 
-  test("every reference .vpl parses except the imperative-fn file") {
+  test("every reference .vpl parses") {
     val files = (new java.io.File(ex).listFiles ++ new java.io.File(sc).listFiles)
       .filter(_.getName.endsWith(".vpl")).sortBy(_.getName)
     assert(files.length >= 29)
@@ -25,10 +25,18 @@ class VplCoverageSpec extends SparkSpec {
       try { VplParser.parse(read(f.getPath)); None }
       catch { case e: Throwable => Some(f.getName -> e.getMessage) }
     }
-    // emit_process.vpl needs imperative fn bodies (for/emit loops) —
-    // the one documented exclusion from the compiled subset
-    assert(failures.map(_._1).toSeq == Seq("emit_process.vpl"),
-      s"unexpected parse failures: ${failures.toSeq}")
+    assert(failures.isEmpty, s"parse failures: ${failures.toSeq}")
+  }
+
+  test("emit_process: .process unrolls for/emit fns into generated events") {
+    val counts = runAll(s"$sc/emit_process.vpl", s"$sc/emit_process.evt")
+    assert(counts("Pixels") == 6) // one Trigger -> 3x2 pixel grid
+    val px = Vpl.runEvt(spark, read(s"$sc/emit_process.vpl"),
+      Seq(s"$sc/emit_process.evt"))("Pixels").get
+      .select("x", "y", "color").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(px == Set((0L, 0L, 0L), (1L, 0L, 1L), (2L, 0L, 2L),
+      (0L, 1L, 3L), (1L, 1L, 4L), (2L, 1L, 5L)))
   }
 
   private def runAll(vpl: String, evt: String): Map[String, Long] =
