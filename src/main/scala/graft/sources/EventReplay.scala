@@ -54,7 +54,7 @@ object EventReplay {
     val parsed = EventFile.read(spark, evtPath)
       .withColumn("ts", timestamp_millis(lit(baseEpochMs) + col("delay_ms")))
       .select(col("line_no").as("event_id"), col("event_type"),
-        col("ts"), col("delay_ms"), col("fields"))
+        col("ts"), col("delay_ms"), col("fields"), col("fields_raw"))
       .cache()
     val delays = parsed.select("delay_ms").distinct()
       .orderBy("delay_ms").collect().map(_.getLong(0))
@@ -82,7 +82,8 @@ object EventReplay {
         lit("__sentinel").as("event_type"),
         timestamp_millis(lit(baseEpochMs + lastMs + 7200000L)).as("ts"),
         lit(lastMs + 7200000L).as("delay_ms"),
-        map().cast("map<string,string>").as("fields"))
+        map().cast("map<string,string>").as("fields"),
+        map().cast("map<string,string>").as("fields_raw"))
       Seq((writeOne(s, delays.length), lastMs + 7200000L))
     } else Nil
     parsed.unpersist()

@@ -85,6 +85,59 @@ final class EvtSource(spark: SparkSession, paths: Seq[String],
   }
 }
 
+/** Structured-Streaming source over an [[graft.sources.EventReplay]]
+  * staging: field types come from declarations (else inferred from a
+  * batch read of the same staged files), but the returned frames are
+  * true streaming DataFrames — one micro-batch per .evt BATCH group.
+  *
+  * resolve() does NOT filter by event type: the stream's watermark
+  * must observe every event (incl. the end-of-stream sentinel) or
+  * append-mode windows never close. The compiler applies the type
+  * filter after `.watermark(...)` instead.
+  */
+final class StreamingEvtSource(spark: SparkSession,
+    staged: graft.sources.EventReplay.Staged,
+    decls: Map[String, VEvent]) extends VplSource {
+
+  private val batch = spark.read.parquet(staged.dir)
+
+  private val inferred: Map[String, Seq[(String, String)]] = {
+    import org.apache.spark.sql.Row
+    batch.select(col("event_type"), col("event_id"), explode(col("fields_raw")))
+      .groupBy("event_type", "key")
+      .agg(min_by(col("value"), col("event_id")).as("first_raw"))
+      .collect()
+      .groupBy { case Row(t: String, _, _) => t }
+      .map { case (t, rs) =>
+        t -> rs.sortBy { case Row(_, k: String, _) => k }.toSeq.map {
+          case Row(_, k: String, raw: String) =>
+            val ty =
+              if (raw.startsWith("\"")) "str"
+              else if (raw.matches("^-?[0-9]+$")) "int"
+              else if (raw.matches("^-?[0-9]*\\.[0-9]+$")) "float"
+              else if (raw == "true" || raw == "false") "bool"
+              else "str"
+            k -> ty
+        }
+      }
+  }
+
+  def resolve(eventType: String): DataFrame = {
+    val fields = decls.get(eventType).map(_.fields)
+      .orElse(inferred.get(eventType)).getOrElse(Nil)
+    val sparkType: String => String = {
+      case "int" => "long"; case "float" => "double"; case "bool" => "boolean"
+      case "timestamp" => "timestamp"; case _ => "string"
+    }
+    val fieldCols = fields.collect {
+      case (f, t) if f != "ts" =>
+        element_at(col("fields"), f).cast(sparkType(t.stripSuffix("?"))).as(f)
+    }
+    graft.sources.EventReplay.readStream(spark, staged)
+      .select(col("event_id") +: col("ts") +: col("event_type") +: fieldCols: _*)
+  }
+}
+
 /** Events-parquet source: VPL event types are the values of the
   * `event_type` column of the driver-generated events table — the
   * binding the registered x-queries use so their DuckDB oracles run
@@ -114,7 +167,14 @@ final class TableSource(spark: SparkSession, dir: String) extends VplSource {
   *  - refs to fields an event doesn't carry resolve to NULL, like the
   *    reference's dynamically-typed payload lookups.
   */
-final class VplCompiler(program: VProgram, source: VplSource) {
+final class VplCompiler(program: VProgram, source: VplSource,
+    /** streaming mode: sources are streaming DataFrames; `.watermark`
+      * becomes withWatermark, the event-type filter is applied after
+      * it (the sentinel must reach the watermark node), and ops with
+      * no incremental realization (order_by/limit/sequences/count
+      * windows) are rejected up front.
+      */
+    streaming: Boolean = false) {
 
   private val fns: Map[String, VFn] = program.fns.map(f => f.name -> f).toMap
   private val letVals: Map[String, VExpr] = program.lets.map(l => l.name -> l.value).toMap
@@ -655,6 +715,28 @@ final class VplCompiler(program: VProgram, source: VplSource) {
         headAlias = alias
         resolveAny(n)
     }
+    // streaming: the source is unfiltered (sentinel must reach the
+    // watermark node) — the event-type filter applies after .watermark
+    var pendingType: Option[String] = s.source match {
+      case SrcName(n, _) if streaming && program.streams.forall(_.name != n) =>
+        Some(n)
+      case _ => None
+    }
+    var watermarked = false
+    def settleType(): Unit = pendingType.foreach { t =>
+      if (streaming)
+        // the end-of-stream sentinel must keep flowing (pushdown puts
+        // this filter below the EventTimeWatermark node, so dropping
+        // it would freeze the watermark and append-mode windows would
+        // never close). It parks in its own far-future window, which
+        // never finalizes — so it can never appear in aggregate
+        // output; stateless emits strip it explicitly.
+        df = df.filter(col("event_type") === t ||
+          col("event_type") === "__sentinel")
+      else
+        df = df.filter(col("event_type") === t).drop("event_type")
+      pendingType = None
+    }
     var seq: Option[SeqState] = None
     var keys: Seq[String] = Nil
     var win: Option[WindowSpec] = None
@@ -696,6 +778,13 @@ final class VplCompiler(program: VProgram, source: VplSource) {
       * column replace those columns instead of duplicating them.
       */
     def runAgg(items: Seq[(String, VExpr)]): Unit = {
+      // a streaming windowed aggregate with no declared .watermark
+      // gets the reference's default: zero out-of-order tolerance
+      if (streaming && !watermarked) {
+        df = df.withWatermark("ts", "0 seconds")
+        watermarked = true
+      }
+      settleType()
       val c = ctx
       // derived streams (aggregates of aggregates, financial_markets
       // RSI) no longer carry event_id — order by arrival proxy
@@ -776,9 +865,22 @@ final class VplCompiler(program: VProgram, source: VplSource) {
 
     for (op <- s.ops if !finished) op match {
       case OpFrom(_, _) | OpTo(_, _) | OpContext(_) | OpTapLike(_, _) |
-          OpWatermark(_) | OpAllowedLateness(_) => ()
+          OpAllowedLateness(_) => ()
+
+      case OpWatermark(params) =>
+        if (streaming) {
+          val us = (params.collect { case (_, VDur(u)) => u } ++
+            params.collect { case (_, VInt(v)) => v * 1000000L }).headOption
+            .getOrElse(throw VplCompileError(
+              ".watermark expects a duration (out_of_order: 2s)"))
+          df = df.withWatermark("ts", durStr(us))
+          watermarked = true
+          settleType()
+        }
 
       case OpFollowedBy(step) =>
+        if (streaming) throw VplCompileError(
+          "sequences in streaming mode are served by graft.streaming.PatternStream")
         val st = ensureSeq()
         st.steps += Bound(
           step.alias.getOrElse(s"s${st.steps.size}"),
@@ -791,16 +893,25 @@ final class VplCompiler(program: VProgram, source: VplSource) {
       case OpNot(step) => ensureSeq().negs += step
 
       case OpWhere(e) =>
+        settleType()
         seq match {
           case Some(st) if !aggregated => st.postFilters += e
           case _ =>
             if (!aggregated && win.isDefined && containsAgg(inlineFns(e)))
               pendingAggWhere += e // implicit aggregate, settled at emit
+            else if (streaming && !aggregated &&
+              df.columns.contains("event_type"))
+              // pre-aggregation filters must not drop the sentinel
+              // (they push below the watermark node)
+              df = df.filter(translate(e, ctx) ||
+                col("event_type") === "__sentinel")
             else df = df.filter(translate(e, ctx))
         }
-      case OpHaving(e) => df = df.filter(translate(e, ctx))
+      case OpHaving(e) =>
+        settleType(); df = df.filter(translate(e, ctx))
 
       case OpSelect(items) =>
+        settleType()
         applyJoinWindow()
         val c = ctx
         df = df.select(items.map {
@@ -923,6 +1034,11 @@ final class VplCompiler(program: VProgram, source: VplSource) {
       case OpEmit(args, _) =>
         materializeSeq()
         applyJoinWindow()
+        settleType()
+        // stateless streaming emit: the sentinel served the watermark;
+        // it must not surface as an output row
+        if (streaming && !aggregated && df.columns.contains("event_type"))
+          df = df.filter(col("event_type") =!= "__sentinel")
         if (!aggregated && win.isDefined &&
           (pendingAggWhere.nonEmpty ||
             args.exists(a => containsAgg(inlineFns(a._2))))) {
@@ -981,5 +1097,33 @@ object Vpl {
       streamName: String): DataFrame = {
     val prog = VplParser.parse(vplText)
     new VplCompiler(prog, new TableSource(spark, dir)).stream(streamName)
+  }
+
+  /** TRUE-STREAMING run of a VPL stream over its .evt scenario: the
+    * file is staged one file per BATCH group ([[graft.sources
+    * .EventReplay]]), read as a Structured Streaming source (one
+    * micro-batch per BATCH), compiled in streaming mode (`.watermark`
+    * → withWatermark, windows close by event time), run to a memory
+    * sink in append mode, and the finalized rows returned. The staged
+    * end-of-stream sentinel flushes the last windows; rows whose
+    * watermark never closed (none, with the sentinel) would be absent
+    * — exactly the reference's timed-replay semantics.
+    */
+  def runEvtStreaming(spark: SparkSession, vplText: String,
+      evtPath: String, streamName: String): DataFrame = {
+    val prog = VplParser.parse(vplText)
+    val decls = prog.events.map(e => e.name -> e).toMap
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_vpl_stream_").toString
+    val staged = graft.sources.EventReplay.stage(spark, evtPath, dir)
+    val df = new VplCompiler(prog,
+      new StreamingEvtSource(spark, staged, decls), streaming = true)
+      .stream(streamName)
+    val qn = s"graft_vpl_stream_${streamName.toLowerCase}"
+    spark.sql(s"DROP VIEW IF EXISTS $qn")
+    val q = df.writeStream.format("memory").queryName(qn)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(qn)
   }
 }

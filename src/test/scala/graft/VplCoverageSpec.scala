@@ -70,6 +70,31 @@ class VplCoverageSpec extends SparkSpec {
     assert(counts.contains("ValidatedOrders"))
   }
 
+  test("streaming VPL: watermark_windowed runs as a true stream and matches batch") {
+    val vpl = read(s"$sc/watermark_windowed.vpl")
+    val batch = Vpl.runEvt(spark, vpl, Seq(s"$sc/watermark_windowed.evt"))("Windowed")
+      .get.collect().map(_.getLong(0)).sorted.toSeq
+    val streamed = Vpl.runEvtStreaming(spark, vpl,
+      s"$sc/watermark_windowed.evt", "Windowed")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(streamed == batch, s"streaming=$streamed batch=$batch")
+    assert(batch == Seq(1L, 3L)) // [0,5)=3 events, [5,10)=1 event
+  }
+
+  test("streaming VPL: electrical per-building windowed aggregates match batch") {
+    val vpl = read(s"$sc/electrical_consumption.vpl")
+    val name = "BuildingConsumption"
+    val batchDf = Vpl.runEvt(spark, vpl,
+      Seq(s"$sc/electrical_consumption.evt"))(name).get
+    val streamDf = Vpl.runEvtStreaming(spark, vpl,
+      s"$sc/electrical_consumption.evt", name)
+    assert(streamDf.columns.sorted.toSeq == batchDf.columns.sorted.toSeq)
+    assert(streamDf.count() == batchDf.count(),
+      s"stream=${streamDf.count()} batch=${batchDf.count()}")
+    assert(streamDf.except(batchDf).count() == 0)
+    assert(batchDf.except(streamDf).count() == 0)
+  }
+
   test("stream join rejects a cartesian (.on must link every input)") {
     val bad =
       """stream A = X .window(1m) .aggregate(n: count())
