@@ -84,6 +84,31 @@ class PlanSpec extends SparkSpec {
       p.contains("BroadcastHashJoin"), p)
   }
 
+  test("p11: GRETA DP is one shuffle on (key, window), no join") {
+    val p = planOf(q("p11_greta_pred"))
+    assert(!p.contains("Join"), "DP must stay inside the group\n" + p)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 exchange, plan:\n$p")
+  }
+
+  test("p12: kleene-star joins stay equi (no cartesian)") {
+    val p = planOf(q("p12_kleene_star"))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("f5: conformal pipeline broadcasts the model (no fact-side shuffle join)") {
+    val p = planOf(q("f5_conformal"))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("x1: VPL-compiled sequence plans like the native p1 pattern") {
+    val p = planOf(q("x1_vpl_seq"))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
   test("w1: aggregation has a map-side partial phase") {
     val p = planOf(q("w1_tumbling"))
     assert(p.contains("partial_count") || p.contains("HashAggregate"), p)
