@@ -43,13 +43,11 @@ object SparkEntry {
     // so both stateful streaming queries share their batch twins'
     // oracles (negation → p3's anti-join, sessions → w3's
     // gaps-and-islands).
-    // s4's exact-hash parity additionally assumes the staged source is
-    // consumed as ONE micro-batch (closedStreamDir stages whole files,
-    // no maxFilesPerTrigger): detectAbsence orders events by event_id
-    // within a batch only, so a multi-batch replay could deliver a
-    // kill-event after its anchor's deadline was already emitted. A
-    // production multi-batch run would buffer events in state until
-    // the watermark passes them before applying negation.
+    // s4 is micro-batch-split-safe: detectAbsence buffers events in
+    // state and applies them in event_id order only once the
+    // watermark finalizes them, so the oracle holds under any
+    // maxFilesPerTrigger (spec: "streaming negation is batch-split
+    // invariant").
     "s4_stream_negation" -> QueryDef.of(
       """SELECT p.user_id AS user_id, p.event_id AS a_id
         |FROM events p

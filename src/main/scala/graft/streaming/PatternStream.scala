@@ -38,7 +38,9 @@ object PatternStream {
     */
   final case class StepSpec(eventType: String)
 
-  final case class AbsenceState(pending: List[Run])
+  /** Minimal buffered event for cross-batch ordering. */
+  final case class Buf(event_id: Long, ts_us: Long, isA: Boolean)
+  final case class AbsenceState(pending: List[Run], buf: List[Buf])
   final case class Absence(user_id: Long, a_id: Long)
 
   /** Streaming negation `A -> NOT(B) within d` (sase.rs
@@ -48,6 +50,15 @@ object PatternStream {
     * EventTimeTimeout timers, the streaming analog of the
     * reference's negation timers. Requires `withWatermark` on the
     * input's ts column.
+    *
+    * Cross-batch order safety: arriving events are BUFFERED in state
+    * and only applied once the watermark passes their event time —
+    * at that point no earlier-timed event can still arrive, so
+    * processing the finalized prefix in `event_id` order is correct
+    * regardless of how the source splits micro-batches. An anchor is
+    * emitted only when its deadline falls behind the watermark: any
+    * kill-event for it would have ts ≤ deadline < watermark and so is
+    * either already applied or impossibly late.
     */
   def detectAbsence(
       events: Dataset[Ev],
@@ -59,33 +70,37 @@ object PatternStream {
       .flatMapGroupsWithState[AbsenceState, Absence](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (user: Long, it: Iterator[Ev], state: GroupState[AbsenceState]) =>
-          var pending = state.getOption.map(_.pending).getOrElse(Nil)
+          val prev = state.getOption.getOrElse(AbsenceState(Nil, Nil))
+          var pending = prev.pending
+          var buf = prev.buf
           val out = scala.collection.mutable.ArrayBuffer.empty[Absence]
-          val wm = state.getCurrentWatermarkMs() * 1000L
-          val batch = it.toArray.sortBy(_.event_id)
-          for (ev <- batch) {
-            // deadline passed before this B arrived → absence held
-            if (ev.event_type == bType) {
-              val (expired, live) =
-                pending.partition(r => ev.ts_us - r.firstTsUs > withinUs)
-              expired.foreach(r => out += Absence(user, r.ids.head))
-              // a B inside the window kills the pending A
-              pending = live.filterNot(r =>
-                ev.event_id > r.ids.head && ev.ts_us - r.firstTsUs <= withinUs)
+          if (!state.hasTimedOut)
+            buf = buf ++ it.flatMap { ev =>
+              if (ev.event_type == aType) Some(Buf(ev.event_id, ev.ts_us, isA = true))
+              else if (ev.event_type == bType) Some(Buf(ev.event_id, ev.ts_us, isA = false))
+              else None
             }
-            if (ev.event_type == aType)
-              pending = Run(0, ev.ts_us, List(ev.event_id)) :: pending
+          val wm = state.getCurrentWatermarkMs() * 1000L
+          // apply the finalized prefix in global arrival order
+          val (safe, waiting) = buf.partition(_.ts_us <= wm)
+          buf = waiting
+          for (e <- safe.sortBy(_.event_id)) {
+            if (e.isA) pending = Run(0, e.ts_us, List(e.event_id)) :: pending
+            else pending = pending.filterNot(r =>
+              e.event_id > r.ids.head && e.ts_us - r.firstTsUs <= withinUs)
           }
           // watermark passed a deadline → no B can retract it anymore
-          val (safe, waiting) = pending.partition(r => r.firstTsUs + withinUs < wm)
-          safe.foreach(r => out += Absence(user, r.ids.head))
-          pending = waiting
-          if (pending.isEmpty) state.remove()
+          val (done, live) = pending.partition(r => r.firstTsUs + withinUs < wm)
+          done.foreach(r => out += Absence(user, r.ids.head))
+          pending = live
+          if (pending.isEmpty && buf.isEmpty) state.remove()
           else {
-            state.update(AbsenceState(pending))
-            val nextDeadlineMs =
-              (pending.map(_.firstTsUs + withinUs).min / 1000L) + 1L
-            state.setTimeoutTimestamp(math.max(nextDeadlineMs,
+            state.update(AbsenceState(pending, buf))
+            // wake when the watermark passes the next deadline OR the
+            // next buffered event's time, whichever is sooner
+            val nextUs = (pending.map(_.firstTsUs + withinUs) ++
+              buf.map(_.ts_us)).min
+            state.setTimeoutTimestamp(math.max((nextUs / 1000L) + 1L,
               state.getCurrentWatermarkMs() + 1L))
           }
           out.iterator

@@ -121,6 +121,50 @@ class StreamingSpec extends SparkSpec {
     assert(batch.except(streamed).count() == 0)
   }
 
+  test("streaming negation is batch-split invariant (kill arrives before its anchor)") {
+    import spark.implicits._
+    import graft.streaming.PatternStream._
+    // the cross-batch hazard: user 1's error (higher id) is DELIVERED
+    // a batch before the purchase it must kill. Without state-side
+    // buffering until the watermark finalizes order, the purchase
+    // would emit a false absence. User 2's purchase has no error →
+    // the one true absence.
+    def ts(sec: Long) = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(sec))
+    def write(rows: Seq[(Long, java.sql.Timestamp, Long, String, Double, String)],
+        part: String): Unit =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(s"$dirNeg/b=$part")
+    lazy val dirNeg = java.nio.file.Files
+      .createTempDirectory("graft_negmb_").toString
+    write(Seq((2L, ts(100), 1L, "error", 0.0, "{}"),
+      (3L, ts(100), 2L, "purchase", 0.0, "{}")), "a")
+    write(Seq((1L, ts(99), 1L, "purchase", 0.0, "{}")), "b")
+    write(Seq((9L, ts(100 + 7200), 0L, "sentinel", 0.0, "{}")), "c")
+
+    val schema = spark.read.parquet(s"$dirNeg/b=a").schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dirNeg/b=*")
+      // delay large enough that the batch-b purchase is not late
+      .withWatermark("ts", "600 seconds")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), unix_micros(col("ts")).as("ts_us"), col("ts"))
+      .as[Ev]
+    val absences = detectAbsence(src, "purchase", "error",
+      withinUs = 900L * 1000000L)(spark)
+    val q = absences.toDF().writeStream.format("memory")
+      .queryName("graft_negmb_sink").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 3,
+        "expected a genuinely multi-batch run")
+    } finally q.stop()
+    val got = spark.table("graft_negmb_sink")
+      .select("user_id", "a_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSet == Set((2L, 3L)),
+      s"expected only user 2's absence, got ${got.toSeq}")
+  }
+
   test("streaming NFA evicts state for quiet keys once watermark passes") {
     import spark.implicits._
     import graft.streaming.PatternStream._
