@@ -17,6 +17,11 @@ final case class VplCompileError(msg: String) extends RuntimeException(msg)
   */
 trait VplSource {
   def resolve(eventType: String): DataFrame
+  /** Every event in arrival order (for model fitting, e.g. the
+    * `.forecast` transition model): event_id, ts, event_type, plus
+    * whatever payload columns the source carries.
+    */
+  def allEvents: DataFrame
 }
 
 /** `.evt`-file source (reference test-injection format). Event time =
@@ -83,6 +88,11 @@ final class EvtSource(spark: SparkSession, paths: Seq[String],
       .select(col("line_no").as("event_id") +:
         timestamp_millis(col("delay_ms")).as("ts") +: fieldCols: _*)
   }
+
+  def allEvents: DataFrame = base.select(
+    col("line_no").as("event_id"),
+    timestamp_millis(col("delay_ms")).as("ts"),
+    col("event_type"), col("fields"))
 }
 
 /** Structured-Streaming source over an [[graft.sources.EventReplay]]
@@ -136,6 +146,12 @@ final class StreamingEvtSource(spark: SparkSession,
     graft.sources.EventReplay.readStream(spark, staged)
       .select(col("event_id") +: col("ts") +: col("event_type") +: fieldCols: _*)
   }
+
+  /** Model fitting happens on the already-staged batch data (a model
+    * is training state, not streaming output).
+    */
+  def allEvents: DataFrame =
+    batch.select(col("event_id"), col("ts"), col("event_type"), col("fields"))
 }
 
 /** Events-parquet source: VPL event types are the values of the
@@ -147,6 +163,7 @@ final class TableSource(spark: SparkSession, dir: String) extends VplSource {
   private val events = graft.Tables(spark, dir).events
   def resolve(eventType: String): DataFrame =
     events.filter(col("event_type") === eventType).drop("event_type")
+  def allEvents: DataFrame = events
 }
 
 /** Compiles a parsed [[VplAst.VProgram]] to Spark DataFrames — one per
@@ -174,7 +191,13 @@ final class VplCompiler(program: VProgram, source: VplSource,
       * no incremental realization (order_by/limit/sequences/count
       * windows) are rejected up front.
       */
-    streaming: Boolean = false) {
+    streaming: Boolean = false,
+    /** `.enrich(Connector, ...)` bindings: connector name → lookup
+      * DataFrame. A connector with no binding enriches to fallbacks /
+      * NULLs with enrich_status "miss" (the reference degrades the
+      * same way when a connector is down).
+      */
+    lookups: Map[String, DataFrame] = Map.empty) {
 
   private val fns: Map[String, VFn] = program.fns.map(f => f.name -> f).toMap
   private val letVals: Map[String, VExpr] = program.lets.map(l => l.name -> l.value).toMap
@@ -309,13 +332,17 @@ final class VplCompiler(program: VProgram, source: VplSource,
 
   // ------------------------------------------------------------ sequences
   private final case class Bound(alias: String, df: DataFrame,
-      where: Option[VExpr])
+      where: Option[VExpr], eventType: String = "")
 
   private final class SeqState(head: Bound) {
     val steps: mutable.Buffer[Bound] = mutable.Buffer(head)
     var withinUs: Option[Long] = None
     val negs: mutable.Buffer[SeqStep] = mutable.Buffer.empty
     val postFilters: mutable.Buffer[VExpr] = mutable.Buffer.empty
+    /** aliases truncated by `.forecast` — the final step hasn't
+      * happened yet, so its field refs resolve to NULL
+      */
+    val ghosts: mutable.Set[String] = mutable.Set.empty
   }
 
   private def prefixed(df: DataFrame, alias: String): DataFrame =
@@ -422,7 +449,8 @@ final class VplCompiler(program: VProgram, source: VplSource,
       // unknown alias is an error
       qualified = (q, f) =>
         byAlias.get(q).map(cols =>
-          if (cols(f)) col(s"${q}__$f") else lit(null)))
+          if (cols(f)) col(s"${q}__$f") else lit(null))
+          .orElse(if (st.ghosts(q)) Some(lit(null)) else None))
   }
 
   /** Stream-stream `join(...)` (`.on` condition): folded left-to-right,
@@ -738,18 +766,29 @@ final class VplCompiler(program: VProgram, source: VplSource,
       pendingType = None
     }
     var seq: Option[SeqState] = None
+    var seqMaterialized = false
     var keys: Seq[String] = Nil
     var win: Option[WindowSpec] = None
     var aggregated = false
     var finished = false
+    // columns attached mid-pipeline (forecast_* builtins) that the
+    // step-scoped sequence context doesn't know about
+    var extraCols: Set[String] = Set.empty
     // windowed `.where(first(x) < last(y))` with no explicit
     // .aggregate (financial_markets GoldenCross) — deferred until emit
     val pendingAggWhere = mutable.Buffer.empty[VExpr]
 
-    def ctx: ExprCtx = (seq, joinInputs) match {
-      case (Some(st), _)   => seqCtx(st)
-      case (None, Some(i)) => joinCtx(i)
-      case _               => scalarCtx(df, headAlias)
+    def ctx: ExprCtx = {
+      val base = (seq, joinInputs) match {
+        case (Some(st), _)   => seqCtx(st)
+        case (None, Some(i)) => joinCtx(i)
+        case _               => scalarCtx(df, headAlias)
+      }
+      if (extraCols.isEmpty) base
+      else ExprCtx(
+        bare = f => base.bare(f)
+          .orElse(if (extraCols(f)) Some(col(f)) else None),
+        qualified = base.qualified)
     }
 
     // `.window(d)` over a join without aggregation = the stream-join
@@ -853,14 +892,17 @@ final class VplCompiler(program: VProgram, source: VplSource,
         case _ => throw VplCompileError("sequence must start from a named source")
       }
       val st = new SeqState(Bound(headAlias.getOrElse(headName),
-        withOrderCol(df), None))
+        withOrderCol(df), None, headName))
       seq = Some(st)
       st
     }
 
     def materializeSeq(): Unit = seq.foreach { st =>
-      df = buildSequence(st)
-      // keep seq for emit-resolution; mark materialized via `finished`
+      if (!seqMaterialized) {
+        df = buildSequence(st)
+        seqMaterialized = true
+        // seq stays set for emit-time alias resolution
+      }
     }
 
     for (op <- s.ops if !finished) op match {
@@ -884,7 +926,8 @@ final class VplCompiler(program: VProgram, source: VplSource,
         val st = ensureSeq()
         st.steps += Bound(
           step.alias.getOrElse(s"s${st.steps.size}"),
-          withOrderCol(resolveAny(step.eventType)), step.where)
+          withOrderCol(resolveAny(step.eventType)), step.where,
+          step.eventType)
 
       case OpWithin(VDur(us)) => ensureSeq().withinUs = Some(us)
       case OpWithin(other) =>
@@ -895,7 +938,8 @@ final class VplCompiler(program: VProgram, source: VplSource,
       case OpWhere(e) =>
         settleType()
         seq match {
-          case Some(st) if !aggregated => st.postFilters += e
+          case Some(st) if !aggregated && !seqMaterialized =>
+            st.postFilters += e
           case _ =>
             if (!aggregated && win.isDefined && containsAgg(inlineFns(e)))
               pendingAggWhere += e // implicit aggregate, settled at emit
@@ -998,6 +1042,139 @@ final class VplCompiler(program: VProgram, source: VplSource,
         if (seq.isDefined) throw VplCompileError("aggregate after sequence not supported")
         runAgg(aggs)
 
+      case OpEnrich(connector, params) =>
+        // `.enrich(Conn, key: expr, fields: [..], fallback: lit?)`
+        // (enrichment/: broadcast lookup + fallback). A bound
+        // connector joins broadcast; an unbound one degrades to
+        // fallback/NULL columns with enrich_status "miss", exactly
+        // how the reference behaves with the connector down.
+        if (seq.isDefined) throw VplCompileError(
+          ".enrich after a sequence is outside the compiled subset")
+        val pm = params.toMap
+        val fieldNames = pm.get("fields") match {
+          case Some(VList(items)) => items.map {
+            case VRef(n) => n
+            case other => throw VplCompileError(s".enrich fields: expected names, got $other")
+          }
+          case _ => throw VplCompileError(".enrich needs fields: [name, ...]")
+        }
+        val keyExpr = pm.getOrElse("key",
+          throw VplCompileError(".enrich needs key: expr"))
+        val fallbackLit: Option[Column] = pm.get("fallback").map(e =>
+          translate(e, ctx))
+        lookups.get(connector) match {
+          case Some(lk) =>
+            val keyName = keyExpr match {
+              case VField(_, f) => f
+              case VRef(f)      => f
+              case _            => "key"
+            }
+            require(lk.columns.contains(keyName),
+              s".enrich: lookup for $connector needs a '$keyName' column")
+            val lkSel = lk.select(
+              (col(keyName).as("__enrich_key") +: fieldNames.map(col)): _*)
+            df = df.join(broadcast(lkSel),
+              translate(keyExpr, ctx) === col("__enrich_key"), "left")
+            df = df.withColumn("enrich_status",
+              when(col("__enrich_key").isNotNull, lit("ok"))
+                .otherwise(lit(if (fallbackLit.isDefined) "fallback" else "miss")))
+            fallbackLit.foreach { fb =>
+              fieldNames.foreach(f =>
+                df = df.withColumn(f, coalesce(col(f), fb)))
+            }
+            df = df.drop("__enrich_key")
+          case None =>
+            fieldNames.foreach(f =>
+              df = df.withColumn(f, fallbackLit.getOrElse(lit(null))))
+            df = df.withColumn("enrich_status",
+              lit(if (fallbackLit.isDefined) "fallback" else "miss"))
+        }
+        df = df.withColumn("enrich_latency_ms", lit(0L))
+
+      case OpForecast(params) =>
+        // `.forecast(...)` on a sequence: truncate to the PREFIX
+        // (everything but the final step) — the live partial matches —
+        // and annotate each with the completion probability of the
+        // final step from an order-1 transition model fit on the full
+        // event stream (pst/: batch surrogate of the online PST;
+        // f1..f5 carry the deeper models). Builtins attached:
+        // forecast_probability/_confidence/_count/_state/_time/
+        // _expected_time.
+        val pm = params.toMap
+        val horizonUs = pm.get("horizon") match {
+          case Some(VDur(us)) => us
+          case _              => 3600000000L
+        }
+        seq match {
+          case Some(st) if st.steps.size >= 2 =>
+            val finalStep = st.steps.last
+            st.steps.remove(st.steps.size - 1)
+            st.ghosts += finalStep.alias
+            val lastPrefix = st.steps.last
+            // per-entity ordering for the model: the key fields the
+            // steps correlate on (`field == alias.field`)
+            val keyFields = st.steps.flatMap(_.where).flatMap(conjuncts)
+              .collect {
+                case VBin("==", VRef(f), VField(_, f2)) if f == f2 => f
+                case VBin("==", VField(_, f2), VRef(f)) if f == f2 => f
+              }.distinct
+            materializeSeq()
+            val all0 = source.allEvents
+            val keyCol = keyFields.headOption.flatMap { k =>
+              if (all0.columns.contains(k)) Some(col(k))
+              else if (all0.columns.contains("fields"))
+                Some(element_at(col("fields"), k))
+              else None
+            }
+            val all = keyCol.map(kc => all0.withColumn("__fk", kc))
+              .getOrElse(all0)
+            val model = graft.cep.Forecast.transitions(all,
+              typeCol = "event_type",
+              partitionKeys = if (keyCol.isDefined) Seq("__fk") else Nil,
+              orderCol = "event_id")
+              .filter(col("cur") === lastPrefix.eventType &&
+                col("nxt") === finalStep.eventType)
+              .select(col("prob").as("__f_prob"), col("cnt").as("__f_cnt"))
+            df = df.join(broadcast(model), lit(true), "left")
+            df = df
+              .withColumn("forecast_probability",
+                coalesce(col("__f_prob"), lit(0.0)))
+              .withColumn("forecast_count",
+                coalesce(col("__f_cnt"), lit(0L)))
+              // support-based stability: 0 with no observations,
+              // →1 as transition evidence accumulates (batch stand-in
+              // for the reference's online confidence score)
+              .withColumn("forecast_confidence",
+                lit(1.0) - lit(1.0) /
+                  (lit(1.0) + col("forecast_count").cast("double")))
+              .withColumn("forecast_state",
+                lit(st.steps.map(_.eventType).mkString(">")))
+              .withColumn("forecast_time", timestamp_micros(
+                unix_micros(col(s"${lastPrefix.alias}__ts")) + horizonUs))
+              .drop("__f_prob", "__f_cnt")
+            df = df.withColumn("forecast_expected_time", col("forecast_time"))
+            extraCols ++= Set("forecast_probability", "forecast_confidence",
+              "forecast_count", "forecast_state", "forecast_time",
+              "forecast_expected_time")
+          case _ =>
+            // re-forecasting a merged alert stream has no pattern
+            // context in the batch realization — attach neutral
+            // builtins so the pipeline stays runnable
+            df = df
+              .withColumn("forecast_probability", lit(0.0))
+              .withColumn("forecast_confidence", lit(0.0))
+              .withColumn("forecast_count", lit(0L))
+              .withColumn("forecast_state", lit(""))
+              .withColumn("forecast_time",
+                if (df.columns.contains("ts")) timestamp_micros(
+                  unix_micros(col("ts")) + horizonUs)
+                else lit(null).cast("timestamp"))
+            df = df.withColumn("forecast_expected_time", col("forecast_time"))
+            extraCols ++= Set("forecast_probability", "forecast_confidence",
+              "forecast_count", "forecast_state", "forecast_time",
+              "forecast_expected_time")
+        }
+
       case OpPattern(_, body) =>
         // `.pattern(name: events => events.len() CMP k)` — windowed
         // match count over the current partition/window
@@ -1086,10 +1263,12 @@ object Vpl {
     * several, concatenated in order).
     */
   def runEvt(spark: SparkSession, vplText: String,
-      evtPaths: Seq[String]): Map[String, Try[DataFrame]] = {
+      evtPaths: Seq[String],
+      lookups: Map[String, DataFrame] = Map.empty): Map[String, Try[DataFrame]] = {
     val prog = VplParser.parse(vplText)
     val decls = prog.events.map(e => e.name -> e).toMap
-    new VplCompiler(prog, new EvtSource(spark, evtPaths, decls)).compileAll()
+    new VplCompiler(prog, new EvtSource(spark, evtPaths, decls),
+      lookups = lookups).compileAll()
   }
 
   /** Parse VPL text and compile one stream against the events table. */

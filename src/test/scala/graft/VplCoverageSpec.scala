@@ -95,6 +95,86 @@ class VplCoverageSpec extends SparkSpec {
     assert(batchDf.except(streamDf).count() == 0)
   }
 
+  test("every stream of every reference .vpl compiles and runs") {
+    val empty = java.nio.file.Files.createTempFile("graft_empty", ".evt")
+    java.nio.file.Files.writeString(empty, "# empty\n")
+    val files = (new java.io.File(ex).listFiles ++ new java.io.File(sc).listFiles)
+      .filter(_.getName.endsWith(".vpl")).sortBy(_.getName)
+    var streams = 0
+    val failures = files.flatMap { f =>
+      Vpl.runEvt(spark, read(f.getPath), Seq(empty.toString)).flatMap {
+        case (n, scala.util.Success(df)) => streams += 1; df.count(); None
+        case (n, scala.util.Failure(e)) => Some(s"${f.getName}/$n: ${e.getMessage.take(80)}")
+      }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+    assert(streams >= 200, s"only $streams streams compiled")
+  }
+
+  test("enrich joins a bound lookup broadcast, degrades to fallback unbound") {
+    import spark.implicits._
+    val vpl = read(s"$ex/enrich_weather.vpl")
+    val evt = java.nio.file.Files.createTempFile("graft_weather", ".evt")
+    java.nio.file.Files.writeString(evt,
+      """Temperature { sensor_id: "s1", city: "Oslo", temperature: 31.0, humidity: 0.2 }
+        |Temperature { sensor_id: "s2", city: "Nowhere", temperature: 35.0, humidity: 0.1 }
+        |""".stripMargin)
+    val weather = Seq(("Oslo", "rain", 12.0, 1.0))
+      .toDF("city", "forecast", "wind_speed", "uv_index")
+    val bound = Vpl.runEvt(spark, vpl, Seq(evt.toString),
+      lookups = Map("WeatherAPI" -> weather))
+    val alerts = bound("WeatherAlerts").get.collect()
+    assert(alerts.length == 1) // Oslo: rain + >30°; Nowhere: no data
+    assert(alerts.head.getAs[String]("city") == "Oslo")
+    assert(alerts.head.getAs[String]("status") == "ok")
+    // unbound connector → fallback literal + "fallback" status
+    val unbound = Vpl.runEvt(spark, vpl, Seq(evt.toString))
+    val temps = unbound("AllTemps").get.collect()
+    assert(temps.length == 2)
+    assert(temps.forall(_.getAs[String]("forecast") == "unavailable"))
+  }
+
+  test("forecast annotates partial matches with transition-model probability") {
+    import spark.implicits._
+    val vplText =
+      """stream F = A as a
+        |    -> B where k == a.k as b
+        |    -> C where k == a.k as c
+        |    .within(1h)
+        |    .forecast(horizon: 10m)
+        |    .emit(k: a.k, p: forecast_probability, n: forecast_count,
+        |          conf: forecast_confidence, ghost: c.x)
+        |""".stripMargin
+    val evt = java.nio.file.Files.createTempFile("graft_fc", ".evt")
+    // key 1: A->B->C twice (C always follows B); key 2: A->B, no C yet
+    java.nio.file.Files.writeString(evt,
+      """A { k: 1 }
+        |BATCH 1000
+        |B { k: 1 }
+        |BATCH 2000
+        |C { k: 1, x: 7 }
+        |BATCH 3000
+        |A { k: 1 }
+        |BATCH 4000
+        |B { k: 1 }
+        |BATCH 5000
+        |C { k: 1, x: 8 }
+        |BATCH 6000
+        |A { k: 2 }
+        |BATCH 7000
+        |B { k: 2 }
+        |""".stripMargin)
+    val rows = Vpl.runEvt(spark, vplText, Seq(evt.toString))("F").get.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // every B observed is followed by C → P(C | B) = 1.0, 2 observations
+      assert(r.getAs[Double]("p") == 1.0, r)
+      assert(r.getAs[Long]("n") == 2L, r)
+      assert(math.abs(r.getAs[Double]("conf") - 2.0 / 3.0) < 1e-9, r)
+      assert(r.isNullAt(r.fieldIndex("ghost")), "truncated step must be NULL")
+    }
+  }
+
   test("stream join rejects a cartesian (.on must link every input)") {
     val bad =
       """stream A = X .window(1m) .aggregate(n: count())
