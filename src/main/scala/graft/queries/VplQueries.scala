@@ -40,6 +40,23 @@ object VplQueries {
       |    .emit(user_id: p.user_id, a_id: p.event_id)
       |""".stripMargin
 
+  private val joinVpl =
+    """# stream-stream join of two windowed aggregates on (key, window)
+      |stream HourlyPurchases = purchase
+      |    .partition_by(user_id) .window(1h)
+      |    .aggregate(n_p: count(), v_p: sum(value))
+      |stream HourlyErrors = error
+      |    .partition_by(user_id) .window(1h)
+      |    .aggregate(n_e: count())
+      |stream HourlyJoined = join(HourlyPurchases, HourlyErrors)
+      |    .on(HourlyPurchases.user_id == HourlyErrors.user_id and
+      |        HourlyPurchases.win_start == HourlyErrors.win_start)
+      |    .emit(user_id: HourlyPurchases.user_id,
+      |          win_start: HourlyPurchases.win_start,
+      |          n_p: HourlyPurchases.n_p, v_p: HourlyPurchases.v_p,
+      |          n_e: HourlyErrors.n_e)
+      |""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
     "x1_vpl_seq" -> QueryDef.of(
       """SELECT a.user_id AS user_id, a.event_id AS a_id, b.event_id AS b_id,
@@ -58,6 +75,22 @@ object VplQueries {
         |FROM events WHERE event_type = 'purchase'
         |GROUP BY 1, 2 HAVING total > 50.0""".stripMargin)(
       (s, dir) => Vpl.tableStream(s, dir, aggVpl, "PurchaseVolume")),
+
+    "x4_vpl_join" -> QueryDef.of(
+      """WITH p AS (
+        |  SELECT user_id, (epoch_us(ts) // 3600000000) * 3600 AS win_start,
+        |    COUNT(*) AS n_p,
+        |    CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS v_p
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |e AS (
+        |  SELECT user_id, (epoch_us(ts) // 3600000000) * 3600 AS win_start,
+        |    COUNT(*) AS n_e
+        |  FROM events WHERE event_type = 'error' GROUP BY 1, 2)
+        |SELECT p.user_id AS user_id, p.win_start AS win_start,
+        |       p.n_p, p.v_p, e.n_e
+        |FROM p JOIN e ON p.user_id = e.user_id
+        |  AND p.win_start = e.win_start""".stripMargin)(
+      (s, dir) => Vpl.tableStream(s, dir, joinVpl, "HourlyJoined")),
 
     "x3_vpl_negation" -> QueryDef.of(
       """SELECT p.user_id AS user_id, p.event_id AS a_id
