@@ -244,25 +244,66 @@ final class VplCompiler(program: VProgram, source: VplSource,
 
     decl.expr match {
       case SaseRef(it) if !it.negated && it.kleene.isEmpty => itemDf(it)
-      case SaseSeq(items) if items.forall(i => !i.negated && i.kleene.isEmpty) =>
-        val aliases = items.zipWithIndex.map { case (it, i) =>
+      case SaseSeq(items) if items.exists(!_.negated) =>
+        // positives drive the join chain; `T+` compiles like a plain
+        // detection step (the batch surface already enumerates each
+        // in-order combination — the same `-> all` equivalence noted
+        // in the class scaladoc; trend COUNTS live in TrendAggregate)
+        val positives = items.zipWithIndex.filter { case (it, _) => !it.negated }
+        val aliases = positives.map { case (it, i) =>
           it.alias.getOrElse(s"s$i")
         }
         // `partition by k` → equi-join conjunct on every transition
         // (join condition, not post-filter: one shuffle per step on k)
-        val bounds = items.zipWithIndex.map { case (it, i) =>
-          val keyEq = if (i == 0) Nil
-            else keys.map(k => VBin("==", VRef(k), VField(aliases(i - 1), k)))
+        val bounds = positives.zipWithIndex.map { case ((it, _), pi) =>
+          val keyEq = if (pi == 0) Nil
+            else keys.map(k => VBin("==", VRef(k), VField(aliases(pi - 1), k)))
           val whereAll = (it.where.toSeq ++ keyEq)
             .reduceOption((a, b) => VBin("and", a, b))
           // raw df: local conjuncts filter inside buildSequence, cross
           // conjuncts become join conditions
-          Bound(aliases(i), resolveAny(it.eventType), whereAll)
+          Bound(aliases(pi), resolveAny(it.eventType), whereAll)
         }
         val st = new SeqState(bounds.head)
         st.steps ++= bounds.tail
         st.withinUs = decl.withinUs
-        buildSequence(st)
+        var out = buildSequence(st)
+        // NOT items: absence BETWEEN their neighbouring positives
+        // (sase.rs NegationInfo position semantics) — a left-anti
+        // time/order-bounded join per NOT
+        val firstAlias = aliases.head
+        items.zipWithIndex.filter(_._1.negated).foreach { case (neg, p) =>
+          val negAlias = s"__not_$p"
+          val negDf0 = withOrderCol(resolveAny(neg.eventType))
+          val negCols = negDf0.columns.toSet
+          val pre = prefixed(negDf0, negAlias)
+          val nctx = ExprCtx(
+            bare = f => if (negCols(f)) Some(col(s"${negAlias}__$f")) else None,
+            qualified = (q, f) =>
+              if (q == negAlias && negCols(f)) Some(col(s"${negAlias}__$f"))
+              else None)
+          val whereCond = neg.where.map(e => translate(e, nctx)).getOrElse(lit(true))
+          val keyEq = keys.map(k =>
+            col(s"${negAlias}__$k") === col(s"${firstAlias}__$k"))
+            .reduceOption(_ && _).getOrElse(lit(true))
+          val prevPos = positives.reverse.collectFirst {
+            case (_, i) if i < p => aliases(positives.indexWhere(_._2 == i))
+          }
+          val nextPos = positives.collectFirst {
+            case (_, i) if i > p => aliases(positives.indexWhere(_._2 == i))
+          }
+          val lower = prevPos.map(a =>
+            col(s"${negAlias}__event_id") > col(s"${a}__event_id"))
+            .getOrElse(lit(true))
+          val upper = nextPos.map(a =>
+            col(s"${negAlias}__event_id") < col(s"${a}__event_id"))
+            .getOrElse(decl.withinUs.map(d =>
+              unix_micros(col(s"${negAlias}__ts")) -
+                unix_micros(col(s"${firstAlias}__ts")) <= lit(d))
+              .getOrElse(lit(true)))
+          out = out.join(pre, keyEq && whereCond && lower && upper, "left_anti")
+        }
+        out
       case SaseOr(_, _) =>
         def refs(e: SaseExpr): Seq[SaseItem] = e match {
           case SaseOr(l, r) => refs(l) ++ refs(r)

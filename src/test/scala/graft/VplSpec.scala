@@ -206,6 +206,47 @@ class VplSpec extends SparkSpec {
     assert(c.compilePattern("AuthEvent").count() == 9)
     // cross-step predicate on a field these events don't carry → NULL → no match
     assert(c.compilePattern("MultiLocationAccess").count() == 0)
+    // SEQ(Login, NOT Logout, Transaction): user1/user2/user3/mule2 have
+    // Login→Tx with no Logout BETWEEN them (user2/user3 log out after
+    // the tx — position-aware negation must not count those)
+    assert(c.compilePattern("LoginWithoutLogout").count() == 4)
+    // Login(device=="unknown") → Transaction+ → NOT Logout: the Login
+    // events carry no device field → NULL predicate → no matches
+    assert(c.compilePattern("FraudSequence").count() == 0)
+  }
+
+  test("declared pattern: Kleene+ step and trailing NOT over a hand-built scenario") {
+    val vpl =
+      """event Ping:
+        |    k: int
+        |    v: float
+        |event Pong:
+        |    k: int
+        |event Stop:
+        |    k: int
+        |pattern Burst = SEQ(Ping as a, Pong+ where k == 1 as b, Stop as c) within 1h partition by k
+        |""".stripMargin
+    val evt = java.nio.file.Files.createTempFile("graft_kleene_pat", ".evt")
+    java.nio.file.Files.writeString(evt,
+      """Ping { k: 1, v: 1.0 }
+        |BATCH 1000
+        |Pong { k: 1 }
+        |BATCH 2000
+        |Pong { k: 1 }
+        |BATCH 3000
+        |Stop { k: 1 }
+        |BATCH 4000
+        |Ping { k: 2, v: 2.0 }
+        |BATCH 5000
+        |Stop { k: 2 }
+        |""".stripMargin)
+    val prog = VplParser.parse(vpl)
+    val decls = prog.events.map(e => e.name -> e).toMap
+    val c = new VplCompiler(prog,
+      new EvtSource(spark, Seq(evt.toString), decls))
+    // k=1: Ping -> {Pong@1s, Pong@2s} -> Stop = 2 enumerated matches
+    // (skip-till-any, one row per Kleene binding); k=2 has no Pong
+    assert(c.compilePattern("Burst").count() == 2)
   }
 
   test("order_payment: fn calls in emit + sequence (3 matched orders)") {
