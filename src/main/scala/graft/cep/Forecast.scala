@@ -133,6 +133,84 @@ object Forecast {
           .as("boost_factor")): _*)
   }
 
+  /** Fully-adaptive Hawkes intensity (pst/hawkes.rs including online
+    * parameter estimation): per event, after the O(1) intensity
+    * recursion, mu/beta are re-estimated by EMA moment matching once
+    * MIN_EVENTS_FOR_ESTIMATION (10) events are seen —
+    *
+    *   ema_d  = 0.05·dt + 0.95·ema_d          (init: first dt)
+    *   mu     = max(1/ema_d, 1e-15)
+    *   beta   = max(1/sqrt(ema_d2 − ema_d²), 1e-15)  (if var > 0)
+    *   alpha  = 0.5·mu;  intensity = max(intensity, mu)
+    *
+    * — the same regime-change adaptation (~20-40 events) the
+    * reference gets from EMA_ALPHA = 0.05. The whole per-key
+    * recursion runs as one in-order HOF fold after a single shuffle
+    * on the partition key; all time math in seconds.
+    */
+  def hawkesIntensityAdaptive(
+      events: DataFrame,
+      mu0: Double = 1.0,
+      alpha0: Double = 0.5,
+      beta0: Double = 1.0,
+      partitionKeys: Seq[String] = Seq("user_id"),
+      tsCol: String = "ts",
+      orderCol: String = "event_id"): DataFrame = {
+    val g = partitionKeys.map(col)
+    // shared subexpressions, spelled out textually (HOF lambdas have
+    // no let-bindings); n<=window sizes keep the repeated arithmetic
+    // cheap
+    val dt = "greatest(cast(x.t - s.lt as double) / 1e6D, 0.0D)"
+    val ed1 = s"if(s.n = 1, ($dt), 0.05D * ($dt) + 0.95D * s.ed)"
+    val ed2 = s"if(s.n = 1, ($dt) * ($dt), " +
+      s"0.05D * ($dt) * ($dt) + 0.95D * s.ed2)"
+    val iRaw = s"s.mu + (s.li - s.mu + s.al) * exp(-s.be * ($dt))"
+    val est = s"(s.n + 1) >= 10"
+    val muN = s"if($est, greatest(1.0D / ($ed1), 1e-15D), s.mu)"
+    val varN = s"($ed2) - ($ed1) * ($ed1)"
+    val beN = s"if($est and ($varN) > 0.0D, " +
+      s"greatest(1.0D / sqrt($varN), 1e-15D), s.be)"
+    val alN = s"if($est, 0.5D * ($muN), s.al)"
+    val iN = s"if($est, greatest($iRaw, $muN), $iRaw)"
+    val folded = events
+      .groupBy(g: _*)
+      .agg(sort_array(collect_list(struct(
+        col(orderCol).as("o"), unix_micros(col(tsCol)).as("t")))).as("evs"))
+      .withColumn("res", expr(
+        s"""aggregate(
+           |  evs,
+           |  named_struct(
+           |    'acc', cast(array() as array<struct<o: bigint, i: double, b: double>>),
+           |    'li', cast(0.0 as double), 'lt', cast(-1 as bigint),
+           |    'ed', cast(0.0 as double), 'ed2', cast(0.0 as double),
+           |    'n', cast(0 as bigint),
+           |    'mu', cast($mu0 as double), 'al', cast($alpha0 as double),
+           |    'be', cast($beta0 as double)),
+           |  (s, x) -> if(s.n = 0,
+           |    named_struct(
+           |      'acc', array_append(s.acc, named_struct('o', x.o,
+           |        'i', s.mu + s.al,
+           |        'b', least(greatest((s.mu + s.al) / s.mu, 1.0D), 5.0D))),
+           |      'li', s.mu + s.al, 'lt', x.t,
+           |      'ed', s.ed, 'ed2', s.ed2, 'n', cast(1 as bigint),
+           |      'mu', s.mu, 'al', s.al, 'be', s.be),
+           |    named_struct(
+           |      'acc', array_append(s.acc, named_struct('o', x.o,
+           |        'i', $iN,
+           |        'b', least(greatest(($iN) / ($muN), 1.0D), 5.0D))),
+           |      'li', $iN, 'lt', x.t,
+           |      'ed', $ed1, 'ed2', $ed2, 'n', s.n + 1,
+           |      'mu', $muN, 'al', $alN, 'be', $beN)),
+           |  s -> s.acc)
+           |""".stripMargin))
+      .select((g :+ explode(col("res")).as("e")): _*)
+    folded.select(
+      (partitionKeys.map(col) :+
+        col("e.o").as(orderCol) :+
+        col("e.i").as("intensity") :+
+        col("e.b").as("boost_factor")): _*)
+  }
+
   /** Conformal prediction intervals on forecast probabilities
     * (pst/conformal.rs): nonconformity = |p − outcome| over a
     * trailing calibration window; the interval is

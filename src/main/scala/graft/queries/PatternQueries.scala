@@ -306,6 +306,14 @@ object PatternQueries {
           mu = 0.001, alpha = 0.002, beta = 0.0005)
     },
 
+    // --- #29 Hawkes with online EMA parameter estimation (the full
+    // hawkes.rs recursion incl. estimate_parameters; rows-only,
+    // reference test scenarios ported to CepSpec) ---
+    "f6_hawkes_adaptive" -> QueryDef.rowsOnly {
+      (s, dir) =>
+        Forecast.hawkesIntensityAdaptive(Tables(s, dir).events)
+    },
+
     // --- #29 conformal prediction intervals (pst/conformal.rs):
     // [p−q, p+q] from the trailing-window quantile of |p − outcome| ---
     "f5_conformal" -> QueryDef.of(

@@ -154,6 +154,45 @@ class CepSpec extends SparkSpec {
     assert(boosts.forall(b => b >= 1.0 && b <= 5.0))
   }
 
+  test("adaptive Hawkes: burst raises boost, params adapt to the observed rate") {
+    import spark.implicits._
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    // reference test_burst_increases_boost: 20 events 1ms apart
+    val burst = (0 until 20).map(i =>
+      ((i + 1).toLong, 1L, "e", 0.0, ts(i.toLong)))
+      .toDF("event_id", "user_id", "event_type", "value", "ts")
+    val rows = Forecast.hawkesIntensityAdaptive(burst)
+      .orderBy("event_id").collect()
+    assert(rows.last.getAs[Double]("boost_factor") > 1.0,
+      "a burst must raise the boost above baseline")
+    rows.foreach { r =>
+      val b = r.getAs[Double]("boost_factor")
+      assert(b >= 1.0 && b <= 5.0)
+      assert(r.getAs[Double]("intensity") > 0.0)
+    }
+    // after estimation kicks in (>=10 events), mu ≈ 1/mean_delta:
+    // with 0.001s gaps the intensity floor (mu) must exceed the
+    // initial baseline of 1 ev/s by orders of magnitude
+    assert(rows.last.getAs[Double]("intensity") > 100.0,
+      s"adapted intensity ${rows.last.getAs[Double]("intensity")} should track the ~1000 ev/s regime")
+  }
+
+  test("adaptive Hawkes equals fixed-parameter recursion before estimation starts") {
+    import spark.implicits._
+    def ts(sec: Long) = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(sec))
+    // 8 events (< MIN_EVENTS_FOR_ESTIMATION): the EMA trackers run but
+    // parameters stay at their initial values → identical intensities
+    val df = (1 to 8).map(i => (i.toLong, 1L, "e", 0.0, ts(i * 3L)))
+      .toDF("event_id", "user_id", "event_type", "value", "ts")
+    val fixed = Forecast.hawkesIntensity(df, mu = 1.0, alpha = 0.5, beta = 1.0)
+      .orderBy("event_id").collect().map(_.getAs[Double]("intensity"))
+    val adaptive = Forecast.hawkesIntensityAdaptive(df)
+      .orderBy("event_id").collect().map(_.getAs[Double]("intensity"))
+    fixed.zip(adaptive).foreach { case (f, a) =>
+      assert(math.abs(f - a) < 1e-12, s"fixed=$f adaptive=$a") }
+  }
+
   test("conformal intervals contain the point forecast and have coverage") {
     val out = Forecast.conformalIntervals(events, "purchase")
     val rows = out.collect()
