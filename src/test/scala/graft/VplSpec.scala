@@ -249,6 +249,74 @@ class VplSpec extends SparkSpec {
     assert(c.compilePattern("Burst").count() == 2)
   }
 
+  // ------------------------------------------- remaining CxO scenarios
+  test("cxo_cyber_threat: each attack chain fires for exactly its entity") {
+    val out = runFile(s"$sc/cxo_cyber_threat.vpl", s"$sc/cxo_cyber_threat.evt")
+    val brute = out("BruteForceLateral").collect()
+    assert(brute.nonEmpty)
+    assert(brute.map(_.getAs[String]("target_host")).toSet == Set("web-server-01"))
+    assert(brute.map(_.getAs[String]("lateral_target")).toSet == Set("file-server-02"))
+    val dns = out("DnsExfiltration").collect()
+    assert(dns.nonEmpty)
+    assert(dns.map(_.getAs[String]("source_host")).toSet == Set("workstation-15"))
+    val priv = out("PrivilegeEscalation").collect()
+    assert(priv.nonEmpty)
+    assert(priv.map(_.getAs[String]("alert_type")).toSet == Set("privilege_escalation"))
+  }
+
+  test("cxo_patient_safety: interaction, deterioration and dosage alerts target the right patients") {
+    val out = runFile(s"$sc/cxo_patient_safety.vpl", s"$sc/cxo_patient_safety.evt")
+    val drug = out("DrugInteraction").collect()
+    assert(drug.length == 1) // P-101 warfarin+aspirin; healthy P-404 silent
+    assert(drug.head.getAs[String]("patient_id") == "P-101")
+    assert(drug.head.getAs[String]("drug1") == "warfarin")
+    assert(drug.head.getAs[String]("drug2") == "aspirin")
+    val vital = out("VitalDeterioration").collect()
+    assert(vital.length == 1) // P-202's 90→135 bpm; P-404's 72→74 is not >1.2x
+    assert(vital.head.getAs[String]("patient_id") == "P-202")
+    val dose = out("DosageAnomaly").collect()
+    assert(dose.length == 1)
+    assert(dose.head.getAs[String]("patient_id") == "P-303")
+    assert(dose.head.getAs[String]("drug_name") == "acetaminophen")
+  }
+
+  test("cxo_predictive_maintenance: degradation alerts name the degrading assets only") {
+    val out = runFile(s"$sc/cxo_predictive_maintenance.vpl",
+      s"$sc/cxo_predictive_maintenance.evt")
+    val bearing = out("BearingDegradation").collect()
+    assert(bearing.nonEmpty)
+    assert(bearing.map(_.getAs[String]("machine_id")).toSet == Set("CNC-01"))
+    val heat = out("OverheatingCascade").collect()
+    assert(heat.nonEmpty)
+    assert(heat.map(_.getAs[String]("alert_type")).toSet == Set("overheating"))
+  }
+
+  test("cxo_insider_trading: pre-news trade and position building flag the right traders") {
+    val out = runFile(s"$sc/cxo_insider_trading.vpl", s"$sc/cxo_insider_trading.evt")
+    val pre = out("TradeBeforeNews").collect()
+    assert(pre.length == 1)
+    assert(pre.head.getAs[String]("trader_id") == "trader_sus")
+    assert(pre.head.getAs[String]("symbol") == "ACME")
+    val pos = out("AbnormalPositionBuilding").collect()
+    assert(pos.nonEmpty) // Kleene accumulates 1+ alerts
+    assert(pos.map(_.getAs[String]("trader_id")).toSet.contains("accumulator"))
+  }
+
+  test("three_step_sequence: only complete in-order A->B->C chains match") {
+    val vpl =
+      """stream Chain = A as a
+        |    -> B where id == a.id as b
+        |    -> C where id == a.id as c
+        |    .within(10m)
+        |    .emit(id: a.id)
+        |""".stripMargin
+    val res = Vpl.runEvt(spark, vpl,
+      Seq(s"$sc/three_step_sequence.evt"))("Chain").get
+    val ids = res.collect().map(_.getAs[Long]("id")).sorted.toSeq
+    // id 1 and 4 complete; id 2 lacks C; id 3's C precedes B
+    assert(ids == Seq(1L, 4L), s"got $ids")
+  }
+
   test("order_payment: fn calls in emit + sequence (3 matched orders)") {
     val out = runFile(s"$sc/order_payment.vpl", s"$sc/order_payment_sequence.evt")
     val m = out("OrderPaymentMatch").collect()
