@@ -169,7 +169,10 @@ final class TableSource(spark: SparkSession, dir: String) extends VplSource {
 /** Compiles a parsed [[VplAst.VProgram]] to Spark DataFrames — one per
   * `stream` declaration — over the operators this library already
   * implements (EventStream windows/aggregates, sequence joins as in
-  * [[graft.cep.Pattern]]).
+  * [[graft.cep.Pattern]]). Every stream of every .vpl file in the
+  * reference's examples/ and tests/scenarios compiles and runs
+  * (VplCoverageSpec), in batch or — with `streaming = true` —
+  * Structured Streaming mode.
   *
   * Semantics notes (vs crates/varpulis-runtime):
   *  - `A -> B` compiles to the skip-till-any-match join chain (every
@@ -178,9 +181,17 @@ final class TableSource(spark: SparkSession, dir: String) extends VplSource {
   *    surface already enumerates all matches.
   *  - `.within(d)` bounds last.ts − first.ts; `.not(T where p)` is a
   *    left-anti join over the same window (sase.rs negation-timeout
-  *    semantics).
-  *  - single-expression `fn`s are inlined at call sites (the runtime
-  *    interprets them; inlining keeps the whole plan in Catalyst).
+  *    semantics); declared `pattern` NOT items are position-aware.
+  *  - single-expression `fn`s are inlined at call sites; `let`-bound
+  *    bodies substitute; for/emit statement fns unroll via
+  *    `.process()` (all of it stays inside Catalyst).
+  *  - stream-stream `join(S1..Sn).on(...)` folds conjunct-linked
+  *    equi-joins (a cartesian is a compile error); `.window(d)` on a
+  *    join bounds all sides to one tumbling bucket.
+  *  - `.enrich` binds per-connector lookup DataFrames (broadcast
+  *    join); unbound connectors degrade to fallback/NULL + "miss".
+  *  - `.forecast` truncates a sequence to its partial-match prefix
+  *    and annotates transition-model completion probabilities.
   *  - refs to fields an event doesn't carry resolve to NULL, like the
   *    reference's dynamically-typed payload lookups.
   */

@@ -102,6 +102,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("x4: VPL stream join compiles to an equi-join on (key, window)") {
+    val p = planOf(q("x4_vpl_join"))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
   test("x1: VPL-compiled sequence plans like the native p1 pattern") {
     val p = planOf(q("x1_vpl_seq"))
     assert(!p.contains("CartesianProduct"), p)
