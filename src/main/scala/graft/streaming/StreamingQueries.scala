@@ -75,7 +75,7 @@ object StreamingQueries {
     // capture the capped value. The test harness runs queries
     // sequentially in one thread, which is the supported mode here.
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    if (prev.toInt > 8) spark.conf.set("spark.sql.shuffle.partitions", "8")
+    if (prev.toInt > 4) spark.conf.set("spark.sql.shuffle.partitions", "4")
     val q =
       try streamed.writeStream
         .outputMode(mode)
