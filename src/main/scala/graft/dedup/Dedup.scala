@@ -218,12 +218,14 @@ object Dedup {
       val prop = edges
         .join(labels, edges("v") === labels("node"))
         .groupBy(edges("u").as("n2")).agg(min("label").as("nbr"))
+      // no checkpoint here: lineage is bounded anyway (labels and
+      // edges are checkpointed), and materializing the intermediate
+      // costs a full extra job per round
       val viaNbr = labels.join(prop, labels("node") === prop("n2"), "left")
         .select(labels("node"),
           least(labels("label"), coalesce(col("nbr"), labels("label")))
             .as("label"),
           labels("label").as("prev"))
-        .localCheckpoint()
       // pointer doubling: label ← min(label, label(label)). The prev
       // label rides along so change detection is a filter over the
       // checkpointed result, not an extra join against the old labels.
