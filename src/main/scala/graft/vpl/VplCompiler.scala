@@ -208,7 +208,13 @@ final class VplCompiler(program: VProgram, source: VplSource,
       * NULLs with enrich_status "miss" (the reference degrades the
       * same way when a connector is down).
       */
-    lookups: Map[String, DataFrame] = Map.empty) {
+    lookups: Map[String, DataFrame] = Map.empty,
+    /** `.to(Connector)` bindings: connector name → sink. Bound sinks
+      * are written when the stream compiles (the batch flavor of the
+      * reference's sink wiring); unbound `.to`s stay no-ops, so
+      * compiling a program never needs live brokers.
+      */
+    sinks: Map[String, graft.sources.Connector] = Map.empty) {
 
   private val fns: Map[String, VFn] = program.fns.map(f => f.name -> f).toMap
   private val letVals: Map[String, VExpr] = program.lets.map(l => l.name -> l.value).toMap
@@ -959,7 +965,7 @@ final class VplCompiler(program: VProgram, source: VplSource,
 
     for (op <- s.ops if !finished) op match {
       case OpFrom(_, _) | OpTo(_, _) | OpContext(_) | OpTapLike(_, _) |
-          OpAllowedLateness(_) => ()
+          OpAllowedLateness(_) => () // .to handled post-loop (it may follow emit)
 
       case OpWatermark(params) =>
         if (streaming) {
@@ -1306,6 +1312,12 @@ final class VplCompiler(program: VProgram, source: VplSource,
       case other => throw VplCompileError(s"unsupported op in batch compile: $other")
     }
     if (!finished && seq.isDefined) materializeSeq()
+    // bound `.to(Conn)` sinks receive the stream's final frame (the
+    // batch flavor of the reference's sink wiring); unbound ones are
+    // no-ops so programs compile without live brokers
+    s.ops.collect { case OpTo(c2, _) => c2 }.distinct.foreach { c2 =>
+      sinks.get(c2).foreach(_.write(stripHidden(df)))
+    }
     df
   }
 }

@@ -175,6 +175,33 @@ class VplCoverageSpec extends SparkSpec {
     }
   }
 
+  test(".to(Conn) writes through a bound sink connector, no-ops unbound") {
+    val vpl =
+      """stream Out = Ping
+        |    .where(v > 1.0)
+        |    .emit(k: k, v: v)
+        |    .to(Archive)
+        |""".stripMargin
+    val evt = java.nio.file.Files.createTempFile("graft_sink", ".evt")
+    java.nio.file.Files.writeString(evt,
+      """Ping { k: 1, v: 2.0 }
+        |Ping { k: 2, v: 0.5 }
+        |""".stripMargin)
+    val outDir = java.nio.file.Files.createTempDirectory("graft_sink_out_").toString
+    val prog = VplParser.parse(vpl)
+    val decls = prog.events.map(e => e.name -> e).toMap
+    // bound: the emit result lands in the sink
+    new VplCompiler(prog, new EvtSource(spark, Seq(evt.toString), decls),
+      sinks = Map("Archive" -> graft.sources.FileConnector(
+        "Archive", s"$outDir/archive", "parquet"))).compileAllStrict()
+    val written = spark.read.parquet(s"$outDir/archive").collect()
+    assert(written.length == 1)
+    assert(written.head.getAs[Long]("k") == 1L)
+    // unbound: compiles and runs with no side effects
+    val res = Vpl.runEvt(spark, vpl, Seq(evt.toString))("Out")
+    assert(res.get.count() == 1)
+  }
+
   test("stream join rejects a cartesian (.on must link every input)") {
     val bad =
       """stream A = X .window(1m) .aggregate(n: count())
