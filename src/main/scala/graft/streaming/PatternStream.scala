@@ -38,6 +38,83 @@ object PatternStream {
     */
   final case class StepSpec(eventType: String)
 
+  // ---- generic NFA (string keys, payload carry) — the VPL streaming
+  // sequence backend ------------------------------------------------
+
+  /** Pre-typed event for the generic NFA: `mask` bit i set = this
+    * event can serve step i (type + local predicates evaluated
+    * declaratively before the stateful operator, so the NFA itself
+    * stays a pure automaton); `payload` carries the fields the emit
+    * clause needs.
+    */
+  final case class GEv(event_id: Long, key: String, ts_us: Long,
+      ts: java.sql.Timestamp, mask: Long, payload: Map[String, String])
+  final case class GRun(stepIdx: Int, firstTsUs: Long, ids: List[Long],
+      pays: List[Map[String, String]])
+  final case class GState(runs: List[GRun])
+  final case class GMatch(key: String, ids: Seq[Long],
+      payloads: Seq[Map[String, String]], span_us: Long)
+
+  /** [[detect]] generalized to arbitrary correlation keys and carried
+    * payloads — same skip-till-any-match semantics, same
+    * EventTimeTimeout state hygiene. Events with mask 0 (other types,
+    * the end-of-stream sentinel) flow through the watermark but never
+    * touch state.
+    */
+  def detectGeneric(
+      events: Dataset[GEv],
+      nSteps: Int,
+      withinUs: Long,
+      maxRuns: Int = 10000)(implicit spark: SparkSession): Dataset[GMatch] = {
+    import spark.implicits._
+    events
+      .filter(col("mask") =!= 0L)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[GState, GMatch](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, it: Iterator[GEv], state: GroupState[GState]) =>
+          var runs = state.getOption.map(_.runs).getOrElse(Nil)
+          val out = scala.collection.mutable.ArrayBuffer.empty[GMatch]
+          if (!state.hasTimedOut) {
+            val batch = it.toArray.sortBy(_.event_id)
+            for (ev <- batch) {
+              runs = runs.filter(r => ev.ts_us - r.firstTsUs <= withinUs)
+              val advanced = runs.flatMap { r =>
+                if (r.stepIdx + 1 < nSteps &&
+                  ((ev.mask >> (r.stepIdx + 1)) & 1L) == 1L &&
+                  ev.ts_us - r.firstTsUs <= withinUs) {
+                  val nr = GRun(r.stepIdx + 1, r.firstTsUs,
+                    ev.event_id :: r.ids, ev.payload :: r.pays)
+                  if (nr.stepIdx == nSteps - 1) {
+                    out += GMatch(key, nr.ids.reverse, nr.pays.reverse,
+                      ev.ts_us - nr.firstTsUs)
+                    None
+                  } else Some(nr)
+                } else None
+              }
+              runs = runs ++ advanced
+              if ((ev.mask & 1L) == 1L) {
+                if (nSteps == 1)
+                  out += GMatch(key, Seq(ev.event_id), Seq(ev.payload), 0L)
+                else runs = GRun(0, ev.ts_us,
+                  List(ev.event_id), List(ev.payload)) :: runs
+              }
+              if (runs.size > maxRuns) runs = runs.take(maxRuns)
+            }
+          }
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          if (wmUs > 0L) runs = runs.filter(r => r.firstTsUs + withinUs >= wmUs)
+          if (runs.isEmpty) state.remove()
+          else {
+            state.update(GState(runs))
+            val nextDeadlineMs = (runs.map(_.firstTsUs + withinUs).min / 1000L) + 1L
+            state.setTimeoutTimestamp(math.max(nextDeadlineMs,
+              state.getCurrentWatermarkMs() + 1L))
+          }
+          out.iterator
+      }
+  }
+
   /** Minimal buffered event for cross-batch ordering. */
   final case class Buf(event_id: Long, ts_us: Long, isA: Boolean)
   final case class AbsenceState(pending: List[Run], buf: List[Buf])

@@ -152,6 +152,16 @@ final class StreamingEvtSource(spark: SparkSession,
     */
   def allEvents: DataFrame =
     batch.select(col("event_id"), col("ts"), col("event_type"), col("fields"))
+
+  /** The unprojected stream — all types, fields as a raw map — for
+    * operators that type their own payloads (streaming sequences).
+    */
+  def rawStream: DataFrame =
+    graft.sources.EventReplay.readStream(spark, staged)
+
+  def fieldsOf(eventType: String): Seq[(String, String)] =
+    decls.get(eventType).map(_.fields)
+      .orElse(inferred.get(eventType)).getOrElse(Nil)
 }
 
 /** Events-parquet source: VPL event types are the values of the
@@ -809,6 +819,10 @@ final class VplCompiler(program: VProgram, source: VplSource,
       case _ => None
     }
     var watermarked = false
+    var wmDelayUs: Option[Long] = None
+    // streaming sequence accumulation: (eventType, alias, where)
+    var streamSeq: Option[mutable.Buffer[(String, String, Option[VExpr])]] = None
+    var streamSeqWithinUs: Option[Long] = None
     def settleType(): Unit = pendingType.foreach { t =>
       if (streaming)
         // the end-of-stream sentinel must keep flowing (pushdown puts
@@ -944,6 +958,106 @@ final class VplCompiler(program: VProgram, source: VplSource,
       aggregated = true
     }
 
+    /** Streaming sequence: the generic NFA over the raw staged
+      * stream. Supported predicate shape per step: local conjuncts
+      * (own fields only) plus ONE correlation-key equality
+      * `k == earlier.k`; cross-step arithmetic needs the batch
+      * compiler. Type/local predicates evaluate declaratively into a
+      * per-event step bitmask BEFORE the stateful operator, payloads
+      * ride the runs, and emit args translate against the matched
+      * steps' payload maps (sase.rs streaming semantics with the
+      * p1-style skip-till-any-match policy).
+      */
+    def buildStreamSeq(
+        steps: Seq[(String, String, Option[VExpr])],
+        args: Seq[(String, VExpr)]): DataFrame = {
+      val ses = source match {
+        case x: StreamingEvtSource => x
+        case _ => throw VplCompileError(
+          "streaming sequences need a StreamingEvtSource")
+      }
+      val withinUs = streamSeqWithinUs.getOrElse(throw VplCompileError(
+        "streaming sequences require .within(d)"))
+      val sparkType: String => String = {
+        case "int" => "long"; case "float" => "double"
+        case "bool" => "boolean"; case "timestamp" => "timestamp"
+        case _ => "string"
+      }
+      val aliasIdx = steps.zipWithIndex.map { case ((_, a, _), i) => a -> i }.toMap
+      // split wheres: local conjuncts vs the correlation-key equality
+      var keyField: Option[String] = None
+      val locals: Seq[Seq[VExpr]] = steps.zipWithIndex.map { case ((_, _, w), i) =>
+        val cs = w.toSeq.flatMap(conjuncts).map(inlineFns(_))
+        cs.flatMap {
+          case VBin("==", VRef(f), VField(q, f2))
+              if f == f2 && aliasIdx.get(q).exists(_ < i) =>
+            if (keyField.exists(_ != f)) throw VplCompileError(
+              s"streaming sequence: conflicting correlation keys $keyField vs $f")
+            keyField = Some(f); Nil
+          case VBin("==", VField(q, f2), VRef(f))
+              if f == f2 && aliasIdx.get(q).exists(_ < i) =>
+            if (keyField.exists(_ != f)) throw VplCompileError(
+              s"streaming sequence: conflicting correlation keys $keyField vs $f")
+            keyField = Some(f); Nil
+          case c if aliasRefs(c).isEmpty => Seq(c)
+          case c => throw VplCompileError(
+            s"streaming sequence: cross-step predicate $c needs the batch compiler")
+        }
+      }
+      val k = keyField.getOrElse(throw VplCompileError(
+        "streaming sequence: steps must correlate on a key (f == head.f)"))
+      val raw = ses.rawStream
+        .withWatermark("ts", durStr(wmDelayUs.getOrElse(0L)))
+      def stepCtx(t: String) = ExprCtx(
+        bare = f => ses.fieldsOf(t).find(_._1 == f).map { case (_, ty) =>
+          element_at(col("fields"), f).cast(sparkType(ty.stripSuffix("?")))
+        },
+        qualified = (_, _) => None)
+      val mask = steps.zipWithIndex.map { case ((t, _, _), i) =>
+        val local = locals(i).map(e => translate(e, stepCtx(t)))
+          .reduceOption(_ && _).getOrElse(lit(true))
+        when(col("event_type") === t && coalesce(local, lit(false)),
+          lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      val gev = raw.select(
+        col("event_id"),
+        coalesce(element_at(col("fields"), k), lit("")).as("key"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("ts"),
+        mask.as("mask"),
+        map_concat(col("fields"), map(lit("__ts_us"),
+          unix_micros(col("ts")).cast("string"))).as("payload"))
+      val sess = gev.sparkSession
+      import sess.implicits._
+      val matches = graft.streaming.PatternStream.detectGeneric(
+        gev.as[graft.streaming.PatternStream.GEv],
+        steps.size, withinUs)(sess).toDF()
+      // emit translation over the matched steps' payloads
+      val emitCtx = ExprCtx(
+        bare = f =>
+          if (f == k) Some(col("key"))
+          else steps.zipWithIndex.reverse.collectFirst {
+            case ((t, _, _), j) if ses.fieldsOf(t).exists(_._1 == f) =>
+              val ty = ses.fieldsOf(t).find(_._1 == f).get._2
+              col("payloads").getItem(j).getItem(f)
+                .cast(sparkType(ty.stripSuffix("?")))
+          },
+        qualified = (q, f) => aliasIdx.get(q).map { j =>
+          val t = steps(j)._1
+          if (f == "event_id") col("ids").getItem(j)
+          else if (f == "ts") timestamp_micros(
+            col("payloads").getItem(j).getItem("__ts_us").cast("long"))
+          else ses.fieldsOf(t).find(_._1 == f) match {
+            case Some((_, ty)) => col("payloads").getItem(j).getItem(f)
+              .cast(sparkType(ty.stripSuffix("?")))
+            case None => lit(null)
+          }
+        })
+      if (args.isEmpty) matches
+      else matches.select(args.map { case (n, e) =>
+        translate(e, emitCtx).as(n) }: _*)
+    }
+
     def ensureSeq(): SeqState = seq.getOrElse {
       val headName = s.source match {
         case SrcName(n, _) => n
@@ -973,25 +1087,48 @@ final class VplCompiler(program: VProgram, source: VplSource,
             params.collect { case (_, VInt(v)) => v * 1000000L }).headOption
             .getOrElse(throw VplCompileError(
               ".watermark expects a duration (out_of_order: 2s)"))
-          df = df.withWatermark("ts", durStr(us))
-          watermarked = true
-          settleType()
+          wmDelayUs = Some(us)
+          if (streamSeq.isEmpty) {
+            df = df.withWatermark("ts", durStr(us))
+            watermarked = true
+            settleType()
+          }
         }
 
       case OpFollowedBy(step) =>
-        if (streaming) throw VplCompileError(
-          "sequences in streaming mode are served by graft.streaming.PatternStream")
-        val st = ensureSeq()
-        st.steps += Bound(
-          step.alias.getOrElse(s"s${st.steps.size}"),
-          withOrderCol(resolveAny(step.eventType)), step.where,
-          step.eventType)
+        if (streaming) {
+          // accumulate; the generic NFA builds at emit
+          val buf = streamSeq.getOrElse {
+            val headName = s.source match {
+              case SrcName(n, _) => n
+              case _ => throw VplCompileError(
+                "streaming sequence must start from a named event type")
+            }
+            val b = mutable.Buffer(
+              (headName, headAlias.getOrElse(headName), Option.empty[VExpr]))
+            streamSeq = Some(b)
+            b
+          }
+          buf += ((step.eventType,
+            step.alias.getOrElse(s"s${buf.size}"), step.where))
+        } else {
+          val st = ensureSeq()
+          st.steps += Bound(
+            step.alias.getOrElse(s"s${st.steps.size}"),
+            withOrderCol(resolveAny(step.eventType)), step.where,
+            step.eventType)
+        }
 
-      case OpWithin(VDur(us)) => ensureSeq().withinUs = Some(us)
+      case OpWithin(VDur(us)) =>
+        if (streaming && streamSeq.isDefined) streamSeqWithinUs = Some(us)
+        else ensureSeq().withinUs = Some(us)
       case OpWithin(other) =>
         throw VplCompileError(s".within expects a duration, got $other")
 
-      case OpNot(step) => ensureSeq().negs += step
+      case OpNot(step) =>
+        if (streaming) throw VplCompileError(
+          "streaming negation is served by PatternStream.detectAbsence")
+        ensureSeq().negs += step
 
       case OpWhere(e) =>
         settleType()
@@ -1265,6 +1402,10 @@ final class VplCompiler(program: VProgram, source: VplSource,
       case OpDistinct(cols) =>
         df = if (cols.isEmpty) df.distinct()
         else df.select(cols.map(col): _*).distinct()
+
+      case OpEmit(args, _) if streaming && streamSeq.isDefined =>
+        df = buildStreamSeq(streamSeq.get.toSeq, args)
+        finished = true
 
       case OpEmit(args, _) =>
         materializeSeq()

@@ -202,6 +202,30 @@ class VplCoverageSpec extends SparkSpec {
     assert(res.get.count() == 1)
   }
 
+  test("streaming VPL sequence: generic NFA matches the batch compiler") {
+    val vpl =
+      """stream Chain = A as a
+        |    -> B where id == a.id as b
+        |    -> C where id == a.id as c
+        |    .within(10m)
+        |    .watermark(out_of_order: 1s)
+        |    .emit(id: a.id, b_id: b.event_id, c_ts: c.ts)
+        |""".stripMargin
+    val evt = s"$sc/three_step_sequence.evt"
+    val batch = Vpl.runEvt(spark, vpl, Seq(evt))("Chain").get
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val streamed = Vpl.runEvtStreaming(spark, vpl, evt, "Chain")
+    assert(streamed.columns.toSeq == Seq("id", "b_id", "c_ts"))
+    val ids = streamed.select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == batch, s"streaming=$ids batch=$batch")
+    assert(ids == Seq(1L, 4L)) // complete in-order chains only
+    // payload carry: c_ts is the real event time of the final step
+    val cts = streamed
+      .filter(org.apache.spark.sql.functions.col("id") === 1L)
+      .select("c_ts").head.getTimestamp(0)
+    assert(cts != null)
+  }
+
   test("stream join rejects a cartesian (.on must link every input)") {
     val bad =
       """stream A = X .window(1m) .aggregate(n: count())
