@@ -226,6 +226,27 @@ class VplCoverageSpec extends SparkSpec {
     assert(cts != null)
   }
 
+  test("streaming VPL sequence: cxo_fraud CardTesting matches its batch result") {
+    // the reference scenario's own Kleene card-testing chain, run as
+    // a true stream (all steps correlate on card_id — NFA-eligible)
+    val vpl =
+      """stream CardTesting = SmallPurchase as first
+        |    -> all SmallPurchase where card_id == first.card_id as tests
+        |    -> LargePurchase where card_id == first.card_id as large
+        |    .within(60m)
+        |    .watermark(out_of_order: 1s)
+        |    .emit(card_id: first.card_id, large_amount: large.amount)
+        |""".stripMargin
+    val evt = s"$sc/cxo_fraud_detection.evt"
+    val batch = Vpl.runEvt(spark, vpl, Seq(evt))("CardTesting").get
+      .collect().map(r => (r.getString(0), r.getDouble(1))).sorted.toSeq
+    val streamed = Vpl.runEvtStreaming(spark, vpl, evt, "CardTesting")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).sorted.toSeq
+    assert(streamed == batch, s"streaming=$streamed batch=$batch")
+    assert(streamed.nonEmpty &&
+      streamed.forall(_._1 == "stolen_card_42"))
+  }
+
   test("stream join rejects a cartesian (.on must link every input)") {
     val bad =
       """stream A = X .window(1m) .aggregate(n: count())
