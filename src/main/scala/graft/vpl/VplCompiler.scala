@@ -1323,12 +1323,24 @@ final class VplCompiler(program: VProgram, source: VplSource,
             }
             val all = keyCol.map(kc => all0.withColumn("__fk", kc))
               .getOrElse(all0)
-            val model = graft.cep.Forecast.transitions(all,
+            // variable-order PST (pst/ longest-suffix lookup): the
+            // partial match's context IS the prefix type sequence, so
+            // the deepest matching context is known statically — take
+            // the longest suffix of the prefix types the model has
+            // seen (order-1 is the depth-1 fallback)
+            val prefixTypes = st.steps.map(_.eventType)
+            val maxDepth = math.min(prefixTypes.size, 3)
+            val pst = graft.cep.Forecast.pstScores(all,
+              maxDepth = maxDepth,
               typeCol = "event_type",
               partitionKeys = if (keyCol.isDefined) Seq("__fk") else Nil,
               orderCol = "event_id")
-              .filter(col("cur") === lastPrefix.eventType &&
-                col("nxt") === finalStep.eventType)
+              .filter(col("nxt") === finalStep.eventType)
+            val candidates = (maxDepth to 1 by -1).map(k =>
+              col("depth") === k &&
+                col("context") === prefixTypes.takeRight(k).mkString(">"))
+            val model = pst.filter(candidates.reduce(_ || _))
+              .orderBy(col("depth").desc).limit(1)
               .select(col("prob").as("__f_prob"), col("cnt").as("__f_cnt"))
             df = df.join(broadcast(model), lit(true), "left")
             df = df
