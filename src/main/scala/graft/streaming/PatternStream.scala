@@ -51,7 +51,10 @@ object PatternStream {
       ts: java.sql.Timestamp, mask: Long, payload: Map[String, String])
   final case class GRun(stepIdx: Int, firstTsUs: Long, ids: List[Long],
       pays: List[Map[String, String]])
-  final case class GState(runs: List[GRun])
+  /** a completed match held until its negation window closes */
+  final case class GPend(firstTsUs: Long, lastId: Long, spanUs: Long,
+      ids: List[Long], pays: List[Map[String, String]])
+  final case class GState(runs: List[GRun], pending: List[GPend])
   final case class GMatch(key: String, ids: Seq[Long],
       payloads: Seq[Map[String, String]], span_us: Long)
 
@@ -60,25 +63,48 @@ object PatternStream {
     * EventTimeTimeout state hygiene. Events with mask 0 (other types,
     * the end-of-stream sentinel) flow through the watermark but never
     * touch state.
+    *
+    * `withNegation`: mask bit `nSteps` marks negation killers.
+    * Completed matches are then HELD in state; a killer arriving
+    * after the match's last event and inside its window retracts it,
+    * and survivors emit once the watermark passes the window
+    * (sase.rs negation-timeout semantics, cross-batch safe because
+    * emission is watermark-gated).
     */
   def detectGeneric(
       events: Dataset[GEv],
       nSteps: Int,
       withinUs: Long,
-      maxRuns: Int = 10000)(implicit spark: SparkSession): Dataset[GMatch] = {
+      maxRuns: Int = 10000,
+      withNegation: Boolean = false)(
+      implicit spark: SparkSession): Dataset[GMatch] = {
     import spark.implicits._
+    // NO mask!=0 pre-filter: it would push below the EventTimeWatermark
+    // node and starve the watermark of other-type events and the
+    // end-of-stream sentinel (watermark-gated negation emission and
+    // state eviction would freeze). Mask-0 events no-op in the loop.
     events
-      .filter(col("mask") =!= 0L)
       .groupByKey(_.key)
       .flatMapGroupsWithState[GState, GMatch](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (key: String, it: Iterator[GEv], state: GroupState[GState]) =>
-          var runs = state.getOption.map(_.runs).getOrElse(Nil)
+          val prev = state.getOption.getOrElse(GState(Nil, Nil))
+          var runs = prev.runs
+          var pending = prev.pending
           val out = scala.collection.mutable.ArrayBuffer.empty[GMatch]
+          def complete(nr: GRun, lastId: Long, spanUs: Long): Unit =
+            if (withNegation)
+              pending = GPend(nr.firstTsUs, lastId, spanUs,
+                nr.ids, nr.pays) :: pending
+            else out += GMatch(key, nr.ids.reverse, nr.pays.reverse, spanUs)
           if (!state.hasTimedOut) {
-            val batch = it.toArray.sortBy(_.event_id)
+            val batch = it.toArray.filter(_.mask != 0L).sortBy(_.event_id)
             for (ev <- batch) {
               runs = runs.filter(r => ev.ts_us - r.firstTsUs <= withinUs)
+              if (withNegation && ((ev.mask >> nSteps) & 1L) == 1L)
+                pending = pending.filterNot(p =>
+                  ev.event_id > p.lastId &&
+                    ev.ts_us - p.firstTsUs <= withinUs)
               val advanced = runs.flatMap { r =>
                 if (r.stepIdx + 1 < nSteps &&
                   ((ev.mask >> (r.stepIdx + 1)) & 1L) == 1L &&
@@ -86,8 +112,7 @@ object PatternStream {
                   val nr = GRun(r.stepIdx + 1, r.firstTsUs,
                     ev.event_id :: r.ids, ev.payload :: r.pays)
                   if (nr.stepIdx == nSteps - 1) {
-                    out += GMatch(key, nr.ids.reverse, nr.pays.reverse,
-                      ev.ts_us - nr.firstTsUs)
+                    complete(nr, ev.event_id, ev.ts_us - nr.firstTsUs)
                     None
                   } else Some(nr)
                 } else None
@@ -95,7 +120,8 @@ object PatternStream {
               runs = runs ++ advanced
               if ((ev.mask & 1L) == 1L) {
                 if (nSteps == 1)
-                  out += GMatch(key, Seq(ev.event_id), Seq(ev.payload), 0L)
+                  complete(GRun(0, ev.ts_us, List(ev.event_id),
+                    List(ev.payload)), ev.event_id, 0L)
                 else runs = GRun(0, ev.ts_us,
                   List(ev.event_id), List(ev.payload)) :: runs
               }
@@ -103,11 +129,19 @@ object PatternStream {
             }
           }
           val wmUs = state.getCurrentWatermarkMs() * 1000L
-          if (wmUs > 0L) runs = runs.filter(r => r.firstTsUs + withinUs >= wmUs)
-          if (runs.isEmpty) state.remove()
+          if (wmUs > 0L) {
+            runs = runs.filter(r => r.firstTsUs + withinUs >= wmUs)
+            val (safe, held) = pending.partition(p =>
+              p.firstTsUs + withinUs < wmUs)
+            safe.foreach(p =>
+              out += GMatch(key, p.ids.reverse, p.pays.reverse, p.spanUs))
+            pending = held
+          }
+          if (runs.isEmpty && pending.isEmpty) state.remove()
           else {
-            state.update(GState(runs))
-            val nextDeadlineMs = (runs.map(_.firstTsUs + withinUs).min / 1000L) + 1L
+            state.update(GState(runs, pending))
+            val nextDeadlineMs = ((runs.map(_.firstTsUs + withinUs) ++
+              pending.map(_.firstTsUs + withinUs)).min / 1000L) + 1L
             state.setTimeoutTimestamp(math.max(nextDeadlineMs,
               state.getCurrentWatermarkMs() + 1L))
           }

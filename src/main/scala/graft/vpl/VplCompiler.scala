@@ -823,6 +823,7 @@ final class VplCompiler(program: VProgram, source: VplSource,
     // streaming sequence accumulation: (eventType, alias, where)
     var streamSeq: Option[mutable.Buffer[(String, String, Option[VExpr])]] = None
     var streamSeqWithinUs: Option[Long] = None
+    val streamSeqNegs = mutable.Buffer.empty[SeqStep]
     def settleType(): Unit = pendingType.foreach { t =>
       if (streaming)
         // the end-of-stream sentinel must keep flowing (pushdown puts
@@ -1013,12 +1014,33 @@ final class VplCompiler(program: VProgram, source: VplSource,
           element_at(col("fields"), f).cast(sparkType(ty.stripSuffix("?")))
         },
         qualified = (_, _) => None)
-      val mask = steps.zipWithIndex.map { case ((t, _, _), i) =>
+      // `.not(T where k == a.k [and locals])` killers get bit nSteps
+      val negConds = streamSeqNegs.toSeq.map { n =>
+        val cs = n.where.toSeq.flatMap(conjuncts).map(inlineFns(_))
+        val negLocals = cs.flatMap {
+          case VBin("==", VRef(f), VField(q, f2))
+              if f == f2 && aliasIdx.contains(q) =>
+            if (keyField.exists(_ != f)) throw VplCompileError(
+              s"streaming .not: correlation key $f differs from ${keyField.get}")
+            Nil
+          case VBin("==", VField(q, f2), VRef(f))
+              if f == f2 && aliasIdx.contains(q) => Nil
+          case c if aliasRefs(c).isEmpty => Seq(c)
+          case c => throw VplCompileError(
+            s"streaming .not: cross-step predicate $c needs the batch compiler")
+        }
+        val local = negLocals.map(e => translate(e, stepCtx(n.eventType)))
+          .reduceOption(_ && _).getOrElse(lit(true))
+        col("event_type") === n.eventType && coalesce(local, lit(false))
+      }
+      val mask = (steps.zipWithIndex.map { case ((t, _, _), i) =>
         val local = locals(i).map(e => translate(e, stepCtx(t)))
           .reduceOption(_ && _).getOrElse(lit(true))
         when(col("event_type") === t && coalesce(local, lit(false)),
           lit(1L << i)).otherwise(lit(0L))
-      }.reduce(_ + _)
+      } ++ negConds.reduceOption(_ || _).map(c =>
+        Seq(when(c, lit(1L << steps.size)).otherwise(lit(0L))))
+        .getOrElse(Nil)).reduce(_ + _)
       val gev = raw.select(
         col("event_id"),
         coalesce(element_at(col("fields"), k), lit("")).as("key"),
@@ -1031,7 +1053,8 @@ final class VplCompiler(program: VProgram, source: VplSource,
       import sess.implicits._
       val matches = graft.streaming.PatternStream.detectGeneric(
         gev.as[graft.streaming.PatternStream.GEv],
-        steps.size, withinUs)(sess).toDF()
+        steps.size, withinUs,
+        withNegation = streamSeqNegs.nonEmpty)(sess).toDF()
       // emit translation over the matched steps' payloads
       val emitCtx = ExprCtx(
         bare = f =>
@@ -1126,9 +1149,10 @@ final class VplCompiler(program: VProgram, source: VplSource,
         throw VplCompileError(s".within expects a duration, got $other")
 
       case OpNot(step) =>
-        if (streaming) throw VplCompileError(
-          "streaming negation is served by PatternStream.detectAbsence")
-        ensureSeq().negs += step
+        if (streaming && streamSeq.isDefined) streamSeqNegs += step
+        else if (streaming) throw VplCompileError(
+          "streaming negation outside a sequence is served by PatternStream.detectAbsence")
+        else ensureSeq().negs += step
 
       case OpWhere(e) =>
         settleType()

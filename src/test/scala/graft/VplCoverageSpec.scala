@@ -247,6 +247,26 @@ class VplCoverageSpec extends SparkSpec {
       streamed.forall(_._1 == "stolen_card_42"))
   }
 
+  test("streaming VPL sequence with .not: AccountTakeover matches batch, negation retracts") {
+    val vpl =
+      """stream AccountTakeover = Login as login
+        |    -> PasswordChange where user_id == login.user_id as pwd
+        |    -> Purchase where user_id == login.user_id as purchase
+        |    .within(30m)
+        |    .not(Logout where user_id == login.user_id)
+        |    .watermark(out_of_order: 1s)
+        |    .emit(user_id: login.user_id, amount: purchase.amount)
+        |""".stripMargin
+    val evt = s"$sc/cxo_fraud_detection.evt"
+    val batch = Vpl.runEvt(spark, vpl, Seq(evt))("AccountTakeover").get
+      .collect().map(r => (r.getString(0), r.getDouble(1))).sorted.toSeq
+    val streamed = Vpl.runEvtStreaming(spark, vpl, evt, "AccountTakeover")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).sorted.toSeq
+    assert(streamed == batch, s"streaming=$streamed batch=$batch")
+    assert(streamed.nonEmpty && streamed.forall(_._1 == "attacker1"),
+      s"only the attacker's takeover chain should fire: $streamed")
+  }
+
   test("stream join rejects a cartesian (.on must link every input)") {
     val bad =
       """stream A = X .window(1m) .aggregate(n: count())
