@@ -14,8 +14,40 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * whose build or execution throws is reported with value -1 and an
   * entry in the `errors` map, so a regression shows up as a failure
   * rather than a fast bench entry.
+  *
+  * Regression gate: after timing, the newest BENCH_r*.json in the
+  * working directory (override: SPARK_GRAFT_PREV_BENCH) is diffed and
+  * any per-query delta beyond 1.5x in either direction is printed to
+  * stderr — so a perf regression is flagged in the same run that
+  * introduces it instead of surfacing a round later.
+  *
+  * SPARK_GRAFT_ONLY=q1,q2 restricts the run to named queries (local
+  * iteration aid; the driver never sets it).
   */
 object Bench {
+
+  /** Per-query seconds from a previous bench line, extracted with a
+    * regex rather than a JSON library (no deps): the queries map is
+    * flat {"name":sec,...} by construction.
+    */
+  private[graft] def parsePrevQueries(json: String): Map[String, Double] = {
+    val qSection = """"queries"\s*:\s*\{([^}]*)\}""".r
+    val entry = """"([A-Za-z0-9_]+)"\s*:\s*(-?[0-9.eE+]+)""".r
+    qSection.findFirstMatchIn(json).map { m =>
+      entry.findAllMatchIn(m.group(1))
+        .map(e => e.group(1) -> e.group(2).toDouble).toMap
+    }.getOrElse(Map.empty)
+  }
+
+  private def newestPrevBench(): Option[java.io.File] =
+    sys.env.get("SPARK_GRAFT_PREV_BENCH").map(new java.io.File(_))
+      .filter(_.isFile)
+      .orElse {
+        val cwd = new java.io.File(".")
+        Option(cwd.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.getName.matches("BENCH_r\\d+\\.json"))
+          .sortBy(_.getName).lastOption
+      }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -35,8 +67,11 @@ object Bench {
     try materialize(SparkEntry.queries("q1_agg")(spark, sfDir))
     catch { case _: Throwable => () }
 
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+    val results = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n))).map { name =>
       val t0 = System.nanoTime()
       val ok =
         try { materialize(SparkEntry.queries(name)(spark, sfDir)); true }
@@ -59,6 +94,22 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
     println(line)
+    // regression gate vs the previous round's driver artifact (stderr
+    // so the stdout contract — one JSON line — is untouched)
+    newestPrevBench().foreach { f =>
+      val prev = parsePrevQueries(
+        new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+      val flagged = results.collect {
+        case (name, sec) if sec > 0.5 && prev.getOrElse(name, -1.0) > 0.5 &&
+            (sec / prev(name) > 1.5 || prev(name) / sec > 1.5) =>
+          f"$name: ${prev(name)}%.2fs -> $sec%.2fs (${sec / prev(name)}%.2fx)"
+      }
+      if (flagged.nonEmpty) {
+        System.err.println(s"[bench-diff vs ${f.getName}] deltas >1.5x:")
+        flagged.foreach(l => System.err.println(s"[bench-diff]   $l"))
+      } else System.err.println(
+        s"[bench-diff vs ${f.getName}] no per-query delta >1.5x")
+    }
     spark.stop()
   }
 }

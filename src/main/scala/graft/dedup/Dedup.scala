@@ -115,8 +115,13 @@ object Dedup {
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     val nH = nBands * rowsPerBand
+    // materialized (lineage-truncating checkpoint) because it is
+    // consumed THREE times — by the signature pipeline and by the two
+    // candidate re-attachment joins below; without it each consumer
+    // re-reads parquet, re-normalizes, and re-shingles the corpus
     val shingled = fanOut(docs, idCol)
       .select(col(idCol), shingles(col(textCol), k).as("sh"))
+      .localCheckpoint()
     val base = shingled.withColumn("sig", minhashSig(col("sh"), nH))
     // explode into (band, bandKey) — shuffle key is the band bucket.
     // The shingle arrays are NOT carried through the band shuffle or
@@ -221,11 +226,16 @@ object Dedup {
       // no checkpoint here: lineage is bounded anyway (labels and
       // edges are checkpointed), and materializing the intermediate
       // costs a full extra job per round
+      // materialized because it is consumed TWICE below — as the left
+      // side of the pointer-doubling join and (via byNode) as its
+      // right side; without this the neighbour-propagation join+agg
+      // above re-executes per consumer, doubling every round's work
       val viaNbr = labels.join(prop, labels("node") === prop("n2"), "left")
         .select(labels("node"),
           least(labels("label"), coalesce(col("nbr"), labels("label")))
             .as("label"),
           labels("label").as("prev"))
+        .localCheckpoint()
       // pointer doubling: label ← min(label, label(label)). The prev
       // label rides along so change detection is a filter over the
       // checkpointed result, not an extra join against the old labels.
