@@ -29,14 +29,28 @@ object Bench {
   /** Per-query seconds from a previous bench line, extracted with a
     * regex rather than a JSON library (no deps): the queries map is
     * flat {"name":sec,...} by construction.
+    *
+    * The driver's BENCH_r*.json wraps our stdout line as an ESCAPED
+    * string field (\" for quotes) and may truncate its head, so two
+    * fallbacks: (1) unescape before matching; (2) if no intact
+    * "queries":{...} section survives truncation, harvest every
+    * "word":number pair in the whole text — spurious entries like
+    * "value":82.1 are harmless because the gate only ever looks up
+    * real query names. Number class includes '-' (negative exponents
+    * like 4.5E-4 appear for sub-millisecond queries).
     */
   private[graft] def parsePrevQueries(json: String): Map[String, Double] = {
+    val text = json.replace("\\\"", "\"")
     val qSection = """"queries"\s*:\s*\{([^}]*)\}""".r
-    val entry = """"([A-Za-z0-9_]+)"\s*:\s*(-?[0-9.eE+]+)""".r
-    qSection.findFirstMatchIn(json).map { m =>
-      entry.findAllMatchIn(m.group(1))
-        .map(e => e.group(1) -> e.group(2).toDouble).toMap
-    }.getOrElse(Map.empty)
+    val entry = """"([A-Za-z0-9_]+)"\s*:\s*(-?[0-9.eE+\-]+)""".r
+    def harvest(s: String): Map[String, Double] =
+      entry.findAllMatchIn(s).flatMap { e =>
+        scala.util.Try(e.group(1) -> e.group(2).toDouble).toOption
+      }.toMap
+    qSection.findFirstMatchIn(text) match {
+      case Some(m) => harvest(m.group(1))
+      case None    => harvest(text)
+    }
   }
 
   private def newestPrevBench(): Option[java.io.File] =
@@ -96,19 +110,33 @@ object Bench {
     println(line)
     // regression gate vs the previous round's driver artifact (stderr
     // so the stdout contract — one JSON line — is untouched)
+    // Try-wrapped: a malformed prev artifact must not fail a
+    // successful bench run after its JSON line is already printed
     newestPrevBench().foreach { f =>
-      val prev = parsePrevQueries(
-        new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
-      val flagged = results.collect {
-        case (name, sec) if sec > 0.5 && prev.getOrElse(name, -1.0) > 0.5 &&
-            (sec / prev(name) > 1.5 || prev(name) / sec > 1.5) =>
-          f"$name: ${prev(name)}%.2fs -> $sec%.2fs (${sec / prev(name)}%.2fx)"
-      }
-      if (flagged.nonEmpty) {
-        System.err.println(s"[bench-diff vs ${f.getName}] deltas >1.5x:")
-        flagged.foreach(l => System.err.println(s"[bench-diff]   $l"))
-      } else System.err.println(
-        s"[bench-diff vs ${f.getName}] no per-query delta >1.5x")
+      scala.util.Try {
+        val prev = parsePrevQueries(
+          new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+        if (prev.isEmpty)
+          System.err.println(
+            s"[bench-diff] could not parse queries from ${f.getName} — gate skipped")
+        else {
+          // gate on max(sec, prev) > 0.5: catches a fast query turning
+          // slow (0.2s -> 3s) while still suppressing sub-half-second
+          // jitter in both directions
+          val flagged = results.collect {
+            case (name, sec) if sec > 0 && prev.getOrElse(name, -1.0) > 0 &&
+                math.max(sec, prev(name)) > 0.5 &&
+                (sec / prev(name) > 1.5 || prev(name) / sec > 1.5) =>
+              f"$name: ${prev(name)}%.2fs -> $sec%.2fs (${sec / prev(name)}%.2fx)"
+          }
+          if (flagged.nonEmpty) {
+            System.err.println(s"[bench-diff vs ${f.getName}] deltas >1.5x:")
+            flagged.foreach(l => System.err.println(s"[bench-diff]   $l"))
+          } else System.err.println(
+            s"[bench-diff vs ${f.getName}] no per-query delta >1.5x")
+        }
+      }.failed.foreach(t =>
+        System.err.println(s"[bench-diff] gate failed: ${t.getMessage}"))
     }
     spark.stop()
   }

@@ -91,15 +91,18 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
-  /** MinHash signature: hash family i = xxhash64(shingle, i) —
-    * native codegen'd hashing (an affine h·a+b re-hash would be
-    * cheaper still, but ANSI mode rejects wrapping multiplication;
-    * xxhash64 is native enough that the hash is not the bottleneck).
+  /** MinHash signature: ONE native pass over the shingle array
+    * updating all nHashes minima (see [[graft.functions.MinHashUtil]]).
+    * The previous `array_min(transform(sh, xxhash64(s, seed)))`-per-
+    * seed formulation walked the array nHashes times through
+    * interpreted HOF lambdas (HOFs are excluded from whole-stage
+    * codegen) and dominated d3's wall time.
     */
-  def minhashSig(sh: Column, nHashes: Int): Column =
-    array((0 until nHashes).map { seed =>
-      array_min(transform(sh, s => xxhash64(s, lit(seed))))
-    }: _*)
+  def minhashSig(sh: Column, nHashes: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.MinHashSig(
+      ColumnBridge.expression(sh), nHashes))
+  }
 
   /** MinHash + LSH near-dup candidate pairs, verified by exact
     * Jaccard. nBands × rowsPerBand = signature length; a pair is a
@@ -115,13 +118,20 @@ object Dedup {
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     val nH = nBands * rowsPerBand
-    // materialized (lineage-truncating checkpoint) because it is
-    // consumed THREE times — by the signature pipeline and by the two
-    // candidate re-attachment joins below; without it each consumer
-    // re-reads parquet, re-normalizes, and re-shingles the corpus
+    // cached because it is consumed THREE times — by the signature
+    // pipeline and by the two candidate re-attachment joins below;
+    // without it each consumer re-reads parquet, re-normalizes, and
+    // re-shingles the corpus. persist(MEMORY_AND_DISK), not
+    // localCheckpoint: lazy (no extra job at build time), spills
+    // instead of failing when shingles outgrow executor memory, and
+    // survives executor loss by lineage recompute — all three matter
+    // at 100 TB where the shingle arrays are larger than the input
+    // text. The cache is released by Spark's ContextCleaner once the
+    // query's frames are unreachable (one bench/verify job per query),
+    // so no explicit unpersist hook is threaded through the caller.
     val shingled = fanOut(docs, idCol)
       .select(col(idCol), shingles(col(textCol), k).as("sh"))
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val base = shingled.withColumn("sig", minhashSig(col("sh"), nH))
     // explode into (band, bandKey) — shuffle key is the band bucket.
     // The shingle arrays are NOT carried through the band shuffle or
@@ -223,9 +233,6 @@ object Dedup {
       val prop = edges
         .join(labels, edges("v") === labels("node"))
         .groupBy(edges("u").as("n2")).agg(min("label").as("nbr"))
-      // no checkpoint here: lineage is bounded anyway (labels and
-      // edges are checkpointed), and materializing the intermediate
-      // costs a full extra job per round
       // materialized because it is consumed TWICE below — as the left
       // side of the pointer-doubling join and (via byNode) as its
       // right side; without this the neighbour-propagation join+agg
