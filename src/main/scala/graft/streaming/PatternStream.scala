@@ -49,36 +49,87 @@ object PatternStream {
     */
   final case class GEv(event_id: Long, key: String, ts_us: Long,
       ts: java.sql.Timestamp, mask: Long, payload: Map[String, String])
-  final case class GRun(stepIdx: Int, firstTsUs: Long, ids: List[Long],
-      pays: List[Map[String, String]])
+  /** A live partial match. `ids`/`pays` are aligned BY STEP INDEX
+    * (length = stepIdx + 1); a Kleene step's slot holds the LAST
+    * matched element's id/payload, with the run aggregates folded
+    * into the payload under reserved keys (`__k_count`,
+    * `__k_first_id`, `__k_sum`). `lastTsUs` is the time of the most
+    * recently matched element (per-transition `within` bound).
+    */
+  final case class GRun(stepIdx: Int, firstTsUs: Long, lastTsUs: Long,
+      ids: Vector[Long], pays: Vector[Map[String, String]])
   /** a completed match held until its negation window closes */
   final case class GPend(firstTsUs: Long, lastId: Long, spanUs: Long,
-      ids: List[Long], pays: List[Map[String, String]])
+      ids: Vector[Long], pays: Vector[Map[String, String]])
   final case class GState(runs: List[GRun], pending: List[GPend])
   final case class GMatch(key: String, ids: Seq[Long],
       payloads: Seq[Map[String, String]], span_us: Long)
 
-  /** [[detect]] generalized to arbitrary correlation keys and carried
-    * payloads — same skip-till-any-match semantics, same
+  /** Cross-step predicate: (incoming event's payload, payloads of the
+    * steps matched so far, aligned by step index) => admit. Must be
+    * serializable (closures over plain data only).
+    */
+  type GPred = (Map[String, String], IndexedSeq[Map[String, String]]) => Boolean
+
+  /** Per-step NFA spec.
+    *  - `kleene`: 0 = exactly one event (`T`), 1 = one-or-more (`T+`,
+    *    sase.rs KleenePlus), 2 = zero-or-more (`T*`, KleeneStar).
+    *  - `withinPrevUs`: per-transition time bound against the
+    *    PREVIOUS matched element (batch SeqPattern's per-step within;
+    *    reference: per-edge timers). None = only the global within.
+    *  - `pred`: cross-step predicate over prior payloads (local,
+    *    same-event predicates stay declarative in the mask).
+    *  - `sumField`: for a Kleene step, a payload field accumulated
+    *    into `__k_sum` (batch kleeneBetween's sum_b).
+    */
+  final case class GStepSpec(
+      kleene: Int = 0,
+      withinPrevUs: Option[Long] = None,
+      pred: Option[GPred] = None,
+      sumField: Option[String] = None)
+
+  /** Reserved payload keys for Kleene run aggregates. */
+  final val KCount = "__k_count"
+  final val KFirstId = "__k_first_id"
+  final val KSum = "__k_sum"
+
+  /** [[detect]] generalized to arbitrary correlation keys, carried
+    * payloads, cross-step predicates, per-transition time bounds and
+    * Kleene closures — same skip-till-any-match semantics, same
     * EventTimeTimeout state hygiene. Events with mask 0 (other types,
     * the end-of-stream sentinel) flow through the watermark but never
     * touch state.
     *
-    * `withNegation`: mask bit `nSteps` marks negation killers.
+    * Kleene semantics mirror the batch compilers
+    * ([[graft.cep.Pattern.kleeneBetween]] / kleeneStarBetween): a run
+    * whose current step is Kleene extends IN PLACE on each matching
+    * element (maximal run + aggregates — the 2^n−1 sub-runs the
+    * reference's detection mode enumerates are derivable, and trend
+    * COUNTS live in TrendAggregate), stays alive after emitting so a
+    * later closing event yields the (anchor, later-close) pair too,
+    * and a star step may be skipped entirely. The final step must not
+    * be Kleene (no closing anchor would bound the run).
+    *
+    * `withNegation`: mask bit `steps.size` marks negation killers.
     * Completed matches are then HELD in state; a killer arriving
-    * after the match's last event and inside its window retracts it,
+    * after the match's last event and inside its window (and passing
+    * `negPred` against the match's payloads, when given) retracts it,
     * and survivors emit once the watermark passes the window
     * (sase.rs negation-timeout semantics, cross-batch safe because
     * emission is watermark-gated).
     */
   def detectGeneric(
       events: Dataset[GEv],
-      nSteps: Int,
+      steps: IndexedSeq[GStepSpec],
       withinUs: Long,
       maxRuns: Int = 10000,
-      withNegation: Boolean = false)(
+      withNegation: Boolean = false,
+      negPred: Option[GPred] = None)(
       implicit spark: SparkSession): Dataset[GMatch] = {
     import spark.implicits._
+    val nSteps = steps.size
+    require(nSteps >= 1 && steps.last.kleene == 0,
+      "detectGeneric: the final step must be a plain (non-Kleene) step")
     // NO mask!=0 pre-filter: it would push below the EventTimeWatermark
     // node and starve the watermark of other-type events and the
     // end-of-stream sentinel (watermark-gated negation emission and
@@ -96,7 +147,28 @@ object PatternStream {
             if (withNegation)
               pending = GPend(nr.firstTsUs, lastId, spanUs,
                 nr.ids, nr.pays) :: pending
-            else out += GMatch(key, nr.ids.reverse, nr.pays.reverse, spanUs)
+            else out += GMatch(key, nr.ids, nr.pays, spanUs)
+          def admits(j: Int, ev: GEv, r: GRun): Boolean =
+            ((ev.mask >> j) & 1L) == 1L &&
+              steps(j).withinPrevUs.forall(d => ev.ts_us - r.lastTsUs <= d) &&
+              steps(j).pred.forall(p => p(ev.payload, r.pays))
+          /** entry payload for a Kleene step's first element */
+          def kEnter(ev: GEv, j: Int): Map[String, String] =
+            ev.payload + (KCount -> "1") + (KFirstId -> ev.event_id.toString) ++
+              steps(j).sumField.map(f => KSum ->
+                ev.payload.get(f).flatMap(v =>
+                  scala.util.Try(v.toDouble).toOption).getOrElse(0.0).toString)
+          /** extension: last element's payload, aggregates carried over */
+          def kExtend(prevPay: Map[String, String], ev: GEv, j: Int): Map[String, String] =
+            ev.payload +
+              (KCount -> (prevPay(KCount).toLong + 1L).toString) +
+              (KFirstId -> prevPay(KFirstId)) ++
+              steps(j).sumField.map(f => KSum ->
+                (prevPay.get(KSum).map(_.toDouble).getOrElse(0.0) +
+                  ev.payload.get(f).flatMap(v =>
+                    scala.util.Try(v.toDouble).toOption).getOrElse(0.0)).toString)
+          /** empty slot for a skipped star step (n_b = 0, NULL-ish ids) */
+          val kSkip: Map[String, String] = Map(KCount -> "0")
           if (!state.hasTimedOut) {
             val batch = it.toArray.filter(_.mask != 0L).sortBy(_.event_id)
             for (ev <- batch) {
@@ -104,26 +176,70 @@ object PatternStream {
               if (withNegation && ((ev.mask >> nSteps) & 1L) == 1L)
                 pending = pending.filterNot(p =>
                   ev.event_id > p.lastId &&
-                    ev.ts_us - p.firstTsUs <= withinUs)
-              val advanced = runs.flatMap { r =>
-                if (r.stepIdx + 1 < nSteps &&
-                  ((ev.mask >> (r.stepIdx + 1)) & 1L) == 1L &&
-                  ev.ts_us - r.firstTsUs <= withinUs) {
-                  val nr = GRun(r.stepIdx + 1, r.firstTsUs,
-                    ev.event_id :: r.ids, ev.payload :: r.pays)
-                  if (nr.stepIdx == nSteps - 1) {
-                    complete(nr, ev.event_id, ev.ts_us - nr.firstTsUs)
-                    None
-                  } else Some(nr)
-                } else None
+                    ev.ts_us - p.firstTsUs <= withinUs &&
+                    negPred.forall(f => f(ev.payload, p.pays)))
+              val next = List.newBuilder[GRun]
+              for (r <- runs) {
+                // in-place Kleene extension (maximal-run semantics:
+                // extending replaces the run; sub-runs are derivable)
+                val extended =
+                  if (steps(r.stepIdx).kleene > 0 && admits(r.stepIdx, ev, r)) {
+                    val pay = kExtend(r.pays(r.stepIdx), ev, r.stepIdx)
+                    GRun(r.stepIdx, r.firstTsUs, ev.ts_us,
+                      r.ids.updated(r.stepIdx, ev.event_id),
+                      r.pays.updated(r.stepIdx, pay))
+                  } else r
+                // forward targets: the next step, plus each step
+                // reachable by skipping star steps (sase.rs skip edges).
+                // Forward matching uses the PRE-extension run: an event
+                // serving as the closing anchor must not count itself
+                // into the Kleene aggregates (batch's strictly-between).
+                var j = r.stepIdx + 1
+                var skipped = Vector.empty[(Long, Map[String, String])]
+                var go = true
+                // entering a Kleene step CONSUMES the run (in-place
+                // transition): one maximal run per anchor prefix, so
+                // each (anchor, close) pair emits exactly once — the
+                // batch compilers' one-row-per-(a_id, c_id) shape.
+                // Non-Kleene steps branch (skip-till-any, batch
+                // SeqPattern's all-combinations).
+                var consumed = false
+                while (go && j < nSteps) {
+                  if (admits(j, ev, r)) {
+                    val (ids2, pays2) =
+                      (r.ids ++ skipped.map(_._1), r.pays ++ skipped.map(_._2))
+                    if (steps(j).kleene > 0) {
+                      next += GRun(j, r.firstTsUs, ev.ts_us,
+                        ids2 :+ ev.event_id, pays2 :+ kEnter(ev, j))
+                      consumed = true
+                    } else {
+                      val nr = GRun(j, r.firstTsUs, ev.ts_us,
+                        ids2 :+ ev.event_id, pays2 :+ ev.payload)
+                      if (j == nSteps - 1)
+                        complete(nr, ev.event_id, ev.ts_us - nr.firstTsUs)
+                      else next += nr
+                    }
+                  }
+                  // continue past step j only if it is skippable (star)
+                  if (steps(j).kleene == 2) {
+                    skipped = skipped :+ ((-1L, kSkip)); j += 1
+                  } else go = false
+                }
+                if (!consumed) next += extended
               }
-              runs = runs ++ advanced
-              if ((ev.mask & 1L) == 1L) {
+              runs = next.result()
+              // new run from step 0
+              if (((ev.mask & 1L) == 1L) &&
+                steps(0).pred.forall(p => p(ev.payload, Vector.empty))) {
                 if (nSteps == 1)
-                  complete(GRun(0, ev.ts_us, List(ev.event_id),
-                    List(ev.payload)), ev.event_id, 0L)
-                else runs = GRun(0, ev.ts_us,
-                  List(ev.event_id), List(ev.payload)) :: runs
+                  complete(GRun(0, ev.ts_us, ev.ts_us, Vector(ev.event_id),
+                    Vector(ev.payload)), ev.event_id, 0L)
+                else if (steps(0).kleene > 0)
+                  runs = GRun(0, ev.ts_us, ev.ts_us, Vector(ev.event_id),
+                    Vector(kEnter(ev, 0))) :: runs
+                else
+                  runs = GRun(0, ev.ts_us, ev.ts_us, Vector(ev.event_id),
+                    Vector(ev.payload)) :: runs
               }
               if (runs.size > maxRuns) runs = runs.take(maxRuns)
             }
@@ -134,7 +250,7 @@ object PatternStream {
             val (safe, held) = pending.partition(p =>
               p.firstTsUs + withinUs < wmUs)
             safe.foreach(p =>
-              out += GMatch(key, p.ids.reverse, p.pays.reverse, p.spanUs))
+              out += GMatch(key, p.ids, p.pays, p.spanUs))
             pending = held
           }
           if (runs.isEmpty && pending.isEmpty) state.remove()

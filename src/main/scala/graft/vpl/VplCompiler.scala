@@ -820,10 +820,39 @@ final class VplCompiler(program: VProgram, source: VplSource,
     }
     var watermarked = false
     var wmDelayUs: Option[Long] = None
-    // streaming sequence accumulation: (eventType, alias, where)
-    var streamSeq: Option[mutable.Buffer[(String, String, Option[VExpr])]] = None
+    // streaming sequence accumulation: (eventType, alias, where, kleene)
+    var streamSeq: Option[mutable.Buffer[(String, String, Option[VExpr], Option[String])]] = None
     var streamSeqWithinUs: Option[Long] = None
+    // correlation keys fixed by a declared pattern's `partition by`
+    // (step-predicate key equalities merge into / refine these)
+    var streamSeqKeys: Seq[String] = Nil
     val streamSeqNegs = mutable.Buffer.empty[SeqStep]
+    // a declared `pattern Name = SEQ(...)` used as a STREAM SOURCE
+    // compiles through the generic streaming NFA — Kleene items and
+    // cross-step predicates included (sase.rs executes these shapes
+    // live; batch mode keeps the compilePattern join subset)
+    s.source match {
+      case SrcName(n, _) if streaming && program.streams.forall(_.name != n) =>
+        program.patterns.find(_.name == n).foreach { decl =>
+          decl.expr match {
+            case SaseSeq(items) =>
+              val b = mutable.Buffer.empty[(String, String, Option[VExpr], Option[String])]
+              items.zipWithIndex.foreach { case (it, i) =>
+                if (it.negated)
+                  streamSeqNegs += SeqStep(it.eventType, it.alias, it.where,
+                    matchAll = false)
+                else b += ((it.eventType, it.alias.getOrElse(s"s$i"),
+                  it.where, it.kleene))
+              }
+              streamSeq = Some(b)
+              streamSeqWithinUs = decl.withinUs
+              streamSeqKeys = decl.partitionBy.toSeq
+              pendingType = None
+            case _ => () // OR/single-ref patterns keep the batch path
+          }
+        }
+      case _ => ()
+    }
     def settleType(): Unit = pendingType.foreach { t =>
       if (streaming)
         // the end-of-stream sentinel must keep flowing (pushdown puts
@@ -960,18 +989,22 @@ final class VplCompiler(program: VProgram, source: VplSource,
     }
 
     /** Streaming sequence: the generic NFA over the raw staged
-      * stream. Supported predicate shape per step: local conjuncts
-      * (own fields only) plus ONE correlation-key equality
-      * `k == earlier.k`; cross-step arithmetic needs the batch
-      * compiler. Type/local predicates evaluate declaratively into a
-      * per-event step bitmask BEFORE the stateful operator, payloads
-      * ride the runs, and emit args translate against the matched
-      * steps' payload maps (sase.rs streaming semantics with the
-      * p1-style skip-till-any-match policy).
+      * stream. Per step: local conjuncts (own fields only) evaluate
+      * declaratively into a per-event step bitmask BEFORE the
+      * stateful operator; correlation-key equalities `k == earlier.k`
+      * become the groupByKey key; REMAINING cross-step conjuncts
+      * (arithmetic against earlier steps' fields) compile to
+      * serializable payload predicates ([[PayloadEval]]) evaluated at
+      * run advancement — sase.rs evaluates per-edge predicates on the
+      * live run's bound events the same way. Kleene `+`/`*` items
+      * run as accumulating NFA steps (maximal-run semantics matching
+      * [[graft.cep.Pattern.kleeneBetween]]); `len(alias)` /
+      * `sum(alias.f)` in the emit read the run aggregates.
       */
     def buildStreamSeq(
-        steps: Seq[(String, String, Option[VExpr])],
+        steps: Seq[(String, String, Option[VExpr], Option[String])],
         args: Seq[(String, VExpr)]): DataFrame = {
+      import graft.streaming.PatternStream
       val ses = source match {
         case x: StreamingEvtSource => x
         case _ => throw VplCompileError(
@@ -984,29 +1017,95 @@ final class VplCompiler(program: VProgram, source: VplSource,
         case "bool" => "boolean"; case "timestamp" => "timestamp"
         case _ => "string"
       }
-      val aliasIdx = steps.zipWithIndex.map { case ((_, a, _), i) => a -> i }.toMap
-      // split wheres: local conjuncts vs the correlation-key equality
-      var keyField: Option[String] = None
-      val locals: Seq[Seq[VExpr]] = steps.zipWithIndex.map { case ((_, _, w), i) =>
-        val cs = w.toSeq.flatMap(conjuncts).map(inlineFns(_))
+      val aliasIdx = steps.zipWithIndex.map { case ((_, a, _, _), i) => a -> i }.toMap
+      val kinds: IndexedSeq[Int] = steps.map {
+        case (_, _, _, None) => 0
+        case (_, _, _, Some("+")) => 1
+        case (_, _, _, Some("*")) => 2
+        case (_, _, _, Some(other)) => throw VplCompileError(
+          s"streaming sequence: Kleene '$other' unsupported (use + or *)")
+      }.toIndexedSeq
+      if (kinds.last != 0) throw VplCompileError(
+        "streaming sequence: the final step must not be Kleene")
+      def typesOf(t: String): Map[String, String] =
+        ses.fieldsOf(t).map { case (f, ty) => f -> ty.stripSuffix("?") }.toMap
+      val stepTypes: IndexedSeq[Map[String, String]] =
+        steps.map { case (t, _, _, _) => typesOf(t) }.toIndexedSeq
+      // self-qualified refs (`rising.x` inside rising's own where)
+      // are the incoming event's fields
+      def deSelf(e: VExpr, own: String): VExpr = e match {
+        case VField(q, f) if q == own => VRef(f)
+        case VBin(op, l, r) => VBin(op, deSelf(l, own), deSelf(r, own))
+        case VUn(op, x)     => VUn(op, deSelf(x, own))
+        case VCall(f, as)   => VCall(f, as.map(deSelf(_, own)))
+        case VIf(c, t2, f2) => VIf(deSelf(c, own), deSelf(t2, own), deSelf(f2, own))
+        case other          => other
+      }
+      // split wheres: local conjuncts → mask; key equalities → the
+      // shuffle key; everything else → run-advance payload predicates
+      var keyFromConj: Option[String] = None
+      val crossBuf = IndexedSeq.fill(steps.size)(mutable.Buffer.empty[VExpr])
+      val locals: Seq[Seq[VExpr]] = steps.zipWithIndex.map { case ((_, a, w, _), i) =>
+        val cs = w.toSeq.flatMap(conjuncts).map(inlineFns(_)).map(deSelf(_, a))
+        def keyEq(f: String, orig: VExpr): Seq[VExpr] =
+          if (streamSeqKeys.contains(f)) Nil // covered by partition by
+          else if (streamSeqKeys.isEmpty && keyFromConj.forall(_ == f)) {
+            keyFromConj = Some(f); Nil
+          } else { crossBuf(i) += orig; Nil }
         cs.flatMap {
-          case VBin("==", VRef(f), VField(q, f2))
-              if f == f2 && aliasIdx.get(q).exists(_ < i) =>
-            if (keyField.exists(_ != f)) throw VplCompileError(
-              s"streaming sequence: conflicting correlation keys $keyField vs $f")
-            keyField = Some(f); Nil
-          case VBin("==", VField(q, f2), VRef(f))
-              if f == f2 && aliasIdx.get(q).exists(_ < i) =>
-            if (keyField.exists(_ != f)) throw VplCompileError(
-              s"streaming sequence: conflicting correlation keys $keyField vs $f")
-            keyField = Some(f); Nil
+          case c @ VBin("==", VRef(f), VField(q, f2))
+              if f == f2 && aliasIdx.get(q).exists(_ < i) => keyEq(f, c)
+          case c @ VBin("==", VField(q, f2), VRef(f))
+              if f == f2 && aliasIdx.get(q).exists(_ < i) => keyEq(f, c)
           case c if aliasRefs(c).isEmpty => Seq(c)
-          case c => throw VplCompileError(
-            s"streaming sequence: cross-step predicate $c needs the batch compiler")
+          case c =>
+            if (!aliasRefs(c).forall(q => aliasIdx.get(q).exists(_ < i)))
+              throw VplCompileError(
+                s"streaming sequence: predicate $c references a later step")
+            crossBuf(i) += c; Nil
         }
       }
-      val k = keyField.getOrElse(throw VplCompileError(
-        "streaming sequence: steps must correlate on a key (f == head.f)"))
+      val keys: Seq[String] =
+        if (streamSeqKeys.nonEmpty) streamSeqKeys else keyFromConj.toSeq
+      if (keys.isEmpty) throw VplCompileError(
+        "streaming sequence: steps must correlate on a key " +
+          "(f == head.f, or the pattern's partition by)")
+      val preds: IndexedSeq[Option[PatternStream.GPred]] =
+        crossBuf.zipWithIndex.map { case (b, i) =>
+          if (b.isEmpty) None
+          else Some(try PayloadEval.predicate(
+            b.toSeq, stepTypes(i), aliasIdx, stepTypes)
+          catch { case e: IllegalArgumentException =>
+            throw VplCompileError(e.getMessage)
+          })
+        }
+      // emit-time Kleene aggregate rewrites: len(alias) → __k_count,
+      // sum(alias.f) → __k_sum (accumulated in-run; batch kleene's
+      // n_b / sum_b)
+      val sumFields = Array.fill[Option[String]](steps.size)(None)
+      def rewriteEmit(e: VExpr): VExpr = e match {
+        case VCall(fn, Seq(VRef(a)))
+            if (fn == "len" || fn == "count") &&
+              aliasIdx.get(a).exists(j => kinds(j) > 0) =>
+          VRef(s"__kagg_len_${aliasIdx(a)}")
+        case VCall("sum", Seq(VField(a, f)))
+            if aliasIdx.get(a).exists(j => kinds(j) > 0) =>
+          val j = aliasIdx(a)
+          if (sumFields(j).exists(_ != f)) throw VplCompileError(
+            s"streaming sequence: one accumulated sum per Kleene step " +
+              s"(${sumFields(j).get} vs $f)")
+          sumFields(j) = Some(f)
+          VRef(s"__kagg_sum_$j")
+        case VBin(op, l, r) => VBin(op, rewriteEmit(l), rewriteEmit(r))
+        case VUn(op, x)     => VUn(op, rewriteEmit(x))
+        case VCall(f, as)   => VCall(f, as.map(rewriteEmit))
+        case VIf(c, t2, f2) => VIf(rewriteEmit(c), rewriteEmit(t2), rewriteEmit(f2))
+        case other          => other
+      }
+      val emitArgs = args.map { case (n, e) => n -> rewriteEmit(inlineFns(e)) }
+      val stepSpecs: IndexedSeq[PatternStream.GStepSpec] =
+        kinds.indices.map(i => PatternStream.GStepSpec(
+          kleene = kinds(i), pred = preds(i), sumField = sumFields(i)))
       val raw = ses.rawStream
         .withWatermark("ts", durStr(wmDelayUs.getOrElse(0L)))
       def stepCtx(t: String) = ExprCtx(
@@ -1014,60 +1113,122 @@ final class VplCompiler(program: VProgram, source: VplSource,
           element_at(col("fields"), f).cast(sparkType(ty.stripSuffix("?")))
         },
         qualified = (_, _) => None)
-      // `.not(T where k == a.k [and locals])` killers get bit nSteps
-      val negConds = streamSeqNegs.toSeq.map { n =>
+      // `.not(T where k == a.k [and preds])` killers: per-neg mask bit
+      // (nSteps + g); cross-step conjuncts evaluate against the held
+      // match's payloads at kill time
+      val negCross = IndexedSeq.fill(streamSeqNegs.size)(mutable.Buffer.empty[VExpr])
+      val negConds = streamSeqNegs.toSeq.zipWithIndex.map { case (n, g) =>
         val cs = n.where.toSeq.flatMap(conjuncts).map(inlineFns(_))
         val negLocals = cs.flatMap {
           case VBin("==", VRef(f), VField(q, f2))
-              if f == f2 && aliasIdx.contains(q) =>
-            if (keyField.exists(_ != f)) throw VplCompileError(
-              s"streaming .not: correlation key $f differs from ${keyField.get}")
-            Nil
+              if f == f2 && aliasIdx.contains(q) &&
+                (keys.contains(f)) => Nil
           case VBin("==", VField(q, f2), VRef(f))
-              if f == f2 && aliasIdx.contains(q) => Nil
+              if f == f2 && aliasIdx.contains(q) &&
+                (keys.contains(f)) => Nil
           case c if aliasRefs(c).isEmpty => Seq(c)
-          case c => throw VplCompileError(
-            s"streaming .not: cross-step predicate $c needs the batch compiler")
+          case c =>
+            if (!aliasRefs(c).forall(aliasIdx.contains))
+              throw VplCompileError(
+                s"streaming .not: predicate $c references an unknown alias")
+            negCross(g) += c; Nil
         }
         val local = negLocals.map(e => translate(e, stepCtx(n.eventType)))
           .reduceOption(_ && _).getOrElse(lit(true))
         col("event_type") === n.eventType && coalesce(local, lit(false))
       }
-      val mask = (steps.zipWithIndex.map { case ((t, _, _), i) =>
+      val negPreds: IndexedSeq[Option[PatternStream.GPred]] =
+        negCross.zipWithIndex.map { case (b, g) =>
+          if (b.isEmpty) None
+          else Some(try PayloadEval.predicate(b.toSeq,
+            typesOf(streamSeqNegs(g).eventType), aliasIdx, stepTypes)
+          catch { case e: IllegalArgumentException =>
+            throw VplCompileError(e.getMessage)
+          })
+        }
+      val nStepsHere = steps.size
+      val negPred: Option[(Map[String, String], IndexedSeq[Map[String, String]])
+          => Boolean] =
+        if (negPreds.forall(_.isEmpty)) None
+        else Some { (own, prior) =>
+          // __neg_bits carries which neg conditions this event matched
+          val bits = own.getOrElse("__neg_bits", "0").toLong
+          negPreds.zipWithIndex.exists { case (p, g) =>
+            ((bits >> g) & 1L) == 1L && p.forall(f => f(own, prior))
+          }
+        }
+      val mask = (steps.zipWithIndex.map { case ((t, _, _, _), i) =>
         val local = locals(i).map(e => translate(e, stepCtx(t)))
           .reduceOption(_ && _).getOrElse(lit(true))
         when(col("event_type") === t && coalesce(local, lit(false)),
           lit(1L << i)).otherwise(lit(0L))
-      } ++ negConds.reduceOption(_ || _).map(c =>
-        Seq(when(c, lit(1L << steps.size)).otherwise(lit(0L))))
-        .getOrElse(Nil)).reduce(_ + _)
+      } ++ negConds.zipWithIndex.map { case (c, g) =>
+        when(c, lit(1L << (nStepsHere + g))).otherwise(lit(0L))
+      }).reduce(_ + _)
+      val negBits = negConds.zipWithIndex.map { case (c, g) =>
+        when(c, lit(1L << g)).otherwise(lit(0L))
+      }.reduceOption(_ + _).getOrElse(lit(0L))
+      val keyCol =
+        if (keys.size == 1) coalesce(element_at(col("fields"), keys.head), lit(""))
+        else concat_ws("", keys.map(f =>
+          coalesce(element_at(col("fields"), f), lit(""))): _*)
       val gev = raw.select(
         col("event_id"),
-        coalesce(element_at(col("fields"), k), lit("")).as("key"),
+        keyCol.as("key"),
         unix_micros(col("ts")).as("ts_us"),
         col("ts"),
         mask.as("mask"),
-        map_concat(col("fields"), map(lit("__ts_us"),
-          unix_micros(col("ts")).cast("string"))).as("payload"))
+        map_concat(col("fields"), map(
+          lit("__ts_us"), unix_micros(col("ts")).cast("string"),
+          lit("__neg_bits"), negBits.cast("string"))).as("payload"))
       val sess = gev.sparkSession
       import sess.implicits._
-      val matches = graft.streaming.PatternStream.detectGeneric(
-        gev.as[graft.streaming.PatternStream.GEv],
-        steps.size, withinUs,
-        withNegation = streamSeqNegs.nonEmpty)(sess).toDF()
-      // emit translation over the matched steps' payloads
+      val matches = PatternStream.detectGeneric(
+        gev.as[PatternStream.GEv],
+        stepSpecs, withinUs,
+        withNegation = streamSeqNegs.nonEmpty,
+        negPred = negPred)(sess).toDF()
+      // emit translation over the matched steps' payloads. A Kleene
+      // step's slot holds its LAST matched element (sase.rs "previous"
+      // semantics); the run aggregates surface via the __kagg_*
+      // rewrites (len → __k_count, sum → __k_sum) and the run's
+      // first element id via __k_first_id.
+      val KaggLen = """__kagg_len_(\d+)""".r
+      val KaggSum = """__kagg_sum_(\d+)""".r
       val emitCtx = ExprCtx(
-        bare = f =>
-          if (f == k) Some(col("key"))
-          else steps.zipWithIndex.reverse.collectFirst {
-            case ((t, _, _), j) if ses.fieldsOf(t).exists(_._1 == f) =>
-              val ty = ses.fieldsOf(t).find(_._1 == f).get._2
-              col("payloads").getItem(j).getItem(f)
-                .cast(sparkType(ty.stripSuffix("?")))
-          },
+        bare = {
+          case KaggLen(j) => Some(col("payloads").getItem(j.toInt)
+            .getItem(PatternStream.KCount).cast("long"))
+          case KaggSum(j) => Some(col("payloads").getItem(j.toInt)
+            .getItem(PatternStream.KSum).cast("double"))
+          case f if keys.size == 1 && f == keys.head => Some(col("key"))
+          case f if keys.contains(f) =>
+            // multi-key: each key field rides every step's payload
+            steps.zipWithIndex.reverse.collectFirst {
+              case ((t, _, _, _), j) if ses.fieldsOf(t).exists(_._1 == f) =>
+                col("payloads").getItem(j).getItem(f)
+                  .cast(sparkType(typesOf(t).getOrElse(f, "str")))
+            }
+          case f =>
+            steps.zipWithIndex.reverse.collectFirst {
+              case ((t, _, _, _), j) if ses.fieldsOf(t).exists(_._1 == f) =>
+                val ty = ses.fieldsOf(t).find(_._1 == f).get._2
+                col("payloads").getItem(j).getItem(f)
+                  .cast(sparkType(ty.stripSuffix("?")))
+            }
+        },
         qualified = (q, f) => aliasIdx.get(q).map { j =>
           val t = steps(j)._1
-          if (f == "event_id") col("ids").getItem(j)
+          if (f == "event_id") {
+            // a skipped star step carries sentinel id -1 → NULL (the
+            // batch left-outer's NULL run aggregates)
+            if (kinds(j) > 0) when(col("payloads").getItem(j)
+              .getItem(PatternStream.KCount).cast("long") > 0,
+              col("ids").getItem(j))
+            else col("ids").getItem(j)
+          } else if (f == "first_event_id" && kinds(j) > 0)
+            col("payloads").getItem(j)
+              .getItem(PatternStream.KFirstId).cast("long")
           else if (f == "ts") timestamp_micros(
             col("payloads").getItem(j).getItem("__ts_us").cast("long"))
           else ses.fieldsOf(t).find(_._1 == f) match {
@@ -1076,8 +1237,8 @@ final class VplCompiler(program: VProgram, source: VplSource,
             case None => lit(null)
           }
         })
-      if (args.isEmpty) matches
-      else matches.select(args.map { case (n, e) =>
+      if (emitArgs.isEmpty) matches
+      else matches.select(emitArgs.map { case (n, e) =>
         translate(e, emitCtx).as(n) }: _*)
     }
 
@@ -1128,12 +1289,13 @@ final class VplCompiler(program: VProgram, source: VplSource,
                 "streaming sequence must start from a named event type")
             }
             val b = mutable.Buffer(
-              (headName, headAlias.getOrElse(headName), Option.empty[VExpr]))
+              (headName, headAlias.getOrElse(headName), Option.empty[VExpr],
+                Option.empty[String]))
             streamSeq = Some(b)
             b
           }
           buf += ((step.eventType,
-            step.alias.getOrElse(s"s${buf.size}"), step.where))
+            step.alias.getOrElse(s"s${buf.size}"), step.where, None))
         } else {
           val st = ensureSeq()
           st.steps += Bound(
@@ -1153,6 +1315,16 @@ final class VplCompiler(program: VProgram, source: VplSource,
         else if (streaming) throw VplCompileError(
           "streaming negation outside a sequence is served by PatternStream.detectAbsence")
         else ensureSeq().negs += step
+
+      case OpWhere(e) if streaming && streamSeq.isDefined =>
+        // post-sequence cross-step filter (electrical ConsumptionSpike):
+        // conjoin onto the FINAL step — completion is the only moment
+        // every referenced step is bound, so filtering the closing
+        // transition is equivalent to filtering emitted matches
+        val buf = streamSeq.get
+        val (t, a, w, kl) = buf.last
+        buf(buf.size - 1) =
+          (t, a, w.map(VBin("and", _, e)).orElse(Some(e)), kl)
 
       case OpWhere(e) =>
         settleType()
