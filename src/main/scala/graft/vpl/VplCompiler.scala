@@ -827,6 +827,14 @@ final class VplCompiler(program: VProgram, source: VplSource,
     // (step-predicate key equalities merge into / refine these)
     var streamSeqKeys: Seq[String] = Nil
     val streamSeqNegs = mutable.Buffer.empty[SeqStep]
+    // streaming `.forecast`: the truncated final step's alias (emit
+    // refs → NULL) and the pre-fit model annotations applied to the
+    // match stream (model fitting is batch work over the staged
+    // events — training state, not streaming output; the annotation
+    // itself runs per micro-batch)
+    var streamGhost: Option[String] = None
+    var streamForecastCols: Seq[(String, Column)] = Nil
+    var streamForecastHorizonUs: Long = 3600000000L
     // a declared `pattern Name = SEQ(...)` used as a STREAM SOURCE
     // compiles through the generic streaming NFA — Kleene items and
     // cross-step predicates included (sase.rs executes these shapes
@@ -1183,11 +1191,23 @@ final class VplCompiler(program: VProgram, source: VplSource,
           lit("__neg_bits"), negBits.cast("string"))).as("payload"))
       val sess = gev.sparkSession
       import sess.implicits._
-      val matches = PatternStream.detectGeneric(
+      var matches = PatternStream.detectGeneric(
         gev.as[PatternStream.GEv],
         stepSpecs, withinUs,
         withNegation = streamSeqNegs.nonEmpty,
         negPred = negPred)(sess).toDF()
+      // `.forecast` annotations: pre-fit model literals + per-match
+      // forecast_time from the last PREFIX step's event time
+      if (streamForecastCols.nonEmpty) {
+        matches = matches.withColumn("forecast_time", timestamp_micros(
+          col("payloads").getItem(steps.size - 1).getItem("__ts_us")
+            .cast("long") + streamForecastHorizonUs))
+        matches = matches.withColumn("forecast_expected_time",
+          col("forecast_time"))
+        streamForecastCols.foreach { case (n, c) =>
+          matches = matches.withColumn(n, c)
+        }
+      }
       // emit translation over the matched steps' payloads. A Kleene
       // step's slot holds its LAST matched element (sase.rs "previous"
       // semantics); the run aggregates surface via the __kagg_*
@@ -1209,6 +1229,9 @@ final class VplCompiler(program: VProgram, source: VplSource,
                 col("payloads").getItem(j).getItem(f)
                   .cast(sparkType(typesOf(t).getOrElse(f, "str")))
             }
+          case f if streamForecastCols.nonEmpty &&
+              (f.startsWith("forecast_")) =>
+            Some(col(f)) // attached to `matches` above
           case f =>
             steps.zipWithIndex.reverse.collectFirst {
               case ((t, _, _, _), j) if ses.fieldsOf(t).exists(_._1 == f) =>
@@ -1236,7 +1259,10 @@ final class VplCompiler(program: VProgram, source: VplSource,
               .cast(sparkType(ty.stripSuffix("?")))
             case None => lit(null)
           }
-        })
+        }.orElse(
+          // `.forecast`-truncated final step: refs resolve to NULL
+          // (the event hasn't happened yet — batch ghost semantics)
+          if (streamGhost.contains(q)) Some(lit(null)) else None))
       if (emitArgs.isEmpty) matches
       else matches.select(emitArgs.map { case (n, e) =>
         translate(e, emitCtx).as(n) }: _*)
@@ -1481,6 +1507,70 @@ final class VplCompiler(program: VProgram, source: VplSource,
               lit(if (fallbackLit.isDefined) "fallback" else "miss"))
         }
         df = df.withColumn("enrich_latency_ms", lit(0L))
+
+      case OpForecast(params) if streaming && streamSeq.isDefined =>
+        // streaming `.forecast`: same prefix-truncation + transition
+        // model as the batch branch below, but the model is fit ONCE
+        // on the staged batch data (pst/online.rs's online updates are
+        // a declared simplification — the fit is training state) and
+        // its single surviving (prob, cnt) row is collected to
+        // literals, so the live annotation is pure column arithmetic
+        // per micro-batch with no stream-static join in the hot path.
+        val pmS = params.toMap
+        streamForecastHorizonUs = pmS.get("horizon") match {
+          case Some(VDur(us)) => us
+          case _              => 3600000000L
+        }
+        val bufF = streamSeq.get
+        if (bufF.size < 2) throw VplCompileError(
+          ".forecast needs a sequence of 2+ steps")
+        val (fTyp, fAlias, _, fKleene) = bufF.last
+        if (fKleene.nonEmpty) throw VplCompileError(
+          ".forecast: the forecast step must not be Kleene")
+        bufF.remove(bufF.size - 1)
+        streamGhost = Some(fAlias)
+        val sesF = source match {
+          case x: StreamingEvtSource => x
+          case _ => throw VplCompileError(
+            "streaming sequences need a StreamingEvtSource")
+        }
+        val keyFieldsF = (streamSeqKeys ++
+          bufF.flatMap(_._3).flatMap(conjuncts).collect {
+            case VBin("==", VRef(f), VField(_, f2)) if f == f2 => f
+            case VBin("==", VField(_, f2), VRef(f)) if f == f2 => f
+          }).distinct
+        val all0F = sesF.allEvents
+        val keyColF = keyFieldsF.headOption.flatMap { k =>
+          if (all0F.columns.contains(k)) Some(col(k))
+          else if (all0F.columns.contains("fields"))
+            Some(element_at(col("fields"), k))
+          else None
+        }
+        val allF = keyColF.map(kc => all0F.withColumn("__fk", kc))
+          .getOrElse(all0F)
+        val prefixTypesF = bufF.map(_._1).toSeq
+        val maxDepthF = math.min(prefixTypesF.size, 3)
+        val pstF = graft.cep.Forecast.pstScores(allF,
+          maxDepth = maxDepthF,
+          typeCol = "event_type",
+          partitionKeys = if (keyColF.isDefined) Seq("__fk") else Nil,
+          orderCol = "event_id")
+          .filter(col("nxt") === fTyp)
+        val candidatesF = (maxDepthF to 1 by -1).map(k =>
+          col("depth") === k &&
+            col("context") === prefixTypesF.takeRight(k).mkString(">"))
+        val modelRow = pstF.filter(candidatesF.reduce(_ || _))
+          .orderBy(col("depth").desc).limit(1)
+          .select(col("prob").cast("double"), col("cnt").cast("long"))
+          .collect().headOption
+        val (fProb, fCnt) = modelRow
+          .map(r => (r.getDouble(0), r.getLong(1))).getOrElse((0.0, 0L))
+        streamForecastCols = Seq(
+          "forecast_probability" -> lit(fProb),
+          "forecast_count" -> lit(fCnt),
+          "forecast_confidence" ->
+            lit(1.0 - 1.0 / (1.0 + fCnt.toDouble)),
+          "forecast_state" -> lit(prefixTypesF.mkString(">")))
 
       case OpForecast(params) =>
         // `.forecast(...)` on a sequence: truncate to the PREFIX

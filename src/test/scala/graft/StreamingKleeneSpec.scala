@@ -189,6 +189,53 @@ class StreamingKleeneSpec extends SparkSpec {
       streamed.forall { case (_, prev, spike) => spike > prev * 2.0 })
   }
 
+  test("streaming .forecast matches the batch annotation end-to-end") {
+    val vpl =
+      """stream F = A as a
+        |    -> B where k == a.k as b
+        |    -> C where k == a.k as c
+        |    .within(1h)
+        |    .forecast(horizon: 10m)
+        |    .watermark(out_of_order: 1s)
+        |    .emit(k: a.k, b_id: b.event_id, p: forecast_probability,
+        |          n: forecast_count, conf: forecast_confidence,
+        |          state: forecast_state, ghost: c.x)
+        |""".stripMargin
+    // key 1: A->B->C twice (C always follows A>B); key 2: A->B, no C
+    val evt = writeEvt(
+      """A { k: 1 }
+        |BATCH 1000
+        |B { k: 1 }
+        |BATCH 2000
+        |C { k: 1 }
+        |BATCH 3000
+        |A { k: 1 }
+        |BATCH 4000
+        |B { k: 1 }
+        |BATCH 5000
+        |C { k: 1 }
+        |BATCH 6000
+        |A { k: 2 }
+        |BATCH 7000
+        |B { k: 2 }
+        |""".stripMargin)
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "b_id", "p", "n", "conf", "state").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+          math.round(r.getDouble(4) * 1e9), r.getString(5)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    val batch = Vpl.runEvt(spark, vpl.replace("    .watermark(out_of_order: 1s)\n", ""),
+      Seq(evt))("F").get
+    val streamed = Vpl.runEvtStreaming(spark, vpl, evt, "F")
+    assert(shape(streamed) == shape(batch),
+      s"streaming=${shape(streamed)} batch=${shape(batch)}")
+    // the truncated step's refs are NULL on both paths
+    assert(streamed.select("ghost").collect().forall(_.isNullAt(0)))
+    assert(shape(streamed).nonEmpty &&
+      shape(streamed).forall { case (_, _, p, n, _, st) =>
+        p == 1.0 && n == 2L && st == "A>B" })
+  }
+
   test("per-transition within in the streaming NFA matches batch SeqPattern (p9 shape)") {
     import spark.implicits._
     // A -> B (within 2s of A) -> C (within 3s of B), global within 10m.
