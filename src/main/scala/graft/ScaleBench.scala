@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-proof harness: times the dedup family (d1–d5) and the trend
+  * aggregations (p6, p10) at sf0.1 and at a synthesized 10× scale,
+  * printing per-query wall ratios. ~Linear ratios (≤ ~12× at 10×
+  * data) demonstrate the plans hold their shape as data grows — the
+  * 100 TB story's measurable stand-in on one machine.
+  *
+  * The 10× corpus is derived, not copied: each of the 10 document
+  * replicas gets a replica-unique text prefix and disjoint doc_ids,
+  * so near-dup relationships exist WITHIN a replica but not across —
+  * pair counts and cluster sizes scale ~linearly (copying text
+  * verbatim would instead multiply every dup group 10×, a quadratic
+  * candidate blow-up that measures a different workload, not scale).
+  * Events replicate with disjoint user_ids, preserving each user's
+  * event sequences — per-key trend DP work scales linearly.
+  *
+  * Writes under target/ (ephemeral build dir), prints one JSON line
+  * per scale plus the ratio table to stderr.
+  */
+object ScaleBench {
+
+  private val Queries =
+    Seq("d1_exact_dedup", "d2_ngram_jaccard", "d3_minhash_lsh",
+      "d4_simhash", "d5_dedup_clusters", "p6_trend_count",
+      "p10_multi_trend")
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val scaledDir = "target/scale10"
+    val builder = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+    Tables.sessionConfs.foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // ---- stage the 10× derivation (idempotent) ----------------------
+    val marker = new java.io.File(s"$scaledDir/_staged")
+    if (!marker.exists()) {
+      val docs = spark.read.parquet(s"$baseDir/documents.parquet")
+      val reps = (0 until 10).map { i =>
+        docs.withColumn("doc_id", col("doc_id") + lit(i * 100000000L))
+          .withColumn("text", concat(lit(s"replica$i "), col("text")))
+      }
+      reps.reduce(_.unionByName(_)).write.mode("overwrite")
+        .parquet(s"$scaledDir/documents.parquet")
+      val events = spark.read.parquet(s"$baseDir/events.parquet")
+      val evReps = (0 until 10).map { i =>
+        events.withColumn("event_id", col("event_id") + lit(i * 100000000L))
+          .withColumn("user_id", col("user_id") + lit(i * 10000000L))
+      }
+      evReps.reduce(_.unionByName(_)).write.mode("overwrite")
+        .parquet(s"$scaledDir/events.parquet")
+      marker.getParentFile.mkdirs()
+      java.nio.file.Files.createFile(marker.toPath)
+    }
+
+    def materialize(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    // warmup
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+    materialize(SparkEntry.queries("d1_exact_dedup")(spark, baseDir))
+
+    def timeAll(dir: String): Seq[(String, Double)] = Queries.map { name =>
+      val t0 = System.nanoTime()
+      materialize(SparkEntry.queries(name)(spark, dir))
+      name -> (System.nanoTime() - t0) / 1e9
+    }
+    val base = timeAll(baseDir)
+    val scaled = timeAll(scaledDir)
+    def jline(tag: String, xs: Seq[(String, Double)]): String =
+      s"""{"scale":"$tag","queries":{""" +
+        xs.map { case (k, v) => s""""$k":$v""" }.mkString(",") + "}}"
+    println(jline("sf0.1", base))
+    println(jline("sf1-derived", scaled))
+    System.err.println(f"${"query"}%-20s ${"sf0.1"}%8s ${"10x"}%8s ratio")
+    base.zip(scaled).foreach { case ((n, b), (_, s)) =>
+      System.err.println(f"$n%-20s $b%8.2f $s%8.2f ${s / b}%5.1fx")
+    }
+    spark.stop()
+  }
+}
