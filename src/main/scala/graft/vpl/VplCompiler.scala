@@ -797,6 +797,11 @@ final class VplCompiler(program: VProgram, source: VplSource,
     // joined when `.on` provides the condition
     var joinInputs: Option[Seq[(String, DataFrame)]] = None
     var joinWinUs: Option[Long] = None
+    // batch `stream X = PatternName...`: the declared pattern compiles
+    // to its join realization and step aliases resolve against the
+    // prefixed columns (the reference stores pattern refs as a future
+    // feature — here they execute)
+    var patternCtx: Option[ExprCtx] = None
     var df: DataFrame = s.source match {
       case SrcMerge(names) =>
         // heterogeneous alert streams merge with NULL-filled gaps
@@ -809,7 +814,21 @@ final class VplCompiler(program: VProgram, source: VplSource,
         ins.head._2 // placeholder until OpOn builds the join
       case SrcName(n, alias) =>
         headAlias = alias
-        resolveAny(n)
+        if (!streaming && program.streams.forall(_.name != n) &&
+          program.patterns.exists(_.name == n)) {
+          val pdf = compilePattern(n)
+          val pcols = pdf.columns.toSeq
+          patternCtx = Some(ExprCtx(
+            bare = f => pcols.reverse.collectFirst {
+              case c if c.endsWith(s"__$f") => col(c)
+            }.orElse(if (pcols.contains(f)) Some(col(f)) else None),
+            qualified = (q, f) =>
+              if (pcols.contains(s"${q}__$f")) Some(col(s"${q}__$f"))
+              // known step alias, field the event doesn't carry → NULL
+              else if (pcols.exists(_.startsWith(s"${q}__"))) Some(lit(null))
+              else None))
+          pdf
+        } else resolveAny(n)
     }
     // streaming: the source is unfiltered (sentinel must reach the
     // watermark node) — the event-type filter applies after .watermark
@@ -892,7 +911,7 @@ final class VplCompiler(program: VProgram, source: VplSource,
       val base = (seq, joinInputs) match {
         case (Some(st), _)   => seqCtx(st)
         case (None, Some(i)) => joinCtx(i)
-        case _               => scalarCtx(df, headAlias)
+        case _ => patternCtx.getOrElse(scalarCtx(df, headAlias))
       }
       if (extraCols.isEmpty) base
       else ExprCtx(

@@ -189,6 +189,32 @@ class StreamingKleeneSpec extends SparkSpec {
       streamed.forall { case (_, prev, spike) => spike > prev * 2.0 })
   }
 
+  test("batch pattern-sourced stream executes the declared pattern (not an empty type filter)") {
+    val vpl =
+      s"""event A:
+         |    k: int
+         |    v: float
+         |event B:
+         |    k: int
+         |    v: float
+         |event C:
+         |    k: int
+         |    v: float
+         |
+         |pattern AC = SEQ(A as a, C as c) within 10m partition by k
+         |
+         |stream Out = AC
+         |    .emit(k: a.k, a_id: a.event_id, c_id: c.event_id)
+         |""".stripMargin
+    val evt = writeEvt(kleeneEvt)
+    val rows = Vpl.runEvt(spark, vpl, Seq(evt))("Out").get
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._2, t._3)).toSeq
+    // skip-till-any (a, c) pairs per key within the window
+    assert(rows == Seq((1L, 0L, 4L), (1L, 0L, 10L), (2L, 11L, 13L),
+      (2L, 11L, 17L)), rows.toString)
+  }
+
   test("streaming .forecast matches the batch annotation end-to-end") {
     val vpl =
       """stream F = A as a
