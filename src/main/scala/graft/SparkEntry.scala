@@ -57,6 +57,21 @@ object SparkEntry {
         |    AND e.event_id > p.event_id
         |    AND epoch_us(e.ts) - epoch_us(p.ts) <= 900000000)""".stripMargin)(
       graft.streaming.StreamingQueries.streamNegation),
+    // s6 shares p7's kleeneBetween oracle: the streaming NFA's Kleene
+    // loop step must reproduce the batch anchor-pair aggregation
+    "s6_stream_kleene" -> QueryDef.of(
+      """SELECT a.event_id AS a_id, c.event_id AS c_id,
+        | COUNT(b.event_id) AS n_b, MIN(b.event_id) AS first_b,
+        | MAX(b.event_id) AS last_b,
+        | CAST(SUM(CAST(b.value AS DECIMAL(14,2))) AS DOUBLE) AS sum_b
+        |FROM events a
+        |JOIN events c ON a.user_id = c.user_id AND c.event_id > a.event_id
+        | AND epoch_us(c.ts) - epoch_us(a.ts) <= 28800000000
+        |JOIN events b ON b.user_id = a.user_id AND b.event_id > a.event_id
+        | AND b.event_id < c.event_id AND b.event_type = 'error'
+        |WHERE a.event_type = 'signup' AND c.event_type = 'purchase'
+        |GROUP BY 1, 2""".stripMargin)(
+      graft.streaming.StreamingQueries.streamKleene),
     "s5_stream_session" -> QueryDef.of(
       """WITH o AS (
         |  SELECT user_id, event_id, value, epoch_us(ts) AS us,

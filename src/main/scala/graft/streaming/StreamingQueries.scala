@@ -207,4 +207,49 @@ object StreamingQueries {
         col("span_us"))
     runToTable(spark, out, "graft_s2_sink", "append")
   }
+
+  /** #22b-streaming: Kleene `signup -> error+ -> purchase within 8h`
+    * on a live stream via the generic NFA's loop step — shares p7's
+    * kleeneBetween oracle (one row per anchor pair; n_b / first_b /
+    * last_b / sum_b from the in-run aggregates).
+    *
+    * Oracle-exact sums: the run accumulates CENTS (value cast
+    * decimal(14,2) × 100 as long — the same rounding the batch/oracle
+    * decimal sum applies), so the final divide-by-100 reproduces the
+    * decimal-sum-cast-double bit for bit; a raw double fold would
+    * drift.
+    */
+  def streamKleene(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import PatternStream._
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    val src = graft.Tables.normalizeTs(
+      spark.readStream.schema(schema).parquet(streamDir(path)))
+      .withWatermark("ts", "1 hour")
+    val gev = src.select(
+      col("event_id"),
+      col("user_id").cast("string").as("key"),
+      unix_micros(col("ts")).as("ts_us"),
+      col("ts"),
+      (when(col("event_type") === "signup", 1L).otherwise(0L) +
+        when(col("event_type") === "error", 2L).otherwise(0L) +
+        when(col("event_type") === "purchase", 4L).otherwise(0L)).as("mask"),
+      map(lit("cents"),
+        (col("value").cast("decimal(14,2)") * 100).cast("long").cast("string"))
+        .as("payload")).as[GEv]
+    val steps = IndexedSeq(
+      GStepSpec(),
+      GStepSpec(kleene = 1, sumField = Some("cents")),
+      GStepSpec())
+    val m = detectGeneric(gev, steps, withinUs = 28800L * 1000000L)(spark).toDF()
+    val out = m.select(
+      col("ids")(0).as("a_id"),
+      col("ids")(2).as("c_id"),
+      col("payloads")(1).getItem(KCount).cast("long").as("n_b"),
+      col("payloads")(1).getItem(KFirstId).cast("long").as("first_b"),
+      col("ids")(1).as("last_b"),
+      (col("payloads")(1).getItem(KSum).cast("double") / 100.0).as("sum_b"))
+    runToTable(spark, out, "graft_s6_sink", "append")
+  }
 }
