@@ -72,6 +72,21 @@ object SparkEntry {
         |WHERE a.event_type = 'signup' AND c.event_type = 'purchase'
         |GROUP BY 1, 2""".stripMargin)(
       graft.streaming.StreamingQueries.streamKleene),
+    // s7/s8: streaming AND (symmetric interval join) and OR
+    // (stateless pushed filter), sharing p4's / p5's oracles
+    "s7_stream_and" -> QueryDef.of(
+      """SELECT a.event_id AS click_id, b.event_id AS error_id,
+        | a.user_id AS user_id
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 600000000
+        | AND a.event_id != b.event_id
+        |WHERE a.event_type = 'click' AND b.event_type = 'error'""".stripMargin)(
+      graft.streaming.StreamingQueries.streamConjunction),
+    "s8_stream_or" -> QueryDef.of(
+      """SELECT event_id, user_id, event_type FROM events
+        |WHERE event_type = 'signup' OR (event_type = 'purchase' AND value > 150)""".stripMargin)(
+      graft.streaming.StreamingQueries.streamDisjunction),
     "s5_stream_session" -> QueryDef.of(
       """WITH o AS (
         |  SELECT user_id, event_id, value, epoch_us(ts) AS us,

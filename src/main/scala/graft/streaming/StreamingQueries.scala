@@ -252,4 +252,45 @@ object StreamingQueries {
       (col("payloads")(1).getItem(KSum).cast("double") / 100.0).as("sum_b"))
     runToTable(spark, out, "graft_s6_sink", "append")
   }
+
+  /** #25-streaming: AND (both events, any order, within d) as a
+    * symmetric stream-stream interval join — the two-sided time bound
+    * gives Spark the state-eviction constraint on both sides, exactly
+    * the batch conjunction's |Δts| ≤ d semantics (shares p4's oracle).
+    */
+  def streamConjunction(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    def src = graft.Tables.normalizeTs(
+      spark.readStream.schema(schema).parquet(streamDir(path)))
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("user_id").as("a_user"), col("event_id").as("click_id"),
+        col("ts").as("a_ts"))
+      .withWatermark("a_ts", "1 hour")
+    val errors = src.filter(col("event_type") === "error")
+      .select(col("user_id").as("b_user"), col("event_id").as("error_id"),
+        col("ts").as("b_ts"))
+      .withWatermark("b_ts", "1 hour")
+    val joined = clicks.join(errors,
+      expr("""a_user = b_user AND click_id != error_id AND
+             |b_ts >= a_ts - interval 10 minutes AND
+             |b_ts <= a_ts + interval 10 minutes""".stripMargin))
+      .select(col("click_id"), col("error_id"), col("a_user").as("user_id"))
+    runToTable(spark, joined, "graft_s7_sink", "append")
+  }
+
+  /** #26-streaming: OR is stateless on a live stream — a pushed-down
+    * disjunctive filter, no state, no watermark needed (shares p5's
+    * oracle).
+    */
+  def streamDisjunction(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    val src = graft.Tables.normalizeTs(
+      spark.readStream.schema(schema).parquet(streamDir(path)))
+    val out = src.filter(col("event_type") === "signup" ||
+      (col("event_type") === "purchase" && col("value") > 150))
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    runToTable(spark, out, "graft_s8_sink", "append")
+  }
 }
