@@ -41,4 +41,48 @@ class CheckpointSpec extends SparkSpec {
     assert(result.select("event_id").distinct().count() == total,
       "no duplicates across the restart")
   }
+
+  test("streaming NFA state survives a restart (partial match completes after resume)") {
+    import spark.implicits._
+    import graft.streaming.PatternStream
+    import graft.streaming.PatternStream.{GEv, GStepSpec}
+    val src = Files.createTempDirectory("graft_nfa_src_").toString
+    val out = Files.createTempDirectory("graft_nfa_out_").toString
+    val chk = Files.createTempDirectory("graft_nfa_chk_").toString
+    val base = 1700000000L * 1000000L // modern epoch micros
+    def gev(id: Long, key: String, offUs: Long, isA: Boolean) =
+      GEv(id, key, base + offUs,
+        new java.sql.Timestamp((base + offUs) / 1000L),
+        mask = if (isA) 1L else 2L, payload = Map("k" -> key))
+    def runOnce(): Unit = {
+      val schema = Seq(gev(0, "x", 0, true)).toDF().schema
+      val stream = spark.readStream.schema(schema).parquet(src)
+        .withWatermark("ts", "1 second").as[GEv]
+      val matches = PatternStream.detectGeneric(stream,
+        IndexedSeq(GStepSpec(), GStepSpec()),
+        withinUs = 3600L * 1000000L)(spark).toDF()
+        .select(col("key"), col("ids")(0).as("a_id"), col("ids")(1).as("b_id"))
+      val q = matches.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", chk)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    // phase 1: u2 completes A->B; u1 has only its A (a live partial run)
+    Seq(gev(1, "u1", 0, true), gev(2, "u2", 1000000, true),
+      gev(3, "u2", 2000000, false))
+      .toDF().write.mode("append").parquet(src)
+    runOnce()
+    val phase1 = spark.read.parquet(out)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(phase1 == Set(("u2", 2L, 3L)), s"phase1=$phase1")
+    // phase 2 (after restart): u1's B arrives — the match completes
+    // ONLY if the run survived in the state store
+    Seq(gev(4, "u1", 3000000, false))
+      .toDF().write.mode("append").parquet(src)
+    runOnce()
+    val all = spark.read.parquet(out)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(all == Set(("u2", 2L, 3L), ("u1", 1L, 4L)),
+      s"state must span the restart without duplicating u2: $all")
+  }
 }
