@@ -1069,21 +1069,34 @@ final class VplCompiler(program: VProgram, source: VplSource,
         case other          => other
       }
       // split wheres: local conjuncts → mask; key equalities → the
-      // shuffle key; everything else → run-advance payload predicates
-      var keyFromConj: Option[String] = None
+      // shuffle key; everything else → run-advance payload predicates.
+      // A key equality may use DIFFERENT field names per step
+      // (`source_host == first.target_host`, cyber-threat lateral
+      // movement): each step records the field on ITS side, and the
+      // key column picks the right field per event type below —
+      // grouping then realizes the equality exactly.
+      val stepKeyField = Array.fill[Option[String]](steps.size)(None)
       val crossBuf = IndexedSeq.fill(steps.size)(mutable.Buffer.empty[VExpr])
       val locals: Seq[Seq[VExpr]] = steps.zipWithIndex.map { case ((_, a, w, _), i) =>
         val cs = w.toSeq.flatMap(conjuncts).map(inlineFns(_)).map(deSelf(_, a))
-        def keyEq(f: String, orig: VExpr): Seq[VExpr] =
-          if (streamSeqKeys.contains(f)) Nil // covered by partition by
-          else if (streamSeqKeys.isEmpty && keyFromConj.forall(_ == f)) {
-            keyFromConj = Some(f); Nil
+        // own-side field f equated to earlier step j's field f2
+        def keyEq(f: String, j: Int, f2: String, orig: VExpr): Seq[VExpr] =
+          if (streamSeqKeys.nonEmpty) {
+            // pattern partition-by: uniform keys; same-name equalities
+            // on them are redundant, anything else is a predicate
+            if (f == f2 && streamSeqKeys.contains(f)) Nil
+            else { crossBuf(i) += orig; Nil }
+          } else if (stepKeyField(j).forall(_ == f2) &&
+            stepKeyField(i).forall(_ == f)) {
+            stepKeyField(j) = Some(f2); stepKeyField(i) = Some(f); Nil
           } else { crossBuf(i) += orig; Nil }
         cs.flatMap {
           case c @ VBin("==", VRef(f), VField(q, f2))
-              if f == f2 && aliasIdx.get(q).exists(_ < i) => keyEq(f, c)
+              if aliasIdx.get(q).exists(_ < i) =>
+            keyEq(f, aliasIdx(q), f2, c)
           case c @ VBin("==", VField(q, f2), VRef(f))
-              if f == f2 && aliasIdx.get(q).exists(_ < i) => keyEq(f, c)
+              if aliasIdx.get(q).exists(_ < i) =>
+            keyEq(f, aliasIdx(q), f2, c)
           case c if aliasRefs(c).isEmpty => Seq(c)
           case c =>
             if (!aliasRefs(c).forall(q => aliasIdx.get(q).exists(_ < i)))
@@ -1093,7 +1106,8 @@ final class VplCompiler(program: VProgram, source: VplSource,
         }
       }
       val keys: Seq[String] =
-        if (streamSeqKeys.nonEmpty) streamSeqKeys else keyFromConj.toSeq
+        if (streamSeqKeys.nonEmpty) streamSeqKeys
+        else stepKeyField.flatten.headOption.toSeq
       if (keys.isEmpty) throw VplCompileError(
         "streaming sequence: steps must correlate on a key " +
           "(f == head.f, or the pattern's partition by)")
@@ -1144,15 +1158,24 @@ final class VplCompiler(program: VProgram, source: VplSource,
       // (nSteps + g); cross-step conjuncts evaluate against the held
       // match's payloads at kill time
       val negCross = IndexedSeq.fill(streamSeqNegs.size)(mutable.Buffer.empty[VExpr])
+      val negKey = Array.fill[Option[String]](streamSeqNegs.size)(None)
       val negConds = streamSeqNegs.toSeq.zipWithIndex.map { case (n, g) =>
         val cs = n.where.toSeq.flatMap(conjuncts).map(inlineFns(_))
+        // a killer's key equality may also use its own field name
+        // (`source_host == first.target_host`) — record it so the key
+        // column below shuffles killers into the right group
+        def negKeyEq(f: String, j: Int, f2: String, orig: VExpr): Seq[VExpr] =
+          if (streamSeqKeys.nonEmpty) {
+            if (f == f2 && streamSeqKeys.contains(f)) Nil
+            else { negCross(g) += orig; Nil }
+          } else if (stepKeyField(j).contains(f2) && negKey(g).forall(_ == f)) {
+            negKey(g) = Some(f); Nil
+          } else { negCross(g) += orig; Nil }
         val negLocals = cs.flatMap {
-          case VBin("==", VRef(f), VField(q, f2))
-              if f == f2 && aliasIdx.contains(q) &&
-                (keys.contains(f)) => Nil
-          case VBin("==", VField(q, f2), VRef(f))
-              if f == f2 && aliasIdx.contains(q) &&
-                (keys.contains(f)) => Nil
+          case c @ VBin("==", VRef(f), VField(q, f2)) if aliasIdx.contains(q) =>
+            negKeyEq(f, aliasIdx(q), f2, c)
+          case c @ VBin("==", VField(q, f2), VRef(f)) if aliasIdx.contains(q) =>
+            negKeyEq(f, aliasIdx(q), f2, c)
           case c if aliasRefs(c).isEmpty => Seq(c)
           case c =>
             if (!aliasRefs(c).forall(aliasIdx.contains))
@@ -1195,10 +1218,36 @@ final class VplCompiler(program: VProgram, source: VplSource,
       val negBits = negConds.zipWithIndex.map { case (c, g) =>
         when(c, lit(1L << g)).otherwise(lit(0L))
       }.reduceOption(_ + _).getOrElse(lit(0L))
+      def fieldKeyExpr(f: String): Column =
+        coalesce(element_at(col("fields"), f), lit(""))
+      // per-event-type key field: one type must not serve two steps
+      // keyed on different own-side fields (ambiguous shuffle key)
+      val typeKeyField = mutable.LinkedHashMap.empty[String, String]
+      def recordTypeKey(t: String, f: String): Unit =
+        typeKeyField.get(t) match {
+          case Some(g) if g != f => throw VplCompileError(
+            s"streaming sequence: event type $t correlates via both $g and $f")
+          case _ => typeKeyField(t) = f
+        }
+      if (streamSeqKeys.isEmpty) {
+        steps.zipWithIndex.foreach { case ((t, _, _, _), i) =>
+          recordTypeKey(t, stepKeyField(i).getOrElse(keys.head)) }
+        streamSeqNegs.toSeq.zipWithIndex.foreach { case (n, g) =>
+          recordTypeKey(n.eventType, negKey(g).getOrElse(keys.head)) }
+      }
       val keyCol =
-        if (keys.size == 1) coalesce(element_at(col("fields"), keys.head), lit(""))
-        else concat_ws("", keys.map(f =>
-          coalesce(element_at(col("fields"), f), lit(""))): _*)
+        if (keys.size > 1)
+          // \u0001 separator: ("ab","c") must not collide with ("a","bc")
+          concat_ws("", keys.map(fieldKeyExpr): _*)
+        else if (typeKeyField.values.toSet.size <= 1)
+          fieldKeyExpr(keys.head)
+        else
+          // mixed per-type key fields (lateral-movement shape): pick
+          // the step's own-side field per event type
+          typeKeyField.toSeq.foldRight(fieldKeyExpr(keys.head)) {
+            case ((t, f), acc) =>
+              when(col("event_type") === t, fieldKeyExpr(f)).otherwise(acc)
+          }
       val gev = raw.select(
         col("event_id"),
         keyCol.as("key"),
@@ -1411,6 +1460,11 @@ final class VplCompiler(program: VProgram, source: VplSource,
         // fans out to K generated events, fully inside Catalyst
         // (emit_process.vpl; reference interprets the same loops per
         // event at runtime)
+        settleType()
+        // the end-of-stream sentinel served the watermark upstream; it
+        // must not fan out into generated events
+        if (streaming && df.columns.contains("event_type"))
+          df = df.filter(col("event_type") =!= "__sentinel")
         val (fn, args) = call match {
           case VCall(n, as) if fns.get(n).exists(_.stmts.nonEmpty) =>
             (fns(n), as)

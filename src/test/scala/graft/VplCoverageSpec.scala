@@ -267,6 +267,50 @@ class VplCoverageSpec extends SparkSpec {
       s"only the attacker's takeover chain should fire: $streamed")
   }
 
+  test("EVERY scenario .vpl+.evt pair runs as a true stream and matches batch") {
+    // full-corpus streaming coverage: each stream of each scenario
+    // that ships a paired .evt runs end-to-end in Structured
+    // Streaming mode and reproduces the batch compiler's rows
+    val pairs = new java.io.File(sc).listFiles
+      .filter(_.getName.endsWith(".vpl")).sortBy(_.getName)
+      .filter(f => new java.io.File(
+        f.getPath.stripSuffix(".vpl") + ".evt").exists)
+    assert(pairs.length >= 10)
+    val failures = scala.collection.mutable.Buffer.empty[String]
+    var checked = 0
+    for (f <- pairs) {
+      val evt = f.getPath.stripSuffix(".vpl") + ".evt"
+      val text = read(f.getPath)
+      val prog = VplParser.parse(text)
+      val batch = Vpl.runEvt(spark, text, Seq(evt))
+      for (s <- prog.streams) {
+        // raw carried `ts` columns are excluded: .evt times are
+        // relative, and the two paths stage them on different base
+        // epochs (values derived FROM ts — spans, windows — are
+        // computed fields and stay compared)
+        def rows(df: org.apache.spark.sql.DataFrame) = {
+          val cols = df.columns.filterNot(_ == "ts")
+          df.select(cols.head, cols.tail: _*)
+            .collect().map(_.toString).sorted.toSeq
+        }
+        val b = batch(s.name).map(rows)
+        val r = scala.util.Try(
+          rows(Vpl.runEvtStreaming(spark, text, evt, s.name)))
+        (b, r) match {
+          case (scala.util.Success(bc), scala.util.Success(rc)) =>
+            checked += 1
+            if (bc != rc) failures +=
+              s"${f.getName}/${s.name}: batch=${bc.size} rows, stream=${rc.size} rows (or value diff)"
+          case (scala.util.Success(_), scala.util.Failure(e)) =>
+            failures += s"${f.getName}/${s.name}: streaming failed: ${e.getMessage.take(100)}"
+          case _ => () // batch itself failing is covered elsewhere
+        }
+      }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+    assert(checked >= 22, s"expected >= 22 streaming-checked streams, got $checked")
+  }
+
   test("stream join rejects a cartesian (.on must link every input)") {
     val bad =
       """stream A = X .window(1m) .aggregate(n: count())
