@@ -875,7 +875,33 @@ final class VplCompiler(program: VProgram, source: VplSource,
               streamSeqWithinUs = decl.withinUs
               streamSeqKeys = decl.partitionBy.toSeq
               pendingType = None
-            case _ => () // OR/single-ref patterns keep the batch path
+            case other =>
+              // OR / single filtered ref: stateless on a live stream —
+              // a per-type filtered union (heterogeneous fields
+              // NULL-fill, like the batch compilePattern OR branch)
+              def items(e: SaseExpr): Seq[SaseItem] = e match {
+                case SaseOr(l, r) => items(l) ++ items(r)
+                case SaseRef(it) if !it.negated && it.kleene.isEmpty => Seq(it)
+                case o => throw VplCompileError(
+                  s"streaming pattern '$n': unsupported combinator $o")
+              }
+              val ses = source match {
+                case x: StreamingEvtSource => x
+                case _ => throw VplCompileError(
+                  "streaming patterns need a StreamingEvtSource")
+              }
+              df = items(other).map { it =>
+                val d = ses.resolve(it.eventType)
+                val cols = d.columns.toSet
+                val ctx = ExprCtx(
+                  bare = f => if (cols(f)) Some(col(f)) else None,
+                  qualified = (_, _) => None)
+                val typed = d.filter(col("event_type") === it.eventType ||
+                  col("event_type") === "__sentinel")
+                it.where.map(w => typed.filter(translate(w, ctx) ||
+                  col("event_type") === "__sentinel")).getOrElse(typed)
+              }.reduce(_.unionByName(_, allowMissingColumns = true))
+              pendingType = None
           }
         }
       case _ => ()

@@ -215,6 +215,34 @@ class StreamingKleeneSpec extends SparkSpec {
       (2L, 11L, 17L)), rows.toString)
   }
 
+  test("streaming OR pattern source runs as a filtered union matching batch") {
+    val vpl =
+      s"""event A:
+         |    k: int
+         |    v: float
+         |event B:
+         |    k: int
+         |    v: float
+         |event C:
+         |    k: int
+         |    v: float
+         |
+         |pattern Either = A OR B where v > 2.5
+         |
+         |stream Out = Either
+         |    .emit(id: event_id, t: event_type)
+         |""".stripMargin
+    val evt = writeEvt(kleeneEvt)
+    val streamed = Vpl.runEvtStreaming(spark, vpl, evt, "Out")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val batch = Vpl.runEvt(spark, vpl, Seq(evt))("Out").get
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(streamed == batch, s"streaming=$streamed batch=$batch")
+    // all A's (0, 11) + B's with v > 2.5 (6: 3.0, 8: 5.0)
+    assert(streamed == Seq((0L, "A"), (6L, "B"), (8L, "B"), (11L, "A")),
+      streamed.toString)
+  }
+
   test("streaming .forecast matches the batch annotation end-to-end") {
     val vpl =
       """stream F = A as a
