@@ -61,7 +61,8 @@ object PatternStream {
   /** a completed match held until its negation window closes */
   final case class GPend(firstTsUs: Long, lastId: Long, spanUs: Long,
       ids: Vector[Long], pays: Vector[Map[String, String]])
-  final case class GState(runs: List[GRun], pending: List[GPend])
+  final case class GState(runs: List[GRun], pending: List[GPend],
+      buf: List[GEv] = Nil)
   final case class GMatch(key: String, ids: Seq[Long],
       payloads: Seq[Map[String, String]], span_us: Long)
 
@@ -117,6 +118,15 @@ object PatternStream {
     * and survivors emit once the watermark passes the window
     * (sase.rs negation-timeout semantics, cross-batch safe because
     * emission is watermark-gated).
+    *
+    * Micro-batch-split invariance (the same guarantee detectAbsence
+    * carries): arriving events are BUFFERED in state and applied in
+    * `event_id` order only once the watermark passes their event
+    * time — at that point no earlier-timed event can still arrive,
+    * so the NFA sees one deterministic order regardless of how the
+    * source splits micro-batches. The cost is that matches surface
+    * one watermark advance after their closing event (a closed/test
+    * stream appends a far-future sentinel to flush).
     */
   def detectGeneric(
       events: Dataset[GEv],
@@ -142,6 +152,7 @@ object PatternStream {
           val prev = state.getOption.getOrElse(GState(Nil, Nil))
           var runs = prev.runs
           var pending = prev.pending
+          var buf = prev.buf
           val out = scala.collection.mutable.ArrayBuffer.empty[GMatch]
           def complete(nr: GRun, lastId: Long, spanUs: Long): Unit =
             if (withNegation)
@@ -169,9 +180,15 @@ object PatternStream {
                     scala.util.Try(v.toDouble).toOption).getOrElse(0.0)).toString)
           /** empty slot for a skipped star step (n_b = 0, NULL-ish ids) */
           val kSkip: Map[String, String] = Map(KCount -> "0")
-          if (!state.hasTimedOut) {
-            val batch = it.toArray.filter(_.mask != 0L).sortBy(_.event_id)
-            for (ev <- batch) {
+          if (!state.hasTimedOut)
+            buf = buf ++ it.filter(_.mask != 0L)
+          val wmNowUs = state.getCurrentWatermarkMs() * 1000L
+          // apply the finalized prefix in global event_id order; later
+          // micro-batches can no longer deliver anything this old
+          val (safe, waiting) = buf.partition(_.ts_us <= wmNowUs)
+          buf = waiting
+          locally {
+            for (ev <- safe.sortBy(_.event_id)) {
               runs = runs.filter(r => ev.ts_us - r.firstTsUs <= withinUs)
               if (withNegation && ((ev.mask >> nSteps) & 1L) == 1L)
                 pending = pending.filterNot(p =>
@@ -247,17 +264,20 @@ object PatternStream {
           val wmUs = state.getCurrentWatermarkMs() * 1000L
           if (wmUs > 0L) {
             runs = runs.filter(r => r.firstTsUs + withinUs >= wmUs)
-            val (safe, held) = pending.partition(p =>
+            val (done, held) = pending.partition(p =>
               p.firstTsUs + withinUs < wmUs)
-            safe.foreach(p =>
+            done.foreach(p =>
               out += GMatch(key, p.ids, p.pays, p.spanUs))
             pending = held
           }
-          if (runs.isEmpty && pending.isEmpty) state.remove()
+          if (runs.isEmpty && pending.isEmpty && buf.isEmpty) state.remove()
           else {
-            state.update(GState(runs, pending))
+            state.update(GState(runs, pending, buf))
+            // wake when the watermark passes the next run/negation
+            // deadline OR the next buffered event's time
             val nextDeadlineMs = ((runs.map(_.firstTsUs + withinUs) ++
-              pending.map(_.firstTsUs + withinUs)).min / 1000L) + 1L
+              pending.map(_.firstTsUs + withinUs) ++
+              buf.map(_.ts_us)).min / 1000L) + 1L
             state.setTimeoutTimestamp(math.max(nextDeadlineMs,
               state.getCurrentWatermarkMs() + 1L))
           }

@@ -224,8 +224,11 @@ object StreamingQueries {
     import PatternStream._
     val path = s"$dir/events.parquet"
     val schema = spark.read.parquet(path).schema
+    // closed stream: detectGeneric applies events once the watermark
+    // finalizes them (split-invariant ordering), so the bounded run
+    // needs the far-future sentinel to flush the tail
     val src = graft.Tables.normalizeTs(
-      spark.readStream.schema(schema).parquet(streamDir(path)))
+      spark.readStream.schema(schema).parquet(closedStreamDir(spark, path)))
       .withWatermark("ts", "1 hour")
     val gev = src.select(
       col("event_id"),

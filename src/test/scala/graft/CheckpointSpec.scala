@@ -67,17 +67,23 @@ class CheckpointSpec extends SparkSpec {
         .outputMode("append").start()
       try q.processAllAvailable() finally q.stop()
     }
+    // mask-0 sentinels advance the watermark so the finalized-prefix
+    // buffer flushes at each phase end
+    def sentinel(id: Long, offUs: Long) =
+      GEv(id, "zz", base + offUs,
+        new java.sql.Timestamp((base + offUs) / 1000L), 0L, Map.empty)
     // phase 1: u2 completes A->B; u1 has only its A (a live partial run)
     Seq(gev(1, "u1", 0, true), gev(2, "u2", 1000000, true),
-      gev(3, "u2", 2000000, false))
+      gev(3, "u2", 2000000, false), sentinel(9, 10000000))
       .toDF().write.mode("append").parquet(src)
     runOnce()
     val phase1 = spark.read.parquet(out)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(phase1 == Set(("u2", 2L, 3L)), s"phase1=$phase1")
-    // phase 2 (after restart): u1's B arrives — the match completes
-    // ONLY if the run survived in the state store
-    Seq(gev(4, "u1", 3000000, false))
+    // phase 2 (after restart): u1's B arrives (past the phase-1
+    // watermark, so not late) — the match completes ONLY if the run
+    // survived in the state store
+    Seq(gev(4, "u1", 11000000, false), sentinel(10, 30000000))
       .toDF().write.mode("append").parquet(src)
     runOnce()
     val all = spark.read.parquet(out)

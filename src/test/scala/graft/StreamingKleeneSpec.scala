@@ -290,6 +290,43 @@ class StreamingKleeneSpec extends SparkSpec {
         p == 1.0 && n == 2L && st == "A>B" })
   }
 
+  test("generic NFA is micro-batch-split invariant (B arrives in an earlier batch than A)") {
+    import spark.implicits._
+    val base = 1700000000L * 1000000L
+    def g(id: Long, offUs: Long, mask: Long) =
+      GEv(id, "u", base + offUs,
+        new java.sql.Timestamp((base + offUs) / 1000L), mask, Map.empty)
+    // event-time order is A(1) then B(2); ARRIVAL order is B first.
+    // The watermark-buffered NFA must still find the A->B match.
+    val batches = Seq(
+      Seq(g(2, 2000000, 2L)),              // B arrives first
+      Seq(g(1, 1000000, 1L)),              // A arrives second, earlier ts
+      Seq(g(99, 7200L * 1000000L, 0L)))    // sentinel flushes
+    val dir = java.nio.file.Files.createTempDirectory("graft_split_")
+    batches.zipWithIndex.foreach { case (evs, i) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_split_tmp_")
+      evs.toDF().coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = dir.resolve(f"batch_$i%02d.parquet")
+      java.nio.file.Files.copy(part.toPath, dst)
+      dst.toFile.setLastModified(1000000L * (i + 1))
+    }
+    val schema = Seq(g(0, 0, 0L)).toDF().schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+      .withWatermark("ts", "10 seconds").as[GEv]
+    val out = PatternStream.detectGeneric(src,
+      IndexedSeq(GStepSpec(), GStepSpec()), withinUs = 3600L * 1000000L)(spark)
+    val q = out.toDF().writeStream.format("memory").queryName("split_inv")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val matches = spark.table("split_inv")
+      .select("ids").collect().map(_.getSeq[Long](0).toList).toSet
+    assert(matches == Set(List(1L, 2L)),
+      s"out-of-order arrival must still match: $matches")
+  }
+
   test("per-transition within in the streaming NFA matches batch SeqPattern (p9 shape)") {
     import spark.implicits._
     // A -> B (within 2s of A) -> C (within 3s of B), global within 10m.
@@ -310,7 +347,9 @@ class StreamingKleeneSpec extends SparkSpec {
       GEv(id, k, us, new java.sql.Timestamp(us / 1000L),
         mask = t match { case "A" => 1L; case "B" => 2L; case _ => 4L },
         payload = Map("type" -> t))
-    }
+    } :+ GEv(999L, "zz", base + 7200L * 1000000L,
+      new java.sql.Timestamp((base + 7200L * 1000000L) / 1000L),
+      mask = 0L, payload = Map.empty) // sentinel flushes the buffer
     val specs = IndexedSeq(
       GStepSpec(),
       GStepSpec(withinPrevUs = Some(2000000L)),
