@@ -72,6 +72,24 @@ object SparkEntry {
         |WHERE a.event_type = 'signup' AND c.event_type = 'purchase'
         |GROUP BY 1, 2""".stripMargin)(
       graft.streaming.StreamingQueries.streamKleene),
+    // s9: per-event running EMA — the oracle folds each row's ordered
+    // value prefix (list_reduce seeds with the first element, the
+    // same seed-first recursion the stream applies in event_id order)
+    "s9_stream_ema" -> QueryDef.of(
+      """WITH lst AS (
+        |  SELECT user_id, list(value ORDER BY event_id) AS xs
+        |  FROM events GROUP BY user_id
+        |), ev AS (
+        |  SELECT user_id, event_id,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+        |  FROM events
+        |)
+        |SELECT e.user_id, e.event_id,
+        |  list_reduce(l.xs[1:e.rn],
+        |    (acc, x) -> (2.0::DOUBLE / 11.0::DOUBLE) * x +
+        |      (1.0::DOUBLE - 2.0::DOUBLE / 11.0::DOUBLE) * acc) AS ema10
+        |FROM ev e JOIN lst l USING (user_id)""".stripMargin)(
+      graft.streaming.StreamingQueries.streamEma),
     // s7/s8: streaming AND (symmetric interval join) and OR
     // (stateless pushed filter), sharing p4's / p5's oracles
     "s7_stream_and" -> QueryDef.of(

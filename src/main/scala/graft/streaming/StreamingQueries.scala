@@ -14,6 +14,11 @@ import org.apache.spark.sql.functions._
   */
 object StreamingQueries {
 
+  /** streaming EMA state/rows (see [[streamEma]]) */
+  final case class EmaBuf(event_id: Long, ts_us: Long, value: Double)
+  final case class EmaState(ema: Double, n: Long, buf: List[EmaBuf])
+  final case class EmaOut(user_id: Long, event_id: Long, ema10: Double)
+
   /** The file streaming source requires a directory; the test tables
     * are single files. Stage a temp dir holding a symlink — in
     * production the source would already be a directory/object-store
@@ -280,6 +285,61 @@ object StreamingQueries {
              |b_ts <= a_ts + interval 10 minutes""".stripMargin))
       .select(col("click_id"), col("error_id"), col("a_user").as("user_id"))
     runToTable(spark, joined, "graft_s7_sink", "append")
+  }
+
+  /** #19-streaming: per-event running EMA on a live stream
+    * (aggregation.rs ema over unbounded streams). State = the running
+    * (ema, n) per key plus the finalized-prefix buffer — events fold
+    * in event_id order once the watermark passes them, so the
+    * sequential recursion is deterministic under any micro-batch
+    * split, and the emitted doubles reproduce the oracle's
+    * list_reduce prefix fold bit for bit (same seed-first semantics,
+    * same IEEE evaluation order). Per-key state is one (double,
+    * long) forever — the inherent cost of a running per-key
+    * aggregate, reference semantics included.
+    */
+  def streamEma(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    val src = graft.Tables.normalizeTs(
+      spark.readStream.schema(schema).parquet(closedStreamDir(spark, path)))
+      .withWatermark("ts", "1 second")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), unix_micros(col("ts")).as("ts_us"), col("ts"))
+      .as[PatternStream.Ev]
+    val alpha = 2.0 / 11.0
+    val beta = 1.0 - alpha
+    val out = src.groupByKey(_.user_id)
+      .flatMapGroupsWithState[EmaState, EmaOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[PatternStream.Ev],
+         state: GroupState[EmaState]) =>
+          val prev = state.getOption.getOrElse(
+            EmaState(0.0, 0L, Nil: List[EmaBuf]))
+          var ema = prev.ema
+          var n = prev.n
+          var buf = prev.buf
+          if (!state.hasTimedOut)
+            buf = buf ++ it.filter(_.event_type != "__sentinel")
+              .map(e => EmaBuf(e.event_id, e.ts_us, e.value))
+          val wm = state.getCurrentWatermarkMs() * 1000L
+          val (safe, waiting) = buf.partition(_.ts_us <= wm)
+          buf = waiting
+          val outRows = safe.sortBy(_.event_id).map { e =>
+            ema = if (n == 0L) e.value else alpha * e.value + beta * ema
+            n += 1
+            EmaOut(user, e.event_id, ema)
+          }
+          state.update(EmaState(ema, n, buf))
+          if (buf.nonEmpty)
+            state.setTimeoutTimestamp(math.max(
+              (buf.map(_.ts_us).min / 1000L) + 1L,
+              state.getCurrentWatermarkMs() + 1L))
+          outRows.iterator
+      }
+    runToTable(spark, out.toDF(), "graft_s9_sink", "append")
   }
 
   /** #26-streaming: OR is stateless on a live stream — a pushed-down
