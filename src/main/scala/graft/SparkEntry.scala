@@ -72,6 +72,18 @@ object SparkEntry {
         |WHERE a.event_type = 'signup' AND c.event_type = 'purchase'
         |GROUP BY 1, 2""".stripMargin)(
       graft.streaming.StreamingQueries.streamKleene),
+    // s10 shares w4's count-window oracle (complete windows only —
+    // exactly when a streaming count window emits)
+    "s10_stream_count_window" -> QueryDef.of(
+      """WITH r AS (
+        |  SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+        |  FROM events)
+        |SELECT user_id, CAST((rn - 1) // 10 AS BIGINT) AS win_id,
+        |  MIN(event_id) AS first_id, MAX(event_id) AS last_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+        |FROM r GROUP BY user_id, (rn - 1) // 10 HAVING COUNT(*) = 10""".stripMargin)(
+      graft.streaming.StreamingQueries.streamCountWindow),
     // s9: per-event running EMA — the oracle folds each row's ordered
     // value prefix (list_reduce seeds with the first element, the
     // same seed-first recursion the stream applies in event_id order)

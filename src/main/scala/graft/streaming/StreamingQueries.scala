@@ -19,6 +19,12 @@ object StreamingQueries {
   final case class EmaState(ema: Double, n: Long, buf: List[EmaBuf])
   final case class EmaOut(user_id: Long, event_id: Long, ema10: Double)
 
+  /** streaming count-window state/rows (see [[streamCountWindow]]) */
+  final case class CwState(winId: Long, cnt: Int, firstId: Long,
+      lastId: Long, sumCents: Long, buf: List[EmaBuf])
+  final case class CwOut(user_id: Long, win_id: Long, first_id: Long,
+      last_id: Long, sum_value: Double)
+
   /** The file streaming source requires a directory; the test tables
     * are single files. Stage a temp dir holding a symlink — in
     * production the source would already be a directory/object-store
@@ -340,6 +346,68 @@ object StreamingQueries {
           outRows.iterator
       }
     runToTable(spark, out.toDF(), "graft_s9_sink", "append")
+  }
+
+  /** #11-streaming: count windows on a live stream (window.rs Count —
+    * a window EMITS when it fills, which is why the batch twin's
+    * oracle keeps only complete windows). State per key = the open
+    * window's running aggregates plus the finalized-prefix buffer;
+    * values accumulate as CENTS of the decimal(14,2)-rounded value
+    * (BigDecimal.valueOf = the same shortest-representation rounding
+    * Spark's double→decimal cast applies), so the emitted sum
+    * reproduces the oracle's decimal aggregation bit for bit.
+    */
+  def streamCountWindow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    val src = graft.Tables.normalizeTs(
+      spark.readStream.schema(schema).parquet(closedStreamDir(spark, path)))
+      .withWatermark("ts", "1 second")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), unix_micros(col("ts")).as("ts_us"), col("ts"))
+      .as[PatternStream.Ev]
+    val winSize = 10
+    def cents(v: Double): Long =
+      java.math.BigDecimal.valueOf(v)
+        .setScale(2, java.math.RoundingMode.HALF_UP)
+        .movePointRight(2).longValueExact()
+    val out = src.groupByKey(_.user_id)
+      .flatMapGroupsWithState[CwState, CwOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[PatternStream.Ev],
+         state: GroupState[CwState]) =>
+          var st = state.getOption.getOrElse(
+            CwState(0L, 0, Long.MaxValue, Long.MinValue, 0L, Nil))
+          var buf = st.buf
+          if (!state.hasTimedOut)
+            buf = buf ++ it.filter(_.event_type != "__sentinel")
+              .map(e => EmaBuf(e.event_id, e.ts_us, e.value))
+          val wm = state.getCurrentWatermarkMs() * 1000L
+          val (safe, waiting) = buf.partition(_.ts_us <= wm)
+          buf = waiting
+          val outRows = scala.collection.mutable.ArrayBuffer.empty[CwOut]
+          for (e <- safe.sortBy(_.event_id)) {
+            st = CwState(st.winId, st.cnt + 1,
+              math.min(st.firstId, e.event_id),
+              math.max(st.lastId, e.event_id),
+              st.sumCents + cents(e.value), Nil)
+            if (st.cnt == winSize) {
+              outRows += CwOut(user, st.winId, st.firstId, st.lastId,
+                st.sumCents / 100.0)
+              st = CwState(st.winId + 1, 0, Long.MaxValue, Long.MinValue, 0L, Nil)
+            }
+          }
+          state.update(CwState(st.winId, st.cnt, st.firstId, st.lastId,
+            st.sumCents, buf))
+          if (buf.nonEmpty)
+            state.setTimeoutTimestamp(math.max(
+              (buf.map(_.ts_us).min / 1000L) + 1L,
+              state.getCurrentWatermarkMs() + 1L))
+          outRows.iterator
+      }
+    runToTable(spark, out.toDF(), "graft_s10_sink", "append")
   }
 
   /** #26-streaming: OR is stateless on a live stream — a pushed-down
