@@ -72,6 +72,21 @@ object SparkEntry {
         |WHERE a.event_type = 'signup' AND c.event_type = 'purchase'
         |GROUP BY 1, 2""".stripMargin)(
       graft.streaming.StreamingQueries.streamKleene),
+    // s11 shares w8's trailing-window z-score oracle
+    "s11_stream_anomaly" -> QueryDef.of(
+      """WITH r AS (
+        |  SELECT user_id, event_id, value,
+        |    COUNT(*) OVER f AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(14,2))) OVER f AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(value AS DECIMAL(14,2)) * CAST(value AS DECIMAL(14,2))) OVER f AS DOUBLE) AS sxx
+        |  FROM events
+        |  WINDOW f AS (PARTITION BY user_id ORDER BY event_id
+        |               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+        |SELECT user_id, event_id, value,
+        |  round((value - sx / n) / sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS z,
+        |  abs((value - sx / n) / sqrt((sxx - sx * sx / n) / (n - 1))) > 3.0 AS is_anomaly
+        |FROM r WHERE n >= 5""".stripMargin)(
+      graft.streaming.StreamingQueries.streamAnomaly),
     // s10 shares w4's count-window oracle (complete windows only —
     // exactly when a streaming count window emits)
     "s10_stream_count_window" -> QueryDef.of(

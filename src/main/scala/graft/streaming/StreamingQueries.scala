@@ -25,6 +25,11 @@ object StreamingQueries {
   final case class CwOut(user_id: Long, win_id: Long, first_id: Long,
       last_id: Long, sum_value: Double)
 
+  /** streaming anomaly state/rows (see [[streamAnomaly]]) */
+  final case class AnState(ring: List[Long], buf: List[EmaBuf])
+  final case class AnOut(user_id: Long, event_id: Long, value: Double,
+      z: Double, is_anomaly: Boolean)
+
   /** The file streaming source requires a directory; the test tables
     * are single files. Stage a temp dir holding a symlink — in
     * production the source would already be a directory/object-store
@@ -408,6 +413,67 @@ object StreamingQueries {
           outRows.iterator
       }
     runToTable(spark, out.toDF(), "graft_s10_sink", "append")
+  }
+
+  /** #20c-streaming: z-score anomaly detection on a live stream —
+    * the trailing-20 moments ride per-key state as CENTS / CENTS²
+    * (the exact integers the batch twin's decimal(14,2) sums and
+    * scale-4 products represent), and the z expression replicates the
+    * batch double arithmetic term for term, so the result shares
+    * w8's oracle bit for bit.
+    */
+  def streamAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    val src = graft.Tables.normalizeTs(
+      spark.readStream.schema(schema).parquet(closedStreamDir(spark, path)))
+      .withWatermark("ts", "1 second")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), unix_micros(col("ts")).as("ts_us"), col("ts"))
+      .as[PatternStream.Ev]
+    def cents(v: Double): Long =
+      java.math.BigDecimal.valueOf(v)
+        .setScale(2, java.math.RoundingMode.HALF_UP)
+        .movePointRight(2).longValueExact()
+    val out = src.groupByKey(_.user_id)
+      .flatMapGroupsWithState[AnState, AnOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[PatternStream.Ev],
+         state: GroupState[AnState]) =>
+          val prev = state.getOption.getOrElse(AnState(Nil, Nil))
+          var ring = prev.ring // newest first, ≤ 20 entries of cents
+          var buf = prev.buf
+          if (!state.hasTimedOut)
+            buf = buf ++ it.filter(_.event_type != "__sentinel")
+              .map(e => EmaBuf(e.event_id, e.ts_us, e.value))
+          val wm = state.getCurrentWatermarkMs() * 1000L
+          val (safe, waiting) = buf.partition(_.ts_us <= wm)
+          buf = waiting
+          val outRows = scala.collection.mutable.ArrayBuffer.empty[AnOut]
+          for (e <- safe.sortBy(_.event_id)) {
+            val n = ring.size
+            if (n >= 5) {
+              val sx = ring.sum / 100.0
+              val sxx = ring.map(c => c * c).sum / 10000.0
+              val z = (e.value - sx / n) /
+                math.sqrt((sxx - sx * sx / n) / (n - 1))
+              val zr = java.math.BigDecimal.valueOf(z)
+                .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+              outRows += AnOut(user, e.event_id, e.value, zr,
+                math.abs(z) > 3.0)
+            }
+            ring = (cents(e.value) :: ring).take(20)
+          }
+          state.update(AnState(ring, buf))
+          if (buf.nonEmpty)
+            state.setTimeoutTimestamp(math.max(
+              (buf.map(_.ts_us).min / 1000L) + 1L,
+              state.getCurrentWatermarkMs() + 1L))
+          outRows.iterator
+      }
+    runToTable(spark, out.toDF(), "graft_s11_sink", "append")
   }
 
   /** #26-streaming: OR is stateless on a live stream — a pushed-down
