@@ -200,8 +200,12 @@ object StreamingQueries {
     runToTable(spark, absences.toDF(), "graft_s4_sink", "append")
   }
 
-  /** #32 streaming SASE sequence detection (NFA over state store);
-    * count must equal the batch p1_seq2 join — asserted in specs.
+  /** #32 streaming SASE sequence detection — the generic buffered NFA
+    * (split-invariant finalized-prefix ordering, like every stateful
+    * streaming query here); matches the batch p1_seq2 join's oracle.
+    * The lightweight [[PatternStream.detect]] (immediate arrival-order
+    * processing) remains the low-latency primitive for in-order
+    * sources.
     */
   def streamPattern(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -209,18 +213,23 @@ object StreamingQueries {
     val path = s"$dir/events.parquet"
     val schema = spark.read.parquet(path).schema
     val src = graft.Tables.normalizeTs(
-      spark.readStream.schema(schema).parquet(streamDir(path)))
-      // EventTimeTimeout state eviction in detect() needs a watermark
+      spark.readStream.schema(schema).parquet(closedStreamDir(spark, path)))
       .withWatermark("ts", "1 hour")
-      .select(col("event_id"), col("user_id"), col("event_type"),
-        col("value"), unix_micros(col("ts")).as("ts_us"), col("ts"))
-      .as[Ev]
-    val matches = detect(src,
-      Seq(StepSpec("signup"), StepSpec("purchase")),
-      withinUs = 1800L * 1000000L)(spark)
-    val out = matches.toDF()
-      .select(col("user_id"), col("ids")(0).as("a_id"), col("ids")(1).as("b_id"),
-        col("span_us"))
+    val gev = src.select(
+      col("event_id"),
+      col("user_id").cast("string").as("key"),
+      unix_micros(col("ts")).as("ts_us"),
+      col("ts"),
+      (when(col("event_type") === "signup", 1L).otherwise(0L) +
+        when(col("event_type") === "purchase", 2L).otherwise(0L)).as("mask"),
+      map(lit("uid"), col("user_id").cast("string")).as("payload")).as[GEv]
+    val matches = detectGeneric(gev,
+      IndexedSeq(GStepSpec(), GStepSpec()),
+      withinUs = 1800L * 1000000L)(spark).toDF()
+    val out = matches.select(
+      col("key").cast("long").as("user_id"),
+      col("ids")(0).as("a_id"), col("ids")(1).as("b_id"),
+      col("span_us"))
     runToTable(spark, out, "graft_s2_sink", "append")
   }
 
