@@ -132,6 +132,22 @@ object SparkEntry {
       """SELECT event_id, user_id, event_type FROM events
         |WHERE event_type = 'signup' OR (event_type = 'purchase' AND value > 150)""".stripMargin)(
       graft.streaming.StreamingQueries.streamDisjunction),
+    // s12: streaming exact dedup — distinct (user, hour) click keys;
+    // the key set is arrival-order independent, hence a plain
+    // DISTINCT oracle
+    "s12_stream_dedup" -> QueryDef.of(
+      """SELECT DISTINCT user_id,
+        | (epoch_us(ts) // 3600000000) * 3600 AS hr
+        |FROM events WHERE event_type = 'click'""".stripMargin)(
+      graft.streaming.StreamingQueries.streamDedup),
+    // s13: stream-static broadcast enrich, sharing e1's oracle
+    "s13_stream_enrich" -> QueryDef.of(
+      """SELECT event_id, user_id,
+        | COALESCE(c_name, 'unknown') AS cust_name,
+        | COALESCE(c_mktsegment, 'unknown') AS segment,
+        | CASE WHEN c_name IS NULL THEN 'fallback' ELSE 'ok' END AS enrich_status
+        |FROM events LEFT JOIN customer ON user_id = c_custkey""".stripMargin)(
+      graft.streaming.StreamingQueries.streamEnrich),
     "s5_stream_session" -> QueryDef.of(
       """WITH o AS (
         |  SELECT user_id, event_id, value, epoch_us(ts) AS us,

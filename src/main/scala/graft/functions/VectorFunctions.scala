@@ -26,20 +26,13 @@ object VectorFunctions {
 
   /** Deterministic pseudo-random hyperplane signature for LSH
     * bucketing: bit i = sign of the dot product with a hyperplane
-    * whose components are derived from xxhash64(i, dim) — no RNG
-    * state, identical on every executor and every run.
+    * whose components are derived from splitmix64((i << 32) | dim) —
+    * no RNG state, identical on every executor and every run, and
+    * oracle-reproducible. Native single-pass expression (see
+    * [[HyperplaneSig]]).
     */
   def hyperplaneSig(vec: Column, nBits: Int): Column = {
-    val bits = (0 until nBits).map { i =>
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1), (x, j) => {
-          // hash-derived pseudo-gaussian component in [-0.5, 0.5)
-          val h = xxhash64(lit(i), j)
-          x.cast("double") * ((h % 1000000L).cast("double") / 2000000.0)
-        }),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(HyperplaneSig(ColumnBridge.expression(vec), nBits))
   }
 }

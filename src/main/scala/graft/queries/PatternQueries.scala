@@ -292,26 +292,76 @@ object PatternQueries {
         Forecast.transitions(Tables(s, dir).events)
     },
 
-    // --- #29 PST variable-order model (rows-only; spec-tested) ---
-    "f2_pst" -> QueryDef.rowsOnly {
+    // --- #29 PST variable-order model: contexts are count ratios, so
+    // the probabilities are exact int divisions — hash-stable without
+    // rounding ---
+    "f2_pst" -> QueryDef.of(
+      """WITH base AS (
+        |  SELECT event_type AS nxt,
+        |    lag(event_type, 1) OVER w AS l1,
+        |    lag(event_type, 2) OVER w AS l2,
+        |    lag(event_type, 3) OVER w AS l3
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+        |), ctx AS (
+        |  SELECT 1 AS depth, l1 AS context, nxt FROM base WHERE l1 IS NOT NULL
+        |  UNION ALL
+        |  SELECT 2, l2 || '>' || l1, nxt FROM base
+        |    WHERE l1 IS NOT NULL AND l2 IS NOT NULL
+        |  UNION ALL
+        |  SELECT 3, l3 || '>' || l2 || '>' || l1, nxt FROM base
+        |    WHERE l1 IS NOT NULL AND l2 IS NOT NULL AND l3 IS NOT NULL
+        |)
+        |SELECT depth, context, nxt, COUNT(*) AS cnt,
+        |  CAST(COUNT(*) AS DOUBLE)
+        |    / CAST(SUM(COUNT(*)) OVER (PARTITION BY depth, context) AS DOUBLE) AS prob
+        |FROM ctx GROUP BY depth, context, nxt""".stripMargin) {
       (s, dir) =>
         Forecast.pstScores(Tables(s, dir).events, maxDepth = 3)
     },
 
-    // --- #29 Hawkes self-exciting intensity (pst/hawkes.rs; rows-only,
-    // recursion hand-verified in CepSpec) ---
-    "f4_hawkes" -> QueryDef.rowsOnly {
+    // --- #29 Hawkes self-exciting intensity (pst/hawkes.rs): the
+    // O(1)-per-event recursion re-run by the oracle as a recursive
+    // CTE (anchor = each key's first event at mu+alpha, one event per
+    // key per iteration — standard SQL sequencing, see
+    // HawkesAdaptiveOracle's scaladoc for why not a list_reduce
+    // struct fold); exp() may differ in the last ulp across libms, so
+    // both sides round to 6 places ---
+    "f4_hawkes" -> QueryDef.of(
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS t,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+        |  FROM events
+        |), rec AS (
+        |  SELECT user_id, event_id, rn, t AS lt, 0.003::DOUBLE AS li
+        |  FROM ev WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.event_id, e.rn, e.t AS lt,
+        |    0.001::DOUBLE + (r.li - 0.001::DOUBLE + 0.002::DOUBLE)
+        |      * exp(-0.0005::DOUBLE * CAST(e.t - r.lt AS DOUBLE) / 1e6::DOUBLE) AS li
+        |  FROM rec r JOIN ev e ON e.user_id = r.user_id AND e.rn = r.rn + 1
+        |)
+        |SELECT user_id, event_id, round(li, 6) AS intensity,
+        |  round(least(greatest(li / 0.001::DOUBLE, 1.0::DOUBLE),
+        |    5.0::DOUBLE), 6) AS boost_factor
+        |FROM rec""".stripMargin) {
       (s, dir) =>
         Forecast.hawkesIntensity(Tables(s, dir).events,
           mu = 0.001, alpha = 0.002, beta = 0.0005)
+          .select(col("user_id"), col("event_id"),
+            round(col("intensity"), 6).as("intensity"),
+            round(col("boost_factor"), 6).as("boost_factor"))
     },
 
     // --- #29 Hawkes with online EMA parameter estimation (the full
-    // hawkes.rs recursion incl. estimate_parameters; rows-only,
-    // reference test scenarios ported to CepSpec) ---
-    "f6_hawkes_adaptive" -> QueryDef.rowsOnly {
+    // hawkes.rs recursion incl. estimate_parameters), under the same
+    // prefix-fold oracle — the 8-field state is substituted textually
+    // on both sides (HOF lambdas have no let-bindings) ---
+    "f6_hawkes_adaptive" -> QueryDef.of(HawkesAdaptiveOracle.sql) {
       (s, dir) =>
         Forecast.hawkesIntensityAdaptive(Tables(s, dir).events)
+          .select(col("user_id"), col("event_id"),
+            round(col("intensity"), 6).as("intensity"),
+            round(col("boost_factor"), 6).as("boost_factor"))
     },
 
     // --- #29 conformal prediction intervals (pst/conformal.rs):
@@ -348,12 +398,109 @@ object PatternQueries {
 
     // --- #29 live forecast: every event annotated with its pattern-
     // completion probability from the deepest matching PST context
-    // (the forecast_probability / forecast_state builtins) ---
-    "f3_forecast_live" -> QueryDef.rowsOnly {
+    // (the forecast_probability / forecast_state builtins). The model
+    // only contains contexts with >0 target continuations (pstScores
+    // groups on (ctx, nxt)), hence the HAVING; probabilities are
+    // exact count ratios, so no rounding is needed ---
+    "f3_forecast_live" -> QueryDef.of(
+      """WITH base AS (
+        |  SELECT event_type AS nxt,
+        |    lag(event_type, 1) OVER w AS l1,
+        |    lag(event_type, 2) OVER w AS l2
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+        |), ctxrows AS (
+        |  SELECT 1 AS depth, l1 AS context, nxt FROM base WHERE l1 IS NOT NULL
+        |  UNION ALL
+        |  SELECT 2, l2 || '>' || l1, nxt FROM base
+        |    WHERE l1 IS NOT NULL AND l2 IS NOT NULL
+        |), model AS (
+        |  SELECT depth, context,
+        |    CAST(COUNT(*) FILTER (nxt = 'purchase') AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE) AS prob
+        |  FROM ctxrows GROUP BY depth, context
+        |  HAVING COUNT(*) FILTER (nxt = 'purchase') > 0
+        |), ev AS (
+        |  SELECT user_id, event_id, event_type AS c1,
+        |    lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS p1
+        |  FROM events
+        |), j AS (
+        |  SELECT e.user_id, e.event_id, e.c1 AS ctx1,
+        |    CASE WHEN e.p1 IS NULL THEN e.c1 ELSE e.p1 || '>' || e.c1 END AS ctx2,
+        |    m2.prob AS pr2, m1.prob AS pr1
+        |  FROM ev e
+        |  LEFT JOIN model m2 ON m2.depth = 2
+        |    AND m2.context = (CASE WHEN e.p1 IS NULL THEN e.c1
+        |                           ELSE e.p1 || '>' || e.c1 END)
+        |  LEFT JOIN model m1 ON m1.depth = 1 AND m1.context = e.c1
+        |)
+        |SELECT event_id, user_id,
+        |  coalesce(pr2, pr1, 0.0::DOUBLE) AS forecast_probability,
+        |  CASE WHEN pr2 IS NOT NULL THEN ctx2 ELSE ctx1 END AS forecast_state
+        |FROM j""".stripMargin) {
       (s, dir) =>
         Forecast.forecastPattern(s, Tables(s, dir).events, "purchase",
           maxDepth = 2)
           .select("event_id", "user_id", "forecast_probability",
             "forecast_state")
     })
+}
+
+/** DuckDB oracle for f6: the adaptive-Hawkes per-event recursion,
+  * mirroring [[graft.cep.Forecast.hawkesIntensityAdaptive]] (same
+  * association order → the only cross-engine divergence is exp()'s
+  * last ulp, absorbed by round 6 on both sides).
+  *
+  * Realized as a RECURSIVE CTE advancing every key one event per
+  * iteration — NOT as a `list_reduce` struct fold: DuckDB 1.0
+  * evaluates struct-literal lambda results field-by-field against a
+  * shared accumulator buffer, so a multi-field state (this one has
+  * eight) reads a mix of pre-/post-update values depending on field
+  * order (observed empirically; the single-dependency f4 fold is
+  * unaffected and verified exact). The recursive arm references only
+  * the previous iteration's row `r` — unambiguous sequencing.
+  * Helper subexpressions (dt_, ed1_, …) are DuckDB lateral column
+  * aliases, defined left-to-right in the inner select.
+  */
+private object HawkesAdaptiveOracle {
+  val sql: String =
+    """WITH RECURSIVE ev AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS t,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+      |  FROM events
+      |), rec AS (
+      |  SELECT user_id, event_id, rn, t AS lt,
+      |    1.5::DOUBLE AS i, 1.5::DOUBLE AS b, 1.5::DOUBLE AS li,
+      |    0.0::DOUBLE AS ed, 0.0::DOUBLE AS ed2, 1::BIGINT AS n,
+      |    1.0::DOUBLE AS mu, 0.5::DOUBLE AS al, 1.0::DOUBLE AS be
+      |  FROM ev WHERE rn = 1
+      |  UNION ALL
+      |  SELECT user_id, event_id, rn, t AS lt,
+      |    CASE WHEN est_ THEN greatest(iraw_, mun_) ELSE iraw_ END AS i,
+      |    least(greatest(i / mun_, 1.0::DOUBLE), 5.0::DOUBLE) AS b,
+      |    i AS li,
+      |    ed1_ AS ed, ed2n_ AS ed2, n0 + 1 AS n,
+      |    mun_ AS mu,
+      |    CASE WHEN est_ THEN 0.5::DOUBLE * mun_ ELSE al0 END AS al,
+      |    CASE WHEN est_ AND varn_ > 0.0::DOUBLE
+      |      THEN greatest(1.0::DOUBLE / sqrt(varn_), 1e-15::DOUBLE)
+      |      ELSE be0 END AS be
+      |  FROM (
+      |    SELECT e.user_id, e.event_id, e.rn, e.t,
+      |      r.n AS n0, r.al AS al0, r.be AS be0,
+      |      greatest(CAST(e.t - r.lt AS DOUBLE) / 1e6::DOUBLE, 0.0::DOUBLE) AS dt_,
+      |      CASE WHEN r.n = 1 THEN dt_
+      |        ELSE 0.05::DOUBLE * dt_ + 0.95::DOUBLE * r.ed END AS ed1_,
+      |      CASE WHEN r.n = 1 THEN dt_ * dt_
+      |        ELSE 0.05::DOUBLE * dt_ * dt_ + 0.95::DOUBLE * r.ed2 END AS ed2n_,
+      |      r.mu + (r.li - r.mu + r.al) * exp(-r.be * dt_) AS iraw_,
+      |      (r.n + 1) >= 10 AS est_,
+      |      CASE WHEN (r.n + 1) >= 10
+      |        THEN greatest(1.0::DOUBLE / ed1_, 1e-15::DOUBLE) ELSE r.mu END AS mun_,
+      |      ed2n_ - ed1_ * ed1_ AS varn_
+      |    FROM rec r JOIN ev e ON e.user_id = r.user_id AND e.rn = r.rn + 1
+      |  ) s
+      |)
+      |SELECT user_id, event_id, round(i, 6) AS intensity,
+      |  round(b, 6) AS boost_factor
+      |FROM rec""".stripMargin
 }

@@ -25,6 +25,25 @@ object TextQueries {
        | THEN list_distinct([array_to_string(w[i:i+2], ' ') for i in generate_series(1, len(w) - 2)])
        | ELSE [array_to_string(w, ' ')] END""".stripMargin
 
+  /** 2^64 — every 64-bit hash step below is taken mod this. */
+  private val M64 = "18446744073709551616"
+
+  /** DuckDB twin of SimHashUtil.fnv64 / MinHashUtil's base hash:
+    * FNV-1a over the UTF-8 bytes of column `s`. Normalized tokens and
+    * shingles are pure [a-z0-9 ] — ASCII — so `unicode(char)` IS the
+    * byte and a per-character fold reproduces the byte fold exactly.
+    * The seed rides as the prepended first element (DuckDB's
+    * list_reduce has no init parameter); the 64×41-bit product fits
+    * HUGEINT, wrapped mod 2^64 like the JVM's Long multiply.
+    */
+  private def fnvSql(c: String) =
+    s"""list_reduce(
+       |    list_prepend(14695981039346656037::UBIGINT,
+       |      list_transform(list_filter(string_split_regex($c, ''), x2 -> x2 != ''),
+       |        x2 -> CAST(unicode(x2) AS UBIGINT))),
+       |    (acc, x) -> CAST((CAST(xor(acc, x) AS HUGEINT) * 1099511628211::HUGEINT)
+       |                     % $M64::HUGEINT AS UBIGINT))""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
 
     // --- #42 language ID (stopword/CJK heuristic, deterministic ties) ---
@@ -171,15 +190,107 @@ object TextQueries {
             k = 3, threshold = 0.6, blockCols = Seq(col("lang"))))
     },
 
-    // --- #37 MinHash+LSH near-dup (verified); spec checks vs exact ---
-    "d3_minhash_lsh" -> QueryDef.rowsOnly {
+    // --- #37 MinHash+LSH near-dup, fully oracled: the oracle re-runs
+    // the ENTIRE pipeline — FNV-1a shingle hash, per-seed splitmix64
+    // finalizer (the 128-bit products ride UHUGEINT, wrapped mod 2^64
+    // like JVM long multiplies; minima compared as SIGNED 64-bit,
+    // exactly MinHashUtil's `z < mins(s)`), 4×4 banding, ≤1000 bucket
+    // cap, candidate join, exact-Jaccard verify. Integer-exact end to
+    // end, so the hash gate needs no rounding ---
+    "d3_minhash_lsh" -> QueryDef.of(
+      s"""WITH d AS (
+         |  SELECT doc_id, $shinglesSql AS sh
+         |  FROM (SELECT doc_id, $wordsSql AS w FROM documents)
+         |), shl AS (
+         |  SELECT doc_id, unnest(sh) AS s FROM d
+         |), hx AS (
+         |  SELECT doc_id, ${fnvSql("s")} AS h FROM shl
+         |), seeds AS (SELECT unnest(range(0, 16)) AS seed),
+         |zc AS (
+         |  SELECT doc_id, seed,
+         |    xor(h, CAST((CAST(seed AS HUGEINT) * 11400714819323198485::HUGEINT)
+         |      % $M64::HUGEINT AS UBIGINT)) AS z0,
+         |    CAST((CAST(xor(z0, z0 >> 30) AS UHUGEINT) * 13787848793156543929::UHUGEINT
+         |      % $M64::UHUGEINT) AS UBIGINT) AS z1,
+         |    CAST((CAST(xor(z1, z1 >> 27) AS UHUGEINT) * 10723151780598845931::UHUGEINT
+         |      % $M64::UHUGEINT) AS UBIGINT) AS z2,
+         |    xor(z2, z2 >> 31) AS z3,
+         |    CAST(CASE WHEN z3 >= 9223372036854775808::UBIGINT
+         |      THEN CAST(z3 AS HUGEINT) - $M64::HUGEINT
+         |      ELSE CAST(z3 AS HUGEINT) END AS BIGINT) AS zs
+         |  FROM hx CROSS JOIN seeds
+         |), mins AS (
+         |  SELECT doc_id, seed, MIN(zs) AS m FROM zc GROUP BY doc_id, seed
+         |), sigs AS (
+         |  SELECT doc_id, seed // 4 AS band,
+         |    string_agg(m::VARCHAR, ',' ORDER BY seed) AS band_key
+         |  FROM mins GROUP BY doc_id, seed // 4
+         |), bucketed AS (
+         |  SELECT doc_id, band, band_key FROM (
+         |    SELECT doc_id, band, band_key,
+         |      COUNT(*) OVER (PARTITION BY band, band_key) AS bn
+         |    FROM sigs) WHERE bn <= 1000
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bucketed a JOIN bucketed b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+         |)
+         |SELECT c.a_id, c.b_id,
+         |  CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE) /
+         |  CAST(len(list_distinct(list_concat(da.sh, db.sh))) AS DOUBLE) AS jaccard
+         |FROM cand c JOIN d da ON da.doc_id = c.a_id JOIN d db ON db.doc_id = c.b_id
+         |WHERE CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE) /
+         |      CAST(len(list_distinct(list_concat(da.sh, db.sh))) AS DOUBLE) >= 0.6""".stripMargin) {
       (s, dir) =>
         Dedup.minhashLshPairs(Tables(s, dir).documents,
           k = 3, nBands = 4, rowsPerBand = 4, verifyThreshold = 0.6)
     },
 
-    // --- #38 SimHash near-dup (Hamming ≤ 3, chunk-blocked) ---
-    "d4_simhash" -> QueryDef.rowsOnly {
+    // --- #38 SimHash near-dup (Hamming ≤ 3, chunk-blocked), fully
+    // oracled: per-token FNV-1a, 64 ±1 bit votes per doc (token-less
+    // docs vote 0 everywhere → all bits set, matching SimHashUtil's
+    // `counts(j) >= 0`), unsigned chunk extraction, candidate join,
+    // exact Hamming verify via bit_count(xor) ---
+    "d4_simhash" -> QueryDef.of(
+      s"""WITH w AS (
+         |  SELECT doc_id, $wordsSql AS w FROM documents
+         |), toks AS (
+         |  SELECT doc_id, unnest(w) AS tok FROM w
+         |), hashed AS (
+         |  SELECT doc_id, ${fnvSql("tok")} AS h FROM toks
+         |), bits AS (SELECT unnest(range(0, 64)) AS j),
+         |votes AS (
+         |  SELECT w.doc_id, b.j,
+         |    coalesce(SUM(CASE WHEN h.h IS NULL THEN NULL
+         |      WHEN ((h.h >> CAST(b.j AS INT)) & 1::UBIGINT) = 1::UBIGINT THEN 1
+         |      ELSE -1 END), 0) AS v
+         |  FROM w CROSS JOIN bits b
+         |  LEFT JOIN hashed h ON h.doc_id = w.doc_id
+         |  GROUP BY w.doc_id, b.j
+         |), sig AS (
+         |  SELECT doc_id,
+         |    CAST(SUM(CASE WHEN v >= 0
+         |      THEN CAST(1::UBIGINT << CAST(j AS INT) AS HUGEINT) ELSE 0 END) AS HUGEINT) AS s_u
+         |  FROM votes GROUP BY doc_id
+         |), sig2 AS (
+         |  SELECT doc_id, s_u,
+         |    CAST(CASE WHEN s_u >= 9223372036854775808::HUGEINT
+         |      THEN s_u - $M64::HUGEINT ELSE s_u END AS BIGINT) AS s_s
+         |  FROM sig
+         |), chunked AS (
+         |  SELECT doc_id, s_u, s_s, c,
+         |    CAST((s_u // (CASE c WHEN 0 THEN 1::HUGEINT WHEN 1 THEN 65536::HUGEINT
+         |      WHEN 2 THEN 4294967296::HUGEINT ELSE 281474976710656::HUGEINT END))
+         |      % 65536::HUGEINT AS BIGINT) AS cv
+         |  FROM sig2 CROSS JOIN (SELECT unnest(range(0, 4)) AS c)
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+         |    a.s_s AS a_sh, b.s_s AS b_sh
+         |  FROM chunked a JOIN chunked b ON a.c = b.c AND a.cv = b.cv
+         |    AND a.doc_id < b.doc_id
+         |)
+         |SELECT a_id, b_id, CAST(bit_count(xor(a_sh, b_sh)) AS INT) AS hamming
+         |FROM cand WHERE bit_count(xor(a_sh, b_sh)) <= 3""".stripMargin) {
       (s, dir) =>
         Dedup.simhashPairs(Tables(s, dir).documents, maxHamming = 3)
     },

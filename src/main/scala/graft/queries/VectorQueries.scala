@@ -21,6 +21,9 @@ object VectorQueries {
   private def cosSql(a: String, b: String): String =
     s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
 
+  /** 2^64 — the modulus for the oracle's hyperplane-hash arithmetic. */
+  private val m64 = "18446744073709551616"
+
   val defs: Map[String, QueryDef] = Map(
 
     // --- #40 brute-force cosine top-10 for query vectors (id < 10) ---
@@ -51,8 +54,52 @@ object VectorQueries {
           threshold = 0.35, blockCol = col("label"))
     },
 
-    // --- #41 LSH-bucketed ANN (scale path; spec checks recall vs v1) ---
-    "v3_knn_lsh" -> QueryDef.rowsOnly {
+    // --- #41 LSH-bucketed ANN (scale path; spec checks recall vs v1),
+    // fully oracled: the oracle re-derives every hyperplane component
+    // w(i,j) = splitmix64((i<<32)+j) % 1e6 / 2e6 with 128-bit modular
+    // arithmetic (exactly HyperplaneUtil.component), folds the
+    // projections in dim order, buckets on the 4-bit sign signature,
+    // and ranks in-bucket cosine — integer/IEEE-exact end to end ---
+    "v3_knn_lsh" -> QueryDef.of(
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |bits AS (SELECT unnest(range(0, 4)) AS i),
+         |dims AS (SELECT unnest(range(0, (SELECT MAX(len(v)) FROM e))) AS j),
+         |percomp AS (
+         |  SELECT b.i, d.j,
+         |    CAST((CAST(b.i AS HUGEINT) * 4294967296::HUGEINT + CAST(d.j AS HUGEINT)
+         |      + 11400714819323198485::HUGEINT) % $m64::HUGEINT AS UBIGINT) AS z0,
+         |    CAST((CAST(xor(z0, z0 >> 30) AS UHUGEINT) * 13787848793156543929::UHUGEINT
+         |      % $m64::UHUGEINT) AS UBIGINT) AS z1,
+         |    CAST((CAST(xor(z1, z1 >> 27) AS UHUGEINT) * 10723151780598845931::UHUGEINT
+         |      % $m64::UHUGEINT) AS UBIGINT) AS z2,
+         |    xor(z2, z2 >> 31) AS z3,
+         |    CAST(CASE WHEN z3 >= 9223372036854775808::UBIGINT
+         |      THEN CAST(z3 AS HUGEINT) - $m64::HUGEINT
+         |      ELSE CAST(z3 AS HUGEINT) END AS BIGINT) AS zs,
+         |    CAST(zs % 1000000 AS DOUBLE) / 2000000.0::DOUBLE AS comp
+         |  FROM bits b CROSS JOIN dims d),
+         |comps AS (SELECT i, list(comp ORDER BY j) AS cl FROM percomp GROUP BY i),
+         |projs AS (
+         |  SELECT e.vec_id, c.i,
+         |    list_reduce(list_prepend(0.0::DOUBLE,
+         |      [v[j] * c.cl[j] for j in generate_series(1, len(v))]),
+         |      (x, y) -> x + y) AS proj
+         |  FROM e CROSS JOIN comps c),
+         |buckets AS (
+         |  SELECT vec_id,
+         |    SUM(CASE WHEN proj >= 0 THEN (1::BIGINT << CAST(i AS INT))
+         |      ELSE 0::BIGINT END) AS bucket
+         |  FROM projs GROUP BY vec_id),
+         |p AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         |    ${cosSql("q.v", "c.v")} AS cos
+         |  FROM e q JOIN buckets bq ON bq.vec_id = q.vec_id
+         |  JOIN buckets bc ON bc.bucket = bq.bucket
+         |  JOIN e c ON c.vec_id = bc.vec_id AND c.vec_id != q.vec_id
+         |  WHERE q.vec_id < 10),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk FROM p)
+         |SELECT q_id, n_id, CAST(rnk AS BIGINT) AS rank, round(cos, 6) AS cos
+         |FROM r WHERE rnk <= 10""".stripMargin) {
       (s, dir) => {
         val e = Tables(s, dir).embeddings
         Knn.lshTopK(e, e.filter(col("vec_id") < 10), k = 10, nBits = 4)

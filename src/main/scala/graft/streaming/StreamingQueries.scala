@@ -485,6 +485,51 @@ object StreamingQueries {
     runToTable(spark, out.toDF(), "graft_s11_sink", "append")
   }
 
+  /** #35-streaming: exact dedup on a live stream — `dropDuplicates`
+    * over keyed state, suppressing repeat clicks per (user, hour).
+    * The dedup key includes the event-time window column, so the
+    * state store evicts closed hours as the watermark passes — the
+    * pattern that keeps streaming-dedup state finite on an unbounded
+    * run. The output is the distinct key set (no arrival-order-
+    * dependent representative), so the result is micro-batch-split
+    * invariant and shares a plain DISTINCT oracle.
+    */
+  def streamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    val src = graft.Tables.normalizeTs(
+      spark.readStream.schema(schema).parquet(streamDir(path)))
+    val out = src
+      .filter(col("event_type") === "click")
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), window(col("ts"), "1 hour").as("w"))
+      .dropDuplicates("user_id", "w")
+      .select(col("user_id"), col("w.start").cast("long").as("hr"))
+    runToTable(spark, out, "graft_s12_sink", "append")
+  }
+
+  /** #7-streaming: enrichment as a stream-static join — the static
+    * dimension is broadcast to every task, so live events are
+    * annotated without shuffling the stream or keeping join state
+    * (same plan + fallback semantics as batch e1, whose oracle it
+    * shares).
+    */
+  def streamEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    val src = graft.Tables.normalizeTs(
+      spark.readStream.schema(schema).parquet(streamDir(path)))
+    val dim = broadcast(graft.Tables(spark, dir).customer
+      .select("c_custkey", "c_name", "c_mktsegment"))
+    val out = src.join(dim, col("user_id") === col("c_custkey"), "left")
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("c_name"), lit("unknown")).as("cust_name"),
+        coalesce(col("c_mktsegment"), lit("unknown")).as("segment"),
+        when(col("c_name").isNull, "fallback").otherwise("ok")
+          .as("enrich_status"))
+    runToTable(spark, out, "graft_s13_sink", "append")
+  }
+
   /** #26-streaming: OR is stateless on a live stream — a pushed-down
     * disjunctive filter, no state, no watermark needed (shares p5's
     * oracle).
