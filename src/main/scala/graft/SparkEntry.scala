@@ -132,6 +132,15 @@ object SparkEntry {
       """SELECT event_id, user_id, event_type FROM events
         |WHERE event_type = 'signup' OR (event_type = 'purchase' AND value > 150)""".stripMargin)(
       graft.streaming.StreamingQueries.streamDisjunction),
+    // s14: streaming sliding windows under w2's oracle
+    "s14_stream_sliding" -> QueryDef.of(
+      """SELECT event_type,
+        | ((epoch_us(ts) // 1800000000) - k) * 1800 AS win_start,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+        |FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) offs
+        |GROUP BY 1, 2""".stripMargin)(
+      graft.streaming.StreamingQueries.streamSliding),
     // s12: streaming exact dedup — distinct (user, hour) click keys;
     // the key set is arrival-order independent, hence a plain
     // DISTINCT oracle

@@ -126,6 +126,27 @@ object StreamingQueries {
     runToTable(spark, agg, "graft_s1_sink", "complete")
   }
 
+  /** #9-streaming: sliding time windows on a live stream (1h size,
+    * 30m slide — every event lands in 2 overlapping windows). Same
+    * plan shape as s1; shares batch w2's oracle.
+    */
+  def streamSliding(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    val src = graft.Tables.normalizeTs(
+      spark.readStream.schema(schema).parquet(streamDir(path)))
+    val agg = src
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("event_type"),
+        window(col("ts"), "1 hour", "30 minutes"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(14,2)")).cast("double").as("sum_value"))
+      .select(col("event_type"), col("window.start").cast("long").as("win_start"),
+        col("n"), col("sum_value"))
+    runToTable(spark, agg, "graft_s14_sink", "complete")
+  }
+
   /** #33 stream-stream interval join (VPL `join(...).on(...).window()`
     * over two live streams): signups ⋈ purchases of the same user
     * within 30 minutes. Watermarks bound the join state on both
