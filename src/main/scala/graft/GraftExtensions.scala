@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{DotProduct, SimHash64, WordShingles}
+import graft.functions.{DotProduct, HyperplaneSig, MinHashSig, SimHash64, WordShingles}
 
 /** graft's native expressions as SQL functions. */
 object GraftFunctions {
@@ -24,7 +24,21 @@ object GraftFunctions {
       }),
     (FunctionIdentifier("vec_dot"),
       info("vec_dot", "vec_dot(a, b) - in-order double dot product"),
-      (args: Seq[Expression]) => DotProduct(args(0), args(1))))
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))),
+    (FunctionIdentifier("minhash_sig"),
+      info("minhash_sig", "minhash_sig(shingles, n) - n-long MinHash signature"),
+      (args: Seq[Expression]) => args match {
+        case Seq(sh, Literal(n: Int, _)) => MinHashSig(sh, n)
+        case _ => throw new IllegalArgumentException(
+          "minhash_sig(shingles, n): n must be an integer literal")
+      }),
+    (FunctionIdentifier("hyperplane_sig"),
+      info("hyperplane_sig", "hyperplane_sig(vec, nBits) - LSH hyperplane signature"),
+      (args: Seq[Expression]) => args match {
+        case Seq(v, Literal(n: Int, _)) => HyperplaneSig(v, n)
+        case _ => throw new IllegalArgumentException(
+          "hyperplane_sig(vec, nBits): nBits must be an integer literal")
+      }))
 
   /** Register into a live session (tests, shells). */
   def register(spark: SparkSession): Unit = all.foreach { case (id, inf, builder) =>

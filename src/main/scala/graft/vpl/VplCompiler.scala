@@ -802,6 +802,12 @@ final class VplCompiler(program: VProgram, source: VplSource,
     // prefixed columns (the reference stores pattern refs as a future
     // feature — here they execute)
     var patternCtx: Option[ExprCtx] = None
+    // batch stream sourced from a Kleene pattern decl (A -> B+/B* -> C):
+    // compiled at emit via Pattern.kleeneBetween so the MAXIMAL-RUN
+    // row shape matches the streaming NFA (one row per anchor pair,
+    // len/sum/first over the run) — compilePattern's enumeration
+    // semantics stay available for direct detection-mode calls
+    var batchKleeneDecl: Option[VPatternDecl] = None
     var df: DataFrame = s.source match {
       case SrcMerge(names) =>
         // heterogeneous alert streams merge with NULL-filled gaps
@@ -815,6 +821,19 @@ final class VplCompiler(program: VProgram, source: VplSource,
       case SrcName(n, alias) =>
         headAlias = alias
         if (!streaming && program.streams.forall(_.name != n) &&
+          program.patterns.exists(_.name == n) &&
+          (program.patterns.find(_.name == n).get.expr match {
+            case SaseSeq(items) => items.forall(!_.negated) &&
+              items.size == 3 && items(1).kleene.exists(k => k == "+" || k == "*") &&
+              items(0).kleene.isEmpty && items(2).kleene.isEmpty
+            case _ => false
+          })) {
+          // A -> B+/B* -> C pattern decl as a batch stream source:
+          // defer to the emit-time maximal-run compile below
+          batchKleeneDecl = program.patterns.find(_.name == n)
+          resolveAny(program.patterns.find(_.name == n).get.expr
+            .asInstanceOf[SaseSeq].items.head.eventType) // placeholder
+        } else if (!streaming && program.streams.forall(_.name != n) &&
           program.patterns.exists(_.name == n)) {
           val pdf = compilePattern(n)
           val pcols = pdf.columns.toSeq
@@ -1362,6 +1381,121 @@ final class VplCompiler(program: VProgram, source: VplSource,
         translate(e, emitCtx).as(n) }: _*)
     }
 
+    /** Batch compile of `stream X = KleenePattern .emit(...)`: the
+      * maximal-run realization ([[graft.cep.Pattern.kleeneBetween]] /
+      * kleeneStarBetween) so batch rows match the streaming NFA's —
+      * one row per (anchor, close) pair with `len(b)` / `sum(b.f)` /
+      * `b.first_event_id` reading the run aggregates, and anchor /
+      * last-element fields re-attached by id equi-joins. Local step
+      * predicates only (a cross-step predicate here would need the
+      * GRETA DP — compile the stream in streaming mode, or use the
+      * inline `->` sequence form, both of which support them).
+      */
+    def buildBatchKleene(decl: VPatternDecl,
+        args: Seq[(String, VExpr)]): DataFrame = {
+      val items = decl.expr.asInstanceOf[SaseSeq].items
+      val Seq(ia, ik, ic) = items
+      val keys = decl.partitionBy.toSeq
+      val aliases = items.zipWithIndex.map { case (it, i) =>
+        it.alias.getOrElse(s"s$i")
+      }
+      val withinUs = decl.withinUs.getOrElse(throw VplCompileError(
+        s"pattern '${decl.name}': Kleene stream source needs `within d`"))
+      if (withinUs % 1000000L != 0) throw VplCompileError(
+        s"pattern '${decl.name}': sub-second `within` unsupported in batch")
+      items.foreach { it =>
+        val own = it.alias.toSet
+        it.where.toSeq.flatMap(conjuncts).foreach { c =>
+          if (!aliasRefs(c).subsetOf(own)) throw VplCompileError(
+            s"pattern '${decl.name}': cross-step predicate $c is not in " +
+              "the batch Kleene-stream subset (run it streaming, or as " +
+              "an inline -> sequence)")
+        }
+      }
+      val union = items.map(_.eventType).distinct
+        .map(t => withOrderCol(resolveAny(t)).withColumn("__etype", lit(t)))
+        .reduce(_.unionByName(_, allowMissingColumns = true))
+      val ucols = union.columns.toSet
+      def cond(it: SaseItem, alias: String): Column = {
+        val ctx = ExprCtx(
+          bare = f => if (ucols(f)) Some(col(f)) else None,
+          qualified = (q, f) =>
+            if (q == alias && ucols(f)) Some(col(f)) else None)
+        val base = col("__etype") === it.eventType
+        it.where.map(w => base && translate(inlineFns(w), ctx)).getOrElse(base)
+      }
+      // emit rewrites mirror buildStreamSeq: len/count(b) → n_b,
+      // sum(b.f) → sum_b (one accumulated field, = kleeneBetween's
+      // bValueCol)
+      var sumField: Option[String] = None
+      def rewrite(e: VExpr): VExpr = e match {
+        case VCall(fn, Seq(VRef(a)))
+            if (fn == "len" || fn == "count") && a == aliases(1) =>
+          VRef("__kb_len")
+        case VCall("sum", Seq(VField(a, f))) if a == aliases(1) =>
+          if (sumField.exists(_ != f)) throw VplCompileError(
+            s"pattern '${decl.name}': one accumulated sum per Kleene " +
+              s"step (${sumField.get} vs $f)")
+          sumField = Some(f)
+          VRef("__kb_sum")
+        case VBin(op, l, r) => VBin(op, rewrite(l), rewrite(r))
+        case VUn(op, x)     => VUn(op, rewrite(x))
+        case VCall(f, as)   => VCall(f, as.map(rewrite))
+        case VIf(c, t2, f2) => VIf(rewrite(c), rewrite(t2), rewrite(f2))
+        case other          => other
+      }
+      val emitArgs = args.map { case (n, e) => n -> rewrite(inlineFns(e)) }
+      if (sumField.exists(f => !ucols(f))) throw VplCompileError(
+        s"pattern '${decl.name}': sum field '${sumField.get}' not found")
+      val steps = items.zip(aliases).map { case (it, a) =>
+        graft.cep.Step(a, cond(it, a))
+      }
+      val kb =
+        if (ik.kleene.contains("*"))
+          graft.cep.Pattern.kleeneStarBetween(union, steps(0), steps(1),
+            steps(2), withinUs / 1000000L, keys,
+            bValueCol = sumField.getOrElse("event_id"))
+        else
+          graft.cep.Pattern.kleeneBetween(union, steps(0), steps(1),
+            steps(2), withinUs / 1000000L, keys,
+            bValueCol = sumField.getOrElse("event_id"))
+      // re-attach step payload fields by id (anchors inner, last-B left
+      // — a star run may be empty)
+      def side(it: SaseItem, alias: String): DataFrame = {
+        val d = union.filter(cond(it, alias))
+        d.columns.foldLeft(d)((dd, cc) =>
+          dd.withColumnRenamed(cc, s"${alias}__$cc"))
+      }
+      val out = kb
+        .join(side(ia, aliases(0)),
+          col("a_id") === col(s"${aliases(0)}__event_id"))
+        .join(side(ic, aliases(2)),
+          col("c_id") === col(s"${aliases(2)}__event_id"))
+        .join(side(ik, aliases(1)),
+          col("last_b") === col(s"${aliases(1)}__event_id"), "left")
+      val ocols = out.columns.toSet
+      val ectx = ExprCtx(
+        bare = {
+          case "__kb_len"   => Some(col("n_b"))
+          case "__kb_sum"   => Some(col("sum_b"))
+          case f => aliases.reverse.collectFirst {
+            case a if ocols(s"${a}__$f") => col(s"${a}__$f")
+          }
+        },
+        qualified = (q, f) =>
+          if (q == aliases(0) && f == "event_id") Some(col("a_id"))
+          else if (q == aliases(2) && f == "event_id") Some(col("c_id"))
+          else if (q == aliases(1) && f == "event_id") Some(col("last_b"))
+          else if (q == aliases(1) && f == "first_event_id")
+            Some(col("first_b"))
+          else if (ocols(s"${q}__$f")) Some(col(s"${q}__$f"))
+          else if (aliases.contains(q)) Some(lit(null))
+          else None)
+      if (emitArgs.isEmpty) kb
+      else out.select(emitArgs.map { case (n, e) =>
+        translate(e, ectx).as(n) }: _*)
+    }
+
     def ensureSeq(): SeqState = seq.getOrElse {
       val headName = s.source match {
         case SrcName(n, _) => n
@@ -1382,6 +1516,16 @@ final class VplCompiler(program: VProgram, source: VplSource,
     }
 
     for (op <- s.ops if !finished) op match {
+      case op2 if batchKleeneDecl.isDefined && !op2.isInstanceOf[OpEmit] &&
+          !op2.isInstanceOf[OpWatermark] && !op2.isInstanceOf[OpFrom] &&
+          !op2.isInstanceOf[OpTo] =>
+        // the placeholder df is NOT the pattern's output — refuse ops
+        // this subset doesn't fold into the maximal-run compile rather
+        // than silently applying them to the wrong frame
+        throw VplCompileError(
+          s"batch Kleene pattern stream supports only .watermark/.emit " +
+            s"(got $op2); use the inline -> sequence form for more")
+
       case OpFrom(_, _) | OpTo(_, _) | OpContext(_) | OpTapLike(_, _) |
           OpAllowedLateness(_) => () // .to handled post-loop (it may follow emit)
 
@@ -1802,6 +1946,10 @@ final class VplCompiler(program: VProgram, source: VplSource,
 
       case OpEmit(args, _) if streaming && streamSeq.isDefined =>
         df = buildStreamSeq(streamSeq.get.toSeq, args)
+        finished = true
+
+      case OpEmit(args, _) if batchKleeneDecl.isDefined =>
+        df = buildBatchKleene(batchKleeneDecl.get, args)
         finished = true
 
       case OpEmit(args, _) =>

@@ -127,9 +127,26 @@ class PlanSpec extends SparkSpec {
     val r = spark.sql(
       """SELECT simhash64(array('a','b')) AS sh,
         |  vec_dot(array(1.0D,2.0D), array(3.0D,4.0D)) AS d,
-        |  size(word_shingles(array('a','b','c','d'), 3)) AS ns""".stripMargin)
+        |  size(word_shingles(array('a','b','c','d'), 3)) AS ns,
+        |  size(minhash_sig(array('a b c'), 16)) AS nm,
+        |  hyperplane_sig(array(1.0D, -1.0D), 4) AS hp""".stripMargin)
       .head()
     assert(r.getAs[Double]("d") == 11.0)
     assert(r.getAs[Int]("ns") == 2)
+    assert(r.getAs[Int]("nm") == 16)
+  }
+
+  test("v3: LSH signature is the native expression, no interpreted lambdas") {
+    val p = planOf(q("v3_knn_lsh"))
+    assert(p.contains("hyperplane_sig"), p)
+    // the old formulation ran nBits zip_with/aggregate HOF lambdas —
+    // none of those (or any UDF) may appear on this hot path
+    assert(!p.contains("ScalaUDF") && !p.contains("aggregate(zip_with"), p)
+  }
+
+  test("d3: minhash signature is the native one-pass expression") {
+    val p = planOf(q("d3_minhash_lsh"))
+    assert(p.contains("minhash_sig"), p)
+    assert(!p.contains("ScalaUDF"), p)
   }
 }
