@@ -141,6 +141,13 @@ object SparkEntry {
         |FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) offs
         |GROUP BY 1, 2""".stripMargin)(
       graft.streaming.StreamingQueries.streamSliding),
+    // s15: streaming model scoring (stateless map), sharing m2's oracle
+    "s15_stream_score" -> QueryDef.of(
+      """SELECT event_id,
+        | 0.5 + 0.5 * (-0.8::DOUBLE + value * 0.01::DOUBLE) /
+        |   (1.0::DOUBLE + abs(-0.8::DOUBLE + value * 0.01::DOUBLE)) AS score
+        |FROM events""".stripMargin)(
+      graft.streaming.StreamingQueries.streamScore),
     // s12: streaming exact dedup — distinct (user, hour) click keys;
     // the key set is arrival-order independent, hence a plain
     // DISTINCT oracle

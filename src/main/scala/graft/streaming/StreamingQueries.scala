@@ -551,6 +551,25 @@ object StreamingQueries {
     runToTable(spark, out, "graft_s13_sink", "append")
   }
 
+  /** #7c-streaming: model scoring on a live stream — the reference's
+    * scoring.rs annotates events in flight. A [[graft.ml.Score.Model]]
+    * is a narrow map-only transform, so it applies to an unbounded
+    * stream unchanged: no state, no watermark, codegen'd column
+    * arithmetic per micro-batch (an ONNX-backed Model would slot in
+    * as a mapPartitions with the same stateless shape). Shares m2's
+    * oracle.
+    */
+  def streamScore(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    val src = graft.Tables.normalizeTs(
+      spark.readStream.schema(schema).parquet(streamDir(path)))
+    val out = graft.ml.Score.LinearModel("risk", Map("value" -> 0.01), bias = -0.8)
+      .score(src)
+      .select(col("event_id"), col("score"))
+    runToTable(spark, out, "graft_s15_sink", "append")
+  }
+
   /** #26-streaming: OR is stateless on a live stream — a pushed-down
     * disjunctive filter, no state, no watermark needed (shares p5's
     * oracle).

@@ -692,18 +692,46 @@ final class VplCompiler(program: VProgram, source: VplSource,
 
   private def builtin(fn: String, args: Seq[Column]): Column = (fn, args) match {
     case ("abs", Seq(x))       => abs(x)
-    case ("len", Seq(x))       => length(x)
-    case ("length", Seq(x))    => length(x)
+    // polymorphic len: string chars OR array/map elements (PolyLen)
+    case ("len" | "length", Seq(x)) =>
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      ColumnBridge.column(
+        graft.functions.PolyLen(ColumnBridge.expression(x)))
     case ("upper", Seq(x))     => upper(x)
     case ("lower", Seq(x))     => lower(x)
     case ("round", Seq(x))     => round(x)
+    case ("round", Seq(x, n))  => call_function("round", x, n)
     case ("floor", Seq(x))     => floor(x)
     case ("ceil", Seq(x))      => ceil(x)
     case ("sqrt", Seq(x))      => sqrt(x)
+    case ("pow", Seq(x, y))    => pow(x, y)
+    case ("log", Seq(x))       => log(x)
+    case ("exp", Seq(x))       => exp(x)
     case ("min", xs) if xs.size >= 2 => least(xs: _*)
     case ("max", xs) if xs.size >= 2 => greatest(xs: _*)
     case ("coalesce", xs)      => coalesce(xs: _*)
+    // strings (builtins.md String Functions; literal-replace and
+    // regex-match exactly as documented)
+    case ("trim", Seq(x))           => trim(x)
+    case ("contains", Seq(s2, sub)) => call_function("contains", s2, sub)
+    case ("starts_with", Seq(s2, p)) => call_function("startswith", s2, p)
+    case ("ends_with", Seq(s2, p))  => call_function("endswith", s2, p)
+    case ("split", Seq(s2, sep))    => call_function("split", s2, sep)
+    case ("join", Seq(arr, sep))    => call_function("concat_ws", sep, arr)
+    case ("replace", Seq(s2, a, b)) => call_function("replace", s2, a, b)
+    case ("regex_match", Seq(s2, p)) => call_function("rlike", s2, p)
+    // timestamps (UTC session)
     case ("now", Nil)          => current_timestamp()
+    case ("year", Seq(ts))     => year(ts)
+    case ("month", Seq(ts))    => month(ts)
+    case ("day", Seq(ts))      => dayofmonth(ts)
+    case ("hour", Seq(ts))     => hour(ts)
+    case ("minute", Seq(ts))   => minute(ts)
+    case ("second", Seq(ts))   => second(ts)
+    case ("duration_between", Seq(a, b)) => unix_micros(b) - unix_micros(a)
+    // utility
+    case ("uuid", Nil)         => expr("uuid()")
+    case ("random", Nil)       => rand()
     case _ => throw VplCompileError(s"unsupported function '$fn/${args.size}'")
   }
 

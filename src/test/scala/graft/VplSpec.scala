@@ -328,4 +328,49 @@ class VplSpec extends SparkSpec {
     // Order events carry no `amount` field -> dynamic NULL -> no rows
     assert(out("PriorityOrders").count() == 0)
   }
+
+  test("scalar builtin vocabulary compiles through the VPL front-end") {
+    // every documented scalar builtin (builtins.md: String / Math /
+    // Timestamp / Utility) usable from a .vpl expression
+    val vpl =
+      """event E:
+        |    name: str
+        |    x: float
+        |
+        |stream Out = E
+        |    .emit(
+        |        t: trim(name), u: upper(name), n: len(name),
+        |        has: contains(name, "el"), sw: starts_with(name, " h"),
+        |        ew: ends_with(name, "o "), parts: len(split(trim(name), "l")),
+        |        joined: join(split(trim(name), "l"), "-"),
+        |        rep: replace(name, "hello", "bye"),
+        |        rx: regex_match(name, "h.*o"),
+        |        p: pow(x, 2.0), lg: round(log(exp(x)), 6),
+        |        y: year(ts), mo: month(ts), d: day(ts),
+        |        h: hour(ts), mi: minute(ts), s: second(ts),
+        |        dur: duration_between(ts, ts),
+        |        r2: round(x, 2), u2: len(uuid()), rnd: random() >= 0.0)
+        |""".stripMargin
+    val evt = java.nio.file.Files.createTempFile("graft_builtins", ".evt")
+    java.nio.file.Files.writeString(evt,
+      """E { name: " hello ", x: 2.5 }
+        |""".stripMargin)
+    val r = Vpl.runEvt(spark, vpl, Seq(evt.toString))("Out").get.head()
+    assert(r.getAs[String]("t") == "hello")
+    assert(r.getAs[String]("u") == " HELLO ")
+    assert(r.getAs[Int]("n") == 7)
+    assert(r.getAs[Boolean]("has"))
+    assert(r.getAs[Boolean]("sw"))
+    assert(r.getAs[Boolean]("ew"))
+    assert(r.getAs[Int]("parts") == 3)     // "he", "", "o"
+    assert(r.getAs[String]("joined") == "he--o")
+    assert(r.getAs[String]("rep") == " bye ")
+    assert(r.getAs[Boolean]("rx"))
+    assert(r.getAs[Double]("p") == 6.25)
+    assert(r.getAs[Double]("lg") == 2.5)
+    assert(r.getAs[Long]("dur") == 0L)
+    assert(r.getAs[Double]("r2") == 2.5)
+    assert(r.getAs[Int]("u2") == 36)
+    assert(r.getAs[Boolean]("rnd"))
+  }
 }
