@@ -224,7 +224,14 @@ final class VplCompiler(program: VProgram, source: VplSource,
       * reference's sink wiring); unbound `.to`s stay no-ops, so
       * compiling a program never needs live brokers.
       */
-    sinks: Map[String, graft.sources.Connector] = Map.empty) {
+    sinks: Map[String, graft.sources.Connector] = Map.empty,
+    /** `.score(model: "name", ...)` bindings: model name → pluggable
+      * [[graft.ml.Score.Model]]. An unbound model scores with the
+      * deterministic stand-in (see OpScore below) so scoring.rs-shaped
+      * programs compile and run without an ONNX runtime (a §6
+      * non-goal in this zero-egress build).
+      */
+    models: Map[String, graft.ml.Score.Model] = Map.empty) {
 
   private val fns: Map[String, VFn] = program.fns.map(f => f.name -> f).toMap
   private val letVals: Map[String, VExpr] = program.lets.map(l => l.name -> l.value).toMap
@@ -1778,6 +1785,50 @@ final class VplCompiler(program: VProgram, source: VplSource,
               lit(if (fallbackLit.isDefined) "fallback" else "miss"))
         }
         df = df.withColumn("enrich_latency_ms", lit(0L))
+
+      case OpScore(params) =>
+        // `.score(model: "fraud.onnx", inputs: [amount, risk],
+        // outputs: [prob, category])` — scoring.rs's per-event model
+        // inference as a narrow map (works identically on batch frames
+        // and live streams). A registered Model scores with its real
+        // implementation; an unbound model name gets the deterministic
+        // stand-in: output j = 0.5 + 0.5·z/(1+|z|) with
+        // z = j + Σ_i input_i/(i+1) — reproducible across engines and
+        // runs, so pipelines are testable end to end without an ONNX
+        // runtime (§6 non-goal).
+        val spm = params.toMap
+        val modelName = spm.get("model") match {
+          case Some(VStr(m)) => m
+          case _ => throw VplCompileError(""".score needs model: "name"""")
+        }
+        def fieldList(key: String): Seq[String] = spm.get(key) match {
+          case Some(VList(items)) => items.map {
+            case VRef(n)      => n
+            case VField(_, f) => f
+            case VStr(n)      => n
+            case other => throw VplCompileError(
+              s".score $key: expected field names, got $other")
+          }
+          case _ => Nil
+        }
+        val scoreInputs = fieldList("inputs")
+        val scoreOutputs = {
+          val o = fieldList("outputs"); if (o.isEmpty) Seq("score") else o
+        }
+        models.get(modelName) match {
+          case Some(m) => df = m.score(df)
+          case None =>
+            val c = ctx
+            scoreOutputs.zipWithIndex.foreach { case (o, j) =>
+              val z = scoreInputs.zipWithIndex.foldLeft(lit(j.toDouble)) {
+                case (acc, (f, i)) =>
+                  acc + coalesce(c.bare(f).getOrElse(lit(null))
+                    .cast("double"), lit(0.0)) / (i + 1.0)
+              }
+              df = df.withColumn(o,
+                lit(0.5) + lit(0.5) * z / (lit(1.0) + abs(z)))
+            }
+        }
 
       case OpForecast(params) if streaming && streamSeq.isDefined =>
         // streaming `.forecast`: same prefix-truncation + transition

@@ -329,6 +329,44 @@ class VplSpec extends SparkSpec {
     assert(out("PriorityOrders").count() == 0)
   }
 
+  test(".score() runs scoring.rs-shaped programs (stand-in + registered model)") {
+    // the reference grammar's score_op shape (varpulis.pest:214)
+    val vpl =
+      """event Tx:
+        |    amount: float
+        |    risk: float
+        |
+        |stream Scored = Tx
+        |    .score(model: "fraud.onnx", inputs: [amount, risk],
+        |           outputs: [fraud_prob, category])
+        |    .emit(id: event_id, p: fraud_prob, c: category)
+        |""".stripMargin
+    val evt = java.nio.file.Files.createTempFile("graft_score", ".evt")
+    java.nio.file.Files.writeString(evt,
+      """Tx { amount: 100.0, risk: 0.5 }
+        |""".stripMargin)
+    // unbound model name → deterministic stand-in:
+    // z0 = 0 + 100/1 + 0.5/2 = 100.25; z1 = 1 + 100.25 = 101.25
+    val r = Vpl.runEvt(spark, vpl, Seq(evt.toString))("Scored").get.head()
+    def squash(z: Double) = 0.5 + 0.5 * z / (1.0 + math.abs(z))
+    assert(math.abs(r.getAs[Double]("p") - squash(100.25)) < 1e-12)
+    assert(math.abs(r.getAs[Double]("c") - squash(101.25)) < 1e-12)
+    // a registered Model scores with its real implementation
+    // (LinearModel writes only fraud_prob — restrict the emit to it)
+    val vpl2 = vpl.replace(", c: category", "")
+    val prog2 = VplParser.parse(vpl2)
+    val decls = prog2.events.map(e => e.name -> e).toMap
+    val c3 = new VplCompiler(prog2,
+      new EvtSource(spark, Seq(evt.toString), decls),
+      models = Map("fraud.onnx" ->
+        graft.ml.Score.LinearModel("fraud", Map("amount" -> 0.01),
+          bias = -0.8, outputCol = "fraud_prob")))
+    val z = -0.8 + 100.0 * 0.01
+    val want = 0.5 + 0.5 * z / (1.0 + math.abs(z))
+    assert(math.abs(c3.stream("Scored").head()
+      .getAs[Double]("p") - want) < 1e-12)
+  }
+
   test("scalar builtin vocabulary compiles through the VPL front-end") {
     // every documented scalar builtin (builtins.md: String / Math /
     // Timestamp / Utility) usable from a .vpl expression
