@@ -99,6 +99,17 @@ class VplCrossPathPropertySpec extends SparkSpec {
          |    .watermark(out_of_order: 1s)
          |    .emit(a_id: a.event_id, c_id: c.event_id, n_b: len(bs),
          |          last_b: bs.event_id, first_b: bs.first_event_id)
+         |""".stripMargin,
+    // windowed aggregation: quarter-valued sums are exact in both the
+    // batch aggregation and the streaming window state
+    "windowed-agg" ->
+      s"""$eventDecls
+         |stream Out = B
+         |    .watermark(out_of_order: 1s)
+         |    .partition_by(k)
+         |    .window(1m)
+         |    .aggregate(n: count(), total: sum(v), hi: max(v))
+         |    .emit(key: k, n: n, total: total, hi: hi)
          |""".stripMargin)
 
   private def writeEvt(text: String): String = {
