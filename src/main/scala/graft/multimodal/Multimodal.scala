@@ -70,4 +70,58 @@ object Multimodal {
       md5(col("payload")).as("checksum"),
       (lit(1) + octet_length(col("payload")) % 640).cast("long").as("width"),
       (lit(1) + octet_length(col("payload")) % 480).cast("long").as("height"))
+
+  /** Frame sampling — the video-pipeline fan-out shape: one media row
+    * explodes into one row per SAMPLED frame (every `stride`-th fixed
+    * -size frame), each carrying its index and a per-frame checksum.
+    * Row-local (`posexplode` of a sequence, no shuffle), so a
+    * 1000-executor scan fans frames out at full parallelism. Frames
+    * here are fixed CHARACTER windows of the stand-in payload (a real
+    * video decoder would emit pixel buffers at timestamps — same
+    * plan, different decode call); an empty payload yields one empty
+    * frame rather than zero rows, so every media id survives the
+    * explode.
+    */
+  def frameSample(docs: DataFrame, frameChars: Int = 1000,
+      stride: Int = 2): DataFrame = {
+    val nFrames = ceil(length(col("text")).cast("double") / frameChars)
+      .cast("long")
+    val frame = substr(col("text"),
+      col("frame_idx").cast("int") * frameChars + 1, lit(frameChars))
+    docs
+      .select(col("doc_id").as("media_id"), col("text"),
+        greatest(nFrames - 1L, lit(0L)).as("maxf"))
+      .select(col("media_id"), col("text"),
+        explode(sequence(lit(0L), col("maxf"), lit(stride.toLong)))
+          .as("frame_idx"))
+      .select(
+        col("media_id"),
+        col("frame_idx"),
+        length(frame).cast("long").as("n_chars"),
+        md5(frame.cast("binary")).as("frame_md5"))
+  }
+
+  /** Resize stub — the binary→binary transform shape: a partition-
+    * local map decimating the payload by `factor` (every factor-th
+    * byte), deterministic, no shuffle. A real image resampler (JNI
+    * codec) replaces the loop body; the batching, schema, and
+    * partition preservation are what the plan needs at scale.
+    */
+  def resizeStub(media: DataFrame, factor: Int): DataFrame = {
+    require(factor >= 1, "resize factor must be >= 1")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-batch codec/scaler setup would go here
+        it.map { case (id, bytes) =>
+          val out = new Array[Byte]((bytes.length + factor - 1) / factor)
+          var i = 0
+          while (i < out.length) { out(i) = bytes(i * factor); i += 1 }
+          (id, out, bytes.length.toLong, out.length.toLong)
+        }
+      }
+      .toDF("media_id", "payload", "n_bytes_in", "n_bytes_out")
+  }
 }

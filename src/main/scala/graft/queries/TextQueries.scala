@@ -295,6 +295,25 @@ object TextQueries {
         Dedup.simhashPairs(Tables(s, dir).documents, maxHamming = 3)
     },
 
+    // --- #46 multimodal: frame sampling — one row per sampled fixed
+    // -size frame (every 2nd 1000-char frame), per-frame checksum;
+    // the video fan-out shape, row-local, no shuffle ---
+    "m3_frame_sample" -> QueryDef.of(
+      """WITH f AS (
+        |  SELECT doc_id AS media_id, text,
+        |    greatest(CAST(ceil(CAST(length(text) AS DOUBLE) / 1000.0) AS BIGINT) - 1, 0) AS maxf
+        |  FROM documents
+        |), u AS (
+        |  SELECT media_id, text, unnest(range(0, maxf + 1, 2)) AS frame_idx FROM f
+        |)
+        |SELECT media_id, frame_idx,
+        |  CAST(length(substring(text, CAST(frame_idx * 1000 + 1 AS BIGINT), 1000)) AS BIGINT) AS n_chars,
+        |  md5(substring(text, CAST(frame_idx * 1000 + 1 AS BIGINT), 1000)) AS frame_md5
+        |FROM u""".stripMargin) {
+      (s, dir) =>
+        Multimodal.frameSample(Tables(s, dir).documents)
+    },
+
     // --- #46 multimodal: binary payload + stub decode (SQL twin) ---
     "m1_multimodal" -> QueryDef.of(
       """SELECT doc_id AS media_id, 'text/plain' AS media_type,

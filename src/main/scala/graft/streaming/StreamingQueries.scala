@@ -127,16 +127,20 @@ object StreamingQueries {
   }
 
   /** #9-streaming: sliding time windows on a live stream (1h size,
-    * 30m slide — every event lands in 2 overlapping windows). Same
-    * plan shape as s1; shares batch w2's oracle.
+    * 30m slide — every event lands in 2 overlapping windows). Append
+    * mode: a window emits ONCE when the watermark passes its end (the
+    * form whose state stays finite unbounded — complete mode re-emits
+    * every window every micro-batch, which at this window count
+    * costs 5× the wall); the staged sentinel closes the bounded run
+    * so every window flushes. Shares batch w2's oracle.
     */
   def streamSliding(spark: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
     val schema = spark.read.parquet(path).schema
     val src = graft.Tables.normalizeTs(
-      spark.readStream.schema(schema).parquet(streamDir(path)))
+      spark.readStream.schema(schema).parquet(closedStreamDir(spark, path)))
     val agg = src
-      .withWatermark("ts", "1 hour")
+      .withWatermark("ts", "1 second")
       .groupBy(col("event_type"),
         window(col("ts"), "1 hour", "30 minutes"))
       .agg(
@@ -144,7 +148,7 @@ object StreamingQueries {
         sum(col("value").cast("decimal(14,2)")).cast("double").as("sum_value"))
       .select(col("event_type"), col("window.start").cast("long").as("win_start"),
         col("n"), col("sum_value"))
-    runToTable(spark, agg, "graft_s14_sink", "complete")
+    runToTable(spark, agg, "graft_s14_sink", "append")
   }
 
   /** #33 stream-stream interval join (VPL `join(...).on(...).window()`

@@ -68,4 +68,43 @@ class TextSpec extends SparkSpec {
     assert(typedSel.except(sql).count() == 0)
     assert(sql.except(typedSel).count() == 0)
   }
+
+  test("multimodal frame sampling: every 2nd frame, full id coverage") {
+    val frames = Multimodal.frameSample(docs, frameChars = 1000, stride = 2)
+      .collect()
+    // every media id survives (empty docs yield one empty frame)
+    assert(frames.map(_.getAs[Long]("media_id")).distinct.length ==
+      docs.count())
+    // sampled indices are even; all but a doc's last sampled frame are
+    // full-size
+    assert(frames.forall(_.getAs[Long]("frame_idx") % 2 == 0))
+    val byDoc = frames.groupBy(_.getAs[Long]("media_id"))
+    byDoc.values.foreach { fs =>
+      val sorted = fs.sortBy(_.getAs[Long]("frame_idx"))
+      sorted.dropRight(1).foreach(f =>
+        assert(f.getAs[Long]("n_chars") == 1000L))
+      assert(sorted.last.getAs[Long]("n_chars") <= 1000L)
+    }
+  }
+
+  test("multimodal resize stub: deterministic byte decimation, no shuffle") {
+    val media = Multimodal.asMedia(docs)
+    val resized = Multimodal.resizeStub(media, factor = 4)
+    val rows = resized.collect()
+    rows.foreach { r =>
+      val nIn = r.getAs[Long]("n_bytes_in")
+      val nOut = r.getAs[Long]("n_bytes_out")
+      assert(nOut == (nIn + 3) / 4, s"expected ceil($nIn/4), got $nOut")
+    }
+    // deterministic across runs
+    val again = Multimodal.resizeStub(media, factor = 4)
+      .select("media_id", "payload").collect()
+      .map(r => r.getAs[Long](0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    rows.foreach { r =>
+      assert(again(r.getAs[Long]("media_id")) ==
+        r.getAs[Array[Byte]]("payload").toSeq)
+    }
+    // partition-local: no exchange in the plan
+    assert(!resized.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
 }

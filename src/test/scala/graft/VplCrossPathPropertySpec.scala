@@ -110,6 +110,15 @@ class VplCrossPathPropertySpec extends SparkSpec {
          |    .window(1m)
          |    .aggregate(n: count(), total: sum(v), hi: max(v))
          |    .emit(key: k, n: n, total: total, hi: hi)
+         |""".stripMargin,
+    // .score with the deterministic stand-in model — a stateless map,
+    // so batch and streaming must agree row for row
+    "score-map" ->
+      s"""$eventDecls
+         |stream Out = A
+         |    .watermark(out_of_order: 1s)
+         |    .score(model: "m.onnx", inputs: [v], outputs: [p1, p2])
+         |    .emit(id: event_id, key: k, p1: p1, p2: p2)
          |""".stripMargin)
 
   private def writeEvt(text: String): String = {
