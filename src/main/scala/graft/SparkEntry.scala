@@ -141,6 +141,14 @@ object SparkEntry {
         |FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) offs
         |GROUP BY 1, 2""".stripMargin)(
       graft.streaming.StreamingQueries.streamSliding),
+    // s16: streaming GRETA trend aggregation, sharing p6's oracle
+    "s16_stream_trend" -> QueryDef.of(
+      """SELECT user_id, (epoch_us(ts) // 3600000000) * 3600 AS win_start,
+        | COUNT(*) AS event_count,
+        | CASE WHEN COUNT(*) <= 53 THEN CAST(round(pow(2.0::DOUBLE, COUNT(*)) - 1, 0) AS BIGINT) END AS count_trends,
+        | pow(2.0::DOUBLE, COUNT(*) - 1) * CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_trends
+        |FROM events WHERE event_type = 'error' GROUP BY 1, 2""".stripMargin)(
+      graft.streaming.StreamingQueries.streamTrend),
     // s15: streaming model scoring (stateless map), sharing m2's oracle
     "s15_stream_score" -> QueryDef.of(
       """SELECT event_id,

@@ -177,4 +177,44 @@ object Knn {
       .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rank"),
         round(col("cos"), 6).as("cos"))
   }
+
+  /** Multi-probe LSH ANN: each query searches its own hyperplane
+    * bucket PLUS every Hamming-1 neighbour (one sign bit flipped) —
+    * the classic recall refinement: a near neighbour on the far side
+    * of ONE hyperplane is recovered without adding tables. Cost:
+    * (nBits+1) probes per query instead of 1, still sub-linear in the
+    * corpus; the query side fans out row-locally (explode of nBits+1
+    * probe keys) before the same broadcast bucket join, so the plan
+    * shape — and its scale story — is identical to [[lshTopK]].
+    */
+  def lshTopKMultiProbe(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nBits: Int = 8,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    val sig = hyperplaneSig(col(vecCol), nBits)
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_v"),
+      sig.as("bucket")).withColumn("n_n", norm(col("n_v")))
+    val probes = array((lit(0L) +:
+      (0 until nBits).map(i => lit(1L << i))): _*)
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_v"),
+      sig.as("home"))
+      .withColumn("q_n", norm(col("q_v")))
+      .select(col("q_id"), col("q_v"), col("q_n"),
+        explode(transform(probes, m => col("home").bitwiseXOR(m)))
+          .as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("q_id") =!= col("n_id"))
+      // a corpus vector can land in several of a query's probes only
+      // if buckets collide post-xor (they cannot: xor is a bijection),
+      // so no distinct is needed before ranking
+      .withColumn("cos", dot(col("q_v"), col("n_v")) / (col("q_n") * col("n_n")))
+    val w = W.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rank"),
+        round(col("cos"), 6).as("cos"))
+  }
 }

@@ -37,8 +37,10 @@ object TrendAggregate {
   /** Largest n for which 2^n − 1 is exact in double AND fits BIGINT. */
   val MaxExactN = 53
 
-  /** 2^n − 1 as BIGINT while exact, NULL beyond [[MaxExactN]]. */
-  private def countTrends(n: Column): Column =
+  /** 2^n − 1 as BIGINT while exact, NULL beyond [[MaxExactN]].
+    * (Also applied by the streaming twin to live windowed counts.)
+    */
+  def countTrends(n: Column): Column =
     when(n <= MaxExactN,
       round(pow(lit(2.0), n) - 1.0, 0).cast("long"))
 

@@ -106,6 +106,58 @@ object VectorQueries {
       }
     },
 
+    // --- #41 multi-probe LSH ANN: the query searches its home bucket
+    // plus every Hamming-1 neighbour — candidates are exactly the
+    // corpus vectors whose bucket differs in ≤1 bit, which is how the
+    // oracle states it (bit_count(xor) <= 1 over the re-derived
+    // signatures) ---
+    "v5_knn_lsh_multiprobe" -> QueryDef.of(
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |bits AS (SELECT unnest(range(0, 4)) AS i),
+         |dims AS (SELECT unnest(range(0, (SELECT MAX(len(v)) FROM e))) AS j),
+         |percomp AS (
+         |  SELECT b.i, d.j,
+         |    CAST((CAST(b.i AS HUGEINT) * 4294967296::HUGEINT + CAST(d.j AS HUGEINT)
+         |      + 11400714819323198485::HUGEINT) % $m64::HUGEINT AS UBIGINT) AS z0,
+         |    CAST((CAST(xor(z0, z0 >> 30) AS UHUGEINT) * 13787848793156543929::UHUGEINT
+         |      % $m64::UHUGEINT) AS UBIGINT) AS z1,
+         |    CAST((CAST(xor(z1, z1 >> 27) AS UHUGEINT) * 10723151780598845931::UHUGEINT
+         |      % $m64::UHUGEINT) AS UBIGINT) AS z2,
+         |    xor(z2, z2 >> 31) AS z3,
+         |    CAST(CASE WHEN z3 >= 9223372036854775808::UBIGINT
+         |      THEN CAST(z3 AS HUGEINT) - $m64::HUGEINT
+         |      ELSE CAST(z3 AS HUGEINT) END AS BIGINT) AS zs,
+         |    CAST(zs % 1000000 AS DOUBLE) / 2000000.0::DOUBLE AS comp
+         |  FROM bits b CROSS JOIN dims d),
+         |comps AS (SELECT i, list(comp ORDER BY j) AS cl FROM percomp GROUP BY i),
+         |projs AS (
+         |  SELECT e.vec_id, c.i,
+         |    list_reduce(list_prepend(0.0::DOUBLE,
+         |      [v[j] * c.cl[j] for j in generate_series(1, len(v))]),
+         |      (x, y) -> x + y) AS proj
+         |  FROM e CROSS JOIN comps c),
+         |buckets AS (
+         |  SELECT vec_id,
+         |    CAST(SUM(CASE WHEN proj >= 0 THEN (1::BIGINT << CAST(i AS INT))
+         |      ELSE 0::BIGINT END) AS BIGINT) AS bucket
+         |  FROM projs GROUP BY vec_id),
+         |p AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         |    ${cosSql("q.v", "c.v")} AS cos
+         |  FROM e q JOIN buckets bq ON bq.vec_id = q.vec_id
+         |  JOIN buckets bc ON bit_count(xor(bq.bucket, bc.bucket)) <= 1
+         |  JOIN e c ON c.vec_id = bc.vec_id AND c.vec_id != q.vec_id
+         |  WHERE q.vec_id < 10),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk FROM p)
+         |SELECT q_id, n_id, CAST(rnk AS BIGINT) AS rank, round(cos, 6) AS cos
+         |FROM r WHERE rnk <= 10""".stripMargin) {
+      (s, dir) => {
+        val e = Tables(s, dir).embeddings
+        Knn.lshTopKMultiProbe(e, e.filter(col("vec_id") < 10), k = 10,
+          nBits = 4)
+      }
+    },
+
     // --- #41b IVF ANN: k-means cells + nProbe search (scale path) ---
     "v4_knn_ivf" -> QueryDef.rowsOnly {
       (s, dir) => {

@@ -574,6 +574,38 @@ object StreamingQueries {
     runToTable(spark, out, "graft_s15_sink", "append")
   }
 
+  /** #27-streaming: GRETA trend aggregation on a live stream — the
+    * closed-form count_trends = 2^n − 1 / sum_trends arithmetic
+    * applies to streaming windowed aggregates unchanged, so trend
+    * counting over unbounded streams costs one stateful windowed agg
+    * (two numbers of state per open window, map-side partials) plus
+    * per-row arithmetic at emit. The type filter keeps the sentinel
+    * (it must reach the watermark node to close the bounded run's
+    * windows; its own far-future window never emits). Shares p6's
+    * oracle.
+    */
+  def streamTrend(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    val src = graft.Tables.normalizeTs(
+      spark.readStream.schema(schema).parquet(closedStreamDir(spark, path)))
+    val agg = src
+      .withWatermark("ts", "1 second")
+      .filter(col("event_type") === "error" ||
+        col("event_type") === "__sentinel")
+      .groupBy(col("user_id"), window(col("ts"), "1 hour"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).as("sum_dec"))
+      .select(col("user_id"),
+        col("window.start").cast("long").as("win_start"),
+        col("n").as("event_count"),
+        graft.cep.TrendAggregate.countTrends(col("n")).as("count_trends"),
+        (pow(lit(2.0), col("n") - 1) * col("sum_dec").cast("double"))
+          .as("sum_trends"))
+    runToTable(spark, agg, "graft_s16_sink", "append")
+  }
+
   /** #26-streaming: OR is stateless on a live stream — a pushed-down
     * disjunctive filter, no state, no watermark needed (shares p5's
     * oracle).

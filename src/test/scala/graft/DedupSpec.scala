@@ -62,6 +62,22 @@ class DedupSpec extends SparkSpec {
     assert(lsh.select("q_id", "n_id").intersect(bf).count() > 0)
   }
 
+  test("multi-probe LSH recall >= single-probe recall vs brute force") {
+    val q = embs.filter(col("vec_id") < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("q_id", "n_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bf = pairs(Knn.bruteForce(embs, q, k = 10))
+    val single = pairs(Knn.lshTopK(embs, q, k = 10, nBits = 4))
+    val multi = pairs(Knn.lshTopKMultiProbe(embs, q, k = 10, nBits = 4))
+    val rs = single.intersect(bf).size
+    val rm = multi.intersect(bf).size
+    // probing the nBits Hamming-1 buckets can only widen the candidate
+    // set, so true-top-k recall must not drop (and typically rises)
+    assert(rm >= rs, s"multi-probe recall $rm < single-probe $rs")
+    assert(multi.nonEmpty)
+  }
+
   test("IVF knn: deterministic and decent recall vs brute force") {
     val q = embs.filter(col("vec_id") < 10)
     val bf = Knn.bruteForce(embs, q, k = 10).select("q_id", "n_id")
