@@ -141,6 +141,18 @@ object SparkEntry {
         |FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) offs
         |GROUP BY 1, 2""".stripMargin)(
       graft.streaming.StreamingQueries.streamSliding),
+    // s17: streaming heavy hitters (rank at window close), sharing
+    // a5's oracle
+    "s17_stream_heavy_hitters" -> QueryDef.of(
+      """WITH c AS (
+        |  SELECT (epoch_us(ts) // 3600000000) * 3600 AS win_start,
+        |    event_type, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT win_start, event_type, n FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY win_start
+        |    ORDER BY n DESC, event_type) AS rk FROM c)
+        |WHERE rk <= 2""".stripMargin)(
+      graft.streaming.StreamingQueries.streamHeavyHitters),
     // s16: streaming GRETA trend aggregation, sharing p6's oracle
     "s16_stream_trend" -> QueryDef.of(
       """SELECT user_id, (epoch_us(ts) // 3600000000) * 3600 AS win_start,

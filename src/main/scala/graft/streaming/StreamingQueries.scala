@@ -30,6 +30,9 @@ object StreamingQueries {
   final case class AnOut(user_id: Long, event_id: Long, value: Double,
       z: Double, is_anomaly: Boolean)
 
+  /** streaming heavy-hitters row (see [[streamHeavyHitters]]) */
+  final case class HhOut(win_start: Long, event_type: String, n: Long)
+
   /** The file streaming source requires a directory; the test tables
     * are single files. Stage a temp dir holding a symlink — in
     * production the source would already be a directory/object-store
@@ -604,6 +607,56 @@ object StreamingQueries {
         (pow(lit(2.0), col("n") - 1) * col("sum_dec").cast("double"))
           .as("sum_trends"))
     runToTable(spark, agg, "graft_s16_sink", "append")
+  }
+
+  /** #20b-streaming: heavy hitters per tumbling window on a live
+    * stream. Counting is commutative, so per-(window, type) counts
+    * accumulate on arrival with NO event buffering — per-window state
+    * is one small count map — and the RANKING (top-2 by count) runs
+    * once, when the event-time timer fires as the watermark passes
+    * the window end; the state is then dropped. This is the
+    * two-stage "windowed agg → rank at close" shape Spark's
+    * declarative streaming can't chain (window functions aren't
+    * incremental); the timer turns it into one stateful operator.
+    * The sentinel is skipped in the counter but still advances the
+    * watermark, closing the bounded run's windows (its own window
+    * never times out — an empty map that emits nothing). Shares a5's
+    * oracle.
+    */
+  def streamHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    val src = graft.Tables.normalizeTs(
+      spark.readStream.schema(schema).parquet(closedStreamDir(spark, path)))
+      .withWatermark("ts", "1 second")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), unix_micros(col("ts")).as("ts_us"), col("ts"))
+      .as[PatternStream.Ev]
+    val winUs = 3600L * 1000000L
+    val out = src.groupByKey(e => (e.ts_us / winUs) * 3600L)
+      .flatMapGroupsWithState[Map[String, Long], HhOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (winStart: Long, it: Iterator[PatternStream.Ev],
+         state: GroupState[Map[String, Long]]) =>
+          if (state.hasTimedOut) {
+            val counts = state.getOption.getOrElse(Map.empty[String, Long])
+            state.remove()
+            counts.toSeq.sortBy { case (t, n) => (-n, t) }.take(2)
+              .map { case (t, n) => HhOut(winStart, t, n) }.iterator
+          } else {
+            var m = state.getOption.getOrElse(Map.empty[String, Long])
+            it.foreach { e =>
+              if (e.event_type != "__sentinel")
+                m = m.updated(e.event_type, m.getOrElse(e.event_type, 0L) + 1L)
+            }
+            state.update(m)
+            state.setTimeoutTimestamp((winStart + 3600L) * 1000L)
+            Iterator.empty
+          }
+      }
+    runToTable(spark, out.toDF(), "graft_s17_sink", "append")
   }
 
   /** #26-streaming: OR is stateless on a live stream — a pushed-down
