@@ -126,11 +126,13 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
-    println(line)
-    // regression gate vs the previous round's driver artifact (stderr
-    // so the stdout contract — one JSON line — is untouched)
+    // Regression gate BEFORE the JSON line: the driver merges stderr
+    // into stdout, and in r04 the gate's lines landing between the
+    // JSON line and sbt's [success] broke the driver's parse
+    // (BENCH_r04 parsed:null). The JSON metric line must be the very
+    // last thing this process prints.
     // Try-wrapped: a malformed prev artifact must not fail a
-    // successful bench run after its JSON line is already printed
+    // successful bench run
     newestPrevBench().foreach { f =>
       scala.util.Try {
         val prev = parsePrevQueries(
@@ -157,6 +159,7 @@ object Bench {
       }.failed.foreach(t =>
         System.err.println(s"[bench-diff] gate failed: ${t.getMessage}"))
     }
+    println(line)
     spark.stop()
   }
 }

@@ -140,11 +140,21 @@ object PatternStream {
     val nSteps = steps.size
     require(nSteps >= 1 && steps.last.kleene == 0,
       "detectGeneric: the final step must be a plain (non-Kleene) step")
-    // NO mask!=0 pre-filter: it would push below the EventTimeWatermark
-    // node and starve the watermark of other-type events and the
-    // end-of-stream sentinel (watermark-gated negation emission and
-    // state eviction would freeze). Mask-0 events no-op in the loop.
+    // Drop mask-0 events (other types, the end-of-stream sentinel)
+    // BEFORE the groupByKey shuffle: they can never touch state, but
+    // a plain `mask != 0` filter would be pushed below the
+    // EventTimeWatermark node and starve the watermark of those rows
+    // (state eviction and watermark-gated negation would freeze). The
+    // `ts IS NULL` disjunct is vacuous (ts is never null) but
+    // references the watermark column, which pins the filter ABOVE
+    // the watermark node — every row still feeds the watermark stats,
+    // only the shuffle and the stateful operator see the ~3×-smaller
+    // live subset. Keys whose rows are all dropped still drain via
+    // event-time timeouts (the sentinel only ever carried key "-1" —
+    // other keys always relied on timeouts, so this changes no
+    // semantics).
     events
+      .filter(col("mask") =!= 0L || col("ts").isNull)
       .groupByKey(_.key)
       .flatMapGroupsWithState[GState, GMatch](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
@@ -312,7 +322,11 @@ object PatternStream {
       aType: String, bType: String,
       withinUs: Long)(implicit spark: SparkSession): Dataset[Absence] = {
     import spark.implicits._
+    // drop event types that can't touch state before the shuffle; the
+    // vacuous ts-IS-NULL disjunct pins the filter above the watermark
+    // node (see detectGeneric) so every row still feeds watermark stats
     events
+      .filter(col("event_type").isin(aType, bType) || col("ts").isNull)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[AbsenceState, Absence](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
@@ -369,7 +383,10 @@ object PatternStream {
       droppedRuns: Option[org.apache.spark.util.LongAccumulator] = None)(
       implicit spark: SparkSession): Dataset[Match] = {
     import spark.implicits._
+    // pre-shuffle filter to the step types (see detectGeneric)
     events
+      .filter(col("event_type").isin(steps.map(_.eventType): _*) ||
+        col("ts").isNull)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[NfaState, Match](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {

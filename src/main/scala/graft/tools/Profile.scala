@@ -1,0 +1,110 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Dev-only stage profiler: times labeled sub-pipelines of the hot
+  * bench queries so a regression can be attributed to a stage instead
+  * of a whole query. Not part of the driver contract.
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val builder = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+    graft.Tables.sessionConfs.foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions._
+
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[profile] $label%-40s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+      r
+    }
+    def mat(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    // warmup
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+
+    if (sys.env.contains("PROFILE_STREAM")) {
+      spark.streams.addListener(
+        new org.apache.spark.sql.streaming.StreamingQueryListener {
+          import org.apache.spark.sql.streaming.StreamingQueryListener._
+          override def onQueryStarted(e: QueryStartedEvent): Unit =
+            println(s"[stream] started ${e.name}")
+          override def onQueryProgress(e: QueryProgressEvent): Unit = {
+            val p = e.progress
+            println(s"[stream] ${p.name} batch=${p.batchId} rows=${p.numInputRows} " +
+              s"durations=${p.durationMs}")
+          }
+          override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+            println(s"[stream] terminated")
+        })
+      time("s2 streamPattern total")(
+        graft.streaming.StreamingQueries.streamPattern(spark, sfDir).count())
+      Thread.sleep(1000)
+      time("s2 streamPattern 2nd")(
+        graft.streaming.StreamingQueries.streamPattern(spark, sfDir).count())
+      Thread.sleep(1000)
+      spark.stop()
+      return
+    }
+
+    val docs = graft.Tables(spark, sfDir).documents
+    time("docs count")(docs.count())
+
+    val k = 3; val nBands = 4; val rowsPerBand = 4
+    val nH = nBands * rowsPerBand
+    val shingled0 = docs.select(col("doc_id"),
+      graft.functions.TextFunctions.shingles(col("text"), k).as("sh"))
+    time("shingle scan (no persist)")(mat(shingled0))
+    time("shingle scan again")(mat(shingled0))
+    val sig = shingled0.withColumn("sig",
+      graft.dedup.Dedup.minhashSig(col("sh"), nH))
+    time("shingle+minhash sig")(mat(sig))
+    val banded00 = sig.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(nBands - 1)), b =>
+        concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+    time("sig+banding")(mat(banded00))
+    // sub-stages of minhashLshPairs, replicated here to attribute the
+    // first-run cost (shingled persisted exactly as the operator does)
+    val shingled = shingled0.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base = shingled.withColumn("sig",
+      graft.dedup.Dedup.minhashSig(col("sh"), nH))
+    val banded = base.select(
+      col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(nBands - 1)), b =>
+        concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+    val bucketed = banded
+      .withColumn("__bn", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "band_key")))
+      .filter(col("__bn") <= 1000)
+    time("bucketed")(mat(bucketed))
+    val a = bucketed.select(col("band"), col("band_key"), col("doc_id").as("a_id"))
+    val bb = bucketed.select(col("band"), col("band_key"), col("doc_id").as("b_id"))
+    val cand = a.join(bb, Seq("band", "band_key"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    time("cand")(mat(cand))
+    val withSh = cand
+      .join(shingled.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
+      .join(shingled.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
+    time("withSh")(mat(withSh))
+    val inter = size(array_intersect(col("a_sh"), col("b_sh"))).cast("double")
+    val uni = (size(col("a_sh")) + size(col("b_sh"))).cast("double") - inter
+    val fin = withSh.withColumn("jaccard", inter / uni)
+      .filter(col("jaccard") >= 0.8).select("a_id", "b_id", "jaccard")
+    time("final verify")(mat(fin))
+    time("full d3 pairs (fresh frames)")(mat(graft.dedup.Dedup.minhashLshPairs(
+      docs, k, nBands, rowsPerBand, 0.8)))
+    fin.explain("formatted")
+    spark.stop()
+  }
+}
