@@ -33,18 +33,35 @@ object StreamingQueries {
   /** streaming heavy-hitters row (see [[streamHeavyHitters]]) */
   final case class HhOut(win_start: Long, event_type: String, n: Long)
 
+  // Staged source dirs and schemas are memoized per input file: the
+  // staged contents are immutable for a given file, and re-staging per
+  // query costs two batch reads + a parquet write — ~1s × every
+  // closed-stream query in a Verify/Bench run.
+  private val dirCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private val closedDirCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private val schemaCache = scala.collection.concurrent.TrieMap
+    .empty[String, org.apache.spark.sql.types.StructType]
+
+  /** Parquet footer schema, memoized per path (immutable test data). */
+  private def schemaOf(spark: SparkSession, path: String)
+      : org.apache.spark.sql.types.StructType =
+    schemaCache.getOrElseUpdate(path, spark.read.parquet(path).schema)
+
   /** The file streaming source requires a directory; the test tables
     * are single files. Stage a temp dir holding a symlink — in
     * production the source would already be a directory/object-store
     * prefix.
     */
-  private def streamDir(file: String): String = {
-    import java.nio.file.{Files, Paths}
-    val src = Paths.get(file).toAbsolutePath
-    val dir = Files.createTempDirectory("graft_stream_")
-    Files.createSymbolicLink(dir.resolve(src.getFileName), src)
-    dir.toString
-  }
+  private def streamDir(file: String): String =
+    dirCache.getOrElseUpdate(file, {
+      import java.nio.file.{Files, Paths}
+      val src = Paths.get(file).toAbsolutePath
+      val dir = Files.createTempDirectory("graft_stream_")
+      Files.createSymbolicLink(dir.resolve(src.getFileName), src)
+      dir.toString
+    })
 
   /** Stage a CLOSED bounded stream: the source file plus one sentinel
     * row 2 hours past the max event time. The end-of-stream watermark
@@ -57,27 +74,33 @@ object StreamingQueries {
     * own pending state simply never emits in append mode.
     * An unbounded production run simply never stages a sentinel.
     */
-  private def closedStreamDir(spark: SparkSession, file: String): String = {
-    val dir = streamDir(file)
-    // ts arrives as a ns-epoch long (nanosAsLong) — write the sentinel
-    // in the same physical type so the staged files share one schema
-    val tsField = spark.read.parquet(file).schema("ts")
-    require(tsField.dataType == org.apache.spark.sql.types.LongType,
-      s"closedStreamDir: expected ts as ns-epoch LONG (nanosAsLong " +
-        s"session conf missing?), got ${tsField.dataType}")
-    val maxRow = spark.read.parquet(file).agg(max(col("ts"))).head
-    require(!maxRow.isNullAt(0), s"closedStreamDir: empty source $file")
-    val maxNs = maxRow.getLong(0)
-    spark.range(1).select(
-      lit(-1L).as("event_id"),
-      lit(maxNs + 7200L * 1000000000L).as("ts"),
-      lit(-1L).as("user_id"),
-      lit("__sentinel").as("event_type"),
-      lit(0.0).as("value"),
-      lit("{}").as("props"))
-      .coalesce(1).write.mode("append").parquet(dir)
-    dir
-  }
+  private def closedStreamDir(spark: SparkSession, file: String): String =
+    // its OWN staged dir (not streamDir's memoized one — appending the
+    // sentinel there would leak it into the open-stream queries)
+    closedDirCache.getOrElseUpdate(file, {
+      import java.nio.file.{Files, Paths}
+      val src = Paths.get(file).toAbsolutePath
+      val dir = Files.createTempDirectory("graft_cstream_")
+      Files.createSymbolicLink(dir.resolve(src.getFileName), src)
+      // ts arrives as a ns-epoch long (nanosAsLong) — write the sentinel
+      // in the same physical type so the staged files share one schema
+      val tsField = schemaOf(spark, file)("ts")
+      require(tsField.dataType == org.apache.spark.sql.types.LongType,
+        s"closedStreamDir: expected ts as ns-epoch LONG (nanosAsLong " +
+          s"session conf missing?), got ${tsField.dataType}")
+      val maxRow = spark.read.parquet(file).agg(max(col("ts"))).head
+      require(!maxRow.isNullAt(0), s"closedStreamDir: empty source $file")
+      val maxNs = maxRow.getLong(0)
+      spark.range(1).select(
+        lit(-1L).as("event_id"),
+        lit(maxNs + 7200L * 1000000000L).as("ts"),
+        lit(-1L).as("user_id"),
+        lit("__sentinel").as("event_type"),
+        lit(0.0).as("value"),
+        lit("{}").as("props"))
+        .coalesce(1).write.mode("append").parquet(dir.toString)
+      dir.toString
+    })
 
   private def runToTable(
       spark: SparkSession, streamed: DataFrame, name: String,
@@ -115,7 +138,7 @@ object StreamingQueries {
     */
   def streamTumbling(spark: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
-    val schema = spark.read.parquet(path).schema
+    val schema = schemaOf(spark, path)
     val src = graft.Tables.normalizeTs(
       spark.readStream.schema(schema).parquet(streamDir(path)))
     val agg = src
@@ -139,7 +162,7 @@ object StreamingQueries {
     */
   def streamSliding(spark: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
-    val schema = spark.read.parquet(path).schema
+    val schema = schemaOf(spark, path)
     val src = graft.Tables.normalizeTs(
       spark.readStream.schema(schema).parquet(closedStreamDir(spark, path)))
     val agg = src
@@ -166,7 +189,7 @@ object StreamingQueries {
     */
   def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
-    val schema = spark.read.parquet(path).schema
+    val schema = schemaOf(spark, path)
     def src = graft.Tables.normalizeTs(
       spark.readStream.schema(schema).parquet(streamDir(path)))
     val signups = src.filter(col("event_type") === "signup")
@@ -193,7 +216,7 @@ object StreamingQueries {
     */
   def streamSession(spark: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
-    val schema = spark.read.parquet(path).schema
+    val schema = schemaOf(spark, path)
     val src = graft.Tables.normalizeTs(
       spark.readStream.schema(schema).parquet(closedStreamDir(spark, path)))
     val agg = src
@@ -216,7 +239,7 @@ object StreamingQueries {
     import spark.implicits._
     import PatternStream._
     val path = s"$dir/events.parquet"
-    val schema = spark.read.parquet(path).schema
+    val schema = schemaOf(spark, path)
     val src = graft.Tables.normalizeTs(
       spark.readStream.schema(schema).parquet(closedStreamDir(spark, path)))
       .withWatermark("ts", "1 second")
@@ -239,7 +262,7 @@ object StreamingQueries {
     import spark.implicits._
     import PatternStream._
     val path = s"$dir/events.parquet"
-    val schema = spark.read.parquet(path).schema
+    val schema = schemaOf(spark, path)
     val src = graft.Tables.normalizeTs(
       spark.readStream.schema(schema).parquet(closedStreamDir(spark, path)))
       .withWatermark("ts", "1 hour")
@@ -276,7 +299,7 @@ object StreamingQueries {
     import spark.implicits._
     import PatternStream._
     val path = s"$dir/events.parquet"
-    val schema = spark.read.parquet(path).schema
+    val schema = schemaOf(spark, path)
     // closed stream: detectGeneric applies events once the watermark
     // finalizes them (split-invariant ordering), so the bounded run
     // needs the far-future sentinel to flush the tail
@@ -316,7 +339,7 @@ object StreamingQueries {
     */
   def streamConjunction(spark: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
-    val schema = spark.read.parquet(path).schema
+    val schema = schemaOf(spark, path)
     def src = graft.Tables.normalizeTs(
       spark.readStream.schema(schema).parquet(streamDir(path)))
     val clicks = src.filter(col("event_type") === "click")
@@ -350,7 +373,7 @@ object StreamingQueries {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val path = s"$dir/events.parquet"
-    val schema = spark.read.parquet(path).schema
+    val schema = schemaOf(spark, path)
     val src = graft.Tables.normalizeTs(
       spark.readStream.schema(schema).parquet(closedStreamDir(spark, path)))
       .withWatermark("ts", "1 second")
@@ -403,7 +426,7 @@ object StreamingQueries {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val path = s"$dir/events.parquet"
-    val schema = spark.read.parquet(path).schema
+    val schema = schemaOf(spark, path)
     val src = graft.Tables.normalizeTs(
       spark.readStream.schema(schema).parquet(closedStreamDir(spark, path)))
       .withWatermark("ts", "1 second")
@@ -463,7 +486,7 @@ object StreamingQueries {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val path = s"$dir/events.parquet"
-    val schema = spark.read.parquet(path).schema
+    val schema = schemaOf(spark, path)
     val src = graft.Tables.normalizeTs(
       spark.readStream.schema(schema).parquet(closedStreamDir(spark, path)))
       .withWatermark("ts", "1 second")
@@ -524,7 +547,7 @@ object StreamingQueries {
     */
   def streamDedup(spark: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
-    val schema = spark.read.parquet(path).schema
+    val schema = schemaOf(spark, path)
     val src = graft.Tables.normalizeTs(
       spark.readStream.schema(schema).parquet(streamDir(path)))
     val out = src
@@ -544,7 +567,7 @@ object StreamingQueries {
     */
   def streamEnrich(spark: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
-    val schema = spark.read.parquet(path).schema
+    val schema = schemaOf(spark, path)
     val src = graft.Tables.normalizeTs(
       spark.readStream.schema(schema).parquet(streamDir(path)))
     val dim = broadcast(graft.Tables(spark, dir).customer
@@ -568,7 +591,7 @@ object StreamingQueries {
     */
   def streamScore(spark: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
-    val schema = spark.read.parquet(path).schema
+    val schema = schemaOf(spark, path)
     val src = graft.Tables.normalizeTs(
       spark.readStream.schema(schema).parquet(streamDir(path)))
     val out = graft.ml.Score.LinearModel("risk", Map("value" -> 0.01), bias = -0.8)
@@ -589,7 +612,7 @@ object StreamingQueries {
     */
   def streamTrend(spark: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
-    val schema = spark.read.parquet(path).schema
+    val schema = schemaOf(spark, path)
     val src = graft.Tables.normalizeTs(
       spark.readStream.schema(schema).parquet(closedStreamDir(spark, path)))
     val agg = src
@@ -627,7 +650,7 @@ object StreamingQueries {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val path = s"$dir/events.parquet"
-    val schema = spark.read.parquet(path).schema
+    val schema = schemaOf(spark, path)
     val src = graft.Tables.normalizeTs(
       spark.readStream.schema(schema).parquet(closedStreamDir(spark, path)))
       .withWatermark("ts", "1 second")
@@ -665,7 +688,7 @@ object StreamingQueries {
     */
   def streamDisjunction(spark: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
-    val schema = spark.read.parquet(path).schema
+    val schema = schemaOf(spark, path)
     val src = graft.Tables.normalizeTs(
       spark.readStream.schema(schema).parquet(streamDir(path)))
     val out = src.filter(col("event_type") === "signup" ||
