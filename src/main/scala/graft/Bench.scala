@@ -99,6 +99,13 @@ object Bench {
     try materialize(SparkEntry.queries("s10_stream_count_window")(
       spark, "/root/testdata/sf0.001"))
     catch { case _: Throwable => () }
+    // warm the heavy family-specific code paths at sf0.001 (tiny
+    // input — JIT/codegen warmth only, none of the benchmarked data):
+    // shingle/minhash/banding + iterative clustering (dedup family)
+    // and the HOF-fold interpreter (forecast family)
+    for (w <- Seq("d3_minhash_lsh", "d5_dedup_clusters", "f4_hawkes"))
+      try materialize(SparkEntry.queries(w)(spark, "/root/testdata/sf0.001"))
+      catch { case _: Throwable => () }
 
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)

@@ -220,8 +220,13 @@ object Dedup {
   def clusters(
       pairs: DataFrame, aCol: String = "a_id", bCol: String = "b_id",
       maxIters: Int = 50): DataFrame = {
-    val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
-      .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+    // both edge directions from ONE pass over `pairs` — a
+    // select-union would execute the (expensive) upstream pair
+    // pipeline twice, once per branch
+    val edges = pairs.select(explode(array(
+        struct(col(aCol).as("u"), col(bCol).as("v")),
+        struct(col(bCol).as("u"), col(aCol).as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
       .distinct()
       .localCheckpoint()
     var labels = edges.select(col("u").as("node")).distinct()

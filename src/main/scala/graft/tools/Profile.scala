@@ -55,6 +55,48 @@ object Profile {
       return
     }
 
+    if (sys.env.contains("PROFILE_D5")) {
+      val docs0 = graft.Tables(spark, sfDir).documents
+      val pairs = graft.dedup.Dedup.ngramJaccardPairs(
+        docs0, k = 3, threshold = 0.6, blockCols = Seq(col("lang")))
+      time("d5 pairs")(mat(pairs))
+      val edges = time("d5 edges ckpt")(
+        pairs.select(explode(array(
+            struct(col("a_id").as("u"), col("b_id").as("v")),
+            struct(col("b_id").as("u"), col("a_id").as("v")))).as("e"))
+          .select(col("e.u").as("u"), col("e.v").as("v"))
+          .distinct().localCheckpoint())
+      var labels = time("d5 labels init")(
+        edges.select(col("u").as("node")).distinct()
+          .withColumn("label", col("node")).localCheckpoint())
+      var changed = 1L; var it = 0
+      while (changed > 0 && it < 50) {
+        val t0 = System.nanoTime()
+        val prop = edges.join(labels, edges("v") === labels("node"))
+          .groupBy(edges("u").as("n2")).agg(min("label").as("nbr"))
+        val viaNbr = labels.join(prop, labels("node") === prop("n2"), "left")
+          .select(labels("node"),
+            least(labels("label"), coalesce(col("nbr"), labels("label")))
+              .as("label"), labels("label").as("prev"))
+          .localCheckpoint()
+        val tCk1 = System.nanoTime()
+        val byNode = viaNbr.select(col("node").as("pn"), col("label").as("pl"))
+        val next = viaNbr.join(byNode, viaNbr("label") === col("pn"), "left")
+          .select(viaNbr("node"),
+            least(viaNbr("label"), coalesce(col("pl"), viaNbr("label")))
+              .as("label"), viaNbr("prev"))
+          .localCheckpoint()
+        val tCk2 = System.nanoTime()
+        changed = next.filter(col("label") =!= col("prev")).count()
+        labels = next.drop("prev")
+        it += 1
+        println(f"[profile] d5 round $it: viaNbr ${(tCk1-t0)/1e9}%.3f " +
+          f"doubling ${(tCk2-tCk1)/1e9}%.3f count ${(System.nanoTime()-tCk2)/1e9}%.3f " +
+          f"changed=$changed")
+      }
+      spark.stop(); return
+    }
+
     val docs = graft.Tables(spark, sfDir).documents
     time("docs count")(docs.count())
 
