@@ -82,4 +82,29 @@ object TextFunctions {
   /** Content fingerprints: full md5 plus a 64-bit-ish hex prefix. */
   def fingerprint(text: Column): Column = md5(text)
   def fingerprintPrefix(text: Column): Column = substring(md5(text), 1, 16)
+
+  // --- PII scrubbing (training corpora are scrubbed before use; the
+  // patterns are the standard high-precision trio). RE2 (DuckDB) and
+  // java.util.regex agree on these constructs (char classes, bounded
+  // repetition, \b), which the oracle's hash gate verifies per run.
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val phoneRe = "\\+?[0-9][0-9()\\- ]{7,}[0-9]"
+
+  def emailCount(text: Column): Column = regexp_count(text, lit(emailRe))
+  def ipv4Count(text: Column): Column = regexp_count(text, lit(ipv4Re))
+  def phoneCount(text: Column): Column = regexp_count(text, lit(phoneRe))
+
+  /** Replace emails, then IPv4s, then phone-like runs with typed
+    * placeholder tags. Order matters: the phone pattern must not see
+    * digit runs that are really IP octets (dots already collapsed to
+    * `<IP>`), and neither may consume an address already tagged
+    * (`<`/`>` are outside every class).
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailRe, "<EMAIL>"),
+        ipv4Re, "<IP>"),
+      phoneRe, "<PHONE>")
 }

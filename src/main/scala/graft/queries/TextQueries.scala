@@ -295,6 +295,75 @@ object TextQueries {
         Dedup.simhashPairs(Tables(s, dir).documents, maxHamming = 3)
     },
 
+    // --- #43b PII scrubbing: redaction + per-category counts. The
+    // corpus tables carry no real PII, so the input is synthesized
+    // deterministically from customer columns ON BOTH SIDES (email
+    // from the name, IP/phone from the key) — the oracle then gates
+    // the actual redaction semantics, not a trivially-empty pass ---
+    "t5_pii_redact" -> QueryDef.of(
+      """WITH s AS (
+        |  SELECT c_custkey,
+        |    c_name || ' <' || lower(replace(c_name, '#', '.')) ||
+        |    '@example.com> from 10.0.' || CAST(c_custkey % 256 AS VARCHAR) ||
+        |    '.' || CAST(c_custkey % 100 AS VARCHAR) ||
+        |    ' tel +1 (555) 010-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+        |      AS text
+        |  FROM customer)
+        |SELECT c_custkey AS id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
+        |  CAST(len(regexp_extract_all(text, '\+?[0-9][0-9()\- ]{7,}[0-9]')) AS BIGINT) AS n_phones,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+        |    '\+?[0-9][0-9()\- ]{7,}[0-9]', '<PHONE>', 'g') AS redacted
+        |FROM s""".stripMargin) {
+      (s, dir) => {
+        val synth = concat(
+          col("c_name"), lit(" <"),
+          lower(regexp_replace(col("c_name"), "#", ".")),
+          lit("@example.com> from 10.0."),
+          (col("c_custkey") % 256).cast("string"), lit("."),
+          (col("c_custkey") % 100).cast("string"),
+          lit(" tel +1 (555) 010-"),
+          lpad((col("c_custkey") % 10000).cast("string"), 4, "0"))
+        graft.text.TextAnalysis.piiScrub(
+          Tables(s, dir).customer.select(col("c_custkey"), synth.as("text")),
+          col("text"), col("c_custkey"))
+      }
+    },
+
+    // --- #43c repetition signals (Gopher-style quality filters):
+    // type-token ratio + top-bigram occupancy ---
+    "t6_repetition" -> QueryDef.of(
+      s"""WITH w AS (
+         |  SELECT doc_id, $wordsSql AS w FROM documents
+         |), s AS (
+         |  SELECT doc_id, len(w) AS n_words, len(list_distinct(w)) AS n_distinct
+         |  FROM w
+         |), bg AS (
+         |  SELECT doc_id, unnest(CASE WHEN len(w) >= 2
+         |    THEN [array_to_string(w[i:i+1], ' ') for i in generate_series(1, len(w) - 1)]
+         |    ELSE [] END) AS b
+         |  FROM w
+         |), bc AS (
+         |  SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY doc_id, b
+         |), bt AS (
+         |  SELECT doc_id, MAX(c) AS top_n, CAST(SUM(c) AS BIGINT) AS n_bg
+         |  FROM bc GROUP BY doc_id
+         |)
+         |SELECT s.doc_id, CAST(s.n_words AS BIGINT) AS n_words,
+         |  round(CAST(s.n_distinct AS DOUBLE) /
+         |    greatest(CAST(s.n_words AS DOUBLE), 1.0), 6) AS ttr,
+         |  CAST(coalesce(bt.top_n, 0) AS BIGINT) AS top_bigram_n,
+         |  round(CAST(coalesce(bt.top_n, 0) AS DOUBLE) /
+         |    greatest(CAST(coalesce(bt.n_bg, 0) AS DOUBLE), 1.0), 6) AS bigram_ratio
+         |FROM s LEFT JOIN bt ON s.doc_id = bt.doc_id""".stripMargin) {
+      (s, dir) =>
+        graft.text.TextAnalysis.repetitionStats(Tables(s, dir).documents)
+    },
+
     // --- #46 multimodal: frame sampling — one row per sampled fixed
     // -size frame (every 2nd 1000-char frame), per-frame checksum;
     // the video fan-out shape, row-local, no shuffle ---

@@ -1,0 +1,71 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** DataFrame-level text-analysis operators for the LLM-data-pipeline
+  * surface (the column-pure building blocks live in
+  * [[graft.functions.TextFunctions]]).
+  */
+object TextAnalysis {
+
+  /** Repetition signals per document (the Gopher-style quality
+    * filters a pretraining pipeline applies): type-token ratio and
+    * the fraction of all word bigrams taken by the single most
+    * frequent bigram — boilerplate and degenerate generations score
+    * high on the latter.
+    *
+    * Plan shape: per-word stats are row-local column arithmetic; the
+    * bigram mode is an explode → count per (doc, bigram) → max/sum
+    * per doc. The shuffle keys are (doc_id, bigram) then doc_id —
+    * high-cardinality, so a 1000-executor cluster fans out; there is
+    * no per-doc O(n²) array walk (a row-local mode via HOFs would
+    * quadratic-scan each doc's array, which dies on 100 KB docs).
+    */
+  def repetitionStats(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val w = words(col(textCol))
+    val base = docs.select(col(idCol), w.as("w"))
+      .select(col(idCol), col("w"), size(col("w")).as("n_words"))
+    // bigrams of the normalized word sequence (duplicates kept — the
+    // mode is over OCCURRENCES); size<2 docs contribute none
+    val bigrams = base
+      .select(col(idCol),
+        when(col("n_words") >= 2,
+          expr("transform(sequence(0, n_words - 2), i -> concat_ws(' ', w[i], w[i+1]))"))
+          .otherwise(array().cast("array<string>")).as("bgs"))
+      .select(col(idCol), explode(col("bgs")).as("bg"))
+    val perBigram = bigrams.groupBy(col(idCol), col("bg"))
+      .agg(count(lit(1)).as("c"))
+    val topPerDoc = perBigram.groupBy(col(idCol))
+      .agg(max(col("c")).as("top_bigram_n"), sum(col("c")).as("n_bigrams"))
+    base.select(col(idCol), col("n_words").cast("long").as("n_words"),
+      size(array_distinct(col("w"))).cast("long").as("n_distinct"))
+      .join(topPerDoc, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        col("n_words"),
+        round(col("n_distinct").cast("double") /
+          greatest(col("n_words").cast("double"), lit(1.0)), 6).as("ttr"),
+        coalesce(col("top_bigram_n"), lit(0L)).cast("long").as("top_bigram_n"),
+        round(coalesce(col("top_bigram_n"), lit(0L)).cast("double") /
+          greatest(coalesce(col("n_bigrams"), lit(0L)).cast("double"), lit(1.0)),
+          6).as("bigram_ratio"))
+  }
+
+  /** PII scrub report: redacted text plus per-category hit counts.
+    * Row-local regex work only — codegen'd, no shuffle; at 100 TB
+    * this is a pure map stage that rides whatever partitioning the
+    * scan produced.
+    */
+  def piiScrub(docs: DataFrame, textCol: Column, idCol: Column): DataFrame =
+    docs.select(
+      idCol.as("id"),
+      emailCount(textCol).cast("long").as("n_emails"),
+      ipv4Count(textCol).cast("long").as("n_ips"),
+      phoneCount(textCol).cast("long").as("n_phones"),
+      redactPii(textCol).as("redacted"))
+}

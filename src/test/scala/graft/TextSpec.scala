@@ -107,4 +107,50 @@ class TextSpec extends SparkSpec {
     // partition-local: no exchange in the plan
     assert(!resized.queryExecution.executedPlan.toString.contains("Exchange"))
   }
+
+  test("PII redaction: emails, IPs and phones on adversarial strings") {
+    import spark.implicits._
+    val cases = Seq(
+      // (input, expected redaction)
+      ("mail jane.doe+tag@sub.example.co.uk now",
+        "mail <EMAIL> now"),
+      ("server at 192.168.0.1 and 10.0.255.7.",
+        "server at <IP> and <IP>."),
+      ("call +1 (555) 010-1234 or 0171-555 0199 today",
+        "call <PHONE> or <PHONE> today"),
+      // an IP must NOT be half-eaten by the phone pattern
+      ("a@b.io 127.0.0.1 +44 20 7946 0958",
+        "<EMAIL> <IP> <PHONE>"),
+      // no PII → unchanged
+      ("just words, no identifiers here", "just words, no identifiers here"))
+    val got = cases.toDF("text", "want")
+      .select(col("want"), redactPii(col("text")).as("got")).collect()
+    got.foreach(r => assert(r.getString(1) == r.getString(0),
+      s"\nwant: ${r.getString(0)}\ngot:  ${r.getString(1)}"))
+    // counts agree with the redaction
+    val counts = Seq("x a@b.cc y c@d.ee 1.2.3.4 +1 (555) 010-1234")
+      .toDF("text")
+      .select(emailCount(col("text")).as("e"), ipv4Count(col("text")).as("i"),
+        phoneCount(col("text")).as("p")).head
+    assert((counts.getInt(0), counts.getInt(1), counts.getInt(2)) == ((2, 1, 1)))
+  }
+
+  test("repetition stats: ttr and top-bigram occupancy") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "spam spam spam spam"),        // 4 words, 1 distinct, bigram "spam spam" ×3 of 3
+      (2L, "a b c d"),                    // all distinct, each bigram once (3 bigrams)
+      (3L, "word"),                       // single word: no bigrams
+      (4L, "")                            // empty: no words
+    ).toDF("doc_id", "text")
+    val got = graft.text.TextAnalysis.repetitionStats(df)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_words"), r.getAs[Double]("ttr"),
+          r.getAs[Long]("top_bigram_n"), r.getAs[Double]("bigram_ratio")))).toMap
+    assert(got(1L) == ((4L, 0.25, 3L, 1.0)))
+    assert(got(2L) == ((4L, 1.0, 1L, 0.333333)))
+    assert(got(3L) == ((1L, 1.0, 0L, 0.0)))
+    assert(got(4L)._1 == 0L)
+    assert(got(4L)._3 == 0L)
+  }
 }
