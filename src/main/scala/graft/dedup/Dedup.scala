@@ -219,7 +219,55 @@ object Dedup {
     */
   def clusters(
       pairs: DataFrame, aCol: String = "a_id", bCol: String = "b_id",
-      maxIters: Int = 50): DataFrame = {
+      maxIters: Int = 50, collectThreshold: Long = 4000000L): DataFrame = {
+    // Near-dup pair sets are SMALL relative to the corpus (the pair
+    // generators upstream already bucketed and thresholded); below
+    // `collectThreshold` edges the components are solved with one
+    // driver-side union-find pass — the same bounded-collect class as
+    // the IVF quantizer's sample (a 4M-edge list is ~64 MB, broadcast-
+    // join scale), and it replaces ~4 Spark jobs × O(log diameter)
+    // rounds of fixed scheduling cost with one job. `limit(T+1)`
+    // makes the size probe and the fetch a single execution of the
+    // (expensive) upstream pair pipeline: if the driver got ≤ T rows,
+    // it got ALL of them. Beyond the threshold the iterative
+    // pointer-doubling path below runs — shuffle-keyed on node ids,
+    // no driver-side graph, the 100 TB shape.
+    val sess = pairs.sparkSession
+    val integralIds = Seq(aCol, bCol).forall { c =>
+      pairs.schema(c).dataType match {
+        case org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.IntegerType => true
+        case _ => false
+      }
+    }
+    val probe: Array[org.apache.spark.sql.Row] =
+      if (!integralIds) Array.empty
+      else pairs
+        .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+        .limit((collectThreshold + 1).toInt).collect()
+    if (integralIds && probe.length <= collectThreshold) {
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != c) {
+          val nxt = parent.getOrElse(c, c); parent(c) = r; c = nxt
+        }
+        r
+      }
+      probe.foreach { e =>
+        val (ru, rv) = (find(e.getLong(0)), find(e.getLong(1)))
+        // union by MIN root: the canonical survivor is the min doc id
+        if (ru < rv) parent(rv) = ru else if (rv < ru) parent(ru) = rv
+        else { parent.getOrElseUpdate(ru, ru); () }
+      }
+      val nodes = probe.iterator
+        .flatMap(e => Iterator(e.getLong(0), e.getLong(1))).toSet
+      import sess.implicits._
+      return nodes.toSeq.sorted.map(n => (n, find(n)))
+        .toDF("doc_id", "cluster_id")
+    }
     // both edge directions from ONE pass over `pairs` — a
     // select-union would execute the (expensive) upstream pair
     // pipeline twice, once per branch

@@ -116,8 +116,10 @@ object StreamingQueries {
     // plan built concurrently in this session during that window would
     // capture the capped value. The test harness runs queries
     // sequentially in one thread, which is the supported mode here.
+    val cap = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "4").toInt
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    if (prev.toInt > 4) spark.conf.set("spark.sql.shuffle.partitions", "4")
+    if (prev.toInt > cap)
+      spark.conf.set("spark.sql.shuffle.partitions", cap.toString)
     val q =
       try streamed.writeStream
         .outputMode(mode)

@@ -107,9 +107,26 @@ class DedupSpec extends SparkSpec {
   test("clusters: diameter-200 chain converges (pointer doubling)") {
     import spark.implicits._
     val pairs = (1L until 200L).map(i => (i, i + 1)).toDF("a_id", "b_id")
-    val got = Dedup.clusters(pairs) // would need 200 rounds without doubling
+    // collectThreshold=0 forces the distributed iterative path (the
+    // driver union-find would otherwise absorb a 200-edge graph)
+    val got = Dedup.clusters(pairs, collectThreshold = 0L)
     assert(got.filter(col("cluster_id") =!= 1L).count() == 0)
     assert(got.count() == 200)
+  }
+
+  test("clusters: driver union-find and iterative paths agree") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // random sparse graph + a long chain + an isolated pair
+    val pairs = ((1L until 60L).map(i => (i, i + 1)) ++
+      (0 until 80).map(_ => (rnd.nextInt(100).toLong + 200L,
+        rnd.nextInt(100).toLong + 200L)).filter(p => p._1 != p._2) ++
+      Seq((1000L, 1001L))).toDF("a_id", "b_id")
+    val fast = Dedup.clusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val iter = Dedup.clusters(pairs, collectThreshold = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == iter)
   }
 
   test("IVF knn accepts array<double> embeddings") {
