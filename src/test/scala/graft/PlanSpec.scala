@@ -149,4 +149,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("minhash_sig"), p)
     assert(!p.contains("ScalaUDF"), p)
   }
+
+  test("t5: PII scrub is a pure map stage (no exchange, no UDF)") {
+    val p = planOf(q("t5_pii_redact"))
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("ScalaUDF"), p)
+  }
+
+  test("t6: repetition stats shuffle on high-cardinality keys only") {
+    val p = planOf(q("t6_repetition"))
+    // explode → count(doc,bigram) → max/sum(doc) + left join back:
+    // equi-joins and hash aggs only, never a cartesian
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("ScalaUDF"), p)
+  }
 }
