@@ -26,7 +26,7 @@ object ScaleBench {
   private val Queries =
     Seq("d1_exact_dedup", "d2_ngram_jaccard", "d3_minhash_lsh",
       "d4_simhash", "d5_dedup_clusters", "p6_trend_count",
-      "p10_multi_trend")
+      "p10_multi_trend", "t6_repetition")
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
