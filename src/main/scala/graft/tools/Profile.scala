@@ -55,6 +55,48 @@ object Profile {
       return
     }
 
+    if (sys.env.contains("PROFILE_T6")) {
+      val docs = graft.Tables(spark, sfDir).documents
+      import graft.functions.TextFunctions._
+      val w = words(col("text"))
+      val base = docs.select(col("doc_id"), w.as("w"))
+        .select(col("doc_id"), col("w"), size(col("w")).as("n_words"))
+      time("base words")(mat(base))
+      val bgsExpr = when(col("n_words") >= 2,
+        expr("transform(sequence(0, n_words - 2), i -> concat_ws(' ', w[i], w[i+1]))"))
+        .otherwise(array().cast("array<string>"))
+      time("bigram arrays")(mat(base.select(col("doc_id"), bgsExpr.as("bgs"))))
+      val bigrams = base.select(col("doc_id"), bgsExpr.as("bgs"))
+        .select(col("doc_id"), explode(col("bgs")).as("bg"))
+      time("explode")(mat(bigrams))
+      val perBigram = bigrams.groupBy(col("doc_id"), col("bg"))
+        .agg(count(lit(1)).as("c"))
+      time("perBigram count")(mat(perBigram))
+      val top = perBigram.groupBy(col("doc_id"))
+        .agg(max(col("c")).as("t"), sum(col("c")).as("n"))
+      time("top per doc")(mat(top))
+      time("full repetitionStats")(
+        mat(graft.text.TextAnalysis.repetitionStats(docs)))
+      // variant A: fan out the docs first
+      val fanned = docs.repartition(32, col("doc_id"))
+        .select(col("doc_id"), w.as("w"))
+        .select(col("doc_id"), col("w"), size(col("w")).as("n_words"))
+      time("A fanned explode")(mat(fanned
+        .select(col("doc_id"), bgsExpr.as("bgs"))
+        .select(col("doc_id"), explode(col("bgs")).as("bg"))))
+      // variant B: zip_with instead of index lambdas
+      val zipBg = expr(
+        "filter(zip_with(w, slice(w, 2, greatest(n_words - 1, 0)), " +
+          "(a, b) -> concat(a, ' ', b)), x -> x IS NOT NULL)")
+      time("B zip_with explode")(mat(base
+        .select(col("doc_id"), zipBg.as("bgs"))
+        .select(col("doc_id"), explode(col("bgs")).as("bg"))))
+      time("B fanned zip_with explode")(mat(fanned
+        .select(col("doc_id"), zipBg.as("bgs"))
+        .select(col("doc_id"), explode(col("bgs")).as("bg"))))
+      spark.stop(); return
+    }
+
     if (sys.env.contains("PROFILE_D5")) {
       val docs0 = graft.Tables(spark, sfDir).documents
       val pairs = graft.dedup.Dedup.ngramJaccardPairs(
