@@ -45,8 +45,18 @@ object ScaleBench {
     if (!marker.exists()) {
       val docs = spark.read.parquet(s"$baseDir/documents.parquet")
       val reps = (0 until 10).map { i =>
+        // suffix EVERY word with the replica id: a bijective per-word
+        // mapping, so within-replica shingle/word overlap (the dup
+        // structure) is preserved EXACTLY while cross-replica overlap
+        // is zero. The earlier one-word-prefix derivation left
+        // replica copies ~0.9-jaccard similar — every base doc became
+        // a 10-clique of cross-replica near-dups and pair work grew
+        // quadratically with replicas (measured: d3 36x at 10x),
+        // which benchmarks a different workload, not scale. Replica 0
+        // is suffixed too, so per-doc compute is uniform.
         docs.withColumn("doc_id", col("doc_id") + lit(i * 100000000L))
-          .withColumn("text", concat(lit(s"replica$i "), col("text")))
+          .withColumn("text",
+            regexp_replace(col("text"), "(\\S+)", s"$$1r$i"))
       }
       reps.reduce(_.unionByName(_)).write.mode("overwrite")
         .parquet(s"$scaledDir/documents.parquet")
