@@ -43,6 +43,55 @@ object Dedup {
       .groupBy("fp")
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_docs"))
 
+  /** Benchmark decontamination: flag corpus documents sharing any
+    * word-k-gram with an evaluation/benchmark set — the train/test
+    * overlap scrub every serious pretraining pipeline runs (the
+    * GPT-3-style n-gram collision check).
+    *
+    * The benchmark side is SMALL by nature (eval sets are thousands
+    * of documents, the corpus is billions), so its exploded gram
+    * postings are `broadcast()`: the corpus side streams through a
+    * broadcast-hash join with NO shuffle of corpus data at all; the
+    * only exchange is the per-doc aggregation of matched grams —
+    * keyed on doc_id (high-cardinality) and already reduced to hit
+    * rows by the join. At 100 TB that is the difference between a
+    * map-side pass and re-shuffling the corpus.
+    *
+    * Returns one row per contaminated corpus doc: how many of its
+    * distinct k-grams hit the benchmark, its total distinct k-grams,
+    * the contamination ratio, and how many distinct benchmark docs it
+    * collides with.
+    */
+  def decontaminate(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      k: Int,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    // (gram, benchmark doc) postings; shingles() is per-doc distinct
+    val benchGrams = benchmark.select(
+      col(idCol).as("bench_id"),
+      explode(shingles(col(textCol), k)).as("gram"))
+    val corpusGrams = fanOut(corpus, idCol)
+      .select(col(idCol), shingles(col(textCol), k).as("sh"))
+      .select(col(idCol), size(col("sh")).as("n_grams"),
+        explode(col("sh")).as("gram"))
+    corpusGrams
+      .join(broadcast(benchGrams), Seq("gram"))
+      .groupBy(col(idCol), col("n_grams"))
+      .agg(
+        countDistinct(col("gram")).as("n_hit_grams"),
+        countDistinct(col("bench_id")).as("n_bench_docs"))
+      .select(
+        col(idCol),
+        col("n_hit_grams"),
+        col("n_grams").cast("long").as("n_grams"),
+        round(col("n_hit_grams").cast("double") /
+          greatest(col("n_grams").cast("double"), lit(1.0)), 6)
+          .as("contamination"),
+        col("n_bench_docs"))
+  }
+
   /** Near-dup pairs by exact word-k-gram Jaccard within blocking
     * buckets. Jaccard = |A∩B| / |A∪B| over distinct shingles.
     *

@@ -20,9 +20,12 @@ object TextQueries {
   /** DuckDB twin of TextFunctions.words / shingles(k=3). */
   private val wordsSql =
     s"list_filter(string_split($normSql, ' '), x -> x != '')"
-  private val shinglesSql =
-    s"""CASE WHEN len(w) >= 3
-       | THEN list_distinct([array_to_string(w[i:i+2], ' ') for i in generate_series(1, len(w) - 2)])
+  private val shinglesSql = shinglesSqlK(3)
+
+  /** DuckDB twin of TextFunctions.shingles(k) over word array `w`. */
+  private def shinglesSqlK(k: Int) =
+    s"""CASE WHEN len(w) >= $k
+       | THEN list_distinct([array_to_string(w[i:i+${k - 1}], ' ') for i in generate_series(1, len(w) - ${k - 1})])
        | ELSE [array_to_string(w, ' ')] END""".stripMargin
 
   /** 2^64 — every 64-bit hash step below is taken mod this. */
@@ -362,6 +365,82 @@ object TextQueries {
          |FROM s LEFT JOIN bt ON s.doc_id = bt.doc_id""".stripMargin) {
       (s, dir) =>
         graft.text.TextAnalysis.repetitionStats(Tables(s, dir).documents)
+    },
+
+    // --- #35b benchmark decontamination: corpus docs sharing any
+    // word-5-gram with the benchmark split (doc_id % 7 == 0 stands in
+    // for the eval set). Broadcast inverted-index join — the corpus
+    // side never shuffles ---
+    "d6_decontaminate" -> QueryDef.of(
+      s"""WITH w AS (
+         |  SELECT doc_id, $wordsSql AS w FROM documents
+         |), d AS (
+         |  SELECT doc_id, ${shinglesSqlK(5)} AS sh FROM w
+         |), g AS (
+         |  SELECT doc_id, len(sh) AS n_grams, unnest(sh) AS gram FROM d
+         |), b AS (
+         |  SELECT doc_id AS bench_id, gram FROM g WHERE doc_id % 7 = 0
+         |), c AS (
+         |  SELECT * FROM g WHERE doc_id % 7 != 0
+         |)
+         |SELECT c.doc_id,
+         |  CAST(count(DISTINCT c.gram) AS BIGINT) AS n_hit_grams,
+         |  CAST(c.n_grams AS BIGINT) AS n_grams,
+         |  round(CAST(count(DISTINCT c.gram) AS DOUBLE) /
+         |    greatest(CAST(c.n_grams AS DOUBLE), 1.0), 6) AS contamination,
+         |  CAST(count(DISTINCT b.bench_id) AS BIGINT) AS n_bench_docs
+         |FROM c JOIN b ON c.gram = b.gram
+         |GROUP BY c.doc_id, c.n_grams""".stripMargin) {
+      (s, dir) => {
+        val docs = Tables(s, dir).documents
+        Dedup.decontaminate(
+          docs.filter(col("doc_id") % 7 =!= 0),
+          docs.filter(col("doc_id") % 7 === 0),
+          k = 5)
+      }
+    },
+
+    // --- #43d stratified domain sampling (training-mixture step):
+    // deterministic FNV-1a bucket per doc, per-source keep rate.
+    // Oracle re-derives every hash decision bit for bit ---
+    "t7_domain_mix" -> QueryDef.of(
+      s"""WITH s AS (
+         |  SELECT doc_id, source,
+         |    CAST(${fnvSql("('mix|' || CAST(doc_id AS VARCHAR))")} % 1000000 AS BIGINT) AS bucket,
+         |    CASE WHEN CAST(regexp_extract(source, '[0-9]+') AS INT) < 5 THEN 900000
+         |         WHEN CAST(regexp_extract(source, '[0-9]+') AS INT) < 10 THEN 600000
+         |         WHEN CAST(regexp_extract(source, '[0-9]+') AS INT) < 15 THEN 300000
+         |         ELSE 120000 END AS rate_ppm
+         |  FROM documents)
+         |SELECT doc_id, source, bucket, CAST(rate_ppm AS BIGINT) AS rate_ppm
+         |FROM s WHERE bucket < rate_ppm""".stripMargin) {
+      (s, dir) => {
+        val n = regexp_extract(col("source"), "[0-9]+", 0).cast("int")
+        val rate = when(n < 5, 900000L).when(n < 10, 600000L)
+          .when(n < 15, 300000L).otherwise(120000L)
+        graft.text.TextAnalysis.stratifiedSample(
+          Tables(s, dir).documents.select(col("doc_id"), col("source")),
+          col("doc_id"), rate)
+      }
+    },
+
+    // --- #43e shard assignment + per-shard budget stats (the
+    // "N balanced output shards" report before a training write) ---
+    "t8_shard" -> QueryDef.of(
+      s"""WITH s AS (
+         |  SELECT CAST(${fnvSql("('shard|' || CAST(doc_id AS VARCHAR))")} % 64 AS BIGINT) AS shard,
+         |    doc_id,
+         |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS BIGINT) AS toks,
+         |    CAST(length(text) AS BIGINT) AS chars
+         |  FROM documents)
+         |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(toks) AS BIGINT) AS total_tokens,
+         |  CAST(sum(chars) AS BIGINT) AS total_chars,
+         |  min(doc_id) AS min_id, max(doc_id) AS max_id
+         |FROM s GROUP BY shard""".stripMargin) {
+      (s, dir) =>
+        graft.text.TextAnalysis.shardStats(
+          Tables(s, dir).documents, col("doc_id"), col("text"), 64)
     },
 
     // --- #46 multimodal: frame sampling — one row per sampled fixed

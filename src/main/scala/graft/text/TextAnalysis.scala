@@ -73,4 +73,64 @@ object TextAnalysis {
       ipv4Count(textCol).cast("long").as("n_ips"),
       phoneCount(textCol).cast("long").as("n_phones"),
       redactPii(textCol).as("redacted"))
+
+  import graft.functions.Fnv64
+
+  /** Deterministic stratified sampling — the domain-mixing step of a
+    * pretraining pipeline ("keep 90% of wiki, 10% of crawl"). Each
+    * row draws a uniform bucket in [0, 1e6) from an FNV-1a hash of
+    * (salt, id) and survives iff bucket < its stratum's rate in ppm.
+    *
+    * Row-local filter, zero shuffle, trivially reproducible: the same
+    * (salt, id) always lands in the same bucket, so reruns — or an
+    * incremental run over new data — make identical decisions, and
+    * changing a stratum's rate monotonically grows/shrinks its sample
+    * (rate r ⊂ rate r' for r < r'), which is what makes mixture
+    * re-weighting cheap at 100 TB: no global resample, just a
+    * threshold move.
+    */
+  def stratifiedSample(
+      docs: DataFrame,
+      idCol: Column,
+      ratePpm: Column,
+      salt: String = "mix"): DataFrame = {
+    val bucket = Fnv64.unsignedMod(
+      Fnv64(concat(lit(salt + "|"), idCol.cast("string"))), 1000000L)
+    docs.withColumn("bucket", bucket)
+      .withColumn("rate_ppm", ratePpm.cast("long"))
+      .filter(col("bucket") < col("rate_ppm"))
+  }
+
+  /** Deterministic shard assignment + per-shard budget stats — the
+    * "write the corpus as N balanced shards" step before training.
+    * shard = fnv64(salt|id) mod nShards; the report aggregates doc /
+    * token / char budgets per shard so a pipeline can verify balance
+    * before paying for the write.
+    *
+    * One shuffle keyed on the (uniform, high-entropy) shard id; the
+    * heavy token counting is map-side column arithmetic and the agg
+    * is partial (map-side combine), so at 100 TB the exchanged bytes
+    * are O(nShards × partitions), not O(rows).
+    */
+  def shardStats(
+      docs: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      nShards: Int,
+      salt: String = "shard"): DataFrame = {
+    val shard = Fnv64.unsignedMod(
+      Fnv64(concat(lit(salt + "|"), idCol.cast("string"))), nShards.toLong)
+    docs.select(
+      shard.as("shard"),
+      idCol.as("id"),
+      bpeishTokenCount(textCol).cast("long").as("toks"),
+      length(textCol).cast("long").as("chars"))
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("total_tokens"),
+        sum(col("chars")).as("total_chars"),
+        min(col("id")).as("min_id"),
+        max(col("id")).as("max_id"))
+  }
 }
