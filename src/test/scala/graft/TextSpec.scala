@@ -153,4 +153,61 @@ class TextSpec extends SparkSpec {
     assert(got(4L)._1 == 0L)
     assert(got(4L)._3 == 0L)
   }
+
+  test("decontamination flags exactly the docs sharing a 5-gram") {
+    import spark.implicits._
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      // contains bench 5-gram "alpha beta gamma delta epsilon"
+      (1L, "x alpha beta gamma delta epsilon y"),
+      // shares words but no 5-gram run
+      (2L, "alpha beta gamma q delta epsilon zeta w o p"),
+      (3L, "totally unrelated words here now then")
+    ).toDF("doc_id", "text")
+    val got = graft.dedup.Dedup.decontaminate(corpus, bench, k = 5)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_hit_grams"), r.getAs[Long]("n_bench_docs"))))
+      .toMap
+    assert(got.keySet == Set(1L))
+    assert(got(1L) == ((1L, 1L)))
+  }
+
+  test("decontamination joins the benchmark side broadcast") {
+    val docs = Tables(spark, sf).documents
+    val plan = graft.dedup.Dedup.decontaminate(
+      docs.filter(col("doc_id") % 7 =!= 0),
+      docs.filter(col("doc_id") % 7 === 0), k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected a broadcast join for the benchmark grams:\n$plan")
+  }
+
+  test("stratified sample: deterministic, monotone in rate, near target") {
+    val docs = Tables(spark, sf).documents.select(col("doc_id"))
+    def sample(ppm: Long) = graft.text.TextAnalysis
+      .stratifiedSample(docs, col("doc_id"), lit(ppm))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s30 = sample(300000L); val s60 = sample(600000L)
+    // rerun → identical decisions
+    assert(sample(300000L) == s30)
+    // raising the rate only ADDS documents (threshold-move property)
+    assert(s30.subsetOf(s60))
+    // rates land near target (uniform hash; corpus is small, be loose)
+    val n = docs.count().toDouble
+    assert(math.abs(s30.size / n - 0.3) < 0.1)
+    assert(math.abs(s60.size / n - 0.6) < 0.1)
+  }
+
+  test("shard stats partition the corpus with bounded skew") {
+    val docs = Tables(spark, sf).documents
+    val got = graft.text.TextAnalysis
+      .shardStats(docs, col("doc_id"), col("text"), 8).collect()
+    assert(got.map(_.getAs[Long]("shard")).toSet.subsetOf((0L until 8L).toSet))
+    assert(got.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    // uniform hash → no empty shard and no shard holding half the corpus
+    val sizes = got.map(_.getAs[Long]("n_docs"))
+    assert(sizes.length == 8)
+    assert(sizes.max < docs.count() / 2)
+  }
 }
