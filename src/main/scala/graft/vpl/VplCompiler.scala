@@ -650,6 +650,7 @@ final class VplCompiler(program: VProgram, source: VplSource,
           .getOrElse(throw VplCompileError(s"unresolvable reference $q.$f"))
       case VUn("-", x)   => -t(x)
       case VUn("not", x) => !t(x)
+      case VUn("~", x)   => bitwise_not(t(x))
       case VUn(op, _)    => throw VplCompileError(s"unsupported unary '$op'")
       case VBin(op, l, r) => op match {
         case "and" => t(l) && t(r)
@@ -666,14 +667,35 @@ final class VplCompiler(program: VProgram, source: VplSource,
         case "/"   => t(l) / t(r)
         case "%"   => t(l) % t(r)
         case "**"  => pow(t(l), t(r))
-        case "in" => r match {
-          case VList(items) => t(l).isin(items.map(litOf): _*)
-          case _            => throw VplCompileError("'in' needs a literal list")
-        }
+        case "??"  => coalesce(t(l), t(r))
+        case "&"   => t(l).bitwiseAND(t(r))
+        case "|"   => t(l).bitwiseOR(t(r))
+        case "^"   => t(l).bitwiseXOR(t(r))
+        case "<<"  => call_function("shiftleft", t(l), t(r))
+        case ">>"  => call_function("shiftright", t(l), t(r))
+        case "in"     => membership(l, r, t)
+        case "not in" => !membership(l, r, t)
         case other => throw VplCompileError(s"unsupported operator '$other'")
       }
       case VIf(c, th, el) => when(t(c), t(th)).otherwise(t(el))
+      // `a..b` / `a..=b` as a VALUE materializes the int array the
+      // reference's Expr::Range builds (guarded: Spark's sequence()
+      // would happily count DOWN for an empty range like 5..2)
+      case VCall("__range", Seq(a, b, VBool(incl))) =>
+        val s = t(a).cast("long")
+        val e0 = if (incl) t(b).cast("long") else t(b).cast("long") - 1
+        when(s <= e0, sequence(s, e0))
+          .otherwise(slice(sequence(lit(0L), lit(0L)), 1, 0))
       case VCall(fn, args) => builtin(fn, args.map(t))
+      case VMethod(target, "__index", Seq(i)) =>
+        poly(graft.functions.PolyIndex(_, _), t(target), t(i))
+      case VMethod(target, "__slice", Seq(s0, e0)) =>
+        val lo = if (s0 == VNull) lit(null).cast("long") else t(s0)
+        val hi = if (e0 == VNull) lit(null).cast("long") else t(e0)
+        import org.apache.spark.sql.graftbridge.ColumnBridge
+        ColumnBridge.column(graft.functions.PolySlice(
+          ColumnBridge.expression(t(target)),
+          ColumnBridge.expression(lo), ColumnBridge.expression(hi)))
       case VMethod(target, m, args) => (m, args) match {
         case ("len", Nil)   => length(t(target))
         case ("upper", Nil) => upper(t(target))
@@ -687,6 +709,32 @@ final class VplCompiler(program: VProgram, source: VplSource,
       case VLambda(_, _) => throw VplCompileError("lambda outside .pattern()")
     }
     t(e)
+  }
+
+  /** `l in r` (BinOp::In / NotIn): literal lists stay `isin`
+    * (codegen'd); ranges compile to BOUNDS CHECKS, not a materialized
+    * array — `x in 0..1_000_000_000` must not build 1e9 elements per
+    * row at scale (int semantics, as the reference's ranges are);
+    * string literals are substring containment; any other container
+    * expression dispatches on its analyzed type ([[graft.functions.PolyIn]]:
+    * array membership / map key / substring).
+    */
+  private def membership(l: VExpr, r: VExpr, t: VExpr => Column): Column = r match {
+    case VList(items) => t(l).isin(items.map(litOf): _*)
+    case VCall("__range", Seq(a, b, VBool(incl))) =>
+      val x = t(l)
+      x >= t(a) && (if (incl) x <= t(b) else x < t(b))
+    case VStr(s) => lit(s).contains(t(l))
+    case other => poly(graft.functions.PolyIn(_, _), t(l), t(other))
+  }
+
+  private def poly(
+      mk: (org.apache.spark.sql.catalyst.expressions.Expression,
+           org.apache.spark.sql.catalyst.expressions.Expression) =>
+          org.apache.spark.sql.catalyst.expressions.Expression,
+      a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(mk(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   }
 
   private def litOf(e: VExpr): Any = e match {

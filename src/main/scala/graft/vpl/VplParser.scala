@@ -37,7 +37,7 @@ object VplParser {
       extends RuntimeException(s"VPL parse error at line $line: $msg")
 
   private val multiOps = Seq("..=", "->", "=>", "==", "!=", "<=", ">=",
-    "?.", "..", "**", "<<", ">>", ":=")
+    "??", "?.", "..", "**", "<<", ">>", ":=")
   private val singleOps = ".,:()[]{}+-*/%<>=?|^&~@!".toSet
 
   private val durUnits = Seq("ns" -> 1L, "us" -> 1L, "ms" -> 1000L,
@@ -340,10 +340,11 @@ object VplParser {
       while (more) peek match {
         case TId("for", _) =>
           advance(); val v = ident(); eatId("in")
-          val from = expr()
-          val incl = if (isOp("..=")) { advance(); true }
-            else { eatOp(".."); false }
-          val to = expr()
+          // expr() now parses the range itself (rangeExpr)
+          val (from, to, incl) = expr() match {
+            case VCall("__range", Seq(a, b, VBool(i))) => (a, b, i)
+            case _ => fail("expected a range (a..b or a..=b) in for")
+          }
           eatOp(":")
           stmts += SFor(v, from, to, incl, stmtBlock())
           more = false // greedy body: siblings after a for need indent info
@@ -648,7 +649,27 @@ object VplParser {
           return VLambda(Seq(p), expr(filter))
         case _ => ()
       }
-      orExpr(filter)
+      rangeExpr(filter)
+    }
+
+    /** `a..b` / `a..=b` (grammar: range_expr). Encoded as a
+      * `VCall("__range", start, end, inclusiveFlag)` so every AST
+      * walker (inline/substitute/quals/...) traverses it for free.
+      */
+    private def rangeExpr(f: Boolean): VExpr = {
+      val l = coalesceExpr(f)
+      if (isOp("..=")) { advance(); VCall("__range", Seq(l, coalesceExpr(f), VBool(true))) }
+      else if (isOp("..")) { advance(); VCall("__range", Seq(l, coalesceExpr(f), VBool(false))) }
+      else l
+    }
+
+    /** `a ?? b` null-coalesce (docs/language/operators.md chaining
+      * ops; the runtime's Expr::Coalesce).
+      */
+    private def coalesceExpr(f: Boolean): VExpr = {
+      var l = orExpr(f)
+      while (isOp("??")) { advance(); l = VBin("??", l, orExpr(f)) }
+      l
     }
 
     private def orExpr(f: Boolean): VExpr = {
@@ -665,13 +686,54 @@ object VplParser {
       if (isId("not")) { advance(); VUn("not", notExpr(f)) } else cmpExpr(f)
 
     private def cmpExpr(f: Boolean): VExpr = {
-      val l = addExpr(f)
+      val l = bitOrExpr(f)
       val cmpOps = Seq("==", "!=", "<=", ">=", "<", ">")
       cmpOps.find(isOp) match {
-        case Some(op) => advance(); VBin(op, l, addExpr(f))
-        case None if isId("in") => advance(); VBin("in", l, addExpr(f))
-        case None               => l
+        case Some(op) => advance(); VBin(op, l, bitOrExpr(f))
+        case None if isId("in") =>
+          advance(); VBin("in", l, rangeOrOperand(f))
+        case None if isId("not") && peekAt(1) == TId("in", peekAt(1).pos) =>
+          advance(); advance(); VBin("not in", l, rangeOrOperand(f))
+        case None => l
       }
+    }
+
+    /** the RHS of `in` / `not in` admits a range (`x in 0..10`) —
+      * comparison sits ABOVE range in the grammar, so re-admit it here
+      */
+    private def rangeOrOperand(f: Boolean): VExpr = {
+      val r = bitOrExpr(f)
+      if (isOp("..=")) { advance(); VCall("__range", Seq(r, bitOrExpr(f), VBool(true))) }
+      else if (isOp("..")) { advance(); VCall("__range", Seq(r, bitOrExpr(f), VBool(false))) }
+      else r
+    }
+
+    // bitwise chain (grammar: comparison > bitor > bitxor > bitand >
+    // shift > additive)
+    private def bitOrExpr(f: Boolean): VExpr = {
+      var l = bitXorExpr(f)
+      while (isOp("|")) { advance(); l = VBin("|", l, bitXorExpr(f)) }
+      l
+    }
+    private def bitXorExpr(f: Boolean): VExpr = {
+      var l = bitAndExpr(f)
+      while (isOp("^")) { advance(); l = VBin("^", l, bitAndExpr(f)) }
+      l
+    }
+    private def bitAndExpr(f: Boolean): VExpr = {
+      var l = shiftExpr(f)
+      while (isOp("&")) { advance(); l = VBin("&", l, shiftExpr(f)) }
+      l
+    }
+    private def shiftExpr(f: Boolean): VExpr = {
+      var l = addExpr(f)
+      var more = true
+      while (more) {
+        if (isOp("<<")) { advance(); l = VBin("<<", l, addExpr(f)) }
+        else if (isOp(">>")) { advance(); l = VBin(">>", l, addExpr(f)) }
+        else more = false
+      }
+      l
     }
     private def addExpr(f: Boolean): VExpr = {
       var l = mulExpr(f)
@@ -700,6 +762,7 @@ object VplParser {
     }
     private def unaryExpr(f: Boolean): VExpr =
       if (isOp("-")) { advance(); VUn("-", unaryExpr(f)) }
+      else if (isOp("~")) { advance(); VUn("~", unaryExpr(f)) }
       else postfix(f)
 
     private def postfix(f: Boolean): VExpr = {
@@ -727,6 +790,41 @@ object VplParser {
                 }
               }
             case _ => more = false
+          }
+        } else if (isOp("?.")) {
+          // optional member access — null-safe field read (grammar:
+          // optional_member_access; Column.getField is already
+          // null-propagating, so it compiles like `.`)
+          peekAt(1) match {
+            case TId(field, _) =>
+              advance(); advance()
+              base = base match {
+                case VRef(q) => VField(q, field)
+                case other   => VMethod(other, field, Nil)
+              }
+            case _ => more = false
+          }
+        } else if (isOp("[")) {
+          // slice `[a:b]` / `[:b]` / `[a:]` / `[:]` (checked before
+          // plain index `[i]` as in the reference grammar). Encoded as
+          // VMethod("__slice"/"__index") so AST walkers traverse them.
+          advance()
+          if (isOp(":")) {
+            advance()
+            val end = if (isOp("]")) VNull else expr()
+            eatOp("]")
+            base = VMethod(base, "__slice", Seq(VNull, end))
+          } else {
+            val first = expr()
+            if (isOp(":")) {
+              advance()
+              val end = if (isOp("]")) VNull else expr()
+              eatOp("]")
+              base = VMethod(base, "__slice", Seq(first, end))
+            } else {
+              eatOp("]")
+              base = VMethod(base, "__index", Seq(first))
+            }
           }
         } else if (isOp("(")) {
           base match {

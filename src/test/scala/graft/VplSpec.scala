@@ -411,4 +411,95 @@ class VplSpec extends SparkSpec {
     assert(r.getAs[Int]("u2") == 36)
     assert(r.getAs[Boolean]("rnd"))
   }
+
+  test("expression operator surface: ??, bitwise, not in, ranges, index, slice") {
+    // docs/language/operators.md: null-coalesce, bitwise &|^~<<>>,
+    // collection in / not in (list, range, string, array expr),
+    // 0-based index incl. negative, python-style slices
+    val vpl =
+      """event E:
+        |    name: str
+        |    b: int
+        |
+        |stream Out = E
+        |    .emit(
+        |        co: missing_field ?? "dflt",
+        |        band: b & 12, bor: b | 1, bxor: b ^ 5,
+        |        bnot: ~b, shl: b << 2, shr: b >> 1,
+        |        ni: b not in [3, 4], yi: b in [10, 11],
+        |        inr: b in 0..10, inr2: b in 0..=10, ninr: b not in 0..=9,
+        |        rng: 5..8, rngi: 5..=8, rnge: len(5..2),
+        |        ins: "b" in split(trim(name), ";"),
+        |        sub: "lo" in "hello world",
+        |        idx: split(trim(name), ";")[1],
+        |        neg: split(trim(name), ";")[-1],
+        |        sl: trim(name)[0:3], sr: trim(name)[2:],
+        |        so: trim(name)[:1], arr_sl: split(trim(name), ";")[1:3])
+        |""".stripMargin
+    val evt = java.nio.file.Files.createTempFile("graft_ops", ".evt")
+    java.nio.file.Files.writeString(evt,
+      """E { name: " a;b;c ", b: 10 }
+        |""".stripMargin)
+    val r = Vpl.runEvt(spark, vpl, Seq(evt.toString))("Out").get.head()
+    assert(r.getAs[String]("co") == "dflt")
+    assert(r.getAs[Long]("band") == 8L)   // 1010 & 1100
+    assert(r.getAs[Long]("bor") == 11L)
+    assert(r.getAs[Long]("bxor") == 15L)  // 1010 ^ 0101
+    assert(r.getAs[Long]("bnot") == -11L)
+    assert(r.getAs[Long]("shl") == 40L)
+    assert(r.getAs[Long]("shr") == 5L)
+    assert(r.getAs[Boolean]("ni"))
+    assert(r.getAs[Boolean]("yi"))
+    assert(!r.getAs[Boolean]("inr"))      // 10 in 0..10 (exclusive) = false
+    assert(r.getAs[Boolean]("inr2"))      // 10 in 0..=10 = true
+    assert(r.getAs[Boolean]("ninr"))      // 10 not in 0..=9 = true
+    assert(r.getAs[scala.collection.Seq[Long]]("rng").toList == List(5L, 6L, 7L))
+    assert(r.getAs[scala.collection.Seq[Long]]("rngi").toList == List(5L, 6L, 7L, 8L))
+    assert(r.getAs[Int]("rnge") == 0)     // empty range, not a countdown
+    assert(r.getAs[Boolean]("ins"))
+    assert(r.getAs[Boolean]("sub"))
+    assert(r.getAs[String]("idx") == "b")
+    assert(r.getAs[String]("neg") == "c")
+    assert(r.getAs[String]("sl") == "a;b")
+    assert(r.getAs[String]("sr") == "b;c")
+    assert(r.getAs[String]("so") == "a")
+    assert(r.getAs[scala.collection.Seq[String]]("arr_sl").toList == List("b", "c"))
+  }
+
+  test("poly index/slice/in: map arms and reference edge semantics") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import graft.functions.{PolyIn, PolyIndex, PolySlice}
+    def c2(mk: (org.apache.spark.sql.catalyst.expressions.Expression,
+                org.apache.spark.sql.catalyst.expressions.Expression) =>
+               org.apache.spark.sql.catalyst.expressions.Expression)(
+        a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      ColumnBridge.column(mk(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+    val m = map(lit("k"), lit(7L), lit("j"), lit(9L))
+    val arr = array(lit(1L), lit(2L), lit(3L))
+    val row = spark.range(1).select(
+      c2(PolyIndex(_, _))(m, lit("k")).as("mk"),
+      c2(PolyIndex(_, _))(m, lit("zz")).as("mz"),
+      c2(PolyIndex(_, _))(arr, lit(5)).as("oob"),
+      c2(PolyIn(_, _))(lit("j"), m).as("keyin"),
+      c2(PolyIn(_, _))(lit("x"), m).as("keyout"),
+      c2(PolyIn(_, _))(lit(9L), arr).as("arrout"),
+      ColumnBridge.column(PolySlice(
+        ColumnBridge.expression(arr),
+        ColumnBridge.expression(lit(-1L)),
+        ColumnBridge.expression(lit(2L)))).as("negstart"),
+      ColumnBridge.column(PolySlice(
+        ColumnBridge.expression(lit("abc")),
+        ColumnBridge.expression(lit(1L)),
+        ColumnBridge.expression(lit(99L)))).as("clamp")).head()
+    assert(row.getAs[Long]("mk") == 7L)
+    assert(row.isNullAt(row.fieldIndex("mz")))
+    assert(row.isNullAt(row.fieldIndex("oob")))
+    assert(row.getAs[Boolean]("keyin"))
+    assert(!row.getAs[Boolean]("keyout"))
+    assert(!row.getAs[Boolean]("arrout"))
+    // negative slice start = reference's `as usize` → empty
+    assert(row.getAs[scala.collection.Seq[Long]]("negstart").toList == Nil)
+    assert(row.getAs[String]("clamp") == "bc")
+  }
 }
