@@ -25,8 +25,9 @@ object ScaleBench {
 
   private val Queries =
     Seq("d1_exact_dedup", "d2_ngram_jaccard", "d3_minhash_lsh",
-      "d4_simhash", "d5_dedup_clusters", "p6_trend_count",
-      "p10_multi_trend", "t6_repetition")
+      "d4_simhash", "d5_dedup_clusters", "d6_decontaminate",
+      "p6_trend_count", "p10_multi_trend", "t6_repetition",
+      "p1_seq2", "w3_session", "v1_knn", "v3_knn_lsh")
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -41,7 +42,9 @@ object ScaleBench {
     spark.sparkContext.setLogLevel("WARN")
 
     // ---- stage the 10× derivation (idempotent) ----------------------
-    val marker = new java.io.File(s"$scaledDir/_staged")
+    // marker name versions the derivation: widening the query set to
+    // events/embeddings consumers re-stages those tables
+    val marker = new java.io.File(s"$scaledDir/_staged_v2")
     if (!marker.exists()) {
       val docs = spark.read.parquet(s"$baseDir/documents.parquet")
       val reps = (0 until 10).map { i =>
@@ -67,6 +70,16 @@ object ScaleBench {
       }
       evReps.reduce(_.unionByName(_)).write.mode("overwrite")
         .parquet(s"$scaledDir/events.parquet")
+      // embeddings: disjoint vec_ids, vectors unchanged — the v1/v3
+      // query side stays the fixed vec_id<10 broadcast set, so the
+      // measurement is corpus-side scan/bucket scaling
+      val emb = spark.read.parquet(s"$baseDir/embeddings.parquet")
+      val embReps = (0 until 10).map { i =>
+        if (i == 0) emb
+        else emb.withColumn("vec_id", col("vec_id") + lit(i * 100000000L))
+      }
+      embReps.reduce(_.unionByName(_)).write.mode("overwrite")
+        .parquet(s"$scaledDir/embeddings.parquet")
       marker.getParentFile.mkdirs()
       java.nio.file.Files.createFile(marker.toPath)
     }

@@ -164,4 +164,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("ScalaUDF"), p)
   }
+
+  test("t7: stratified sampling is a pure map stage (no exchange)") {
+    val p = planOf(q("t7_domain_mix"))
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("ScalaUDF"), p)
+  }
+
+  test("t8: shard stats = one shuffle keyed on shard, partial agg first") {
+    val p = planOf(q("t8_shard"))
+    assert(p.contains("partial"), p)        // map-side combine
+    assert(!p.contains("ScalaUDF"), p)
+    assert(p.split("Exchange").length - 1 == 1, p) // exactly one exchange
+  }
+
+  test("d6: corpus side of decontamination never shuffles for the join") {
+    val p = planOf(q("d6_decontaminate"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
