@@ -57,7 +57,40 @@ object VplQueries {
       |          n_e: HourlyErrors.n_e)
       |""".stripMargin
 
+  private val exprVpl =
+    """# the documented expression-operator surface end to end:
+      |# bitwise, shifts, ??, ranges, in/not in, slices, substring-in
+      |stream ExprSurface = purchase
+      |    .emit(event_id: event_id,
+      |          masked: (event_id & 255) | 1,
+      |          x: event_id ^ 1023,
+      |          shifted: (event_id << 3) >> 1,
+      |          inv: ~event_id,
+      |          lowuser: user_id in 0..100,
+      |          tenuser: user_id in 0..=10,
+      |          nin: user_id not in [1, 2, 3],
+      |          dev: missing_field ?? "unknown",
+      |          tag: props[0:4],
+      |          last_ch: props[-1],
+      |          has_k: "k" in props)
+      |""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "x5_vpl_exprs" -> QueryDef.of(
+      """SELECT event_id,
+        | (event_id & 255) | 1 AS masked,
+        | xor(event_id, 1023) AS x,
+        | (event_id << 3) >> 1 AS shifted,
+        | -event_id - 1 AS inv,
+        | (user_id >= 0 AND user_id < 100) AS lowuser,
+        | (user_id >= 0 AND user_id <= 10) AS tenuser,
+        | user_id NOT IN (1, 2, 3) AS nin,
+        | 'unknown' AS dev,
+        | substring(props, 1, 4) AS tag,
+        | substr(props, length(props), 1) AS last_ch,
+        | contains(props, 'k') AS has_k
+        |FROM events WHERE event_type = 'purchase'""".stripMargin)(
+      (s, dir) => Vpl.tableStream(s, dir, exprVpl, "ExprSurface")),
     "x1_vpl_seq" -> QueryDef.of(
       """SELECT a.user_id AS user_id, a.event_id AS a_id, b.event_id AS b_id,
         | b.value AS amount
