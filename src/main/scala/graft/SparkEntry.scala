@@ -128,6 +128,20 @@ object SparkEntry {
         | AND a.event_id != b.event_id
         |WHERE a.event_type = 'click' AND b.event_type = 'error'""".stripMargin)(
       graft.streaming.StreamingQueries.streamConjunction),
+    // s18: streaming stratified sampling (stateless deterministic
+    // filter), sharing t7's oracle
+    "s18_stream_sample" -> QueryDef.of(
+      s"""WITH s AS (
+         |  SELECT doc_id, source,
+         |    CAST(${graft.queries.TextQueries.fnvSqlPub("('mix|' || CAST(doc_id AS VARCHAR))")} % 1000000 AS BIGINT) AS bucket,
+         |    CASE WHEN CAST(regexp_extract(source, '[0-9]+') AS INT) < 5 THEN 900000
+         |         WHEN CAST(regexp_extract(source, '[0-9]+') AS INT) < 10 THEN 600000
+         |         WHEN CAST(regexp_extract(source, '[0-9]+') AS INT) < 15 THEN 300000
+         |         ELSE 120000 END AS rate_ppm
+         |  FROM documents)
+         |SELECT doc_id, source, bucket, CAST(rate_ppm AS BIGINT) AS rate_ppm
+         |FROM s WHERE bucket < rate_ppm""".stripMargin)(
+      graft.streaming.StreamingQueries.streamSample),
     "s8_stream_or" -> QueryDef.of(
       """SELECT event_id, user_id, event_type FROM events
         |WHERE event_type = 'signup' OR (event_type = 'purchase' AND value > 150)""".stripMargin)(

@@ -39,6 +39,9 @@ object TextQueries {
     * list_reduce has no init parameter); the 64×41-bit product fits
     * HUGEINT, wrapped mod 2^64 like the JVM's Long multiply.
     */
+  /** public alias for oracle reuse (s18 shares t7's FNV derivation) */
+  def fnvSqlPub(c: String): String = fnvSql(c)
+
   private def fnvSql(c: String) =
     s"""list_reduce(
        |    list_prepend(14695981039346656037::UBIGINT,

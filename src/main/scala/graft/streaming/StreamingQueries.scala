@@ -688,6 +688,26 @@ object StreamingQueries {
     * disjunctive filter, no state, no watermark needed (shares p5's
     * oracle).
     */
+  /** #45d-streaming: stratified domain sampling on a live stream.
+    * The FNV-1a bucket decision is row-local and deterministic, so
+    * the op is a stateless pushed-down filter — zero state, zero
+    * shuffle, and the SAME rows survive as in the batch twin (shares
+    * t7's oracle). This is what makes hash sampling the right
+    * mixture primitive for a stream: arrival order and micro-batch
+    * boundaries cannot change any decision.
+    */
+  def streamSample(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/documents.parquet"
+    val schema = schemaOf(spark, path)
+    val src = spark.readStream.schema(schema).parquet(streamDir(path))
+    val n = regexp_extract(col("source"), "[0-9]+", 0).cast("int")
+    val rate = when(n < 5, 900000L).when(n < 10, 600000L)
+      .when(n < 15, 300000L).otherwise(120000L)
+    val out = graft.text.TextAnalysis.stratifiedSample(
+      src.select(col("doc_id"), col("source")), col("doc_id"), rate)
+    runToTable(spark, out, "graft_s18_sink", "append")
+  }
+
   def streamDisjunction(spark: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
     val schema = schemaOf(spark, path)

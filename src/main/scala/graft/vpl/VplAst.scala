@@ -90,6 +90,10 @@ object VplAst {
   final case class SrcMerge(names: Seq[String]) extends VSource
   /** `join(S1, S2, ...)` — stream-stream join, condition from `.on` */
   final case class SrcJoin(names: Seq[String]) extends VSource
+  /** `timer(period[, initial_delay: d])` — periodic tick source
+    * (benchmarks/apama-comparison 10_timer_source.vpl)
+    */
+  final case class SrcTimer(periodUs: Long, delayUs: Long) extends VSource
 
   final case class VStream(name: String, source: VSource, ops: Seq[VOp])
 

@@ -234,7 +234,15 @@ final class VplCompiler(program: VProgram, source: VplSource,
     models: Map[String, graft.ml.Score.Model] = Map.empty) {
 
   private val fns: Map[String, VFn] = program.fns.map(f => f.name -> f).toMap
-  private val letVals: Map[String, VExpr] = program.lets.map(l => l.name -> l.value).toMap
+  /** let/var/const bindings folded IN ORDER with eager substitution:
+    * a reassignment's RHS (`x := x * 1.1`, 11_variables.vpl) sees the
+    * previous binding's expression, so later streams read the final
+    * value and self-reference can never recurse.
+    */
+  private val letVals: Map[String, VExpr] =
+    program.lets.foldLeft(Map.empty[String, VExpr]) { case (acc, l) =>
+      acc + (l.name -> substitute(l.value, acc))
+    }
 
   private val compiled = mutable.LinkedHashMap.empty[String, Try[DataFrame]]
 
@@ -892,6 +900,23 @@ final class VplCompiler(program: VProgram, source: VplSource,
     // semantics stay available for direct detection-mode calls
     var batchKleeneDecl: Option[VPatternDecl] = None
     var df: DataFrame = s.source match {
+      case SrcTimer(periodUs, delayUs) =>
+        // Periodic tick source (10_timer_source.vpl). The reference
+        // fires on wall clock; the deterministic batch realization
+        // generates event-time ticks spanning the staged data's
+        // [min ts + delay, max ts] at the period — one sequence()
+        // explode, no driver loop. `timestamp` (the reference's
+        // fire-time builtin) rides as a column.
+        if (streaming) throw VplCompileError(
+          "timer sources are batch-only (streaming would bind the rate connector)")
+        source.allEvents
+          .agg(min(col("ts")).as("t0"), max(col("ts")).as("t1"))
+          .select(explode(sequence(
+            col("t0") + expr(s"interval $delayUs microsecond"),
+            col("t1"),
+            expr(s"interval $periodUs microsecond"))).as("ts"))
+          .withColumn("event_id", unix_micros(col("ts")))
+          .withColumn("timestamp", col("ts"))
       case SrcMerge(names) =>
         // heterogeneous alert streams merge with NULL-filled gaps
         // (hvac_demo AllAlerts)

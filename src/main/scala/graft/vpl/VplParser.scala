@@ -178,6 +178,12 @@ object VplParser {
           advance(); val n = ident()
           if (isOp(":")) { eatOp(":"); typeExpr() }
           eatOp("="); lets += VLet(n, expr())
+        // top-level reassignment of a declared var: `x := expr`
+        // (11_variables.vpl). Appended as another binding; the
+        // compiler folds bindings in order, so the RHS sees the
+        // PREVIOUS value.
+        case TId(n, _) if peekAt(1) == TOp(":=", peekAt(1).pos) =>
+          advance(); advance(); lets += VLet(n, expr())
         case TId("config", _)  => configBlock()
         case TId("context", _) => contexts += contextDecl()
         case TId("import", _) =>
@@ -452,6 +458,22 @@ object VplParser {
         while (isOp(",")) { advance(); names += ident() }
         eatOp(")")
         SrcJoin(names.result())
+      } else if (isId("timer") && peekAt(1) == TOp("(", peekAt(1).pos)) {
+        advance(); eatOp("(")
+        def durOf(e: VExpr): Long = e match {
+          case VDur(us) => us
+          case VInt(v)  => v * 1000000L // bare number = seconds
+          case _        => fail("timer: expected a duration")
+        }
+        val period = durOf(expr())
+        var delay = 0L
+        while (isOp(",")) {
+          advance(); val n = ident(); eatOp(":")
+          val v = expr()
+          if (n == "initial_delay") delay = durOf(v)
+        }
+        eatOp(")")
+        SrcTimer(period, delay)
       } else {
         val n = ident()
         val alias = if (isId("as")) { advance(); Some(ident()) } else None

@@ -28,6 +28,27 @@ class VplCoverageSpec extends SparkSpec {
     assert(failures.isEmpty, s"parse failures: ${failures.toSeq}")
   }
 
+  test("every demo and benchmark .vpl parses too") {
+    // the full .vpl surface of the reference REPO, beyond the
+    // examples/scenarios corpus: live demos and the connector/Apama
+    // comparison benchmark programs
+    def walk(d: java.io.File): Seq[java.io.File] =
+      Option(d.listFiles).toSeq.flatten.flatMap {
+        case f if f.isDirectory => walk(f)
+        case f if f.getName.endsWith(".vpl") => Seq(f)
+        case _ => Nil
+      }
+    val files = (walk(new java.io.File("/root/reference/demos")) ++
+      walk(new java.io.File("/root/reference/benchmarks")))
+      .sortBy(_.getPath)
+    assert(files.length >= 25, s"expected the demo/bench corpus, got ${files.length}")
+    val failures = files.flatMap { f =>
+      try { VplParser.parse(read(f.getPath)); None }
+      catch { case e: Throwable => Some(f.getPath -> e.getMessage) }
+    }
+    assert(failures.isEmpty, s"parse failures: ${failures.toSeq}")
+  }
+
   test("emit_process: .process unrolls for/emit fns into generated events") {
     val counts = runAll(s"$sc/emit_process.vpl", s"$sc/emit_process.evt")
     assert(counts("Pixels") == 6) // one Trigger -> 3x2 pixel grid

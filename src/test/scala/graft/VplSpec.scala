@@ -466,6 +466,35 @@ class VplSpec extends SparkSpec {
     assert(r.getAs[scala.collection.Seq[String]]("arr_sl").toList == List("b", "c"))
   }
 
+  test("timer source ticks over the staged span; var reassignment folds in order") {
+    // benchmarks/apama-comparison 10_timer_source.vpl + 11_variables.vpl
+    val vpl =
+      """event E:
+        |    x: float
+        |
+        |let base: float = 100.0
+        |var thr: float = base * 2.0
+        |thr := thr + 50.0
+        |
+        |stream Ticks = timer(5s, initial_delay: 5s)
+        |    .emit(kind: "tick", at: timestamp, t: thr)
+        |""".stripMargin
+    val evt = java.nio.file.Files.createTempFile("graft_timer", ".evt")
+    java.nio.file.Files.writeString(evt,
+      """@0s E { x: 1.0 }
+        |@21s E { x: 2.0 }
+        |""".stripMargin)
+    val rows = Vpl.runEvt(spark, vpl, Seq(evt.toString))("Ticks").get
+      .collect().sortBy(_.getAs[java.sql.Timestamp]("at").getTime)
+    // span [0s, 21s], delay 5s, period 5s -> ticks at 5,10,15,20
+    assert(rows.length == 4)
+    assert(rows.map(_.getAs[java.sql.Timestamp]("at").getTime).toList ==
+      List(5000L, 10000L, 15000L, 20000L))
+    assert(rows.forall(_.getAs[String]("kind") == "tick"))
+    // thr = (100*2) + 50 — the := saw the PREVIOUS binding
+    assert(rows.forall(_.getAs[Double]("t") == 250.0))
+  }
+
   test("poly index/slice/in: map arms and reference edge semantics") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.graftbridge.ColumnBridge
