@@ -709,6 +709,11 @@ final class VplCompiler(program: VProgram, source: VplSource,
         case ("upper", Nil) => upper(t(target))
         case ("lower", Nil) => lower(t(target))
         case ("abs", Nil)   => abs(t(target))
+        // `.field` member access on a struct-valued expression
+        // (struct literals, nested emit payloads; also the `?.` form
+        // — getField null-propagates). Analysis rejects non-struct
+        // targets with a clear "no such field" error.
+        case (field, Nil)   => t(target).getField(field)
         case _ => throw VplCompileError(s"unsupported method '.$m(${args.size} args)'")
       }
       case VStruct(items) =>

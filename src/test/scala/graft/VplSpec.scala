@@ -466,6 +466,24 @@ class VplSpec extends SparkSpec {
     assert(r.getAs[scala.collection.Seq[String]]("arr_sl").toList == List("b", "c"))
   }
 
+  test("struct member access on expressions, including ?.") {
+    val vpl =
+      """event E:
+        |    x: int
+        |
+        |stream Out = E
+        |    .emit(nested: {a: x, b: {c: x * 2}}.b.c,
+        |          opt: {a: x}?.a,
+        |          direct: {a: 7}.a)
+        |""".stripMargin
+    val evt = java.nio.file.Files.createTempFile("graft_struct", ".evt")
+    java.nio.file.Files.writeString(evt, "E { x: 3 }\n")
+    val r = Vpl.runEvt(spark, vpl, Seq(evt.toString))("Out").get.head()
+    assert(r.getAs[Long]("nested") == 6L)
+    assert(r.getAs[Long]("opt") == 3L)
+    assert(r.getAs[Long]("direct") == 7L)
+  }
+
   test("timer source ticks over the staged span; var reassignment folds in order") {
     // benchmarks/apama-comparison 10_timer_source.vpl + 11_variables.vpl
     val vpl =
