@@ -92,6 +92,48 @@ object Dedup {
         col("n_bench_docs"))
   }
 
+  /** Cross-document duplicated-span fraction: for every document, the
+    * share of its distinct word-k-grams that also occur in at least
+    * one OTHER document — the exact-substring duplication signal
+    * (at n-gram granularity) that training-data pipelines use to
+    * find boilerplate and templated text that near-dup DOC-level
+    * methods miss (a doc can be 30% duplicated without any single
+    * near-duplicate partner).
+    *
+    * Plan: explode per-doc distinct shingles, hash each gram to a
+    * 64-bit FNV-1a key (the exchange carries 8-byte keys, never gram
+    * strings), aggregate document frequency per gram, join back and
+    * count per doc. Two high-cardinality shuffles (gram hash, then
+    * doc id) — no pair enumeration anywhere, so cost is linear in
+    * total grams. Degenerate boilerplate grams concentrate postings
+    * on one key; AQE's skew-join split bounds that at cluster scale.
+    */
+  def dupSpans(
+      docs: DataFrame,
+      k: Int,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    import graft.functions.Fnv64
+    val grams = fanOut(docs, idCol)
+      .select(col(idCol), shingles(col(textCol), k).as("sh"))
+      .select(col(idCol), size(col("sh")).as("n_grams"),
+        explode(col("sh")).as("gram"))
+      .select(col(idCol), col("n_grams"), Fnv64(col("gram")).as("g"))
+    // per-gram document frequency (shingles are per-doc distinct, so
+    // count(*) IS the doc count)
+    val freq = grams.groupBy("g").agg(count(lit(1)).as("df"))
+    grams.join(freq, Seq("g"))
+      .groupBy(col(idCol), col("n_grams"))
+      .agg(sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .select(
+        col(idCol),
+        col("n_grams").cast("long").as("n_grams"),
+        col("n_dup"),
+        round(col("n_dup").cast("double") /
+          greatest(col("n_grams").cast("double"), lit(1.0)), 6)
+          .as("dup_frac"))
+  }
+
   /** Near-dup pairs by exact word-k-gram Jaccard within blocking
     * buckets. Jaccard = |A∩B| / |A∪B| over distinct shingles.
     *

@@ -403,6 +403,34 @@ object TextQueries {
       }
     },
 
+    // --- #35c cross-document duplicated-span fraction: share of each
+    // doc's distinct word-8-grams that occur in ANY other document —
+    // the substring-level duplication signal doc-level near-dup
+    // misses. Inverted-index plan, no pair enumeration; the Spark
+    // side exchanges 8-byte FNV gram keys, the oracle groups the raw
+    // gram strings (identical counts — the hash is injective on this
+    // corpus and never surfaces in the output) ---
+    "d7_dup_spans" -> QueryDef.of(
+      s"""WITH w AS (
+         |  SELECT doc_id, $wordsSql AS w FROM documents
+         |), d AS (
+         |  SELECT doc_id, ${shinglesSqlK(8)} AS sh FROM w
+         |), g AS (
+         |  SELECT doc_id, len(sh) AS n_grams, unnest(sh) AS gram FROM d
+         |), f AS (
+         |  SELECT gram, COUNT(*) AS df FROM g GROUP BY gram
+         |)
+         |SELECT g.doc_id,
+         |  CAST(g.n_grams AS BIGINT) AS n_grams,
+         |  CAST(sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+         |  round(CAST(sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) /
+         |    greatest(CAST(g.n_grams AS DOUBLE), 1.0), 6) AS dup_frac
+         |FROM g JOIN f USING (gram)
+         |GROUP BY g.doc_id, g.n_grams""".stripMargin) {
+      (s, dir) =>
+        Dedup.dupSpans(Tables(s, dir).documents, k = 8)
+    },
+
     // --- #43d stratified domain sampling (training-mixture step):
     // deterministic FNV-1a bucket per doc, per-source keep rate.
     // Oracle re-derives every hash decision bit for bit ---
@@ -444,6 +472,104 @@ object TextQueries {
       (s, dir) =>
         graft.text.TextAnalysis.shardStats(
           Tables(s, dir).documents, col("doc_id"), col("text"), 64)
+    },
+
+    // --- #45f end-to-end corpus pipeline: quality gate → exact-dedup
+    // canonical pick → benchmark decontamination → stratified domain
+    // sampling → sharded budget report, composed from the registered
+    // stage operators in ONE lazy plan (no intermediate
+    // materialization — Catalyst fuses the row-local stages into the
+    // scans). The oracle chains every stage's already-proven SQL into
+    // one CTE pipeline, so the hash gate checks the COMPOSITION, not
+    // just the stages. The quality threshold compares round(q, 6) on
+    // both sides — the stage outputs agree to 6dp (t2's gate), so the
+    // filter decisions are bit-identical ---
+    "pipe1_corpus" -> QueryDef.of(
+      s"""WITH q AS (
+         |  SELECT doc_id, text, source,
+         |    round((CASE WHEN n_chars BETWEEN 100 AND 10000 THEN 1.0::DOUBLE ELSE 0.5::DOUBLE END) * 0.4
+         |      + (CASE WHEN CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) /
+         |           greatest(CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE), 1.0) <= 0.3
+         |         THEN 1.0::DOUBLE ELSE 0.5::DOUBLE END) * 0.3
+         |      + least(CAST(len(regexp_extract_all(lower(text), '\\b(the|and|is|of|to|in|that|it|was|for)\\b')) AS DOUBLE) /
+         |          greatest(CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE), 1.0) * 2.0, 1.0::DOUBLE) * 0.3, 6) AS quality
+         |  FROM documents WHERE doc_id % 7 != 0
+         |), qf AS (
+         |  SELECT doc_id, text, source FROM q WHERE quality >= 0.7
+         |), fp AS (
+         |  SELECT doc_id, text, source, md5($normSql) AS fp FROM qf
+         |), canon AS (
+         |  SELECT fp, min(doc_id) AS doc_id FROM fp GROUP BY fp
+         |), surv AS (
+         |  SELECT f.doc_id, f.text, f.source FROM fp f
+         |  JOIN canon c ON f.fp = c.fp AND f.doc_id = c.doc_id
+         |), w AS (
+         |  SELECT doc_id, $wordsSql AS w FROM surv
+         |), d AS (
+         |  SELECT doc_id, ${shinglesSqlK(5)} AS sh FROM w
+         |), g AS (
+         |  SELECT doc_id, unnest(sh) AS gram FROM d
+         |), bw AS (
+         |  SELECT doc_id, $wordsSql AS w FROM documents WHERE doc_id % 7 = 0
+         |), bd AS (
+         |  SELECT doc_id, ${shinglesSqlK(5)} AS sh FROM bw
+         |), bg AS (
+         |  SELECT DISTINCT unnest(sh) AS gram FROM bd
+         |), contam AS (
+         |  SELECT DISTINCT g.doc_id FROM g JOIN bg USING (gram)
+         |), clean AS (
+         |  SELECT s2.* FROM surv s2 ANTI JOIN contam USING (doc_id)
+         |), samp AS (
+         |  SELECT doc_id, text FROM (
+         |    SELECT doc_id, text,
+         |      CAST(${fnvSql("('mix|' || CAST(doc_id AS VARCHAR))")} % 1000000 AS BIGINT) AS bucket,
+         |      CASE WHEN CAST(regexp_extract(source, '[0-9]+') AS INT) < 5 THEN 900000
+         |           WHEN CAST(regexp_extract(source, '[0-9]+') AS INT) < 10 THEN 600000
+         |           WHEN CAST(regexp_extract(source, '[0-9]+') AS INT) < 15 THEN 300000
+         |           ELSE 120000 END AS rate_ppm
+         |    FROM clean)
+         |  WHERE bucket < rate_ppm
+         |), sh2 AS (
+         |  SELECT CAST(${fnvSql("('shard|' || CAST(doc_id AS VARCHAR))")} % 16 AS BIGINT) AS shard,
+         |    doc_id,
+         |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS BIGINT) AS toks,
+         |    CAST(length(text) AS BIGINT) AS chars
+         |  FROM samp)
+         |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(toks) AS BIGINT) AS total_tokens,
+         |  CAST(sum(chars) AS BIGINT) AS total_chars,
+         |  min(doc_id) AS min_id, max(doc_id) AS max_id
+         |FROM sh2 GROUP BY shard""".stripMargin) {
+      (s, dir) => {
+        val docs = Tables(s, dir).documents
+        val nW = wordCount(col("text")).cast("double")
+        val punctRatio = punctCount(col("text")).cast("double") /
+          greatest(nW, lit(1.0))
+        val stopRatio = stopwordHits(col("text"), "en").cast("double") /
+          greatest(nW, lit(1.0))
+        val quality = round(
+          when(col("n_chars").between(100, 10000), lit(1.0)).otherwise(lit(0.5)) * 0.4 +
+            when(punctRatio <= 0.3, lit(1.0)).otherwise(lit(0.5)) * 0.3 +
+            least(stopRatio * 2.0, lit(1.0)) * 0.3, 6)
+        val qf = docs.filter(col("doc_id") % 7 =!= 0)
+          .filter(quality >= 0.7)
+          .select(col("doc_id"), col("text"), col("source"))
+        val fp = qf.withColumn("fp", md5(normalize(col("text"))))
+        val canon = fp.groupBy("fp").agg(min("doc_id").as("doc_id"))
+        val surv = fp.join(canon, Seq("fp", "doc_id"))
+          .select("doc_id", "text", "source")
+        val bench = docs.filter(col("doc_id") % 7 === 0)
+        val contamIds = Dedup.decontaminate(surv, bench, k = 5)
+          .select("doc_id")
+        val clean = surv.join(contamIds, Seq("doc_id"), "left_anti")
+        val n = regexp_extract(col("source"), "[0-9]+", 0).cast("int")
+        val rate = when(n < 5, 900000L).when(n < 10, 600000L)
+          .when(n < 15, 300000L).otherwise(120000L)
+        val sampled = graft.text.TextAnalysis.stratifiedSample(
+          clean, col("doc_id"), rate)
+        graft.text.TextAnalysis.shardStats(
+          sampled, col("doc_id"), col("text"), 16)
+      }
     },
 
     // --- #46 multimodal: frame sampling — one row per sampled fixed

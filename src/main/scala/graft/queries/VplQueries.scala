@@ -72,7 +72,13 @@ object VplQueries {
       |          dev: missing_field ?? "unknown",
       |          tag: props[0:4],
       |          last_ch: props[-1],
-      |          has_k: "k" in props)
+      |          has_k: "k" in props,
+      |          cat: match user_id % 3:
+      |              0 => "a"
+      |              1 => "b"
+      |              _ => "c",
+      |          lbl: "u" + str(user_id),
+      |          uid2: int(str(user_id)))
       |""".stripMargin
 
   val defs: Map[String, QueryDef] = Map(
@@ -88,7 +94,10 @@ object VplQueries {
         | 'unknown' AS dev,
         | substring(props, 1, 4) AS tag,
         | substr(props, length(props), 1) AS last_ch,
-        | contains(props, 'k') AS has_k
+        | contains(props, 'k') AS has_k,
+        | CASE user_id % 3 WHEN 0 THEN 'a' WHEN 1 THEN 'b' ELSE 'c' END AS cat,
+        | 'u' || CAST(user_id AS VARCHAR) AS lbl,
+        | CAST(CAST(user_id AS VARCHAR) AS BIGINT) AS uid2
         |FROM events WHERE event_type = 'purchase'""".stripMargin)(
       (s, dir) => Vpl.tableStream(s, dir, exprVpl, "ExprSurface")),
     "x1_vpl_seq" -> QueryDef.of(

@@ -626,6 +626,36 @@ final class VplCompiler(program: VProgram, source: VplSource,
     }
   }
 
+  /** Declared VPL types per field name across every event decl —
+    * consulted only by the `+` concat-vs-add decision, so a field is
+    * "a string" only when every declaration agrees.
+    */
+  private lazy val declaredFieldTypes: Map[String, Set[String]] =
+    program.events.flatMap(_.fields).groupBy(_._1)
+      .map { case (n, fs) => n -> fs.map(_._2.stripSuffix("?")).toSet }
+
+  /** Conservative static "is this expression a string?" — drives the
+    * reference's polymorphic `+` (string/string concatenates,
+    * evaluator.rs BinOp::Add). Only shapes that PROVABLY produce a
+    * string return true; anything uncertain stays on the numeric
+    * path, exactly as compiled before.
+    */
+  private def isStringExpr(e: VExpr): Boolean = e match {
+    case VStr(_)                => true
+    case VCall("str", _)        => true
+    case VCall("upper" | "lower" | "trim" | "replace" | "join", _) => true
+    case VMethod(_, "upper" | "lower" | "trim", _) => true
+    case VRef(n) =>
+      letVals.get(n).exists(isStringExpr) ||
+        declaredFieldTypes.get(n).exists(ts => ts.nonEmpty && ts.forall(_ == "str"))
+    case VField(_, f) =>
+      declaredFieldTypes.get(f).exists(ts => ts.nonEmpty && ts.forall(_ == "str"))
+    case VIf(_, a, b)     => isStringExpr(a) || isStringExpr(b)
+    case VBin("??", a, b) => isStringExpr(a) || isStringExpr(b)
+    case VBin("+", a, b)  => isStringExpr(a) || isStringExpr(b)
+    case _                => false
+  }
+
   private def substitute(e: VExpr, sub: Map[String, VExpr]): VExpr = e match {
     case VRef(n) if sub.contains(n) => sub(n)
     case VBin(op, l, r)   => VBin(op, substitute(l, sub), substitute(r, sub))
@@ -669,6 +699,12 @@ final class VplCompiler(program: VProgram, source: VplSource,
         case "<="  => t(l) <= t(r)
         case ">"   => t(l) > t(r)
         case ">="  => t(l) >= t(r)
+        // `+` concatenates when a side is provably a string
+        // (evaluator.rs BinOp::Add Str/Str arm); numeric otherwise.
+        // Static inference keeps the numeric path untouched —
+        // decimal/long/double additions compile exactly as before.
+        case "+" if isStringExpr(l) || isStringExpr(r) =>
+          concat(t(l).cast("string"), t(r).cast("string"))
         case "+"   => t(l) + t(r)
         case "-"   => t(l) - t(r)
         case "*"   => t(l) * t(r)
@@ -797,6 +833,15 @@ final class VplCompiler(program: VProgram, source: VplSource,
     case ("minute", Seq(ts))   => minute(ts)
     case ("second", Seq(ts))   => second(ts)
     case ("duration_between", Seq(a, b)) => unix_micros(b) - unix_micros(a)
+    // explicit type conversions (docs/language/types.md §Type
+    // Conversions). Spark casts parse-or-null, which is exactly
+    // try_int's documented contract; int()/float() share it (the
+    // reference errors on a bad parse — a per-row throw has no
+    // place in a vectorized plan, so bad input converts to null).
+    case ("int" | "try_int", Seq(x)) =>
+      x.cast(org.apache.spark.sql.types.LongType)
+    case ("float", Seq(x)) => x.cast(org.apache.spark.sql.types.DoubleType)
+    case ("str", Seq(x))   => x.cast(org.apache.spark.sql.types.StringType)
     // utility
     case ("uuid", Nil)         => expr("uuid()")
     case ("random", Nil)       => rand()

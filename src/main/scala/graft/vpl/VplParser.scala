@@ -126,6 +126,10 @@ object VplParser {
 
   private final class P(toks: Vector[Tok], src: String) {
     private var pos = 0
+    // `type Alias = <type>` bindings (grammar.md type_alias) —
+    // resolved structurally at parse time; an alias carries no
+    // behavior beyond the underlying type
+    private val typeAliases = scala.collection.mutable.Map.empty[String, String]
 
     private def peek: Tok = toks(pos)
     private def peekAt(k: Int): Tok = toks(math.min(pos + k, toks.length - 1))
@@ -186,6 +190,8 @@ object VplParser {
           advance(); advance(); lets += VLet(n, expr())
         case TId("config", _)  => configBlock()
         case TId("context", _) => contexts += contextDecl()
+        case TId("type", _) =>
+          advance(); val n = ident(); eatOp("="); typeAliases(n) = typeExpr()
         case TId("import", _) =>
           advance()
           peek match { case TStr(_, _) => advance(); case _ => fail("expected import path string") }
@@ -233,7 +239,7 @@ object VplParser {
         opt(parts.result().mkString("(", ",", ")"))
       case TId("Stream", _) =>
         advance(); eatOp("<"); val t = typeExpr(); eatOp(">"); opt(s"Stream<$t>")
-      case TId(t, _) => advance(); opt(t)
+      case TId(t, _) => advance(); opt(typeAliases.getOrElse(t, t))
       case _         => fail("expected a type")
     }
     private def opt(t: String): String =
@@ -876,6 +882,8 @@ object VplParser {
         val c = expr(filter); eatId("then"); val t = expr(filter)
         eatId("else"); val e = expr(filter)
         VIf(c, t, e)
+      case TId("match", _) =>
+        advance(); matchExpr(filter)
       case TId(s, _) => advance(); VRef(s)
       case TOp("(", _) =>
         advance(); val e = expr(); eatOp(")"); e
@@ -894,6 +902,82 @@ object VplParser {
         eatOp("}")
         VStruct(items.result())
       case _ => fail("expected an expression")
+    }
+
+    /** `match scrut: pat => expr ...` (grammar.md match_expr).
+      * The reference delimits arms by NEWLINE inside an INDENT block;
+      * here the arm list ends at the first token pair that isn't
+      * `pattern =>` — the same whitespace-free stance as the
+      * event/config blocks. Patterns are literals, `_`, or an
+      * identifier that binds the scrutinee in its arm body.
+      * Desugared to nested VIf (first match wins, top down; a
+      * binder/wildcard arm catches everything below it; no arm
+      * matching -> null), so every downstream AST walker and the
+      * compiler handle it unchanged.
+      */
+    private def matchExpr(filter: Boolean): VExpr = {
+      val scrut = expr(filter)
+      eatOp(":")
+      def atArrow(k: Int) = peekAt(k) == TOp("=>", peekAt(k).pos)
+      def armStart: Boolean = peek match {
+        case TId(_, _) | TInt(_, _) | TFloat(_, _) | TStr(_, _) |
+            TDur(_, _) => atArrow(1)
+        case TOp("-", _) => (peekAt(1) match {
+          case TInt(_, _) | TFloat(_, _) | TDur(_, _) => true
+          case _                                      => false
+        }) && atArrow(2)
+        case _ => false
+      }
+      // Left(literal) compares ==; Right(name) binds ("_" = wildcard)
+      val arms = Seq.newBuilder[(Either[VExpr, String], VExpr)]
+      var n = 0
+      while (armStart) {
+        val pat: Either[VExpr, String] = peek match {
+          case TId("true", _)  => advance(); Left(VBool(true))
+          case TId("false", _) => advance(); Left(VBool(false))
+          case TId("null", _)  => advance(); Left(VNull)
+          case TId(s, _)       => advance(); Right(s)
+          case TInt(v, _)      => advance(); Left(VInt(v))
+          case TFloat(v, _)    => advance(); Left(VNum(v))
+          case TStr(s, _)      => advance(); Left(VStr(s))
+          case TDur(us, _)     => advance(); Left(VDur(us))
+          case TOp("-", _) =>
+            advance()
+            advance() match {
+              case TInt(v, _)   => Left(VInt(-v))
+              case TFloat(v, _) => Left(VNum(-v))
+              case TDur(us, _)  => Left(VDur(-us))
+              case other        => fail(s"bad match pattern ${show(other)}")
+            }
+          case other => fail(s"bad match pattern ${show(other)}")
+        }
+        eatOp("=>")
+        arms += (pat -> expr(filter))
+        n += 1
+      }
+      if (n == 0) fail("match: expected at least one 'pattern =>' arm")
+      arms.result().foldRight(VNull: VExpr) {
+        case ((Left(lit), body), rest) => VIf(VBin("==", scrut, lit), body, rest)
+        case ((Right("_"), body), _)   => body
+        case ((Right(name), body), _)  => subst(body, name, scrut)
+      }
+    }
+
+    /** Capture-correct single-name substitution for match binder arms
+      * (VLambda params shadow; VField quals are strings, so a binder
+      * can't be used as a qualifier — reference patterns bind scalars).
+      */
+    private def subst(e: VExpr, n: String, v: VExpr): VExpr = e match {
+      case VRef(`n`)         => v
+      case VUn(op, x)        => VUn(op, subst(x, n, v))
+      case VBin(op, l, r)    => VBin(op, subst(l, n, v), subst(r, n, v))
+      case VCall(f, as)      => VCall(f, as.map(subst(_, n, v)))
+      case VMethod(t, m, as) => VMethod(subst(t, n, v), m, as.map(subst(_, n, v)))
+      case VIf(c, a, b)      => VIf(subst(c, n, v), subst(a, n, v), subst(b, n, v))
+      case VList(is)         => VList(is.map(subst(_, n, v)))
+      case VStruct(is)       => VStruct(is.map { case (k, x) => k -> subst(x, n, v) })
+      case VLambda(ps, b) if !ps.contains(n) => VLambda(ps, subst(b, n, v))
+      case other             => other
     }
   }
 }

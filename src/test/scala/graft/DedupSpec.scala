@@ -35,6 +35,24 @@ class DedupSpec extends SparkSpec {
       s"LSH missed $missed of $total high-sim pairs")
   }
 
+  test("dupSpans: cross-doc duplicated 8-gram counts, zero-dup docs kept") {
+    import spark.implicits._
+    // docs 1 and 2 share a 10-word prefix -> exactly 3 common 8-grams
+    // (start positions 0..2); doc 3 shares nothing but must still
+    // appear with n_dup = 0 (the signal covers every doc, not just hits)
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val d = Seq(
+      (1L, shared + " one two three four five six seven eight"),
+      (2L, shared + " nine ten eleven twelve thirteen fourteen fifteen sixteen"),
+      (3L, "totally different words that never repeat anywhere else in corpus here"))
+      .toDF("doc_id", "text")
+    val r = Dedup.dupSpans(d, k = 8).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r(1L) == ((11L, 3L)))
+    assert(r(2L) == ((11L, 3L)))
+    assert(r(3L)._2 == 0L)
+  }
+
   test("simhash pairs have low hamming distance and shared chunks") {
     val pairs = Dedup.simhashPairs(docs, maxHamming = 3).collect()
     pairs.foreach(r => assert(r.getAs[Int]("hamming") <= 3))

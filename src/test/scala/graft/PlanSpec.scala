@@ -77,6 +77,26 @@ class PlanSpec extends SparkSpec {
         offenders.mkString("\n"))
   }
 
+  test("d7: gram-keyed exchanges carry 8-byte hashes, never gram strings") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.StringType
+    val root = q("d7_dup_spans").queryExecution.executedPlan
+    val plan = root match {
+      case a: AdaptiveSparkPlanExec => a.inputPlan
+      case p                        => p
+    }
+    // every exchange partitioned on the gram key must be hash-only:
+    // the raw gram string is projected away before any shuffle except
+    // the initial fan-out of the input text itself
+    val offenders = plan.collect {
+      case e: ShuffleExchangeExec
+          if e.outputPartitioning.toString.contains("g#") => e
+    }.filter(_.output.exists(_.dataType == StringType))
+    assert(offenders.isEmpty,
+      "gram strings cross a gram-keyed exchange:\n" + offenders.mkString("\n"))
+  }
+
   test("p1: pattern join is a key equi-join (range preds post-shuffle)") {
     val p = planOf(q("p1_seq2"))
     assert(!p.contains("CartesianProduct"), p)

@@ -484,6 +484,35 @@ class VplSpec extends SparkSpec {
     assert(r.getAs[Long]("direct") == 7L)
   }
 
+  test("match expressions and type aliases (grammar.md match_expr / type_alias)") {
+    val vpl =
+      """type Level = int
+        |type Name = str
+        |
+        |event E:
+        |    lvl: Level
+        |    who: Name
+        |
+        |stream Out = E
+        |    .emit(label: match lvl:
+        |              0 => "zero"
+        |              1 => "one"
+        |              _ => "many",
+        |          bound: match lvl:
+        |              0 => "none"
+        |              k => "got " + str(k * 10),
+        |          who: who)
+        |""".stripMargin
+    val evt = java.nio.file.Files.createTempFile("graft_match", ".evt")
+    java.nio.file.Files.writeString(evt,
+      "E { lvl: 0, who: \"a\" }\nE { lvl: 1, who: \"b\" }\nE { lvl: 7, who: \"c\" }\n")
+    val rows = Vpl.runEvt(spark, vpl, Seq(evt.toString))("Out").get
+      .select("label", "bound", "who").collect().toList.map(r =>
+        (r.getString(0), r.getString(1), r.getString(2)))
+    assert(rows.toSet == Set(
+      ("zero", "none", "a"), ("one", "got 10", "b"), ("many", "got 70", "c")))
+  }
+
   test("timer source ticks over the staged span; var reassignment folds in order") {
     // benchmarks/apama-comparison 10_timer_source.vpl + 11_variables.vpl
     val vpl =
