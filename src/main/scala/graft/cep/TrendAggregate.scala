@@ -139,8 +139,15 @@ object TrendAggregate {
       .drop("__dp")
   }
 
-  /** count_trends / count_events / sum_trends for `pred+` per
-    * (partitionKeys × tumbling window).
+  /** count_trends / count_events / sum_trends / avg_trends /
+    * min_trends / max_trends for `pred+` per (partitionKeys ×
+    * tumbling window) — the full trend-aggregation.md function
+    * vocabulary. Closed forms over one windowed aggregate:
+    * avg_trends = sum_trends / count_trends (the documented
+    * definition; NULL past the count_trends overflow guard), and
+    * min/max_trends = windowed min/max of the field (every event is
+    * itself a singleton trend, so the extremum over all trends is
+    * the extremum over events).
     */
   def kleene(
       events: DataFrame,
@@ -150,17 +157,23 @@ object TrendAggregate {
       partitionKeys: Seq[String],
       tsCol: String = "ts"): DataFrame = {
     val g = partitionKeys.map(col) :+ window(col(tsCol), windowSize).as("w")
+    val sumTrends = pow(lit(2.0), col("n") - 1) * col("sum_dec").cast("double")
     events.filter(pred)
       .groupBy(g: _*)
       .agg(
         count(lit(1)).as("n"),
-        sum(valueCol.cast("decimal(18,2)")).as("sum_dec"))
+        sum(valueCol.cast("decimal(18,2)")).as("sum_dec"),
+        min(valueCol).as("min_v"),
+        max(valueCol).as("max_v"))
       .select(
         (partitionKeys.map(col) :+
           col("w.start").cast("long").as("win_start") :+
           col("n").as("event_count") :+
           countTrends(col("n")).as("count_trends") :+
-          (pow(lit(2.0), col("n") - 1) * col("sum_dec").cast("double"))
-            .as("sum_trends")): _*)
+          sumTrends.as("sum_trends") :+
+          (sumTrends / countTrends(col("n")).cast("double"))
+            .as("avg_trends") :+
+          col("min_v").as("min_trends") :+
+          col("max_v").as("max_trends")): _*)
   }
 }

@@ -114,7 +114,11 @@ object PatternQueries {
       """SELECT user_id, (epoch_us(ts) // 3600000000) * 3600 AS win_start,
         | COUNT(*) AS event_count,
         | CASE WHEN COUNT(*) <= 53 THEN CAST(round(pow(2.0::DOUBLE, COUNT(*)) - 1, 0) AS BIGINT) END AS count_trends,
-        | pow(2.0::DOUBLE, COUNT(*) - 1) * CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_trends
+        | pow(2.0::DOUBLE, COUNT(*) - 1) * CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_trends,
+        | (pow(2.0::DOUBLE, COUNT(*) - 1) * CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE))
+        |   / CAST(CASE WHEN COUNT(*) <= 53 THEN CAST(round(pow(2.0::DOUBLE, COUNT(*)) - 1, 0) AS BIGINT) END AS DOUBLE) AS avg_trends,
+        | MIN(value) AS min_trends,
+        | MAX(value) AS max_trends
         |FROM events WHERE event_type = 'error' GROUP BY 1, 2""".stripMargin) {
       (s, dir) =>
         TrendAggregate.kleene(Tables(s, dir).events,

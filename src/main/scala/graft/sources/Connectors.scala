@@ -57,6 +57,43 @@ final case class RateConnector(name: String, rowsPerSecond: Int) extends Connect
     throw new UnsupportedOperationException("rate connector is read-only")
 }
 
+/** Console sink (reference connector/console.rs, the debug sink):
+  * batch writes render the frame to stdout; streaming pipelines use
+  * Spark's built-in `console` sink format for the same effect.
+  */
+final case class ConsoleConnector(name: String, numRows: Int = 20)
+    extends Connector {
+  override def read(spark: SparkSession, schema: Option[StructType]): DataFrame =
+    throw new UnsupportedOperationException("console connector is write-only")
+  override def readStream(spark: SparkSession, schema: StructType): DataFrame =
+    throw new UnsupportedOperationException("console connector is write-only")
+  override def write(df: DataFrame): Unit =
+    df.show(numRows, truncate = false)
+}
+
+/** JDBC connector (reference connector/database.rs): Spark's built-in
+  * `jdbc` format, url/table/options passed through. Like every Spark
+  * JDBC deployment it needs the database's driver jar on the
+  * classpath — absent here (hermetic build), so construction is
+  * covered by spec and execution is deferred to a real cluster.
+  * Batch-only: the reference's database connector is a sink/lookup,
+  * not a subscription source.
+  */
+final case class JdbcConnector(
+    name: String, url: String, table: String,
+    options: Map[String, String] = Map.empty) extends Connector {
+  override def read(spark: SparkSession, schema: Option[StructType]): DataFrame =
+    spark.read.format("jdbc")
+      .option("url", url).option("dbtable", table).options(options).load()
+  override def readStream(spark: SparkSession, schema: StructType): DataFrame =
+    throw new UnsupportedOperationException(
+      "jdbc is batch-only (reference database.rs is a sink/lookup)")
+  override def write(df: DataFrame): Unit =
+    df.write.format("jdbc")
+      .option("url", url).option("dbtable", table).options(options)
+      .mode("append").save()
+}
+
 /** Registry of declared connectors (VPL's top-of-file `connector`
   * block). Broker-backed declarations register the Spark format name
   * they need; resolution fails fast if the package is absent.
@@ -75,7 +112,14 @@ object Connectors {
     * are on the cluster classpath (not bundled here: hermetic env).
     */
   val brokeredFormats: Map[String, String] = Map(
-    "kafka" -> "kafka",                       // spark-sql-kafka
-    "mqtt"  -> "org.apache.bahir.sql.streaming.mqtt.MQTTStreamSourceProvider",
-    "http"  -> "foreachBatch+http-client")
+    "kafka"         -> "kafka",               // spark-sql-kafka
+    "mqtt"          -> "org.apache.bahir.sql.streaming.mqtt.MQTTStreamSourceProvider",
+    "http"          -> "foreachBatch+http-client",
+    "nats"          -> "nats (community structured-streaming connector)",
+    "kinesis"       -> "kinesis (kinesis-sql structured-streaming connector)",
+    "elasticsearch" -> "org.elasticsearch.spark.sql",
+    "redis"         -> "org.apache.spark.sql.redis",
+    // s3 is not a format: every FileConnector takes s3a:// paths
+    // once the hadoop-aws jars are on the cluster classpath
+    "s3"            -> "file formats over s3a:// paths")
 }

@@ -57,6 +57,24 @@ class CepSpec extends SparkSpec {
     assert(out("u54").getAs[Long]("event_count") == 54L)
   }
 
+  test("avg/min/max_trends closed forms (hand case)") {
+    import spark.implicits._
+    // values 1,2,4 in one window: count_trends = 7, sum_trends =
+    // 2^2 * 7 = 28, avg_trends = 28/7 = 4, min/max = field extrema
+    val df = Seq(1.0, 2.0, 4.0).zipWithIndex.map { case (v, i) => ("u", i, v) }
+      .toDF("user_id", "i", "value")
+      .select(col("user_id"),
+        timestamp_micros(lit(1700000000000000L) + col("i") * 1000000L).as("ts"),
+        col("value"))
+    val r = TrendAggregate.kleene(df, lit(true), col("value"), "1 hour",
+      Seq("user_id")).collect().head
+    assert(r.getAs[Long]("count_trends") == 7L)
+    assert(r.getAs[Double]("sum_trends") == 28.0)
+    assert(r.getAs[Double]("avg_trends") == 4.0)
+    assert(r.getAs[Double]("min_trends") == 1.0)
+    assert(r.getAs[Double]("max_trends") == 4.0)
+  }
+
   test("negation + sequence partition the anchors") {
     // purchases followed by an error within 15m + purchases not = all purchases
     val negated = SparkEntry.all("p3_negation").build(spark, sf).count()

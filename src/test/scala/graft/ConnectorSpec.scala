@@ -41,6 +41,24 @@ class ConnectorSpec extends SparkSpec {
     intercept[NoSuchElementException](reg("missing"))
   }
 
+  test("console connector renders a frame; jdbc binds the built-in format") {
+    import graft.sources.{ConsoleConnector, JdbcConnector}
+    import spark.implicits._
+    // console: write-only debug sink — must render without throwing
+    val c = ConsoleConnector("dbg", numRows = 3)
+    c.write(Seq((1, "a"), (2, "b")).toDF("id", "s"))
+    intercept[UnsupportedOperationException](c.read(spark, None))
+    // jdbc: construction resolves Spark's built-in jdbc source; the
+    // load fails on the MISSING DRIVER (classpath), proving the
+    // format itself resolved — execution belongs to a cluster with
+    // the driver jar
+    val j = JdbcConnector("db", "jdbc:postgresql://h/x", "t")
+    val err = intercept[Exception](j.read(spark, None))
+    assert(!err.getMessage.contains("Failed to find data source"))
+    intercept[UnsupportedOperationException](
+      j.readStream(spark, new org.apache.spark.sql.types.StructType()))
+  }
+
   test("rate connector drives an unbounded pipeline") {
     val src = RateConnector("r", 100).readStream(spark, null)
     val agg = src.groupBy(window(col("timestamp"), "1 second"))
