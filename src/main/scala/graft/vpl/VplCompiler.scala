@@ -2006,16 +2006,26 @@ final class VplCompiler(program: VProgram, source: VplSource,
             col("context") === prefixTypesF.takeRight(k).mkString(">"))
         val modelRow = pstF.filter(candidatesF.reduce(_ || _))
           .orderBy(col("depth").desc).limit(1)
-          .select(col("prob").cast("double"), col("cnt").cast("long"))
+          .select(col("prob").cast("double"), col("cnt").cast("long"),
+            col("depth").cast("int"))
           .collect().headOption
-        val (fProb, fCnt) = modelRow
-          .map(r => (r.getDouble(0), r.getLong(1))).getOrElse((0.0, 0L))
+        val (fProb, fCnt, fDepth) = modelRow
+          .map(r => (r.getDouble(0), r.getLong(1), r.getInt(2)))
+          .getOrElse((0.0, 0L, 0))
+        // conformal q90 from the matched context's two-point residual
+        // distribution (see the batch OpForecast arm for derivation)
+        val fQ = if (fProb <= 0.1) fProb
+          else if (fProb >= 0.9) 1.0 - fProb
+          else math.max(fProb, 1.0 - fProb)
         streamForecastCols = Seq(
           "forecast_probability" -> lit(fProb),
           "forecast_count" -> lit(fCnt),
           "forecast_confidence" ->
             lit(1.0 - 1.0 / (1.0 + fCnt.toDouble)),
-          "forecast_state" -> lit(prefixTypesF.mkString(">")))
+          "forecast_state" -> lit(prefixTypesF.mkString(">")),
+          "forecast_context_depth" -> lit(fDepth),
+          "forecast_lower" -> lit(math.max(fProb - fQ, 0.0)),
+          "forecast_upper" -> lit(math.min(fProb + fQ, 1.0)))
 
       case OpForecast(params) =>
         // `.forecast(...)` on a sequence: truncate to the PREFIX
@@ -2072,7 +2082,8 @@ final class VplCompiler(program: VProgram, source: VplSource,
                 col("context") === prefixTypes.takeRight(k).mkString(">"))
             val model = pst.filter(candidates.reduce(_ || _))
               .orderBy(col("depth").desc).limit(1)
-              .select(col("prob").as("__f_prob"), col("cnt").as("__f_cnt"))
+              .select(col("prob").as("__f_prob"), col("cnt").as("__f_cnt"),
+                col("depth").as("__f_depth"))
             df = df.join(broadcast(model), lit(true), "left")
             df = df
               .withColumn("forecast_probability",
@@ -2089,11 +2100,34 @@ final class VplCompiler(program: VProgram, source: VplSource,
                 lit(st.steps.map(_.eventType).mkString(">")))
               .withColumn("forecast_time", timestamp_micros(
                 unix_micros(col(s"${lastPrefix.alias}__ts")) + horizonUs))
-              .drop("__f_prob", "__f_cnt")
+              // conformal interval (pst/conformal.rs; builtins.md
+              // forecast_lower/_upper). The matched context induces a
+              // TWO-POINT nonconformity distribution: residual 1−p
+              // with mass p (completions) and residual p with mass
+              // 1−p (non-completions), so the trailing-window q90 the
+              // reference tracks online has a closed form: the larger
+              // residual unless one side holds ≥90% of the mass.
+              // f5_conformal carries the windowed-quantile realization
+              // of the same machinery under an oracle.
+              .withColumn("__f_q",
+                when(col("forecast_probability") <= 0.1,
+                  col("forecast_probability"))
+                  .when(col("forecast_probability") >= 0.9,
+                    lit(1.0) - col("forecast_probability"))
+                  .otherwise(greatest(col("forecast_probability"),
+                    lit(1.0) - col("forecast_probability"))))
+              .withColumn("forecast_lower",
+                greatest(col("forecast_probability") - col("__f_q"), lit(0.0)))
+              .withColumn("forecast_upper",
+                least(col("forecast_probability") + col("__f_q"), lit(1.0)))
+              .withColumn("forecast_context_depth",
+                coalesce(col("__f_depth"), lit(0)).cast("int"))
+              .drop("__f_prob", "__f_cnt", "__f_depth", "__f_q")
             df = df.withColumn("forecast_expected_time", col("forecast_time"))
             extraCols ++= Set("forecast_probability", "forecast_confidence",
               "forecast_count", "forecast_state", "forecast_time",
-              "forecast_expected_time")
+              "forecast_expected_time", "forecast_lower", "forecast_upper",
+              "forecast_context_depth")
           case _ =>
             // re-forecasting a merged alert stream has no pattern
             // context in the batch realization — attach neutral
@@ -2107,10 +2141,15 @@ final class VplCompiler(program: VProgram, source: VplSource,
                 if (df.columns.contains("ts")) timestamp_micros(
                   unix_micros(col("ts")) + horizonUs)
                 else lit(null).cast("timestamp"))
+              // no model context: maximal-uncertainty interval
+              .withColumn("forecast_lower", lit(0.0))
+              .withColumn("forecast_upper", lit(1.0))
+              .withColumn("forecast_context_depth", lit(0))
             df = df.withColumn("forecast_expected_time", col("forecast_time"))
             extraCols ++= Set("forecast_probability", "forecast_confidence",
               "forecast_count", "forecast_state", "forecast_time",
-              "forecast_expected_time")
+              "forecast_expected_time", "forecast_lower", "forecast_upper",
+              "forecast_context_depth")
         }
 
       case OpPattern(_, body) =>

@@ -164,7 +164,9 @@ class VplCoverageSpec extends SparkSpec {
         |    .within(1h)
         |    .forecast(horizon: 10m)
         |    .emit(k: a.k, p: forecast_probability, n: forecast_count,
-        |          conf: forecast_confidence, ghost: c.x)
+        |          conf: forecast_confidence, ghost: c.x,
+        |          lo: forecast_lower, hi: forecast_upper,
+        |          depth: forecast_context_depth)
         |""".stripMargin
     val evt = java.nio.file.Files.createTempFile("graft_fc", ".evt")
     // key 1: A->B->C twice (C always follows B); key 2: A->B, no C yet
@@ -193,6 +195,11 @@ class VplCoverageSpec extends SparkSpec {
       assert(r.getAs[Long]("n") == 2L, r)
       assert(math.abs(r.getAs[Double]("conf") - 2.0 / 3.0) < 1e-9, r)
       assert(r.isNullAt(r.fieldIndex("ghost")), "truncated step must be NULL")
+      // p = 1.0 -> two-point residual mass is all at 0: q90 = 0,
+      // interval collapses to [1, 1]; depth = matched context depth
+      assert(r.getAs[Double]("lo") == 1.0, r)
+      assert(r.getAs[Double]("hi") == 1.0, r)
+      assert(r.getAs[Int]("depth") >= 1, r)
     }
   }
 
