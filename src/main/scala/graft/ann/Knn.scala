@@ -156,6 +156,149 @@ object Knn {
         round(col("cos"), 6).as("cos"))
   }
 
+  /** IVF-PQ-style product quantization ANN — the memory-bound 100 TB
+    * path: each corpus vector is encoded as `m` small codes (nearest
+    * per-subspace centroid), so candidate scoring reads m×4 bytes of
+    * codes instead of dim×4 bytes of floats, and the ADC ranking
+    * exchange carries only (q_id, n_id, score). The classic recipe
+    * (Jégou et al., PQ for nearest neighbor search) in three stages:
+    *
+    *  1. TRAIN (driver, bounded): per-subspace Lloyd k-means on a
+    *     hash-decorrelated normalized sample — same contract as
+    *     [[ivfTopK]]'s coarse quantizer.
+    *  2. ENCODE (one distributed pass, row-local, codegen'd): per
+    *     subspace, argmax_j of dot(x_sub, c_j)/|x| − |c_j|²/2 —
+    *     the L2-nearest centroid of the NORMALIZED subvector,
+    *     computed without materializing the normalized vector.
+    *  3. SEARCH: queries broadcast per-subspace lookup tables
+    *     T[j] = dot(q̂_sub, c_j); ADC score = Σ_sub T[code_sub] ≈
+    *     cos(q̂, x̂). The top refine·k ADC candidates per query are
+    *     re-ranked with exact cosine (candidates broadcast BACK
+    *     against the corpus, so the full-vector read touches only
+    *     candidate rows — never a second corpus shuffle).
+    *
+    * Deterministic end to end (fixed init, fixed iterations, id
+    * tiebreaks). Output schema matches [[bruteForce]] for the recall
+    * specs.
+    */
+  def pqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      m: Int = 4,
+      ksub: Int = 32,
+      iters: Int = 5,
+      refine: Int = 4,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id",
+      trainSample: Int = 4096): DataFrame = {
+    val c0 = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_v"))
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val elemIsFloat = c0.schema("n_v").dataType match {
+      case ArrayType(FloatType, _) => true
+      case _                       => false
+    }
+    val sampleRaw: Array[Array[Double]] = c0
+      .orderBy(xxhash64(col("n_id")), col("n_id")).limit(trainSample)
+      .collect().map { r =>
+        if (elemIsFloat) r.getSeq[Float](1).map(_.toDouble).toArray
+        else r.getSeq[Double](1).toArray
+      }
+    require(sampleRaw.nonEmpty, "pqTopK: empty corpus")
+    val dim = sampleRaw.head.length
+    require(dim % m == 0, s"pqTopK: dim $dim not divisible by m=$m")
+    val sub = dim / m
+    def l2(a: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * a(i); i += 1 }
+      math.sqrt(s) max 1e-300
+    }
+    val sample = sampleRaw.map { v => val n = l2(v); v.map(_ / n) }
+
+    // per-subspace Lloyd on L2 over normalized subvectors;
+    // deterministic: first-ksub init, fixed iters, empty cells keep
+    // their centroid
+    val codebooks: Array[Array[Array[Double]]] = Array.tabulate(m) { mi =>
+      val vs = sample.map(v => v.slice(mi * sub, (mi + 1) * sub))
+      var cents = vs.take(ksub).map(_.clone())
+      for (_ <- 1 to iters) {
+        val sums = Array.fill(cents.length)(new Array[Double](sub))
+        val counts = new Array[Long](cents.length)
+        vs.foreach { v =>
+          var best = 0; var bd = Double.MaxValue
+          var j = 0
+          while (j < cents.length) {
+            var d = 0.0; var i = 0
+            while (i < sub) { val t = v(i) - cents(j)(i); d += t * t; i += 1 }
+            if (d < bd) { bd = d; best = j }
+            j += 1
+          }
+          counts(best) += 1
+          var i = 0; while (i < sub) { sums(best)(i) += v(i); i += 1 }
+        }
+        cents = cents.zipWithIndex.map { case (old, j) =>
+          if (counts(j) == 0) old else sums(j).map(_ / counts(j))
+        }
+      }
+      cents
+    }
+
+    def subvec(v: org.apache.spark.sql.Column, mi: Int) =
+      slice(v, mi * sub + 1, sub)
+    // encode: argmax_j dot(x_sub, c_j)/|x| − |c_j|²/2  (== L2-nearest
+    // centroid of the normalized subvector; |x| folds in as a column)
+    def codeCol(v: org.apache.spark.sql.Column,
+        nn: org.apache.spark.sql.Column, mi: Int) = {
+      val scores = array(codebooks(mi).toIndexedSeq.zipWithIndex.map {
+        case (cv, j) =>
+          val half = { var s = 0.0; cv.foreach(x => s += x * x); s / 2.0 }
+          struct((dot(subvec(v, mi), typedlit(cv.toSeq)) / nn - half).as("s"),
+            lit(-j).as("negj"))
+      }: _*)
+      (-array_max(scores).getField("negj")).as(s"code$mi")
+    }
+    val coded = c0
+      .repartition(c0.sparkSession.sparkContext.defaultParallelism, col("n_id"))
+      .withColumn("n_n", norm(col("n_v")))
+      .select((col("n_id") +: col("n_v") +: col("n_n") +:
+        (0 until m).map(mi => codeCol(col("n_v"), col("n_n"), mi))): _*)
+
+    // queries carry per-subspace ADC tables T[j] = dot(q̂_sub, c_j)
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_v"))
+      .withColumn("q_n", norm(col("q_v")))
+      .select((col("q_id") +: col("q_v") +: col("q_n") +:
+        (0 until m).map { mi =>
+          array(codebooks(mi).toIndexedSeq.map(cv =>
+            dot(subvec(col("q_v"), mi), typedlit(cv.toSeq)) / col("q_n")): _*)
+            .as(s"t$mi")
+        }): _*)
+
+    // ADC ranking: the exchange carries (q_id, n_id, adc) ONLY
+    val adc = coded.join(broadcast(q), col("q_id") =!= col("n_id"))
+      .withColumn("adc", (0 until m).map(mi =>
+        element_at(col(s"t$mi"), col(s"code$mi") + 1)).reduce(_ + _))
+      .select(col("q_id"), col("n_id"), col("adc"))
+    val w1 = W.partitionBy(col("q_id")).orderBy(col("adc").desc, col("n_id"))
+    val cand = adc.withColumn("r1", row_number().over(w1))
+      .filter(col("r1") <= refine.toLong * k)
+      .select(col("q_id"), col("n_id"))
+
+    // exact re-rank of the small candidate set: candidates broadcast
+    // back against the corpus — full vectors are read for candidate
+    // rows only, the corpus never shuffles
+    val qv = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_v"))
+      .withColumn("q_n", norm(col("q_v")))
+    val rer = c0.withColumn("n_n", norm(col("n_v")))
+      .join(broadcast(cand), Seq("n_id"))
+      .join(broadcast(qv), Seq("q_id"))
+      .withColumn("cos", dot(col("q_v"), col("n_v")) / (col("q_n") * col("n_n")))
+    val w2 = W.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    rer.withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rank"),
+        round(col("cos"), 6).as("cos"))
+  }
+
   def lshTopK(
       corpus: DataFrame,
       queries: DataFrame,

@@ -165,5 +165,18 @@ object VectorQueries {
         Knn.ivfTopK(e, e.filter(col("vec_id") < 10), k = 10,
           nlist = 16, nProbe = 4)
       }
+    },
+
+    // --- #41c product-quantization ANN (memory-bound scale path):
+    // codes instead of vectors in the candidate scan, ADC tables,
+    // exact re-rank of the top candidates. rows-only BY DESIGN (the
+    // per-subspace Lloyd training is an iterative numeric procedure);
+    // recall-vs-brute-force is spec-pinned like v4's ---
+    "v6_knn_ivfpq" -> QueryDef.rowsOnly {
+      (s, dir) => {
+        val e = Tables(s, dir).embeddings
+        Knn.pqTopK(e, e.filter(col("vec_id") < 10), k = 10,
+          m = 8, ksub = 32, refine = 6)
+      }
     })
 }

@@ -113,6 +113,28 @@ class DedupSpec extends SparkSpec {
     assert(hit.toDouble / total >= 0.3, s"IVF recall $hit/$total")
   }
 
+  test("PQ knn: deterministic, high recall vs brute force after re-rank") {
+    val q = embs.filter(col("vec_id") < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("q_id", "n_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bfSet = pairs(Knn.bruteForce(embs, q, k = 10))
+    val pq1 = pairs(Knn.pqTopK(embs, q, k = 10, m = 8, ksub = 32, refine = 6))
+    val pq2 = pairs(Knn.pqTopK(embs, q, k = 10, m = 8, ksub = 32, refine = 6))
+    // determinism across runs (fixed init, fixed iters, id tiebreaks)
+    assert(pq1 == pq2)
+    // ADC shortlist + exact re-rank should recover most of true top-k
+    val hit = pq1.intersect(bfSet).size
+    assert(hit.toDouble / bfSet.size >= 0.5,
+      s"PQ recall $hit/${bfSet.size}")
+    // every returned cosine is a true cosine (exact re-rank output)
+    val withCos = Knn.pqTopK(embs, q, k = 10).collect()
+    withCos.foreach { r =>
+      val c = r.getAs[Double]("cos")
+      assert(c >= -1.0001 && c <= 1.0001)
+    }
+  }
+
   test("clusters: every member maps to the component's min id") {
     import spark.implicits._
     // two components: {1,2,3} (chain) and {10,11}
