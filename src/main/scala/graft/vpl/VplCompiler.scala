@@ -643,7 +643,8 @@ final class VplCompiler(program: VProgram, source: VplSource,
   private def isStringExpr(e: VExpr): Boolean = e match {
     case VStr(_)                => true
     case VCall("str", _)        => true
-    case VCall("upper" | "lower" | "trim" | "replace" | "join", _) => true
+    case VCall("upper" | "lower" | "trim" | "replace" | "join" |
+        "to_string" | "uppercase" | "lowercase" | "type_of", _) => true
     case VMethod(_, "upper" | "lower" | "trim", _) => true
     case VRef(n) =>
       letVals.get(n).exists(isStringExpr) ||
@@ -670,6 +671,15 @@ final class VplCompiler(program: VProgram, source: VplSource,
 
   private def translate(raw: VExpr, ctx: ExprCtx): Column = {
     val e = inlineFns(raw)
+    // in-scope lambda parameters of the list HOFs (filter/map):
+    // Spark's HOF builders invoke the Scala closure EAGERLY with the
+    // named lambda-variable column, so a binding pushed around the
+    // body translation is visible exactly while the body compiles
+    val lambdaBindings = scala.collection.mutable.Map.empty[String, Column]
+    def withBound(ps: Seq[(String, Column)])(body: => Column): Column = {
+      ps.foreach { case (p, c) => lambdaBindings(p) = c }
+      try body finally ps.foreach { case (p, _) => lambdaBindings.remove(p) }
+    }
     def t(e: VExpr): Column = e match {
       case VInt(v)  => lit(v)
       case VNum(v)  => lit(v)
@@ -678,7 +688,8 @@ final class VplCompiler(program: VProgram, source: VplSource,
       case VNull    => lit(null)
       case VDur(us) => lit(us)
       case VRef(n) =>
-        ctx.bare(n)
+        lambdaBindings.get(n)
+          .orElse(ctx.bare(n))
           .orElse(letVals.get(n).map(t))
           // unknown field → NULL (reference dynamic-payload semantics)
           .getOrElse(lit(null))
@@ -730,6 +741,17 @@ final class VplCompiler(program: VProgram, source: VplSource,
         val e0 = if (incl) t(b).cast("long") else t(b).cast("long") - 1
         when(s <= e0, sequence(s, e0))
           .otherwise(slice(sequence(lit(0L), lit(0L)), 1, 0))
+      // list HOFs with lambda arguments (evaluator.rs "filter"/"map";
+      // 2-param lambdas destructure the pair arrays sliding_pairs
+      // emits). Dispatched before the scalar builtin table because
+      // the lambda body compiles under its parameter binding.
+      case VCall("filter", Seq(arrE, VLambda(Seq(p), body))) =>
+        filter(t(arrE), x => withBound(Seq(p -> x))(t(body)))
+      case VCall("map", Seq(arrE, VLambda(Seq(p), body))) =>
+        transform(t(arrE), x => withBound(Seq(p -> x))(t(body)))
+      case VCall("map", Seq(arrE, VLambda(Seq(p1, p2), body))) =>
+        transform(t(arrE), x => withBound(Seq(
+          p1 -> element_at(x, 1), p2 -> element_at(x, 2)))(t(body)))
       case VCall(fn, args) => builtin(fn, args.map(t))
       case VMethod(target, "__index", Seq(i)) =>
         poly(graft.functions.PolyIndex(_, _), t(target), t(i))
@@ -754,7 +776,9 @@ final class VplCompiler(program: VProgram, source: VplSource,
       }
       case VStruct(items) =>
         struct(items.map { case (n, x) => t(x).as(n) }: _*)
-      case VList(_)      => throw VplCompileError("list literal outside 'in'")
+      // list literal as a VALUE (evaluator.rs Value::Array) — `in`
+      // membership intercepts its own VList before reaching here
+      case VList(items)  => array(items.map(t): _*)
       case VLambda(_, _) => throw VplCompileError("lambda outside .pattern()")
     }
     t(e)
@@ -834,14 +858,77 @@ final class VplCompiler(program: VProgram, source: VplSource,
     case ("second", Seq(ts))   => second(ts)
     case ("duration_between", Seq(a, b)) => unix_micros(b) - unix_micros(a)
     // explicit type conversions (docs/language/types.md §Type
-    // Conversions). Spark casts parse-or-null, which is exactly
-    // try_int's documented contract; int()/float() share it (the
-    // reference errors on a bad parse — a per-row throw has no
-    // place in a vectorized plan, so bad input converts to null).
-    case ("int" | "try_int", Seq(x)) =>
+    // Conversions; evaluator.rs to_int/to_float/to_string aliases).
+    // Spark casts parse-or-null, which is exactly try_int's
+    // documented contract; int()/float() share it (the reference
+    // errors on a bad parse — a per-row throw has no place in a
+    // vectorized plan, so bad input converts to null).
+    case ("int" | "try_int" | "to_int", Seq(x)) =>
       x.cast(org.apache.spark.sql.types.LongType)
-    case ("float", Seq(x)) => x.cast(org.apache.spark.sql.types.DoubleType)
-    case ("str", Seq(x))   => x.cast(org.apache.spark.sql.types.StringType)
+    case ("float" | "to_float", Seq(x)) =>
+      x.cast(org.apache.spark.sql.types.DoubleType)
+    case ("str" | "to_string", Seq(x)) =>
+      x.cast(org.apache.spark.sql.types.StringType)
+    // the rest of the evaluator.rs scalar surface
+    case ("sin", Seq(x))   => sin(x)
+    case ("cos", Seq(x))   => cos(x)
+    case ("tan", Seq(x))   => tan(x)
+    case ("log10", Seq(x)) => log10(x)
+    case ("lowercase", Seq(x)) => lower(x)
+    case ("uppercase", Seq(x)) => upper(x)
+    // type predicates (evaluator.rs is_*/type_of): `typeof` is
+    // schema-derived, so these constant-fold at analysis
+    case ("is_null", Seq(x))   => isnull(x)
+    case ("is_int", Seq(x)) =>
+      call_function("typeof", x)
+        .isin("tinyint", "smallint", "int", "bigint")
+    case ("is_float", Seq(x)) =>
+      call_function("typeof", x).isin("float", "double") ||
+        call_function("typeof", x).startsWith("decimal")
+    case ("is_string", Seq(x)) => call_function("typeof", x) === "string"
+    case ("is_bool", Seq(x))   => call_function("typeof", x) === "boolean"
+    case ("is_array", Seq(x))  => call_function("typeof", x).startsWith("array")
+    case ("is_map", Seq(x))    => call_function("typeof", x).startsWith("map")
+    case ("type_of", Seq(x)) => {
+      val t0 = call_function("typeof", x)
+      when(t0.isin("tinyint", "smallint", "int", "bigint"), "int")
+        .when(t0.isin("float", "double") || t0.startsWith("decimal"), "float")
+        .when(t0 === "string", "str")
+        .when(t0 === "boolean", "bool")
+        .when(t0 === "timestamp", "timestamp")
+        .when(t0.startsWith("array"), "list")
+        .when(t0.startsWith("map"), "map")
+        .otherwise(t0)
+    }
+    // list functions (evaluator.rs array surface). Single-arg min/max/
+    // sum/avg/count never collide with the aggregate compiler: VCall
+    // aggregates are consumed by the window/agg paths before scalar
+    // translation, and the 2+-arg scalar min/max keep their own arm.
+    case ("sort", Seq(x))    => array_sort(x)
+    case ("reverse", Seq(x)) => reverse(x)
+    case ("flatten", Seq(x)) => flatten(x)
+    case ("first", Seq(x))   => element_at(x, 1)
+    case ("last", Seq(x))    => element_at(x, -1)
+    case ("pop", Seq(x)) =>
+      slice(x, lit(1), greatest(size(x) - 1, lit(0)))
+    case ("keys", Seq(x))    => map_keys(x)
+    case ("values", Seq(x))  => map_values(x)
+    case ("min", Seq(x))     => array_min(x)
+    case ("max", Seq(x))     => array_max(x)
+    case ("count", Seq(x))   => size(x).cast("long")
+    case ("sum", Seq(x)) =>
+      aggregate(x, lit(0.0), (acc, v) => acc + v.cast("double"))
+    case ("avg", Seq(x)) =>
+      aggregate(x, lit(0.0), (acc, v) => acc + v.cast("double")) /
+        size(x).cast("double")
+    // consecutive-pair fan-out (evaluator.rs sliding_pairs):
+    // [a,b,c] -> [[a,b],[b,c]] via one zip of the array with its
+    // shifted self — no index lambda (interpreted-HOF pitfall)
+    case ("sliding_pairs", Seq(x)) =>
+      zip_with(
+        slice(x, lit(1), greatest(size(x) - 1, lit(0))),
+        slice(x, lit(2), greatest(size(x) - 1, lit(0))),
+        (a, b) => array(a, b))
     // utility
     case ("uuid", Nil)         => expr("uuid()")
     case ("random", Nil)       => rand()

@@ -654,7 +654,10 @@ object VplParser {
       val b = Seq.newBuilder[(String, VExpr)]
       def one(): Unit = {
         val n = ident(); eatOp(":")
-        b += (n -> (if (isOp("[")) configValue() else expr()))
+        // `[...]` named args parse as full expression lists — the
+        // primary's list literal subsumes the old config-only form
+        // (same VList for `[a, b]`) and admits computed elements
+        b += (n -> expr())
       }
       one(); while (isOp(",")) { advance(); one() }
       b.result()
@@ -675,6 +678,26 @@ object VplParser {
         case TId(p, _) if peekAt(1) == TOp("=>", peekAt(1).pos) =>
           advance(); advance()
           return VLambda(Seq(p), expr(filter))
+        // `(a, b) => body` (grammar.md lambda param_list; the pair
+        // destructure sliding_pairs consumers use). Lookahead scans
+        // ident (, ident)* ')' '=>' before committing — a plain
+        // parenthesized expression falls through untouched.
+        case TOp("(", _) =>
+          var k = 1
+          var ok = peekAt(k) match { case TId(_, _) => true; case _ => false }
+          while (ok && peekAt(k + 1) == TOp(",", peekAt(k + 1).pos)) {
+            k += 2
+            ok = peekAt(k) match { case TId(_, _) => true; case _ => false }
+          }
+          if (ok && peekAt(k + 1) == TOp(")", peekAt(k + 1).pos) &&
+              peekAt(k + 2) == TOp("=>", peekAt(k + 2).pos)) {
+            advance() // (
+            val ps = Seq.newBuilder[String]
+            ps += ident()
+            while (isOp(",")) { advance(); ps += ident() }
+            eatOp(")"); eatOp("=>")
+            return VLambda(ps.result(), expr(filter))
+          }
         case _ => ()
       }
       rangeExpr(filter)

@@ -513,6 +513,38 @@ class VplSpec extends SparkSpec {
       ("zero", "none", "a"), ("one", "got 10", "b"), ("many", "got 70", "c")))
   }
 
+  test("evaluator list/type function surface (filter/map/sliding_pairs/type_of)") {
+    val vpl =
+      """event E:
+        |    x: int
+        |
+        |stream Out = E
+        |    .emit(lst: [x, x * 2, 5],
+        |          evens: filter([x, x * 2, 5], v => v % 2 == 0),
+        |          dbl: map([1, 2, 3], v => v * 10),
+        |          diffs: map(sliding_pairs([x, x * 2, x * 3]), (a, b) => b - a),
+        |          s: sum([1.0, 2.5]),
+        |          mx: max([3, 9, 4]),
+        |          ty: type_of(x),
+        |          isn: is_null(missing_field),
+        |          tos: to_string(x) + "!")
+        |""".stripMargin
+    val evt = java.nio.file.Files.createTempFile("graft_hof", ".evt")
+    java.nio.file.Files.writeString(evt, "E { x: 2 }\n")
+    val r = Vpl.runEvt(spark, vpl, Seq(evt.toString))("Out").get.head()
+    def longs(name: String) =
+      r.getAs[scala.collection.Seq[Long]](name).toList
+    assert(longs("lst") == List(2L, 4L, 5L))
+    assert(longs("evens") == List(2L, 4L))
+    assert(longs("dbl") == List(10L, 20L, 30L))
+    assert(longs("diffs") == List(2L, 2L))
+    assert(r.getAs[Double]("s") == 3.5)
+    assert(r.getAs[Long]("mx") == 9L)
+    assert(r.getAs[String]("ty") == "int")
+    assert(r.getAs[Boolean]("isn"))
+    assert(r.getAs[String]("tos") == "2!")
+  }
+
   test("timer source ticks over the staged span; var reassignment folds in order") {
     // benchmarks/apama-comparison 10_timer_source.vpl + 11_variables.vpl
     val vpl =
