@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{DotProduct, HyperplaneSig, MinHashSig, SimHash64, WordShingles}
+import graft.functions.{DotProduct, GretaDp, HyperplaneSig, MinHashSig, SimHash64, WordShingles}
 
 /** graft's native expressions as SQL functions. */
 object GraftFunctions {
@@ -32,6 +32,11 @@ object GraftFunctions {
         case _ => throw new IllegalArgumentException(
           "minhash_sig(shingles, n): n must be an integer literal")
       }),
+    (FunctionIdentifier("greta_dp"),
+      info("greta_dp",
+        "greta_dp(evs) - (count_trends, sum_trends) GRETA DP over a " +
+          "sorted array<struct<o, v: double>>"),
+      (args: Seq[Expression]) => GretaDp(args.head)),
     (FunctionIdentifier("hyperplane_sig"),
       info("hyperplane_sig", "hyperplane_sig(vec, nBits) - LSH hyperplane signature"),
       (args: Seq[Expression]) => args match {

@@ -2,6 +2,7 @@ package graft.cep
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
 
 /** Trend aggregation — the reference's `.trend_aggregate()` operator
   * (docs/reference/trend-aggregation.md; GRETA propagation in
@@ -85,12 +86,15 @@ object TrendAggregate {
     *   sum(e) = v(e)·count(e) + Σ sum(e')   (decimal-exact, so the
     *   fold order cannot perturb float bits vs the oracle)
     *
-    * realized as an in-group fold over the event array sorted by
-    * `orderCol`: one shuffle on (key, window) with the O(n²) DP
-    * running inside each group as native HOF expressions (no UDF, no
-    * driver iteration) — n here is events-per-key-per-window, which
-    * stays small at any corpus scale, so the plan is the same one
-    * that holds at 100 TB.
+    * realized as one shuffle on (key, window) with the DP running
+    * inside each group as the native [[graft.functions.GretaDp]]
+    * expression — a Fenwick tree over coordinate-compressed value
+    * ranks, O(n log n) on primitive arrays through codegen. (The
+    * previous formulation was an interpreted `aggregate(...)` HOF
+    * fold, O(n²) per group through Catalyst's interpreted-lambda
+    * path — the SURVEY §8 sharp edge and BENCH r5's slowest oracled
+    * batch query; a dense key×window group made it the straggler
+    * task at scale.)
     */
   def kleeneIncreasing(
       events: DataFrame,
@@ -106,34 +110,14 @@ object TrendAggregate {
       .agg(
         count(lit(1)).as("event_count"),
         sort_array(collect_list(
-          struct(col(orderCol).as("o"), col(valueCol).as("v")))).as("evs"))
+          struct(col(orderCol).as("o"),
+            col(valueCol).cast("double").as("v")))).as("evs"))
       .select(
         (partitionKeys.map(col) :+
           col("w.start").cast("long").as("win_start") :+
           col("event_count") :+
-          expr(
-            """aggregate(
-              |  evs,
-              |  cast(array() as array<struct<v: double, c: bigint, s: decimal(28,2)>>),
-              |  (acc, x) -> array_append(acc, named_struct(
-              |    'v', x.v,
-              |    'c', cast(1 as bigint) + aggregate(
-              |      filter(acc, p -> p.v < x.v),
-              |      cast(0 as bigint), (t, p) -> t + p.c),
-              |    's', cast(
-              |      cast(x.v as decimal(18,2)) *
-              |        (cast(1 as bigint) + aggregate(
-              |          filter(acc, p -> p.v < x.v),
-              |          cast(0 as bigint), (t, p) -> t + p.c)) +
-              |      aggregate(filter(acc, p -> p.v < x.v),
-              |        cast(0 as decimal(28,2)),
-              |        (t, p) -> cast(t + p.s as decimal(28,2)))
-              |      as decimal(28,2)))),
-              |  acc -> named_struct(
-              |    'c', aggregate(acc, cast(0 as bigint), (t, p) -> t + p.c),
-              |    's', cast(aggregate(acc, cast(0 as decimal(28,2)),
-              |      (t, p) -> cast(t + p.s as decimal(28,2))) as double)))
-              |""".stripMargin).as("__dp")): _*)
+          ColumnBridge.column(graft.functions.GretaDp(
+            ColumnBridge.expression(col("evs")))).as("__dp")): _*)
       .withColumn("count_trends", col("__dp.c"))
       .withColumn("sum_trends", col("__dp.s"))
       .drop("__dp")
