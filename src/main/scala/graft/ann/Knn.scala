@@ -19,6 +19,57 @@ import graft.functions.VectorFunctions._
   */
 object Knn {
 
+  private def dotArr(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length && i < b.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** Driver-side Lloyd for the coarse quantizer (shared by [[ivfTopK]]
+    * and [[pqTopK]]'s IVF stage): scoring is dot / centroid norm —
+    * the row norm is constant per row, so the argmax matches cosine —
+    * ties to the lowest cell, empty cells keep their centroid.
+    * Deterministic: first-nlist init, fixed iterations.
+    */
+  private def trainCoarse(
+      sample: Array[Array[Double]], nlist: Int, iters: Int): Array[Array[Double]] = {
+    var cents: Array[Array[Double]] = sample.take(nlist).map(_.clone())
+    val dim = sample.head.length
+    for (_ <- 1 to iters) {
+      val norms = cents.map(cv => math.sqrt(dotArr(cv, cv)) max 1e-300)
+      val sums = Array.fill(cents.length)(new Array[Double](dim))
+      val counts = new Array[Long](cents.length)
+      sample.foreach { v =>
+        var best = 0; var bs = Double.NegativeInfinity
+        var cell = 0
+        while (cell < cents.length) {
+          val s = dotArr(v, cents(cell)) / norms(cell)
+          if (s > bs) { bs = s; best = cell }
+          cell += 1
+        }
+        counts(best) += 1
+        var i = 0; while (i < dim) { sums(best)(i) += v(i); i += 1 }
+      }
+      cents = cents.zipWithIndex.map { case (old, cell) =>
+        if (counts(cell) == 0) old // empty cells keep their centroid
+        else sums(cell).map(_ / counts(cell))
+      }
+    }
+    cents
+  }
+
+  /** Per-cell (score, −cell) struct-array column from centroid
+    * literals — row-local and codegen'd; argmax via array_max, probe
+    * lists via sort+slice of the same array.
+    */
+  private def cellScoreArr(cents: Array[Array[Double]])(
+      v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    array(cents.toIndexedSeq.zipWithIndex.map { case (cv, cell) =>
+      val cn = math.sqrt(dotArr(cv, cv)) max 1e-300
+      struct((dot(v, typedlit(cv.toSeq)) / cn).as("s"),
+        lit(-cell).as("negcell"))
+    }: _*)
+
   def bruteForce(
       corpus: DataFrame,
       queries: DataFrame,
@@ -94,46 +145,8 @@ object Knn {
       }
     require(sample.nonEmpty, "ivfTopK: empty corpus")
 
-    def dotArr(a: Array[Double], b: Array[Double]): Double = {
-      var s = 0.0; var i = 0
-      while (i < a.length && i < b.length) { s += a(i) * b(i); i += 1 }
-      s
-    }
-    // driver-side Lloyd iterations; same scoring as the distributed
-    // assignment (dot / centroid norm — the row norm is constant per
-    // row, so the argmax matches cosine), ties to the lowest cell.
-    var cents: Array[Array[Double]] = sample.take(nlist).map(_.clone())
-    val dim = sample.head.length
-    for (_ <- 1 to iters) {
-      val norms = cents.map(cv => math.sqrt(dotArr(cv, cv)) max 1e-300)
-      val sums = Array.fill(cents.length)(new Array[Double](dim))
-      val counts = new Array[Long](cents.length)
-      sample.foreach { v =>
-        var best = 0; var bs = Double.NegativeInfinity
-        var cell = 0
-        while (cell < cents.length) {
-          val s = dotArr(v, cents(cell)) / norms(cell)
-          if (s > bs) { bs = s; best = cell }
-          cell += 1
-        }
-        counts(best) += 1
-        var i = 0; while (i < dim) { sums(best)(i) += v(i); i += 1 }
-      }
-      cents = cents.zipWithIndex.map { case (old, cell) =>
-        if (counts(cell) == 0) old // empty cells keep their centroid
-        else sums(cell).map(_ / counts(cell))
-      }
-    }
-
-    // per-cell (score, −cell) structs from centroid literals
-    val cellScores = cents.toIndexedSeq.zipWithIndex.map { case (cv, cell) =>
-      val cn = math.sqrt(dotArr(cv, cv)) max 1e-300
-      (v: org.apache.spark.sql.Column) =>
-        struct((dot(v, typedlit(cv.toSeq)) / cn).as("s"),
-          lit(-cell).as("negcell"))
-    }
-    def scoresArr(v: org.apache.spark.sql.Column) =
-      array(cellScores.map(f => f(v)): _*)
+    val cents = trainCoarse(sample, nlist, iters)
+    def scoresArr(v: org.apache.spark.sql.Column) = cellScoreArr(cents)(v)
 
     val bucketed = c
       .withColumn("cell", -array_max(scoresArr(col("n_v"))).getField("negcell"))
@@ -156,22 +169,29 @@ object Knn {
         round(col("cos"), 6).as("cos"))
   }
 
-  /** IVF-PQ-style product quantization ANN — the memory-bound 100 TB
-    * path: each corpus vector is encoded as `m` small codes (nearest
-    * per-subspace centroid), so candidate scoring reads m×4 bytes of
-    * codes instead of dim×4 bytes of floats, and the ADC ranking
-    * exchange carries only (q_id, n_id, score). The classic recipe
-    * (Jégou et al., PQ for nearest neighbor search) in three stages:
+  /** IVF-PQ product quantization ANN — the memory-bound 100 TB path:
+    * a coarse quantizer buckets the corpus into `nlist` cells, each
+    * corpus vector is encoded as `m` small codes (nearest per-subspace
+    * centroid), and a query ADC-scans ONLY its `nProbe` best cells —
+    * so candidate scoring reads m×4 bytes of codes for ~nProbe/nlist
+    * of the corpus instead of dim×4 bytes of floats for all of it,
+    * and the ADC ranking exchange carries only (q_id, n_id, score).
+    * The classic recipe (Jégou et al., PQ for nearest neighbor
+    * search) in three stages:
     *
-    *  1. TRAIN (driver, bounded): per-subspace Lloyd k-means on a
-    *     hash-decorrelated normalized sample — same contract as
-    *     [[ivfTopK]]'s coarse quantizer.
-    *  2. ENCODE (one distributed pass, row-local, codegen'd): per
-    *     subspace, argmax_j of dot(x_sub, c_j)/|x| − |c_j|²/2 —
-    *     the L2-nearest centroid of the NORMALIZED subvector,
-    *     computed without materializing the normalized vector.
-    *  3. SEARCH: queries broadcast per-subspace lookup tables
-    *     T[j] = dot(q̂_sub, c_j); ADC score = Σ_sub T[code_sub] ≈
+    *  1. TRAIN (driver, bounded): coarse Lloyd k-means ([[trainCoarse]],
+    *     shared with [[ivfTopK]]) plus per-subspace Lloyd codebooks on
+    *     a hash-decorrelated normalized sample.
+    *  2. ENCODE (ONE distributed pass, row-local, codegen'd): the
+    *     coarse cell via argmax over (score, −cell) structs, and per
+    *     subspace argmax_j of dot(x_sub, c_j)/|x| − |c_j|²/2 — the
+    *     L2-nearest centroid of the NORMALIZED subvector, computed
+    *     without materializing the normalized vector.
+    *  3. SEARCH: each query row-locally picks its nProbe best cells
+    *     (sort+slice of the same struct array) and broadcasts
+    *     per-subspace lookup tables T[j] = dot(q̂_sub, c_j); the ADC
+    *     join is an EQUI-join on cell (BroadcastHashJoin, not a
+    *     nested-loop corpus scan), score = Σ_sub T[code_sub] ≈
     *     cos(q̂, x̂). The top refine·k ADC candidates per query are
     *     re-ranked with exact cosine (candidates broadcast BACK
     *     against the corpus, so the full-vector read touches only
@@ -189,6 +209,8 @@ object Knn {
       ksub: Int = 32,
       iters: Int = 5,
       refine: Int = 4,
+      nlist: Int = 16,
+      nProbe: Int = 8,
       vecCol: String = "embedding",
       idCol: String = "vec_id",
       trainSample: Int = 4096): DataFrame = {
@@ -243,6 +265,12 @@ object Knn {
       cents
     }
 
+    // coarse quantizer: the IVF stage in front of the PQ scan (trained
+    // on the raw sample like ivfTopK — dot/centroid-norm scoring makes
+    // the assignment argmax cosine-equivalent, so raw vs normalized
+    // sample only rescales centroids within a cell)
+    val cents = trainCoarse(sampleRaw, nlist, iters)
+
     def subvec(v: org.apache.spark.sql.Column, mi: Int) =
       slice(v, mi * sub + 1, sub)
     // encode: argmax_j dot(x_sub, c_j)/|x| − |c_j|²/2  (== L2-nearest
@@ -261,20 +289,34 @@ object Knn {
       .repartition(c0.sparkSession.sparkContext.defaultParallelism, col("n_id"))
       .withColumn("n_n", norm(col("n_v")))
       .select((col("n_id") +: col("n_v") +: col("n_n") +:
+        (-array_max(cellScoreArr(cents)(col("n_v"))).getField("negcell"))
+          .as("cell") +:
         (0 until m).map(mi => codeCol(col("n_v"), col("n_n"), mi))): _*)
 
-    // queries carry per-subspace ADC tables T[j] = dot(q̂_sub, c_j)
+    // queries carry per-subspace ADC tables T[j] = dot(q̂_sub, c_j),
+    // then fan out row-locally to their nProbe best coarse cells
+    // (sort+slice of the same struct array ivfTopK uses). q_v/q_n are
+    // dropped before the broadcast — the ADC join needs only the
+    // tables and the cell key.
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_v"))
       .withColumn("q_n", norm(col("q_v")))
-      .select((col("q_id") +: col("q_v") +: col("q_n") +:
+      .select((col("q_id") +:
+        slice(reverse(array_sort(cellScoreArr(cents)(col("q_v")))), 1,
+          nProbe).as("__top") +:
         (0 until m).map { mi =>
           array(codebooks(mi).toIndexedSeq.map(cv =>
             dot(subvec(col("q_v"), mi), typedlit(cv.toSeq)) / col("q_n")): _*)
             .as(s"t$mi")
         }): _*)
+      .withColumn("__negcell", explode(col("__top.negcell")))
+      .withColumn("cell", -col("__negcell"))
+      .drop("__top", "__negcell")
 
-    // ADC ranking: the exchange carries (q_id, n_id, adc) ONLY
-    val adc = coded.join(broadcast(q), col("q_id") =!= col("n_id"))
+    // ADC ranking over the probed cells only: a BroadcastHashJoin on
+    // cell — never a nested-loop full-corpus scan — and the exchange
+    // carries (q_id, n_id, adc) ONLY
+    val adc = coded.join(broadcast(q), Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
       .withColumn("adc", (0 until m).map(mi =>
         element_at(col(s"t$mi"), col(s"code$mi") + 1)).reduce(_ + _))
       .select(col("q_id"), col("n_id"), col("adc"))

@@ -164,6 +164,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("ScalaUDF") && !p.contains("aggregate(zip_with"), p)
   }
 
+  test("v6: ADC candidate scan is an equi-join on the probed cells") {
+    val p = planOf(q("v6_knn_ivfpq"))
+    // the IVF stage makes the ADC scan a BroadcastHashJoin on cell —
+    // a theta-join (full-corpus nested-loop ADC scan) is the pre-IVF
+    // shape this pin exists to prevent regressing to
+    assert(p.contains("BroadcastHashJoin") && p.contains("cell"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("d3: minhash signature is the native one-pass expression") {
     val p = planOf(q("d3_minhash_lsh"))
     assert(p.contains("minhash_sig"), p)
