@@ -324,6 +324,9 @@ object Dedup {
     // pointer-doubling path below runs — shuffle-keyed on node ids,
     // no driver-side graph, the 100 TB shape.
     val sess = pairs.sparkSession
+    require(collectThreshold < Int.MaxValue,
+      s"clusters: collectThreshold must stay below Int.MaxValue " +
+        s"(limit() takes an Int); got $collectThreshold")
     val integralIds = Seq(aCol, bCol).forall { c =>
       pairs.schema(c).dataType match {
         case org.apache.spark.sql.types.LongType |
@@ -405,7 +408,17 @@ object Dedup {
       throw new IllegalStateException(
         s"dedup clusters: min-label propagation did not converge in " +
           s"$maxIters rounds (components would be split) — raise maxIters")
-    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+    // long ids when ids are integral: the driver union-find above
+    // always emits LongType, so the distributed path must not leak a
+    // narrower IntegerType (the two paths would otherwise differ in
+    // output schema depending on edge count). Non-integral ids (e.g.
+    // strings) only ever take this path, so they keep their type.
+    val out = labels.select(col("node").as("doc_id"),
+      col("label").as("cluster_id"))
+    if (integralIds)
+      out.select(col("doc_id").cast("long").as("doc_id"),
+        col("cluster_id").cast("long").as("cluster_id"))
+    else out
   }
 
   /** Embedding-cosine near-dup pairs within blocking buckets. Norms

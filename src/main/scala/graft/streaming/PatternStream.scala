@@ -94,6 +94,22 @@ object PatternStream {
   final val KFirstId = "__k_first_id"
   final val KSum = "__k_sum"
 
+  /** The pre-shuffle filters below use a vacuous `ts IS NULL` disjunct
+    * (referencing the watermark column) to keep the filter ABOVE the
+    * EventTimeWatermark node, so dropped rows still feed the watermark
+    * stats. That pin only holds while `ts` is nullable: on a
+    * non-nullable ts, NullPropagation folds the disjunct to false and
+    * PushPredicateThroughNonJoin pushes the filter BELOW the watermark
+    * — starving it and freezing state eviction/negation emission. Fail
+    * fast instead of freezing silently. (Parquet/case-class-encoder
+    * sources are always nullable; this trips only on a hand-built
+    * non-nullable schema.)
+    */
+  private def requireNullableTs(ds: Dataset[_], who: String): Unit =
+    require(ds.schema("ts").nullable,
+      s"$who: the ts column must be nullable — the pre-shuffle filter's " +
+        "'ts IS NULL' watermark pin folds away on a non-nullable ts")
+
   /** [[detect]] generalized to arbitrary correlation keys, carried
     * payloads, cross-step predicates, per-transition time bounds and
     * Kleene closures — same skip-till-any-match semantics, same
@@ -153,6 +169,7 @@ object PatternStream {
     // event-time timeouts (the sentinel only ever carried key "-1" —
     // other keys always relied on timeouts, so this changes no
     // semantics).
+    requireNullableTs(events, "detectGeneric")
     events
       .filter(col("mask") =!= 0L || col("ts").isNull)
       .groupByKey(_.key)
@@ -325,6 +342,7 @@ object PatternStream {
     // drop event types that can't touch state before the shuffle; the
     // vacuous ts-IS-NULL disjunct pins the filter above the watermark
     // node (see detectGeneric) so every row still feeds watermark stats
+    requireNullableTs(events, "detectAbsence")
     events
       .filter(col("event_type").isin(aType, bType) || col("ts").isNull)
       .groupByKey(_.user_id)
@@ -384,6 +402,7 @@ object PatternStream {
       implicit spark: SparkSession): Dataset[Match] = {
     import spark.implicits._
     // pre-shuffle filter to the step types (see detectGeneric)
+    requireNullableTs(events, "detect")
     events
       .filter(col("event_type").isin(steps.map(_.eventType): _*) ||
         col("ts").isNull)

@@ -677,8 +677,15 @@ final class VplCompiler(program: VProgram, source: VplSource,
     // body translation is visible exactly while the body compiles
     val lambdaBindings = scala.collection.mutable.Map.empty[String, Column]
     def withBound(ps: Seq[(String, Column)])(body: => Column): Column = {
+      // restore (not remove) shadowed bindings on exit, so a nested
+      // lambda reusing an outer parameter name doesn't strip the outer
+      // binding when it finishes compiling
+      val shadowed = ps.map { case (p, _) => p -> lambdaBindings.get(p) }
       ps.foreach { case (p, c) => lambdaBindings(p) = c }
-      try body finally ps.foreach { case (p, _) => lambdaBindings.remove(p) }
+      try body finally shadowed.foreach {
+        case (p, Some(prev)) => lambdaBindings(p) = prev
+        case (p, None)       => lambdaBindings.remove(p)
+      }
     }
     def t(e: VExpr): Column = e match {
       case VInt(v)  => lit(v)
@@ -1046,12 +1053,18 @@ final class VplCompiler(program: VProgram, source: VplSource,
         // fire-time builtin) rides as a column.
         if (streaming) throw VplCompileError(
           "timer sources are batch-only (streaming would bind the rate connector)")
+        // guard like the __range arm: an initial_delay past the staged
+        // span means zero ticks, not sequence()'s illegal-boundaries
+        // runtime error
         source.allEvents
           .agg(min(col("ts")).as("t0"), max(col("ts")).as("t1"))
-          .select(explode(sequence(
-            col("t0") + expr(s"interval $delayUs microsecond"),
-            col("t1"),
-            expr(s"interval $periodUs microsecond"))).as("ts"))
+          .select(explode(when(
+            col("t0") + expr(s"interval $delayUs microsecond") <= col("t1"),
+            sequence(
+              col("t0") + expr(s"interval $delayUs microsecond"),
+              col("t1"),
+              expr(s"interval $periodUs microsecond")))
+            .otherwise(array().cast("array<timestamp>"))).as("ts"))
           .withColumn("event_id", unix_micros(col("ts")))
           .withColumn("timestamp", col("ts"))
       case SrcMerge(names) =>

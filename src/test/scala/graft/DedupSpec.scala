@@ -154,6 +154,22 @@ class DedupSpec extends SparkSpec {
     assert(got.count() == 200)
   }
 
+  test("clusters: both paths emit long ids for IntegerType input") {
+    import spark.implicits._
+    // regression: the driver union-find always returned LongType but
+    // the distributed path used to keep IntegerType, so the output
+    // schema depended on which side of collectThreshold the edge
+    // count fell
+    val pairs = Seq((1, 2), (2, 3)).toDF("a_id", "b_id") // IntegerType
+    val fast = Dedup.clusters(pairs)
+    val dist = Dedup.clusters(pairs, collectThreshold = 0L)
+    assert(fast.schema == dist.schema, s"${fast.schema} vs ${dist.schema}")
+    assert(fast.schema.forall(_.dataType ==
+      org.apache.spark.sql.types.LongType))
+    assert(fast.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      dist.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+  }
+
   test("clusters: driver union-find and iterative paths agree") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)

@@ -327,6 +327,64 @@ class StreamingKleeneSpec extends SparkSpec {
       s"out-of-order arrival must still match: $matches")
   }
 
+  test("pre-shuffle mask filter stays ABOVE the watermark node (plan pin)") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.logical.{EventTimeWatermark, Filter}
+    // the `ts IS NULL` disjunct is what keeps the mask filter from
+    // being pushed below EventTimeWatermark (which would starve the
+    // watermark of dropped rows and freeze state eviction); pin the
+    // optimized streaming plan shape so an optimizer or nullability
+    // change can't silently regress it
+    val base = 1700000000L * 1000000L
+    val gevs = Seq(
+      GEv(1, "u", base, new java.sql.Timestamp(base / 1000L), 1L, Map.empty),
+      GEv(2, "u", base + 1000000L,
+        new java.sql.Timestamp((base + 1000000L) / 1000L), 2L, Map.empty))
+    val dir = java.nio.file.Files.createTempDirectory("graft_pin_").toString
+    gevs.toDF().write.mode("overwrite").parquet(dir)
+    val src = spark.readStream.schema(gevs.toDF().schema).parquet(dir)
+      .withWatermark("ts", "1 second").as[GEv]
+    val out = PatternStream.detectGeneric(src,
+      IndexedSeq(GStepSpec(), GStepSpec()), withinUs = 3600L * 1000000L)(spark)
+    val q = out.toDF().writeStream.format("memory").queryName("plan_pin")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val exec = q.asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution
+      val plan = exec.optimizedPlan
+      def isMaskFilter(f: Filter) = f.condition.toString.contains("mask")
+      val wms = plan.collect { case w: EventTimeWatermark => w }
+      assert(wms.nonEmpty, "no EventTimeWatermark node in:\n" + plan)
+      // no mask filter below the watermark node...
+      val below = wms.flatMap(_.children).flatMap(_.collect {
+        case f: Filter if isMaskFilter(f) => f
+      })
+      assert(below.isEmpty, "mask filter pushed below watermark:\n" + plan)
+      // ...and one above it
+      val anywhere = plan.collect { case f: Filter if isMaskFilter(f) => f }
+      assert(anywhere.nonEmpty, "mask filter missing entirely:\n" + plan)
+    } finally q.stop()
+  }
+
+  test("non-nullable ts is rejected fast (watermark-pin precondition)") {
+    import spark.implicits._
+    val base = 1700000000L * 1000000L
+    val gevs = Seq(
+      GEv(1, "u", base, new java.sql.Timestamp(base / 1000L), 1L, Map.empty))
+    // hand-build a schema whose ts is NOT nullable: the `ts IS NULL`
+    // pin would fold away, so the call must fail fast instead
+    val df = gevs.toDF()
+    val forced = spark.createDataFrame(df.rdd,
+      org.apache.spark.sql.types.StructType(df.schema.map(f =>
+        if (f.name == "ts") f.copy(nullable = false) else f))).as[GEv]
+    val e = intercept[IllegalArgumentException] {
+      PatternStream.detectGeneric(forced,
+        IndexedSeq(GStepSpec(), GStepSpec()), withinUs = 1000000L)(spark)
+    }
+    assert(e.getMessage.contains("nullable"))
+  }
+
   test("per-transition within in the streaming NFA matches batch SeqPattern (p9 shape)") {
     import spark.implicits._
     // A -> B (within 2s of A) -> C (within 3s of B), global within 10m.

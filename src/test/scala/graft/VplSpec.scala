@@ -545,6 +545,44 @@ class VplSpec extends SparkSpec {
     assert(r.getAs[String]("tos") == "2!")
   }
 
+  test("nested lambdas reusing a parameter name keep the outer binding") {
+    // regression: withBound used to REMOVE the inner lambda's binding
+    // on exit instead of restoring the shadowed outer one, so an outer
+    // reference compiled after the inner lambda fell through to the
+    // event-field path (NULL) — a silent wrong result
+    val vpl =
+      """event E:
+        |    x: int
+        |
+        |stream Out = E
+        |    .emit(nested: map([1, 2, 3],
+        |              v => sum(filter([10.0, 20.0], v => v > 15.0)) + v))
+        |""".stripMargin
+    val evt = java.nio.file.Files.createTempFile("graft_shadow", ".evt")
+    java.nio.file.Files.writeString(evt, "E { x: 0 }\n")
+    val r = Vpl.runEvt(spark, vpl, Seq(evt.toString))("Out").get.head()
+    assert(r.getAs[scala.collection.Seq[Double]]("nested").toList ==
+      List(21.0, 22.0, 23.0))
+  }
+
+  test("timer source with initial_delay past the span yields zero ticks") {
+    // regression: sequence() threw an illegal-boundaries runtime error
+    // when t0 + initial_delay exceeded t1 instead of producing no ticks
+    val vpl =
+      """event E:
+        |    x: float
+        |
+        |stream Ticks = timer(5s, initial_delay: 60s)
+        |    .emit(kind: "tick", at: timestamp)
+        |""".stripMargin
+    val evt = java.nio.file.Files.createTempFile("graft_timer0", ".evt")
+    java.nio.file.Files.writeString(evt,
+      """@0s E { x: 1.0 }
+        |@21s E { x: 2.0 }
+        |""".stripMargin)
+    assert(Vpl.runEvt(spark, vpl, Seq(evt.toString))("Ticks").get.count() == 0)
+  }
+
   test("timer source ticks over the staged span; var reassignment folds in order") {
     // benchmarks/apama-comparison 10_timer_source.vpl + 11_variables.vpl
     val vpl =
