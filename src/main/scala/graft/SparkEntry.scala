@@ -167,6 +167,20 @@ object SparkEntry {
         |    ORDER BY n DESC, event_type) AS rk FROM c)
         |WHERE rk <= 2""".stripMargin)(
       graft.streaming.StreamingQueries.streamHeavyHitters),
+    // s19: streaming Hamlet multi-query trend sharing (N patterns,
+    // one shuffle of conditional aggs), sharing p10's oracle
+    "s19_stream_multi_trend" -> QueryDef.of(
+      """SELECT user_id, (epoch_us(ts) // 3600000000) * 3600 AS win_start,
+        | CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS n_error,
+        | CASE WHEN COUNT(CASE WHEN event_type = 'error' THEN 1 END) <= 53 THEN CAST(round(pow(2.0::DOUBLE, COUNT(CASE WHEN event_type = 'error' THEN 1 END)) - 1, 0) AS BIGINT) END AS trends_error,
+        | CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS n_click,
+        | CASE WHEN COUNT(CASE WHEN event_type = 'click' THEN 1 END) <= 53 THEN CAST(round(pow(2.0::DOUBLE, COUNT(CASE WHEN event_type = 'click' THEN 1 END)) - 1, 0) AS BIGINT) END AS trends_click,
+        | CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS n_purchase,
+        | CASE WHEN COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) <= 53 THEN CAST(round(pow(2.0::DOUBLE, COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)) - 1, 0) AS BIGINT) END AS trends_purchase
+        |FROM events
+        |WHERE event_type IN ('error', 'click', 'purchase')
+        |GROUP BY 1, 2""".stripMargin)(
+      graft.streaming.StreamingQueries.streamMultiTrend),
     // s16: streaming GRETA trend aggregation, sharing p6's oracle
     "s16_stream_trend" -> QueryDef.of(
       """SELECT user_id, (epoch_us(ts) // 3600000000) * 3600 AS win_start,

@@ -634,6 +634,41 @@ object StreamingQueries {
     runToTable(spark, agg, "graft_s16_sink", "append")
   }
 
+  /** #28b-streaming: Hamlet multi-query trend sharing on a live
+    * stream — trend aggregates for SEVERAL Kleene patterns (error+,
+    * click+, purchase+) from ONE watermarked windowed aggregation:
+    * conditional counts inside a single (user, window) groupBy, so N
+    * patterns share one scan and one shuffle exactly like the batch
+    * [[graft.cep.TrendAggregate.kleeneShared]] (hamlet/'s shared
+    * graphlet propagation, live). Per-window state is N running
+    * counters — no event buffering; the closed form needs only n.
+    * Shares p10's oracle. The sentinel advances the watermark to
+    * close the bounded run's windows; its own group never closes, so
+    * it emits nothing.
+    */
+  def streamMultiTrend(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    val schema = schemaOf(spark, path)
+    val src = graft.Tables.normalizeTs(
+      spark.readStream.schema(schema).parquet(closedStreamDir(spark, path)))
+    val pats = Seq("error", "click", "purchase")
+    val aggs = pats.flatMap { p =>
+      Seq(count(when(col("event_type") === p, 1)).as(s"n_$p"),
+        graft.cep.TrendAggregate.countTrends(
+          count(when(col("event_type") === p, 1))).as(s"trends_$p"))
+    }
+    val agg = src
+      .withWatermark("ts", "1 second")
+      .filter(col("event_type").isin(pats: _*) ||
+        col("event_type") === "__sentinel")
+      .groupBy(col("user_id"), window(col("ts"), "1 hour"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select((col("user_id") +:
+        col("window.start").cast("long").as("win_start") +:
+        pats.flatMap(p => Seq(col(s"n_$p"), col(s"trends_$p")))): _*)
+    runToTable(spark, agg, "graft_s19_sink", "append")
+  }
+
   /** #20b-streaming: heavy hitters per tumbling window on a live
     * stream. Counting is commutative, so per-(window, type) counts
     * accumulate on arrival with NO event buffering — per-window state

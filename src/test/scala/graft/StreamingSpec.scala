@@ -16,6 +16,18 @@ class StreamingSpec extends SparkSpec {
     assert(batch.except(streamed).count() == 0)
   }
 
+  test("streaming multi-trend sharing equals batch kleeneShared") {
+    val cols = Seq("user_id", "win_start", "n_error", "trends_error",
+      "n_click", "trends_click", "n_purchase", "trends_purchase")
+    val streamed = SparkEntry.all("s19_stream_multi_trend").build(spark, sf)
+      .select(cols.head, cols.tail: _*)
+    val batch = SparkEntry.all("p10_multi_trend").build(spark, sf)
+      .select(cols.head, cols.tail: _*)
+    assert(streamed.count() == batch.count())
+    assert(streamed.except(batch).count() == 0)
+    assert(batch.except(streamed).count() == 0)
+  }
+
   test("windows are epoch-aligned hours") {
     val rows = SparkEntry.all("w1_tumbling").build(spark, sf)
       .select("win_start").distinct().collect()
