@@ -167,6 +167,40 @@ object SparkEntry {
         |    ORDER BY n DESC, event_type) AS rk FROM c)
         |WHERE rk <= 2""".stripMargin)(
       graft.streaming.StreamingQueries.streamHeavyHitters),
+    // s20: ONLINE PST forecast — live per-key transition counts; the
+    // model at event i is exactly "all transitions with event_id
+    // below i", so the oracle re-derives it with prefix window counts
+    // over depth-1 and depth-2 contexts (longest context with support
+    // wins; integer-ratio doubles are bit-exact)
+    "s20_stream_forecast_online" -> QueryDef.of(
+      """WITH o AS (
+        |  SELECT event_id, user_id, event_type,
+        |    lag(event_type, 1) OVER w AS p1,
+        |    lag(event_type, 2) OVER w AS p2
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+        |), c AS (
+        |  SELECT *, p1 AS ctx1,
+        |    CASE WHEN p2 IS NOT NULL THEN p2 || '>' || p1 END AS ctx2
+        |  FROM o
+        |), w2 AS (
+        |  SELECT *,
+        |    CASE WHEN ctx1 IS NOT NULL THEN COUNT(*) OVER (PARTITION BY user_id, ctx1 ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) END AS den1,
+        |    CASE WHEN ctx1 IS NOT NULL THEN COUNT(*) OVER (PARTITION BY user_id, ctx1, event_type ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) END AS num1,
+        |    CASE WHEN ctx2 IS NOT NULL THEN COUNT(*) OVER (PARTITION BY user_id, ctx2 ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) END AS den2,
+        |    CASE WHEN ctx2 IS NOT NULL THEN COUNT(*) OVER (PARTITION BY user_id, ctx2, event_type ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) END AS num2
+        |  FROM c
+        |)
+        |SELECT event_id, user_id,
+        |  CASE WHEN den2 > 0 THEN CAST(num2 AS DOUBLE) / CAST(den2 AS DOUBLE)
+        |       WHEN den1 > 0 THEN CAST(num1 AS DOUBLE) / CAST(den1 AS DOUBLE)
+        |       ELSE 0.0::DOUBLE END AS prob,
+        |  CAST(CASE WHEN den2 > 0 THEN num2 WHEN den1 > 0 THEN num1
+        |       ELSE 0 END AS BIGINT) AS cnt,
+        |  CAST(CASE WHEN den2 > 0 THEN 2 WHEN den1 > 0 THEN 1
+        |       ELSE 0 END AS INT) AS depth
+        |FROM w2""".stripMargin)(
+      graft.streaming.StreamingQueries.streamForecastOnline),
     // s19: streaming Hamlet multi-query trend sharing (N patterns,
     // one shuffle of conditional aggs), sharing p10's oracle
     "s19_stream_multi_trend" -> QueryDef.of(

@@ -634,6 +634,28 @@ object StreamingQueries {
     runToTable(spark, agg, "graft_s16_sink", "append")
   }
 
+  /** #29-streaming: ONLINE PST forecast — per-key transition counts
+    * update live in [[ForecastStream.onlineScores]] state (pst/
+    * online.rs), each event annotated with the probability the model
+    * assigned it before observing it. The prefix-count semantics are
+    * window-expressible in SQL, so unlike the fit-once batch
+    * surrogate this live model is fully hash-oracled.
+    */
+  def streamForecastOnline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val s: SparkSession = spark
+    val path = s"$dir/events.parquet"
+    val schema = schemaOf(spark, path)
+    val src = graft.Tables.normalizeTs(
+      spark.readStream.schema(schema).parquet(closedStreamDir(spark, path)))
+      .withWatermark("ts", "1 second")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"), col("ts"))
+      .as[ForecastStream.FEv]
+    val out = ForecastStream.onlineScores(src).toDF()
+    runToTable(spark, out, "graft_s20_sink", "append")
+  }
+
   /** #28b-streaming: Hamlet multi-query trend sharing on a live
     * stream — trend aggregates for SEVERAL Kleene patterns (error+,
     * click+, purchase+) from ONE watermarked windowed aggregation:

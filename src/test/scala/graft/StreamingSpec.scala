@@ -28,6 +28,56 @@ class StreamingSpec extends SparkSpec {
     assert(batch.except(streamed).count() == 0)
   }
 
+  test("online forecast model is micro-batch-split invariant") {
+    import spark.implicits._
+    import graft.streaming.ForecastStream
+    import graft.streaming.ForecastStream.FEv
+    // arrival order scrambles the event-time order across batches; the
+    // watermark buffer must still apply transitions in event_id order,
+    // so the annotated probabilities equal the in-order fold
+    val base = 1700000000L * 1000000L
+    def f(id: Long, offS: Long, t: String) =
+      FEv(id, 7L, t, base + offS * 1000000L,
+        new java.sql.Timestamp((base + offS * 1000000L) / 1000L))
+    // in event order: A B A B A B — contexts gain support as the
+    // alternation repeats, so depth climbs 0 → 1 → 2
+    val evs = Seq(f(1, 0, "A"), f(2, 10, "B"), f(3, 20, "A"),
+      f(4, 30, "B"), f(5, 40, "A"), f(6, 50, "B"))
+    val sentinel = FEv(99L, -1L, "__sentinel", base + 7200L * 1000000L,
+      new java.sql.Timestamp((base + 7200L * 1000000L) / 1000L))
+    // batch 1 delivers the TAIL first, batch 2 the head, batch 3 flushes
+    val batches = Seq(evs.drop(3), evs.take(3), Seq(sentinel))
+    val dir = java.nio.file.Files.createTempDirectory("graft_fo_split_")
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_fo_tmp_")
+      rows.toDF().coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = dir.resolve(f"batch_$i%02d.parquet")
+      java.nio.file.Files.copy(part.toPath, dst)
+      dst.toFile.setLastModified(1000000L * (i + 1))
+    }
+    val src = spark.readStream.schema(evs.toDF().schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+      .withWatermark("ts", "1 second").as[FEv]
+    val out = ForecastStream.onlineScores(src)(spark)
+    val q = out.toDF().writeStream.format("memory").queryName("fo_split")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("fo_split")
+      .select("event_id", "prob", "cnt", "depth").collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2), r.getInt(3))))
+      .toMap
+    assert(got == Map(
+      1L -> ((0.0, 0L, 0)),  // no context yet
+      2L -> ((0.0, 0L, 0)),  // ctx "A" has no prior observation
+      3L -> ((0.0, 0L, 0)),  // ctx "B" has no prior observation
+      4L -> ((1.0, 1L, 1)),  // ctx "A" seen once (ev2), followed by B
+      5L -> ((1.0, 1L, 2)),  // ctx2 "A>B" seen once (ev3), it led to A
+      6L -> ((1.0, 1L, 2))), // ctx2 "B>A" seen once (ev4), it led to B
+      s"got $got")
+  }
+
   test("windows are epoch-aligned hours") {
     val rows = SparkEntry.all("w1_tumbling").build(spark, sf)
       .select("win_start").distinct().collect()
