@@ -149,8 +149,14 @@ object Dedup {
     * then pair id) are high-cardinality, so a 1000-executor cluster
     * actually fans out; blocking-key cardinality no longer caps
     * parallelism. Degenerate boilerplate shingles bound the skew at
-    * max-doc-frequency²; cap them upstream (stopword-shingle filter)
-    * if a corpus needs it.
+    * max-doc-frequency²; `maxDocFreq` caps them: postings whose
+    * shingle occurs in more than that many docs are dropped BEFORE
+    * the pair join, cutting the df² hot keys. The cap only ever
+    * UNDER-counts intersections (sizes stay full), so it can drop
+    * borderline pairs but never admit a false positive — and
+    * boilerplate shingles alone cannot carry a pair over a real
+    * threshold (each dropped shingle is in both docs' unions too).
+    * None (the default) changes nothing.
     */
   def ngramJaccardPairs(
       docs: DataFrame,
@@ -158,15 +164,27 @@ object Dedup {
       threshold: Double,
       blockCols: Seq[Column],
       textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id",
+      maxDocFreq: Option[Long] = None): DataFrame = {
     val blockNames = blockCols.indices.map(i => s"blk$i")
     val base = fanOut(docs, idCol).select(
       (col(idCol) +: shingles(col(textCol), k).as("sh") +:
         blockCols.zipWithIndex.map { case (c, i) => c.as(s"blk$i") }): _*)
       .withColumn("n", size(col("sh")))
-    val postings = base.select(
+    val postings0 = base.select(
       (col(idCol) +: col("n") +: explode(col("sh")).as("s") +:
         blockNames.map(col)): _*)
+    val postings = maxDocFreq match {
+      case Some(cap) =>
+        // per-shingle doc frequency (shingles are per-doc distinct, so
+        // count(*) is the doc count); the df join shuffles on the same
+        // key as the pair join below, and pruning happens before the
+        // df² fan-out ever materializes
+        val df = postings0.groupBy("s").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= cap).drop("__df")
+        postings0.join(df, Seq("s"))
+      case None => postings0
+    }
     val a = postings.select((col("s") +: col(idCol).as("a_id") +:
       col("n").as("a_n") +: blockNames.map(col)): _*)
     val b = postings.select((col("s") +: col(idCol).as("b_id") +:

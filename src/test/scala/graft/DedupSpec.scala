@@ -35,6 +35,41 @@ class DedupSpec extends SparkSpec {
       s"LSH missed $missed of $total high-sim pairs")
   }
 
+  test("ngram Jaccard: maxDocFreq cap leaves the pair set unchanged at 0.6") {
+    // boilerplate shingles alone cannot carry a pair over a real
+    // threshold (a dropped shingle sits in both docs' unions too), so
+    // capping the degenerate df² keys must not change which pairs
+    // survive — only the join cost
+    def pairSet(cap: Option[Long]) =
+      Dedup.ngramJaccardPairs(docs, k = 3, threshold = 0.6,
+        blockCols = Seq(lit(1)), maxDocFreq = cap)
+        .select("a_id", "b_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = pairSet(None)
+    val capped = pairSet(Some(20L))
+    assert(uncapped.nonEmpty)
+    assert(capped == uncapped,
+      s"capped-only: ${capped -- uncapped}; lost: ${uncapped -- capped}")
+  }
+
+  test("ngram Jaccard: the cap cannot admit a false positive") {
+    import spark.implicits._
+    // two docs sharing ONLY a boilerplate phrase (df = 3 via a third
+    // doc) and nothing else: true Jaccard is below threshold, and the
+    // cap (which only under-counts intersections) must agree
+    val boiler = "subscribe to our newsletter for updates today"
+    val d = Seq(
+      (1L, s"$boiler alpha beta gamma delta epsilon zeta"),
+      (2L, s"$boiler one two three four five six"),
+      (3L, s"$boiler seven eight nine ten eleven twelve"))
+      .toDF("doc_id", "text")
+    for (cap <- Seq(None, Some(2L))) {
+      val got = Dedup.ngramJaccardPairs(d, k = 3, threshold = 0.5,
+        blockCols = Seq(lit(1)), maxDocFreq = cap).count()
+      assert(got == 0, s"cap $cap admitted a boilerplate-only pair")
+    }
+  }
+
   test("dupSpans: cross-doc duplicated 8-gram counts, zero-dup docs kept") {
     import spark.implicits._
     // docs 1 and 2 share a 10-word prefix -> exactly 3 common 8-grams
