@@ -66,6 +66,53 @@ object Bench {
     }
   }
 
+  /** Unique short id of a query name: the chars before the first '_'
+    * (q1_agg → q1, pipe1 → pipe1). Uniqueness across the registry is
+    * asserted at emission time and spec-enforced.
+    */
+  private[graft] def shortName(n: String): String = n.takeWhile(_ != '_')
+
+  /** Bench-line seconds formatting: enough resolution at every
+    * magnitude (ms below 1 s, cs below 10 s, ds above), no trailing
+    * zeros, never scientific notation — keeps the stdout line small.
+    */
+  private[graft] def fmtSec(v: Double): String =
+    if (v < 0) "-1"
+    else {
+      val scale = if (v >= 10) 1 else if (v >= 1) 2 else 3
+      java.math.BigDecimal.valueOf(v)
+        .setScale(scale, java.math.RoundingMode.HALF_UP)
+        .stripTrailingZeros.toPlainString
+    }
+
+  /** The single stdout metric line. Truncation defense, v3: the
+    * driver's round artifact keeps only the LAST 2000 chars of merged
+    * stdout+stderr and json-parses the {"metric"...} line out of that
+    * window; sbt's trailing [success] line eats ~95 of it. 92 full
+    * query names alone are 1179 chars — a full-fidelity line can
+    * NEVER fit (r5 lost its head, r6 its tail, both parsed:null). So
+    * this line keys queries by [[shortName]] and rounds with
+    * [[fmtSec]], landing ~1.1 KB with headroom for an errors map.
+    * Error messages are capped at 10 chars; if the line would still
+    * exceed ~1.7 KB the errors map degrades to a bare count. Full
+    * names / precision / errors go to stderr and ./BENCH_FULL.json.
+    */
+  private[graft] def benchLine(results: Seq[(String, Double)],
+      errors: Seq[(String, String)], sfDir: String): String = {
+    def jstr(s: String) = "\"" + s + "\""
+    require(results.map(r => shortName(r._1)).distinct.size == results.size,
+      "bench short names must stay unique — rename the colliding query")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val qs = results.map { case (k, v) => jstr(shortName(k)) + ":" + fmtSec(v) }
+      .mkString("{", ",", "}")
+    val errFull = errors.map { case (k, v) =>
+      jstr(shortName(k)) + ":" + jstr(v.take(10)) }.mkString("{", ",", "}")
+    val errJson =
+      if (qs.length + errFull.length < 1700) errFull
+      else s"""{"_failed":${errors.size}}"""
+    s"""{"metric":"total","value":${fmtSec(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+  }
+
   private def newestPrevBench(): Option[java.io.File] =
     sys.env.get("SPARK_GRAFT_PREV_BENCH").map(new java.io.File(_))
       .filter(_.isFile)
@@ -89,17 +136,16 @@ object Bench {
     def materialize(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
-    // warmup: exercise codegen, shuffle and the parquet reader once
+    // Warmup, in two tiers. Tier 1 is SYNTHETIC and cannot fail on
+    // staged-data surprises (r6 lesson: the s10/f4 warmups below died
+    // on a driver re-encoding of events.parquet and silently gutted
+    // warmup, so the first timed batch queries absorbed uncompiled
+    // codegen — q1_agg read 12x). It exercises, from generated data
+    // only: codegen+shuffle, sort-based window functions, Expand +
+    // distinct aggregation, the ObjectHashAggregate percentile path,
+    // and the micro-batch/state-store machinery via a self-staged
+    // tiny parquet stream.
     spark.range(1000000L).selectExpr("sum(id)").collect()
-    try materialize(SparkEntry.queries("q1_agg")(spark, sfDir))
-    catch { case _: Throwable => () }
-    // JIT the operator classes the alphabetically-first measured
-    // queries would otherwise pay for on their clock: sort-based
-    // window functions, Expand + distinct aggregation, and the
-    // ObjectHashAggregate percentile path (a1_stats), plus the
-    // micro-batch/state-store machinery (s10 is the first streaming
-    // entry). Tiny inputs — this warms compiled code, not caches of
-    // the benchmarked data.
     spark.range(10000L)
       .selectExpr("id % 7 AS k", "cast(id % 100 as double) AS v")
       .selectExpr("k", "v",
@@ -108,16 +154,38 @@ object Bench {
       .agg(expr("count(distinct rn)"), expr("percentile(v, 0.5D)"),
         expr("stddev_samp(v)"))
       .collect()
-    try materialize(SparkEntry.queries("s10_stream_count_window")(
-      spark, "/root/testdata/sf0.001"))
-    catch { case _: Throwable => () }
-    // warm the heavy family-specific code paths at sf0.001 (tiny
-    // input — JIT/codegen warmth only, none of the benchmarked data):
-    // shingle/minhash/banding + iterative clustering (dedup family)
-    // and the HOF-fold interpreter (forecast family)
-    for (w <- Seq("d3_minhash_lsh", "d5_dedup_clusters", "f4_hawkes"))
+    try {
+      import org.apache.spark.sql.functions._
+      val wdir = java.nio.file.Files.createTempDirectory("graft_warm_")
+      spark.range(5000L)
+        .selectExpr("id AS k", "timestamp_micros(id * 1000000) AS ts",
+          "cast(id % 10 as double) AS v")
+        .coalesce(1).write.mode("overwrite").parquet(wdir.toString)
+      val schema = spark.read.parquet(wdir.toString).schema
+      val sdf = spark.readStream.schema(schema).parquet(wdir.toString)
+        .withWatermark("ts", "1 second")
+        .groupBy(expr("k % 7"), window(col("ts"), "1 hour"))
+        .agg(sum(col("v")))
+      val q = sdf.writeStream.outputMode("append").format("memory")
+        .queryName("graft_warmup_stream").start()
+      try q.processAllAvailable() finally q.stop()
+      spark.sql("DROP VIEW IF EXISTS graft_warmup_stream")
+    } catch { case t: Throwable =>
+      System.err.println(s"[bench-warmup] synthetic stream warmup failed: $t")
+    }
+    // Tier 2: real-query warmups over sf0.001 (tiny input — JIT
+    // warmth only, none of the benchmarked data) for the heavy
+    // family-specific paths: partial-agg scan (q1), count-window
+    // state logic (s10), shingle/minhash/banding + iterative
+    // clustering (dedup family), the HOF-fold interpreter (forecast
+    // family). Individually try-wrapped: a failure here is reported
+    // but never blocks the tier-1 warmth above.
+    for (w <- Seq("q1_agg", "s10_stream_count_window", "d3_minhash_lsh",
+        "d5_dedup_clusters", "f4_hawkes"))
       try materialize(SparkEntry.queries(w)(spark, "/root/testdata/sf0.001"))
-      catch { case _: Throwable => () }
+      catch { case t: Throwable =>
+        System.err.println(s"[bench-warmup] $w warmup failed: ${t.getMessage}")
+      }
 
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
@@ -138,18 +206,24 @@ object Bench {
     }
     val firstPass = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n))).map(n => n -> timeOne(n))
-    // outlier re-timing vs the previous round's artifact (see scaladoc)
+    // outlier re-timing vs the previous round's artifact (see scaladoc).
+    // Artifacts through r6 key timings by full query name; r7+ by the
+    // unique id prefix — accept either.
     val prevForRetime: Map[String, Double] =
       newestPrevBench().flatMap { f =>
         scala.util.Try(parsePrevQueries(new String(
           java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))).toOption
       }.getOrElse(Map.empty)
+    def prevOf(name: String): Option[Double] =
+      prevForRetime.get(name)
+        .orElse(prevForRetime.get(name.takeWhile(_ != '_')))
+        .filter(_ > 0)
     val results = {
       val toRetime = firstPass.collect {
         case (name, sec) if sec > 0.5 &&
-            prevForRetime.get(name).exists(p => p > 0 && sec > 1.5 * p) =>
+            prevOf(name).exists(p => sec > 1.5 * p) =>
           (name, sec)
-      }.sortBy { case (n, s) => -(s - prevForRetime(n)) }.take(12).map(_._1).toSet
+      }.sortBy { case (n, s) => -(s - prevOf(n).get) }.take(12).map(_._1).toSet
       firstPass.map { case (name, sec) =>
         if (!toRetime(name)) name -> sec
         else {
@@ -167,20 +241,19 @@ object Bench {
       }
     }
     def jstr(s: String) = "\"" + s + "\""
-    val qs = results.map { case (k, v) => jstr(k) + ":" + v }
-      .mkString("{", ",", "}")
-    val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    // truncation defense: the driver's artifact can lose the HEAD of
-    // this line (r5 lost the 22 alphabetically-first queries), so the
-    // same entries ride again in REVERSE order as a trailing "t" field
-    // — whichever end survives, every query parses from one of the two
-    // maps (parsePrevQueries harvests both; duplicate keys agree)
-    val qsRev = results.reverse.map { case (k, v) => jstr(k) + ":" + v }
-      .mkString("{", ",", "}")
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","t":$qsRev}"""
+    val line = benchLine(results, errors.toSeq, sfDir)
+    val fullLine = {
+      val fq = results.map { case (k, v) => jstr(k) + ":" + v }
+        .mkString("{", ",", "}")
+      val fe = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fq,"errors":$fe,"sf":"$sfDir"}"""
+    }
+    scala.util.Try(java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_FULL.json"),
+      (fullLine + "\n").getBytes("UTF-8")))
+    System.err.println(s"[bench-full] $fullLine")
     // Regression gate BEFORE the JSON line: the driver merges stderr
     // into stdout, and in r04 the gate's lines landing between the
     // JSON line and sbt's [success] broke the driver's parse
@@ -198,12 +271,15 @@ object Bench {
         else {
           // gate on max(sec, prev) > 0.5: catches a fast query turning
           // slow (0.2s -> 3s) while still suppressing sub-half-second
-          // jitter in both directions
+          // jitter in both directions. Prev artifacts may key by full
+          // name (≤r6) or id prefix (r7+).
+          def pv(name: String): Double = prev.getOrElse(name,
+            prev.getOrElse(name.takeWhile(_ != '_'), -1.0))
           val flagged = results.collect {
-            case (name, sec) if sec > 0 && prev.getOrElse(name, -1.0) > 0 &&
-                math.max(sec, prev(name)) > 0.5 &&
-                (sec / prev(name) > 1.5 || prev(name) / sec > 1.5) =>
-              f"$name: ${prev(name)}%.2fs -> $sec%.2fs (${sec / prev(name)}%.2fx)"
+            case (name, sec) if sec > 0 && pv(name) > 0 &&
+                math.max(sec, pv(name)) > 0.5 &&
+                (sec / pv(name) > 1.5 || pv(name) / sec > 1.5) =>
+              f"$name: ${pv(name)}%.2fs -> $sec%.2fs (${sec / pv(name)}%.2fx)"
           }
           if (flagged.nonEmpty) {
             System.err.println(s"[bench-diff vs ${f.getName}] deltas >1.5x:")
@@ -214,7 +290,12 @@ object Bench {
       }.failed.foreach(t =>
         System.err.println(s"[bench-diff] gate failed: ${t.getMessage}"))
     }
+    // stderr fully drained before the metric line goes out: when the
+    // driver merges the two pipes, a late stderr flush could land
+    // bytes inside or after the line (the r04 failure mode)
+    System.err.flush()
     println(line)
+    System.out.flush()
     spark.stop()
   }
 }

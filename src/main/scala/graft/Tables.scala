@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated test tables (TESTDATA.md).
   *
@@ -26,17 +26,32 @@ final case class Tables(spark: SparkSession, dir: String) {
 }
 
 object Tables {
-  /** The events table stores ns-precision timestamps, which Spark's
-    * parquet reader rejects; sessions set
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (see [[session]]) so
-    * `ts` arrives as a ns-epoch long, converted here to a µs
-    * timestamp (floor division — matches DuckDB's `epoch_us` on the
-    * same values, so oracle time arithmetic agrees exactly).
+  /** Normalize the events table's `ts` to session-TZ TIMESTAMP
+    * regardless of how the upstream writer encoded it. The staged
+    * parquet has shipped with (at least) two physical encodings, and a
+    * robust loader must absorb either without queries noticing:
+    *
+    *  - ns-precision `timestamp[ns]`, which Spark's parquet reader
+    *    rejects; sessions set `spark.sql.legacy.parquet.nanosAsLong`
+    *    (see [[sessionConfs]]) so `ts` arrives as a ns-epoch LONG,
+    *    converted here with floor division to µs — matching DuckDB's
+    *    `epoch_us` on the same values, so oracle arithmetic agrees.
+    *  - µs-precision `timestamp[us] isAdjustedToUTC=false`, which
+    *    Spark reads as TIMESTAMP_NTZ. The session time zone is pinned
+    *    UTC (see [[sessionConfs]]), so casting the wall-clock NTZ value
+    *    to TIMESTAMP is value-identical to the LONG path — and again
+    *    equals DuckDB's naive-timestamp reading of the same file.
+    *
+    * This is the single boundary that owns timestamp-encoding
+    * normalization: every batch loader and streaming source goes
+    * through it, and queries only ever see TIMESTAMP.
     */
   def normalizeTs(df: DataFrame, tsCol: String = "ts"): DataFrame =
     df.schema.find(_.name == tsCol) match {
       case Some(f) if f.dataType == LongType =>
         df.withColumn(tsCol, timestamp_micros(expr(s"$tsCol div 1000")))
+      case Some(f) if f.dataType == TimestampNTZType =>
+        df.withColumn(tsCol, col(tsCol).cast(TimestampType))
       case _ => df
     }
 

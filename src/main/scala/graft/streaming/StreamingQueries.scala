@@ -82,18 +82,28 @@ object StreamingQueries {
       val src = Paths.get(file).toAbsolutePath
       val dir = Files.createTempDirectory("graft_cstream_")
       Files.createSymbolicLink(dir.resolve(src.getFileName), src)
-      // ts arrives as a ns-epoch long (nanosAsLong) — write the sentinel
-      // in the same physical type so the staged files share one schema
+      // The sentinel must be written in the SAME physical ts type as
+      // the source file so the staged dir's files share one schema.
+      // Two staged encodings exist (see Tables.normalizeTs): ns-epoch
+      // LONG (nanosAsLong) and µs TIMESTAMP_NTZ — support both; any
+      // other encoding is a loader gap we want to fail loudly on.
       val tsField = schemaOf(spark, file)("ts")
-      require(tsField.dataType == org.apache.spark.sql.types.LongType,
-        s"closedStreamDir: expected ts as ns-epoch LONG (nanosAsLong " +
-          s"session conf missing?), got ${tsField.dataType}")
       val maxRow = spark.read.parquet(file).agg(max(col("ts"))).head
       require(!maxRow.isNullAt(0), s"closedStreamDir: empty source $file")
-      val maxNs = maxRow.getLong(0)
+      val sentinelTs: org.apache.spark.sql.Column = tsField.dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          lit(maxRow.getLong(0) + 7200L * 1000000000L)
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          // lit(LocalDateTime) is a TIMESTAMP_NTZ literal; parquet
+          // write emits timestamp[us] isAdjustedToUTC=false, matching
+          lit(maxRow.getAs[java.time.LocalDateTime](0).plusHours(2))
+        case other => throw new IllegalArgumentException(
+          s"closedStreamDir: unsupported ts encoding $other in $file — " +
+            "extend Tables.normalizeTs and this sentinel writer together")
+      }
       spark.range(1).select(
         lit(-1L).as("event_id"),
-        lit(maxNs + 7200L * 1000000000L).as("ts"),
+        sentinelTs.as("ts"),
         lit(-1L).as("user_id"),
         lit("__sentinel").as("event_type"),
         lit(0.0).as("value"),

@@ -37,4 +37,47 @@ class BenchSpec extends AnyFunSuite {
     val got = Bench.parsePrevQueries(line)
     assert(got("fast") == 4.5e-4 && got("failed") == -1.0)
   }
+
+  test("every registered query has a unique short id prefix") {
+    val names = SparkEntry.queries.keys.toSeq
+    val shorts = names.map(Bench.shortName)
+    val dups = shorts.groupBy(identity).filter(_._2.size > 1).keys
+    assert(dups.isEmpty, s"colliding bench short names: ${dups.mkString(",")}")
+  }
+
+  test("fmtSec is compact, plain-notation and sign-preserving") {
+    assert(Bench.fmtSec(-1.0) == "-1")
+    assert(Bench.fmtSec(0.0004) == "0")      // sub-ms rounds away, fine
+    assert(Bench.fmtSec(0.415052689) == "0.415")
+    assert(Bench.fmtSec(1.8739) == "1.87")
+    assert(Bench.fmtSec(17.224314) == "17.2")
+    assert(Bench.fmtSec(100.0) == "100")     // no 1E+2
+    assert(Bench.fmtSec(21.0) == "21")
+  }
+
+  test("full-registry stdout line fits the driver's 2000-char tail window") {
+    // worst realistic case: every query present, triple-digit timings,
+    // plus a dozen errored queries with messages
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val results = names.map(n => n -> 123.456789)
+    val errors = names.take(12).map(n =>
+      n -> "AnalysisException: something long that must be capped hard")
+    val line = Bench.benchLine(results, errors, "/root/testdata/sf0.1")
+    // 2000-char window minus sbt's trailing "[success] Total time..."
+    // line (~95) and slack for a stray stderr flush
+    assert(line.length < 1700, s"bench line too long: ${line.length}")
+    assert(line.startsWith("""{"metric":"total""""))
+    // and the driver can round-trip every query from it
+    val parsed = Bench.parsePrevQueries(line)
+    assert(names.forall(n => parsed.contains(Bench.shortName(n))))
+  }
+
+  test("all-failed line degrades errors to a count and still fits") {
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val results = names.map(n => n -> -1.0)
+    val errors = names.map(n => n -> "boom")
+    val line = Bench.benchLine(results, errors, "/root/testdata/sf0.1")
+    assert(line.length < 1700, s"bench line too long: ${line.length}")
+    assert(line.contains(""""_failed":""" + names.size))
+  }
 }

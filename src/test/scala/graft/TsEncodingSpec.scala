@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The staged events table has shipped with two physical `ts`
+  * encodings — ns-epoch INT64 (read as LONG under `nanosAsLong`) and
+  * µs `timestamp[us] isAdjustedToUTC=false` (read as TIMESTAMP_NTZ).
+  * The r6 driver regeneration switched encodings mid-build and every
+  * event-time query died at analysis; this spec pins the loader
+  * boundary (`Tables.normalizeTs` + the closed-stream sentinel writer)
+  * so BOTH encodings keep producing identical TIMESTAMP values, in
+  * batch and in streaming, no matter which one the upstream writer
+  * picks next.
+  */
+class TsEncodingSpec extends SparkSpec {
+
+  /** One tiny events table, staged under both encodings. Timestamps
+    * are µs-round so the ns→µs floor division and the native µs file
+    * must agree bit-for-bit.
+    */
+  private lazy val (longDir, ntzDir): (String, String) = {
+    val rows = spark.range(200L).selectExpr(
+      "id AS event_id",
+      // 2024-01-01T00:00:00Z + id minutes, as µs since epoch
+      s"${1704067200L * 1000000L} + id * 60000000 AS ts_us",
+      "id % 7 AS user_id",
+      "CASE WHEN id % 3 = 0 THEN 'signup' ELSE 'purchase' END AS event_type",
+      "cast(id % 10 as double) AS value",
+      "'{}' AS props")
+    // the driver stages each table as a single parquet FILE (not a
+    // directory) — the stream stagers symlink that file, so the
+    // fixture must match the real layout
+    def writeSingleFile(df: org.apache.spark.sql.DataFrame, dest: java.nio.file.Path): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ts_w_")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).filter(p =>
+        p.getFileName.toString.endsWith(".parquet")).findFirst.get
+      java.nio.file.Files.move(part, dest)
+    }
+    val a = java.nio.file.Files.createTempDirectory("graft_ts_long_")
+    writeSingleFile(
+      rows.selectExpr("event_id", "ts_us * 1000 AS ts", "user_id",
+        "event_type", "value", "props"),
+      a.resolve("events.parquet"))
+    val b = java.nio.file.Files.createTempDirectory("graft_ts_ntz_")
+    writeSingleFile(
+      rows.selectExpr("event_id",
+        "cast(timestamp_micros(ts_us) as timestamp_ntz) AS ts", "user_id",
+        "event_type", "value", "props"),
+      b.resolve("events.parquet"))
+    (a.toString, b.toString)
+  }
+
+  test("ntz staging really reads back as TIMESTAMP_NTZ") {
+    val f = spark.read.parquet(s"$ntzDir/events.parquet").schema("ts")
+    assert(f.dataType == TimestampNTZType)
+  }
+
+  test("normalizeTs yields identical TIMESTAMP values from both encodings") {
+    val a = Tables.normalizeTs(spark.read.parquet(s"$longDir/events.parquet"))
+    val b = Tables.normalizeTs(spark.read.parquet(s"$ntzDir/events.parquet"))
+    assert(a.schema("ts").dataType == TimestampType)
+    assert(b.schema("ts").dataType == TimestampType)
+    val va = a.select("event_id", "ts").orderBy("event_id").collect()
+    val vb = b.select("event_id", "ts").orderBy("event_id").collect()
+    assert(va.sameElements(vb))
+  }
+
+  test("windowed aggregation agrees across encodings") {
+    def agg(dir: String) =
+      Tables.normalizeTs(spark.read.parquet(s"$dir/events.parquet"))
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum("value").as("s"))
+        .select(col("window.start").cast("long").as("start"),
+          col("event_type"), col("n"), col("s"))
+        .orderBy("event_type", "start").collect().toSeq
+    assert(agg(longDir) == agg(ntzDir))
+  }
+
+  test("closed-stream sentinel path works for both encodings") {
+    // streamSliding goes through closedStreamDir, which must write its
+    // end-of-stream sentinel in the SAME physical ts type as the
+    // source — for either encoding
+    val a = graft.streaming.StreamingQueries.streamSliding(spark, longDir)
+      .orderBy("event_type", "win_start").collect().toSeq
+    val b = graft.streaming.StreamingQueries.streamSliding(spark, ntzDir)
+      .orderBy("event_type", "win_start").collect().toSeq
+    assert(a.nonEmpty)
+    assert(a == b)
+  }
+}
