@@ -58,17 +58,19 @@ object Knn {
     cents
   }
 
-  /** Per-cell (score, −cell) struct-array column from centroid
-    * literals — row-local and codegen'd; argmax via array_max, probe
-    * lists via sort+slice of the same array.
+  /** A vector's nProbe best coarse cells (score desc, ties to the
+    * lower cell id) as ONE native codegen'd expression — the earlier
+    * literal struct-array-per-centroid formulation cost ~nlist
+    * expression subtrees per call site, and its fixed
+    * analyze/optimize/Janino overhead dominated the whole query on
+    * any corpus size (see [[graft.functions.PqOpsUtil]]).
     */
-  private def cellScoreArr(cents: Array[Array[Double]])(
-      v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    array(cents.toIndexedSeq.zipWithIndex.map { case (cv, cell) =>
-      val cn = math.sqrt(dotArr(cv, cv)) max 1e-300
-      struct((dot(v, typedlit(cv.toSeq)) / cn).as("s"),
-        lit(-cell).as("negcell"))
-    }: _*)
+  private def cellProbesCol(cents: Array[Array[Double]], nProbe: Int)(
+      v: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.CellProbes(
+      ColumnBridge.expression(v), cents, nProbe))
+  }
 
   def bruteForce(
       corpus: DataFrame,
@@ -146,18 +148,15 @@ object Knn {
     require(sample.nonEmpty, "ivfTopK: empty corpus")
 
     val cents = trainCoarse(sample, nlist, iters)
-    def scoresArr(v: org.apache.spark.sql.Column) = cellScoreArr(cents)(v)
 
     val bucketed = c
-      .withColumn("cell", -array_max(scoresArr(col("n_v"))).getField("negcell"))
+      .withColumn("cell", element_at(cellProbesCol(cents, 1)(col("n_v")), 1))
       .withColumn("n_n", norm(col("n_v")))
-    // query → its nProbe best cells: sort the same struct array and
-    // take the top slice (still row-local; no crossJoin/window)
+    // query → its nProbe best cells (still row-local; no
+    // crossJoin/window — one native expression + explode)
     val probes = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_v"))
-      .withColumn("__top",
-        slice(reverse(array_sort(scoresArr(col("q_v")))), 1, nProbe))
-      .select(col("q_id"), col("q_v"), explode(col("__top")).as("__t"))
-      .select(col("q_id"), col("q_v"), (-col("__t.negcell")).as("cell"))
+      .select(col("q_id"), col("q_v"),
+        explode(cellProbesCol(cents, nProbe)(col("q_v"))).as("cell"))
       .withColumn("q_n", norm(col("q_v")))
     val scored = bucketed.join(broadcast(probes), Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))
@@ -271,54 +270,39 @@ object Knn {
     // sample only rescales centroids within a cell)
     val cents = trainCoarse(sampleRaw, nlist, iters)
 
-    def subvec(v: org.apache.spark.sql.Column, mi: Int) =
-      slice(v, mi * sub + 1, sub)
-    // encode: argmax_j dot(x_sub, c_j)/|x| − |c_j|²/2  (== L2-nearest
-    // centroid of the normalized subvector; |x| folds in as a column)
-    def codeCol(v: org.apache.spark.sql.Column,
-        nn: org.apache.spark.sql.Column, mi: Int) = {
-      val scores = array(codebooks(mi).toIndexedSeq.zipWithIndex.map {
-        case (cv, j) =>
-          val half = { var s = 0.0; cv.foreach(x => s += x * x); s / 2.0 }
-          struct((dot(subvec(v, mi), typedlit(cv.toSeq)) / nn - half).as("s"),
-            lit(-j).as("negj"))
-      }: _*)
-      (-array_max(scores).getField("negj")).as(s"code$mi")
-    }
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    // ENCODE: coarse cell + all m PQ codes in two native codegen'd
+    // expressions per row. The earlier literal formulation (m×ksub
+    // slice+dot struct subtrees per row, nlist more for the cell)
+    // spent ~4 s per run in analysis + Janino compilation of a
+    // multi-hundred-KB generated function — fixed overhead that
+    // dwarfed the actual scan at test scale and would recur on every
+    // executor's codegen cache miss at cluster scale.
     val coded = c0
       .repartition(c0.sparkSession.sparkContext.defaultParallelism, col("n_id"))
-      .withColumn("n_n", norm(col("n_v")))
-      .select((col("n_id") +: col("n_v") +: col("n_n") +:
-        (-array_max(cellScoreArr(cents)(col("n_v"))).getField("negcell"))
-          .as("cell") +:
-        (0 until m).map(mi => codeCol(col("n_v"), col("n_n"), mi))): _*)
+      .select(col("n_id"),
+        element_at(cellProbesCol(cents, 1)(col("n_v")), 1).as("cell"),
+        ColumnBridge.column(graft.functions.PqCodes(
+          ColumnBridge.expression(col("n_v")), codebooks)).as("codes"))
 
-    // queries carry per-subspace ADC tables T[j] = dot(q̂_sub, c_j),
-    // then fan out row-locally to their nProbe best coarse cells
-    // (sort+slice of the same struct array ivfTopK uses). q_v/q_n are
-    // dropped before the broadcast — the ADC join needs only the
-    // tables and the cell key.
+    // queries carry per-subspace ADC tables T[mi][j] = dot(q̂_sub,
+    // c_j), then fan out row-locally to their nProbe best coarse
+    // cells. q_v is dropped before the broadcast — the ADC join needs
+    // only the tables and the cell key.
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_v"))
-      .withColumn("q_n", norm(col("q_v")))
-      .select((col("q_id") +:
-        slice(reverse(array_sort(cellScoreArr(cents)(col("q_v")))), 1,
-          nProbe).as("__top") +:
-        (0 until m).map { mi =>
-          array(codebooks(mi).toIndexedSeq.map(cv =>
-            dot(subvec(col("q_v"), mi), typedlit(cv.toSeq)) / col("q_n")): _*)
-            .as(s"t$mi")
-        }): _*)
-      .withColumn("__negcell", explode(col("__top.negcell")))
-      .withColumn("cell", -col("__negcell"))
-      .drop("__top", "__negcell")
+      .select(col("q_id"),
+        ColumnBridge.column(graft.functions.AdcTables(
+          ColumnBridge.expression(col("q_v")), codebooks)).as("t"),
+        explode(cellProbesCol(cents, nProbe)(col("q_v"))).as("cell"))
 
     // ADC ranking over the probed cells only: a BroadcastHashJoin on
     // cell — never a nested-loop full-corpus scan — and the exchange
     // carries (q_id, n_id, adc) ONLY
     val adc = coded.join(broadcast(q), Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))
-      .withColumn("adc", (0 until m).map(mi =>
-        element_at(col(s"t$mi"), col(s"code$mi") + 1)).reduce(_ + _))
+      .withColumn("adc", ColumnBridge.column(graft.functions.AdcScore(
+        ColumnBridge.expression(col("t")),
+        ColumnBridge.expression(col("codes")))))
       .select(col("q_id"), col("n_id"), col("adc"))
     val w1 = W.partitionBy(col("q_id")).orderBy(col("adc").desc, col("n_id"))
     val cand = adc.withColumn("r1", row_number().over(w1))
