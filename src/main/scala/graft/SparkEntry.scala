@@ -16,6 +16,14 @@ object SparkEntry {
     all("q1_agg").build(spark, "/root/testdata/sf0.001")
 
   private val streamingDefs: Map[String, QueryDef] = Map(
+    // guardrail twins: watermark-finalized decisions equal the batch
+    // operators row for row, so each shares its batch oracle verbatim
+    "s21_stream_rate_limit" -> QueryDef(
+      graft.streaming.StreamingQueries.streamRateLimit,
+      GuardrailQueries.defs("g2_rate_limit").oracle),
+    "s22_stream_breaker" -> QueryDef(
+      graft.streaming.StreamingQueries.streamBreaker,
+      GuardrailQueries.defs("g3_circuit_breaker").oracle),
     "s1_stream_tumbling" -> QueryDef.of(
       """SELECT event_type,
         | (epoch_us(ts) // 3600000000) * 3600 AS win_start,
@@ -267,7 +275,7 @@ object SparkEntry {
   val all: Map[String, QueryDef] =
     CoreQueries.defs ++ WindowQueries.defs ++ PatternQueries.defs ++
       TextQueries.defs ++ VectorQueries.defs ++ MlQueries.defs ++
-      VplQueries.defs ++ streamingDefs
+      VplQueries.defs ++ GuardrailQueries.defs ++ streamingDefs
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -33,6 +33,18 @@ object StreamingQueries {
   /** streaming heavy-hitters row (see [[streamHeavyHitters]]) */
   final case class HhOut(win_start: Long, event_type: String, n: Long)
 
+  /** streaming rate-limit state/rows (see [[streamRateLimit]]) */
+  final case class RlState(buf: List[EmaBuf])
+  final case class RlOut(event_id: Long, user_id: Long, win_start: Long,
+      admitted: Boolean)
+
+  /** streaming circuit-breaker state/rows (see [[streamBreaker]]) */
+  final case class BkEv(event_id: Long, ts_us: Long, ok: Boolean)
+  final case class BkStreamState(open: Boolean, consec: Int,
+      openedUs: Long, buf: List[BkEv])
+  final case class BkOut(connector: String, event_id: Long,
+      decision: String, state_after: String)
+
   // Staged source dirs and schemas are memoized per input file: the
   // staged contents are immutable for a given file, and re-staging per
   // query costs two batch reads + a parquet write — ~1s × every
@@ -773,6 +785,118 @@ object StreamingQueries {
     val out = graft.text.TextAnalysis.stratifiedSample(
       src.select(col("doc_id"), col("source")), col("doc_id"), rate)
     runToTable(spark, out, "graft_s18_sink", "append")
+  }
+
+  /** #51-streaming: per-tenant rate-limit quota on a live stream
+    * (tenant.rs record_event). Decisions are watermark-finalized per
+    * (key, event-time hour): once the watermark passes an hour
+    * window's end its membership is complete, and the first
+    * `maxPerWindow` events by event_id are admitted — so the stream
+    * agrees with batch g2 row for row under ANY micro-batch split
+    * (shares g2's oracle). A production limiter can also run the
+    * arrival-order live variant (admit immediately while the window's
+    * running count is below cap — zero latency, same state shape);
+    * the finalized form here is the one a replay/audit reproduces.
+    */
+  def streamRateLimit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val path = s"$dir/events.parquet"
+    val schema = schemaOf(spark, path)
+    val src = graft.Tables.normalizeTs(
+      spark.readStream.schema(schema).parquet(closedStreamDir(spark, path)))
+      .withWatermark("ts", "1 second")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), unix_micros(col("ts")).as("ts_us"), col("ts"))
+      .as[PatternStream.Ev]
+    val maxPerWindow = 2
+    val hourUs = 3600L * 1000000L
+    val out = src.groupByKey(_.user_id)
+      .flatMapGroupsWithState[RlState, RlOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[PatternStream.Ev],
+         state: GroupState[RlState]) =>
+          var buf = state.getOption.map(_.buf).getOrElse(Nil)
+          if (!state.hasTimedOut)
+            buf = buf ++ it.filter(_.event_type != "__sentinel")
+              .map(e => EmaBuf(e.event_id, e.ts_us, 0.0))
+          val wm = state.getCurrentWatermarkMs() * 1000L
+          val (done, waiting) = buf.partition(e =>
+            (e.ts_us / hourUs + 1L) * hourUs <= wm)
+          val outRows = done.groupBy(_.ts_us / hourUs).toSeq.sortBy(_._1)
+            .flatMap { case (h, evs) =>
+              evs.sortBy(_.event_id).zipWithIndex.map { case (e, i) =>
+                RlOut(e.event_id, user, h * 3600L, i < maxPerWindow)
+              }
+            }
+          state.update(RlState(waiting))
+          if (waiting.nonEmpty)
+            state.setTimeoutTimestamp(math.max(
+              waiting.map(e => (e.ts_us / hourUs + 1L) * hourUs / 1000L).min,
+              state.getCurrentWatermarkMs() + 1L))
+          outRows.iterator
+      }
+    runToTable(spark, out.toDF()
+      .select(col("event_id"), col("user_id"), col("win_start"),
+        col("admitted")), "graft_s21_sink", "append")
+  }
+
+  /** #52-streaming: circuit-breaker replay per connector on a live
+    * stream (circuit_breaker.rs). Breaker state is inherently serial
+    * per connector, so the stream buffers watermark-finalized events
+    * and folds them in event_id order through the SAME
+    * [[graft.functions.BreakerReplayUtil.step]] the batch expression
+    * uses — decisions cannot diverge between the two paths (shares
+    * g3's oracle). State is the 3-field breaker tuple plus the
+    * not-yet-final buffer; an unbounded run's state stays bounded by
+    * the watermark delay.
+    */
+  def streamBreaker(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val path = s"$dir/events.parquet"
+    val schema = schemaOf(spark, path)
+    val src = graft.Tables.normalizeTs(
+      spark.readStream.schema(schema).parquet(closedStreamDir(spark, path)))
+      .withWatermark("ts", "1 second")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), unix_micros(col("ts")).as("ts_us"), col("ts"))
+      .as[PatternStream.Ev]
+    val threshold = 3
+    val timeoutUs = 3600L * 1000000L
+    import graft.functions.BreakerReplayUtil
+    val decisions = Array("sent", "rejected", "probe")
+    val out = src.groupByKey(_.event_type)
+      .flatMapGroupsWithState[BkStreamState, BkOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (connector: String, it: Iterator[PatternStream.Ev],
+         state: GroupState[BkStreamState]) =>
+          var st = state.getOption.getOrElse(
+            BkStreamState(open = false, consec = 0, openedUs = 0L, Nil))
+          var buf = st.buf
+          if (!state.hasTimedOut)
+            buf = buf ++ it.filter(_.event_type != "__sentinel")
+              .map(e => BkEv(e.event_id, e.ts_us, e.value >= 5.0))
+          val wm = state.getCurrentWatermarkMs() * 1000L
+          val (safe, waiting) = buf.partition(_.ts_us <= wm)
+          var bk = BreakerReplayUtil.BkState(st.open, st.consec, st.openedUs)
+          val outRows = safe.sortBy(_.event_id).map { e =>
+            val (dec, bk2) =
+              BreakerReplayUtil.step(bk, e.ts_us, e.ok, threshold, timeoutUs)
+            bk = bk2
+            BkOut(connector, e.event_id, decisions(dec),
+              if (bk.open) "open" else "closed")
+          }
+          state.update(BkStreamState(bk.open, bk.consec, bk.openedUs, waiting))
+          if (waiting.nonEmpty)
+            state.setTimeoutTimestamp(math.max(
+              (waiting.map(_.ts_us).min / 1000L) + 1L,
+              state.getCurrentWatermarkMs() + 1L))
+          outRows.iterator
+      }
+    runToTable(spark, out.toDF()
+      .select(col("connector"), col("event_id"), col("decision"),
+        col("state_after")), "graft_s22_sink", "append")
   }
 
   def streamDisjunction(spark: SparkSession, dir: String): DataFrame = {

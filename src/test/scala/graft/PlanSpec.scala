@@ -214,4 +214,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("g1: dead-letter fork is a pure map stage (no exchange, no UDF)") {
+    val p = planOf(q("g1_dead_letter"))
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("ScalaUDF"), p)
+  }
+
+  test("g2: rate limit is one shuffle on the quota key") {
+    val p = planOf(q("g2_rate_limit"))
+    assert(!p.contains("ScalaUDF"), p)
+    assert(p.split("Exchange").length - 1 == 1, p)
+  }
+
+  test("g3: breaker replay is one shuffle on the connector key, no join") {
+    val p = planOf(q("g3_circuit_breaker"))
+    assert(!p.contains("ScalaUDF"), p)
+    assert(!p.contains("Join"), p)
+    assert(p.split("Exchange").length - 1 == 1, p)
+  }
 }
