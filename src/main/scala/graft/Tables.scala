@@ -20,7 +20,7 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame      = table("part")
   def nation: DataFrame    = table("nation")
   def region: DataFrame    = table("region")
-  def events: DataFrame    = Tables.normalizeTs(table("events"))
+  def events: DataFrame    = Tables.normalizeEvents(table("events"))
   def documents: DataFrame = table("documents")
   def embeddings: DataFrame = table("embeddings")
 }
@@ -53,6 +53,29 @@ object Tables {
       case Some(f) if f.dataType == TimestampNTZType =>
         df.withColumn(tsCol, col(tsCol).cast(TimestampType))
       case _ => df
+    }
+
+  /** The canonical events schema every query compiles against. The r6
+    * NTZ incident generalizes: ANY staged physical type the upstream
+    * writer picks (int32 ids, float32 value, …) must be absorbed at
+    * this loader boundary, never in queries. Width-preserving casts
+    * only — a literal re-encoding of the same values.
+    */
+  private val canonicalEvents: Seq[(String, String)] = Seq(
+    "event_id" -> "bigint", "user_id" -> "bigint",
+    "event_type" -> "string", "value" -> "double", "props" -> "string")
+
+  /** [[normalizeTs]] plus canonical-type casts for the non-ts event
+    * columns; a no-op on columns already canonical (the cast is not
+    * even planned) or absent.
+    */
+  def normalizeEvents(df: DataFrame): DataFrame =
+    canonicalEvents.foldLeft(normalizeTs(df)) { case (d, (name, typ)) =>
+      d.schema.find(_.name == name) match {
+        case Some(f) if f.dataType.simpleString != typ =>
+          d.withColumn(name, col(name).cast(typ))
+        case _ => d
+      }
     }
 
   /** Session config every entry point (Verify/Bench/tests) applies. */

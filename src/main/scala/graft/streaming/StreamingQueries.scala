@@ -113,13 +113,19 @@ object StreamingQueries {
           s"closedStreamDir: unsupported ts encoding $other in $file — " +
             "extend Tables.normalizeTs and this sentinel writer together")
       }
+      // non-ts columns cast to the SOURCE file's physical types too,
+      // so an upstream switch to e.g. int32 ids / float32 value can
+      // never leave the staged dir with two parquet schemas
+      val srcSchema = schemaOf(spark, file)
+      def asSrc(c: org.apache.spark.sql.Column, name: String) =
+        c.cast(srcSchema(name).dataType).as(name)
       spark.range(1).select(
-        lit(-1L).as("event_id"),
+        asSrc(lit(-1L), "event_id"),
         sentinelTs.as("ts"),
-        lit(-1L).as("user_id"),
-        lit("__sentinel").as("event_type"),
-        lit(0.0).as("value"),
-        lit("{}").as("props"))
+        asSrc(lit(-1L), "user_id"),
+        asSrc(lit("__sentinel"), "event_type"),
+        asSrc(lit(0.0), "value"),
+        asSrc(lit("{}"), "props"))
         .coalesce(1).write.mode("append").parquet(dir.toString)
       dir.toString
     })
@@ -163,7 +169,7 @@ object StreamingQueries {
   def streamTumbling(spark: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
     val schema = schemaOf(spark, path)
-    val src = graft.Tables.normalizeTs(
+    val src = graft.Tables.normalizeEvents(
       spark.readStream.schema(schema).parquet(streamDir(path)))
     val agg = src
       .withWatermark("ts", "1 hour")
@@ -187,7 +193,7 @@ object StreamingQueries {
   def streamSliding(spark: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
     val schema = schemaOf(spark, path)
-    val src = graft.Tables.normalizeTs(
+    val src = graft.Tables.normalizeEvents(
       spark.readStream.schema(schema).parquet(closedStreamDir(spark, path)))
     val agg = src
       .withWatermark("ts", "1 second")
@@ -214,7 +220,7 @@ object StreamingQueries {
   def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
     val schema = schemaOf(spark, path)
-    def src = graft.Tables.normalizeTs(
+    def src = graft.Tables.normalizeEvents(
       spark.readStream.schema(schema).parquet(streamDir(path)))
     val signups = src.filter(col("event_type") === "signup")
       .select(col("user_id").as("s_user"), col("event_id").as("a_id"),
@@ -241,7 +247,7 @@ object StreamingQueries {
   def streamSession(spark: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
     val schema = schemaOf(spark, path)
-    val src = graft.Tables.normalizeTs(
+    val src = graft.Tables.normalizeEvents(
       spark.readStream.schema(schema).parquet(closedStreamDir(spark, path)))
     val agg = src
       .withWatermark("ts", "1 second")
@@ -264,7 +270,7 @@ object StreamingQueries {
     import PatternStream._
     val path = s"$dir/events.parquet"
     val schema = schemaOf(spark, path)
-    val src = graft.Tables.normalizeTs(
+    val src = graft.Tables.normalizeEvents(
       spark.readStream.schema(schema).parquet(closedStreamDir(spark, path)))
       .withWatermark("ts", "1 second")
       .select(col("event_id"), col("user_id"), col("event_type"),
@@ -287,7 +293,7 @@ object StreamingQueries {
     import PatternStream._
     val path = s"$dir/events.parquet"
     val schema = schemaOf(spark, path)
-    val src = graft.Tables.normalizeTs(
+    val src = graft.Tables.normalizeEvents(
       spark.readStream.schema(schema).parquet(closedStreamDir(spark, path)))
       .withWatermark("ts", "1 hour")
     val gev = src.select(
@@ -327,7 +333,7 @@ object StreamingQueries {
     // closed stream: detectGeneric applies events once the watermark
     // finalizes them (split-invariant ordering), so the bounded run
     // needs the far-future sentinel to flush the tail
-    val src = graft.Tables.normalizeTs(
+    val src = graft.Tables.normalizeEvents(
       spark.readStream.schema(schema).parquet(closedStreamDir(spark, path)))
       .withWatermark("ts", "1 hour")
     val gev = src.select(
@@ -364,7 +370,7 @@ object StreamingQueries {
   def streamConjunction(spark: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
     val schema = schemaOf(spark, path)
-    def src = graft.Tables.normalizeTs(
+    def src = graft.Tables.normalizeEvents(
       spark.readStream.schema(schema).parquet(streamDir(path)))
     val clicks = src.filter(col("event_type") === "click")
       .select(col("user_id").as("a_user"), col("event_id").as("click_id"),
@@ -398,7 +404,7 @@ object StreamingQueries {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val path = s"$dir/events.parquet"
     val schema = schemaOf(spark, path)
-    val src = graft.Tables.normalizeTs(
+    val src = graft.Tables.normalizeEvents(
       spark.readStream.schema(schema).parquet(closedStreamDir(spark, path)))
       .withWatermark("ts", "1 second")
       .select(col("event_id"), col("user_id"), col("event_type"),
@@ -451,7 +457,7 @@ object StreamingQueries {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val path = s"$dir/events.parquet"
     val schema = schemaOf(spark, path)
-    val src = graft.Tables.normalizeTs(
+    val src = graft.Tables.normalizeEvents(
       spark.readStream.schema(schema).parquet(closedStreamDir(spark, path)))
       .withWatermark("ts", "1 second")
       .select(col("event_id"), col("user_id"), col("event_type"),
@@ -511,7 +517,7 @@ object StreamingQueries {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val path = s"$dir/events.parquet"
     val schema = schemaOf(spark, path)
-    val src = graft.Tables.normalizeTs(
+    val src = graft.Tables.normalizeEvents(
       spark.readStream.schema(schema).parquet(closedStreamDir(spark, path)))
       .withWatermark("ts", "1 second")
       .select(col("event_id"), col("user_id"), col("event_type"),
@@ -572,7 +578,7 @@ object StreamingQueries {
   def streamDedup(spark: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
     val schema = schemaOf(spark, path)
-    val src = graft.Tables.normalizeTs(
+    val src = graft.Tables.normalizeEvents(
       spark.readStream.schema(schema).parquet(streamDir(path)))
     val out = src
       .filter(col("event_type") === "click")
@@ -592,7 +598,7 @@ object StreamingQueries {
   def streamEnrich(spark: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
     val schema = schemaOf(spark, path)
-    val src = graft.Tables.normalizeTs(
+    val src = graft.Tables.normalizeEvents(
       spark.readStream.schema(schema).parquet(streamDir(path)))
     val dim = broadcast(graft.Tables(spark, dir).customer
       .select("c_custkey", "c_name", "c_mktsegment"))
@@ -616,7 +622,7 @@ object StreamingQueries {
   def streamScore(spark: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
     val schema = schemaOf(spark, path)
-    val src = graft.Tables.normalizeTs(
+    val src = graft.Tables.normalizeEvents(
       spark.readStream.schema(schema).parquet(streamDir(path)))
     val out = graft.ml.Score.LinearModel("risk", Map("value" -> 0.01), bias = -0.8)
       .score(src)
@@ -637,7 +643,7 @@ object StreamingQueries {
   def streamTrend(spark: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
     val schema = schemaOf(spark, path)
-    val src = graft.Tables.normalizeTs(
+    val src = graft.Tables.normalizeEvents(
       spark.readStream.schema(schema).parquet(closedStreamDir(spark, path)))
     val agg = src
       .withWatermark("ts", "1 second")
@@ -668,7 +674,7 @@ object StreamingQueries {
     implicit val s: SparkSession = spark
     val path = s"$dir/events.parquet"
     val schema = schemaOf(spark, path)
-    val src = graft.Tables.normalizeTs(
+    val src = graft.Tables.normalizeEvents(
       spark.readStream.schema(schema).parquet(closedStreamDir(spark, path)))
       .withWatermark("ts", "1 second")
       .select(col("event_id"), col("user_id"), col("event_type"),
@@ -693,7 +699,7 @@ object StreamingQueries {
   def streamMultiTrend(spark: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
     val schema = schemaOf(spark, path)
-    val src = graft.Tables.normalizeTs(
+    val src = graft.Tables.normalizeEvents(
       spark.readStream.schema(schema).parquet(closedStreamDir(spark, path)))
     val pats = Seq("error", "click", "purchase")
     val aggs = pats.flatMap { p =>
@@ -732,7 +738,7 @@ object StreamingQueries {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val path = s"$dir/events.parquet"
     val schema = schemaOf(spark, path)
-    val src = graft.Tables.normalizeTs(
+    val src = graft.Tables.normalizeEvents(
       spark.readStream.schema(schema).parquet(closedStreamDir(spark, path)))
       .withWatermark("ts", "1 second")
       .select(col("event_id"), col("user_id"), col("event_type"),
@@ -803,7 +809,7 @@ object StreamingQueries {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val path = s"$dir/events.parquet"
     val schema = schemaOf(spark, path)
-    val src = graft.Tables.normalizeTs(
+    val src = graft.Tables.normalizeEvents(
       spark.readStream.schema(schema).parquet(closedStreamDir(spark, path)))
       .withWatermark("ts", "1 second")
       .select(col("event_id"), col("user_id"), col("event_type"),
@@ -856,7 +862,7 @@ object StreamingQueries {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val path = s"$dir/events.parquet"
     val schema = schemaOf(spark, path)
-    val src = graft.Tables.normalizeTs(
+    val src = graft.Tables.normalizeEvents(
       spark.readStream.schema(schema).parquet(closedStreamDir(spark, path)))
       .withWatermark("ts", "1 second")
       .select(col("event_id"), col("user_id"), col("event_type"),
@@ -902,7 +908,7 @@ object StreamingQueries {
   def streamDisjunction(spark: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
     val schema = schemaOf(spark, path)
-    val src = graft.Tables.normalizeTs(
+    val src = graft.Tables.normalizeEvents(
       spark.readStream.schema(schema).parquet(streamDir(path)))
     val out = src.filter(col("event_type") === "signup" ||
       (col("event_type") === "purchase" && col("value") > 150))

@@ -15,6 +15,19 @@ import org.apache.spark.sql.types._
   */
 class TsEncodingSpec extends SparkSpec {
 
+  /** The driver stages each table as a single parquet FILE (not a
+    * directory) — the stream stagers symlink that file, so fixtures
+    * must match the real layout.
+    */
+  private def writeSingleFile(df: org.apache.spark.sql.DataFrame,
+      dest: java.nio.file.Path): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ts_w_")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = java.nio.file.Files.list(tmp).filter(p =>
+      p.getFileName.toString.endsWith(".parquet")).findFirst.get
+    java.nio.file.Files.move(part, dest)
+  }
+
   /** One tiny events table, staged under both encodings. Timestamps
     * are µs-round so the ns→µs floor division and the native µs file
     * must agree bit-for-bit.
@@ -28,16 +41,6 @@ class TsEncodingSpec extends SparkSpec {
       "CASE WHEN id % 3 = 0 THEN 'signup' ELSE 'purchase' END AS event_type",
       "cast(id % 10 as double) AS value",
       "'{}' AS props")
-    // the driver stages each table as a single parquet FILE (not a
-    // directory) — the stream stagers symlink that file, so the
-    // fixture must match the real layout
-    def writeSingleFile(df: org.apache.spark.sql.DataFrame, dest: java.nio.file.Path): Unit = {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_ts_w_")
-      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = java.nio.file.Files.list(tmp).filter(p =>
-        p.getFileName.toString.endsWith(".parquet")).findFirst.get
-      java.nio.file.Files.move(part, dest)
-    }
     val a = java.nio.file.Files.createTempDirectory("graft_ts_long_")
     writeSingleFile(
       rows.selectExpr("event_id", "ts_us * 1000 AS ts", "user_id",
@@ -76,6 +79,28 @@ class TsEncodingSpec extends SparkSpec {
           col("event_type"), col("n"), col("s"))
         .orderBy("event_type", "start").collect().toSeq
     assert(agg(longDir) == agg(ntzDir))
+  }
+
+  test("normalizeEvents absorbs narrowed id/value physical types") {
+    // the NTZ incident generalized: an upstream writer switching to
+    // int32 ids / float32 value must be a loader-level no-event
+    val c = java.nio.file.Files.createTempDirectory("graft_ts_narrow_")
+    val narrow = spark.read.parquet(s"$ntzDir/events.parquet")
+      .selectExpr("cast(event_id as int) AS event_id", "ts",
+        "cast(user_id as int) AS user_id", "event_type",
+        "cast(value as float) AS value", "props")
+    writeSingleFile(narrow, c.resolve("events.parquet"))
+    val got = Tables.normalizeEvents(
+      spark.read.parquet(s"$c/events.parquet"))
+    assert(got.schema("event_id").dataType == LongType)
+    assert(got.schema("user_id").dataType == LongType)
+    assert(got.schema("value").dataType == DoubleType)
+    assert(got.schema("ts").dataType == TimestampType)
+    assert(got.count() == 200L)
+    // and the closed-stream stager writes a sentinel matching the
+    // narrowed source schema (one parquet schema across the dir)
+    val s = graft.streaming.StreamingQueries.streamSliding(spark, c.toString)
+    assert(s.count() > 0)
   }
 
   test("closed-stream sentinel path works for both encodings") {
