@@ -457,6 +457,57 @@ object TextQueries {
 
     // --- #43e shard assignment + per-shard budget stats (the
     // "N balanced output shards" report before a training write) ---
+    // --- #45g corpus-frequency quality score (the CCNet
+    // perplexity-filter shape, made hash-exact): per doc, the mean
+    // corpus frequency of its tokens in ppm — head-heavy boilerplate
+    // scores high, rare-token/noisy docs score low — bucketed
+    // head/middle/tail for mixture control. Log-perplexity would
+    // hinge on libm ln() parity across engines; mean frequency keeps
+    // the arithmetic on exact integer counts until ONE identical
+    // double expression on both sides, so the gate stays bit-exact.
+    // Plan: token-count vocab (one shuffle on token), exploded tokens
+    // re-joined to the vocab (AQE picks broadcast while the vocab
+    // fits, shuffle join beyond), per-doc partial-agg rollup, scalar
+    // total broadcast via cross join. The corpus is scanned twice
+    // (vocab + rejoin) — at scale the tokenized projection would be
+    // persisted/bucketed by token, the plan shape is unchanged ---
+    "t9_freq_quality" -> QueryDef.of(
+      s"""WITH w AS (
+         |  SELECT doc_id, unnest($wordsSql) AS tok FROM documents),
+         |v AS (SELECT tok, COUNT(*) AS cnt FROM w GROUP BY 1),
+         |t AS (SELECT SUM(cnt) AS total FROM v),
+         |d AS (SELECT w.doc_id, COUNT(*) AS n_tokens, SUM(v.cnt) AS sum_cnt
+         |      FROM w JOIN v USING (tok) GROUP BY 1)
+         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(sum_cnt AS DOUBLE) * 1000000.0::DOUBLE /
+         |    (CAST(n_tokens AS DOUBLE) * CAST(t.total AS DOUBLE))
+         |    AS mean_freq_ppm,
+         |  CASE WHEN CAST(sum_cnt AS DOUBLE) * 1000000.0::DOUBLE /
+         |         (CAST(n_tokens AS DOUBLE) * CAST(t.total AS DOUBLE))
+         |         >= 33400.0 THEN 'head'
+         |       WHEN CAST(sum_cnt AS DOUBLE) * 1000000.0::DOUBLE /
+         |         (CAST(n_tokens AS DOUBLE) * CAST(t.total AS DOUBLE))
+         |         >= 33250.0 THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM d, t""".stripMargin) {
+      (s, dir) =>
+        val toks = Tables(s, dir).documents
+          .select(col("doc_id"), explode(words(col("text"))).as("tok"))
+        val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+        val total = vocab.agg(sum(col("cnt")).as("total"))
+        val ppm = col("sum_cnt").cast("double") * lit(1000000.0) /
+          (col("n_tokens").cast("double") * col("total").cast("double"))
+        toks.join(vocab, "tok")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"), sum(col("cnt")).as("sum_cnt"))
+          .crossJoin(broadcast(total))
+          .select(col("doc_id"), col("n_tokens"),
+            ppm.as("mean_freq_ppm"),
+            when(ppm >= 33400.0, "head")
+              .when(ppm >= 33250.0, "middle")
+              .otherwise("tail").as("bucket"))
+    },
+
     "t8_shard" -> QueryDef.of(
       s"""WITH s AS (
          |  SELECT CAST(${fnvSql("('shard|' || CAST(doc_id AS VARCHAR))")} % 64 AS BIGINT) AS shard,
