@@ -24,6 +24,25 @@ object SparkEntry {
     "s22_stream_breaker" -> QueryDef(
       graft.streaming.StreamingQueries.streamBreaker,
       GuardrailQueries.defs("g3_circuit_breaker").oracle),
+    // shared multi-query detection: each tag held to its single-query
+    // join oracle (zdd_unified's sharing claim, checked per pattern)
+    "s23_stream_multi_pattern" -> QueryDef.of(
+      """SELECT 'purchase_after_signup' AS pattern, a.user_id AS user_id,
+        | a.event_id AS a_id, b.event_id AS b_id,
+        | epoch_us(b.ts) - epoch_us(a.ts) AS span_us
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id AND b.event_id > a.event_id
+        | AND epoch_us(b.ts) - epoch_us(a.ts) <= 1800000000
+        |WHERE a.event_type = 'signup' AND b.event_type = 'purchase'
+        |UNION ALL
+        |SELECT 'error_after_signup' AS pattern, a.user_id,
+        | a.event_id, b.event_id,
+        | epoch_us(b.ts) - epoch_us(a.ts)
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id AND b.event_id > a.event_id
+        | AND epoch_us(b.ts) - epoch_us(a.ts) <= 1800000000
+        |WHERE a.event_type = 'signup' AND b.event_type = 'error'""".stripMargin)(
+      graft.streaming.StreamingQueries.streamMultiPattern),
     "s1_stream_tumbling" -> QueryDef.of(
       """SELECT event_type,
         | (epoch_us(ts) // 3600000000) * 3600 AS win_start,

@@ -459,4 +459,70 @@ object PatternStream {
           out.iterator
       }
   }
+
+  final case class SharedState(anchors: List[Run])
+  final case class TaggedMatch(user_id: Long, pattern: String, a_id: Long,
+      b_id: Long, span_us: Long)
+
+  /** Multi-query shared detection (reference: zdd_unified — one
+    * matcher serving N registered patterns instead of N independent
+    * automata). N two-step patterns that share an anchor type keep
+    * each live anchor ONCE in one state store; every completion type
+    * closes all the patterns it completes. State is |anchors|, not
+    * N × |anchors|, and the stream is scanned once for all N queries
+    * — the sharing argument of the reference's unified engine, in
+    * flatMapGroupsWithState form (Hamlet-style sharing for DETECTION,
+    * complementing s19's shared trend COUNTING).
+    *
+    * Match semantics per pattern are exactly [[detect]]'s skip-till-
+    * any 2-step sequence, so each tag shares its single-pattern
+    * oracle: every (anchor a, completion b) with b.event_id >
+    * a.event_id and ts span within the bound.
+    */
+  def detectShared(
+      events: Dataset[Ev],
+      anchorType: String,
+      completions: Map[String, String],
+      withinUs: Long)(
+      implicit spark: SparkSession): Dataset[TaggedMatch] = {
+    import spark.implicits._
+    requireNullableTs(events, "detectShared")
+    val types = (anchorType :: completions.values.toList).distinct
+    // deterministic tag order for events completing several patterns
+    val byCompletion = completions.toSeq.sortBy(_._1)
+    events
+      .filter(col("event_type").isin(types: _*) || col("ts").isNull)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SharedState, TaggedMatch](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[Ev], state: GroupState[SharedState]) =>
+          var anchors = state.getOption.map(_.anchors).getOrElse(Nil)
+          val out = scala.collection.mutable.ArrayBuffer.empty[TaggedMatch]
+          if (!state.hasTimedOut) {
+            val batch = it.toArray.sortBy(_.event_id)
+            for (ev <- batch) {
+              anchors = anchors.filter(a => ev.ts_us - a.firstTsUs <= withinUs)
+              for ((tag, compType) <- byCompletion
+                   if compType == ev.event_type;
+                   a <- anchors if ev.event_id > a.ids.head)
+                out += TaggedMatch(user, tag, a.ids.head, ev.event_id,
+                  ev.ts_us - a.firstTsUs)
+              if (ev.event_type == anchorType)
+                anchors = Run(0, ev.ts_us, List(ev.event_id)) :: anchors
+            }
+          }
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          if (wmUs > 0L)
+            anchors = anchors.filter(a => a.firstTsUs + withinUs >= wmUs)
+          if (anchors.isEmpty) state.remove()
+          else {
+            state.update(SharedState(anchors))
+            val nextDeadlineMs =
+              (anchors.map(_.firstTsUs + withinUs).min / 1000L) + 1L
+            state.setTimeoutTimestamp(math.max(nextDeadlineMs,
+              state.getCurrentWatermarkMs() + 1L))
+          }
+          out.iterator
+      }
+  }
 }

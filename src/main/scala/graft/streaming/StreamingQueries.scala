@@ -288,6 +288,34 @@ object StreamingQueries {
     * processing) remains the low-latency primitive for in-order
     * sources.
     */
+  /** #32-multi: SHARED multi-query detection on one live stream
+    * (reference zdd_unified: one matcher for N registered patterns).
+    * Two 2-step sequences share the signup anchor prefix in ONE
+    * state store ([[PatternStream.detectShared]]); the oracle is the
+    * UNION of the per-pattern single-query joins, so the shared
+    * matcher is held to exactly the semantics of running each query
+    * alone.
+    */
+  def streamMultiPattern(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import PatternStream._
+    val path = s"$dir/events.parquet"
+    val schema = schemaOf(spark, path)
+    val src = graft.Tables.normalizeEvents(
+      spark.readStream.schema(schema).parquet(streamDir(path)))
+      .withWatermark("ts", "1 hour")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), unix_micros(col("ts")).as("ts_us"), col("ts"))
+      .as[Ev]
+    val out = detectShared(src, "signup",
+      Map("purchase_after_signup" -> "purchase",
+        "error_after_signup" -> "error"),
+      withinUs = 1800L * 1000000L)(spark)
+    runToTable(spark, out.toDF()
+      .select(col("pattern"), col("user_id"), col("a_id"), col("b_id"),
+        col("span_us")), "graft_s23_sink", "append")
+  }
+
   def streamPattern(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import PatternStream._

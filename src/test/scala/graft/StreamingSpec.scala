@@ -16,6 +16,49 @@ class StreamingSpec extends SparkSpec {
     assert(batch.except(streamed).count() == 0)
   }
 
+  test("shared multi-pattern detection equals the per-pattern matchers") {
+    import spark.implicits._
+    import graft.streaming.PatternStream._
+    // crafted stream: anchors shared by two completion types, an
+    // event completing inside/outside the window, and a completion
+    // with no live anchor
+    def ts(sec: Long) = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(sec))
+    val rows = Seq(
+      (1L, 1L, "signup", ts(100)),
+      (2L, 1L, "purchase", ts(200)),   // matches anchor 1
+      (3L, 1L, "error", ts(300)),      // matches anchor 1
+      (4L, 1L, "signup", ts(400)),
+      (5L, 1L, "purchase", ts(2100)),  // outside 30m of 1, inside of 4
+      (6L, 2L, "error", ts(100)),      // no anchor for user 2
+      (7L, 2L, "signup", ts(150))      // anchor with no completion
+    )
+    val dir = java.nio.file.Files.createTempDirectory("graft_shared_").toString
+    rows.toDF("event_id", "user_id", "event_type", "ts")
+      .withColumn("value", lit(0.0))
+      .coalesce(1).write.parquet(s"$dir/b=a")
+    val schema = spark.read.parquet(s"$dir/b=a").schema
+    def src = spark.readStream.schema(schema).parquet(s"$dir/b=*")
+      .withWatermark("ts", "1 second")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), unix_micros(col("ts")).as("ts_us"), col("ts"))
+      .as[Ev]
+    val shared = detectShared(src, "signup",
+      Map("p" -> "purchase", "e" -> "error"), 1800L * 1000000L)(spark)
+    val q = shared.toDF().writeStream.format("memory")
+      .queryName("graft_shared_sink").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("graft_shared_sink")
+      .select("pattern", "user_id", "a_id", "b_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    // union of what each single 2-step matcher would find
+    val want = Set(
+      ("p", 1L, 1L, 2L), ("e", 1L, 1L, 3L),
+      ("p", 1L, 4L, 5L))
+    assert(got == want, s"got $got")
+  }
+
   test("streaming multi-trend sharing equals batch kleeneShared") {
     val cols = Seq("user_id", "win_start", "n_error", "trends_error",
       "n_click", "trends_click", "n_purchase", "trends_purchase")
