@@ -78,6 +78,23 @@ object Tables {
       }
     }
 
+  /** Persist a DataFrame as a parquet table bucketed (and sorted)
+    * on a join/aggregation key. Repeated joins or aggregations on
+    * that key then read co-located buckets and plan WITHOUT an
+    * Exchange — the standard way to amortize the shuffle of a hot
+    * 100 TB fact table across the many pattern/window queries that
+    * all key on the same column (PlanSpec proves the exchange-free
+    * self-join). `path` keeps the data out of the default warehouse.
+    */
+  def saveBucketed(df: DataFrame, table: String, bucketCol: String,
+      buckets: Int, path: String): Unit = {
+    df.sparkSession.sql(s"DROP TABLE IF EXISTS $table")
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, bucketCol).sortBy(bucketCol)
+      .option("path", path)
+      .saveAsTable(table)
+  }
+
   /** Session config every entry point (Verify/Bench/tests) applies. */
   val sessionConfs: Seq[(String, String)] = Seq(
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 
 /** Physical-plan audits: the judge-relevant scale properties must be
   * visible in the plan, not just hoped for — filters reach the scan,
@@ -213,6 +214,35 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("bucketed events self-join plans exchange-free (co-located join)") {
+    // the 100 TB story for the hot fact table: bucket it ONCE on the
+    // pattern/window key, and every subsequent self-join on that key
+    // reads co-located buckets with no shuffle at all
+    val wh = java.nio.file.Files.createTempDirectory("graft_bucket_").toString
+    Tables.saveBucketed(Tables(spark, sf).events
+        .select("event_id", "user_id", "event_type", "ts"),
+      "graft_ev_bucketed", "user_id", 8, wh)
+    val restore = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.enabled").map(k => k -> spark.conf.get(k))
+    try {
+      // force a real shuffle-join decision (no broadcast escape hatch,
+      // no AQE re-plan) so the assertion is about bucketing
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val t = spark.table("graft_ev_bucketed")
+      val j = t.as("a").join(t.as("b"), "user_id")
+        .filter(col("a.event_type") === "signup" &&
+          col("b.event_type") === "purchase")
+      val p = j.queryExecution.executedPlan.toString()
+      assert(!p.contains("Exchange"), p)
+      assert(j.count() > 0)
+    } finally {
+      restore.foreach { case (k, v) => spark.conf.set(k, v) }
+      spark.sql("DROP TABLE IF EXISTS graft_ev_bucketed")
+    }
   }
 
   test("g1: dead-letter fork is a pure map stage (no exchange, no UDF)") {
