@@ -46,19 +46,24 @@ object EventReplay {
       dir: String,
       baseEpochMs: Long = DefaultBaseEpochMs,
       sentinel: Boolean = true,
-      paced: Boolean = false): Staged = {
+      paced: Boolean = false,
+      fileIdxOffset: Int = 0,
+      idOffset: Long = 0L,
+      delayOffsetMs: Long = 0L): Staged = {
     val target = new java.io.File(dir)
     target.mkdirs()
     val stagedDir = if (paced) new java.io.File(dir, ".staged") else target
     stagedDir.mkdirs()
     val parsed = EventFile.read(spark, evtPath)
+      .withColumn("delay_ms", col("delay_ms") + lit(delayOffsetMs))
       .withColumn("ts", timestamp_millis(lit(baseEpochMs) + col("delay_ms")))
-      .select(col("line_no").as("event_id"), col("event_type"),
+      .select((col("line_no") + lit(idOffset)).as("event_id"),
+        col("event_type"),
         col("ts"), col("delay_ms"), col("fields"), col("fields_raw"))
       .cache()
     val delays = parsed.select("delay_ms").distinct()
       .orderBy("delay_ms").collect().map(_.getLong(0))
-    val lastMs = delays.lastOption.getOrElse(0L)
+    val lastMs = delays.lastOption.getOrElse(delayOffsetMs)
     val tmp = java.nio.file.Files
       .createTempDirectory("graft_replay_stage_").toString
     def writeOne(df: DataFrame, idx: Int): String = {
@@ -66,11 +71,12 @@ object EventReplay {
       df.coalesce(1).write.mode("overwrite").parquet(out)
       val part = new java.io.File(out).listFiles()
         .filter(_.getName.endsWith(".parquet")).head
-      val dest = new java.io.File(stagedDir, f"batch_$idx%05d.parquet")
+      val dest = new java.io.File(stagedDir,
+        f"batch_${idx + fileIdxOffset}%05d.parquet")
       java.nio.file.Files.move(part.toPath, dest.toPath,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       // FileStreamSource orders by (modTime, path): pin both
-      dest.setLastModified(baseEpochMs + idx * 1000L)
+      dest.setLastModified(baseEpochMs + (idx + fileIdxOffset) * 1000L)
       dest.getPath
     }
     val files = delays.zipWithIndex.map { case (d, i) =>
@@ -88,6 +94,31 @@ object EventReplay {
     } else Nil
     parsed.unpersist()
     Staged(dir, files ++ sentinelFiles, delays.length)
+  }
+
+  /** Append a later `.evt` phase to an already-staged directory: new
+    * file names/modtimes sort after the existing batches, event_ids
+    * continue in a disjoint range, and event time continues after
+    * `afterDelayMs` — so a RESTARTED streaming query (same checkpoint)
+    * consumes exactly the new files as its next micro-batches. This
+    * is the reference's two-phase checkpoint scenario staging
+    * (tests/scenarios/checkpoint_*_phase{1,2}.evt).
+    */
+  def stagePhase(
+      spark: SparkSession,
+      evtPath: String,
+      staged: Staged,
+      phase: Int,
+      afterDelayMs: Long,
+      sentinel: Boolean,
+      baseEpochMs: Long = DefaultBaseEpochMs): Staged = {
+    val more = stage(spark, evtPath, staged.dir, baseEpochMs,
+      sentinel = sentinel,
+      fileIdxOffset = phase * 10000,
+      idOffset = phase * 1000000000L,
+      delayOffsetMs = afterDelayMs)
+    Staged(staged.dir, staged.files ++ more.files,
+      staged.nBatches + more.nBatches)
   }
 
   /** Open the staged directory as a stream, one BATCH per micro-batch. */

@@ -1268,6 +1268,70 @@ final class VplCompiler(program: VProgram, source: VplSource,
       val renamed = items.map { case (n, e) =>
         (if (collides(n)) s"__agg_$n" else n) -> inlineFns(e)
       }
+      // Streaming count windows: the window id is a per-key event
+      // COUNTER — not expressible as a time-window groupBy (batch uses
+      // row_number, which streams cannot). Route through the generic
+      // flatMapGroupsWithState count-window aggregator; its stable
+      // state class checkpoints, so a restarted query resumes
+      // mid-window (reference checkpoint_count_window scenario).
+      win match {
+        case Some(graft.dsl.CountWin(nWin)) if streaming =>
+          import org.apache.spark.sql.functions._
+          val sp = df.sparkSession
+          import sp.implicits._
+          val args = scala.collection.mutable.Buffer.empty[VExpr]
+          val kinds = renamed.map {
+            case (_, VCall("count", Nil)) => ("count", -1)
+            case (_, VCall(f @ ("sum" | "avg" | "min" | "max"), Seq(x))) =>
+              args += x; (f, args.size - 1)
+            case (nm, other) => throw VplCompileError(
+              s"streaming count windows support count/sum/avg/min/max only; '$nm' is $other")
+          }
+          if (ord != "event_id") throw VplCompileError(
+            "streaming count windows need an event_id column for deterministic order")
+          val keyCol =
+            if (keys.isEmpty) lit("")
+            else concat_ws("", keys.map(kn => col(kn).cast("string")): _*)
+          val keyTypes = keys.map(kn => kn -> df.schema(kn).dataType)
+          // The sentinel must pass the WATERMARK node: a Column filter
+          // here would be pushed below it into the scan (the r5
+          // watermark-pin hazard) and the watermark would never
+          // advance. Mark it dead in a PROJECTION instead; the fold
+          // skips dead rows. vals are null-coalesced because the
+          // sentinel carries no fields.
+          val liveCol =
+            if (df.columns.contains("event_type"))
+              col("event_type") =!= "__sentinel"
+            else lit(true)
+          val in = df.select(keyCol.as("key"),
+            col(ord).cast("long").as("ord"),
+            unix_micros(col("ts")).as("ts_us"),
+            col("ts"),
+            liveCol.as("live"),
+            array(args.toSeq.map(e => coalesce(
+              VplCompiler.this.translate(e, c).cast("double"), lit(0.0))): _*)
+              .cast("array<double>").as("vals"))
+            .as[graft.streaming.CountWindowStream.In]
+          var out = graft.streaming.CountWindowStream
+            .run(in, nWin, kinds)(sp).toDF()
+          keyTypes.zipWithIndex.foreach { case ((kn, dt), i) =>
+            out = out.withColumn(kn,
+              split(col("key"), "").getItem(i).cast(dt))
+          }
+          renamed.zipWithIndex.foreach { case ((nm, _), i) =>
+            val v = element_at(col("outs"), i + 1)
+            out = out.withColumn(nm,
+              if (kinds(i)._1 == "count") v.cast("long") else v)
+          }
+          df = out.select((keys.map(col) :+ col("win_id")) ++
+            renamed.map { case (nm, _) => col(nm) }: _*)
+          win = None
+          return
+        case Some(_: graft.dsl.SlidingCountWin) if streaming =>
+          throw VplCompileError(
+            "streaming sliding count windows are not supported")
+        case _ => ()
+      }
       val directB = mutable.Buffer.empty[(String, VExpr)]
       val postB = mutable.Buffer.empty[(String, VExpr)]
       renamed.foreach { case (n, e) =>

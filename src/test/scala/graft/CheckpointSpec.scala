@@ -91,4 +91,47 @@ class CheckpointSpec extends SparkSpec {
     assert(all == Set(("u2", 2L, 3L), ("u1", 1L, 4L)),
       s"state must span the restart without duplicating u2: $all")
   }
+
+  test("reference checkpoint_count_window scenario: restart mid-window, documented 150/5") {
+    // The reference's own two-phase scenario
+    // (tests/scenarios/checkpoint_count_window*): phase 1 delivers 3
+    // of a 5-event count window, the engine restarts, phase 2
+    // delivers 2 more. The window completes with sum=150 / n=5 —
+    // documented in the scenario file — ONLY if the 3 buffered events
+    // survived the restart in the state store.
+    import graft.sources.EventReplay
+    import graft.vpl.{StreamingEvtSource, VplCompiler, VplParser}
+    val sc = "/root/reference/tests/scenarios"
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$sc/checkpoint_count_window.vpl")), "UTF-8")
+    val prog = VplParser.parse(text)
+    val decls = prog.events.map(e => e.name -> e).toMap
+    val dir = Files.createTempDirectory("graft_ckpcw_src_").toString
+    val out = Files.createTempDirectory("graft_ckpcw_out_").toString
+    val chk = Files.createTempDirectory("graft_ckpcw_chk_").toString
+    def runOnce(st: EventReplay.Staged): Unit = {
+      val df = new VplCompiler(prog,
+        new StreamingEvtSource(spark, st, decls), streaming = true)
+        .stream("WindowedSum")
+      val q = df.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", chk)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    var staged = EventReplay.stage(spark,
+      s"$sc/checkpoint_count_window_phase1.evt", dir, sentinel = false)
+    runOnce(staged)
+    val afterP1 = scala.util.Try(
+      spark.read.parquet(out).count()).getOrElse(0L)
+    assert(afterP1 == 0L, "3 of 5 events must not emit a window")
+    staged = EventReplay.stagePhase(spark,
+      s"$sc/checkpoint_count_window_phase2.evt", staged, phase = 1,
+      afterDelayMs = staged.files.map(_._2).max + 1000L, sentinel = true)
+    runOnce(staged)
+    val rows = spark.read.parquet(out).collect()
+    assert(rows.length == 1, s"expected the one completed window, got ${rows.toSeq}")
+    val r = rows.head
+    assert(r.getAs[Double]("sum") == 150.0 && r.getAs[Long]("n") == 5L,
+      s"documented expected sum=150/n=5, got $r")
+  }
 }
