@@ -1360,8 +1360,19 @@ final class VplCompiler(program: VProgram, source: VplSource,
         s"__vals_$n" -> collect_list(struct(
           col(ord).as("o"), translate(x, c).cast("double").as("v")))
       }
-      df = EventStream(df, orderCol = ord, keys = keys, win = win)
+      // Spark rejects GLOBAL streaming session windows ("Global
+      // aggregation with session window ... not supported"): an
+      // unpartitioned VPL session stream gets a constant grouping key
+      // — one partition's worth of session state, exactly the
+      // reference's single-threaded session semantics.
+      val (aggSrc, aggKeys) =
+        if (streaming && keys.isEmpty &&
+            win.exists(_.isInstanceOf[graft.dsl.SessionWin]))
+          (df.withColumn("__graft_gk", lit(0)), Seq("__graft_gk"))
+        else (df, keys)
+      df = EventStream(aggSrc, orderCol = ord, keys = aggKeys, win = win)
         .aggregate((direct ++ collects): _*)
+      if (aggKeys ne keys) df = df.drop("__graft_gk")
       emas.foreach { case (n, _, p) =>
         val alpha = 2.0 / (p + 1)
         df = df.withColumn(n,

@@ -134,4 +134,45 @@ class CheckpointSpec extends SparkSpec {
     assert(r.getAs[Double]("sum") == 150.0 && r.getAs[Long]("n") == 5L,
       s"documented expected sum=150/n=5, got $r")
   }
+
+  test("reference checkpoint_session_window scenario: session spans the restart") {
+    // tests/scenarios/checkpoint_session_window*: 3 events 1 s apart
+    // (one open 5s-gap session), restart, then an event at @9s — a
+    // 7 s gap that closes the RESTORED session. Documented expected:
+    // the restored session emits n=3/sum=300, the post-restart event
+    // its own n=1/sum=999. The phase .evt delays are absolute, so
+    // both phases stage on the same epoch (afterDelayMs = 0).
+    import graft.sources.EventReplay
+    import graft.vpl.{StreamingEvtSource, VplCompiler, VplParser}
+    val sc = "/root/reference/tests/scenarios"
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$sc/checkpoint_session_window.vpl")), "UTF-8")
+    val prog = VplParser.parse(text)
+    val decls = prog.events.map(e => e.name -> e).toMap
+    val dir = Files.createTempDirectory("graft_ckpsw_src_").toString
+    val out = Files.createTempDirectory("graft_ckpsw_out_").toString
+    val chk = Files.createTempDirectory("graft_ckpsw_chk_").toString
+    def runOnce(st: EventReplay.Staged): Unit = {
+      val df = new VplCompiler(prog,
+        new StreamingEvtSource(spark, st, decls), streaming = true)
+        .stream("SessionAgg")
+      val q = df.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", chk)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    var staged = EventReplay.stage(spark,
+      s"$sc/checkpoint_session_window_phase1.evt", dir, sentinel = false)
+    runOnce(staged)
+    assert(scala.util.Try(spark.read.parquet(out).count()).getOrElse(0L) == 0L,
+      "an open session must not emit before its gap passes")
+    staged = EventReplay.stagePhase(spark,
+      s"$sc/checkpoint_session_window_phase2.evt", staged, phase = 1,
+      afterDelayMs = 0L, sentinel = true)
+    runOnce(staged)
+    val got = spark.read.parquet(out).collect()
+      .map(r => r.getAs[Long]("n") -> r.getAs[Double]("sum")).toMap
+    assert(got == Map(3L -> 300.0, 1L -> 999.0),
+      s"documented expected {3->300, 1->999}, got $got")
+  }
 }
