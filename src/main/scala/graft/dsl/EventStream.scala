@@ -99,6 +99,30 @@ final case class EventStream(
     copy(df = withFallbacks.drop(lookupKey))
   }
 
+  /** Dead-letter fork (guardrail #50): rows failing a validation rule
+    * leave the pipeline into the returned quarantine frame (with the
+    * first failed rule's name as `error`) instead of poisoning it;
+    * the stream continues on the clean side. Zero-exchange — both
+    * sides are projections of one scan. See
+    * [[graft.guard.Guardrails.deadLetterSplit]].
+    */
+  def deadLetter(rules: (String, Column)*): (EventStream, DataFrame) = {
+    val (clean, dlq) = graft.guard.Guardrails.deadLetterSplit(df, rules)
+    (copy(df = clean), dlq)
+  }
+
+  /** Per-key admission quota (guardrail #51): within each
+    * (partition_by keys, event-time window) the first `maxPerWindow`
+    * events by `orderCol` are admitted; the rest carry
+    * `admitted = false`. See [[graft.guard.Guardrails.rateLimit]].
+    */
+  def rateLimit(maxPerWindow: Int, windowDur: String = "1 hour"): EventStream = {
+    require(keys.size == 1,
+      "rateLimit needs exactly one partition_by key (the quota subject)")
+    copy(df = graft.guard.Guardrails.rateLimit(
+      df, keys.head, tsCol, orderCol, maxPerWindow, windowDur))
+  }
+
   /** VPL `.aggregate(name: fn(expr), ...)` over the current
     * partition_by keys and window. One shuffle on (keys, window);
     * partial aggregation happens map-side.

@@ -50,4 +50,24 @@ class DslSpec extends SparkSpec {
     assert(r.getAs[Double]("p") == 1024.0)
     assert(r.getAs[Long]("d") == 1000000L)
   }
+
+  test("DSL guardrails: deadLetter forks, rateLimit marks admissions") {
+    import org.apache.spark.sql.functions._
+    val ev = EventStream.events(Tables(spark, sf).events)
+    val (clean, dlq) = ev.deadLetter(
+      "neg_value" -> (col("value") >= 0.0),
+      "huge_value" -> (col("value") <= 400.0))
+    assert(clean.df.count() + dlq.count() == Tables(spark, sf).events.count())
+    assert(!dlq.columns.isEmpty && dlq.columns.contains("error"))
+    val limited = ev.partitionBy("user_id").rateLimit(2).df
+    val over = limited.filter(!col("admitted"))
+      .groupBy("user_id", "win_start").count()
+    // every (key, hour) admits at most 2: total - rejected == admitted
+    val admittedPerWin = limited.filter(col("admitted"))
+      .groupBy("user_id", "win_start").count()
+      .agg(max("count")).head.getLong(0)
+    assert(admittedPerWin <= 2L)
+    assert(limited.count() == ev.df.count())
+    over.count() // materializes without error
+  }
 }
