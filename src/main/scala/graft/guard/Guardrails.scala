@@ -75,6 +75,14 @@ object Guardrails {
     * output one row per event with its decision
     * (`sent`/`rejected`/`probe`) and the breaker state after it
     * (`closed`/`open`).
+    *
+    * Scale note: breaker state is inherently SERIAL per connector, so
+    * each connector's timeline folds in one task (connectors are a
+    * bounded-cardinality key — one per sink). For timelines too large
+    * to collect per group, the incremental form is the streaming twin
+    * (StreamingQueries.streamBreaker): same step function, bounded
+    * watermark-delay buffer, state carried in the store instead of an
+    * in-memory array.
     */
   def circuitBreakerReplay(
       df: DataFrame,

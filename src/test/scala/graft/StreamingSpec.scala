@@ -16,6 +16,65 @@ class StreamingSpec extends SparkSpec {
     assert(batch.except(streamed).count() == 0)
   }
 
+  test("streaming count windows are micro-batch-split invariant (fuzz)") {
+    // CountWindowStream buffers until the watermark finalizes order,
+    // so ANY partition of the same events into micro-batch files must
+    // yield identical windows. Deterministic "random" split: events
+    // assigned to files by a seeded hash, delivered one file per
+    // trigger in an order that does NOT respect event_id.
+    import spark.implicits._
+    import graft.streaming.CountWindowStream
+    val rnd = new scala.util.Random(42)
+    val n = 97 // deliberately not a multiple of the window size
+    val events = (1 to n).map { i =>
+      (i.toLong, 1704067200L * 1000000L + i * 1000000L, rnd.nextInt(100).toDouble)
+    }
+    val winSize = 5
+    // expected: fold in event_id order, windows of 5, trailing partial dropped
+    val expected = events.sortBy(_._1).grouped(winSize)
+      .filter(_.size == winSize).zipWithIndex.map { case (g, wi) =>
+        (wi.toLong, g.map(_._3).sum, g.size.toLong)
+      }.toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft_cwfuzz_").toString
+    // 7 files, shuffled assignment; later files may hold earlier ids
+    events.groupBy(e => rnd.nextInt(7)).toSeq.foreach { case (b, evs) =>
+      evs.toDF("event_id", "us", "v")
+        .withColumn("ts", timestamp_micros(col("us")))
+        .coalesce(1).write.parquet(s"$dir/b=$b")
+    }
+    // The invariance contract: reordering is absorbed UP TO the
+    // watermark delay (beyond it rows are late by declared
+    // semantics) — so the delay must cover the fuzz's full time
+    // spread, and the sentinel sits far enough out to finalize
+    // every window even after the delay is subtracted.
+    Seq((9999L, 1704067200L * 1000000L + 259200L * 1000000L, 0.0))
+      .toDF("event_id", "us", "v")
+      .withColumn("ts", timestamp_micros(col("us")))
+      .coalesce(1).write.parquet(s"$dir/b=9")
+    val schema = spark.read.parquet(s"$dir/b=0").schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/b=*")
+      .withWatermark("ts", "2 hours")
+      .select(lit("k").as("key"), col("event_id").as("ord"),
+        col("us").as("ts_us"), col("ts"),
+        (col("event_id") =!= 9999L).as("live"),
+        array(col("v")).cast("array<double>").as("vals"))
+      .as[CountWindowStream.In]
+    val out = CountWindowStream.run(src, winSize,
+      Seq(("sum", 0), ("count", -1)))(spark)
+    val q = out.toDF().writeStream.format("memory")
+      .queryName("graft_cwfuzz_sink").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 5,
+        "expected a genuinely multi-batch run")
+    } finally q.stop()
+    val got = spark.table("graft_cwfuzz_sink")
+      .collect().map(r => (r.getLong(1),
+        r.getSeq[Double](2).head, r.getSeq[Double](2)(1).toLong)).toSet
+    assert(got == expected, s"got $got\nexpected $expected")
+  }
+
   test("shared multi-pattern detection equals the per-pattern matchers") {
     import spark.implicits._
     import graft.streaming.PatternStream._
