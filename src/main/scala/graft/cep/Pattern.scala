@@ -172,7 +172,8 @@ object Pattern {
       partitionKeys: Seq[String],
       bValueCol: String,
       tsCol: String = "ts",
-      orderCol: String = "event_id"): DataFrame = {
+      orderCol: String = "event_id",
+      bCrossPred: Column = lit(true)): DataFrame = {
     val pairs = SeqPattern(Seq(a, c), withinSec, partitionKeys, tsCol, orderCol)
       .compile(events)
     def prefixed(df: DataFrame, alias: String): DataFrame =
@@ -184,7 +185,11 @@ object Pattern {
     val between =
       col(s"${b.alias}_$orderCol") > col(s"${a.alias}_$orderCol") &&
         col(s"${b.alias}_$orderCol") < col(s"${c.alias}_$orderCol")
-    pairs.join(bs, keyEq && between)
+    // bCrossPred: GRETA-style anchored step predicate (`B where x >
+    // first.x`) over the prefixed `{a.alias}_*` / `{b.alias}_*`
+    // columns — part of the join condition, so the run set matches
+    // the streaming NFA's per-arrival evaluation against the anchor
+    pairs.join(bs, keyEq && between && bCrossPred)
       .groupBy(col(s"${a.alias}_$orderCol").as("a_id"),
         col(s"${c.alias}_$orderCol").as("c_id"))
       .agg(
@@ -210,7 +215,8 @@ object Pattern {
       partitionKeys: Seq[String],
       bValueCol: String,
       tsCol: String = "ts",
-      orderCol: String = "event_id"): DataFrame = {
+      orderCol: String = "event_id",
+      bCrossPred: Column = lit(true)): DataFrame = {
     val pairs = SeqPattern(Seq(a, c), withinSec, partitionKeys, tsCol, orderCol)
       .compile(events)
     def prefixed(df: DataFrame, alias: String): DataFrame =
@@ -222,7 +228,7 @@ object Pattern {
     val between =
       col(s"${b.alias}_$orderCol") > col(s"${a.alias}_$orderCol") &&
         col(s"${b.alias}_$orderCol") < col(s"${c.alias}_$orderCol")
-    pairs.join(bs, keyEq && between, "left_outer")
+    pairs.join(bs, keyEq && between && bCrossPred, "left_outer")
       .groupBy(col(s"${a.alias}_$orderCol").as("a_id"),
         col(s"${c.alias}_$orderCol").as("c_id"))
       .agg(

@@ -178,7 +178,16 @@ final case class EventStream(
         val w = W.partitionBy(keys.map(col): _*).orderBy(col(orderCol))
         val frame = w.rowsBetween(-(size - 1), 0)
         val rn = row_number().over(w)
-        val framed = aggs.map { case (n, c) => c.over(frame).as(n) }
+        // `.over` lifts only a TOP-LEVEL aggregate; a cast-wrapped agg
+        // (the decimal-exact sum) must have the frame applied INSIDE
+        // the cast, or Spark plans the inner agg as a groupless
+        // Aggregate (MISSING_GROUP_BY)
+        def overFrame(c: Column): Column =
+          org.apache.spark.sql.graftbridge.ColumnBridge.uncast(c) match {
+            case Some((inner, dt)) => inner.over(frame).cast(dt)
+            case None              => c.over(frame)
+          }
+        val framed = aggs.map { case (n, c) => overFrame(c).as(n) }
         df.select((keys.map(col) :+ col(orderCol)) ++ framed :+ rn.as("__rn"): _*)
           .filter(col("__rn") % slide === 0 && col("__rn") >= size)
           .drop("__rn")

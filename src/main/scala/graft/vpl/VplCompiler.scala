@@ -69,10 +69,14 @@ final class EvtSource(spark: SparkSession, paths: Seq[String],
       case None => inferred.getOrElse(eventType,
         // type never seen in the file and not declared → an empty
         // stream (the reference's runtime simply never fires such
-        // transitions); schema = the injected columns only
+        // transitions). The raw `fields` map rides along so the
+        // compiler can materialize referenced names as dynamic
+        // payload columns (reference events are schemaless until
+        // bound — see the dynamic-payload block in stream()).
         return base.filter(lit(false))
           .select(col("line_no").as("event_id"),
-            timestamp_millis(col("delay_ms")).as("ts")))
+            timestamp_millis(col("delay_ms")).as("ts"),
+            col("fields")))
     }
     val sparkType: String => String = {
       case "int" => "long"; case "float" => "double"; case "bool" => "boolean"
@@ -415,7 +419,8 @@ final class VplCompiler(program: VProgram, source: VplSource,
 
   // ------------------------------------------------------------ sequences
   private final case class Bound(alias: String, df: DataFrame,
-      where: Option[VExpr], eventType: String = "")
+      where: Option[VExpr], eventType: String = "",
+      matchAll: Boolean = false)
 
   private final class SeqState(head: Bound) {
     val steps: mutable.Buffer[Bound] = mutable.Buffer(head)
@@ -544,8 +549,10 @@ final class VplCompiler(program: VProgram, source: VplSource,
     */
   private def buildJoin(ins: Seq[(String, DataFrame)], on: VExpr): DataFrame = {
     val names = ins.map(_._1)
+    val aliases = joinTypeAliases(names)
     def quals(x: VExpr): Set[String] = x match {
       case VField(q, _) if names.contains(q) => Set(q)
+      case VField(q, _) if aliases.contains(q) => Set(aliases(q))
       case VBin(_, l, r)      => quals(l) ++ quals(r)
       case VUn(_, y)          => quals(y)
       case VCall(_, as)       => as.flatMap(quals).toSet
@@ -578,16 +585,33 @@ final class VplCompiler(program: VProgram, source: VplSource,
     * first-stream-wins; known stream + missing field → NULL (dynamic
     * payload semantics, as in [[seqCtx]]).
     */
+  /** Event-type qualifier aliases for join inputs: the reference
+    * accepts `Transaction.user_id` where the input STREAM is named
+    * `Transactions` (qualify by the stream's event type). Maps each
+    * type to its input stream when the mapping is unambiguous.
+    */
+  private def joinTypeAliases(names: Seq[String]): Map[String, String] =
+    names.flatMap { n =>
+      program.streams.find(_.name == n).flatMap(_.source match {
+        case SrcName(t, _) if t != n => Some(t -> n)
+        case _ => None
+      })
+    }.groupBy(_._1).collect { case (t, Seq((_, n))) => t -> n }
+
   private def joinCtx(ins: Seq[(String, DataFrame)]): ExprCtx = {
     val byName = ins.map { case (n, d) =>
       n -> d.columns.map(_.stripPrefix(s"${n}__")).toSet
     }.toMap
+    val aliases = joinTypeAliases(ins.map(_._1))
+    def resolveQ(q: String): Option[String] =
+      if (byName.contains(q)) Some(q) else aliases.get(q)
     ExprCtx(
       bare = f => ins.collectFirst {
         case (n, _) if byName(n)(f) => col(s"${n}__$f")
       },
-      qualified = (q, f) => byName.get(q).map(cols =>
-        if (cols(f)) col(s"${q}__$f") else lit(null)))
+      qualified = (q, f) => resolveQ(q).map { n =>
+        if (byName(n)(f)) col(s"${n}__$f") else lit(null)
+      })
   }
 
   // ------------------------------------------------------------ expressions
@@ -1107,6 +1131,69 @@ final class VplCompiler(program: VProgram, source: VplSource,
           pdf
         } else resolveAny(n)
     }
+    // Dynamic payload: an undeclared event type absent from the data
+    // resolves with only the raw `fields` map (reference events are
+    // schemaless until bound). Materialize every field name the
+    // stream's ops reference, so partition keys and expressions
+    // resolve as real columns; unreferenced payload stays unread.
+    // Applies to the head AND to every `->` step / trend side bound
+    // later (dynamicize).
+    // name → needs a NUMERIC column (appears under arithmetic, where
+    // ANSI Spark rejects strings); everything else stays the payload's
+    // string truth (keys, equality, ordering)
+    lazy val dynRefNames: Map[String, Boolean] = {
+      val ref = mutable.Map.empty[String, Boolean]
+      def add(n: String, arith: Boolean): Unit =
+        ref(n) = ref.getOrElse(n, false) || arith
+      val arithOps = Set("+", "-", "*", "/", "%")
+      val arithFns = Set("abs", "sqrt", "pow", "round", "floor", "ceil",
+        "exp", "ln", "log", "min", "max", "sum", "avg", "stddev",
+        "variance", "ema", "median", "percentile")
+      def walkE(e: VExpr, arith: Boolean): Unit = e match {
+        case VRef(n)           => add(n, arith)
+        case VField(_, f)      => add(f, arith)
+        case VBin(op, l, r) =>
+          val a2 = arith || arithOps(op)
+          walkE(l, a2); walkE(r, a2)
+        case VUn(op, x)        => walkE(x, arith || op == "-")
+        case VCall(f, as)      => as.foreach(walkE(_, arith || arithFns(f)))
+        case VMethod(t, _, as) => walkE(t, arith); as.foreach(walkE(_, arith))
+        case VIf(c, a, b)      => walkE(c, false); walkE(a, arith); walkE(b, arith)
+        case VList(is)         => is.foreach(walkE(_, arith))
+        case VStruct(is)       => is.foreach(i => walkE(i._2, arith))
+        case _                 => ()
+      }
+      s.ops.foreach {
+        case OpPartitionBy(cs)   => cs.foreach(add(_, arith = false))
+        case OpDistinct(cs)      => cs.foreach(add(_, arith = false))
+        case OpWhere(e)          => walkE(e, arith = false)
+        case OpHaving(e)         => walkE(e, arith = false)
+        case OpSelect(items)     =>
+          items.foreach { case (n, eo) =>
+            eo.fold[Unit](add(n, arith = false))(walkE(_, arith = false)) }
+        case OpAggregate(aggs)   => aggs.foreach(i => walkE(i._2, arith = false))
+        case OpEmit(args, _)     => args.foreach(i => walkE(i._2, arith = false))
+        case OpOrderBy(items)    => items.foreach(i => walkE(i._1, arith = false))
+        case OpFollowedBy(step)  => step.where.foreach(walkE(_, arith = false))
+        case OpNot(step)         => step.where.foreach(walkE(_, arith = false))
+        case _                   => ()
+      }
+      ref.toMap
+    }
+    def dynamicize(d: DataFrame): DataFrame =
+      if (d.columns.contains("fields") && d.columns.length <= 3) {
+        val missing = (dynRefNames -- d.columns.toSet - "ts" - "event_id")
+          .toSeq.sortBy(_._1)
+        val widened =
+          if (missing.isEmpty) d
+          else d.select(d.columns.map(col).toSeq ++
+            missing.map { case (f, arith) =>
+              val raw = element_at(col("fields"), f)
+              (if (arith) raw.cast("double") else raw).as(f)
+            }: _*)
+        widened.drop("fields")
+      } else d
+    df = dynamicize(df)
     // streaming: the source is unfiltered (sentinel must reach the
     // watermark node) — the event-type filter applies after .watermark
     var pendingType: Option[String] = s.source match {
@@ -1714,7 +1801,7 @@ final class VplCompiler(program: VProgram, source: VplSource,
         translate(e, emitCtx).as(n) }: _*)
     }
 
-    /** Batch compile of `stream X = KleenePattern .emit(...)`: the
+    /** Batch compile of `stream X = KleenePattern .emit(...)` — the
       * maximal-run realization ([[graft.cep.Pattern.kleeneBetween]] /
       * kleeneStarBetween) so batch rows match the streaming NFA's —
       * one row per (anchor, close) pair with `len(b)` / `sum(b.f)` /
@@ -1736,11 +1823,30 @@ final class VplCompiler(program: VProgram, source: VplSource,
         s"pattern '${decl.name}': Kleene stream source needs `within d`"))
       if (withinUs % 1000000L != 0) throw VplCompileError(
         s"pattern '${decl.name}': sub-second `within` unsupported in batch")
-      items.foreach { it =>
+      // Cross-step predicates, split by where they can be evaluated
+      // under maximal-run semantics (the streaming NFA's behavior):
+      //  - on the Kleene step vs the ANCHOR (`B where x > first.x`):
+      //    part of the B-attachment join condition;
+      //  - on the CLOSE step vs the anchor or the run's LAST element
+      //    (`C where x > rising.x` — sase.rs "previous" semantics,
+      //    the Kleene slot holds its last matched element): a filter
+      //    after the run aggregation, where both sides are attached.
+      // Anything else (anchor referencing later steps; star-run close
+      // predicates against a possibly-empty run) stays rejected.
+      val crossB = mutable.Buffer.empty[VExpr]
+      val crossC = mutable.Buffer.empty[VExpr]
+      items.zipWithIndex.foreach { case (it, i) =>
         val own = it.alias.toSet
-        it.where.toSeq.flatMap(conjuncts).foreach { c =>
-          if (!aliasRefs(c).subsetOf(own)) throw VplCompileError(
-            s"pattern '${decl.name}': cross-step predicate $c is not in " +
+        it.where.toSeq.flatMap(conjuncts).foreach { cj =>
+          val refs = aliasRefs(cj)
+          if (refs.subsetOf(own)) () // local, stays in the step cond
+          else if (i == 1 && refs.subsetOf(own ++ items(0).alias))
+            crossB += cj
+          else if (i == 2 && ik.kleene.contains("+") &&
+              refs.subsetOf(own ++ items(0).alias ++ items(1).alias))
+            crossC += cj
+          else throw VplCompileError(
+            s"pattern '${decl.name}': cross-step predicate $cj is not in " +
               "the batch Kleene-stream subset (run it streaming, or as " +
               "an inline -> sequence)")
         }
@@ -1749,13 +1855,21 @@ final class VplCompiler(program: VProgram, source: VplSource,
         .map(t => withOrderCol(resolveAny(t)).withColumn("__etype", lit(t)))
         .reduce(_.unionByName(_, allowMissingColumns = true))
       val ucols = union.columns.toSet
+      // step conditions carry their LOCAL conjuncts only; the cross
+      // conjuncts collected above apply at the join / post-agg stage
+      val localConjs: Seq[Seq[VExpr]] = items.map { it =>
+        val own = it.alias.toSet
+        it.where.toSeq.flatMap(conjuncts)
+          .filter(cj => aliasRefs(cj).subsetOf(own))
+      }
       def cond(it: SaseItem, alias: String): Column = {
         val ctx = ExprCtx(
           bare = f => if (ucols(f)) Some(col(f)) else None,
           qualified = (q, f) =>
             if (q == alias && ucols(f)) Some(col(f)) else None)
         val base = col("__etype") === it.eventType
-        it.where.map(w => base && translate(inlineFns(w), ctx)).getOrElse(base)
+        localConjs(items.indexOf(it))
+          .map(w => translate(inlineFns(w), ctx)).foldLeft(base)(_ && _)
       }
       // emit rewrites mirror buildStreamSeq: len/count(b) → n_b,
       // sum(b.f) → sum_b (one accumulated field, = kleeneBetween's
@@ -1783,15 +1897,30 @@ final class VplCompiler(program: VProgram, source: VplSource,
       val steps = items.zip(aliases).map { case (it, a) =>
         graft.cep.Step(a, cond(it, a))
       }
+      // anchored Kleene-step predicate → B-attachment join condition
+      // over the kleene functions' single-underscore prefixed columns
+      val bCross: Column = {
+        val bctx = ExprCtx(
+          bare = f =>
+            if (ucols(f)) Some(col(s"${aliases(1)}_$f")) else None,
+          qualified = (q, f) =>
+            if ((q == aliases(0) || q == aliases(1)) && ucols(f))
+              Some(col(s"${q}_$f"))
+            else None)
+        crossB.toSeq.map(w => translate(inlineFns(w), bctx))
+          .foldLeft(lit(true))(_ && _)
+      }
       val kb =
         if (ik.kleene.contains("*"))
           graft.cep.Pattern.kleeneStarBetween(union, steps(0), steps(1),
             steps(2), withinUs / 1000000L, keys,
-            bValueCol = sumField.getOrElse("event_id"))
+            bValueCol = sumField.getOrElse("event_id"),
+            bCrossPred = bCross)
         else
           graft.cep.Pattern.kleeneBetween(union, steps(0), steps(1),
             steps(2), withinUs / 1000000L, keys,
-            bValueCol = sumField.getOrElse("event_id"))
+            bValueCol = sumField.getOrElse("event_id"),
+            bCrossPred = bCross)
       // re-attach step payload fields by id (anchors inner, last-B left
       // — a star run may be empty)
       def side(it: SaseItem, alias: String): DataFrame = {
@@ -1824,9 +1953,142 @@ final class VplCompiler(program: VProgram, source: VplSource,
           else if (ocols(s"${q}__$f")) Some(col(s"${q}__$f"))
           else if (aliases.contains(q)) Some(lit(null))
           else None)
-      if (emitArgs.isEmpty) kb
-      else out.select(emitArgs.map { case (n, e) =>
+      // close-step cross predicates (vs the anchor or the run's LAST
+      // element — both sides are attached by the id joins above)
+      val outF = crossC.foldLeft(out)((d, cj) =>
+        d.filter(translate(inlineFns(cj), ectx)))
+      if (emitArgs.isEmpty) {
+        if (crossC.isEmpty) kb
+        else outF.select((kb.columns.toSeq).map(col): _*)
+      } else outF.select(emitArgs.map { case (n, e) =>
         translate(e, ectx).as(n) }: _*)
+    }
+
+    def isTrendAgg(e: VExpr): Boolean = inlineFns(e) match {
+      case VCall("count_trends" | "count_events" | "sum_trends" |
+        "avg_trends" | "min_trends" | "max_trends", _) => true
+      case _ => false
+    }
+
+    /** `.trend_aggregate(...)` after an inline `-> all` sequence
+      * (reference aggregation mode, docs/reference/trend-aggregation
+      * .md; GRETA, Poppe et al. VLDB'17): count trends WITHOUT
+      * enumerating them. Supported shapes — the anchored Kleene forms
+      * the reference's own benchmark uses (13_trend_aggregation.vpl):
+      *
+      *   A as a -> all B where p(B, a) as r                 (2 steps)
+      *   A as a -> all B where p(B, a) as r -> C where q(C, r) (3)
+      *
+      * A trend = the anchor + a non-empty ordered subset of its
+      * qualifying events (+ the close). Closed forms, derived from
+      * "last element of the subset" (sase.rs previous semantics —
+      * the close predicate sees the subset's LAST element):
+      * with r_i = #qualifying events between the anchor and event i,
+      *
+      *   count_trends  = Σ_i 2^(r_i)  over valid (anchor, i [, close])
+      *   count_events  = Σ_i (2^(r_i) + r_i · 2^(r_i − 1))
+      *     (subsets with last = i have 2^(r_i) total members beyond
+      *      the forced i... each of the r_i earlier events appears in
+      *      half the subsets — the docs' "an event that appears in 5
+      *      trends is counted 5 times")
+      *
+      * For the 2-step form these telescope to the familiar
+      * Σ_a (2^(n_a) − 1) and Σ_a n_a·2^(n_a − 1). Grouping: partition
+      * keys + a tumbling `within`-sized window of the ANCHOR's event
+      * time (the reference emits at window close). Per-term powers
+      * are exact longs guarded at 2^62; the sums accumulate in
+      * DECIMAL(38,0) and surface as BIGINT (NULL past the guard —
+      * the established count_trends overflow contract).
+      *
+      * Plan shape: two (or three) equi-joins on the partition keys
+      * with time/order residuals — the same shuffle story as every
+      * other pattern join (never a cross product) — then one
+      * partial-agg groupBy on (keys, window).
+      */
+    def buildTrendAggregate(aggs: Seq[(String, VExpr)]): Unit = {
+      val st = seq.get
+      val steps = st.steps.toSeq
+      if (steps.size < 2 || steps.size > 3 || !steps(1).matchAll)
+        throw VplCompileError(
+          ".trend_aggregate needs `A -> all B [-> C]` (anchored Kleene)")
+      val withinUs = st.withinUs.getOrElse(throw VplCompileError(
+        ".trend_aggregate needs `.within(d)`"))
+      val aA = steps(0).alias
+      val aR = steps(1).alias
+      def pfx(b: Bound): DataFrame = prefixed(withOrderCol(b.df), b.alias)
+      def ctxFor(own: String, earlier: Seq[(String, Set[String])],
+          ownCols: Set[String]): ExprCtx = ExprCtx(
+        bare = f =>
+          if (ownCols(s"${own}__$f")) Some(col(s"${own}__$f")) else None,
+        qualified = (q, f) =>
+          if (q == own && ownCols(s"${own}__$f")) Some(col(s"${own}__$f"))
+          else earlier.collectFirst {
+            case (a2, cs) if a2 == q =>
+              if (cs(s"${a2}__$f")) col(s"${a2}__$f") else lit(null)
+          })
+      val dfA = pfx(steps(0))
+      val dfR = pfx(steps(1))
+      val colsA = dfA.columns.toSet
+      val colsR = dfR.columns.toSet
+      val keyEqAR = keys.map(k => col(s"${aA}__$k") === col(s"${aR}__$k"))
+        .reduceOption(_ && _).getOrElse(lit(true))
+      val spanAR =
+        unix_micros(col(s"${aR}__ts")) - unix_micros(col(s"${aA}__ts"))
+      var ar = dfA.join(dfR,
+        keyEqAR && col(s"${aR}__event_id") > col(s"${aA}__event_id") &&
+          spanAR >= 0 && spanAR <= withinUs)
+      Seq(steps(0).where.map(w => translate(inlineFns(w),
+          ctxFor(aA, Nil, colsA))),
+        steps(1).where.map(w => translate(inlineFns(w),
+          ctxFor(aR, Seq(aA -> colsA), colsR)))).flatten
+        .foreach(c => ar = ar.filter(c))
+      // r_i = qualifying events between the anchor and event i
+      val wA = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(s"${aA}__event_id"))
+        .orderBy(col(s"${aR}__event_id"))
+      var terms = ar.withColumn("__r",
+        row_number().over(wA).cast("long") - 1L)
+      if (steps.size == 3) {
+        val aC = steps(2).alias
+        val dfC = pfx(steps(2))
+        val colsC = dfC.columns.toSet
+        val keyEqRC = keys.map(k => col(s"${aR}__$k") === col(s"${aC}__$k"))
+          .reduceOption(_ && _).getOrElse(lit(true))
+        val spanAC =
+          unix_micros(col(s"${aC}__ts")) - unix_micros(col(s"${aA}__ts"))
+        terms = terms.join(dfC,
+          keyEqRC && col(s"${aC}__event_id") > col(s"${aR}__event_id") &&
+            spanAC >= 0 && spanAC <= withinUs)
+        steps(2).where.foreach(w => terms = terms.filter(
+          translate(inlineFns(w),
+            ctxFor(aC, Seq(aA -> colsA, aR -> colsR), colsC))))
+      }
+      // exact per-term powers, guarded; DECIMAL(38,0) accumulation
+      def p2(e: Column): Column =
+        when(e <= 62L && e >= 0L,
+          call_function("shiftleft", lit(1L), e.cast("int")))
+      val termTrends = p2(col("__r"))
+      val termEvents = p2(col("__r")) +
+        col("__r") * coalesce(p2(col("__r") - 1L), lit(0L))
+      val winDur = s"${withinUs / 1000000L} seconds"
+      val outAggs = aggs.map { case (n, e) => inlineFns(e) match {
+        case VCall("count_trends", _) =>
+          sum(termTrends.cast("decimal(38,0)")).cast("bigint").as(n)
+        case VCall("count_events", as)
+            if as.isEmpty || as == Seq(VRef(aR)) =>
+          sum(termEvents.cast("decimal(38,0)")).cast("bigint").as(n)
+        case other => throw VplCompileError(
+          s".trend_aggregate: unsupported aggregate $other " +
+            "(count_trends / count_events only)")
+      }}
+      df = terms
+        .groupBy(keys.map(k => col(s"${aA}__$k").as(k)) :+
+          window(col(s"${aA}__ts"), winDur).as("__w"): _*)
+        .agg(outAggs.head, outAggs.tail: _*)
+        .withColumn("win_start", col("__w.start").cast("long"))
+        .drop("__w")
+      seq = None
+      aggregated = true
     }
 
     def ensureSeq(): SeqState = seq.getOrElse {
@@ -1897,8 +2159,8 @@ final class VplCompiler(program: VProgram, source: VplSource,
           val st = ensureSeq()
           st.steps += Bound(
             step.alias.getOrElse(s"s${st.steps.size}"),
-            withOrderCol(resolveAny(step.eventType)), step.where,
-            step.eventType)
+            withOrderCol(dynamicize(resolveAny(step.eventType))), step.where,
+            step.eventType, step.matchAll)
         }
 
       case OpWithin(VDur(us)) =>
@@ -1950,6 +2212,11 @@ final class VplCompiler(program: VProgram, source: VplSource,
           case (n, Some(e)) => translate(e, c).as(n)
           case (n, None)    => translate(VRef(n), c).as(n)
         }: _*)
+        // the projection DEFINES the stream's columns from here on:
+        // later .where/.emit resolve the select's output names, not
+        // the join inputs' qualified columns (ema_crossover's emit
+        // after select previously died on the stale join context)
+        joinInputs = None
 
       case OpOn(e) =>
         val ins = joinInputs.getOrElse(
@@ -2032,8 +2299,11 @@ final class VplCompiler(program: VProgram, source: VplSource,
         }
 
       case OpAggregate(aggs) =>
-        if (seq.isDefined) throw VplCompileError("aggregate after sequence not supported")
-        runAgg(aggs)
+        if (seq.isDefined && aggs.exists(a => isTrendAgg(a._2)))
+          buildTrendAggregate(aggs)
+        else if (seq.isDefined)
+          throw VplCompileError("aggregate after sequence not supported")
+        else runAgg(aggs)
 
       case OpEnrich(connector, params) =>
         // `.enrich(Conn, key: expr, fields: [..], fallback: lit?)`

@@ -132,6 +132,36 @@ class VplCoverageSpec extends SparkSpec {
     assert(streams >= 200, s"only $streams streams compiled")
   }
 
+  test("every demo and benchmark stream compiles and runs too") {
+    // beyond parsing: the Apama/Flink-comparison benchmark programs,
+    // connector-comparison pipelines and live demos all compile to
+    // runnable plans (unbound broker connectors degrade to no-ops by
+    // design — the binding table supplies real ones at deploy time)
+    val empty = java.nio.file.Files.createTempFile("graft_empty2", ".evt")
+    java.nio.file.Files.writeString(empty, "# empty\n")
+    def walk(d: java.io.File): Seq[java.io.File] =
+      Option(d.listFiles).toSeq.flatten.flatMap {
+        case f if f.isDirectory => walk(f)
+        case f if f.getName.endsWith(".vpl") => Seq(f)
+        case _ => Nil
+      }
+    val files = (walk(new java.io.File("/root/reference/demos")) ++
+      walk(new java.io.File("/root/reference/benchmarks")))
+      .sortBy(_.getPath)
+    var streams = 0
+    val failures = files.flatMap { f =>
+      scala.util.Try(Vpl.runEvt(spark, read(f.getPath), Seq(empty.toString)))
+        .fold(e => Seq(s"${f.getPath}: PROGRAM ${e.getMessage.take(80)}"),
+          _.flatMap {
+            case (_, scala.util.Success(df)) => streams += 1; df.count(); None
+            case (n, scala.util.Failure(e)) =>
+              Some(s"${f.getPath}/$n: ${e.getMessage.take(80)}")
+          })
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+    assert(streams >= 40, s"only $streams demo/bench streams compiled")
+  }
+
   test("enrich joins a bound lookup broadcast, degrades to fallback unbound") {
     import spark.implicits._
     val vpl = read(s"$ex/enrich_weather.vpl")

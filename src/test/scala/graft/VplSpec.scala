@@ -648,4 +648,67 @@ class VplSpec extends SparkSpec {
     assert(row.getAs[scala.collection.Seq[Long]]("negstart").toList == Nil)
     assert(row.getAs[String]("clamp") == "bc")
   }
+
+  // ------------------------------------------------- trend aggregation mode
+  test("trend_aggregate closed forms equal brute-force enumeration") {
+    // crafted prices; brute force enumerates every (anchor, subset
+    // [, close]) trend the reference's aggregation mode counts
+    val prices = Seq(10.0, 12.0, 9.0, 15.0, 11.0, 14.0, 8.0)
+    val evt = java.nio.file.Files.createTempFile("graft_ta", ".evt")
+    java.nio.file.Files.writeString(evt,
+      prices.zipWithIndex.map { case (pr, i) =>
+        s"@${i}s StockTick { symbol: \"A\", price: $pr }"
+      }.mkString("\n") + "\n")
+    val vpl2 =
+      """stream T2 = StockTick as first
+        |    -> all StockTick where price > first.price as rising
+        |    .within(60s)
+        |    .partition_by(symbol)
+        |    .trend_aggregate(count: count_trends(), events: count_events(rising))
+        |    .emit(symbol: first.symbol, count: count, events: events)
+        |""".stripMargin
+    val got2 = Vpl.runEvt(spark, vpl2, Seq(evt.toString))("T2").get.collect()
+    // brute force, 2-step: anchors x nonempty subsets of later-higher
+    var t2 = 0L; var e2 = 0L
+    for (a <- prices.indices) {
+      val n = (a + 1 until prices.size).count(i => prices(i) > prices(a))
+      if (n > 0) {
+        t2 += (1L << n) - 1
+        e2 += n.toLong * (1L << (n - 1))
+      }
+    }
+    assert(got2.length == 1)
+    assert(got2.head.getAs[Long]("count") == t2, s"count_trends: $t2")
+    assert(got2.head.getAs[Long]("events") == e2, s"count_events: $e2")
+
+    val vpl3 =
+      """stream T3 = StockTick as first
+        |    -> all StockTick where price > first.price as rising
+        |    -> StockTick where price < rising.price as drop
+        |    .within(60s)
+        |    .partition_by(symbol)
+        |    .trend_aggregate(count: count_trends(), events: count_events(rising))
+        |    .emit(symbol: first.symbol, count: count, events: events)
+        |""".stripMargin
+    val got3 = Vpl.runEvt(spark, vpl3, Seq(evt.toString))("T3").get.collect()
+    // brute force, 3-step: subsets enumerated; the close predicate
+    // sees the subset's LAST element (sase.rs previous semantics)
+    var t3 = 0L; var e3 = 0L
+    for (a <- prices.indices) {
+      val qual = (a + 1 until prices.size).filter(i => prices(i) > prices(a))
+      for (mask <- 1 until (1 << qual.size)) {
+        val subset = qual.zipWithIndex.collect {
+          case (i, b) if (mask & (1 << b)) != 0 => i
+        }
+        val last = subset.max
+        val closes = (last + 1 until prices.size)
+          .count(c => prices(c) < prices(last))
+        t3 += closes
+        e3 += closes.toLong * subset.size
+      }
+    }
+    assert(got3.length == 1)
+    assert(got3.head.getAs[Long]("count") == t3, s"count_trends 3-step: $t3")
+    assert(got3.head.getAs[Long]("events") == e3, s"count_events 3-step: $e3")
+  }
 }
