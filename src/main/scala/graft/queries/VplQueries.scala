@@ -81,7 +81,50 @@ object VplQueries {
       |          uid2: int(str(user_id)))
       |""".stripMargin
 
+  private val trendVpl =
+    """# GRETA aggregation mode: count anchored rising trends without
+      |# enumerating them (docs/reference/trend-aggregation.md)
+      |stream SignupTrends = signup as first
+      |    -> all purchase where value > first.value as rising
+      |    .within(24h)
+      |    .partition_by(user_id)
+      |    .trend_aggregate(trend_count: count_trends(),
+      |                     event_count: count_events(rising))
+      |    .emit(user_id: user_id, win_start: win_start,
+      |          trend_count: trend_count, event_count: event_count)
+      |""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    // anchored GRETA closed forms under the hash gate: the oracle
+    // recomputes n_a per anchor with a correlated join and sums the
+    // exact powers (DuckDB << on BIGINT; >62 guards to NULL like the
+    // engine's overflow contract)
+    "x6_vpl_trend_agg" -> QueryDef.of(
+      """WITH a AS (
+        |  SELECT user_id, event_id, ts, value FROM events
+        |  WHERE event_type = 'signup'
+        |), n AS (
+        |  SELECT a.user_id,
+        |    (epoch_us(a.ts) // 86400000000) * 86400 AS win_start,
+        |    a.event_id,
+        |    COUNT(b.event_id) AS n_b
+        |  FROM a LEFT JOIN events b
+        |    ON b.user_id = a.user_id AND b.event_type = 'purchase'
+        |   AND b.event_id > a.event_id
+        |   AND epoch_us(b.ts) - epoch_us(a.ts) BETWEEN 0 AND 86400000000
+        |   AND b.value > a.value
+        |  GROUP BY 1, 2, 3
+        |)
+        |SELECT user_id, win_start,
+        |  CAST(SUM(CASE WHEN n_b = 0 THEN 0
+        |       WHEN n_b <= 62 THEN (CAST(1 AS BIGINT) << n_b) - 1
+        |       END) AS BIGINT) AS trend_count,
+        |  CAST(SUM(CASE WHEN n_b = 0 THEN 0
+        |       WHEN n_b - 1 <= 62 THEN n_b * (CAST(1 AS BIGINT) << (n_b - 1))
+        |       END) AS BIGINT) AS event_count
+        |FROM n GROUP BY 1, 2
+        |HAVING SUM(n_b) > 0""".stripMargin)(
+      (s, dir) => Vpl.tableStream(s, dir, trendVpl, "SignupTrends")),
     "x5_vpl_exprs" -> QueryDef.of(
       """SELECT event_id,
         | (event_id & 255) | 1 AS masked,
