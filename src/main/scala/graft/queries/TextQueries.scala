@@ -508,6 +508,89 @@ object TextQueries {
               .otherwise("tail").as("bucket"))
     },
 
+    // --- #45h greedy (next-fit) sequence packing: docs → fixed
+    // token-budget training sequences. The greedy fold is sequential
+    // per shard BY DEFINITION (every placement depends on the running
+    // fill), so it runs as one native O(n/S) pass per shard
+    // (PackGreedy, the BreakerReplay shape) and parallelism is the
+    // shard count; the only exchange is the shuffle onto the shard
+    // key. The oracle replays every greedy decision with a linear
+    // recursive CTE over the same FNV shard assignment ---
+    "t10_seq_pack" -> QueryDef.of(
+      s"""WITH RECURSIVE d AS (
+         |  SELECT CAST(${fnvSql("('shard|' || CAST(doc_id AS VARCHAR))")} % 64 AS BIGINT) AS shard,
+         |    doc_id,
+         |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS BIGINT) AS tok
+         |  FROM documents),
+         |r AS (
+         |  SELECT shard, doc_id, tok,
+         |         row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+         |  FROM d),
+         |step AS (
+         |  SELECT shard, 0 AS rn, CAST(0 AS BIGINT) AS bin,
+         |         CAST(0 AS BIGINT) AS used, CAST(NULL AS BIGINT) AS doc_id
+         |  FROM (SELECT DISTINCT shard FROM r)
+         |  UNION ALL
+         |  SELECT x.shard, x.rn,
+         |    CASE WHEN s.used = 0 OR s.used + x.tok <= 256
+         |         THEN s.bin ELSE s.bin + 1 END,
+         |    CASE WHEN s.used = 0 OR s.used + x.tok <= 256
+         |         THEN s.used + x.tok ELSE x.tok END,
+         |    x.doc_id
+         |  FROM step s JOIN r x ON x.shard = s.shard AND x.rn = s.rn + 1)
+         |SELECT shard, doc_id, bin, used AS bin_used
+         |FROM step WHERE rn > 0""".stripMargin) {
+      (s, dir) =>
+        graft.text.TextAnalysis.packSequences(
+          Tables(s, dir).documents, col("doc_id"), col("text"),
+          nShards = 64, budgetTokens = 256L)
+    },
+
+    // --- #45i BM25 relevance scoring against a fixed query term set
+    // (retrieval-based quality/topic filtering). Per-doc tf is a
+    // row-local HOF count (the query vocabulary is bounded — no
+    // explode of the token stream, no token-keyed shuffle); corpus
+    // stats (N, Σdl, per-term df) reduce to ONE row that broadcasts
+    // back onto the map-side scoring pass. Integer stats stay exact;
+    // the single double expression is rounded to 6 decimals on both
+    // sides to absorb cross-libm ln() variance (f4 precedent) ---
+    "t11_bm25" -> QueryDef.of {
+      val terms = Seq("spark", "join", "window", "dup")
+      val tfDefs = terms.zipWithIndex.map { case (t, i) =>
+        s"CAST(len(list_filter(w, x -> x = '$t')) AS BIGINT) AS tf$i"
+      }.mkString(",\n         |  ")
+      val dfDefs = terms.indices.map { i =>
+        s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i"
+      }.mkString(",\n         |  ")
+      val scoreSum = terms.indices.map { i =>
+        s"""ln(1.0::DOUBLE + (CAST(n_docs AS DOUBLE) - CAST(df$i AS DOUBLE) + 0.5::DOUBLE)
+           |      / (CAST(df$i AS DOUBLE) + 0.5::DOUBLE))
+           |    * CAST(tf$i AS DOUBLE) * 2.2::DOUBLE
+           |    / (CAST(tf$i AS DOUBLE) + 1.2::DOUBLE * (0.25::DOUBLE
+           |       + 0.75::DOUBLE * CAST(dl AS DOUBLE)
+           |         / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))""".stripMargin
+      }.mkString("\n         |  + ")
+      val hitSum = terms.indices.map(i =>
+        s"CASE WHEN tf$i > 0 THEN 1 ELSE 0 END").mkString(" + ")
+      val anyHit = terms.indices.map(i => s"tf$i > 0").mkString(" OR ")
+      s"""WITH w AS (SELECT doc_id, $wordsSql AS w FROM documents),
+         |t AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
+         |  $tfDefs
+         |  FROM w),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(dl) AS BIGINT) AS sum_dl,
+         |  $dfDefs
+         |  FROM t)
+         |SELECT doc_id,
+         |  round($scoreSum, 6) AS bm25,
+         |  CAST($hitSum AS BIGINT) AS n_hits
+         |FROM t, st WHERE $anyHit""".stripMargin
+    } { (s, dir) =>
+      graft.text.TextAnalysis.bm25(
+        Tables(s, dir).documents, col("doc_id"), col("text"),
+        terms = Seq("spark", "join", "window", "dup"))
+    },
+
     "t8_shard" -> QueryDef.of(
       s"""WITH s AS (
          |  SELECT CAST(${fnvSql("('shard|' || CAST(doc_id AS VARCHAR))")} % 64 AS BIGINT) AS shard,

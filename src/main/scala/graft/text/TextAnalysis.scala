@@ -133,4 +133,102 @@ object TextAnalysis {
         min(col("id")).as("min_id"),
         max(col("id")).as("max_id"))
   }
+
+  /** Greedy (next-fit) sequence packing: concatenate documents into
+    * fixed-token-budget training sequences. Docs are hashed onto
+    * shards (deterministic FNV — reruns pack identically), consumed
+    * in doc-id order within the shard, and greedily placed: a doc
+    * that would overflow the budget closes the bin and opens the
+    * next. Output one row per doc: (shard, doc_id, bin, bin_used)
+    * where bin is the sequence number within the shard.
+    *
+    * Scale shape: the fold is sequential per shard BY DEFINITION
+    * (every placement depends on the running fill), so parallelism
+    * comes from the shard count — pick S ~ corpus-size/target-group
+    * and each group holds n/S docs. One shuffle (onto shard), one
+    * native O(n/S) pass per group ([[graft.functions.PackGreedy]]),
+    * no pair enumeration, no driver work.
+    */
+  def packSequences(
+      docs: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      nShards: Int,
+      budgetTokens: Long,
+      salt: String = "shard"): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val shard = Fnv64.unsignedMod(
+      Fnv64(concat(lit(salt + "|"), idCol.cast("string"))), nShards.toLong)
+    val sorted = sort_array(collect_list(struct(
+      idCol.as("doc_id"),
+      bpeishTokenCount(textCol).cast("long").as("tok"))))
+    docs
+      .groupBy(shard.as("shard"))
+      .agg(ColumnBridge.column(graft.functions.PackGreedy(
+        ColumnBridge.expression(sorted), budgetTokens)).as("packed"))
+      .select(col("shard"), explode(col("packed")).as("p"))
+      .select(
+        col("shard"),
+        col("p.doc_id").as("doc_id"),
+        col("p.bin").as("bin"),
+        col("p.bin_used").as("bin_used"))
+  }
+
+  /** BM25 relevance scoring of every document against a fixed query
+    * term set (Lucene's always-positive idf form:
+    * ln(1 + (N-df+0.5)/(df+0.5))). Returns matching docs with their
+    * score and hit count.
+    *
+    * Plan shape — built for the 100 TB corpus, not the 500-doc test:
+    * per-doc term frequencies are row-local HOF counts over the
+    * normalized word array (NO explode of the full token stream and
+    * NO shuffle keyed on tokens — the query term set is bounded, so
+    * tf_i = size(filter(w, _ = term_i)) stays inside codegen); the
+    * corpus statistics (N, Σdl, df per term) reduce to ONE row via a
+    * partial aggregate, which then broadcasts back onto the map-side
+    * scoring pass. Two scans of the corpus, zero wide exchanges.
+    * Integer stats stay exact end-to-end; the one double expression
+    * (idf × tf-saturation) is rounded to 6 decimals to absorb
+    * cross-libm ln() variance (the f4_hawkes precedent).
+    */
+  def bm25(
+      docs: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      terms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val w = words(textCol)
+    val base = docs.select(
+      idCol.as("doc_id"),
+      size(w).cast("long").as("dl"),
+      struct(terms.zipWithIndex.map { case (t, i) =>
+        size(filter(w, x => x === lit(t))).cast("long").as(s"tf$i")
+      }: _*).as("tf"))
+    val stats = base.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl"),
+      struct(terms.indices.map { i =>
+        sum(when(col(s"tf.tf$i") > 0, 1L).otherwise(0L)).as(s"df$i")
+      }: _*).as("df"))
+    // one-row stats side: broadcast cross-join back onto the scan
+    val joined = base.crossJoin(broadcast(stats))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val score = terms.indices.map { i =>
+      val tf = col(s"tf.tf$i").cast("double")
+      val df = col(s"df.df$i").cast("double")
+      val idf = log(lit(1.0) +
+        (col("n_docs").cast("double") - df + lit(0.5)) / (df + lit(0.5)))
+      idf * tf * lit(k1 + 1.0) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / avgdl))
+    }.reduce(_ + _)
+    val hits = terms.indices.map(i =>
+      when(col(s"tf.tf$i") > 0, 1L).otherwise(0L)).reduce(_ + _)
+    joined
+      .where(hits > 0)
+      .select(
+        col("doc_id"),
+        round(score, 6).as("bm25"),
+        hits.as("n_hits"))
+  }
 }

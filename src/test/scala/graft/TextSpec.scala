@@ -199,6 +199,71 @@ class TextSpec extends SparkSpec {
     assert(math.abs(s60.size / n - 0.6) < 0.1)
   }
 
+  test("sequence packing: complete, budget-respecting, greedy-tight") {
+    val docs = Tables(spark, sf).documents
+    val budget = 256L
+    val got = graft.text.TextAnalysis
+      .packSequences(docs, col("doc_id"), col("text"), 8, budget)
+      .collect()
+    // every doc packed exactly once
+    assert(got.map(_.getAs[Long]("doc_id")).toSet.size == docs.count())
+    assert(got.length == docs.count())
+    val byShard = got.groupBy(_.getAs[Long]("shard"))
+    byShard.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Long]("doc_id"))
+      // bins are contiguous from 0 and never decrease in doc order
+      val bins = sorted.map(_.getAs[Long]("bin"))
+      assert(bins.head == 0L)
+      bins.sliding(2).foreach {
+        case Array(a, b) => assert(b == a || b == a + 1)
+        case _ => ()
+      }
+      // fill never exceeds the budget unless the bin holds one
+      // oversize doc alone (never split)
+      val byBin = sorted.groupBy(_.getAs[Long]("bin")).toSeq.sortBy(_._1)
+      byBin.foreach { case (_, b) =>
+        val fill = b.map(_.getAs[Long]("bin_used")).max
+        assert(fill <= budget || b.length == 1)
+      }
+      // greedy tightness: a bin's final fill + the next bin's first
+      // doc (whose bin_used IS its token count — first placement)
+      // would overflow, else greedy would have kept filling
+      byBin.sliding(2).foreach {
+        case Seq((_, prev), (_, next)) =>
+          val prevFill = prev.map(_.getAs[Long]("bin_used")).max
+          val nextFirstTok = next.minBy(_.getAs[Long]("doc_id"))
+            .getAs[Long]("bin_used")
+          assert(prevFill + nextFirstTok > budget)
+        case _ => ()
+      }
+    }
+    // rerun → identical packing (deterministic shard + order)
+    val again = graft.text.TextAnalysis
+      .packSequences(docs, col("doc_id"), col("text"), 8, budget)
+      .collect()
+    assert(got.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
+
+  test("bm25: hit monotonicity and exact-integer hit counts") {
+    import spark.implicits._
+    val crafted = Seq(
+      (1L, "spark spark spark join window dup"),
+      (2L, "spark join"),
+      (3L, "nothing relevant here at all"),
+      (4L, "dup dup dup dup")).toDF("doc_id", "text")
+    val got = graft.text.TextAnalysis
+      .bm25(crafted, col("doc_id"), col("text"),
+        Seq("spark", "join", "window", "dup"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("bm25"), r.getAs[Long]("n_hits"))).toMap
+    // non-matching doc is absent; all-terms doc hits 4; scores positive
+    assert(!got.contains(3L))
+    assert(got(1L)._2 == 4L && got(2L)._2 == 2L && got(4L)._2 == 1L)
+    assert(got.values.forall(_._1 > 0.0))
+    // doc 1 matches a superset of doc 2's terms with >= tf each → higher score
+    assert(got(1L)._1 > got(2L)._1)
+  }
+
   test("shard stats partition the corpus with bounded skew") {
     val docs = Tables(spark, sf).documents
     val got = graft.text.TextAnalysis
