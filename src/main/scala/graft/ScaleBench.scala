@@ -28,7 +28,7 @@ object ScaleBench {
       "d4_simhash", "d5_dedup_clusters", "d6_decontaminate",
       "d7_dup_spans", "pipe1_corpus",
       "p6_trend_count", "p10_multi_trend", "p11_greta_pred",
-      "t6_repetition", "t9_freq_quality",
+      "t6_repetition", "t9_freq_quality", "t10_seq_pack", "t11_bm25",
       "p1_seq2", "w3_session", "v1_knn", "v3_knn_lsh", "v6_knn_ivfpq",
       "g2_rate_limit", "g3_circuit_breaker", "x6_vpl_trend_agg")
 

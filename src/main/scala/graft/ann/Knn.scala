@@ -386,4 +386,70 @@ object Knn {
       .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rank"),
         round(col("cos"), 6).as("cos"))
   }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication" — the centroid-anchored linear variant): k-means
+    * clusters the embedding space; within each cluster the vector
+    * most similar to the centroid is the KEEPER, and every other
+    * member is dropped iff its cosine to the keeper reaches `tau`.
+    * Unlike [[graft.dedup.Dedup]]'s near-dup paths (which find
+    * lexical copies), this removes semantically redundant documents
+    * that share no tokens.
+    *
+    * Scale shape — linear end to end, no pair enumeration: bounded
+    * driver-side Lloyd ([[trainCoarse]], shared with IVF), ONE
+    * distributed assignment pass (row-local native argmax), keeper
+    * election as a (nlist-row) partial aggregate, and the keeper set
+    * broadcast back onto the members for one row-local cosine. The
+    * only exchange is the keeper election's nlist-key shuffle; at
+    * 100 TB nlist grows with the corpus (SemDeDup's recipe) and every
+    * stage stays one pass.
+    *
+    * Deterministic: fixed Lloyd init/iterations, cosine ties elect
+    * the lowest id. Output one row per vector:
+    * (vec_id, cell, keeper_id, cos_keeper, kept).
+    */
+  def semDedup(
+      corpus: DataFrame,
+      tau: Double,
+      nlist: Int = 16,
+      iters: Int = 3,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id",
+      trainSample: Int = 4096): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = corpus.select(col(idCol).as("n_id"),
+      col(vecCol).cast("array<double>").as("n_v"))
+    val sample: Array[Array[Double]] = c
+      .orderBy(xxhash64(col("n_id")), col("n_id")).limit(trainSample)
+      .collect().map(_.getSeq[Double](1).toArray)
+    require(sample.nonEmpty, "semDedup: empty corpus")
+    val cents = trainCoarse(sample, nlist, iters)
+
+    // centroids ride as DATA (nlist rows, broadcast), not as literal
+    // expression trees — the cos-to-centroid is a data-to-data dot
+    val centsDf = cents.zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toSeq.toDF("cell", "c_v")
+    val assigned = c
+      .withColumn("cell", element_at(cellProbesCol(cents, 1)(col("n_v")), 1))
+      .withColumn("n_n", norm(col("n_v")))
+    val withC = assigned.join(broadcast(centsDf), Seq("cell"))
+      .withColumn("cos_c",
+        dot(col("n_v"), col("c_v")) / (col("n_n") * norm(col("c_v"))))
+    // keeper election: max cos-to-centroid, ties to the lowest id
+    val keepers = withC.groupBy("cell")
+      .agg(max_by(struct(col("n_id"), col("n_v"), col("n_n")),
+        struct(col("cos_c"), -col("n_id"))).as("k"))
+      .select(col("cell"), col("k.n_id").as("keeper_id"),
+        col("k.n_v").as("k_v"), col("k.n_n").as("k_n"))
+    assigned.join(broadcast(keepers), Seq("cell"))
+      .withColumn("cos_k",
+        dot(col("n_v"), col("k_v")) / (col("n_n") * col("k_n")))
+      .select(col("n_id").as("vec_id"), col("cell").cast("long").as("cell"),
+        col("keeper_id"),
+        round(col("cos_k"), 6).as("cos_keeper"),
+        (col("n_id") === col("keeper_id") || col("cos_k") < tau).as("kept"))
+  }
 }

@@ -178,5 +178,15 @@ object VectorQueries {
         Knn.pqTopK(e, e.filter(col("vec_id") < 10), k = 10,
           m = 8, ksub = 32, refine = 6)
       }
+    },
+
+    // --- #41d SemDeDup semantic dedup (centroid-anchored linear
+    // variant): k-means cells, per-cell keeper election, drop members
+    // at cos >= tau to the keeper. rows-only BY DESIGN like v4/v6
+    // (Lloyd training is iterative); keeper-uniqueness / drop-bound /
+    // determinism properties are spec-pinned in DedupSpec ---
+    "v7_semdedup" -> QueryDef.rowsOnly {
+      (s, dir) =>
+        Knn.semDedup(Tables(s, dir).embeddings, tau = 0.95, nlist = 16)
     })
 }

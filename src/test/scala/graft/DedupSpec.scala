@@ -245,4 +245,53 @@ class DedupSpec extends SparkSpec {
       assert(r.getAs[Double]("cos") >= 0.35 - 1e-9)
     }
   }
+
+  test("semdedup: complete, one keeper per cell, drop bound, deterministic") {
+    val tau = 0.95
+    val run1 = Knn.semDedup(embs, tau = tau, nlist = 8).collect()
+    // every vector classified exactly once
+    assert(run1.length == embs.count())
+    assert(run1.map(_.getAs[Long]("vec_id")).toSet.size == run1.length)
+    val byCell = run1.groupBy(_.getAs[Long]("cell"))
+    byCell.foreach { case (_, rows) =>
+      // exactly one keeper per cell; the keeper is kept
+      val keeperIds = rows.map(_.getAs[Long]("keeper_id")).toSet
+      assert(keeperIds.size == 1)
+      val keeperRow = rows.find(r =>
+        r.getAs[Long]("vec_id") == keeperIds.head).get
+      assert(keeperRow.getAs[Boolean]("kept"))
+      // a dropped member is semantically redundant vs the keeper
+      rows.filter(!_.getAs[Boolean]("kept")).foreach { r =>
+        assert(r.getAs[Double]("cos_keeper") >= tau - 1e-9)
+      }
+      // a kept non-keeper is below the redundancy bar
+      rows.filter(r => r.getAs[Boolean]("kept") &&
+          r.getAs[Long]("vec_id") != keeperIds.head).foreach { r =>
+        assert(r.getAs[Double]("cos_keeper") < tau + 1e-9)
+      }
+    }
+    val run2 = Knn.semDedup(embs, tau = tau, nlist = 8).collect()
+    assert(run1.map(_.toString).sorted.sameElements(run2.map(_.toString).sorted))
+  }
+
+  test("semdedup drops a planted semantic duplicate, keeps distinct vectors") {
+    import spark.implicits._
+    // three tight groups in R^4 plus one exact-duplicate pair; nlist=3
+    // cells separate the groups, the duplicate collapses onto its keeper
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.01f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 0.01f, 0.0f)), // ~same direction as 1
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.01f)),
+      (4L, Array(0.0f, 0.0f, 1.0f, 0.0f)),
+      (5L, Array(0.01f, 0.0f, 1.0f, 0.0f))) // ~same direction as 4
+      .toDF("vec_id", "embedding")
+    val got = Knn.semDedup(vecs, tau = 0.99, nlist = 3, trainSample = 5)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("kept"))
+      .toMap
+    // each planted near-dup pair loses exactly its non-keeper member
+    assert(got.count(!_._2) == 2)
+    assert(!got(2L) || !got(1L))
+    assert(!got(5L) || !got(4L))
+    assert(got(3L))
+  }
 }
