@@ -15,12 +15,19 @@ object TextFunctions {
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
 
   /** Distinct word tokens of the normalized text. */
-  def wordSet(text: Column): Column =
-    array_distinct(filter(split(normalize(text), " "), w => w =!= ""))
+  def wordSet(text: Column): Column = array_distinct(words(text))
 
-  /** Ordered word tokens (with duplicates). */
-  def words(text: Column): Column =
-    filter(split(normalize(text), " "), w => w =!= "")
+  /** Ordered word tokens (with duplicates). Semantically identical to
+    * `filter(split(normalize(text), " "), _ =!= "")` — tokens are the
+    * maximal [a-z0-9] runs of the lowercased string — but computed by
+    * ONE native byte walk ([[NormalizedWords]]) instead of two regex
+    * passes + split + an interpreted HOF filter; equivalence with the
+    * composed chain is spec-pinned (TextSpec).
+    */
+  def words(text: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(NormalizedWords(ColumnBridge.expression(text)))
+  }
 
   /** Distinct word k-gram shingles ("a b c" style), the unit for
     * MinHash / Jaccard dedup. Native single-pass expression — see

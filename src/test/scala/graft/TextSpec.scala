@@ -199,6 +199,29 @@ class TextSpec extends SparkSpec {
     assert(math.abs(s60.size / n - 0.6) < 0.1)
   }
 
+  test("native words() equals the composed normalize-split-filter chain") {
+    import spark.implicits._
+    // the chain words() replaced — kept here as the semantic oracle
+    def composed(text: org.apache.spark.sql.Column) =
+      filter(split(normalize(text), " "), w => w =!= "")
+    // full corpus equivalence
+    val mismatch = docs.select(
+        words(col("text")).as("native"), composed(col("text")).as("chain"))
+      .where(not(col("native") <=> col("chain"))).count()
+    assert(mismatch == 0)
+    // adversarial strings: unicode lowering into/out of ASCII, CJK,
+    // combining marks, emoji, punctuation-only, empties, long runs
+    val hard = Seq(
+      "", " ", "   ", "a", "A.B,C", "İstanbul KELVIN KK",
+      "ÅÉÎØÜ straße İİİ", "汉字 mixed 文本 tokens", "👍🏽 emoji 👍",
+      "ȧb", "tab\tnewline\nmix", "0x1F 42abc42", "--__--",
+      "ALL CAPS AND digits 123", "ſharp s ß").toDF("text")
+    val hardMismatch = hard.select(
+        words(col("text")).as("native"), composed(col("text")).as("chain"))
+      .where(not(col("native") <=> col("chain"))).count()
+    assert(hardMismatch == 0)
+  }
+
   test("sequence packing: complete, budget-respecting, greedy-tight") {
     val docs = Tables(spark, sf).documents
     val budget = 256L
