@@ -169,6 +169,12 @@ object SparkEntry {
          |SELECT doc_id, source, bucket, CAST(rate_ppm AS BIGINT) AS rate_ppm
          |FROM s WHERE bucket < rate_ppm""".stripMargin)(
       graft.streaming.StreamingQueries.streamSample),
+    // s24: streaming greedy sequence packing — per-shard (bin, used)
+    // state folding arrivals through the batch expression's step
+    // function; shares t10's recursive-CTE oracle row for row
+    "s24_stream_pack" -> QueryDef.of(
+      graft.queries.TextQueries.seqPackOracle)(
+      graft.streaming.StreamingQueries.streamPack),
     "s8_stream_or" -> QueryDef.of(
       """SELECT event_id, user_id, event_type FROM events
         |WHERE event_type = 'signup' OR (event_type = 'purchase' AND value > 150)""".stripMargin)(

@@ -28,6 +28,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StructField, S
   */
 object PackGreedyUtil {
 
+  /** One greedy placement — the single source of truth shared by the
+    * batch expression below and the streaming twin
+    * (StreamingQueries.streamPack), so the two paths cannot diverge.
+    * Returns (bin', used') after placing a `tok`-token doc.
+    */
+  def step(bin: Long, used: Long, tok: Long, budget: Long): (Long, Long) =
+    if (used == 0L || used + tok <= budget) (bin, used + tok)
+    else (bin + 1L, tok)
+
   def pack(docs: ArrayData, budget: Long): ArrayData = {
     val n = docs.numElements()
     val out = new Array[Any](n)
@@ -38,8 +47,8 @@ object PackGreedyUtil {
       val st = docs.getStruct(i, 2)
       val id = st.getLong(0)
       val tok = st.getLong(1)
-      if (used == 0L || used + tok <= budget) used += tok
-      else { bin += 1L; used = tok }
+      val (b2, u2) = step(bin, used, tok, budget)
+      bin = b2; used = u2
       out(i) = new GenericInternalRow(Array[Any](id, bin, used))
       i += 1
     }

@@ -50,6 +50,36 @@ object TextQueries {
        |    (acc, x) -> CAST((CAST(xor(acc, x) AS HUGEINT) * 1099511628211::HUGEINT)
        |                     % $M64::HUGEINT AS UBIGINT))""".stripMargin
 
+  /** t10's recursive-CTE oracle, replaying every greedy packing
+    * decision per shard in doc_id order. Public because the streaming
+    * twin (s24) shares it verbatim — the stream must match batch row
+    * for row.
+    */
+  val seqPackOracle: String =
+    s"""WITH RECURSIVE d AS (
+       |  SELECT CAST(${fnvSql("('shard|' || CAST(doc_id AS VARCHAR))")} % 64 AS BIGINT) AS shard,
+       |    doc_id,
+       |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS BIGINT) AS tok
+       |  FROM documents),
+       |r AS (
+       |  SELECT shard, doc_id, tok,
+       |         row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+       |  FROM d),
+       |step AS (
+       |  SELECT shard, 0 AS rn, CAST(0 AS BIGINT) AS bin,
+       |         CAST(0 AS BIGINT) AS used, CAST(NULL AS BIGINT) AS doc_id
+       |  FROM (SELECT DISTINCT shard FROM r)
+       |  UNION ALL
+       |  SELECT x.shard, x.rn,
+       |    CASE WHEN s.used = 0 OR s.used + x.tok <= 256
+       |         THEN s.bin ELSE s.bin + 1 END,
+       |    CASE WHEN s.used = 0 OR s.used + x.tok <= 256
+       |         THEN s.used + x.tok ELSE x.tok END,
+       |    x.doc_id
+       |  FROM step s JOIN r x ON x.shard = s.shard AND x.rn = s.rn + 1)
+       |SELECT shard, doc_id, bin, used AS bin_used
+       |FROM step WHERE rn > 0""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
 
     // --- #42 language ID (stopword/CJK heuristic, deterministic ties) ---
@@ -516,30 +546,7 @@ object TextQueries {
     // shard count; the only exchange is the shuffle onto the shard
     // key. The oracle replays every greedy decision with a linear
     // recursive CTE over the same FNV shard assignment ---
-    "t10_seq_pack" -> QueryDef.of(
-      s"""WITH RECURSIVE d AS (
-         |  SELECT CAST(${fnvSql("('shard|' || CAST(doc_id AS VARCHAR))")} % 64 AS BIGINT) AS shard,
-         |    doc_id,
-         |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS BIGINT) AS tok
-         |  FROM documents),
-         |r AS (
-         |  SELECT shard, doc_id, tok,
-         |         row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
-         |  FROM d),
-         |step AS (
-         |  SELECT shard, 0 AS rn, CAST(0 AS BIGINT) AS bin,
-         |         CAST(0 AS BIGINT) AS used, CAST(NULL AS BIGINT) AS doc_id
-         |  FROM (SELECT DISTINCT shard FROM r)
-         |  UNION ALL
-         |  SELECT x.shard, x.rn,
-         |    CASE WHEN s.used = 0 OR s.used + x.tok <= 256
-         |         THEN s.bin ELSE s.bin + 1 END,
-         |    CASE WHEN s.used = 0 OR s.used + x.tok <= 256
-         |         THEN s.used + x.tok ELSE x.tok END,
-         |    x.doc_id
-         |  FROM step s JOIN r x ON x.shard = s.shard AND x.rn = s.rn + 1)
-         |SELECT shard, doc_id, bin, used AS bin_used
-         |FROM step WHERE rn > 0""".stripMargin) {
+    "t10_seq_pack" -> QueryDef.of(seqPackOracle) {
       (s, dir) =>
         graft.text.TextAnalysis.packSequences(
           Tables(s, dir).documents, col("doc_id"), col("text"),

@@ -33,6 +33,12 @@ object StreamingQueries {
   /** streaming heavy-hitters row (see [[streamHeavyHitters]]) */
   final case class HhOut(win_start: Long, event_type: String, n: Long)
 
+  /** streaming packing input/state/rows (see [[streamPack]]) */
+  final case class PkIn(shard: Long, doc_id: Long, tok: Long)
+  final case class PkState(bin: Long, used: Long)
+  final case class PkOut(shard: Long, doc_id: Long, bin: Long,
+      bin_used: Long)
+
   /** streaming rate-limit state/rows (see [[streamRateLimit]]) */
   final case class RlState(buf: List[EmaBuf])
   final case class RlOut(event_id: Long, user_id: Long, win_start: Long,
@@ -819,6 +825,58 @@ object StreamingQueries {
     val out = graft.text.TextAnalysis.stratifiedSample(
       src.select(col("doc_id"), col("source")), col("doc_id"), rate)
     runToTable(spark, out, "graft_s18_sink", "append")
+  }
+
+  /** #45h-streaming: greedy sequence packing on a live document feed.
+    * Per-shard state is just (bin, used) — each arriving doc folds
+    * through the SAME [[graft.functions.PackGreedyUtil.step]] the
+    * batch expression uses, so the two paths cannot diverge, and the
+    * placement decision is final the moment it's made (append mode,
+    * no retraction, no timers). Contract: the feed delivers docs in
+    * id order across micro-batches (the staged single-file source
+    * trivially satisfies this; a production feed packs in arrival
+    * order, which IS the op's semantics there); within-batch reorder
+    * is absorbed by sorting the group's batch. Shares t10's
+    * recursive-CTE oracle, matching batch row for row.
+    */
+  def streamPack(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/documents.parquet"
+    val schema = schemaOf(spark, path)
+    val src = spark.readStream.schema(schema).parquet(streamDir(path))
+    val out = packStream(spark, src, nShards = 64, budget = 256L)
+    runToTable(spark, out, "graft_s24_sink", "append")
+  }
+
+  /** The packing pipeline over any (streaming) documents frame —
+    * shared by [[streamPack]] and the multi-batch spec.
+    */
+  def packStream(spark: SparkSession, docs: DataFrame, nShards: Int,
+      budget: Long): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import graft.functions.{Fnv64, PackGreedyUtil}
+    import graft.functions.TextFunctions.bpeishTokenCount
+    val in = docs.select(
+      Fnv64.unsignedMod(
+        Fnv64(concat(lit("shard|"), col("doc_id").cast("string"))),
+        nShards.toLong).as("shard"),
+      col("doc_id"),
+      bpeishTokenCount(col("text")).cast("long").as("tok")).as[PkIn]
+    in.groupByKey(_.shard)
+      .flatMapGroupsWithState[PkState, PkOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (shard: Long, it: Iterator[PkIn],
+         state: org.apache.spark.sql.streaming.GroupState[PkState]) =>
+          val s0 = state.getOption.getOrElse(PkState(0L, 0L))
+          var bin = s0.bin; var used = s0.used
+          val rows = it.toArray.sortBy(_.doc_id).map { e =>
+            val (b2, u2) = PackGreedyUtil.step(bin, used, e.tok, budget)
+            bin = b2; used = u2
+            PkOut(shard, e.doc_id, bin, u2)
+          }
+          state.update(PkState(bin, used))
+          rows.iterator
+      }.toDF()
   }
 
   /** #51-streaming: per-tenant rate-limit quota on a live stream

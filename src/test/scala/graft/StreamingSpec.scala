@@ -383,4 +383,50 @@ class StreamingSpec extends SparkSpec {
       .collect()
     gaps.foreach(r => assert(r.getLong(0) >= 600000000L))
   }
+
+  test("streaming packing equals batch across ordered micro-batches") {
+    // docs split into 4 id-ordered files, one micro-batch each
+    // (the op's contract: the feed delivers in id order ACROSS
+    // batches; within-batch reorder is sorted away). Per-shard
+    // (bin, used) state must survive batch boundaries for the fold
+    // to equal batch t10 row for row.
+    val docs = Tables(spark, sf).documents
+      .select("doc_id", "text").orderBy("doc_id").collect()
+    val quartile = (docs.length + 3) / 4
+    val dir = java.nio.file.Files.createTempDirectory("graft_pack_split_")
+    import spark.implicits._
+    docs.grouped(quartile).zipWithIndex.foreach { case (rows, i) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_pack_tmp_")
+      rows.map(r => (r.getLong(0), r.getString(1))).toSeq
+        .toDF("doc_id", "text")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = dir.resolve(f"batch_$i%02d.parquet")
+      java.nio.file.Files.copy(part.toPath, dst)
+      dst.toFile.setLastModified(1000000L * (i + 1))
+    }
+    val src = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    val out = graft.streaming.StreamingQueries
+      .packStream(spark, src, nShards = 8, budget = 256L)
+    val q = out.writeStream.format("memory").queryName("pack_split")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("pack_split")
+      .select("shard", "doc_id", "bin", "bin_used").collect()
+      .map(_.toString).sorted
+    val want = graft.text.TextAnalysis.packSequences(
+        Tables(spark, sf).documents, col("doc_id"), col("text"),
+        nShards = 8, budgetTokens = 256L)
+      .select("shard", "doc_id", "bin", "bin_used").collect()
+      .map(_.toString).sorted
+    assert(got.length == want.length)
+    assert(got.sameElements(want))
+  }
 }
