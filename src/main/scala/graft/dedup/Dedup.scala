@@ -463,4 +463,41 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cos"))
   }
+
+  /** Embedding-space benchmark decontamination: flag corpus vectors
+    * whose cosine to ANY benchmark vector reaches `tau` — the
+    * semantic complement of [[decontaminate]]'s n-gram overlap scrub
+    * (a paraphrased eval question shares no 8-gram but sits right on
+    * top of the benchmark in embedding space).
+    *
+    * Same scale shape as the n-gram path: eval sets are SMALL by
+    * nature, so the benchmark side broadcasts (norms precomputed
+    * once) and the corpus NEVER shuffles for the match — each corpus
+    * row scores |benchmark| dot products map-side, the `tau` filter
+    * drops the overwhelming majority, and only flagged rows reach the
+    * tiny per-vector argmax aggregate. Emits (vec_id, bench_id, cos)
+    * for the best-matching benchmark vector (ties to the lowest id).
+    */
+  def embeddingDecontaminate(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      tau: Double,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val c = fanOut(corpus, idCol)
+      .select(col(idCol).as("vec_id"), col(vecCol).as("c_v"))
+      .withColumn("c_n", norm(col("c_v")))
+    val b = benchmark
+      .select(col(idCol).as("bench_id"), col(vecCol).as("b_v"))
+      .withColumn("b_n", norm(col("b_v")))
+    c.crossJoin(broadcast(b))
+      .withColumn("cos", dot(col("c_v"), col("b_v")) / (col("c_n") * col("b_n")))
+      .filter(col("cos") >= tau)
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("cos"), col("bench_id")),
+        struct(col("cos"), -col("bench_id"))).as("m"))
+      .select(col("vec_id"), col("m.bench_id").as("bench_id"),
+        round(col("m.cos"), 6).as("cos"))
+  }
 }

@@ -54,6 +54,30 @@ object VectorQueries {
           threshold = 0.35, blockCol = col("label"))
     },
 
+    // --- #35d embedding-space decontamination: corpus vectors at
+    // cosine >= tau to ANY benchmark vector (vec_id < 20 stands in
+    // for the eval set), best match per vector. Benchmark broadcast,
+    // corpus never shuffles; the oracle recomputes every cosine with
+    // the same in-order fold and re-ranks (cos DESC, bench_id) ---
+    "d8_embed_decontam" -> QueryDef.of(
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |b AS (SELECT vec_id AS bench_id, v FROM e WHERE vec_id < 20),
+         |c AS (SELECT vec_id, v FROM e WHERE vec_id >= 20),
+         |p AS (
+         |  SELECT c.vec_id, b.bench_id, ${cosSql("c.v", "b.v")} AS cos
+         |  FROM c JOIN b ON ${cosSql("c.v", "b.v")} >= 0.35),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY cos DESC, bench_id) AS rnk FROM p)
+         |SELECT vec_id, bench_id, round(cos, 6) AS cos
+         |FROM r WHERE rnk = 1""".stripMargin) {
+      (s, dir) => {
+        val e = Tables(s, dir).embeddings
+        Dedup.embeddingDecontaminate(
+          e.filter(col("vec_id") >= 20), e.filter(col("vec_id") < 20),
+          tau = 0.35)
+      }
+    },
+
     // --- #41 LSH-bucketed ANN (scale path; spec checks recall vs v1),
     // fully oracled: the oracle re-derives every hyperplane component
     // w(i,j) = splitmix64((i<<32)+j) % 1e6 / 2e6 with 128-bit modular

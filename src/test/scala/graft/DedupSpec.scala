@@ -246,6 +246,28 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("embedding decontamination flags planted semantic contamination only") {
+    import spark.implicits._
+    val bench = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (100L, Array(0.99f, 0.01f, 0.0f, 0.0f)), // ~bench 1 (paraphrase)
+      (101L, Array(0.0f, 0.0f, 1.0f, 0.0f)),   // orthogonal — clean
+      (102L, Array(0.6f, 0.6f, 0.0f, 0.0f)))   // between both benches
+      .toDF("vec_id", "embedding")
+    val got = Dedup.embeddingDecontaminate(corpus, bench, tau = 0.9)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Long]("bench_id")).toMap
+    assert(got.contains(100L) && got(100L) == 1L)
+    assert(!got.contains(101L))
+    assert(!got.contains(102L)) // cos = 0.707 < 0.9 to either bench
+    // lowering tau flags the in-between doc; its best match is still one row
+    val loose = Dedup.embeddingDecontaminate(corpus, bench, tau = 0.5)
+      .collect().map(r => r.getAs[Long]("vec_id")).toSeq
+    assert(loose.count(_ == 102L) == 1)
+  }
+
   test("semdedup: complete, one keeper per cell, drop bound, deterministic") {
     val tau = 0.95
     val run1 = Knn.semDedup(embs, tau = tau, nlist = 8).collect()
