@@ -398,13 +398,16 @@ object Knn {
     * that share no tokens.
     *
     * Scale shape — linear end to end, no pair enumeration: bounded
-    * driver-side Lloyd ([[trainCoarse]], shared with IVF), ONE
-    * distributed assignment pass (row-local native argmax), keeper
-    * election as a (nlist-row) partial aggregate, and the keeper set
-    * broadcast back onto the members for one row-local cosine. The
-    * only exchange is the keeper election's nlist-key shuffle; at
-    * 100 TB nlist grows with the corpus (SemDeDup's recipe) and every
-    * stage stays one pass.
+    * driver-side Lloyd ([[trainCoarse]], shared with IVF), row-local
+    * native cell assignment, keeper election as a (nlist-row) partial
+    * aggregate, and the keeper set broadcast back onto the members
+    * for one row-local cosine. The only exchange is the keeper
+    * election's nlist-key shuffle. The lazy plan scans the corpus
+    * twice (election pass + member pass, each re-deriving the
+    * row-local assignment); at 100 TB the assigned narrow projection
+    * would be persisted/bucketed between the passes — the plan shape
+    * is otherwise unchanged. nlist grows with the corpus (SemDeDup's
+    * recipe).
     *
     * Deterministic: fixed Lloyd init/iterations, cosine ties elect
     * the lowest id. Output one row per vector:

@@ -94,7 +94,33 @@ object VplQueries {
       |          trend_count: trend_count, event_count: event_count)
       |""".stripMargin
 
+  private val enrichVpl =
+    """# broadcast lookup enrichment with fallback (enrichment/)
+      |stream EnrichedPurchases = purchase as e
+      |    .enrich(CustomerDB, key: user_id, fields: [c_name, c_mktsegment], fallback: "unknown")
+      |    .emit(event_id: e.event_id, user_id: e.user_id,
+      |          cust_name: c_name, segment: c_mktsegment,
+      |          status: enrich_status)
+      |""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    // `.enrich` through the FULL front end: the connector binds the
+    // customer table (key column renamed to the VPL key), broadcast
+    // left join + fallback coalesce — e1's semantics reached from
+    // .vpl text (the lookup misses get 'fallback' status)
+    "x7_vpl_enrich" -> QueryDef.of(
+      """SELECT event_id, user_id,
+        | COALESCE(c_name, 'unknown') AS cust_name,
+        | COALESCE(c_mktsegment, 'unknown') AS segment,
+        | CASE WHEN c_name IS NULL THEN 'fallback' ELSE 'ok' END AS status
+        |FROM events LEFT JOIN customer ON user_id = c_custkey
+        |WHERE event_type = 'purchase'""".stripMargin) {
+      (s, dir) =>
+        Vpl.tableStream(s, dir, enrichVpl, "EnrichedPurchases",
+          lookups = Map("CustomerDB" -> graft.Tables(s, dir).customer
+            .withColumnRenamed("c_custkey", "user_id")
+            .select("user_id", "c_name", "c_mktsegment")))
+    },
     // anchored GRETA closed forms under the hash gate: the oracle
     // recomputes n_a per anchor with a correlated join and sums the
     // exact powers (DuckDB << on BIGINT; >62 guards to NULL like the

@@ -2714,6 +2714,14 @@ object Vpl {
     new VplCompiler(prog, new TableSource(spark, dir)).stream(streamName)
   }
 
+  /** [[tableStream]] with `.enrich` connector bindings (x7's path). */
+  def tableStream(spark: SparkSession, dir: String, vplText: String,
+      streamName: String, lookups: Map[String, DataFrame]): DataFrame = {
+    val prog = VplParser.parse(vplText)
+    new VplCompiler(prog, new TableSource(spark, dir), lookups = lookups)
+      .stream(streamName)
+  }
+
   /** TRUE-STREAMING run of a VPL stream over its .evt scenario: the
     * file is staged one file per BATCH group ([[graft.sources
     * .EventReplay]]), read as a Structured Streaming source (one
