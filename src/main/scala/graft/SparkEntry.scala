@@ -24,6 +24,11 @@ object SparkEntry {
     "s22_stream_breaker" -> QueryDef(
       graft.streaming.StreamingQueries.streamBreaker,
       GuardrailQueries.defs("g3_circuit_breaker").oracle),
+    // s25: ingest-time quality gating — stateless battery, shares
+    // t12's oracle verbatim
+    "s25_stream_gopher" -> QueryDef(
+      graft.streaming.StreamingQueries.streamGopher,
+      TextQueries.defs("t12_gopher_filters").oracle),
     // shared multi-query detection: each tag held to its single-query
     // join oracle (zdd_unified's sharing claim, checked per pattern)
     "s23_stream_multi_pattern" -> QueryDef.of(

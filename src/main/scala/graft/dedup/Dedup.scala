@@ -134,6 +134,60 @@ object Dedup {
           .as("dup_frac"))
   }
 
+  /** Substring-level span SCRUBBING (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better", at word-k-gram
+    * granularity): remove from every document the word positions
+    * covered by any k-gram that occurs ≥2 times in the corpus, and
+    * emit the surviving text. Where [[dupSpans]] measures the dup
+    * fraction, this actually produces the cleaned corpus — the
+    * suffix-array scrub re-expressed relationally so it distributes.
+    *
+    * Plan: positional k-grams (native [[graft.functions.PositionalShingles]],
+    * one pass) → occurrence count per 8-byte FNV gram key (shuffle 1,
+    * never gram strings) → dup starts join (shuffle 2) → covered
+    * positions by exploding each start to its k offsets (linear,
+    * ≤ k × grams rows) → anti-join the positional words (shuffle on
+    * (doc, pos)) → per-doc ordered rebuild. Every exchange key is
+    * high-cardinality; no pair enumeration, no per-doc quadratic walk.
+    * Output text is over NORMALIZED words (the dedup token space) —
+    * the pipeline position for this operator is pre-tokenization.
+    */
+  def scrubSpans(
+      docs: DataFrame,
+      k: Int,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    import graft.functions.{Fnv64, PositionalShingles}
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val base = fanOut(docs, idCol)
+      .select(col(idCol), words(col(textCol)).as("w"))
+      .select(col(idCol), col("w"), size(col("w")).as("nw"))
+    val grams = base.select(col(idCol),
+      posexplode(ColumnBridge.column(PositionalShingles(
+        ColumnBridge.expression(col("w")), k))))
+      .select(col(idCol), col("pos"), Fnv64(col("col")).as("g"))
+    val freq = grams.groupBy("g").agg(count(lit(1)).as("cnt"))
+    val dupStarts = grams.join(freq, Seq("g")).where(col("cnt") >= 2)
+      .select(col(idCol), col("pos"))
+    val covered = dupStarts.select(col(idCol).as("cid"),
+      explode(expr(s"sequence(pos, pos + ${k - 1})")).as("cpos"))
+    val kept = base
+      .select(col(idCol).as("did"), posexplode(col("w")).as(Seq("pos", "word")))
+      .join(covered,
+        col("did") === col("cid") && col("pos") === col("cpos"),
+        "left_anti")
+      .groupBy(col("did"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(
+          struct(col("pos"), col("word")))), x => x("word")), " ")
+          .as("txt"))
+    base.join(kept, col(idCol) === col("did"), "left")
+      .select(col(idCol),
+        col("nw").cast("long").as("n_words"),
+        coalesce(col("n_kept"), lit(0L)).cast("long").as("n_kept"),
+        coalesce(col("txt"), lit("")).as("scrubbed_text"))
+  }
+
   /** Near-dup pairs by exact word-k-gram Jaccard within blocking
     * buckets. Jaccard = |A∩B| / |A∪B| over distinct shingles.
     *

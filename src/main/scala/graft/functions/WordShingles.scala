@@ -48,6 +48,51 @@ object ShingleUtil {
   }
 }
 
+object PositionalShingleUtil {
+  private val Space = UTF8String.fromString(" ")
+
+  /** ALL k-grams in order (no dedup) — element i is the gram starting
+    * at word i, so `posexplode` over the result yields (start, gram)
+    * directly. Docs shorter than k yield an empty array: no k-gram
+    * exists, so span-level dedup has nothing to mark.
+    */
+  def positional(words: ArrayData, k: Int): ArrayData = {
+    val n = words.numElements()
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n - k + 1)
+    val win = new Array[UTF8String](k)
+    var i = 0
+    while (i <= n - k) {
+      var j = 0
+      while (j < k) { win(j) = words.getUTF8String(i + j); j += 1 }
+      out(i) = UTF8String.concatWs(Space, win: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Positional (non-distinct) variant of [[WordShingles]] for
+  * span-level operators that need gram START OFFSETS, not just the
+  * gram set — same single-pass native form, same oracle-twin
+  * alignment duty (TextQueries d9).
+  */
+case class PositionalShingles(child: Expression, k: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "positional_shingles"
+
+  override protected def nullSafeEval(input: Any): Any =
+    PositionalShingleUtil.positional(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.PositionalShingleUtil.positional($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): PositionalShingles =
+    copy(child = newChild)
+}
+
 case class WordShingles(child: Expression, k: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "word_shingles"

@@ -461,6 +461,44 @@ object TextQueries {
         Dedup.dupSpans(Tables(s, dir).documents, k = 8)
     },
 
+    // --- #35e substring-span SCRUB (Lee et al. 2021 at word-8-gram
+    // granularity): where d7 measures, d9 emits the cleaned corpus —
+    // words covered by any corpus-repeated 8-gram removed. Positions
+    // are 0-based on the Spark side and 1-based in the oracle; only
+    // their RELATIVE geometry matters and none surfaces in the
+    // output. The Spark exchange carries 8-byte FNV keys, the oracle
+    // groups raw gram strings (d7's injectivity note) ---
+    "d9_span_scrub" -> QueryDef.of(
+      s"""WITH w AS (
+         |  SELECT doc_id, $wordsSql AS w FROM documents),
+         |base AS (SELECT doc_id, w, len(w) AS nw FROM w),
+         |g AS (
+         |  SELECT doc_id, pos, array_to_string(w[pos:pos+7], ' ') AS gram
+         |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS pos
+         |        FROM base WHERE nw >= 8)),
+         |f AS (SELECT gram, count(*) AS cnt FROM g GROUP BY 1),
+         |dup AS (SELECT g.doc_id, g.pos FROM g JOIN f USING (gram)
+         |        WHERE f.cnt >= 2),
+         |cov AS (SELECT doc_id, pos + o AS cpos FROM dup
+         |        CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS o)),
+         |wp AS (SELECT doc_id, i AS pos, w[i] AS word
+         |       FROM (SELECT doc_id, w,
+         |               unnest(generate_series(1, len(w))) AS i FROM base)),
+         |kept AS (
+         |  SELECT wp.doc_id, wp.pos, wp.word FROM wp
+         |  WHERE NOT EXISTS (SELECT 1 FROM cov
+         |    WHERE cov.doc_id = wp.doc_id AND cov.cpos = wp.pos)),
+         |kc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |         string_agg(word, ' ' ORDER BY pos) AS scrubbed_text
+         |       FROM kept GROUP BY 1)
+         |SELECT b.doc_id, CAST(b.nw AS BIGINT) AS n_words,
+         |  COALESCE(kc.n_kept, 0) AS n_kept,
+         |  COALESCE(kc.scrubbed_text, '') AS scrubbed_text
+         |FROM base b LEFT JOIN kc USING (doc_id)""".stripMargin) {
+      (s, dir) =>
+        Dedup.scrubSpans(Tables(s, dir).documents, k = 8)
+    },
+
     // --- #43d stratified domain sampling (training-mixture step):
     // deterministic FNV-1a bucket per doc, per-source keep rate.
     // Oracle re-derives every hash decision bit for bit ---
@@ -596,6 +634,90 @@ object TextQueries {
       graft.text.TextAnalysis.bm25(
         Tables(s, dir).documents, col("doc_id"), col("text"),
         terms = Seq("spark", "join", "window", "dup"))
+    },
+
+    // --- #45j Gopher/C4 heuristic filter battery (Rae et al. 2021;
+    // Raffel et al. 2020): per-rule booleans + keep verdict, one
+    // zero-shuffle codegen'd scan. Counts are integers on both
+    // engines; each ratio is ONE exact double division rounded 6dp ---
+    "t12_gopher_filters" -> QueryDef.of(
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,
+        |    CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS word_chars,
+        |    CAST(len(regexp_extract_all(text, '[#{}<>@*\\]')) AS BIGINT) AS symbol_hits,
+        |    CAST(len(regexp_extract_all(text, '\S*[A-Za-z]\S*')) AS BIGINT) AS alpha_words,
+        |    CAST(len(regexp_extract_all(text, '\.\.\.')) AS BIGINT) AS ellipsis_hits,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(the|and|is|of|to|in|that|it|was|for)\b')) AS BIGINT) AS stop_hits,
+        |    contains(lower(text), 'lorem ipsum') OR contains(text, '{') AS boiler
+        |  FROM documents
+        |), r AS (
+        |  SELECT *, CAST(greatest(n_words, 1) AS DOUBLE) AS denom,
+        |    n_words BETWEEN 20 AND 100000 AS r_words,
+        |    CAST(word_chars AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE)
+        |      BETWEEN 3.0 AND 10.0 AS r_mean_len,
+        |    CAST(symbol_hits AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE) < 0.1 AS r_symbol,
+        |    CAST(alpha_words AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE) >= 0.8 AS r_alpha,
+        |    CAST(ellipsis_hits AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE) < 0.3 AS r_ellipsis,
+        |    stop_hits >= 2 AS r_stop,
+        |    NOT boiler AS r_boiler
+        |  FROM s)
+        |SELECT doc_id, n_words,
+        |  round(CAST(word_chars AS DOUBLE) / denom, 6) AS mean_word_len,
+        |  round(CAST(symbol_hits AS DOUBLE) / denom, 6) AS symbol_ratio,
+        |  round(CAST(alpha_words AS DOUBLE) / denom, 6) AS alpha_ratio,
+        |  stop_hits, r_words, r_mean_len, r_symbol, r_alpha, r_ellipsis,
+        |  r_stop, r_boiler,
+        |  r_words AND r_mean_len AND r_symbol AND r_alpha AND r_ellipsis
+        |    AND r_stop AND r_boiler AS keep
+        |FROM r""".stripMargin) {
+      (s, dir) =>
+        graft.text.TextAnalysis.gopherFilter(Tables(s, dir).documents)
+    },
+
+    // --- #45k DSIR importance weighting (Xie et al. 2023): hashed
+    // uni+bigram log-likelihood ratio vs a target domain (sources
+    // 0–4, t7's head stratum). Counts/totals exact integers both
+    // sides; the one ln() is rounded 9dp and DECIMAL-summed, so the
+    // gate never depends on float summation order ---
+    "t13_dsir" -> QueryDef.of(
+      s"""WITH w AS (
+         |  SELECT doc_id,
+         |    CAST(regexp_extract(source, '[0-9]+') AS INT) < 5 AS is_tgt,
+         |    $wordsSql AS w
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, is_tgt, unnest(w) AS gram FROM w
+         |  UNION ALL
+         |  SELECT doc_id, is_tgt, w[i] || ' ' || w[i+1] AS gram
+         |  FROM (SELECT doc_id, is_tgt, w,
+         |          unnest(generate_series(1, len(w) - 1)) AS i FROM w)),
+         |b AS (
+         |  SELECT doc_id, is_tgt,
+         |    CAST(${fnvSql("gram")} % 4096 AS BIGINT) AS bucket
+         |  FROM g),
+         |c AS (
+         |  SELECT bucket, CAST(count(*) AS BIGINT) AS raw_cnt,
+         |    CAST(sum(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS BIGINT) AS tgt_cnt
+         |  FROM b GROUP BY 1),
+         |t AS (SELECT CAST(SUM(raw_cnt) AS BIGINT) AS raw_total,
+         |        CAST(SUM(tgt_cnt) AS BIGINT) AS tgt_total FROM c),
+         |l AS (
+         |  SELECT bucket,
+         |    CAST(round(ln(
+         |      (CAST(tgt_cnt + 1 AS DOUBLE) / CAST(tgt_total + 4096 AS DOUBLE)) /
+         |      (CAST(raw_cnt + 1 AS DOUBLE) / CAST(raw_total + 4096 AS DOUBLE))
+         |    ), 9) AS DECIMAL(18,9)) AS lr
+         |  FROM c, t)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |  round(CAST(SUM(lr) AS DOUBLE), 6) AS dsir_weight,
+         |  round(CAST(SUM(lr) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS avg_lr
+         |FROM b JOIN l USING (bucket)
+         |GROUP BY doc_id""".stripMargin) {
+      (s, dir) =>
+        graft.text.TextAnalysis.dsirWeights(
+          Tables(s, dir).documents, col("text"), col("doc_id"),
+          regexp_extract(col("source"), "[0-9]+", 0).cast("int") < 5)
     },
 
     "t8_shard" -> QueryDef.of(

@@ -827,6 +827,21 @@ object StreamingQueries {
     runToTable(spark, out, "graft_s18_sink", "append")
   }
 
+  /** #45j-streaming: the Gopher/C4 filter battery applied on a live
+    * document feed — stateless row-local column work, so the
+    * streaming plan is the batch plan under a micro-batch scheduler
+    * (no watermark, no state store, append mode). The value over
+    * batch: quality gating happens ON INGEST, before anything lands
+    * in the lake. Shares t12's oracle verbatim.
+    */
+  def streamGopher(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/documents.parquet"
+    val schema = schemaOf(spark, path)
+    val src = spark.readStream.schema(schema).parquet(streamDir(path))
+    val out = graft.text.TextAnalysis.gopherFilter(src)
+    runToTable(spark, out, "graft_s25_sink", "append")
+  }
+
   /** #45h-streaming: greedy sequence packing on a live document feed.
     * Per-shard state is just (bin, used) — each arriving doc folds
     * through the SAME [[graft.functions.PackGreedyUtil.step]] the

@@ -231,4 +231,131 @@ object TextAnalysis {
         round(score, 6).as("bm25"),
         hits.as("n_hits"))
   }
+
+  /** DSIR-style importance weighting (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"):
+    * score every document by how target-domain-like its hashed
+    * n-gram distribution is — the log-likelihood ratio
+    * Σ_g log(p_target(bucket(g)) / p_raw(bucket(g))) over the doc's
+    * word uni+bigrams, FNV-hashed into a fixed bucket vocabulary
+    * (hashing bounds the model at `buckets` cells regardless of
+    * corpus vocabulary — the property that makes DSIR viable at
+    * 100 TB).
+    *
+    * Plan shape: one exploded-gram pass builds the bucket counts
+    * (ONE shuffle on ≤`buckets` keys, map-side partial agg does the
+    * heavy lifting); totals reduce to one row and the `buckets`-row
+    * log-ratio table broadcasts back onto a second exploded-gram
+    * pass, whose only wide exchange is the per-doc rollup on doc_id.
+    * Nothing ever shuffles on raw gram strings. At scale the
+    * exploded projection would be persisted once for both passes
+    * (the t9 two-scan note); the plan shape is unchanged.
+    *
+    * Hash-gate arithmetic: counts and totals are exact integers on
+    * both engines; the ONE libm call (ln of an integer ratio) is
+    * rounded to 9 decimals and summed as DECIMAL — exact and
+    * order-independent — so the gate inherits only f4's accepted
+    * last-ulp ln() risk, never float-summation order.
+    */
+  def dsirWeights(
+      docs: DataFrame,
+      textCol: Column,
+      idCol: Column,
+      isTarget: Column,
+      buckets: Int = 4096): DataFrame = {
+    val base = docs.select(
+      idCol.as("doc_id"), isTarget.as("is_tgt"), words(textCol).as("w"))
+      .select(col("doc_id"), col("is_tgt"), col("w"),
+        size(col("w")).as("nw"))
+    // uni+bigrams with multiplicity (zip_with, not index lambdas —
+    // the repetitionStats 43x note)
+    val grams = base.select(
+      col("doc_id"), col("is_tgt"),
+      explode(concat(col("w"),
+        expr("filter(zip_with(w, slice(w, 2, greatest(nw - 1, 0)), " +
+          "(a, b) -> concat(a, ' ', b)), x -> x IS NOT NULL)"))).as("gram"))
+    import graft.functions.Fnv64
+    val bucketed = grams.select(col("doc_id"), col("is_tgt"),
+      Fnv64.unsignedMod(Fnv64(col("gram")), buckets.toLong).as("bucket"))
+    val counts = bucketed.groupBy("bucket").agg(
+      count(lit(1)).as("raw_cnt"),
+      sum(when(col("is_tgt"), 1L).otherwise(0L)).as("tgt_cnt"))
+    val totals = counts.agg(
+      sum(col("raw_cnt")).as("raw_total"), sum(col("tgt_cnt")).as("tgt_total"))
+    // add-one smoothing keeps empty buckets finite; expression order
+    // mirrors the oracle exactly so the doubles are bit-identical
+    val lr = counts.crossJoin(broadcast(totals)).select(
+      col("bucket"),
+      round(log(
+        ((col("tgt_cnt") + lit(1L)).cast("double") /
+          (col("tgt_total") + lit(buckets.toLong)).cast("double")) /
+          ((col("raw_cnt") + lit(1L)).cast("double") /
+            (col("raw_total") + lit(buckets.toLong)).cast("double"))), 9)
+        .cast("decimal(18,9)").as("lr"))
+    // total weight plus the length-normalized per-gram mean: raw here
+    // CONTAINS the target set, so absolute weights skew negative
+    // (smoothing flattens the tiny target distribution) — the
+    // resampling step downstream thresholds/temperature-samples on
+    // these scores, it does not read their sign
+    bucketed.join(broadcast(lr), Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), sum(col("lr")).as("wsum"))
+      .select(
+        col("doc_id"),
+        col("n_grams").cast("long").as("n_grams"),
+        round(col("wsum").cast("double"), 6).as("dsir_weight"),
+        round(col("wsum").cast("double") / col("n_grams").cast("double"), 6)
+          .as("avg_lr"))
+  }
+
+  /** Gopher/C4-style heuristic filter battery (Rae et al. 2021 §A1.1;
+    * Raffel et al. 2020 C4 rules): every rule a pure column
+    * expression over one scan — zero shuffle, fully codegen'd, the
+    * shape a 100 TB quality gate must have (row-local decisions,
+    * trivially partition-parallel). Emits the per-rule booleans, not
+    * just the verdict, so downstream mixture tuning can re-weight
+    * individual rules without recomputing the scan.
+    *
+    * Reference anchor: the reference's quality filters are VPL
+    * `.where` chains (docs/language/operators.md); this is the same
+    * declarative form with the published pretraining rule set.
+    */
+  def gopherFilter(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      minWords: Int = 20,
+      maxWords: Int = 100000): DataFrame = {
+    val t = col(textCol)
+    val nWords = regexp_count(t, lit("\\S+")).cast("long")
+    // denominators guard empty docs; counts are integers on both
+    // engines so every ratio is one exact double division
+    val denom = greatest(nWords, lit(1L)).cast("double")
+    val wordChars = length(regexp_replace(t, "\\s", "")).cast("long")
+    val meanWordLen = wordChars.cast("double") / denom
+    val symbolHits = regexp_count(t, lit("[#{}<>@*\\\\]")).cast("long")
+    val alphaWords = regexp_count(t, lit("\\S*[A-Za-z]\\S*")).cast("long")
+    val ellipsisHits = regexp_count(t, lit("\\.\\.\\.")).cast("long")
+    val stopHits = stopwordHits(t, "en").cast("long")
+    val rWords = nWords.between(minWords, maxWords)
+    val rMeanLen = meanWordLen.between(3.0, 10.0)
+    val rSymbol = symbolHits.cast("double") / denom < 0.1
+    val rAlpha = alphaWords.cast("double") / denom >= 0.8
+    val rEllipsis = ellipsisHits.cast("double") / denom < 0.3
+    val rStop = stopHits >= 2L
+    val rBoiler = !lower(t).contains("lorem ipsum") && !t.contains("{")
+    docs.select(
+      col(idCol),
+      nWords.as("n_words"),
+      round(meanWordLen, 6).as("mean_word_len"),
+      round(symbolHits.cast("double") / denom, 6).as("symbol_ratio"),
+      round(alphaWords.cast("double") / denom, 6).as("alpha_ratio"),
+      stopHits.as("stop_hits"),
+      rWords.as("r_words"), rMeanLen.as("r_mean_len"),
+      rSymbol.as("r_symbol"), rAlpha.as("r_alpha"),
+      rEllipsis.as("r_ellipsis"), rStop.as("r_stop"),
+      rBoiler.as("r_boiler"),
+      (rWords && rMeanLen && rSymbol && rAlpha && rEllipsis && rStop &&
+        rBoiler).as("keep"))
+  }
 }

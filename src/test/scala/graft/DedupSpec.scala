@@ -88,6 +88,46 @@ class DedupSpec extends SparkSpec {
     assert(r(3L)._2 == 0L)
   }
 
+  test("scrubSpans removes exactly the covered span, keeps the rest") {
+    import spark.implicits._
+    // docs 1/2 share a 10-word prefix: dup 8-grams start at 0..2, so
+    // covered = positions 0..9 — the whole prefix goes, the unique
+    // suffix stays verbatim. doc 3 (no dup) must come back intact;
+    // doc 4 (< 8 words) has no 8-gram and is untouchable by design.
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val suf1 = "one two three four five six seven eight"
+    val suf2 = "nine ten eleven twelve thirteen fourteen fifteen sixteen"
+    val clean = "totally different words that never repeat anywhere else in corpus here"
+    val d = Seq(
+      (1L, shared + " " + suf1),
+      (2L, shared + " " + suf2),
+      (3L, clean),
+      (4L, "tiny doc four words"))
+      .toDF("doc_id", "text")
+    val r = Dedup.scrubSpans(d, k = 8).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("n_words"), x.getAs[Long]("n_kept"),
+          x.getAs[String]("scrubbed_text")))).toMap
+    assert(r(1L) == ((18L, 8L, suf1)))
+    assert(r(2L) == ((18L, 8L, suf2)))
+    assert(r(3L) == ((11L, 11L, clean)))
+    assert(r(4L) == ((4L, 4L, "tiny doc four words")))
+  }
+
+  test("scrubSpans covers a within-doc repeated span too") {
+    import spark.implicits._
+    val span = "p q r s t u v w" // 8 words, repeated inside one doc
+    val d = Seq(
+      (1L, s"$span unique middle words here $span"),
+      (2L, "entirely unrelated filler content that repeats nothing at all"))
+      .toDF("doc_id", "text")
+    val r = Dedup.scrubSpans(d, k = 8).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("n_kept"), x.getAs[String]("scrubbed_text")))).toMap
+    assert(r(1L) == ((4L, "unique middle words here")))
+    assert(r(2L)._1 == 9L)
+  }
+
   test("simhash pairs have low hamming distance and shared chunks") {
     val pairs = Dedup.simhashPairs(docs, maxHamming = 3).collect()
     pairs.foreach(r => assert(r.getAs[Int]("hamming") <= 3))

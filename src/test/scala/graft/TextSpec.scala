@@ -287,6 +287,54 @@ class TextSpec extends SparkSpec {
     assert(got(1L)._1 > got(2L)._1)
   }
 
+  test("gopher battery: crafted docs trip exactly the intended rules") {
+    import spark.implicits._
+    val good = "the cat sat down and then the dog ran fast into that " +
+      "old park for fun with them all day long"          // 21 words, clean
+    val crafted = Seq(
+      (1L, good),
+      (2L, "too short for the gate"),                    // r_words
+      (3L, good + " lorem ipsum dolor"),                 // r_boiler
+      (4L, good.split(" ").map(_ + " ##").mkString(" ")),// r_symbol
+      (5L, (1 to 25).map(_.toString).mkString(" ")))     // r_alpha (digits)
+      .toDF("doc_id", "text")
+    val got = graft.text.TextAnalysis.gopherFilter(crafted)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got(1L).getAs[Boolean]("keep"))
+    assert(!got(2L).getAs[Boolean]("r_words") && !got(2L).getAs[Boolean]("keep"))
+    assert(!got(3L).getAs[Boolean]("r_boiler"))
+    assert(got(3L).getAs[Boolean]("r_words")) // only the boiler rule trips
+    assert(!got(4L).getAs[Boolean]("r_symbol"))
+    assert(!got(5L).getAs[Boolean]("r_alpha") && !got(5L).getAs[Boolean]("r_stop"))
+  }
+
+  test("dsir: target-like docs outscore off-domain docs") {
+    import spark.implicits._
+    val crafted = Seq(
+      (0L, "alpha beta gamma alpha beta gamma", true),
+      (1L, "alpha beta gamma beta alpha", true),
+      (2L, "delta epsilon zeta delta epsilon", false),
+      (3L, "delta zeta epsilon zeta", false),
+      (4L, "alpha beta gamma", false),  // target-LIKE, not in target set
+      (5L, "delta epsilon", false))     // off-domain
+      .toDF("doc_id", "text", "is_tgt")
+    val w = graft.text.TextAnalysis.dsirWeights(
+      crafted, col("text"), col("doc_id"), col("is_tgt"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("dsir_weight"), r.getAs[Double]("avg_lr"))).toMap
+    // the held-out target-LIKE doc scores well above the off-domain
+    // doc on both the total and the length-normalized score
+    assert(w(4L)._1 > w(5L)._1)
+    assert(w(4L)._2 > w(5L)._2)
+    // in-target docs sit at the top of the per-gram ranking
+    assert(w(0L)._2 > w(2L)._2 && w(1L)._2 > w(3L)._2)
+    // determinism (the oracle hash-compare depends on it)
+    val again = graft.text.TextAnalysis.dsirWeights(
+      crafted, col("text"), col("doc_id"), col("is_tgt"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("dsir_weight")).toMap
+    assert(w.view.mapValues(_._1).toMap == again)
+  }
+
   test("shard stats partition the corpus with bounded skew") {
     val docs = Tables(spark, sf).documents
     val got = graft.text.TextAnalysis
