@@ -202,6 +202,37 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("ScalaUDF"), p)
   }
 
+  test("t12: gopher battery is a pure map stage (no exchange, no UDF)") {
+    val p = planOf(q("t12_gopher_filters"))
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("ScalaUDF"), p)
+  }
+
+  test("t13: DSIR scoring broadcasts the log-ratio table, no gram-string shuffle") {
+    val p = planOf(q("t13_dsir"))
+    // the per-doc scoring join must be a broadcast of the 4096-row
+    // log-ratio side — never a sort-merge of exploded grams — and the
+    // only exchanges carry the long bucket key / doc id, not strings
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("ScalaUDF"), p)
+    val exchanged = "Exchange hashpartitioning\\(([a-z_]+)#".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(exchanged.subsetOf(Set("bucket", "doc_id")), s"$exchanged\n$p")
+  }
+
+  test("d9: span scrub exchanges carry hashes/ids, never gram strings") {
+    val p = planOf(q("d9_span_scrub"))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("ScalaUDF"), p)
+    val exchanged = "Exchange hashpartitioning\\(([a-z_]+)#".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    // g = fnv64 long, did/cid/doc_id = ids, pos/cpos = offsets
+    assert(exchanged.subsetOf(
+      Set("g", "doc_id", "did", "cid", "pos", "cpos")), s"$exchanged\n$p")
+  }
+
   test("t8: shard stats = one shuffle keyed on shard, partial agg first") {
     val p = planOf(q("t8_shard"))
     assert(p.contains("partial"), p)        // map-side combine
