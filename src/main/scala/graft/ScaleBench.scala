@@ -28,6 +28,7 @@ object ScaleBench {
       "d4_simhash", "d5_dedup_clusters", "d6_decontaminate",
       "d7_dup_spans", "pipe1_corpus",
       "p6_trend_count", "p10_multi_trend", "p11_greta_pred",
+      "d9_span_scrub", "t12_gopher_filters", "t13_dsir",
       "t6_repetition", "t9_freq_quality", "t10_seq_pack", "t11_bm25",
       "p1_seq2", "w3_session", "v1_knn", "v3_knn_lsh", "v6_knn_ivfpq",
       "v7_semdedup", "d8_embed_decontam",

@@ -29,6 +29,11 @@ object SparkEntry {
     "s25_stream_gopher" -> QueryDef(
       graft.streaming.StreamingQueries.streamGopher,
       TextQueries.defs("t12_gopher_filters").oracle),
+    // s26: ingest-time DSIR scoring — pre-fit model, row-local native
+    // scorer, bit-identical to batch: shares t13's oracle verbatim
+    "s26_stream_dsir" -> QueryDef(
+      graft.streaming.StreamingQueries.streamDsir,
+      TextQueries.defs("t13_dsir").oracle),
     // shared multi-query detection: each tag held to its single-query
     // join oracle (zdd_unified's sharing claim, checked per pattern)
     "s23_stream_multi_pattern" -> QueryDef.of(

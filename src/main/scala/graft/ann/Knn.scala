@@ -413,6 +413,57 @@ object Knn {
     * the lowest id. Output one row per vector:
     * (vec_id, cell, keeper_id, cos_keeper, kept).
     */
+  /** Cluster-balanced sampling for training-mixture curation: cap
+    * every embedding cluster's contribution at ~`perCell` vectors so
+    * over-represented modes (boilerplate, template families) stop
+    * dominating the mixture — the cluster-then-subsample recipe of
+    * data-curation pipelines (e.g. DataComp-style pool balancing),
+    * sharing [[semDedup]]'s coarse quantizer.
+    *
+    * Scale shape: NO per-cell window sort (a rank over nlist
+    * partitions would cap parallelism at nlist and sort each cell).
+    * Instead: one row-local assignment pass, a ≤nlist-row count
+    * aggregate broadcast back, and a deterministic FNV keep-threshold
+    * per cell (t7's stratified-sampling shape) — every stage
+    * row-local or bounded, reruns decide identically, re-balancing is
+    * a threshold move. The quota is therefore EXPECTED-value (~
+    * binomial around perCell), which is the correct trade at 100 TB:
+    * balanced mixtures need proportions, not exact counts.
+    */
+  def clusterSample(
+      corpus: DataFrame,
+      perCell: Int,
+      nlist: Int = 16,
+      iters: Int = 3,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id",
+      trainSample: Int = 4096): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    import graft.functions.Fnv64
+    val c = corpus.select(col(idCol).as("n_id"),
+      col(vecCol).cast("array<double>").as("n_v"))
+    val sample: Array[Array[Double]] = c
+      .orderBy(xxhash64(col("n_id")), col("n_id")).limit(trainSample)
+      .collect().map(_.getSeq[Double](1).toArray)
+    require(sample.nonEmpty, "clusterSample: empty corpus")
+    val cents = trainCoarse(sample, nlist, iters)
+    val assigned = c.withColumn("cell",
+      element_at(cellProbesCol(cents, 1)(col("n_v")), 1))
+    val sizes = assigned.groupBy("cell").agg(count(lit(1)).as("cell_size"))
+    val rated = assigned.join(broadcast(sizes), Seq("cell"))
+      .withColumn("rate_ppm", least(lit(1000000L),
+        lit(perCell.toLong) * lit(1000000L) / col("cell_size")))
+      .withColumn("bucket", Fnv64.unsignedMod(
+        Fnv64(concat(lit("cs|"), col("n_id").cast("string"))), 1000000L))
+    rated.select(
+      col("n_id").as("vec_id"),
+      col("cell").cast("long").as("cell"),
+      col("cell_size").cast("long").as("cell_size"),
+      col("rate_ppm").cast("long").as("rate_ppm"),
+      (col("bucket") < col("rate_ppm")).as("kept"))
+  }
+
   def semDedup(
       corpus: DataFrame,
       tau: Double,

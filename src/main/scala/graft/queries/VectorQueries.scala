@@ -212,5 +212,16 @@ object VectorQueries {
     "v7_semdedup" -> QueryDef.rowsOnly {
       (s, dir) =>
         Knn.semDedup(Tables(s, dir).embeddings, tau = 0.95, nlist = 16)
+    },
+
+    // --- #41e cluster-balanced sampling (mixture curation): cap each
+    // embedding cluster at ~perCell vectors via a deterministic FNV
+    // keep-threshold — no per-cell window sort, so parallelism never
+    // caps at nlist. rows-only BY DESIGN like v4/v6/v7 (Lloyd);
+    // quota/coverage/determinism properties spec-pinned ---
+    "v8_cluster_sample" -> QueryDef.rowsOnly {
+      (s, dir) =>
+        Knn.clusterSample(Tables(s, dir).embeddings, perCell = 12,
+          nlist = 16)
     })
 }

@@ -842,6 +842,26 @@ object StreamingQueries {
     runToTable(spark, out, "graft_s25_sink", "append")
   }
 
+  /** #45k-streaming: DSIR importance scoring on a live document feed.
+    * The model (4096 scaled log-ratios) is fitted ONCE on the static
+    * corpus at query start — the f3 pre-fit-model precedent — and
+    * rides into a native row-local scorer as a codegen reference
+    * object: no explode, no shuffle, no state store; scoring happens
+    * at ingest and the long-sum arithmetic is bit-identical to the
+    * batch decimal path, so s26 shares t13's oracle verbatim.
+    */
+  def streamDsir(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/documents.parquet"
+    val isTgt = regexp_extract(col("source"), "[0-9]+", 0).cast("int") < 5
+    val scaled = graft.text.TextAnalysis.dsirFit(
+      spark.read.parquet(path), col("text"), isTgt)
+    val src = spark.readStream.schema(schemaOf(spark, path))
+      .parquet(streamDir(path))
+    val out = graft.text.TextAnalysis.dsirScoreLocal(
+      src, col("text"), col("doc_id"), scaled)
+    runToTable(spark, out, "graft_s26_sink", "append")
+  }
+
   /** #45h-streaming: greedy sequence packing on a live document feed.
     * Per-shard state is just (bin, used) — each arriving doc folds
     * through the SAME [[graft.functions.PackGreedyUtil.step]] the

@@ -257,12 +257,12 @@ object TextAnalysis {
     * order-independent — so the gate inherits only f4's accepted
     * last-ulp ln() risk, never float-summation order.
     */
-  def dsirWeights(
-      docs: DataFrame,
-      textCol: Column,
-      idCol: Column,
-      isTarget: Column,
-      buckets: Int = 4096): DataFrame = {
+  /** (doc_id, is_tgt, bucket) exploded gram-bucket rows — the shared
+    * front half of the DSIR fit.
+    */
+  private def dsirBuckets(
+      docs: DataFrame, textCol: Column, idCol: Column, isTarget: Column,
+      buckets: Int): DataFrame = {
     val base = docs.select(
       idCol.as("doc_id"), isTarget.as("is_tgt"), words(textCol).as("w"))
       .select(col("doc_id"), col("is_tgt"), col("w"),
@@ -275,16 +275,28 @@ object TextAnalysis {
         expr("filter(zip_with(w, slice(w, 2, greatest(nw - 1, 0)), " +
           "(a, b) -> concat(a, ' ', b)), x -> x IS NOT NULL)"))).as("gram"))
     import graft.functions.Fnv64
-    val bucketed = grams.select(col("doc_id"), col("is_tgt"),
+    grams.select(col("doc_id"), col("is_tgt"),
       Fnv64.unsignedMod(Fnv64(col("gram")), buckets.toLong).as("bucket"))
+  }
+
+  /** (bucket, raw_cnt, tgt_cnt) + (raw_total, tgt_total) from the
+    * bucketed grams — the DSIR count model.
+    */
+  private def dsirCounts(bucketed: DataFrame): (DataFrame, DataFrame) = {
     val counts = bucketed.groupBy("bucket").agg(
       count(lit(1)).as("raw_cnt"),
       sum(when(col("is_tgt"), 1L).otherwise(0L)).as("tgt_cnt"))
     val totals = counts.agg(
       sum(col("raw_cnt")).as("raw_total"), sum(col("tgt_cnt")).as("tgt_total"))
+    (counts, totals)
+  }
+
+  /** Per-bucket 9-dp log-likelihood ratios (the fitted model). */
+  private def dsirLr(counts: DataFrame, totals: DataFrame,
+      buckets: Int): DataFrame =
     // add-one smoothing keeps empty buckets finite; expression order
     // mirrors the oracle exactly so the doubles are bit-identical
-    val lr = counts.crossJoin(broadcast(totals)).select(
+    counts.crossJoin(broadcast(totals)).select(
       col("bucket"),
       round(log(
         ((col("tgt_cnt") + lit(1L)).cast("double") /
@@ -292,6 +304,16 @@ object TextAnalysis {
           ((col("raw_cnt") + lit(1L)).cast("double") /
             (col("raw_total") + lit(buckets.toLong)).cast("double"))), 9)
         .cast("decimal(18,9)").as("lr"))
+
+  def dsirWeights(
+      docs: DataFrame,
+      textCol: Column,
+      idCol: Column,
+      isTarget: Column,
+      buckets: Int = 4096): DataFrame = {
+    val bucketed = dsirBuckets(docs, textCol, idCol, isTarget, buckets)
+    val (counts, totals) = dsirCounts(bucketed)
+    val lr = dsirLr(counts, totals, buckets)
     // total weight plus the length-normalized per-gram mean: raw here
     // CONTAINS the target set, so absolute weights skew negative
     // (smoothing flattens the tiny target distribution) — the
@@ -306,6 +328,66 @@ object TextAnalysis {
         round(col("wsum").cast("double"), 6).as("dsir_weight"),
         round(col("wsum").cast("double") / col("n_grams").cast("double"), 6)
           .as("avg_lr"))
+  }
+
+  /** Fit the DSIR model on a STATIC corpus and return the per-bucket
+    * log-ratios as SCALED LONGS (DECIMAL(18,9) unscaled values) for
+    * the row-local streaming scorer. Buckets no gram ever hit carry
+    * the smoothed "unseen" ratio ln((R+B)/(T+B)) — the same formula
+    * the seen buckets use at count 0 — so a stream can score grams
+    * the fit corpus never saw. Bounded driver work: the model is
+    * ≤`buckets` rows (the point of hashed DSIR), the ANN-centroid
+    * precedent for collecting a fitted model to ride as a codegen
+    * reference object.
+    */
+  def dsirFit(
+      docs: DataFrame,
+      textCol: Column,
+      isTarget: Column,
+      buckets: Int = 4096): Array[Long] = {
+    val bucketed = dsirBuckets(docs, textCol, lit(0L), isTarget, buckets)
+    val (counts, totals) = dsirCounts(bucketed)
+    val t = totals.collect().head
+    val (rawTotal, tgtTotal) = (t.getLong(0), t.getLong(1))
+    // driver-side twin of dsirLr at count 0 (Math.log = Spark's log;
+    // HALF_UP 9dp = Spark's round)
+    val unseen = ((1.0 / (tgtTotal + buckets).toDouble) /
+      (1.0 / (rawTotal + buckets).toDouble))
+    val unseenScaled = java.math.BigDecimal.valueOf(math.log(unseen))
+      .setScale(9, java.math.RoundingMode.HALF_UP).unscaledValue.longValueExact
+    val arr = Array.fill(buckets)(unseenScaled)
+    dsirLr(counts, totals, buckets).collect().foreach { r =>
+      arr(r.getLong(0).toInt) =
+        r.getDecimal(1).unscaledValue.longValueExact
+    }
+    arr
+  }
+
+  /** Score documents against a fitted DSIR model ROW-LOCALLY (one
+    * native tight-loop pass per doc, no explode, no shuffle, no
+    * state) — the streaming twin's shape: importance scoring at
+    * ingest. Long-sum arithmetic is exact, so results are
+    * bit-identical to [[dsirWeights]] over the same corpus (the
+    * batch path's decimal sum of the same 9-dp summands).
+    */
+  def dsirScoreLocal(
+      docs: DataFrame,
+      textCol: Column,
+      idCol: Column,
+      scaledLr: Array[Long]): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import graft.functions.DsirScore
+    val sc = ColumnBridge.column(DsirScore(
+      ColumnBridge.expression(words(textCol)), scaledLr))
+    docs.select(idCol.as("doc_id"), sc.as("sc"))
+      .select(col("doc_id"),
+        element_at(col("sc"), 1).as("n_grams"),
+        (element_at(col("sc"), 2).cast("double") / lit(1e9d)).as("wd"))
+      // batch emits only docs with >= 1 gram (inner join post-explode)
+      .where(col("n_grams") > 0L)
+      .select(col("doc_id"), col("n_grams"),
+        round(col("wd"), 6).as("dsir_weight"),
+        round(col("wd") / col("n_grams").cast("double"), 6).as("avg_lr"))
   }
 
   /** Gopher/C4-style heuristic filter battery (Rae et al. 2021 §A1.1;

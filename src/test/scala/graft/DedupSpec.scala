@@ -128,6 +128,27 @@ class DedupSpec extends SparkSpec {
     assert(r(2L)._1 == 9L)
   }
 
+  test("clusterSample: full coverage, quota behavior, determinism") {
+    val embs = Tables(spark, sf).embeddings
+    val r = Knn.clusterSample(embs, perCell = 12, nlist = 16).collect()
+    assert(r.length == embs.count()) // every vector labeled, none dropped
+    // cells at or under quota keep everything (rate saturates at 1e6)
+    r.filter(_.getAs[Long]("cell_size") <= 12)
+      .foreach(x => assert(x.getAs[Boolean]("kept")))
+    // big cells keep roughly the quota — loose binomial band, the
+    // threshold is expected-value by design
+    val bySize = r.groupBy(_.getAs[Long]("cell"))
+    bySize.foreach { case (cell, rows) =>
+      val size = rows.head.getAs[Long]("cell_size")
+      val kept = rows.count(_.getAs[Boolean]("kept"))
+      assert(size == rows.length)
+      if (size >= 50) assert(kept >= 2 && kept <= 40,
+        s"cell $cell size $size kept $kept")
+    }
+    val again = Knn.clusterSample(embs, perCell = 12, nlist = 16).collect()
+    assert(r.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
+  }
+
   test("simhash pairs have low hamming distance and shared chunks") {
     val pairs = Dedup.simhashPairs(docs, maxHamming = 3).collect()
     pairs.foreach(r => assert(r.getAs[Int]("hamming") <= 3))

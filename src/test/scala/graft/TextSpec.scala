@@ -335,6 +335,21 @@ class TextSpec extends SparkSpec {
     assert(w.view.mapValues(_._1).toMap == again)
   }
 
+  test("dsir: row-local native scorer ≡ batch explode/join path") {
+    // the streaming twin's scorer (incremental FNV bigram fold +
+    // long-sum over scaled 9dp ratios) must reproduce the batch
+    // decimal pipeline BIT-identically on the real corpus
+    val d = docs
+    val isTgt = regexp_extract(col("source"), "[0-9]+", 0).cast("int") < 5
+    val batch = graft.text.TextAnalysis
+      .dsirWeights(d, col("text"), col("doc_id"), isTgt)
+    val fitted = graft.text.TextAnalysis.dsirFit(d, col("text"), isTgt)
+    val local = graft.text.TextAnalysis
+      .dsirScoreLocal(d, col("text"), col("doc_id"), fitted)
+    assert(batch.count() > 0)
+    assert(batch.except(local).isEmpty && local.except(batch).isEmpty)
+  }
+
   test("shard stats partition the corpus with bounded skew") {
     val docs = Tables(spark, sf).documents
     val got = graft.text.TextAnalysis
