@@ -34,6 +34,11 @@ object SparkEntry {
     "s26_stream_dsir" -> QueryDef(
       graft.streaming.StreamingQueries.streamDsir,
       TextQueries.defs("t13_dsir").oracle),
+    // s27: multimodal frame sampling at ingest — stateless generator
+    // fan-out, shares m3's oracle verbatim
+    "s27_stream_frames" -> QueryDef(
+      graft.streaming.StreamingQueries.streamFrames,
+      TextQueries.defs("m3_frame_sample").oracle),
     // shared multi-query detection: each tag held to its single-query
     // join oracle (zdd_unified's sharing claim, checked per pattern)
     "s23_stream_multi_pattern" -> QueryDef.of(

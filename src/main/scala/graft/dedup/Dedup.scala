@@ -169,23 +169,25 @@ object Dedup {
     val freq = grams.groupBy("g").agg(count(lit(1)).as("cnt"))
     val dupStarts = grams.join(freq, Seq("g")).where(col("cnt") >= 2)
       .select(col(idCol), col("pos"))
-    val covered = dupStarts.select(col(idCol).as("cid"),
-      explode(expr(s"sequence(pos, pos + ${k - 1})")).as("cpos"))
-    val kept = base
-      .select(col(idCol).as("did"), posexplode(col("w")).as(Seq("pos", "word")))
-      .join(covered,
-        col("did") === col("cid") && col("pos") === col("cpos"),
-        "left_anti")
-      .groupBy(col("did"))
-      .agg(count(lit(1)).as("n_kept"),
-        array_join(transform(array_sort(collect_list(
-          struct(col("pos"), col("word")))), x => x("word")), " ")
-          .as("txt"))
-    base.join(kept, col(idCol) === col("did"), "left")
+    // per-doc dup-start list (small — only duplicated grams), then ONE
+    // row-local O(n + |starts|·k) rebuild (native ScrubWords). The
+    // first formulation posexploded every word, anti-joined exploded
+    // covered offsets on (doc, pos) and re-sorted a collect_list —
+    // two extra corpus-sized exchanges plus a per-doc sort that this
+    // expression replaces (4.4s → ~half at sf0.1).
+    val starts = dupStarts.groupBy(col(idCol).as("did"))
+      .agg(collect_list(col("pos").cast("long")).as("starts"))
+    val sc = ColumnBridge.column(graft.functions.ScrubWords(
+      ColumnBridge.expression(col("w")),
+      ColumnBridge.expression(
+        coalesce(col("starts"), expr("array()").cast("array<bigint>"))),
+      k))
+    base.join(starts, col(idCol) === col("did"), "left")
+      .select(col(idCol), col("nw"), sc.as("sc"))
       .select(col(idCol),
         col("nw").cast("long").as("n_words"),
-        coalesce(col("n_kept"), lit(0L)).cast("long").as("n_kept"),
-        coalesce(col("txt"), lit("")).as("scrubbed_text"))
+        col("sc.n_kept").as("n_kept"),
+        col("sc.txt").as("scrubbed_text"))
   }
 
   /** Near-dup pairs by exact word-k-gram Jaccard within blocking

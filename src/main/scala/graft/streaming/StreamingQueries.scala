@@ -862,6 +862,20 @@ object StreamingQueries {
     runToTable(spark, out, "graft_s26_sink", "append")
   }
 
+  /** #46-streaming: multimodal frame sampling at ingest — the
+    * row-to-frames fan-out is a stateless generator (explode of a
+    * row-local sequence), so the streaming plan is the batch plan:
+    * arriving media splits into sampled frames before landing, no
+    * state, append mode. Shares m3's oracle verbatim.
+    */
+  def streamFrames(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/documents.parquet"
+    val src = spark.readStream.schema(schemaOf(spark, path))
+      .parquet(streamDir(path))
+    val out = graft.multimodal.Multimodal.frameSample(src)
+    runToTable(spark, out, "graft_s27_sink", "append")
+  }
+
   /** #45h-streaming: greedy sequence packing on a live document feed.
     * Per-shard state is just (bin, used) — each arriving doc folds
     * through the SAME [[graft.functions.PackGreedyUtil.step]] the
