@@ -720,6 +720,18 @@ object TextQueries {
           regexp_extract(col("source"), "[0-9]+", 0).cast("int") < 5)
     },
 
+    // --- #45l distributed BPE tokenizer training (Sennrich et al.
+    // 2016): top-12 merges learned map-reduce style on the
+    // word-frequency table (vocab-sized exchanges, corpus scanned
+    // once). rows-only BY DESIGN like the Lloyd quantizers — an
+    // iterative training procedure; first-merges + determinism
+    // spec-pinned on crafted corpora ---
+    "t14_bpe_merges" -> QueryDef.rowsOnly {
+      (s, dir) =>
+        graft.text.TextAnalysis.bpeTrain(
+          Tables(s, dir).documents, col("text"), nMerges = 12)
+    },
+
     "t8_shard" -> QueryDef.of(
       s"""WITH s AS (
          |  SELECT CAST(${fnvSql("('shard|' || CAST(doc_id AS VARCHAR))")} % 64 AS BIGINT) AS shard,

@@ -390,6 +390,75 @@ object TextAnalysis {
         round(col("wd") / col("n_grams").cast("double"), 6).as("avg_lr"))
   }
 
+  /** Distributed BPE tokenizer training (Sennrich et al. 2016): learn
+    * the top-`nMerges` byte-pair merges of the corpus — the
+    * tokenizer-induction step of a pretraining pipeline, expressed as
+    * the classic map-reduce BPE:
+    *
+    *  - train on the WORD-FREQUENCY table, not the raw corpus (the
+    *    standard trick): one corpus scan builds (word, freq); every
+    *    later round's exchange is vocab-sized, independent of corpus
+    *    size — the property that makes BPE training viable at 100 TB;
+    *  - each round: adjacent-pair counts weighted by word freq (one
+    *    shuffle on pair keys, map-side partials), the driver takes
+    *    exactly ONE row (the argmax pair, ties broken
+    *    lexicographically for determinism), and the merge applies as
+    *    a row-local separator-join + literal-replace + split (L-to-R
+    *    non-overlapping = greedy BPE semantics; symbols are [a-z0-9]
+    *    so the \u0001 separator can never collide);
+    *  - the evolving vocab is persisted per round and the previous
+    *    round unpersisted — the lineage stays one round deep.
+    *
+    * Returns the merge table (rank, left, right, merged, pair_count)
+    * — rows-only BY DESIGN like the Lloyd-trained quantizers (an
+    * iterative training procedure, not a relational query);
+    * first-merges and determinism are spec-pinned on crafted corpora.
+    */
+  def bpeTrain(
+      docs: DataFrame,
+      textCol: Column,
+      nMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sep = "\u0001" // never occurs in [a-z0-9] symbols
+    var vocab = docs.select(explode(words(textCol)).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(expr("filter(split(word, ''), x -> x != '')").as("syms"),
+        col("freq"))
+      .persist()
+    vocab.count() // materialize before the loop reuses it
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, String, Long)]
+    var r = 1
+    var done = false
+    while (r <= nMerges && !done) {
+      val top = vocab
+        .select(col("freq"), explode(expr(
+          "filter(zip_with(syms, slice(syms, 2, greatest(size(syms) - 1, 0)), " +
+            "(a, b) -> struct(a, b)), x -> x.b IS NOT NULL)")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty || top.head.getAs[Long]("cnt") < 2) done = true
+      else {
+        val (a, b, cnt) = (top.head.getAs[String]("a"),
+          top.head.getAs[String]("b"), top.head.getAs[Long]("cnt"))
+        merges += ((r.toLong, a, b, a + b, cnt))
+        val next = vocab.select(
+          expr(s"filter(split(replace(concat_ws('$sep', syms), " +
+            s"'$a$sep$b', '$a$b'), '$sep'), x -> x != '')").as("syms"),
+          col("freq")).persist()
+        next.count()
+        vocab.unpersist()
+        vocab = next
+        r += 1
+      }
+    }
+    vocab.unpersist()
+    merges.toSeq.toDF("rank", "left", "right", "merged", "pair_count")
+  }
+
   /** Gopher/C4-style heuristic filter battery (Rae et al. 2021 §A1.1;
     * Raffel et al. 2020 C4 rules): every rule a pure column
     * expression over one scan — zero shuffle, fully codegen'd, the

@@ -350,6 +350,36 @@ class TextSpec extends SparkSpec {
     assert(batch.except(local).isEmpty && local.except(batch).isEmpty)
   }
 
+  test("bpe training learns the hand-computable merges in order") {
+    import spark.implicits._
+    // classic BPE toy: 'aa' dominates, then 'aab' ('aa'+'b'), then ...
+    // freq('a','a') in "aaab"×3 grams: per word [a,a,a,b] pairs
+    // (a,a)x2,(a,b)x1 → weighted by 3 docs. "ab"×2 adds (a,b)x2.
+    val crafted = Seq(
+      (1L, "aaab aaab aaab"),
+      (2L, "ab ab"),
+      (3L, "cd"))
+      .toDF("doc_id", "text")
+    val m = graft.text.TextAnalysis.bpeTrain(crafted, col("text"), 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[String]("left"), r.getAs[String]("right"),
+        r.getAs[Long]("pair_count")))
+    // round 1: (a,a) = 2 per "aaab" x3 = 6 beats (a,b) = 3+2 = 5
+    assert(m(0) == (("a", "a", 6L)))
+    // after merging: "aaab" = [aa, a, b] → pairs (aa,a)x3, (a,b)x3
+    // plus "ab" (a,b)x2 → (a,b) = 5 wins over (aa,a) = 3
+    assert(m(1) == (("a", "b", 5L)))
+    // after that: "aaab" = [aa, ab] (greedy L-to-R folds a,b first at
+    // positions 2-3; the leading aa was already one symbol)
+    assert(m(2) == (("aa", "ab", 3L)))
+    // determinism
+    val again = graft.text.TextAnalysis.bpeTrain(crafted, col("text"), 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[String]("left"), r.getAs[String]("right"),
+        r.getAs[Long]("pair_count")))
+    assert(m.toSeq == again.toSeq)
+  }
+
   test("shard stats partition the corpus with bounded skew") {
     val docs = Tables(spark, sf).documents
     val got = graft.text.TextAnalysis
