@@ -39,6 +39,11 @@ object SparkEntry {
     "s27_stream_frames" -> QueryDef(
       graft.streaming.StreamingQueries.streamFrames,
       TextQueries.defs("m3_frame_sample").oracle),
+    // s28: PII redaction at ingest — stateless zero-shuffle map,
+    // shares t5's oracle verbatim
+    "s28_stream_pii" -> QueryDef(
+      graft.streaming.StreamingQueries.streamPii,
+      TextQueries.defs("t5_pii_redact").oracle),
     // shared multi-query detection: each tag held to its single-query
     // join oracle (zdd_unified's sharing claim, checked per pattern)
     "s23_stream_multi_pattern" -> QueryDef.of(

@@ -217,5 +217,58 @@ object CoreQueries {
             "cust_name" -> col("c_name"),
             "segment" -> col("c_mktsegment"),
             "enrich_status" -> col("enrich_status"))
+    },
+
+    // --- #7d as-of (temporal) enrichment: every event annotated with
+    // the LATEST preceding signup state of its user — the
+    // slowly-changing-dimension join (enrichment/ against a
+    // time-versioned dimension). Plan: NO join at all — facts and
+    // dimension updates ride ONE shuffle on the entity key and a
+    // running last(ignoreNulls) window carries the state forward
+    // (the union-window as-of shape); the naive formulation is a
+    // time-range join + per-fact argmax, a second corpus-sized
+    // shuffle plus a dedup this plan never pays. Events before any
+    // signup surface with NULL state (the fallback contract) ---
+    "e2_asof_enrich" -> QueryDef.of(
+      """WITH t AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
+        |    CASE WHEN event_type = 'signup' THEN event_id END AS dim_id,
+        |    CASE WHEN event_type = 'signup' THEN value END AS dim_value,
+        |    CASE WHEN event_type = 'signup' THEN epoch_us(ts) END AS dim_us
+        |  FROM events),
+        |w AS (
+        |  SELECT *,
+        |    last_value(dim_id IGNORE NULLS) OVER win AS asof_signup_id,
+        |    last_value(dim_value IGNORE NULLS) OVER win AS asof_value,
+        |    last_value(dim_us IGNORE NULLS) OVER win AS asof_us
+        |  FROM t
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY us, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id, asof_signup_id, asof_value,
+        |  us - asof_us AS asof_gap_us
+        |FROM w WHERE event_type != 'signup'""".stripMargin) {
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables(s, dir).events
+        val isDim = col("event_type") === "signup"
+        val t = ev.select(
+          col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"),
+          when(isDim, col("event_id")).as("dim_id"),
+          when(isDim, col("value")).as("dim_value"),
+          when(isDim, unix_micros(col("ts"))).as("dim_us"))
+        val win = Window.partitionBy("user_id")
+          .orderBy(col("us"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t.select(col("event_id"), col("user_id"), col("event_type"),
+          col("us"),
+          last(col("dim_id"), ignoreNulls = true).over(win).as("asof_signup_id"),
+          last(col("dim_value"), ignoreNulls = true).over(win).as("asof_value"),
+          last(col("dim_us"), ignoreNulls = true).over(win).as("asof_us"))
+          .where(col("event_type") =!= "signup")
+          .select(col("event_id"), col("user_id"), col("asof_signup_id"),
+            col("asof_value"),
+            (col("us") - col("asof_us")).as("asof_gap_us"))
+      }
     })
 }

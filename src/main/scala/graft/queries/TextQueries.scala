@@ -50,6 +50,19 @@ object TextQueries {
        |    (acc, x) -> CAST((CAST(xor(acc, x) AS HUGEINT) * 1099511628211::HUGEINT)
        |                     % $M64::HUGEINT AS UBIGINT))""".stripMargin
 
+  /** t5's deterministic PII-bearing text synthesized from customer
+    * columns (public: the streaming twin s28 builds the identical
+    * input so both sit under one oracle).
+    */
+  def piiSynth: org.apache.spark.sql.Column = concat(
+    col("c_name"), lit(" <"),
+    lower(regexp_replace(col("c_name"), "#", ".")),
+    lit("@example.com> from 10.0."),
+    (col("c_custkey") % 256).cast("string"), lit("."),
+    (col("c_custkey") % 100).cast("string"),
+    lit(" tel +1 (555) 010-"),
+    lpad((col("c_custkey") % 10000).cast("string"), 4, "0"))
+
   /** t10's recursive-CTE oracle, replaying every greedy packing
     * decision per shard in doc_id order. Public because the streaming
     * twin (s24) shares it verbatim — the stream must match batch row
@@ -355,19 +368,11 @@ object TextQueries {
         |      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
         |    '\+?[0-9][0-9()\- ]{7,}[0-9]', '<PHONE>', 'g') AS redacted
         |FROM s""".stripMargin) {
-      (s, dir) => {
-        val synth = concat(
-          col("c_name"), lit(" <"),
-          lower(regexp_replace(col("c_name"), "#", ".")),
-          lit("@example.com> from 10.0."),
-          (col("c_custkey") % 256).cast("string"), lit("."),
-          (col("c_custkey") % 100).cast("string"),
-          lit(" tel +1 (555) 010-"),
-          lpad((col("c_custkey") % 10000).cast("string"), 4, "0"))
+      (s, dir) =>
         graft.text.TextAnalysis.piiScrub(
-          Tables(s, dir).customer.select(col("c_custkey"), synth.as("text")),
+          Tables(s, dir).customer
+            .select(col("c_custkey"), piiSynth.as("text")),
           col("text"), col("c_custkey"))
-      }
     },
 
     // --- #43c repetition signals (Gopher-style quality filters):

@@ -862,6 +862,23 @@ object StreamingQueries {
     runToTable(spark, out, "graft_s26_sink", "append")
   }
 
+  /** #45b-streaming: PII scrubbing at ingest — redaction BEFORE
+    * anything lands in the lake, the flagship privacy placement for
+    * this operator. Pure regex column work (t5's zero-shuffle map
+    * stage) under a micro-batch scheduler: stateless, append mode,
+    * shares t5's oracle over the identical synthesized input.
+    */
+  def streamPii(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/customer.parquet"
+    val src = spark.readStream.schema(schemaOf(spark, path))
+      .parquet(streamDir(path))
+    val out = graft.text.TextAnalysis.piiScrub(
+      src.select(col("c_custkey"),
+        graft.queries.TextQueries.piiSynth.as("text")),
+      col("text"), col("c_custkey"))
+    runToTable(spark, out, "graft_s28_sink", "append")
+  }
+
   /** #46-streaming: multimodal frame sampling at ingest — the
     * row-to-frames fan-out is a stateless generator (explode of a
     * row-local sequence), so the streaming plan is the batch plan:
