@@ -21,8 +21,8 @@ final case class Tables(spark: SparkSession, dir: String) {
   def nation: DataFrame    = table("nation")
   def region: DataFrame    = table("region")
   def events: DataFrame    = Tables.normalizeEvents(table("events"))
-  def documents: DataFrame = table("documents")
-  def embeddings: DataFrame = table("embeddings")
+  def documents: DataFrame = Tables.normalizeDocuments(table("documents"))
+  def embeddings: DataFrame = Tables.normalizeEmbeddings(table("embeddings"))
 }
 
 object Tables {
@@ -71,12 +71,37 @@ object Tables {
     */
   def normalizeEvents(df: DataFrame): DataFrame =
     canonicalEvents.foldLeft(normalizeTs(df)) { case (d, (name, typ)) =>
-      d.schema.find(_.name == name) match {
-        case Some(f) if f.dataType.simpleString != typ =>
-          d.withColumn(name, col(name).cast(typ))
-        case _ => d
-      }
+      castIfNeeded(d, name, typ)
     }
+
+  private def castIfNeeded(d: DataFrame, name: String, typ: String): DataFrame =
+    d.schema.find(_.name == name) match {
+      case Some(f) if f.dataType.simpleString != typ =>
+        d.withColumn(name, col(name).cast(typ))
+      case _ => d
+    }
+
+  /** The r6 NTZ lesson applied to EVERY staged table, not just
+    * events: whatever physical widths the upstream writer picks
+    * (int32 ids, float64 embeddings, …), queries compile against one
+    * canonical schema; the loader boundary owns the (value-identical,
+    * width-only) re-encoding and is a planning no-op when the staging
+    * is already canonical.
+    */
+  def normalizeDocuments(df: DataFrame): DataFrame =
+    Seq("doc_id" -> "bigint", "text" -> "string", "lang" -> "string",
+      "source" -> "string", "n_chars" -> "bigint")
+      .foldLeft(df) { case (d, (n, t)) => castIfNeeded(d, n, t) }
+
+  /** Only the id widens; the embedding array is deliberately LEFT in
+    * its staged element type — float→double is what the math casts do
+    * anyway (every consumer scores in double, and the native vector
+    * expressions accept float or double elements), while forcing
+    * float32 here would NARROW a float64 staging, a value-CHANGING
+    * cast this boundary must never make.
+    */
+  def normalizeEmbeddings(df: DataFrame): DataFrame =
+    castIfNeeded(df, "vec_id", "bigint")
 
   /** Persist a DataFrame as a parquet table bucketed (and sorted)
     * on a join/aggregation key. Repeated joins or aggregations on

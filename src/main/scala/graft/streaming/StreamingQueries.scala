@@ -818,7 +818,8 @@ object StreamingQueries {
   def streamSample(spark: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/documents.parquet"
     val schema = schemaOf(spark, path)
-    val src = spark.readStream.schema(schema).parquet(streamDir(path))
+    val src = graft.Tables.normalizeDocuments(
+      spark.readStream.schema(schema).parquet(streamDir(path)))
     val n = regexp_extract(col("source"), "[0-9]+", 0).cast("int")
     val rate = when(n < 5, 900000L).when(n < 10, 600000L)
       .when(n < 15, 300000L).otherwise(120000L)
@@ -837,7 +838,8 @@ object StreamingQueries {
   def streamGopher(spark: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/documents.parquet"
     val schema = schemaOf(spark, path)
-    val src = spark.readStream.schema(schema).parquet(streamDir(path))
+    val src = graft.Tables.normalizeDocuments(
+      spark.readStream.schema(schema).parquet(streamDir(path)))
     val out = graft.text.TextAnalysis.gopherFilter(src)
     runToTable(spark, out, "graft_s25_sink", "append")
   }
@@ -855,8 +857,8 @@ object StreamingQueries {
     val isTgt = regexp_extract(col("source"), "[0-9]+", 0).cast("int") < 5
     val scaled = graft.text.TextAnalysis.dsirFit(
       spark.read.parquet(path), col("text"), isTgt)
-    val src = spark.readStream.schema(schemaOf(spark, path))
-      .parquet(streamDir(path))
+    val src = graft.Tables.normalizeDocuments(
+      spark.readStream.schema(schemaOf(spark, path)).parquet(streamDir(path)))
     val out = graft.text.TextAnalysis.dsirScoreLocal(
       src, col("text"), col("doc_id"), scaled)
     runToTable(spark, out, "graft_s26_sink", "append")
@@ -887,8 +889,8 @@ object StreamingQueries {
     */
   def streamFrames(spark: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/documents.parquet"
-    val src = spark.readStream.schema(schemaOf(spark, path))
-      .parquet(streamDir(path))
+    val src = graft.Tables.normalizeDocuments(
+      spark.readStream.schema(schemaOf(spark, path)).parquet(streamDir(path)))
     val out = graft.multimodal.Multimodal.frameSample(src)
     runToTable(spark, out, "graft_s27_sink", "append")
   }
@@ -908,7 +910,8 @@ object StreamingQueries {
   def streamPack(spark: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/documents.parquet"
     val schema = schemaOf(spark, path)
-    val src = spark.readStream.schema(schema).parquet(streamDir(path))
+    val src = graft.Tables.normalizeDocuments(
+      spark.readStream.schema(schema).parquet(streamDir(path)))
     val out = packStream(spark, src, nShards = 64, budget = 256L)
     runToTable(spark, out, "graft_s24_sink", "append")
   }

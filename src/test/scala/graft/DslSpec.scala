@@ -70,4 +70,36 @@ class DslSpec extends SparkSpec {
     assert(limited.count() == ev.df.count())
     over.count() // materializes without error
   }
+
+  test("e2 as-of union-window plan ≡ naive time-range join + argmax") {
+    // cross-path evidence: the single-shuffle union-window as-of
+    // enrichment must return exactly what the textbook formulation
+    // (join every fact to ALL preceding signups, keep the latest)
+    // computes — including NULL state for pre-first-signup facts
+    import org.apache.spark.sql.functions._
+    val fast = SparkEntry.all("e2_asof_enrich").build(spark, sf)
+    val ev = Tables(spark, sf).events
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("value"))
+    val facts = ev.where(col("event_type") =!= "signup")
+      .select(col("event_id"), col("user_id").as("f_user"), col("us"))
+    val dims = ev.where(col("event_type") === "signup")
+      .select(col("user_id").as("d_user"), col("event_id").as("d_id"),
+        col("us").as("d_us"), col("value").as("d_value"))
+    val naive = facts
+      .join(dims, col("f_user") === col("d_user") &&
+        // as-of order = (us, event_id), matching the window sort
+        (col("d_us") < col("us") ||
+          (col("d_us") === col("us") && col("d_id") < col("event_id"))),
+        "left")
+      .groupBy(col("event_id"), col("f_user").as("user_id"), col("us"))
+      .agg(max_by(struct(col("d_id"), col("d_value"), col("d_us")),
+        struct(col("d_us"), col("d_id"))).as("m"))
+      .select(col("event_id"), col("user_id"),
+        col("m.d_id").as("asof_signup_id"),
+        col("m.d_value").as("asof_value"),
+        (col("us") - col("m.d_us")).as("asof_gap_us"))
+    assert(fast.count() == naive.count())
+    assert(fast.except(naive).isEmpty && naive.except(fast).isEmpty)
+  }
 }

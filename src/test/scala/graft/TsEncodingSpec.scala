@@ -103,6 +103,32 @@ class TsEncodingSpec extends SparkSpec {
     assert(s.count() > 0)
   }
 
+  test("documents loader absorbs narrowed stagings end-to-end") {
+    // same portability contract for the documents table: an int32
+    // doc_id / int32 n_chars staging must change nothing — batch
+    // queries read through Tables (canonical bigint), and the TYPED
+    // streaming path (packStream's PkIn case class takes Longs, the
+    // exact shape the r6 class of incident crashes) runs green over
+    // the narrowed staging and matches the batch packing row for row.
+    val dir = java.nio.file.Files.createTempDirectory("graft_doc_narrow_")
+    val narrow = Tables(spark, sf).documents.limit(120)
+      .selectExpr("cast(doc_id as int) AS doc_id", "text", "lang",
+        "source", "cast(n_chars as int) AS n_chars")
+    writeSingleFile(narrow, dir.resolve("documents.parquet"))
+    val got = Tables(spark, dir.toString).documents
+    assert(got.schema("doc_id").dataType == LongType)
+    assert(got.schema("n_chars").dataType == LongType)
+    assert(got.count() == 120L)
+    val streamed = graft.streaming.StreamingQueries
+      .streamPack(spark, dir.toString)
+      .orderBy("shard", "doc_id").collect().toSeq
+    val batch = graft.text.TextAnalysis.packSequences(
+      got, col("doc_id"), col("text"), nShards = 64, budgetTokens = 256L)
+      .orderBy("shard", "doc_id").collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("closed-stream sentinel path works for both encodings") {
     // streamSliding goes through closedStreamDir, which must write its
     // end-of-stream sentinel in the SAME physical ts type as the
