@@ -156,12 +156,14 @@ object Dedup {
       docs: DataFrame,
       k: Int,
       textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id",
+      passthrough: Seq[String] = Nil): DataFrame = {
     import graft.functions.{Fnv64, PositionalShingles}
     import org.apache.spark.sql.graftbridge.ColumnBridge
     val base = fanOut(docs, idCol)
-      .select(col(idCol), words(col(textCol)).as("w"))
-      .select(col(idCol), col("w"), size(col("w")).as("nw"))
+      .select(col(idCol) +: passthrough.map(col) :+
+        words(col(textCol)).as("w"): _*)
+      .withColumn("nw", size(col("w")))
     val grams = base.select(col(idCol),
       posexplode(ColumnBridge.column(PositionalShingles(
         ColumnBridge.expression(col("w")), k))))
@@ -183,11 +185,12 @@ object Dedup {
         coalesce(col("starts"), expr("array()").cast("array<bigint>"))),
       k))
     base.join(starts, col(idCol) === col("did"), "left")
-      .select(col(idCol), col("nw"), sc.as("sc"))
-      .select(col(idCol),
-        col("nw").cast("long").as("n_words"),
-        col("sc.n_kept").as("n_kept"),
-        col("sc.txt").as("scrubbed_text"))
+      .select(col(idCol) +: passthrough.map(col) :+ col("nw") :+
+        sc.as("sc"): _*)
+      .select(col(idCol) +: passthrough.map(col) :+
+        col("nw").cast("long").as("n_words") :+
+        col("sc.n_kept").as("n_kept") :+
+        col("sc.txt").as("scrubbed_text"): _*)
   }
 
   /** Near-dup pairs by exact word-k-gram Jaccard within blocking

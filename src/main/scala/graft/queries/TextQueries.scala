@@ -725,6 +725,92 @@ object TextQueries {
           regexp_extract(col("source"), "[0-9]+", 0).cast("int") < 5)
     },
 
+    // --- #45m composed CLEANING pipeline over the round's new
+    // operators: Gopher/C4 gate → span scrub (gram stats over the
+    // GATED subset — pipeline semantics, deliberate) → exact dedup on
+    // the SCRUBBED text (span removal creates new exact dups — the
+    // reason scrub-then-dedup is the canonical order) → per-source
+    // budget report. One lazy plan; the oracle chains each stage's
+    // proven SQL, so the hash gate checks the composition ---
+    "pipe2_clean_corpus" -> QueryDef.of(
+      s"""WITH gf AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_words,
+         |    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS word_chars,
+         |    CAST(len(regexp_extract_all(text, '[#{}<>@*\\\\]')) AS BIGINT) AS symbol_hits,
+         |    CAST(len(regexp_extract_all(text, '\\S*[A-Za-z]\\S*')) AS BIGINT) AS alpha_words,
+         |    CAST(len(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT) AS ellipsis_hits,
+         |    CAST(len(regexp_extract_all(lower(text), '\\b(the|and|is|of|to|in|that|it|was|for)\\b')) AS BIGINT) AS stop_hits,
+         |    contains(lower(text), 'lorem ipsum') OR contains(text, '{') AS boiler
+         |  FROM documents),
+         |keepids AS (
+         |  SELECT doc_id FROM gf
+         |  WHERE n_words BETWEEN 20 AND 100000
+         |    AND CAST(word_chars AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE) BETWEEN 3.0 AND 10.0
+         |    AND CAST(symbol_hits AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE) < 0.1
+         |    AND CAST(alpha_words AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE) >= 0.8
+         |    AND CAST(ellipsis_hits AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE) < 0.3
+         |    AND stop_hits >= 2 AND NOT boiler),
+         |kept AS (
+         |  SELECT d.doc_id, d.source, $wordsSql AS w
+         |  FROM documents d JOIN keepids USING (doc_id)),
+         |base AS (SELECT doc_id, source, w, len(w) AS nw FROM kept),
+         |g AS (
+         |  SELECT doc_id, pos, array_to_string(w[pos:pos+7], ' ') AS gram
+         |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS pos
+         |        FROM base WHERE nw >= 8)),
+         |f AS (SELECT gram, count(*) AS cnt FROM g GROUP BY 1),
+         |dup AS (SELECT g.doc_id, g.pos FROM g JOIN f USING (gram)
+         |        WHERE f.cnt >= 2),
+         |cov AS (SELECT doc_id, pos + o AS cpos FROM dup
+         |        CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS o)),
+         |wp AS (SELECT doc_id, i AS pos, w[i] AS word
+         |       FROM (SELECT doc_id, w,
+         |               unnest(generate_series(1, len(w))) AS i FROM base)),
+         |kw AS (
+         |  SELECT wp.doc_id, wp.pos, wp.word FROM wp
+         |  WHERE NOT EXISTS (SELECT 1 FROM cov
+         |    WHERE cov.doc_id = wp.doc_id AND cov.cpos = wp.pos)),
+         |kc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |         string_agg(word, ' ' ORDER BY pos) AS scrubbed
+         |       FROM kw GROUP BY 1),
+         |scr AS (SELECT b.doc_id, b.source, kc.n_kept, kc.scrubbed
+         |        FROM base b JOIN kc USING (doc_id) WHERE kc.n_kept > 0),
+         |canon AS (SELECT md5(scrubbed) AS fp, MIN(doc_id) AS cid,
+         |            CAST(COUNT(*) AS BIGINT) AS grp
+         |          FROM scr GROUP BY 1)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_kept) AS BIGINT) AS total_words,
+         |  CAST(SUM(length(scrubbed)) AS BIGINT) AS total_chars,
+         |  CAST(SUM(grp - 1) AS BIGINT) AS dups_removed
+         |FROM scr JOIN canon
+         |  ON md5(scr.scrubbed) = canon.fp AND scr.doc_id = canon.cid
+         |GROUP BY source""".stripMargin) {
+      (s, dir) => {
+        val docs = Tables(s, dir).documents
+        val kept = graft.text.TextAnalysis
+          .gopherFilter(docs, passthrough = Seq("text", "source"))
+          .where(col("keep"))
+          .select("doc_id", "text", "source")
+        val scr = Dedup.scrubSpans(kept, k = 8, passthrough = Seq("source"))
+          .where(col("n_kept") > 0L)
+          .withColumn("fp", md5(col("scrubbed_text")))
+        val canon = scr.groupBy(col("fp").as("cfp"))
+          .agg(min(col("doc_id")).as("cid"), count(lit(1)).as("grp"))
+        scr.join(canon,
+            col("fp") === col("cfp") && col("doc_id") === col("cid"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_kept")).as("tw"),
+            sum(length(col("scrubbed_text"))).as("tc"),
+            sum(col("grp") - lit(1L)).as("dr"))
+          .select(col("source"), col("n_docs"),
+            col("tw").cast("long").as("total_words"),
+            col("tc").cast("long").as("total_chars"),
+            col("dr").cast("long").as("dups_removed"))
+      }
+    },
+
     // --- #45l distributed BPE tokenizer training (Sennrich et al.
     // 2016): top-12 merges learned map-reduce style on the
     // word-frequency table (vocab-sized exchanges, corpus scanned

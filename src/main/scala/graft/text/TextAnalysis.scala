@@ -476,7 +476,8 @@ object TextAnalysis {
       textCol: String = "text",
       idCol: String = "doc_id",
       minWords: Int = 20,
-      maxWords: Int = 100000): DataFrame = {
+      maxWords: Int = 100000,
+      passthrough: Seq[String] = Nil): DataFrame = {
     val t = col(textCol)
     val nWords = regexp_count(t, lit("\\S+")).cast("long")
     // denominators guard empty docs; counts are integers on both
@@ -496,17 +497,17 @@ object TextAnalysis {
     val rStop = stopHits >= 2L
     val rBoiler = !lower(t).contains("lorem ipsum") && !t.contains("{")
     docs.select(
-      col(idCol),
-      nWords.as("n_words"),
-      round(meanWordLen, 6).as("mean_word_len"),
-      round(symbolHits.cast("double") / denom, 6).as("symbol_ratio"),
-      round(alphaWords.cast("double") / denom, 6).as("alpha_ratio"),
-      stopHits.as("stop_hits"),
-      rWords.as("r_words"), rMeanLen.as("r_mean_len"),
-      rSymbol.as("r_symbol"), rAlpha.as("r_alpha"),
-      rEllipsis.as("r_ellipsis"), rStop.as("r_stop"),
-      rBoiler.as("r_boiler"),
-      (rWords && rMeanLen && rSymbol && rAlpha && rEllipsis && rStop &&
-        rBoiler).as("keep"))
+      col(idCol) +: passthrough.map(col) :+
+        nWords.as("n_words") :+
+        round(meanWordLen, 6).as("mean_word_len") :+
+        round(symbolHits.cast("double") / denom, 6).as("symbol_ratio") :+
+        round(alphaWords.cast("double") / denom, 6).as("alpha_ratio") :+
+        stopHits.as("stop_hits") :+
+        rWords.as("r_words") :+ rMeanLen.as("r_mean_len") :+
+        rSymbol.as("r_symbol") :+ rAlpha.as("r_alpha") :+
+        rEllipsis.as("r_ellipsis") :+ rStop.as("r_stop") :+
+        rBoiler.as("r_boiler") :+
+        (rWords && rMeanLen && rSymbol && rAlpha && rEllipsis && rStop &&
+          rBoiler).as("keep"): _*)
   }
 }
