@@ -725,6 +725,33 @@ object TextQueries {
           regexp_extract(col("source"), "[0-9]+", 0).cast("int") < 5)
     },
 
+    // --- #35b-streaming: decontamination AT INGEST — the bench-gram
+    // FNV set rides as a sorted model object into a native row-local
+    // probe; d6's SQL minus the n_bench_docs column (per-gram
+    // bench-doc identity is deliberately not in the row-local model).
+    // The oracle joins DISTINCT bench grams so count(*) = the doc's
+    // distinct grams present in the set, exactly the probe's count ---
+    "s29_stream_decontam" -> QueryDef.of(
+      s"""WITH w AS (
+         |  SELECT doc_id, $wordsSql AS w FROM documents
+         |), d AS (
+         |  SELECT doc_id, ${shinglesSqlK(5)} AS sh FROM w
+         |), g AS (
+         |  SELECT doc_id, len(sh) AS n_grams, unnest(sh) AS gram FROM d
+         |), b AS (
+         |  SELECT DISTINCT gram FROM g WHERE doc_id % 7 = 0
+         |), c AS (
+         |  SELECT * FROM g WHERE doc_id % 7 != 0
+         |)
+         |SELECT c.doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_hit_grams,
+         |  CAST(c.n_grams AS BIGINT) AS n_grams,
+         |  round(CAST(count(*) AS DOUBLE) /
+         |    greatest(CAST(c.n_grams AS DOUBLE), 1.0), 6) AS contamination
+         |FROM c JOIN b USING (gram)
+         |GROUP BY c.doc_id, c.n_grams""".stripMargin)(
+      graft.streaming.StreamingQueries.streamDecontam),
+
     // --- #45m composed CLEANING pipeline over the round's new
     // operators: Gopher/C4 gate → span scrub (gram stats over the
     // GATED subset — pipeline semantics, deliberate) → exact dedup on

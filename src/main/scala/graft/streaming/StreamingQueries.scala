@@ -881,6 +881,43 @@ object StreamingQueries {
     runToTable(spark, out, "graft_s28_sink", "append")
   }
 
+  /** #35b-streaming: benchmark decontamination AT INGEST. The
+    * benchmark's distinct 5-gram FNV hashes are collected once at
+    * query start (eval sets are small by nature — the d6 broadcast
+    * argument; here the broadcast IS a sorted long[] model object)
+    * and every arriving doc probes them in ONE native row-local pass
+    * ([[graft.functions.GramSetHits]]): no explode, no join, no
+    * state — a doc is cleared or flagged before it lands. Emits only
+    * contaminated docs (d6's inner-join contract); its own oracle is
+    * d6's SQL minus the n_bench_docs column (per-gram bench-doc
+    * identity is deliberately not in the row-local model).
+    */
+  def streamDecontam(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.shingles
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val path = s"$dir/documents.parquet"
+    val bench = graft.Tables.normalizeDocuments(spark.read.parquet(path))
+      .where(col("doc_id") % 7 === 0)
+      .select(explode(shingles(col("text"), 5)).as("gram"))
+      .select(graft.functions.Fnv64(col("gram")).as("g"))
+      .distinct().collect().map(_.getLong(0)).sorted
+    val src = graft.Tables.normalizeDocuments(
+      spark.readStream.schema(schemaOf(spark, path)).parquet(streamDir(path)))
+    val probe = ColumnBridge.column(graft.functions.GramSetHits(
+      ColumnBridge.expression(shingles(col("text"), 5)), bench))
+    val out = src.where(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"), probe.as("p"))
+      .select(col("doc_id"),
+        element_at(col("p"), 2).as("n_hit_grams"),
+        element_at(col("p"), 1).as("n_grams"))
+      .where(col("n_hit_grams") > 0L)
+      .select(col("doc_id"), col("n_hit_grams"), col("n_grams"),
+        round(col("n_hit_grams").cast("double") /
+          greatest(col("n_grams").cast("double"), lit(1.0)), 6)
+          .as("contamination"))
+    runToTable(spark, out, "graft_s29_sink", "append")
+  }
+
   /** #46-streaming: multimodal frame sampling at ingest — the
     * row-to-frames fan-out is a stateless generator (explode of a
     * row-local sequence), so the streaming plan is the batch plan:
