@@ -44,6 +44,11 @@ object SparkEntry {
     "s28_stream_pii" -> QueryDef(
       graft.streaming.StreamingQueries.streamPii,
       TextQueries.defs("t5_pii_redact").oracle),
+    // s30: BM25 scoring at ingest — pre-fit corpus stats as literals
+    // in the shared score builder, shares t11's oracle verbatim
+    "s30_stream_bm25" -> QueryDef(
+      graft.streaming.StreamingQueries.streamBm25,
+      TextQueries.defs("t11_bm25").oracle),
     // shared multi-query detection: each tag held to its single-query
     // join oracle (zdd_unified's sharing claim, checked per pattern)
     "s23_stream_multi_pattern" -> QueryDef.of(

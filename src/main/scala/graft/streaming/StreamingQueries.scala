@@ -918,6 +918,26 @@ object StreamingQueries {
     runToTable(spark, out, "graft_s29_sink", "append")
   }
 
+  /** #45i-streaming: BM25 relevance scoring at ingest. Corpus stats
+    * (n_docs, Σdl, df per term) are fitted once on the static corpus
+    * and ride as LITERALS into the shared score builder — no join at
+    * all on the stream, stateless append; the score expressions are
+    * structurally identical to batch t11's, so s30 shares its oracle
+    * bit for bit.
+    */
+  def streamBm25(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/documents.parquet"
+    val terms = Seq("spark", "join", "window", "dup")
+    val fit = graft.text.TextAnalysis.bm25Fit(
+      graft.Tables.normalizeDocuments(spark.read.parquet(path)),
+      col("text"), terms)
+    val src = graft.Tables.normalizeDocuments(
+      spark.readStream.schema(schemaOf(spark, path)).parquet(streamDir(path)))
+    val out = graft.text.TextAnalysis.bm25Prefit(
+      src, col("doc_id"), col("text"), terms, fit)
+    runToTable(spark, out, "graft_s30_sink", "append")
+  }
+
   /** #46-streaming: multimodal frame sampling at ingest — the
     * row-to-frames fan-out is a stateless generator (explode of a
     * row-local sequence), so the streaming plan is the batch plan:

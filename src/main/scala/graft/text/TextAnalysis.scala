@@ -191,34 +191,33 @@ object TextAnalysis {
     * (idf × tf-saturation) is rounded to 6 decimals to absorb
     * cross-libm ln() variance (the f4_hawkes precedent).
     */
-  def bm25(
-      docs: DataFrame,
-      idCol: Column,
-      textCol: Column,
-      terms: Seq[String],
-      k1: Double = 1.2,
-      b: Double = 0.75): DataFrame = {
+  /** (doc_id, dl, tf struct) — the shared per-doc front of BM25. */
+  private def bm25Base(docs: DataFrame, idCol: Column, textCol: Column,
+      terms: Seq[String]): DataFrame = {
     val w = words(textCol)
-    val base = docs.select(
+    docs.select(
       idCol.as("doc_id"),
       size(w).cast("long").as("dl"),
       struct(terms.zipWithIndex.map { case (t, i) =>
         size(filter(w, x => x === lit(t))).cast("long").as(s"tf$i")
       }: _*).as("tf"))
-    val stats = base.agg(
-      count(lit(1)).as("n_docs"),
-      sum(col("dl")).as("sum_dl"),
-      struct(terms.indices.map { i =>
-        sum(when(col(s"tf.tf$i") > 0, 1L).otherwise(0L)).as(s"df$i")
-      }: _*).as("df"))
-    // one-row stats side: broadcast cross-join back onto the scan
-    val joined = base.crossJoin(broadcast(stats))
-    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+  }
+
+  /** The score projection, parameterized over WHERE the corpus stats
+    * come from (columns of a broadcast stats row, or literals from a
+    * pre-fit) — one builder, so the batch path and the streaming twin
+    * produce structurally identical double expressions and the shared
+    * oracle holds bit for bit.
+    */
+  private def bm25Project(joined: DataFrame, terms: Seq[String],
+      k1: Double, b: Double, nDocs: Column, sumDl: Column,
+      dfs: Seq[Column]): DataFrame = {
+    val avgdl = sumDl.cast("double") / nDocs.cast("double")
     val score = terms.indices.map { i =>
       val tf = col(s"tf.tf$i").cast("double")
-      val df = col(s"df.df$i").cast("double")
+      val df = dfs(i).cast("double")
       val idf = log(lit(1.0) +
-        (col("n_docs").cast("double") - df + lit(0.5)) / (df + lit(0.5)))
+        (nDocs.cast("double") - df + lit(0.5)) / (df + lit(0.5)))
       idf * tf * lit(k1 + 1.0) /
         (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / avgdl))
     }.reduce(_ + _)
@@ -231,6 +230,59 @@ object TextAnalysis {
         round(score, 6).as("bm25"),
         hits.as("n_hits"))
   }
+
+  def bm25(
+      docs: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      terms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val base = bm25Base(docs, idCol, textCol, terms)
+    val stats = base.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl"),
+      struct(terms.indices.map { i =>
+        sum(when(col(s"tf.tf$i") > 0, 1L).otherwise(0L)).as(s"df$i")
+      }: _*).as("df"))
+    // one-row stats side: broadcast cross-join back onto the scan
+    bm25Project(base.crossJoin(broadcast(stats)), terms, k1, b,
+      col("n_docs"), col("sum_dl"),
+      terms.indices.map(i => col(s"df.df$i")))
+  }
+
+  /** Corpus stats for the streaming twin's pre-fit model:
+    * (n_docs, sum_dl, df per term). Bounded driver work — one
+    * aggregate row, the DSIR-fit precedent.
+    */
+  def bm25Fit(docs: DataFrame, textCol: Column,
+      terms: Seq[String]): (Long, Long, Seq[Long]) = {
+    val base = bm25Base(docs, lit(0L), textCol, terms)
+    val r = base.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl"),
+      struct(terms.indices.map { i =>
+        sum(when(col(s"tf.tf$i") > 0, 1L).otherwise(0L)).as(s"df$i")
+      }: _*).as("df")).collect().head
+    (r.getAs[Long]("n_docs"), r.getAs[Long]("sum_dl"),
+      terms.indices.map(i => r.getStruct(2).getLong(i)))
+  }
+
+  /** Score docs against pre-fit stats ROW-LOCALLY (the streaming
+    * shape: no join at all, the stats are literals). Identical score
+    * expressions to [[bm25]] via the shared builder — bit-identical
+    * results over the same corpus.
+    */
+  def bm25Prefit(
+      docs: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      terms: Seq[String],
+      fit: (Long, Long, Seq[Long]),
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame =
+    bm25Project(bm25Base(docs, idCol, textCol, terms), terms, k1, b,
+      lit(fit._1), lit(fit._2), fit._3.map(lit(_)))
 
   /** DSIR-style importance weighting (Xie et al. 2023, "Data
     * Selection for Language Models via Importance Resampling"):
