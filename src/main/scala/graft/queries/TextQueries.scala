@@ -344,6 +344,52 @@ object TextQueries {
         Dedup.simhashPairs(Tables(s, dir).documents, maxHamming = 3)
     },
 
+    // --- #38-streaming: SimHash near-dup detection AT INGEST —
+    // arriving docs checked against the existing corpus via a
+    // stream-static chunk-blocked join; one row per MATCHING CHUNK
+    // (no distinct — that would need stream state). The oracle is
+    // d4's signature derivation with both orientations and the chunk
+    // kept in the row ---
+    "s31_stream_neardup" -> QueryDef.of(
+      s"""WITH w AS (
+         |  SELECT doc_id, $wordsSql AS w FROM documents
+         |), toks AS (
+         |  SELECT doc_id, unnest(w) AS tok FROM w
+         |), hashed AS (
+         |  SELECT doc_id, ${fnvSql("tok")} AS h FROM toks
+         |), bits AS (SELECT unnest(range(0, 64)) AS j),
+         |votes AS (
+         |  SELECT w.doc_id, b.j,
+         |    coalesce(SUM(CASE WHEN h.h IS NULL THEN NULL
+         |      WHEN ((h.h >> CAST(b.j AS INT)) & 1::UBIGINT) = 1::UBIGINT THEN 1
+         |      ELSE -1 END), 0) AS v
+         |  FROM w CROSS JOIN bits b
+         |  LEFT JOIN hashed h ON h.doc_id = w.doc_id
+         |  GROUP BY w.doc_id, b.j
+         |), sig AS (
+         |  SELECT doc_id,
+         |    CAST(SUM(CASE WHEN v >= 0
+         |      THEN CAST(1::UBIGINT << CAST(j AS INT) AS HUGEINT) ELSE 0 END) AS HUGEINT) AS s_u
+         |  FROM votes GROUP BY doc_id
+         |), sig2 AS (
+         |  SELECT doc_id, s_u,
+         |    CAST(CASE WHEN s_u >= 9223372036854775808::HUGEINT
+         |      THEN s_u - $M64::HUGEINT ELSE s_u END AS BIGINT) AS s_s
+         |  FROM sig
+         |), chunked AS (
+         |  SELECT doc_id, s_u, s_s, c,
+         |    CAST((s_u // (CASE c WHEN 0 THEN 1::HUGEINT WHEN 1 THEN 65536::HUGEINT
+         |      WHEN 2 THEN 4294967296::HUGEINT ELSE 281474976710656::HUGEINT END))
+         |      % 65536::HUGEINT AS BIGINT) AS cv
+         |  FROM sig2 CROSS JOIN (SELECT unnest(range(0, 4)) AS c)
+         |)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(a.c AS INT) AS chunk,
+         |  CAST(bit_count(xor(a.s_s, b.s_s)) AS INT) AS hamming
+         |FROM chunked a JOIN chunked b ON a.c = b.c AND a.cv = b.cv
+         |  AND a.doc_id != b.doc_id
+         |WHERE bit_count(xor(a.s_s, b.s_s)) <= 3""".stripMargin)(
+      graft.streaming.StreamingQueries.streamNearDup),
+
     // --- #43b PII scrubbing: redaction + per-category counts. The
     // corpus tables carry no real PII, so the input is synthesized
     // deterministically from customer columns ON BOTH SIDES (email

@@ -938,6 +938,46 @@ object StreamingQueries {
     runToTable(spark, out, "graft_s30_sink", "append")
   }
 
+  /** #38-streaming: SimHash NEAR-dup detection at ingest — every
+    * arriving doc is checked against the EXISTING corpus ("is this
+    * new content, or a near-copy of something already in the lake?").
+    * The static side's chunk-blocked signatures are a stream-static
+    * equi-join target (re-planned per micro-batch, shuffle/broadcast
+    * as the static side's size dictates — scale-honest, no
+    * corpus-sized driver model); the stream side computes its
+    * signature + 4 chunk rows statelessly. One output row per
+    * MATCHING CHUNK (a,b,chunk,hamming) — deliberately no distinct,
+    * which would need stream state; downstream dedup keys on (a,b).
+    * Own oracle: d4's derivation with both orientations kept and the
+    * chunk kept in the row.
+    */
+  def streamNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.words
+    val path = s"$dir/documents.parquet"
+    def chunked(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), graft.dedup.Dedup.simhash64(words(col("text")))
+        .as("sh64"))
+      .select(col("doc_id"), col("sh64"),
+        posexplode(array((0 until 4).map(c =>
+          shiftrightunsigned(col("sh64"), c * 16).bitwiseAND(0xffffL)): _*)))
+      .withColumnRenamed("pos", "chunk")
+      .withColumnRenamed("col", "chunk_val")
+    val static0 = chunked(
+      graft.Tables.normalizeDocuments(spark.read.parquet(path)))
+      .select(col("chunk"), col("chunk_val"),
+        col("doc_id").as("b_id"), col("sh64").as("b_sh"))
+    val arrivals = chunked(graft.Tables.normalizeDocuments(
+      spark.readStream.schema(schemaOf(spark, path)).parquet(streamDir(path))))
+      .select(col("chunk"), col("chunk_val"),
+        col("doc_id").as("a_id"), col("sh64").as("a_sh"))
+    val out = arrivals.join(static0, Seq("chunk", "chunk_val"))
+      .where(col("a_id") =!= col("b_id"))
+      .withColumn("hamming", bit_count(col("a_sh").bitwiseXOR(col("b_sh"))))
+      .where(col("hamming") <= 3)
+      .select(col("a_id"), col("b_id"), col("chunk"), col("hamming"))
+    runToTable(spark, out, "graft_s31_sink", "append")
+  }
+
   /** #46-streaming: multimodal frame sampling at ingest — the
     * row-to-frames fan-out is a stateless generator (explode of a
     * row-local sequence), so the streaming plan is the batch plan:
