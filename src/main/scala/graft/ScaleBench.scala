@@ -33,7 +33,7 @@ object ScaleBench {
       "p1_seq2", "w3_session", "v1_knn", "v3_knn_lsh", "v6_knn_ivfpq",
       "v7_semdedup", "d8_embed_decontam",
       "g2_rate_limit", "g3_circuit_breaker", "x6_vpl_trend_agg",
-      "e2_asof_enrich", "pipe2_clean_corpus")
+      "e2_asof_enrich", "pipe2_clean_corpus", "t14_bpe_merges")
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
