@@ -429,4 +429,49 @@ class StreamingSpec extends SparkSpec {
     assert(got.length == want.length)
     assert(got.sameElements(want))
   }
+
+  test("pre-fit ingest scoring is micro-batch-split invariant (DSIR)") {
+    // the ingest-twin contract: the model is fitted ONCE on the
+    // static corpus, scoring is row-local — so HOWEVER the stream is
+    // chopped into micro-batches, the union of outputs equals the
+    // batch pipeline bit for bit
+    val docs = Tables(spark, sf).documents
+      .select("doc_id", "text", "source").collect().toSeq
+    val quartile = (docs.length + 3) / 4
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsir_split_")
+    import spark.implicits._
+    docs.grouped(quartile).zipWithIndex.foreach { case (rows, i) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_dsir_tmp_")
+      rows.map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+        .toDF("doc_id", "text", "source")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = dir.resolve(f"batch_$i%02d.parquet")
+      java.nio.file.Files.copy(part.toPath, dst)
+      dst.toFile.setLastModified(1000000L * (i + 1))
+    }
+    val isTgt = regexp_extract(col("source"), "[0-9]+", 0).cast("int") < 5
+    val fitted = graft.text.TextAnalysis.dsirFit(
+      Tables(spark, sf).documents, col("text"), isTgt)
+    val src = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("source",
+          org.apache.spark.sql.types.StringType))))
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    val out = graft.text.TextAnalysis.dsirScoreLocal(
+      src, col("text"), col("doc_id"), fitted)
+    val q = out.writeStream.format("memory").queryName("dsir_split")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("dsir_split").collect().map(_.toString).sorted
+    val want = graft.text.TextAnalysis.dsirWeights(
+        Tables(spark, sf).documents, col("text"), col("doc_id"), isTgt)
+      .collect().map(_.toString).sorted
+    assert(got.length == want.length && got.sameElements(want))
+  }
 }
