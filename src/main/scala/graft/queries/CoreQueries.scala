@@ -219,6 +219,31 @@ object CoreQueries {
             "enrich_status" -> col("enrich_status"))
     },
 
+    // --- #5b hierarchical aggregation (ROLLUP / grouping sets): the
+    // warehouse-report shape — detail, subtotal and grand-total rows
+    // from ONE scan + ONE Expand-based aggregation (Catalyst plans
+    // rollup as an Expand of the grouping sets feeding a single
+    // partial agg — no per-level rescans). grouping_id disambiguates
+    // genuine NULL keys from rolled-up rows on both engines ---
+    "q10_rollup" -> QueryDef.of(
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin) {
+      (s, dir) =>
+        Tables(s, dir).lineitem
+          .rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            grouping_id().cast("long").as("gid"),
+            count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+              .as("sum_qty"))
+          .select(col("l_returnflag"), col("l_linestatus"), col("gid"),
+            col("n"), col("sum_qty"))
+    },
+
     // --- #7d as-of (temporal) enrichment: every event annotated with
     // the LATEST preceding signup state of its user — the
     // slowly-changing-dimension join (enrichment/ against a
