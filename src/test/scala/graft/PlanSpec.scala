@@ -233,6 +233,15 @@ class PlanSpec extends SparkSpec {
       Set("g", "doc_id", "did", "cid", "pos", "cpos")), s"$exchanged\n$p")
   }
 
+  test("q10: rollup is one Expand feeding one partial-agg exchange") {
+    // the warehouse-report shape must stay one scan: Catalyst expands
+    // the grouping sets and aggregates once — never per-level rescans
+    val p = planOf(q("q10_rollup"))
+    assert(p.contains("Expand"), p)
+    assert(p.contains("partial"), p)
+    assert(p.split("Exchange").length - 1 == 1, p)
+  }
+
   test("t8: shard stats = one shuffle keyed on shard, partial agg first") {
     val p = planOf(q("t8_shard"))
     assert(p.contains("partial"), p)        // map-side combine
