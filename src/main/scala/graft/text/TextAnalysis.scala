@@ -455,9 +455,12 @@ object TextAnalysis {
     *    shuffle on pair keys, map-side partials), the driver takes
     *    exactly ONE row (the argmax pair, ties broken
     *    lexicographically for determinism), and the merge applies as
-    *    a row-local separator-join + literal-replace + split (L-to-R
-    *    non-overlapping = greedy BPE semantics; symbols are [a-z0-9]
-    *    so the \u0001 separator can never collide);
+    *    a row-local native array-walk (functions/BpeMerge.scala)
+    *    merging EXACT adjacent (a,b) symbol pairs left-to-right
+    *    non-overlapping = greedy BPE semantics. (An earlier
+    *    separator-join + literal-replace formulation could match
+    *    INSIDE multi-char symbols - rule (h,e) collapsing [th,e]
+    *    into [the] - which the whole-symbol walk rules out);
     *  - the evolving vocab is persisted per round and the previous
     *    round unpersisted — the lineage stays one round deep.
     *
@@ -472,7 +475,7 @@ object TextAnalysis {
       nMerges: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val sep = "\u0001" // never occurs in [a-z0-9] symbols
+    import org.apache.spark.sql.graftbridge.ColumnBridge
     var vocab = docs.select(explode(words(textCol)).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .select(expr("filter(split(word, ''), x -> x != '')").as("syms"),
@@ -506,8 +509,8 @@ object TextAnalysis {
           top.head.getAs[String]("b"), top.head.getAs[Long]("cnt"))
         merges += ((r.toLong, a, b, a + b, cnt))
         val next = vocab.select(
-          expr(s"filter(split(replace(concat_ws('$sep', syms), " +
-            s"'$a$sep$b', '$a$b'), '$sep'), x -> x != '')").as("syms"),
+          ColumnBridge.column(graft.functions.BpeMerge(
+            ColumnBridge.expression(col("syms")), a, b)).as("syms"),
           col("freq")).persist()
         prev = Some(vocab)
         vocab = next

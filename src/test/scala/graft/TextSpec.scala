@@ -380,6 +380,50 @@ class TextSpec extends SparkSpec {
     assert(m.toSeq == again.toSeq)
   }
 
+  test("bpe merge is whole-symbol: no cross-boundary collapse") {
+    import spark.implicits._
+    // After merge (t,h), the word "the" is [th, e]. Rule (h,e) must
+    // NOT touch it (its only pair is (th,e)) — the old separator-join
+    // replace matched 'h<sep>e' INSIDE "th", collapsing the word to
+    // one symbol and erasing the (th,e) pair, so the third merge
+    // below never got learned. Frequencies: (t,h)=12 beats (h,e)=11,
+    // then (h,e)=6, then (th,e)=5 — learnable only if "the" survives
+    // round 2 intact.
+    val crafted = Seq(
+      (1L, Seq.fill(5)("the").mkString(" ")),
+      (2L, Seq.fill(6)("he").mkString(" ")),
+      (3L, Seq.fill(7)("th").mkString(" ")))
+      .toDF("doc_id", "text")
+    val m = graft.text.TextAnalysis.bpeTrain(crafted, col("text"), 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[String]("left"), r.getAs[String]("right"),
+        r.getAs[Long]("pair_count")))
+    assert(m.length == 3)
+    assert(m(0) == (("t", "h", 12L)))
+    assert(m(1) == (("h", "e", 6L)))
+    assert(m(2) == (("th", "e", 5L)))
+  }
+
+  test("BpeMerge expression: exact-pair greedy left-to-right") {
+    import spark.implicits._
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    def run(syms: Seq[String], a: String, b: String): Seq[String] = {
+      val df = Seq(Tuple1(syms)).toDF("syms")
+      df.select(ColumnBridge.column(graft.functions.BpeMerge(
+          ColumnBridge.expression(col("syms")), a, b)).as("m"))
+        .collect().head.getSeq[String](0)
+    }
+    // no substring matching: (a,b) over [a,bc] stays put
+    assert(run(Seq("a", "bc"), "a", "b") == Seq("a", "bc"))
+    // greedy non-overlap: (a,a) over [a,a,a] -> [aa, a]
+    assert(run(Seq("a", "a", "a"), "a", "a") == Seq("aa", "a"))
+    // adjacent repeats both merge: [a,b,a,b] -> [ab, ab]
+    assert(run(Seq("a", "b", "a", "b"), "a", "b") == Seq("ab", "ab"))
+    // multi-char right side matches whole symbols only
+    assert(run(Seq("th", "e"), "h", "e") == Seq("th", "e"))
+    assert(run(Seq("th", "e"), "th", "e") == Seq("the"))
+  }
+
   test("shard stats partition the corpus with bounded skew") {
     val docs = Tables(spark, sf).documents
     val got = graft.text.TextAnalysis
