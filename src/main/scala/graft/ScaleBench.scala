@@ -33,12 +33,19 @@ object ScaleBench {
       "p1_seq2", "w3_session", "v1_knn", "v3_knn_lsh", "v6_knn_ivfpq",
       "v7_semdedup", "d8_embed_decontam",
       "g2_rate_limit", "g3_circuit_breaker", "x6_vpl_trend_agg",
-      "e2_asof_enrich", "pipe2_clean_corpus", "t14_bpe_merges")
+      "e2_asof_enrich", "pipe2_clean_corpus", "t14_bpe_merges",
+      "f4_hawkes", "a2_ema")
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val scaledDir = "target/scale10"
+    // SPARK_GRAFT_SCALE: replica count of the derived corpus (default
+    // 10; 30 gives the deeper tier that separates genuine asymptotics
+    // from fixed-cost amortization). SCALEBENCH_QUERIES: comma list
+    // filtering the timed set (the 30x tier focuses the dedup/ANN
+    // family instead of paying 30x on every query).
+    val nReps = sys.env.getOrElse("SPARK_GRAFT_SCALE", "10").toInt
+    val scaledDir = s"target/scale$nReps"
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -53,7 +60,7 @@ object ScaleBench {
     val marker = new java.io.File(s"$scaledDir/_staged_v2")
     if (!marker.exists()) {
       val docs = spark.read.parquet(s"$baseDir/documents.parquet")
-      val reps = (0 until 10).map { i =>
+      val reps = (0 until nReps).map { i =>
         // suffix EVERY word with the replica id: a bijective per-word
         // mapping, so within-replica shingle/word overlap (the dup
         // structure) is preserved EXACTLY while cross-replica overlap
@@ -70,7 +77,7 @@ object ScaleBench {
       reps.reduce(_.unionByName(_)).write.mode("overwrite")
         .parquet(s"$scaledDir/documents.parquet")
       val events = spark.read.parquet(s"$baseDir/events.parquet")
-      val evReps = (0 until 10).map { i =>
+      val evReps = (0 until nReps).map { i =>
         events.withColumn("event_id", col("event_id") + lit(i * 100000000L))
           .withColumn("user_id", col("user_id") + lit(i * 10000000L))
       }
@@ -80,7 +87,7 @@ object ScaleBench {
       // query side stays the fixed vec_id<10 broadcast set, so the
       // measurement is corpus-side scan/bucket scaling
       val emb = spark.read.parquet(s"$baseDir/embeddings.parquet")
-      val embReps = (0 until 10).map { i =>
+      val embReps = (0 until nReps).map { i =>
         if (i == 0) emb
         else emb.withColumn("vec_id", col("vec_id") + lit(i * 100000000L))
       }
@@ -97,7 +104,10 @@ object ScaleBench {
     spark.range(1000000L).selectExpr("sum(id)").collect()
     materialize(SparkEntry.queries("d1_exact_dedup")(spark, baseDir))
 
-    def timeAll(dir: String): Seq[(String, Double)] = Queries.map { name =>
+    val timed = sys.env.get("SCALEBENCH_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Queries)
+    def timeAll(dir: String): Seq[(String, Double)] = timed.map { name =>
       val t0 = System.nanoTime()
       materialize(SparkEntry.queries(name)(spark, dir))
       name -> (System.nanoTime() - t0) / 1e9
@@ -108,8 +118,8 @@ object ScaleBench {
       s"""{"scale":"$tag","queries":{""" +
         xs.map { case (k, v) => s""""$k":$v""" }.mkString(",") + "}}"
     println(jline("sf0.1", base))
-    println(jline("sf1-derived", scaled))
-    System.err.println(f"${"query"}%-20s ${"sf0.1"}%8s ${"10x"}%8s ratio")
+    println(jline(s"sf0.1x$nReps-derived", scaled))
+    System.err.println(f"${"query"}%-20s ${"sf0.1"}%8s ${nReps + "x"}%8s ratio")
     base.zip(scaled).foreach { case ((n, b), (_, s)) =>
       System.err.println(f"$n%-20s $b%8.2f $s%8.2f ${s / b}%5.1fx")
     }

@@ -49,6 +49,12 @@ object SparkEntry {
     "s30_stream_bm25" -> QueryDef(
       graft.streaming.StreamingQueries.streamBm25,
       TextQueries.defs("t11_bm25").oracle),
+    // s32: online Hawkes intensity — the recursion's O(1) per-key
+    // carry in fMGWS state, stepping through the SAME
+    // HawkesFoldUtil.step as the batch fold: shares f4's oracle
+    "s32_stream_hawkes" -> QueryDef(
+      graft.streaming.StreamingQueries.streamHawkes,
+      PatternQueries.defs("f4_hawkes").oracle),
     // shared multi-query detection: each tag held to its single-query
     // join oracle (zdd_unified's sharing claim, checked per pattern)
     "s23_stream_multi_pattern" -> QueryDef.of(

@@ -80,11 +80,19 @@ object Forecast {
     * with the first event of a key initialized to mu + alpha
     * (hawkes.rs update()). Realized as an in-order fold over each
     * key's event array — the O(1)-per-event recursion the reference
-    * runs, executed inside the group by native HOF expressions after
-    * one shuffle on the partition key. Parameters are fixed here
-    * (reference also re-estimates mu/beta online via EMA moment
-    * matching; a batch engine can fit them in one aggregate pass —
-    * deliberately out of scope until a query needs it).
+    * runs, executed inside the group by the native codegen'd
+    * [[graft.functions.HawkesFold]] after one shuffle on the
+    * partition key (the earlier interpreted `aggregate` HOF with an
+    * `array_append` accumulator was quadratic per key and ran on the
+    * interpreted-lambda path). Parameters are fixed here; the
+    * adaptive variant below re-estimates them online.
+    *
+    * Memory bound: `collect_list` holds ONE key's full history in a
+    * single row — fine for bounded keys (users/devices), not for an
+    * unbounded single-key timeline at 100 TB; the streaming twin
+    * (StreamingQueries.streamHawkes) carries the recursion's O(1)
+    * per-key state incrementally and is the path for unbounded
+    * histories.
     *
     * `boost_factor` = clamp(intensity/mu, 1, 5) (hawkes.rs
     * boost_factor), the multiplier the reference applies to pattern
@@ -102,28 +110,14 @@ object Forecast {
       partitionKeys: Seq[String] = Seq("user_id"),
       tsCol: String = "ts",
       orderCol: String = "event_id"): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
     val g = partitionKeys.map(col)
     val folded = events
       .groupBy(g: _*)
       .agg(sort_array(collect_list(struct(
         col(orderCol).as("o"), unix_micros(col(tsCol)).as("t")))).as("evs"))
-      .withColumn("res", expr(
-        s"""aggregate(
-           |  evs,
-           |  named_struct(
-           |    'acc', cast(array() as array<struct<o: bigint, i: double>>),
-           |    'li', cast(0.0 as double), 'lt', cast(-1 as bigint)),
-           |  (s, x) -> named_struct(
-           |    'acc', array_append(s.acc, named_struct('o', x.o,
-           |      'i', if(s.lt < 0, ${mu + alpha}D,
-           |        ${mu}D + (s.li - ${mu}D + ${alpha}D)
-           |          * exp(-${beta}D * (x.t - s.lt) / 1e6D)))),
-           |    'li', if(s.lt < 0, ${mu + alpha}D,
-           |      ${mu}D + (s.li - ${mu}D + ${alpha}D)
-           |        * exp(-${beta}D * (x.t - s.lt) / 1e6D)),
-           |    'lt', x.t),
-           |  s -> s.acc)
-           |""".stripMargin))
+      .withColumn("res", ColumnBridge.column(graft.functions.HawkesFold(
+        ColumnBridge.expression(col("evs")), mu, alpha, beta)))
       .select((g :+ explode(col("res")).as("e")): _*)
     folded.select(
       (partitionKeys.map(col) :+
@@ -145,8 +139,11 @@ object Forecast {
     *
     * — the same regime-change adaptation (~20-40 events) the
     * reference gets from EMA_ALPHA = 0.05. The whole per-key
-    * recursion runs as one in-order HOF fold after a single shuffle
-    * on the partition key; all time math in seconds.
+    * recursion runs as one native codegen'd O(n) fold
+    * ([[graft.functions.HawkesFoldAdaptive]]) after a single shuffle
+    * on the partition key; all time math in seconds. Same per-key
+    * collect_list memory bound / streaming-twin escape hatch as
+    * [[hawkesIntensity]].
     */
   def hawkesIntensityAdaptive(
       events: DataFrame,
@@ -156,53 +153,15 @@ object Forecast {
       partitionKeys: Seq[String] = Seq("user_id"),
       tsCol: String = "ts",
       orderCol: String = "event_id"): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
     val g = partitionKeys.map(col)
-    // shared subexpressions, spelled out textually (HOF lambdas have
-    // no let-bindings); n<=window sizes keep the repeated arithmetic
-    // cheap
-    val dt = "greatest(cast(x.t - s.lt as double) / 1e6D, 0.0D)"
-    val ed1 = s"if(s.n = 1, ($dt), 0.05D * ($dt) + 0.95D * s.ed)"
-    val ed2 = s"if(s.n = 1, ($dt) * ($dt), " +
-      s"0.05D * ($dt) * ($dt) + 0.95D * s.ed2)"
-    val iRaw = s"s.mu + (s.li - s.mu + s.al) * exp(-s.be * ($dt))"
-    val est = s"(s.n + 1) >= 10"
-    val muN = s"if($est, greatest(1.0D / ($ed1), 1e-15D), s.mu)"
-    val varN = s"($ed2) - ($ed1) * ($ed1)"
-    val beN = s"if($est and ($varN) > 0.0D, " +
-      s"greatest(1.0D / sqrt($varN), 1e-15D), s.be)"
-    val alN = s"if($est, 0.5D * ($muN), s.al)"
-    val iN = s"if($est, greatest($iRaw, $muN), $iRaw)"
     val folded = events
       .groupBy(g: _*)
       .agg(sort_array(collect_list(struct(
         col(orderCol).as("o"), unix_micros(col(tsCol)).as("t")))).as("evs"))
-      .withColumn("res", expr(
-        s"""aggregate(
-           |  evs,
-           |  named_struct(
-           |    'acc', cast(array() as array<struct<o: bigint, i: double, b: double>>),
-           |    'li', cast(0.0 as double), 'lt', cast(-1 as bigint),
-           |    'ed', cast(0.0 as double), 'ed2', cast(0.0 as double),
-           |    'n', cast(0 as bigint),
-           |    'mu', cast($mu0 as double), 'al', cast($alpha0 as double),
-           |    'be', cast($beta0 as double)),
-           |  (s, x) -> if(s.n = 0,
-           |    named_struct(
-           |      'acc', array_append(s.acc, named_struct('o', x.o,
-           |        'i', s.mu + s.al,
-           |        'b', least(greatest((s.mu + s.al) / s.mu, 1.0D), 5.0D))),
-           |      'li', s.mu + s.al, 'lt', x.t,
-           |      'ed', s.ed, 'ed2', s.ed2, 'n', cast(1 as bigint),
-           |      'mu', s.mu, 'al', s.al, 'be', s.be),
-           |    named_struct(
-           |      'acc', array_append(s.acc, named_struct('o', x.o,
-           |        'i', $iN,
-           |        'b', least(greatest(($iN) / ($muN), 1.0D), 5.0D))),
-           |      'li', $iN, 'lt', x.t,
-           |      'ed', $ed1, 'ed2', $ed2, 'n', s.n + 1,
-           |      'mu', $muN, 'al', $alN, 'be', $beN)),
-           |  s -> s.acc)
-           |""".stripMargin))
+      .withColumn("res", ColumnBridge.column(
+        graft.functions.HawkesFoldAdaptive(
+          ColumnBridge.expression(col("evs")), mu0, alpha0, beta0)))
       .select((g :+ explode(col("res")).as("e")): _*)
     folded.select(
       (partitionKeys.map(col) :+

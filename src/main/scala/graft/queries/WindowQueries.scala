@@ -256,19 +256,19 @@ object WindowQueries {
         | COUNT(*) AS n
         |FROM events GROUP BY user_id""".stripMargin) {
       (s, dir) => {
-        val lst = array_sort(collect_list(struct(col("event_id"), col("value"))))
-        val xs = transform(lst, r => r.getField("value"))
+        // native codegen'd O(n) fold (EmaFold) — same a*x + b*acc
+        // step constants as the oracle's list_reduce; replaces the
+        // interpreted per-element `aggregate` lambda
+        import org.apache.spark.sql.graftbridge.ColumnBridge
+        val lst = sort_array(collect_list(struct(col("event_id"), col("value"))))
         Tables(s, dir).events
           .groupBy("user_id")
-          .agg(xs.as("xs"), count(lit(1)).as("n"))
-          .select(
-            col("user_id"),
-            aggregate(
-              slice(col("xs"), lit(2), greatest(size(col("xs")) - 1, lit(0))),
-              element_at(col("xs"), 1),
-              (acc, x) => lit(2.0 / 11.0) * x + lit(1.0 - 2.0 / 11.0) * acc)
-              .as("ema10"),
-            col("n"))
+          .agg(
+            ColumnBridge.column(graft.functions.EmaFold(
+              ColumnBridge.expression(lst),
+              2.0 / 11.0, 1.0 - 2.0 / 11.0)).as("ema10"),
+            count(lit(1)).as("n"))
+          .select(col("user_id"), col("ema10"), col("n"))
       }
     },
 

@@ -19,6 +19,10 @@ object StreamingQueries {
   final case class EmaState(ema: Double, n: Long, buf: List[EmaBuf])
   final case class EmaOut(user_id: Long, event_id: Long, ema10: Double)
 
+  /** streaming Hawkes state/rows (see [[streamHawkes]]) */
+  final case class HkState(li: Double, lt: Long, buf: List[EmaBuf])
+  final case class HkOut(user_id: Long, event_id: Long, intensity: Double)
+
   /** streaming count-window state/rows (see [[streamCountWindow]]) */
   final case class CwState(winId: Long, cnt: Int, firstId: Long,
       lastId: Long, sumCents: Long, buf: List[EmaBuf])
@@ -475,6 +479,67 @@ object StreamingQueries {
           outRows.iterator
       }
     runToTable(spark, out.toDF(), "graft_s9_sink", "append")
+  }
+
+  /** #29b-streaming: Hawkes self-exciting intensity on a live stream
+    * (pst/hawkes.rs runs exactly this recursion online). Per-key
+    * state is the recursion's own O(1) carry — (last intensity, last
+    * event time) — plus the finalized-prefix buffer; events fold in
+    * event_id order once the watermark passes them (the streamEma
+    * recipe), and each step calls the SAME
+    * [[graft.functions.HawkesFoldUtil.step]] the batch fold uses, so
+    * the twins cannot diverge and s32 shares f4's recursive-CTE
+    * oracle verbatim. This is the 100 TB path for unbounded per-key
+    * histories that the batch collect_list fold deliberately is not.
+    */
+  def streamHawkes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val path = s"$dir/events.parquet"
+    val schema = schemaOf(spark, path)
+    val src = graft.Tables.normalizeEvents(
+      spark.readStream.schema(schema).parquet(closedStreamDir(spark, path)))
+      .withWatermark("ts", "1 second")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), unix_micros(col("ts")).as("ts_us"), col("ts"))
+      .as[PatternStream.Ev]
+    val (mu, alpha, beta) = (0.001, 0.002, 0.0005)
+    val out = src.groupByKey(_.user_id)
+      .flatMapGroupsWithState[HkState, HkOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[PatternStream.Ev],
+         state: GroupState[HkState]) =>
+          val prev = state.getOption.getOrElse(HkState(0.0, -1L, Nil))
+          var li = prev.li
+          var lt = prev.lt
+          var buf = prev.buf
+          if (!state.hasTimedOut)
+            buf = buf ++ it.filter(_.event_type != "__sentinel")
+              .map(e => EmaBuf(e.event_id, e.ts_us, e.value))
+          val wm = state.getCurrentWatermarkMs() * 1000L
+          val (safe, waiting) = buf.partition(_.ts_us <= wm)
+          buf = waiting
+          val outRows = safe.sortBy(_.event_id).map { e =>
+            li = graft.functions.HawkesFoldUtil.step(
+              li, lt, e.ts_us, mu, alpha, beta)
+            lt = e.ts_us
+            HkOut(user, e.event_id, li)
+          }
+          state.update(HkState(li, lt, buf))
+          if (buf.nonEmpty)
+            state.setTimeoutTimestamp(math.max(
+              (buf.map(_.ts_us).min / 1000L) + 1L,
+              state.getCurrentWatermarkMs() + 1L))
+          outRows.iterator
+      }
+    // identical post-projection to f4's batch select: boost from the
+    // RAW intensity, then both columns rounded to 6
+    val shaped = out.toDF().select(
+      col("user_id"), col("event_id"),
+      round(col("intensity"), 6).as("intensity"),
+      round(least(greatest(col("intensity") / lit(mu), lit(1.0)),
+        lit(5.0)), 6).as("boost_factor"))
+    runToTable(spark, shaped, "graft_s32_sink", "append")
   }
 
   /** #11-streaming: count windows on a live stream (window.rs Count —

@@ -139,6 +139,18 @@ object Profile {
       spark.stop(); return
     }
 
+    // PROFILE_QUERIES=q1,f4,...: time any registered queries, twice
+    // each (cold then warm) so first-touch table reads are attributable
+    sys.env.get("PROFILE_QUERIES").foreach { qs =>
+      val reg = graft.SparkEntry.queries
+      qs.split(",").map(_.trim).filter(_.nonEmpty).foreach { name =>
+        val q = reg(name)
+        time(s"$name cold")(mat(q(spark, sfDir)))
+        time(s"$name warm")(mat(q(spark, sfDir)))
+      }
+      spark.stop(); return
+    }
+
     val docs = graft.Tables(spark, sfDir).documents
     time("docs count")(docs.count())
 

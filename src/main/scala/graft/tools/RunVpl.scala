@@ -25,7 +25,9 @@ object RunVpl {
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) { System.err.println(usage); sys.exit(2) }
     val vplPath = args(0)
-    val opts = parseOpts(args.drop(1).toList)
+    val opts =
+      try parseOpts(args.drop(1).toList)
+      catch { case e: IllegalArgumentException => fail(e.getMessage) }
     val vplText = new String(
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(vplPath)),
       "UTF-8")
@@ -40,27 +42,9 @@ object RunVpl {
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    import graft.vpl.Vpl
-    val only = opts.get("stream")
-    val results: Seq[(String, scala.util.Try[org.apache.spark.sql.DataFrame])] =
-      if (opts.contains("streaming")) {
-        val evt = opts.getOrElse("evt",
-          fail("--streaming requires --evt FILE"))
-        val name = only.getOrElse(fail("--streaming requires --stream NAME"))
-        Seq(name -> scala.util.Try(
-          Vpl.runEvtStreaming(spark, vplText, evt, name)))
-      } else if (opts.contains("evt")) {
-        val paths = opts("evt").split(",").map(_.trim).filter(_.nonEmpty)
-        Vpl.runEvt(spark, vplText, paths.toSeq).toSeq
-          .filter { case (n, _) => only.forall(_ == n) }
-      } else {
-        val dir = opts.getOrElse("table-dir",
-          fail("need --evt FILE or --table-dir DIR"))
-        val prog = graft.vpl.VplParser.parse(vplText)
-        val names = only.map(Seq(_)).getOrElse(prog.streams.map(_.name))
-        names.map(n => n -> scala.util.Try(
-          Vpl.tableStream(spark, dir, vplText, n)))
-      }
+    val results =
+      try plan(spark, vplText, opts)
+      catch { case e: IllegalArgumentException => fail(e.getMessage) }
 
     var failed = 0
     results.sortBy(_._1).foreach {
@@ -68,7 +52,10 @@ object RunVpl {
         opts.get("out") match {
           case Some(out) =>
             df.write.mode("overwrite").parquet(s"$out/$name")
-            println(s"[$name] ${df.count()} rows -> $out/$name")
+            // count the WRITTEN parquet — counting `df` would
+            // re-execute the whole plan a second time
+            val n = spark.read.parquet(s"$out/$name").count()
+            println(s"[$name] $n rows -> $out/$name")
           case None =>
             println(s"=== $name (${df.count()} rows) ===")
             df.show(20, truncate = false)
@@ -80,6 +67,40 @@ object RunVpl {
     spark.stop()
     if (failed > 0) sys.exit(1)
   }
+
+  /** The CLI's planning core, separated from main() so the spec
+    * harness can drive the exact CLI path (same option map, same
+    * mode dispatch) inside a shared test session. Throws
+    * IllegalArgumentException on invalid option combinations.
+    */
+  private[tools] def plan(spark: SparkSession, vplText: String,
+      opts: Map[String, String])
+      : Seq[(String, scala.util.Try[org.apache.spark.sql.DataFrame])] = {
+    import graft.vpl.Vpl
+    val only = opts.get("stream")
+    def need(key: String, msg: String): String =
+      opts.getOrElse(key, throw new IllegalArgumentException(msg))
+    if (opts.contains("streaming")) {
+      val evt = need("evt", "--streaming requires --evt FILE")
+      val name = only.getOrElse(
+        throw new IllegalArgumentException("--streaming requires --stream NAME"))
+      Seq(name -> scala.util.Try(
+        Vpl.runEvtStreaming(spark, vplText, evt, name)))
+    } else if (opts.contains("evt")) {
+      val paths = opts("evt").split(",").map(_.trim).filter(_.nonEmpty)
+      Vpl.runEvt(spark, vplText, paths.toSeq).toSeq
+        .filter { case (n, _) => only.forall(_ == n) }
+    } else {
+      val dir = need("table-dir", "need --evt FILE or --table-dir DIR")
+      val prog = graft.vpl.VplParser.parse(vplText)
+      val names = only.map(Seq(_)).getOrElse(prog.streams.map(_.name))
+      names.map(n => n -> scala.util.Try(
+        Vpl.tableStream(spark, dir, vplText, n)))
+    }
+  }
+
+  private[tools] def parseOptsForTest(rest: List[String]): Map[String, String] =
+    parseOpts(rest)
 
   private def fail(msg: String): Nothing = {
     System.err.println(msg); System.err.println(usage); sys.exit(2)
@@ -93,8 +114,13 @@ object RunVpl {
       acc: Map[String, String] = Map.empty): Map[String, String] = rest match {
     case Nil => acc
     case "--streaming" :: tail => parseOpts(tail, acc + ("streaming" -> "1"))
-    case flag :: v :: tail if flag.startsWith("--") =>
+    case flag :: v :: tail if flag.startsWith("--") && !v.startsWith("--") =>
       parseOpts(tail, acc + (flag.drop(2) -> v))
-    case other :: _ => fail(s"unrecognized argument: $other")
+    case flag :: _ if flag.startsWith("--") =>
+      // value-taking flag followed by another flag (or nothing):
+      // consuming the next flag as a value silently drops options
+      throw new IllegalArgumentException(s"missing value for $flag")
+    case other :: _ =>
+      throw new IllegalArgumentException(s"unrecognized argument: $other")
   }
 }

@@ -1461,13 +1461,15 @@ final class VplCompiler(program: VProgram, source: VplSource,
         .aggregate((direct ++ collects): _*)
       if (aggKeys ne keys) df = df.drop("__graft_gk")
       emas.foreach { case (n, _, p) =>
+        // native codegen'd O(n) fold (EmaFold) with the old lambda's
+        // null semantics (null element resets the accumulator)
         val alpha = 2.0 / (p + 1)
         df = df.withColumn(n,
-          aggregate(sort_array(col(s"__vals_$n")),
-            lit(null).cast("double"),
-            (acc, e2) => when(acc.isNull, e2.getField("v"))
-              .otherwise(lit(alpha) * e2.getField("v") +
-                lit(1.0 - alpha) * acc)))
+          org.apache.spark.sql.graftbridge.ColumnBridge.column(
+            graft.functions.EmaFold(
+              org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+                sort_array(col(s"__vals_$n"))),
+              alpha, 1.0 - alpha)))
           .drop(s"__vals_$n")
       }
       postB.foreach { case (n, e) =>

@@ -80,4 +80,33 @@ class BenchSpec extends AnyFunSuite {
     assert(line.length < 1700, s"bench line too long: ${line.length}")
     assert(line.contains(""""_failed":""" + names.size))
   }
+
+  test("retimeSet: regressions vs prev AND cold no-prev queries re-time") {
+    val prev = Map("q1" -> 1.0, "q2" -> 1.0, "q3" -> 0.1)
+    val prevOf = (n: String) => prev.get(n)
+    val firstPass = Seq(
+      "q1" -> 2.0,   // 2x prev -> retime
+      "q2" -> 1.2,   // within 1.5x -> keep
+      "q3" -> 0.3,   // 3x prev but under the 0.5s floor -> keep
+      "new1" -> 7.7, // no prev, above 2s -> retime (the r7 q10 case)
+      "new2" -> 1.5, // no prev, under 2s -> keep
+      "newF" -> -1.0) // failed -> never retimed as no-prev
+    val r = Bench.retimeSet(firstPass, prevOf)
+    assert(r == Set("q1", "new1"), r.toString)
+  }
+
+  test("retimeSet caps: at most 12 regressions + 8 no-prev") {
+    val prevOf = (n: String) =>
+      if (n.startsWith("r")) Some(1.0) else None
+    val firstPass =
+      (1 to 20).map(i => s"r$i" -> (10.0 + i)) ++ // all 10x regressions
+      (1 to 20).map(i => s"n$i" -> (3.0 + i))     // all cold no-prev
+    val r = Bench.retimeSet(firstPass, prevOf)
+    assert(r.size == 20, r.toString)
+    assert(r.count(_.startsWith("r")) == 12)
+    assert(r.count(_.startsWith("n")) == 8)
+    // worst-first in each class
+    assert(r.contains("r20") && !r.contains("r8"))
+    assert(r.contains("n20") && !r.contains("n12"))
+  }
 }

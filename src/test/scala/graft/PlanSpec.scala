@@ -303,4 +303,28 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
     assert(p.split("Exchange").length - 1 == 1, p)
   }
+
+  test("f4/f6: Hawkes runs the native fold — one shuffle, no " +
+      "interpreted HOF, no array_append accumulator") {
+    for (name <- Seq("f4_hawkes", "f6_hawkes_adaptive")) {
+      val df = q(name)
+      // the fold fuses into the aggregate's result projection; its
+      // name is visible in the optimized plan, not the physical string
+      val o = df.queryExecution.optimizedPlan.toString()
+      assert(o.contains("hawkes_fold"), o)
+      val p = planOf(df)
+      assert(!o.contains("array_append"), o)
+      assert(!o.toLowerCase.contains("lambdafunction"), o)
+      assert(p.split("Exchange").length - 1 == 1, p)
+    }
+  }
+
+  test("a2: EMA runs the native fold, one shuffle on the key") {
+    val df = q("a2_ema")
+    val o = df.queryExecution.optimizedPlan.toString()
+    assert(o.contains("ema_fold"), o)
+    assert(!o.toLowerCase.contains("lambdafunction"), o)
+    val p = planOf(df)
+    assert(p.split("Exchange").length - 1 == 1, p)
+  }
 }
