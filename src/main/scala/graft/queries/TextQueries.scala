@@ -868,10 +868,14 @@ object TextQueries {
         val scr = Dedup.scrubSpans(kept, k = 8, passthrough = Seq("source"))
           .where(col("n_kept") > 0L)
           .withColumn("fp", md5(col("scrubbed_text")))
-        val canon = scr.groupBy(col("fp").as("cfp"))
-          .agg(min(col("doc_id")).as("cid"), count(lit(1)).as("grp"))
-        scr.join(canon,
-            col("fp") === col("cfp") && col("doc_id") === col("cid"))
+        // window keeper election (same rewrite as pipe1): group size +
+        // rank-1 keeper in ONE shuffle on fp, instead of re-running
+        // the gopher+scrub upstream for a groupBy side and a join side
+        val pw = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+        scr
+          .withColumn("grp", count(lit(1)).over(pw))
+          .withColumn("__rn", row_number().over(pw.orderBy("doc_id")))
+          .filter(col("__rn") === 1)
           .groupBy(col("source"))
           .agg(count(lit(1)).as("n_docs"),
             sum(col("n_kept")).as("tw"),
@@ -993,9 +997,17 @@ object TextQueries {
         val qf = docs.filter(col("doc_id") % 7 =!= 0)
           .filter(quality >= 0.7)
           .select(col("doc_id"), col("text"), col("source"))
+        // exact-dedup as a WINDOW keeper election (row_number over fp,
+        // keep rank 1 = min doc_id): ONE pass over the regex-heavy
+        // quality scan and one text shuffle. The earlier
+        // groupBy+self-join on fp re-executed the whole upstream scan
+        // for each side and shuffled the text twice — measured 30x
+        // ScaleBench: 40s -> see SURVEY §16.
         val fp = qf.withColumn("fp", md5(normalize(col("text"))))
-        val canon = fp.groupBy("fp").agg(min("doc_id").as("doc_id"))
-        val surv = fp.join(canon, Seq("fp", "doc_id"))
+        val dw = org.apache.spark.sql.expressions.Window
+          .partitionBy("fp").orderBy("doc_id")
+        val surv = fp.withColumn("__rn", row_number().over(dw))
+          .filter(col("__rn") === 1)
           .select("doc_id", "text", "source")
         val bench = docs.filter(col("doc_id") % 7 === 0)
         val contamIds = Dedup.decontaminate(surv, bench, k = 5)
