@@ -58,13 +58,20 @@ object Forecast {
         col(typeCol).as("nxt")): _*)) { (d, k) =>
       d.withColumn(s"__lag$k", lag(col("nxt"), k).over(w))
     }
-    // one row per (context length k, position): context = lag_k..lag_1
-    val ctxRows = (1 to maxDepth).map { k =>
+    // one row per (context length k, position), generated in a SINGLE
+    // pass: each row fans out its ≤maxDepth (depth, context) structs
+    // through one explode (the earlier per-depth union re-ran the
+    // window/sort pipeline once per depth)
+    val ctxStructs = (1 to maxDepth).map { k =>
       val ctx = concat_ws(">", (k to 1 by -1).map(i => col(s"__lag$i")): _*)
-      withLags
-        .filter((1 to k).map(i => col(s"__lag$i").isNotNull).reduce(_ && _))
-        .select(lit(k).as("depth"), ctx.as("context"), col("nxt"))
-    }.reduce(_ unionByName _)
+      when((1 to k).map(i => col(s"__lag$i").isNotNull).reduce(_ && _),
+        struct(lit(k).as("depth"), ctx.as("context")))
+    }
+    val ctxRows = withLags
+      .select(explode(array_compact(array(ctxStructs: _*))).as("dc"),
+        col("nxt"))
+      .select(col("dc.depth").as("depth"), col("dc.context").as("context"),
+        col("nxt"))
     val counts = ctxRows.groupBy("depth", "context", "nxt")
       .agg(count(lit(1)).as("cnt"))
     counts.withColumn("prob",

@@ -900,6 +900,29 @@ object TextQueries {
           Tables(s, dir).documents, col("text"), nMerges = 12)
     },
 
+    // --- #45l-apply: BPE tokenizer APPLICATION — train the merge
+    // table (8 rounds keeps the driver-iteration floor bounded), then
+    // encode the corpus through the native row-local walk; pure map
+    // stage, zero shuffles after the vocab-sized training exchanges.
+    // rows-only like its trainer; encode semantics are spec-pinned
+    // (hand-computed encodes, losslessness, training-consistency) ---
+    "t15_bpe_encode" -> QueryDef.rowsOnly {
+      (s, dir) => {
+        val docs = Tables(s, dir).documents
+        val merges = graft.text.TextAnalysis
+          .bpeTrain(docs, col("text"), nMerges = 8)
+          .orderBy("rank").collect()
+          .map(r => (r.getAs[String]("left"), r.getAs[String]("right")))
+        graft.text.TextAnalysis
+          .bpeEncode(docs, col("text"), merges.toSeq)
+          .select(col("doc_id"), col("n_words"), col("n_tokens"),
+            col("n_chars"),
+            // sample the head of the token stream so results stay
+            // row-bounded (the full array is the production output)
+            slice(col("tokens"), 1, 8).as("tokens_head"))
+      }
+    },
+
     "t8_shard" -> QueryDef.of(
       s"""WITH s AS (
          |  SELECT CAST(${fnvSql("('shard|' || CAST(doc_id AS VARCHAR))")} % 64 AS BIGINT) AS shard,

@@ -522,6 +522,41 @@ object TextAnalysis {
     merges.toSeq.toDF("rank", "left", "right", "merged", "pair_count")
   }
 
+  /** BPE tokenizer APPLICATION (the second half of [[bpeTrain]]):
+    * encode each document into subword tokens under a trained merge
+    * table, via the native row-local [[graft.functions.BpeEncode]]
+    * walk (lowest-rank-first per word, each merge applied with the
+    * SAME whole-symbol greedy L-to-R semantics training uses — so a
+    * word that appeared in training encodes to exactly the symbol
+    * sequence training left it with). The merge table rides as a
+    * codegen reference object (vocab-sized, the DSIR/BM25 "model as
+    * literal" pattern); the whole operator is a zero-shuffle map
+    * stage — the shape tokenizing 100 TB must have.
+    *
+    * Returns one row per doc: n_words, n_tokens, n_chars and the
+    * token array (the actual product of tokenization).
+    */
+  def bpeEncode(
+      docs: DataFrame,
+      textCol: Column,
+      merges: Seq[(String, String)],
+      idCol: Column = col("doc_id")): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val toks = ColumnBridge.column(graft.functions.BpeEncode(
+      ColumnBridge.expression(words(textCol)), merges))
+    docs.select(
+      idCol.as("doc_id"),
+      size(words(textCol)).cast("long").as("n_words"),
+      toks.as("tokens"))
+      .select(col("doc_id"), col("n_words"),
+        size(col("tokens")).cast("long").as("n_tokens"),
+        // total encoded chars = length of the token concatenation
+        // (codegen'd; encoding is lossless so this equals the summed
+        // word lengths — spec-pinned)
+        length(array_join(col("tokens"), "")).cast("long").as("n_chars"),
+        col("tokens"))
+  }
+
   /** Gopher/C4-style heuristic filter battery (Rae et al. 2021 §A1.1;
     * Raffel et al. 2020 C4 rules): every rule a pure column
     * expression over one scan — zero shuffle, fully codegen'd, the

@@ -424,6 +424,45 @@ class TextSpec extends SparkSpec {
     assert(run(Seq("th", "e"), "th", "e") == Seq("the"))
   }
 
+  test("bpe encode: hand-computed tokens, lowest-rank-first") {
+    import spark.implicits._
+    // merge table ranks: (t,h)=0, (h,e)=1, (th,e)=2
+    val merges = Seq(("t", "h"), ("h", "e"), ("th", "e"))
+    val docs = Seq(
+      (1L, "the he th"),   // training words encode to their final syms
+      (2L, "tht het"),     // novel words: tht -> [th,t]; het -> [he,t]
+      (3L, "ethe"))        // e + the -> rank0 th first, then (th,e): [e,the]
+      .toDF("doc_id", "text")
+    val got = graft.text.TextAnalysis.bpeEncode(docs, col("text"), merges)
+      .orderBy("doc_id").collect()
+    assert(got(0).getSeq[String](4) == Seq("the", "he", "th"))
+    assert(got(1).getSeq[String](4) == Seq("th", "t", "he", "t"))
+    assert(got(2).getSeq[String](4) == Seq("e", "the"))
+    // counts line up
+    assert(got(0).getAs[Long]("n_tokens") == 3L)
+    assert(got(1).getAs[Long]("n_tokens") == 4L)
+  }
+
+  test("bpe encode over the real corpus: lossless and bounded") {
+    val docs = Tables(spark, sf).documents.limit(200)
+    val merges = graft.text.TextAnalysis.bpeTrain(docs, col("text"), 5)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[String]("left"), r.getAs[String]("right"))).toSeq
+    assert(merges.nonEmpty)
+    val enc = graft.text.TextAnalysis.bpeEncode(docs, col("text"), merges)
+    // losslessness: encoded chars == the chars of the normalized words
+    val wordChars = docs.select(col("doc_id"),
+      length(array_join(graft.functions.TextFunctions.words(col("text")), ""))
+        .cast("long").as("wc"))
+    val joined = enc.join(wordChars, "doc_id")
+    assert(joined.filter(col("n_chars") =!= col("wc")).isEmpty)
+    // every word is >= 1 token; merging never grows the count
+    assert(enc.filter(col("n_tokens") < col("n_words")).isEmpty)
+    assert(enc.filter(col("n_tokens") > col("n_chars")).isEmpty)
+    // the merges actually compress: strictly fewer tokens than chars
+    assert(enc.filter(col("n_tokens") < col("n_chars")).count() > 0)
+  }
+
   test("shard stats partition the corpus with bounded skew") {
     val docs = Tables(spark, sf).documents
     val got = graft.text.TextAnalysis
