@@ -43,6 +43,145 @@ object Score {
       df.withColumn(outputCol, lit(0.5) + lit(0.5) * z / (lit(1.0) + abs(z)))
   }
 
+  /** A REAL multi-layer perceptron executed in the JVM — the closest
+    * this zero-egress environment can get to the reference's ONNX
+    * scoring (scoring.rs): users export trained weights to the
+    * documented JSON format below and run genuine NN inference as a
+    * narrow per-row map, no external runtime required.
+    *
+    * Format (`fromJson`): `{"name":"m","inputs":["a","b"],
+    * "layers":[{"w":[[...row-major out×in...]],"b":[...],
+    * "act":"relu"|"linear"}]}` — i.e. each layer y = act(W·x + b).
+    * The final layer's single output squashes through the same
+    * rational sigmoid 0.5 + 0.5·z/(1+|z|) as [[LinearModel]].
+    *
+    * Determinism contract: accumulation is in index order
+    * (((w0·x0 + w1·x1) + …) + b), ReLU is max(x, 0), and the squash
+    * avoids exp() — every operation is an IEEE double primitive with
+    * one correctly-rounded result, so the JVM loop below reproduces
+    * BIT-identically the SQL arithmetic emitted by [[MlpModel
+    * .toOracleSql]], and MLP scoring is hash-oracle-checkable
+    * (m3_mlp_score) — real NN inference under the same gate as every
+    * relational operator.
+    *
+    * Scale shape: mapPartitions (the per-partition init is where an
+    * ONNX session would load); weights ride in the closure —
+    * model-as-literal, like the DSIR/BM25 ingest twins.
+    */
+  final case class MlpLayer(w: Array[Array[Double]], b: Array[Double],
+      relu: Boolean)
+
+  final case class MlpModel(
+      name: String,
+      inputCols: Seq[String],
+      layers: Seq[MlpLayer],
+      outputCol: String = "score") extends Model {
+    require(layers.nonEmpty && layers.last.b.length == 1,
+      "final layer must have exactly one output")
+
+    /** One forward pass; index-order accumulation (see contract). */
+    def forward(x0: Array[Double]): Double = {
+      var x = x0
+      var li = 0
+      while (li < layers.length) {
+        val l = layers(li)
+        val y = new Array[Double](l.b.length)
+        var o = 0
+        while (o < l.b.length) {
+          var s = 0.0
+          val row = l.w(o)
+          var i = 0
+          while (i < row.length) { s += row(i) * x(i); i += 1 }
+          s += l.b(o)
+          y(o) = if (l.relu && s < 0.0) 0.0 else s
+          o += 1
+        }
+        x = y
+        li += 1
+      }
+      val z = x(0)
+      0.5 + 0.5 * z / (1.0 + math.abs(z))
+    }
+
+    override def score(df: DataFrame): DataFrame = {
+      val spark = df.sparkSession
+      val cols = inputCols
+      val self = this
+      val schema = org.apache.spark.sql.types.StructType(
+        df.schema.fields :+
+          org.apache.spark.sql.types.StructField(outputCol,
+            org.apache.spark.sql.types.DoubleType, nullable = false))
+      val enc = org.apache.spark.sql.Encoders.row(schema)
+      df.mapPartitions { it =>
+        // per-partition init point (a native runtime would load here)
+        it.map { row =>
+          val x = new Array[Double](cols.length)
+          var i = 0
+          while (i < cols.length) {
+            x(i) = row.getAs[Any](cols(i)) match {
+              case d: Double => d
+              case f: Float => f.toDouble
+              case l: Long => l.toDouble
+              case n: Int => n.toDouble
+              case _ => 0.0
+            }
+            i += 1
+          }
+          org.apache.spark.sql.Row.fromSeq(row.toSeq :+ self.forward(x))
+        }
+      }(enc)
+    }
+
+    /** The exact SQL arithmetic of [[forward]] over the given input
+      * expressions — same literals, same association order — for the
+      * DuckDB oracle (and for running the model as pure column
+      * arithmetic on any SQL engine).
+      */
+    def toOracleSql(inputs: Seq[String]): String = {
+      def lit(d: Double): String = {
+        // repr that round-trips the exact double in both engines
+        val s = d.toString
+        (if (s.contains('.') || s.contains('e') || s.contains('E')) s
+         else s + ".0") + "::DOUBLE"
+      }
+      var exprs: Seq[String] = inputs
+      for (l <- layers) {
+        exprs = l.w.zip(l.b).map { case (row, bb) =>
+          val sum = row.zip(exprs)
+            .map { case (w, e) => s"${lit(w)} * ($e)" }
+            .mkString(" + ")
+          val z = s"$sum + ${lit(bb)}"
+          if (l.relu) s"greatest($z, 0.0::DOUBLE)" else s"($z)"
+        }.toSeq
+      }
+      val z = exprs.head
+      s"0.5::DOUBLE + 0.5::DOUBLE * ($z) / (1.0::DOUBLE + abs($z))"
+    }
+  }
+
+  object MlpModel {
+    /** Load from the documented JSON weight format (see [[MlpModel]]).
+      * Uses the Jackson shipped with Spark — no extra dependency.
+      */
+    def fromJson(json: String): MlpModel = {
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = m.readTree(json)
+      import scala.jdk.CollectionConverters._
+      val name = root.get("name").asText()
+      val inputs = root.get("inputs").elements().asScala.map(_.asText()).toSeq
+      val layers = root.get("layers").elements().asScala.map { ln =>
+        val w = ln.get("w").elements().asScala.map(r =>
+          r.elements().asScala.map(_.asDouble()).toArray).toArray
+        val b = ln.get("b").elements().asScala.map(_.asDouble()).toArray
+        val act = Option(ln.get("act")).map(_.asText()).getOrElse("linear")
+        require(act == "relu" || act == "linear",
+          s"unsupported activation '$act' (relu|linear)")
+        MlpLayer(w, b, relu = act == "relu")
+      }.toSeq
+      MlpModel(name, inputs, layers)
+    }
+  }
+
   /** Stub for a native-runtime model (the reference's OnnxModel):
     * same interface, mapPartitions batch shape, deterministic fake
     * inference so the plumbing is testable end-to-end.

@@ -7,6 +7,24 @@ import graft.ml.Score
 /** Model-scoring surface (reference `.score()`, scoring.rs). */
 object MlQueries {
 
+  /** Demo MLP (3→3 ReLU→1): dyadic-rational weights, so every
+    * literal parses to the identical double on both engines and the
+    * JVM forward pass reproduces the SQL arithmetic bit for bit —
+    * real neural-net inference under the hash gate.
+    */
+  val demoMlp: Score.MlpModel = Score.MlpModel(
+    name = "demo_mlp",
+    inputCols = Seq("x1", "x2", "x3"),
+    layers = Seq(
+      Score.MlpLayer(
+        Array(Array(0.25, -0.5, 0.125),
+          Array(0.75, 0.0625, -0.25),
+          Array(-0.125, 0.5, 0.375)),
+        Array(0.5, -0.25, 0.125), relu = true),
+      Score.MlpLayer(
+        Array(Array(0.5, -0.75, 0.25)),
+        Array(0.0625), relu = false)))
+
   val defs: Map[String, QueryDef] = Map(
 
     // --- .score(): linear model over event fields, rational sigmoid ---
@@ -19,5 +37,26 @@ object MlQueries {
         Score.LinearModel("risk", Map("value" -> 0.01), bias = -0.8)
           .score(Tables(s, dir).events)
           .select("event_id", "score")
+    },
+
+    // --- .score() with a REAL MLP (scoring.rs ONNX seam): JVM
+    // forward pass in mapPartitions, oracle = the model's own
+    // generated SQL arithmetic (toOracleSql) — the hash gate checks
+    // genuine NN inference, not a stand-in ---
+    "m4_mlp_score" -> QueryDef.of(
+      s"""SELECT event_id, user_id,
+         | ${demoMlp.toOracleSql(Seq("value",
+             "CAST(user_id % 10 AS DOUBLE)",
+             "CAST(event_id % 5 AS DOUBLE)"))} AS score
+         |FROM events""".stripMargin) {
+      (s, dir) => {
+        val ev = Tables(s, dir).events.select(
+          col("event_id"), col("user_id"),
+          col("value").as("x1"),
+          (col("user_id") % 10).cast("double").as("x2"),
+          (col("event_id") % 5).cast("double").as("x3"))
+        demoMlp.score(ev)
+          .select(col("event_id"), col("user_id"), col("score"))
+      }
     })
 }
