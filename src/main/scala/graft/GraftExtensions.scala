@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{DotProduct, GretaDp, HyperplaneSig, MinHashSig, SimHash64, WordShingles}
+import graft.functions.{DotProduct, EmaFold, GretaDp, HawkesFold, HyperplaneSig, MinHashSig, SimHash64, WordShingles}
 
 /** graft's native expressions as SQL functions. */
 object GraftFunctions {
@@ -43,6 +43,27 @@ object GraftFunctions {
         case Seq(v, Literal(n: Int, _)) => HyperplaneSig(v, n)
         case _ => throw new IllegalArgumentException(
           "hyperplane_sig(vec, nBits): nBits must be an integer literal")
+      }),
+    (FunctionIdentifier("ema_fold"),
+      info("ema_fold",
+        "ema_fold(xs, a, b) - in-order a*x + b*acc fold over a sorted " +
+          "array<struct<order, v: double>>"),
+      (args: Seq[Expression]) => args match {
+        case Seq(xs, Literal(a: Double, _), Literal(b: Double, _)) =>
+          EmaFold(xs, a, b)
+        case _ => throw new IllegalArgumentException(
+          "ema_fold(xs, a, b): a and b must be double literals")
+      }),
+    (FunctionIdentifier("hawkes_fold"),
+      info("hawkes_fold",
+        "hawkes_fold(evs, mu, alpha, beta) - Hawkes intensity recursion " +
+          "over a sorted array<struct<o: bigint, t_us: bigint>>"),
+      (args: Seq[Expression]) => args match {
+        case Seq(evs, Literal(mu: Double, _), Literal(al: Double, _),
+            Literal(be: Double, _)) =>
+          HawkesFold(evs, mu, al, be)
+        case _ => throw new IllegalArgumentException(
+          "hawkes_fold(evs, mu, alpha, beta): params must be double literals")
       }))
 
   /** Register into a live session (tests, shells). */

@@ -287,6 +287,11 @@ object SparkEntry {
         | pow(2.0::DOUBLE, COUNT(*) - 1) * CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_trends
         |FROM events WHERE event_type = 'error' GROUP BY 1, 2""".stripMargin)(
       graft.streaming.StreamingQueries.streamTrend),
+    // s33: streaming REAL-MLP scoring (stateless mapPartitions with
+    // the pre-trained net in the closure), sharing m4's oracle
+    "s33_stream_mlp" -> QueryDef(
+      graft.streaming.StreamingQueries.streamMlpScore,
+      MlQueries.defs("m4_mlp_score").oracle),
     // s15: streaming model scoring (stateless map), sharing m2's oracle
     "s15_stream_score" -> QueryDef.of(
       """SELECT event_id,

@@ -729,6 +729,28 @@ object StreamingQueries {
     runToTable(spark, out, "graft_s15_sink", "append")
   }
 
+  /** #7c-streaming: REAL MLP inference at ingest (scoring.rs's ONNX
+    * shape on a live stream): the pre-trained network rides in the
+    * closure (model-as-literal) and scores each arriving event in a
+    * stateless mapPartitions — per-partition init is where a native
+    * runtime session would load. Bit-determinism contract makes the
+    * stream rows identical to batch: shares m4's generated-SQL
+    * oracle verbatim.
+    */
+  def streamMlpScore(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    val schema = schemaOf(spark, path)
+    val src = graft.Tables.normalizeEvents(
+      spark.readStream.schema(schema).parquet(streamDir(path)))
+      .select(col("event_id"), col("user_id"),
+        col("value").as("x1"),
+        (col("user_id") % 10).cast("double").as("x2"),
+        (col("event_id") % 5).cast("double").as("x3"))
+    val out = graft.queries.MlQueries.demoMlp.score(src)
+      .select(col("event_id"), col("user_id"), col("score"))
+    runToTable(spark, out, "graft_s33_sink", "append")
+  }
+
   /** #27-streaming: GRETA trend aggregation on a live stream — the
     * closed-form count_trends = 2^n − 1 / sum_trends arithmetic
     * applies to streaming windowed aggregates unchanged, so trend

@@ -155,6 +155,15 @@ class PlanSpec extends SparkSpec {
     assert(r.getAs[Double]("d") == 11.0)
     assert(r.getAs[Int]("ns") == 2)
     assert(r.getAs[Int]("nm") == 16)
+    val r2 = spark.sql(
+      """SELECT
+        |  ema_fold(array(struct(1L, 1.0D), struct(2L, 2.0D)),
+        |    0.5D, 0.5D) AS e,
+        |  hawkes_fold(array(struct(1L, 0L), struct(2L, 1000000L)),
+        |    0.001D, 0.002D, 0.0005D) AS h""".stripMargin).head()
+    assert(r2.getAs[Double]("e") == 1.5)
+    val hs = r2.getSeq[org.apache.spark.sql.Row](1)
+    assert(hs.length == 2 && hs.head.getDouble(1) == 0.003)
   }
 
   test("v3: LSH signature is the native expression, no interpreted lambdas") {
