@@ -492,19 +492,18 @@ object StreamingQueries {
     * oracle verbatim. This is the 100 TB path for unbounded per-key
     * histories that the batch collect_list fold deliberately is not.
     */
-  def streamHawkes(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+  /** The fMGWS transform behind [[streamHawkes]], exposed so the
+    * checkpoint spec can run the SAME topology against a
+    * parquet-source/checkpointed pipeline and prove the (li, lt)
+    * carry survives a restart.
+    */
+  def hawkesTransform(
+      src: org.apache.spark.sql.Dataset[PatternStream.Ev],
+      mu: Double, alpha: Double, beta: Double)
+      : org.apache.spark.sql.Dataset[HkOut] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    val path = s"$dir/events.parquet"
-    val schema = schemaOf(spark, path)
-    val src = graft.Tables.normalizeEvents(
-      spark.readStream.schema(schema).parquet(closedStreamDir(spark, path)))
-      .withWatermark("ts", "1 second")
-      .select(col("event_id"), col("user_id"), col("event_type"),
-        col("value"), unix_micros(col("ts")).as("ts_us"), col("ts"))
-      .as[PatternStream.Ev]
-    val (mu, alpha, beta) = (0.001, 0.002, 0.0005)
-    val out = src.groupByKey(_.user_id)
+    import src.sparkSession.implicits._
+    src.groupByKey(_.user_id)
       .flatMapGroupsWithState[HkState, HkOut](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (user: Long, it: Iterator[PatternStream.Ev],
@@ -532,6 +531,20 @@ object StreamingQueries {
               state.getCurrentWatermarkMs() + 1L))
           outRows.iterator
       }
+  }
+
+  def streamHawkes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val path = s"$dir/events.parquet"
+    val schema = schemaOf(spark, path)
+    val src = graft.Tables.normalizeEvents(
+      spark.readStream.schema(schema).parquet(closedStreamDir(spark, path)))
+      .withWatermark("ts", "1 second")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), unix_micros(col("ts")).as("ts_us"), col("ts"))
+      .as[PatternStream.Ev]
+    val (mu, alpha, beta) = (0.001, 0.002, 0.0005)
+    val out = hawkesTransform(src, mu, alpha, beta)
     // identical post-projection to f4's batch select: boost from the
     // RAW intensity, then both columns rounded to 6
     val shaped = out.toDF().select(

@@ -175,4 +175,53 @@ class CheckpointSpec extends SparkSpec {
     assert(got == Map(3L -> 300.0, 1L -> 999.0),
       s"documented expected {3->300, 1->999}, got $got")
   }
+
+  test("Hawkes recursion state (li, lt) survives a restart") {
+    import spark.implicits._
+    import graft.streaming.{PatternStream, StreamingQueries}
+    val src = Files.createTempDirectory("graft_hk_src_").toString
+    val out = Files.createTempDirectory("graft_hk_out_").toString
+    val chk = Files.createTempDirectory("graft_hk_chk_").toString
+    val base = 1700000000L * 1000000L
+    val (mu, alpha, beta) = (0.001, 0.002, 0.0005)
+    def ev(id: Long, user: Long, offUs: Long, tpe: String = "e") =
+      PatternStream.Ev(id, user, tpe, 1.0, base + offUs,
+        new java.sql.Timestamp((base + offUs) / 1000L))
+    def runOnce(): Unit = {
+      val schema = Seq(ev(0, 0, 0)).toDF().schema
+      val stream = spark.readStream.schema(schema).parquet(src)
+        .withWatermark("ts", "1 second").as[PatternStream.Ev]
+      val q = StreamingQueries.hawkesTransform(stream, mu, alpha, beta)
+        .toDF()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", chk)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    // phase 1: two events for u1 one second apart (+ a sentinel
+    // advancing the watermark past them)
+    Seq(ev(1, 1, 0), ev(2, 1, 1000000),
+      ev(8, 99, 10000000, "__sentinel"))
+      .toDF().write.mode("append").parquet(src)
+    runOnce()
+    // phase 2 after restart: u1's third event at t=11s — its
+    // intensity depends on (li, lt) from phase 1, so it is correct
+    // ONLY if the recursion carry survived in the state store
+    Seq(ev(3, 1, 11000000), ev(9, 99, 30000000, "__sentinel"))
+      .toDF().write.mode("append").parquet(src)
+    runOnce()
+    val got = spark.read.parquet(out).collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("intensity"))
+      .toMap
+    // batch-fold oracle over the full sequence via the shared step
+    import graft.functions.HawkesFoldUtil.step
+    val i1 = step(0.0, -1L, base, mu, alpha, beta)
+    val i2 = step(i1, base, base + 1000000L, mu, alpha, beta)
+    val i3 = step(i2, base + 1000000L, base + 11000000L, mu, alpha, beta)
+    assert(got.keySet == Set(1L, 2L, 3L), s"got $got")
+    assert(got(1L) == i1 && got(2L) == i2,
+      "phase-1 intensities exact")
+    assert(got(3L) == i3,
+      s"restart must resume the recursion mid-key: got ${got(3L)}, want $i3")
+  }
 }
