@@ -89,7 +89,11 @@ object Bench {
   private[graft] def fmtSec(v: Double): String =
     if (v < 0) "-1"
     else {
-      val scale = if (v >= 10) 1 else if (v >= 1) 2 else 3
+      // whole seconds above 100 s: at 125+ registered queries the
+      // line must stay inside the driver's 2000-char tail window
+      // even when every timing is triple-digit
+      val scale =
+        if (v >= 100) 0 else if (v >= 10) 1 else if (v >= 1) 2 else 3
       java.math.BigDecimal.valueOf(v)
         .setScale(scale, java.math.RoundingMode.HALF_UP)
         .stripTrailingZeros.toPlainString

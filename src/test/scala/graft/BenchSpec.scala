@@ -53,6 +53,7 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.fmtSec(17.224314) == "17.2")
     assert(Bench.fmtSec(100.0) == "100")     // no 1E+2
     assert(Bench.fmtSec(21.0) == "21")
+    assert(Bench.fmtSec(123.456789) == "123") // whole seconds >= 100
   }
 
   test("full-registry stdout line fits the driver's 2000-char tail window") {
