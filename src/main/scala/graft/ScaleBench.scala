@@ -34,7 +34,7 @@ object ScaleBench {
       "v7_semdedup", "d8_embed_decontam",
       "g2_rate_limit", "g3_circuit_breaker", "x6_vpl_trend_agg",
       "e2_asof_enrich", "pipe2_clean_corpus", "t14_bpe_merges",
-      "f4_hawkes", "a2_ema")
+      "f4_hawkes", "a2_ema", "t15_bpe_encode", "m4_mlp_score")
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -292,6 +292,11 @@ object SparkEntry {
     "s33_stream_mlp" -> QueryDef(
       graft.streaming.StreamingQueries.streamMlpScore,
       MlQueries.defs("m4_mlp_score").oracle),
+    // s34: BPE tokenization at ingest — merge table pre-fit on the
+    // static corpus, native row-local encode on the stream;
+    // rows-only like its trainer, stream≡batch spec-pinned
+    "s34_stream_bpe" -> QueryDef.rowsOnly(
+      graft.streaming.StreamingQueries.streamBpeEncode),
     // s15: streaming model scoring (stateless map), sharing m2's oracle
     "s15_stream_score" -> QueryDef.of(
       """SELECT event_id,

@@ -944,6 +944,31 @@ object StreamingQueries {
     runToTable(spark, out, "graft_s25_sink", "append")
   }
 
+  /** #45n-streaming: BPE tokenization AT INGEST — the merge table is
+    * trained ONCE on the static corpus at query start (the
+    * pre-fit-model precedent of s26/s30) and rides into the native
+    * row-local BpeEncode walk; arriving documents tokenize in a
+    * stateless zero-shuffle map. Rows-only like its batch twin
+    * (iterative trainer upstream); stream≡batch row identity is
+    * spec-pinned (StreamingSpec).
+    */
+  def streamBpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/documents.parquet"
+    val staticDocs = graft.Tables(spark, dir).documents
+    val merges = graft.text.TextAnalysis
+      .bpeTrain(staticDocs, col("text"), nMerges = 8)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[String]("left"), r.getAs[String]("right"))).toSeq
+    val schema = schemaOf(spark, path)
+    val src = graft.Tables.normalizeDocuments(
+      spark.readStream.schema(schema).parquet(streamDir(path)))
+    val out = graft.text.TextAnalysis
+      .bpeEncode(src, col("text"), merges)
+      .select(col("doc_id"), col("n_words"), col("n_tokens"),
+        col("n_chars"), slice(col("tokens"), 1, 8).as("tokens_head"))
+    runToTable(spark, out, "graft_s34_sink", "append")
+  }
+
   /** #45k-streaming: DSIR importance scoring on a live document feed.
     * The model (4096 scaled log-ratios) is fitted ONCE on the static
     * corpus at query start — the f3 pre-fit-model precedent — and

@@ -474,4 +474,24 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.toString).sorted
     assert(got.length == want.length && got.sameElements(want))
   }
+
+  test("ingest-time BPE tokenization equals the batch encode row for row") {
+    // s34: merge table pre-fit on the static corpus, stateless
+    // row-local encode on the stream — results must be identical to
+    // t15's batch path over the same corpus (same trainer, same
+    // native walk)
+    val got = graft.streaming.StreamingQueries
+      .streamBpeEncode(spark, sf)
+      .collect().map(_.toString).sorted
+    val merges = graft.text.TextAnalysis
+      .bpeTrain(Tables(spark, sf).documents, col("text"), 8)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[String]("left"), r.getAs[String]("right"))).toSeq
+    val want = graft.text.TextAnalysis
+      .bpeEncode(Tables(spark, sf).documents, col("text"), merges)
+      .select(col("doc_id"), col("n_words"), col("n_tokens"),
+        col("n_chars"), slice(col("tokens"), 1, 8).as("tokens_head"))
+      .collect().map(_.toString).sorted
+    assert(got.length == want.length && got.sameElements(want))
+  }
 }
