@@ -1217,6 +1217,7 @@ final class VplCompiler(program: VProgram, source: VplSource,
     // itself runs per micro-batch)
     var streamGhost: Option[String] = None
     var streamForecastCols: Seq[(String, Column)] = Nil
+    var streamForecastMinProb: Option[Double] = None
     var streamForecastHorizonUs: Long = 3600000000L
     // a declared `pattern Name = SEQ(...)` used as a STREAM SOURCE
     // compiles through the generic streaming NFA — Kleene items and
@@ -1741,6 +1742,10 @@ final class VplCompiler(program: VProgram, source: VplSource,
           col("forecast_time"))
         streamForecastCols.foreach { case (n, c) =>
           matches = matches.withColumn(n, c)
+        }
+        // `confidence:` emission threshold (forecasting-tutorial.md)
+        streamForecastMinProb.foreach { p =>
+          matches = matches.filter(col("forecast_probability") >= p)
         }
       }
       // emit translation over the matched steps' payloads. A Kleene
@@ -2413,6 +2418,31 @@ final class VplCompiler(program: VProgram, source: VplSource,
           case Some(VDur(us)) => us
           case _              => 3600000000L
         }
+        // mode presets + overrides, mirroring the batch arm. Hawkes
+        // burst modulation is neutral (1.0) in this pre-fit-literal
+        // surrogate — builtins.md's normal-rate value; the full
+        // intensity operators live in f4/f6/s32.
+        val fModeS = pmS.get("mode") match {
+          case Some(VStr(m)) =>
+            if (!Set("fast", "accurate", "balanced")(m))
+              throw VplCompileError(
+                s".forecast mode must be fast|accurate|balanced, got '$m'")
+            m
+          case _ => "balanced"
+        }
+        val fDepthCapS = pmS.get("max_depth") match {
+          case Some(VInt(n)) => n.toInt
+          case _             => if (fModeS == "accurate") 5 else 3
+        }
+        val fConformalS = pmS.get("conformal") match {
+          case Some(VBool(b)) => b
+          case _              => fModeS != "fast"
+        }
+        streamForecastMinProb = pmS.get("confidence") match {
+          case Some(VNum(p)) => Some(p)
+          case Some(VInt(p)) => Some(p.toDouble)
+          case _             => None
+        }
         val bufF = streamSeq.get
         if (bufF.size < 2) throw VplCompileError(
           ".forecast needs a sequence of 2+ steps")
@@ -2441,7 +2471,7 @@ final class VplCompiler(program: VProgram, source: VplSource,
         val allF = keyColF.map(kc => all0F.withColumn("__fk", kc))
           .getOrElse(all0F)
         val prefixTypesF = bufF.map(_._1).toSeq
-        val maxDepthF = math.min(prefixTypesF.size, 3)
+        val maxDepthF = math.min(prefixTypesF.size, fDepthCapS)
         val pstF = graft.cep.Forecast.pstScores(allF,
           maxDepth = maxDepthF,
           typeCol = "event_type",
@@ -2470,9 +2500,15 @@ final class VplCompiler(program: VProgram, source: VplSource,
           "forecast_confidence" ->
             lit(1.0 - 1.0 / (1.0 + fCnt.toDouble)),
           "forecast_state" -> lit(prefixTypesF.mkString(">")),
-          "forecast_context_depth" -> lit(fDepth),
-          "forecast_lower" -> lit(math.max(fProb - fQ, 0.0)),
-          "forecast_upper" -> lit(math.min(fProb + fQ, 1.0)))
+          "forecast_context_depth" -> lit(fDepth)) ++
+          (if (fConformalS) Seq(
+            "forecast_lower" -> lit(math.max(fProb - fQ, 0.0)),
+            "forecast_upper" -> lit(math.min(fProb + fQ, 1.0)))
+          else Seq(
+            // conformal: false → maximal-uncertainty constants
+            // (builtins.md documented behavior)
+            "forecast_lower" -> lit(0.0),
+            "forecast_upper" -> lit(1.0)))
 
       case OpForecast(params) =>
         // `.forecast(...)` on a sequence: truncate to the PREFIX
@@ -2487,6 +2523,45 @@ final class VplCompiler(program: VProgram, source: VplSource,
         val horizonUs = pm.get("horizon") match {
           case Some(VDur(us)) => us
           case _              => 3600000000L
+        }
+        // builtins.md "Forecast Modes": preset bundles overridable by
+        // explicit params. `warmup` is accepted but inert here — a
+        // batch fit has seen the complete history, so the cold-start
+        // gate it exists for has nothing to gate (the reference's
+        // adaptive warmup is likewise a streaming-only concern).
+        val fMode = pm.get("mode") match {
+          case Some(VStr(m)) =>
+            if (!Set("fast", "accurate", "balanced")(m))
+              throw VplCompileError(
+                s".forecast mode must be fast|accurate|balanced, got '$m'")
+            m
+          case _ => "balanced"
+        }
+        val fDepthCap = pm.get("max_depth") match {
+          case Some(VInt(n)) => n.toInt
+          case _             => if (fMode == "accurate") 5 else 3
+        }
+        val fConformal = pm.get("conformal") match {
+          case Some(VBool(b)) => b
+          case _              => fMode != "fast"
+        }
+        // Hawkes burst modulation (hawkes.rs): engaged when asked for
+        // explicitly or by accurate mode. balanced's modulation is
+        // neutral (~1.0 at normal rates, per builtins.md) — the batch
+        // surrogate keeps it off there so bare `.forecast()` stays a
+        // pure PST read; f4/f6/s32 carry the full intensity operators.
+        val fHawkes = pm.get("hawkes") match {
+          case Some(VBool(b)) => b
+          case _              => fMode == "accurate"
+        }
+        // `confidence:` = minimum completion probability to emit
+        // (forecasting-tutorial.md). Applied only when the user sets
+        // it: bare .forecast() annotates ALL live prefixes, the
+        // analytic-completeness default.
+        val fMinProb: Option[Double] = pm.get("confidence") match {
+          case Some(VNum(p)) => Some(p)
+          case Some(VInt(p)) => Some(p.toDouble)
+          case _             => None
         }
         seq match {
           case Some(st) if st.steps.size >= 2 =>
@@ -2517,7 +2592,7 @@ final class VplCompiler(program: VProgram, source: VplSource,
             // the longest suffix of the prefix types the model has
             // seen (order-1 is the depth-1 fallback)
             val prefixTypes = st.steps.map(_.eventType)
-            val maxDepth = math.min(prefixTypes.size, 3)
+            val maxDepth = math.min(prefixTypes.size, fDepthCap)
             val pst = graft.cep.Forecast.pstScores(all,
               maxDepth = maxDepth,
               typeCol = "event_type",
@@ -2535,6 +2610,27 @@ final class VplCompiler(program: VProgram, source: VplSource,
             df = df
               .withColumn("forecast_probability",
                 coalesce(col("__f_prob"), lit(0.0)))
+            // Hawkes burst modulation (builtins.md: probability boosted
+            // up to 5x during temporal bursts; hawkes.rs adaptive EMA
+            // estimation): boost factor of the last PREFIX event joins
+            // by event id and multiplies the completion probability,
+            // clamped to 1.0
+            if (fHawkes) {
+              val boost = graft.cep.Forecast.hawkesIntensityAdaptive(
+                all,
+                partitionKeys = if (keyCol.isDefined) Seq("__fk") else Nil,
+                tsCol = "ts", orderCol = "event_id")
+                .select(col("event_id").as("__hb_id"),
+                  col("boost_factor").as("__hb"))
+              df = df.join(broadcast(boost),
+                  col(s"${lastPrefix.alias}__event_id") === col("__hb_id"),
+                  "left")
+                .withColumn("forecast_probability",
+                  least(col("forecast_probability") *
+                    coalesce(col("__hb"), lit(1.0)), lit(1.0)))
+                .drop("__hb_id", "__hb")
+            }
+            df = df
               .withColumn("forecast_count",
                 coalesce(col("__f_cnt"), lit(0L)))
               // support-based stability: 0 with no observations,
@@ -2570,6 +2666,13 @@ final class VplCompiler(program: VProgram, source: VplSource,
               .withColumn("forecast_context_depth",
                 coalesce(col("__f_depth"), lit(0)).cast("int"))
               .drop("__f_prob", "__f_cnt", "__f_depth", "__f_q")
+            if (!fConformal) df = df
+              // conformal: false → maximal-uncertainty constants
+              .withColumn("forecast_lower", lit(0.0))
+              .withColumn("forecast_upper", lit(1.0))
+            fMinProb.foreach { p =>
+              df = df.filter(col("forecast_probability") >= p)
+            }
             df = df.withColumn("forecast_expected_time", col("forecast_time"))
             extraCols ++= Set("forecast_probability", "forecast_confidence",
               "forecast_count", "forecast_state", "forecast_time",

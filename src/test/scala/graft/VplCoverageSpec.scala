@@ -233,6 +233,69 @@ class VplCoverageSpec extends SparkSpec {
     }
   }
 
+  test(".forecast modes and params: fast/accurate, conformal/hawkes/confidence") {
+    // key 1 completes A->B->C nine times, then one A->B followed by D:
+    // P(C | A>B) = 0.9 — in the two-point-residual regime where the
+    // conformal interval genuinely narrows ([0.8, 1.0]) AND below 1.0
+    // so the confidence threshold and Hawkes boost are observable
+    val evt = java.nio.file.Files.createTempFile("graft_fc_modes", ".evt")
+    val runs = (0 until 9).map { i =>
+      val t = i * 3000
+      s"""A { k: 1 }
+         |BATCH ${t + 1000}
+         |B { k: 1 }
+         |BATCH ${t + 2000}
+         |C { k: 1, x: $i }
+         |BATCH ${t + 3000}""".stripMargin
+    }.mkString("\n")
+    java.nio.file.Files.writeString(evt,
+      runs + "\nA { k: 1 }\nBATCH 28000\nB { k: 1 }\nBATCH 29000\nD { k: 1 }\n")
+    def run(params: String): Seq[org.apache.spark.sql.Row] = {
+      val vplText =
+        s"""stream F = A as a
+           |    -> B where k == a.k as b
+           |    -> C where k == a.k as c
+           |    .within(1h)
+           |    .forecast($params)
+           |    .emit(k: a.k, p: forecast_probability,
+           |          lo: forecast_lower, hi: forecast_upper,
+           |          depth: forecast_context_depth)
+           |""".stripMargin
+      Vpl.runEvt(spark, vplText, Seq(evt.toString))("F").get.collect().toSeq
+    }
+    val plain = run("horizon: 10m")
+    assert(plain.nonEmpty)
+    val p0 = plain.head.getAs[Double]("p")
+    assert(p0 > 0.0 && p0 < 1.0, s"threshold-observable probability: $p0")
+    // fast mode: conformal off -> maximal-uncertainty interval
+    val fast = run("mode: \"fast\"")
+    assert(fast.nonEmpty)
+    assert(fast.forall(r => r.getAs[Double]("lo") == 0.0 &&
+      r.getAs[Double]("hi") == 1.0), "fast mode disables conformal")
+    // fast but conformal kept: interval narrows again
+    val fastC = run("mode: \"fast\", conformal: true")
+    assert(fastC.forall(r => r.getAs[Double]("hi") < 1.0 ||
+      r.getAs[Double]("lo") > 0.0), "explicit conformal overrides the mode")
+    // confidence threshold: emits at/above, suppresses below
+    assert(run(s"confidence: ${p0 - 0.1}").nonEmpty)
+    assert(run(s"confidence: ${math.min(p0 + 0.1, 0.99)}").isEmpty,
+      "below-threshold forecasts are not emitted")
+    // hawkes modulation only ever boosts (clamped to [1,5]x, <=1.0)
+    val hawkes = run("hawkes: true")
+    assert(hawkes.nonEmpty)
+    assert(hawkes.forall(r => r.getAs[Double]("p") >= p0 &&
+      r.getAs[Double]("p") <= 1.0))
+    // accurate mode runs (depth cap 5, hawkes+conformal on)
+    val acc = run("mode: \"accurate\"")
+    assert(acc.nonEmpty)
+    assert(acc.forall(r => r.getAs[Int]("depth") <= 5))
+    // unknown mode is a compile error
+    assert(Vpl.runEvt(spark,
+      """stream F = A as a -> B where k == a.k as b -> C where k == a.k as c
+        |    .within(1h) .forecast(mode: "warp") .emit(k: a.k)
+        |""".stripMargin, Seq(evt.toString))("F").isFailure)
+  }
+
   test(".to(Conn) writes through a bound sink connector, no-ops unbound") {
     val vpl =
       """stream Out = Ping
