@@ -559,6 +559,11 @@ object VplParser {
           eatOp(")")
           OpOrderBy(items.result())
         case "limit" => eatOp("("); val n = intLit(); eatOp(")"); OpLimit(n)
+        // engine/mod.rs: ".first() is shorthand for .limit(1)" — the
+        // only op of the grammar's fork/any/all/concurrent/on_error/
+        // map/collect group the reference actually executes (the rest
+        // it rejects as unimplemented, and so do we)
+        case "first" => eatOp("("); eatOp(")"); OpLimit(1)
         case "distinct" =>
           eatOp("(")
           val cols = Seq.newBuilder[String]

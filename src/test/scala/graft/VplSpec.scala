@@ -367,6 +367,28 @@ class VplSpec extends SparkSpec {
       .getAs[Double]("p") - want) < 1e-12)
   }
 
+  test(".first() is .limit(1), the reference's shorthand (engine/mod.rs)") {
+    val vpl =
+      """event Ping:
+        |    k: int
+        |    v: float
+        |
+        |stream Top = Ping
+        |    .order_by(v desc)
+        |    .first()
+        |    .emit(k: k, v: v)
+        |""".stripMargin
+    val evt = java.nio.file.Files.createTempFile("graft_first", ".evt")
+    java.nio.file.Files.writeString(evt,
+      """Ping { k: 1, v: 1.0 }
+        |Ping { k: 2, v: 9.0 }
+        |Ping { k: 3, v: 4.0 }
+        |""".stripMargin)
+    val rows = Vpl.runEvt(spark, vpl, Seq(evt.toString))("Top").get.collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Long]("k") == 2L)
+  }
+
   test("scalar builtin vocabulary compiles through the VPL front-end") {
     // every documented scalar builtin (builtins.md: String / Math /
     // Timestamp / Utility) usable from a .vpl expression
