@@ -2622,7 +2622,10 @@ final class VplCompiler(program: VProgram, source: VplSource,
                 tsCol = "ts", orderCol = "event_id")
                 .select(col("event_id").as("__hb_id"),
                   col("boost_factor").as("__hb"))
-              df = df.join(broadcast(boost),
+              // plain equi-join on the event id: the boost table is
+              // per-EVENT (stream-sized), so it must never carry a
+              // broadcast hint — AQE picks the strategy
+              df = df.join(boost,
                   col(s"${lastPrefix.alias}__event_id") === col("__hb_id"),
                   "left")
                 .withColumn("forecast_probability",
