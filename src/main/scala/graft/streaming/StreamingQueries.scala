@@ -306,7 +306,19 @@ object StreamingQueries {
     * matcher is held to exactly the semantics of running each query
     * alone.
     */
-  def streamMultiPattern(spark: SparkSession, dir: String): DataFrame = {
+  def streamMultiPattern(spark: SparkSession, dir: String): DataFrame =
+    streamMultiPatternWith(spark, dir,
+      Map("purchase_after_signup" -> "purchase",
+        "error_after_signup" -> "error"), "graft_s23_sink")
+
+  /** [[streamMultiPattern]] parameterized on the shared pattern set —
+    * the sharing-scaling harness (Profile PROFILE_SHARE) measures how
+    * one anchor-sharing store carries N registered patterns vs N
+    * separate single-pattern runs (the zdd_unified sharing claim,
+    * measured rather than asserted).
+    */
+  def streamMultiPatternWith(spark: SparkSession, dir: String,
+      followers: Map[String, String], sink: String): DataFrame = {
     import spark.implicits._
     import PatternStream._
     val path = s"$dir/events.parquet"
@@ -317,13 +329,11 @@ object StreamingQueries {
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("value"), unix_micros(col("ts")).as("ts_us"), col("ts"))
       .as[Ev]
-    val out = detectShared(src, "signup",
-      Map("purchase_after_signup" -> "purchase",
-        "error_after_signup" -> "error"),
+    val out = detectShared(src, "signup", followers,
       withinUs = 1800L * 1000000L)(spark)
     runToTable(spark, out.toDF()
       .select(col("pattern"), col("user_id"), col("a_id"), col("b_id"),
-        col("span_us")), "graft_s23_sink", "append")
+        col("span_us")), sink, "append")
   }
 
   def streamPattern(spark: SparkSession, dir: String): DataFrame = {

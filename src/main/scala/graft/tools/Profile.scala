@@ -139,6 +139,30 @@ object Profile {
       spark.stop(); return
     }
 
+    // PROFILE_SHARE: multi-pattern sharing scaling — N patterns in ONE
+    // anchor-sharing store vs N separate single-pattern runs (the
+    // zdd_unified sharing claim, measured)
+    if (sys.env.contains("PROFILE_SHARE")) {
+      val types = Seq("purchase", "error", "view", "click")
+      def followers(n: Int): Map[String, String] =
+        (0 until n).map(i => s"p$i" -> types(i % types.size)).toMap
+      for (n <- Seq(1, 2, 4, 8)) {
+        val tShared = time(s"shared $n patterns (one store)") {
+          graft.streaming.StreamingQueries.streamMultiPatternWith(
+            spark, sfDir, followers(n), s"graft_share_$n").count()
+        }
+        val tSep = time(s"separate $n x 1-pattern runs") {
+          (0 until n).map { i =>
+            graft.streaming.StreamingQueries.streamMultiPatternWith(
+              spark, sfDir, Map(s"p$i" -> types(i % types.size)),
+              s"graft_share_sep_${n}_$i").count()
+          }.sum
+        }
+        val _ = (tShared, tSep)
+      }
+      spark.stop(); return
+    }
+
     // PROFILE_QUERIES=q1,f4,...: time any registered queries, twice
     // each (cold then warm) so first-touch table reads are attributable
     sys.env.get("PROFILE_QUERIES").foreach { qs =>
