@@ -219,20 +219,23 @@ object Bench {
       catch { case t: Throwable =>
         System.err.println(s"[bench-warmup] $w warmup failed: ${t.getMessage}")
       }
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     // Tier 3: first-touch every staged table AT THE BENCH SF (full
     // column scan through the noop sink — count() reads only footers)
     // so no timed query absorbs the run's first cold read of a table.
-    for (f <- Option(new java.io.File(sfDir).listFiles())
-        .getOrElse(Array.empty[java.io.File])
-        if f.getName.endsWith(".parquet"))
-      try materialize(spark.read.parquet(f.getPath))
-      catch { case t: Throwable =>
-        System.err.println(
-          s"[bench-warmup] first-touch ${f.getName} failed: ${t.getMessage}")
-      }
-
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // Skipped under SPARK_GRAFT_ONLY: that's the fast local-iteration
+    // path, and a restricted run's first-touch costs more than the
+    // queries it times.
+    if (only.isEmpty)
+      for (f <- Option(new java.io.File(sfDir).listFiles())
+          .getOrElse(Array.empty[java.io.File])
+          if f.getName.endsWith(".parquet"))
+        try materialize(spark.read.parquet(f.getPath))
+        catch { case t: Throwable =>
+          System.err.println(
+            s"[bench-warmup] first-touch ${f.getName} failed: ${t.getMessage}")
+        }
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     def timeOne(name: String): Double = {
       val t0 = System.nanoTime()

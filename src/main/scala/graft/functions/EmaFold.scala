@@ -16,10 +16,15 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * Scala-computed doubles the Column version used, e.g. a = 2.0/11.0,
   * b = 1.0 - 2.0/11.0), so a2_ema stays hash-exact.
   *
-  * Null semantics mirror the old lambda (used by the VPL `ema()`
-  * builtin with a null init): a null element nulls the running
-  * accumulator; the next non-null element restarts the fold from
-  * itself. Empty input → null.
+  * Null semantics are per call site (`nullResets`):
+  *  - false (default; a2_ema, SQL registry): a null value NULLS the
+  *    whole result — matching the DuckDB list_reduce oracle and the
+  *    `aggregate` fold this replaced, so the hash contract holds even
+  *    on null-bearing data;
+  *  - true (the VPL `ema()` builtin): a null element resets the
+  *    accumulator and the next non-null restarts the fold — the old
+  *    lambda's null-init behavior, preserved for that surface.
+  * Empty input → null either way.
   *
   * Memory bound: the feeding `sort_array(collect_list(...))` holds one
   * key's history in a single row — fine for bounded keys, not for a
@@ -32,14 +37,16 @@ object EmaFoldUtil {
     * `transform` projection first) keeps the whole path free of
     * Catalyst lambda functions.
     */
-  def fold(xs: ArrayData, a: Double, b: Double): Any = {
+  def fold(xs: ArrayData, a: Double, b: Double, nullResets: Boolean): Any = {
     val n = xs.numElements()
     var acc: java.lang.Double = null
     var i = 0
     while (i < n) {
-      val st = xs.getStruct(i, 2)
-      if (st == null || st.isNullAt(1)) acc = null
-      else {
+      val st = if (xs.isNullAt(i)) null else xs.getStruct(i, 2)
+      if (st == null || st.isNullAt(1)) {
+        if (!nullResets) return null // propagate: whole result is null
+        acc = null
+      } else {
         val v = st.getDouble(1)
         acc = if (acc == null) v else a * v + b * acc.doubleValue()
       }
@@ -49,14 +56,14 @@ object EmaFoldUtil {
   }
 }
 
-case class EmaFold(child: Expression, a: Double, b: Double)
-    extends UnaryExpression {
+case class EmaFold(child: Expression, a: Double, b: Double,
+    nullResets: Boolean = false) extends UnaryExpression {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "ema_fold"
 
   override protected def nullSafeEval(xs: Any): Any =
-    EmaFoldUtil.fold(xs.asInstanceOf[ArrayData], a, b)
+    EmaFoldUtil.fold(xs.asInstanceOf[ArrayData], a, b, nullResets)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val self = ctx.addReferenceObj("emaFold", this, classOf[EmaFold].getName)
@@ -64,7 +71,7 @@ case class EmaFold(child: Expression, a: Double, b: Double)
       val boxed = ctx.freshName("emaRes")
       s"""
          |Object $boxed = graft.functions.EmaFoldUtil.fold(
-         |  $c, $self.a(), $self.b());
+         |  $c, $self.a(), $self.b(), $self.nullResets());
          |if ($boxed == null) { ${ev.isNull} = true; }
          |else { ${ev.value} = ((java.lang.Double) $boxed).doubleValue(); }
          |""".stripMargin

@@ -50,18 +50,26 @@ object HawkesFoldUtil {
     val out = new Array[Any](n)
     var li = 0.0
     var lt = -1L
+    var o2 = 0
     var i = 0
     while (i < n) {
-      val st = evs.getStruct(i, 2)
-      val o = st.getLong(0)
-      val t = st.getLong(1)
-      val inten = step(li, lt, t, mu, alpha, beta)
-      li = inten
-      lt = t
-      out(i) = new GenericInternalRow(Array[Any](o, inten))
+      // null elements (possible via the registered SQL surface) are
+      // skipped — they carry no event to fold
+      val st = if (evs.isNullAt(i)) null else evs.getStruct(i, 2)
+      if (st != null) {
+        val o = st.getLong(0)
+        val t = st.getLong(1)
+        val inten = step(li, lt, t, mu, alpha, beta)
+        li = inten
+        lt = t
+        out(o2) = new GenericInternalRow(Array[Any](o, inten))
+        o2 += 1
+      }
       i += 1
     }
-    new GenericArrayData(out)
+    if (o2 == n) new GenericArrayData(out)
+    else new GenericArrayData(java.util.Arrays.copyOfRange(
+      out.asInstanceOf[Array[AnyRef]], 0, o2).asInstanceOf[Array[Any]])
   }
 
   /** Adaptive recursion (hawkes.rs estimate_parameters): EMA moment
@@ -82,15 +90,19 @@ object HawkesFoldUtil {
     var mu = mu0
     var al = alpha0
     var be = beta0
+    var o2 = 0
     var i = 0
     while (i < nEl) {
-      val st = evs.getStruct(i, 2)
+      val st = if (evs.isNullAt(i)) null else evs.getStruct(i, 2)
+      if (st == null) { i += 1 } // skip null elements (SQL surface)
+      else {
       val o = st.getLong(0)
       val t = st.getLong(1)
       if (n == 0L) {
         val inten = mu + al
         val b = Math.min(Math.max(inten / mu, 1.0), 5.0)
-        out(i) = new GenericInternalRow(Array[Any](o, inten, b))
+        out(o2) = new GenericInternalRow(Array[Any](o, inten, b))
+        o2 += 1
         li = inten; lt = t; n = 1L
       } else {
         val dt = Math.max((t - lt).toDouble / 1e6, 0.0)
@@ -105,13 +117,17 @@ object HawkesFoldUtil {
         val alN = if (est) 0.5 * muN else al
         val iN = if (est) Math.max(iRaw, muN) else iRaw
         val b = Math.min(Math.max(iN / muN, 1.0), 5.0)
-        out(i) = new GenericInternalRow(Array[Any](o, iN, b))
+        out(o2) = new GenericInternalRow(Array[Any](o, iN, b))
+        o2 += 1
         li = iN; lt = t; ed = ed1; ed2 = ed2n; n += 1L
         mu = muN; al = alN; be = beN
       }
       i += 1
+      }
     }
-    new GenericArrayData(out)
+    if (o2 == nEl) new GenericArrayData(out)
+    else new GenericArrayData(java.util.Arrays.copyOfRange(
+      out.asInstanceOf[Array[AnyRef]], 0, o2).asInstanceOf[Array[Any]])
   }
 }
 

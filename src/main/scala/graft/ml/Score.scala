@@ -110,24 +110,29 @@ object Score {
       val schema = org.apache.spark.sql.types.StructType(
         df.schema.fields :+
           org.apache.spark.sql.types.StructField(outputCol,
-            org.apache.spark.sql.types.DoubleType, nullable = false))
+            org.apache.spark.sql.types.DoubleType, nullable = true))
       val enc = org.apache.spark.sql.Encoders.row(schema)
       df.mapPartitions { it =>
         // per-partition init point (a native runtime would load here)
         it.map { row =>
           val x = new Array[Double](cols.length)
           var i = 0
+          var anyNull = false
           while (i < cols.length) {
-            x(i) = row.getAs[Any](cols(i)) match {
-              case d: Double => d
-              case f: Float => f.toDouble
-              case l: Long => l.toDouble
-              case n: Int => n.toDouble
-              case _ => 0.0
+            row.getAs[Any](cols(i)) match {
+              case d: Double => x(i) = d
+              case f: Float => x(i) = f.toDouble
+              case l: Long => x(i) = l.toDouble
+              case n: Int => x(i) = n.toDouble
+              // null (or non-numeric) inputs propagate to a null
+              // score — the same semantics as the model's generated
+              // SQL arithmetic, keeping the determinism contract
+              case _ => anyNull = true
             }
             i += 1
           }
-          org.apache.spark.sql.Row.fromSeq(row.toSeq :+ self.forward(x))
+          org.apache.spark.sql.Row.fromSeq(row.toSeq :+
+            (if (anyNull) null else java.lang.Double.valueOf(self.forward(x))))
         }
       }(enc)
     }

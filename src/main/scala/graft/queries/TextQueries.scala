@@ -910,11 +910,9 @@ object TextQueries {
       (s, dir) => {
         val docs = Tables(s, dir).documents
         val merges = graft.text.TextAnalysis
-          .bpeTrain(docs, col("text"), nMerges = 8)
-          .orderBy("rank").collect()
-          .map(r => (r.getAs[String]("left"), r.getAs[String]("right")))
+          .trainedMerges(docs, col("text"), nMerges = 8)
         graft.text.TextAnalysis
-          .bpeEncode(docs, col("text"), merges.toSeq)
+          .bpeEncode(docs, col("text"), merges)
           .select(col("doc_id"), col("n_words"), col("n_tokens"),
             col("n_chars"),
             // sample the head of the token stream so results stay

@@ -966,9 +966,7 @@ object StreamingQueries {
     val path = s"$dir/documents.parquet"
     val staticDocs = graft.Tables(spark, dir).documents
     val merges = graft.text.TextAnalysis
-      .bpeTrain(staticDocs, col("text"), nMerges = 8)
-      .orderBy("rank").collect()
-      .map(r => (r.getAs[String]("left"), r.getAs[String]("right"))).toSeq
+      .trainedMerges(staticDocs, col("text"), nMerges = 8)
     val schema = schemaOf(spark, path)
     val src = graft.Tables.normalizeDocuments(
       spark.readStream.schema(schema).parquet(streamDir(path)))

@@ -522,6 +522,17 @@ object TextAnalysis {
     merges.toSeq.toDF("rank", "left", "right", "merged", "pair_count")
   }
 
+  /** [[bpeTrain]]'s merge table collected to the driver-side
+    * (left, right) rank-ordered Seq that [[bpeEncode]] and the s34
+    * ingest twin consume — ONE definition so the spec-pinned
+    * stream≡batch identity cannot drift on a schema change.
+    */
+  def trainedMerges(docs: DataFrame, textCol: Column,
+      nMerges: Int): Seq[(String, String)] =
+    bpeTrain(docs, textCol, nMerges)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[String]("left"), r.getAs[String]("right"))).toSeq
+
   /** BPE tokenizer APPLICATION (the second half of [[bpeTrain]]):
     * encode each document into subword tokens under a trained merge
     * table, via the native row-local [[graft.functions.BpeEncode]]

@@ -436,6 +436,46 @@ final class VplCompiler(program: VProgram, source: VplSource,
   private def prefixed(df: DataFrame, alias: String): DataFrame =
     df.columns.foldLeft(df)((d, c) => d.withColumnRenamed(c, s"${alias}__$c"))
 
+  /** `.forecast(...)` param bundle shared by the batch and streaming
+    * arms (builtins.md "Forecast Modes"): (mode, depthCap, conformal,
+    * hawkes, minProb). Validation errors are VplCompileError, never
+    * internal Spark failures.
+    */
+  private def forecastParams(pm: Map[String, VExpr])
+      : (String, Int, Boolean, Boolean, Option[Double]) = {
+    val mode = pm.get("mode") match {
+      case Some(VStr(m)) =>
+        if (!Set("fast", "accurate", "balanced")(m))
+          throw VplCompileError(
+            s".forecast mode must be fast|accurate|balanced, got '$m'")
+        m
+      case _ => "balanced"
+    }
+    val depthCap = pm.get("max_depth") match {
+      case Some(VInt(n)) =>
+        if (n < 1 || n > 16) throw VplCompileError(
+          s".forecast max_depth must be in [1, 16], got $n")
+        n.toInt
+      case Some(other) => throw VplCompileError(
+        s".forecast max_depth: expected an integer literal, got $other")
+      case None => if (mode == "accurate") 5 else 3
+    }
+    def boolOr(key: String, dflt: Boolean): Boolean = pm.get(key) match {
+      case Some(VBool(b)) => b
+      case Some(other) => throw VplCompileError(
+        s".forecast $key: expected true|false, got $other")
+      case None => dflt
+    }
+    val conformal = boolOr("conformal", mode != "fast")
+    val hawkes = boolOr("hawkes", mode == "accurate")
+    val minProb = pm.get("confidence") match {
+      case Some(VNum(p)) => Some(p)
+      case Some(VInt(p)) => Some(p.toDouble)
+      case _             => None
+    }
+    (mode, depthCap, conformal, hawkes, minProb)
+  }
+
   private def conjuncts(e: VExpr): Seq[VExpr] = e match {
     case VBin("and", l, r) => conjuncts(l) ++ conjuncts(r)
     case other             => Seq(other)
@@ -1470,7 +1510,7 @@ final class VplCompiler(program: VProgram, source: VplSource,
             graft.functions.EmaFold(
               org.apache.spark.sql.graftbridge.ColumnBridge.expression(
                 sort_array(col(s"__vals_$n"))),
-              alpha, 1.0 - alpha)))
+              alpha, 1.0 - alpha, nullResets = true)))
           .drop(s"__vals_$n")
       }
       postB.foreach { case (n, e) =>
@@ -2418,31 +2458,12 @@ final class VplCompiler(program: VProgram, source: VplSource,
           case Some(VDur(us)) => us
           case _              => 3600000000L
         }
-        // mode presets + overrides, mirroring the batch arm. Hawkes
-        // burst modulation is neutral (1.0) in this pre-fit-literal
-        // surrogate — builtins.md's normal-rate value; the full
-        // intensity operators live in f4/f6/s32.
-        val fModeS = pmS.get("mode") match {
-          case Some(VStr(m)) =>
-            if (!Set("fast", "accurate", "balanced")(m))
-              throw VplCompileError(
-                s".forecast mode must be fast|accurate|balanced, got '$m'")
-            m
-          case _ => "balanced"
-        }
-        val fDepthCapS = pmS.get("max_depth") match {
-          case Some(VInt(n)) => n.toInt
-          case _             => if (fModeS == "accurate") 5 else 3
-        }
-        val fConformalS = pmS.get("conformal") match {
-          case Some(VBool(b)) => b
-          case _              => fModeS != "fast"
-        }
-        streamForecastMinProb = pmS.get("confidence") match {
-          case Some(VNum(p)) => Some(p)
-          case Some(VInt(p)) => Some(p.toDouble)
-          case _             => None
-        }
+        // mode presets + overrides via the shared forecastParams
+        // bundle. Hawkes burst modulation is neutral (1.0) in this
+        // pre-fit-literal surrogate — builtins.md's normal-rate value;
+        // the full intensity operators live in f4/f6/s32.
+        val (_, fDepthCapS, fConformalS, _, fMinProbS) = forecastParams(pmS)
+        streamForecastMinProb = fMinProbS
         val bufF = streamSeq.get
         if (bufF.size < 2) throw VplCompileError(
           ".forecast needs a sequence of 2+ steps")
@@ -2525,44 +2546,19 @@ final class VplCompiler(program: VProgram, source: VplSource,
           case _              => 3600000000L
         }
         // builtins.md "Forecast Modes": preset bundles overridable by
-        // explicit params. `warmup` is accepted but inert here — a
-        // batch fit has seen the complete history, so the cold-start
-        // gate it exists for has nothing to gate (the reference's
-        // adaptive warmup is likewise a streaming-only concern).
-        val fMode = pm.get("mode") match {
-          case Some(VStr(m)) =>
-            if (!Set("fast", "accurate", "balanced")(m))
-              throw VplCompileError(
-                s".forecast mode must be fast|accurate|balanced, got '$m'")
-            m
-          case _ => "balanced"
-        }
-        val fDepthCap = pm.get("max_depth") match {
-          case Some(VInt(n)) => n.toInt
-          case _             => if (fMode == "accurate") 5 else 3
-        }
-        val fConformal = pm.get("conformal") match {
-          case Some(VBool(b)) => b
-          case _              => fMode != "fast"
-        }
-        // Hawkes burst modulation (hawkes.rs): engaged when asked for
-        // explicitly or by accurate mode. balanced's modulation is
-        // neutral (~1.0 at normal rates, per builtins.md) — the batch
-        // surrogate keeps it off there so bare `.forecast()` stays a
-        // pure PST read; f4/f6/s32 carry the full intensity operators.
-        val fHawkes = pm.get("hawkes") match {
-          case Some(VBool(b)) => b
-          case _              => fMode == "accurate"
-        }
-        // `confidence:` = minimum completion probability to emit
-        // (forecasting-tutorial.md). Applied only when the user sets
-        // it: bare .forecast() annotates ALL live prefixes, the
+        // explicit params (shared forecastParams bundle). `warmup` is
+        // accepted but inert here — a batch fit has seen the complete
+        // history, so the cold-start gate it exists for has nothing
+        // to gate (the reference's adaptive warmup is likewise a
+        // streaming-only concern). Hawkes modulation engages when
+        // asked for explicitly or by accurate mode; balanced's is
+        // neutral (~1.0 at normal rates, builtins.md) so bare
+        // `.forecast()` stays a pure PST read. `confidence:` (minimum
+        // probability to emit, forecasting-tutorial.md) applies only
+        // when set: bare .forecast() annotates ALL live prefixes, the
         // analytic-completeness default.
-        val fMinProb: Option[Double] = pm.get("confidence") match {
-          case Some(VNum(p)) => Some(p)
-          case Some(VInt(p)) => Some(p.toDouble)
-          case _             => None
-        }
+        val (_, fDepthCap, fConformal, fHawkes, fMinProb) =
+          forecastParams(pm)
         seq match {
           case Some(st) if st.steps.size >= 2 =>
             val finalStep = st.steps.last

@@ -36,9 +36,29 @@ class FoldPropertySpec extends SparkSpec {
     val want = hof.collect().map(r => r.getLong(0) ->
       (if (r.isNullAt(1)) null else java.lang.Double.valueOf(r.getDouble(1)))).toMap
     assert(got == want)
-    // empty input -> null
-    assert(got(rows.collectFirst { case (id, xs) if xs.isEmpty => id }
-      .getOrElse(-1L)) == null || rows.forall(_._2.nonEmpty))
+    // empty input -> null (only checkable when the draw produced one)
+    rows.collectFirst { case (id, xs) if xs.isEmpty => id }
+      .foreach(id => assert(got(id) == null))
+  }
+
+  test("EmaFold null semantics: propagate (a2/SQL) vs reset (VPL)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq((1L, Option(2.0)), (2L, None: Option[Double]), (3L, Some(4.0)))),
+      (2L, Seq((1L, Option(2.0)), (2L, Some(4.0))))
+    ).toDF("id", "xs")
+    def run(resets: Boolean) = df.select(col("id"),
+      ColumnBridge.column(graft.functions.EmaFold(
+        ColumnBridge.expression(col("xs")), 0.5, 0.5, resets)).as("e"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null
+         else java.lang.Double.valueOf(r.getDouble(1)))).toMap
+    val prop = run(false)
+    assert(prop(1L) == null, "null value nulls the whole fold (oracle parity)")
+    assert(prop(2L) == 3.0)
+    val reset = run(true)
+    assert(reset(1L) == 4.0, "null resets; next non-null restarts")
+    assert(reset(2L) == 3.0)
   }
 
   test("HawkesFold equals a straight Scala recursion bit for bit") {

@@ -484,9 +484,7 @@ class StreamingSpec extends SparkSpec {
       .streamBpeEncode(spark, sf)
       .collect().map(_.toString).sorted
     val merges = graft.text.TextAnalysis
-      .bpeTrain(Tables(spark, sf).documents, col("text"), 8)
-      .orderBy("rank").collect()
-      .map(r => (r.getAs[String]("left"), r.getAs[String]("right"))).toSeq
+      .trainedMerges(Tables(spark, sf).documents, col("text"), 8)
     val want = graft.text.TextAnalysis
       .bpeEncode(Tables(spark, sf).documents, col("text"), merges)
       .select(col("doc_id"), col("n_words"), col("n_tokens"),
