@@ -292,11 +292,13 @@ object SparkEntry {
     "s33_stream_mlp" -> QueryDef(
       graft.streaming.StreamingQueries.streamMlpScore,
       MlQueries.defs("m4_mlp_score").oracle),
-    // s34: BPE tokenization at ingest — merge table pre-fit on the
-    // static corpus, native row-local encode on the stream;
-    // rows-only like its trainer, stream≡batch spec-pinned
-    "s34_stream_bpe" -> QueryDef.rowsOnly(
-      graft.streaming.StreamingQueries.streamBpeEncode),
+    // s34: BPE tokenization at ingest — merge table pre-fit once per
+    // corpus (memoized), native row-local encode on the stream;
+    // emits t15's scalar projection and shares its full train+encode
+    // hash oracle (stream≡batch also spec-pinned)
+    "s34_stream_bpe" -> QueryDef(
+      graft.streaming.StreamingQueries.streamBpeEncode,
+      TextQueries.defs("t15_bpe_encode").oracle),
     // s15: streaming model scoring (stateless map), sharing m2's oracle
     "s15_stream_score" -> QueryDef.of(
       """SELECT event_id,

@@ -50,6 +50,106 @@ object TextQueries {
        |    (acc, x) -> CAST((CAST(xor(acc, x) AS HUGEINT) * 1099511628211::HUGEINT)
        |                     % $M64::HUGEINT AS UBIGINT))""".stripMargin
 
+  /** DuckDB twin of the ENTIRE deterministic BPE procedure
+    * ([[graft.text.TextAnalysis.bpeTrain]] /
+    * [[graft.text.TextAnalysis.bpeEncode]]): n unrolled
+    * pair-count → argmax → merge rounds as chained MATERIALIZED CTEs.
+    *
+    * The one non-obvious piece is applying a merge (a,b) to a symbol
+    * list in pure SQL with the same greedy left-to-right
+    * NON-OVERLAPPING whole-symbol semantics as the native
+    * [[graft.functions.BpeMerge]] walk. Encoding the symbol list as a
+    * string with DOUBLED chr(1) separators at every boundary
+    * (`⟂⟂s1⟂⟂s2⟂⟂…`) makes one `replace(s, ⟂a⟂⟂b⟂, ⟂ab⟂)` exactly
+    * that walk: the doubled boundary means each match consumes only
+    * the INNER separator on each side, so back-to-back pairs still
+    * match (replace scans L-to-R and resumes after the replacement,
+    * never re-scanning the merged symbol — precisely the i+2 skip of
+    * the greedy pass), while intra-symbol false matches (`th,e`
+    * matching rule (h,e)) are impossible because a match needs a ⟂
+    * on both flanks. chr(1)/chr(2) can never collide with symbol
+    * text: normalized words are pure [a-z0-9].
+    *
+    * Encode extends the same trick to whole docs by joining words
+    * with a chr(2) pseudo-symbol (`⟂⟂§⟂⟂`) that no rule can match
+    * across — the SQL twin of per-word encoding.
+    *
+    * Cross-validated against an independent Python BPE: 12/12 merges
+    * and the full encoded token stream agree at sf0.01.
+    */
+  private object BpeOracle {
+    private val S = "chr(1)"
+    private val Sep = s"($S||$S)"
+    private val WordBound = s"($S||$S||chr(2)||$S||$S)"
+
+    /** wf/v0 + n rounds of (pc_r, b_r, v_r). v_r applies round r's
+      * winning pair to every vocab row; b_r is the argmax with
+      * Spark's exact tie-break (cnt DESC, a, b — both binary
+      * collation). coalesce(chr(3)) makes a no-winner round a no-op
+      * instead of a NULL-poisoned replace.
+      */
+    private def trainCtes(n: Int): String = {
+      val head =
+        s"""wf AS MATERIALIZED (
+           |  SELECT word, CAST(count(*) AS BIGINT) AS freq
+           |  FROM (SELECT unnest($wordsSql) AS word FROM documents) GROUP BY word
+           |), v0 AS MATERIALIZED (
+           |  SELECT string_split(word, '') AS syms, freq FROM wf
+           |)""".stripMargin
+      val rounds = (1 to n).map { r =>
+        val prev = s"v${r - 1}"
+        val a = s"coalesce((SELECT a FROM b$r), chr(3))"
+        val b = s"coalesce((SELECT b FROM b$r), chr(3))"
+        s"""pc$r AS MATERIALIZED (
+           |  SELECT p.a AS a, p.b AS b, CAST(sum(freq) AS BIGINT) AS cnt
+           |  FROM (SELECT unnest(list_transform(list_zip(syms, syms[2:]),
+           |                 z -> {'a': z[1], 'b': z[2]})) AS p, freq FROM $prev)
+           |  WHERE p.b IS NOT NULL GROUP BY 1, 2
+           |), b$r AS MATERIALIZED (
+           |  SELECT a, b, cnt FROM pc$r WHERE cnt >= 2 ORDER BY cnt DESC, a, b LIMIT 1
+           |), v$r AS MATERIALIZED (
+           |  SELECT string_split(trim(replace(
+           |      $Sep||array_to_string(syms, $Sep)||$Sep,
+           |      ($S||$a||$Sep||$b||$S), ($S||$a||$b||$S)), $S), $Sep) AS syms, freq
+           |  FROM $prev
+           |)""".stripMargin
+      }
+      (head +: rounds).mkString(",\n")
+    }
+
+    def t14Sql(n: Int): String = {
+      val union = (1 to n)
+        .map(r => s"SELECT CAST($r AS BIGINT) AS rank, a, b, cnt FROM b$r")
+        .mkString(" UNION ALL ")
+      s"""WITH ${trainCtes(n)}
+         |SELECT rank, a AS "left", b AS "right", a||b AS merged,
+         |  cnt AS pair_count
+         |FROM ($union)""".stripMargin
+    }
+
+    def t15Sql(n: Int): String = {
+      var s = s"$Sep||array_to_string(list_transform(w, " +
+        s"x -> array_to_string(string_split(x, ''), $Sep)), $WordBound)||$Sep"
+      for (r <- 1 to n) {
+        val a = s"coalesce((SELECT a FROM b$r), chr(3))"
+        val b = s"coalesce((SELECT b FROM b$r), chr(3))"
+        s = s"replace($s,\n      ($S||$a||$Sep||$b||$S), ($S||$a||$b||$S))"
+      }
+      s"""WITH ${trainCtes(n)},
+         |dw AS (SELECT doc_id, $wordsSql AS w FROM documents),
+         |enc AS (
+         |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+         |    CASE WHEN len(w) = 0 THEN CAST([] AS VARCHAR[])
+         |         ELSE list_filter(string_split(trim($s, $S), $Sep), t -> t != chr(2))
+         |    END AS tokens
+         |  FROM dw)
+         |SELECT doc_id, n_words, CAST(len(tokens) AS BIGINT) AS n_tokens,
+         |  CAST(length(array_to_string(tokens, '')) AS BIGINT) AS n_chars,
+         |  array_to_string(tokens, ' ') AS tokens_joined
+         |FROM enc""".stripMargin
+    }
+  }
+
   /** t5's deterministic PII-bearing text synthesized from customer
     * columns (public: the streaming twin s28 builds the identical
     * input so both sit under one oracle).
@@ -891,10 +991,11 @@ object TextQueries {
     // --- #45l distributed BPE tokenizer training (Sennrich et al.
     // 2016): top-12 merges learned map-reduce style on the
     // word-frequency table (vocab-sized exchanges, corpus scanned
-    // once). rows-only BY DESIGN like the Lloyd quantizers — an
-    // iterative training procedure; first-merges + determinism
-    // spec-pinned on crafted corpora ---
-    "t14_bpe_merges" -> QueryDef.rowsOnly {
+    // once). The training loop is iterative but fully DETERMINISTIC
+    // (argmax with a total tie-break), so the DuckDB oracle re-runs
+    // the whole procedure as 12 unrolled pair-count→argmax→merge CTE
+    // rounds and the merge table is hash-gated end to end ---
+    "t14_bpe_merges" -> QueryDef.of(BpeOracle.t14Sql(12)) {
       (s, dir) =>
         graft.text.TextAnalysis.bpeTrain(
           Tables(s, dir).documents, col("text"), nMerges = 12)
@@ -904,20 +1005,22 @@ object TextQueries {
     // table (8 rounds keeps the driver-iteration floor bounded), then
     // encode the corpus through the native row-local walk; pure map
     // stage, zero shuffles after the vocab-sized training exchanges.
-    // rows-only like its trainer; encode semantics are spec-pinned
-    // (hand-computed encodes, losslessness, training-consistency) ---
-    "t15_bpe_encode" -> QueryDef.rowsOnly {
+    // Tokens surface as ONE scalar space-joined column (tokens are
+    // pure [a-z0-9] so ' ' is injective), which both keeps the
+    // driver's comparator happy (array cells are unhashable in
+    // pandas) and carries the ENTIRE token stream into the hash gate:
+    // the oracle re-trains the 8 merges in DuckDB CTEs and re-encodes
+    // every doc with the separator-bounded greedy replace walk ---
+    "t15_bpe_encode" -> QueryDef.of(BpeOracle.t15Sql(8)) {
       (s, dir) => {
         val docs = Tables(s, dir).documents
         val merges = graft.text.TextAnalysis
-          .trainedMerges(docs, col("text"), nMerges = 8)
+          .trainedMergesCached(docs, col("text"), nMerges = 8, cacheKey = dir)
         graft.text.TextAnalysis
           .bpeEncode(docs, col("text"), merges)
           .select(col("doc_id"), col("n_words"), col("n_tokens"),
             col("n_chars"),
-            // sample the head of the token stream so results stay
-            // row-bounded (the full array is the production output)
-            slice(col("tokens"), 1, 8).as("tokens_head"))
+            array_join(col("tokens"), " ").as("tokens_joined"))
       }
     },
 

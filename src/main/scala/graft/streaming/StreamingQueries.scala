@@ -955,25 +955,27 @@ object StreamingQueries {
   }
 
   /** #45n-streaming: BPE tokenization AT INGEST — the merge table is
-    * trained ONCE on the static corpus at query start (the
-    * pre-fit-model precedent of s26/s30) and rides into the native
-    * row-local BpeEncode walk; arriving documents tokenize in a
-    * stateless zero-shuffle map. Rows-only like its batch twin
-    * (iterative trainer upstream); stream≡batch row identity is
-    * spec-pinned (StreamingSpec).
+    * pre-fit ONCE on the static corpus (memoized per corpus dir — the
+    * reference's train-offline-once model; s26/s30 pre-fit precedent)
+    * and rides into the native row-local BpeEncode walk; arriving
+    * documents tokenize in a stateless zero-shuffle map. Emits the
+    * same scalar projection as batch t15 (space-joined token stream —
+    * tokens are pure [a-z0-9]) and shares t15's full training+encode
+    * hash oracle; stream≡batch row identity is also spec-pinned
+    * (StreamingSpec).
     */
   def streamBpeEncode(spark: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/documents.parquet"
     val staticDocs = graft.Tables(spark, dir).documents
     val merges = graft.text.TextAnalysis
-      .trainedMerges(staticDocs, col("text"), nMerges = 8)
+      .trainedMergesCached(staticDocs, col("text"), nMerges = 8, cacheKey = dir)
     val schema = schemaOf(spark, path)
     val src = graft.Tables.normalizeDocuments(
       spark.readStream.schema(schema).parquet(streamDir(path)))
     val out = graft.text.TextAnalysis
       .bpeEncode(src, col("text"), merges)
       .select(col("doc_id"), col("n_words"), col("n_tokens"),
-        col("n_chars"), slice(col("tokens"), 1, 8).as("tokens_head"))
+        col("n_chars"), array_join(col("tokens"), " ").as("tokens_joined"))
     runToTable(spark, out, "graft_s34_sink", "append")
   }
 

@@ -488,7 +488,7 @@ class StreamingSpec extends SparkSpec {
     val want = graft.text.TextAnalysis
       .bpeEncode(Tables(spark, sf).documents, col("text"), merges)
       .select(col("doc_id"), col("n_words"), col("n_tokens"),
-        col("n_chars"), slice(col("tokens"), 1, 8).as("tokens_head"))
+        col("n_chars"), array_join(col("tokens"), " ").as("tokens_joined"))
       .collect().map(_.toString).sorted
     assert(got.length == want.length && got.sameElements(want))
   }
