@@ -22,21 +22,21 @@ import org.apache.spark.sql.functions.expr
   * stderr — so a perf regression is flagged in the same run that
   * introduces it instead of surfacing a round later.
   *
-  * Outlier re-timing: this host's throughput varies under external
+  * Min-of-N timing: this host's throughput varies under external
   * load (observed: the same 80-query run at 90s, 446s and 786s within
   * one hour, with a DIFFERENT arbitrary subset slow each time, while
   * an idle-machine CPU microbenchmark stays constant — transient
-  * hypervisor contention, not code). To keep one noisy window from
-  * minting a phantom regression in the round artifact, any query that
-  * timed >1.5x its previous-round figure is re-run once after the
-  * main pass and the MINIMUM of the two timings is reported —
-  * steady-state timing, standard bench practice. A real regression
-  * stays slow on the re-run and is still flagged. Queries with NO
-  * previous-round figure (new this round) get the same treatment
-  * above an absolute 2s threshold — r7's q10 shipped a 7.7s
-  * single-shot figure for a ~1s rollup purely because nothing
-  * re-timed it. At most 12 regressions + 8 no-prev queries re-time
-  * (bounded extra wall).
+  * hypervisor contention, not code). r8 proved selective re-timing of
+  * flagged outliers is not enough: one noisy window during the single
+  * timed pass minted 2-3.7x phantom regressions (s2/s27/d4/s24/d6/
+  * s12/s29) while clean-session figures had improved. So EVERY query
+  * now runs in N=2 full passes (SPARK_GRAFT_BENCH_N overrides) and
+  * the minimum successful timing is reported — steady-state timing,
+  * standard bench practice; ~100s of extra wall at sf0.1 buys an
+  * artifact that cannot be wrecked by one bad window. Anything still
+  * >1.5x its previous-round figure after min-of-N is re-run once more
+  * (max 12, plus max 8 new-this-round queries above 2s); a real
+  * regression stays slow through all three timings and is flagged.
   *
   * First-touch warming: every staged table is scanned once AT THE
   * BENCH SF before the timed pass, so no query's figure silently
@@ -236,26 +236,56 @@ object Bench {
           System.err.println(
             s"[bench-warmup] first-touch ${f.getName} failed: ${t.getMessage}")
         }
-    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    def timeOne(name: String): Double = {
+    // One timing attempt: (seconds, error). Never touches shared state
+    // so multi-pass combination stays a pure fold.
+    def timeOne(name: String): (Double, Option[String]) = {
       val t0 = System.nanoTime()
-      val ok =
-        try { materialize(SparkEntry.queries(name)(spark, sfDir)); true }
-        catch {
-          case t: Throwable =>
-            // strip everything JSON can't carry unescaped: quote,
-            // backslash, and ALL control chars (u0000-u001f)
-            errors(name) = Option(t.getMessage).getOrElse(t.getClass.getName)
-              .replaceAll("[\"\\\\\\p{Cntrl}]", " ").take(200)
-            false
-        }
-      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      try {
+        materialize(SparkEntry.queries(name)(spark, sfDir))
+        ((System.nanoTime() - t0) / 1e9, None)
+      } catch {
+        case t: Throwable =>
+          // strip everything JSON can't carry unescaped: quote,
+          // backslash, and ALL control chars (u0000-u001f)
+          (-1.0, Some(Option(t.getMessage).getOrElse(t.getClass.getName)
+            .replaceAll("[\"\\\\\\p{Cntrl}]", " ").take(200)))
+      }
     }
-    val firstPass = SparkEntry.queries.keys.toSeq.sorted
-      .filter(n => only.forall(_.contains(n))).map(n => n -> timeOne(n))
-    // outlier re-timing vs the previous round's artifact (see scaladoc).
-    // Artifacts through r6 key timings by full query name; r7+ by the
-    // unique id prefix — accept either.
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
+    // Min-of-N across the board (default N=2; SPARK_GRAFT_BENCH_N
+    // overrides): every query is timed in N full passes and the
+    // MINIMUM successful timing is reported. This is the steady-state
+    // figure the selective retime path only gave to flagged outliers —
+    // r8 showed that is not enough on this host: a noisy window during
+    // the single timed pass minted 2-3.7x phantom regressions for
+    // queries whose clean-session figures had IMPROVED. A query errors
+    // only if it failed in EVERY pass.
+    val nPasses = sys.env.get("SPARK_GRAFT_BENCH_N")
+      .flatMap(s => scala.util.Try(s.toInt).toOption)
+      .filter(_ >= 1).getOrElse(2)
+    val passes = (1 to nPasses).map { p =>
+      val t0 = System.nanoTime()
+      val pass = names.map(n => n -> timeOne(n))
+      System.err.println(
+        f"[bench-pass] $p/$nPasses done in ${(System.nanoTime() - t0) / 1e9}%.1fs " +
+          f"(sum ${pass.map(_._2._1).filter(_ >= 0).sum}%.1fs)")
+      pass.toMap
+    }
+    def combined(name: String): (Double, Option[String]) = {
+      val runs = passes.map(_(name))
+      val oks = runs.map(_._1).filter(_ >= 0)
+      if (oks.nonEmpty) (oks.min, None)
+      else (-1.0, runs.flatMap(_._2).lastOption)
+    }
+    val minOfN = names.map(n => n -> combined(n))
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    minOfN.foreach { case (n, (_, e)) => e.foreach(errors(n) = _) }
+    // outlier re-timing vs the previous round's artifact (see scaladoc):
+    // anything STILL >1.5x its previous figure after min-of-N gets one
+    // more shot — a real regression stays slow, a residual noise spike
+    // does not. Artifacts through r6 key timings by full query name;
+    // r7+ by the unique id prefix — accept either.
     val prevForRetime: Map[String, Double] =
       newestPrevBench().flatMap { f =>
         scala.util.Try(parsePrevQueries(new String(
@@ -266,17 +296,15 @@ object Bench {
         .orElse(prevForRetime.get(name.takeWhile(_ != '_')))
         .filter(_ > 0)
     val results = {
+      val firstPass = minOfN.map { case (n, (sec, _)) => n -> sec }
       val toRetime = retimeSet(firstPass, prevOf)
       firstPass.map { case (name, sec) =>
         if (!toRetime(name)) name -> sec
         else {
           // a transient retime failure must not mark a query as failed
-          // when the kept result is the successful first-pass timing:
-          // snapshot the error state and restore it if the retry errors
-          val hadError = errors.contains(name)
-          val again = timeOne(name)
-          if (again < 0 && !hadError) errors.remove(name)
-          val kept = if (again > 0 && again < sec) again else sec
+          // when the kept result is a successful min-of-N timing
+          val (again, _) = timeOne(name)
+          val kept = if (again > 0 && (sec < 0 || again < sec)) again else sec
           System.err.println(
             f"[bench-retime] $name: $sec%.2fs -> $again%.2fs (kept $kept%.2fs)")
           name -> kept

@@ -49,22 +49,43 @@ object GraftFunctions {
         "ema_fold(xs, a, b) - in-order a*x + b*acc fold over a sorted " +
           "array<struct<order, v: double>>"),
       (args: Seq[Expression]) => args match {
-        case Seq(xs, Literal(a: Double, _), Literal(b: Double, _)) =>
-          EmaFold(xs, a, b)
+        case Seq(xs, NumericLit(a), NumericLit(b)) => EmaFold(xs, a, b)
         case _ => throw new IllegalArgumentException(
-          "ema_fold(xs, a, b): a and b must be double literals")
+          "ema_fold(xs, a, b): a and b must be numeric literals")
       }),
     (FunctionIdentifier("hawkes_fold"),
       info("hawkes_fold",
         "hawkes_fold(evs, mu, alpha, beta) - Hawkes intensity recursion " +
           "over a sorted array<struct<o: bigint, t_us: bigint>>"),
       (args: Seq[Expression]) => args match {
-        case Seq(evs, Literal(mu: Double, _), Literal(al: Double, _),
-            Literal(be: Double, _)) =>
+        case Seq(evs, NumericLit(mu), NumericLit(al), NumericLit(be)) =>
           HawkesFold(evs, mu, al, be)
         case _ => throw new IllegalArgumentException(
-          "hawkes_fold(evs, mu, alpha, beta): params must be double literals")
+          "hawkes_fold(evs, mu, alpha, beta): params must be numeric literals")
       }))
+
+  /** Any numeric literal as a Double: Spark's SQL parser types a bare
+    * `0.2` as DECIMAL(1,1), not DOUBLE, so matching only
+    * Literal(Double) forced users to write `0.2D` and failed with a
+    * message that never said so. Folded constant expressions
+    * (`1.0/8`) still need the D-suffix form — only literals reach a
+    * function builder unevaluated.
+    */
+  private object NumericLit {
+    def unapply(e: Expression): Option[Double] = e match {
+      case Literal(v, _) => v match {
+        case d: Double => Some(d)
+        case f: Float => Some(f.toDouble)
+        case i: Int => Some(i.toDouble)
+        case l: Long => Some(l.toDouble)
+        case s: Short => Some(s.toDouble)
+        case b: Byte => Some(b.toDouble)
+        case dec: org.apache.spark.sql.types.Decimal => Some(dec.toDouble)
+        case _ => None
+      }
+      case _ => None
+    }
+  }
 
   /** Register into a live session (tests, shells). */
   def register(spark: SparkSession): Unit = all.foreach { case (id, inf, builder) =>

@@ -156,7 +156,13 @@ object Score {
             .map { case (w, e) => s"${lit(w)} * ($e)" }
             .mkString(" + ")
           val z = s"$sum + ${lit(bb)}"
-          if (l.relu) s"greatest($z, 0.0::DOUBLE)" else s"($z)"
+          // CASE, not greatest(): SQL greatest() IGNORES null args
+          // (greatest(NULL, 0.0) = 0.0 in both DuckDB and Spark),
+          // which would break the shared null semantics — the JVM
+          // scorer returns null for any null input, and this CASE
+          // propagates the NULL the same way
+          if (l.relu) s"(CASE WHEN ($z) < 0.0::DOUBLE THEN 0.0::DOUBLE ELSE ($z) END)"
+          else s"($z)"
         }.toSeq
       }
       val z = exprs.head

@@ -1027,15 +1027,34 @@ object StreamingQueries {
     * d6's SQL minus the n_bench_docs column (per-gram bench-doc
     * identity is deliberately not in the row-local model).
     */
-  def streamDecontam(spark: SparkSession, dir: String): DataFrame = {
+  def streamDecontam(spark: SparkSession, dir: String): DataFrame =
+    streamDecontamCapped(spark, dir,
+      sys.env.get("SPARK_GRAFT_BENCH_GRAM_CAP")
+        .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(10000000))
+
+  private[graft] def streamDecontamCapped(
+      spark: SparkSession, dir: String, gramCap: Int): DataFrame = {
     import graft.functions.TextFunctions.shingles
     import org.apache.spark.sql.graftbridge.ColumnBridge
     val path = s"$dir/documents.parquet"
-    val bench = graft.Tables.normalizeDocuments(spark.read.parquet(path))
+    val benchGrams = graft.Tables.normalizeDocuments(spark.read.parquet(path))
       .where(col("doc_id") % 7 === 0)
       .select(explode(shingles(col("text"), 5)).as("gram"))
       .select(graft.functions.Fnv64(col("gram")).as("g"))
-      .distinct().collect().map(_.getLong(0)).sorted
+      .distinct()
+    // "eval sets are small" is an assumption, not an invariant: fail
+    // loudly instead of materializing an unbounded gram set on the
+    // driver (SPARK_GRAFT_BENCH_GRAM_CAP overrides; ~80 MB of longs
+    // at the default cap). The limit(cap+1) probe bounds driver
+    // memory in the SAME single job — no separate count() pass. Over
+    // the cap, the right operator is the d6 distributed anti-join,
+    // not this broadcast probe.
+    val probed = benchGrams.limit(gramCap + 1).collect()
+    require(probed.length <= gramCap,
+      s"streamDecontam: benchmark gram set exceeds $gramCap distinct " +
+        "grams — too large for a driver-side broadcast probe; use the " +
+        "distributed d6 decontamination join instead")
+    val bench = probed.map(_.getLong(0)).sorted
     val src = graft.Tables.normalizeDocuments(
       spark.readStream.schema(schemaOf(spark, path)).parquet(streamDir(path)))
     val probe = ColumnBridge.column(graft.functions.GramSetHits(

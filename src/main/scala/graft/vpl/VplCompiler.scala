@@ -471,8 +471,15 @@ final class VplCompiler(program: VProgram, source: VplSource,
     val minProb = pm.get("confidence") match {
       case Some(VNum(p)) => Some(p)
       case Some(VInt(p)) => Some(p.toDouble)
-      case _             => None
+      // a non-numeric value must not silently compile as "no
+      // threshold" (confidence: "high" dropping the filter entirely)
+      case Some(other) => throw VplCompileError(
+        s".forecast confidence: expected a numeric literal in [0, 1], got $other")
+      case None => None
     }
+    minProb.filter(p => p < 0.0 || p > 1.0).foreach(p =>
+      throw VplCompileError(
+        s".forecast confidence must be in [0, 1], got $p"))
     (mode, depthCap, conformal, hawkes, minProb)
   }
 

@@ -55,6 +55,26 @@ class MlpSpec extends SparkSpec {
       viaSql.exceptAll(viaJvm).isEmpty)
   }
 
+  test("null inputs -> null score in BOTH the JVM path and the generated SQL") {
+    // the generated SQL uses a NULL-propagating CASE for ReLU, not
+    // greatest(): SQL greatest() IGNORES null arguments
+    // (greatest(NULL, 0.0) = 0.0), which would mint a non-null oracle
+    // score where the JVM scorer returns null
+    val ev = spark.range(2).select(
+      col("id").as("event_id"),
+      when(col("id") === 0, lit(null).cast("double"))
+        .otherwise(lit(1.0)).as("x1"),
+      lit(2.0).as("x2"), lit(3.0).as("x3"))
+    val viaJvm = m.score(ev).select(col("event_id"), col("score")).collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    val sql = m.toOracleSql(Seq("x1", "x2", "x3")).replace("::DOUBLE", "D")
+    val viaSql = ev.select(col("event_id"), expr(sql).as("score")).collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(viaJvm(0L).isEmpty, "JVM: null input must score null")
+    assert(viaSql(0L).isEmpty, "SQL: null input must score null")
+    assert(viaJvm(1L) == viaSql(1L) && viaJvm(1L).nonEmpty)
+  }
+
   test("VPL .score(model:) runs the registered MLP") {
     import graft.vpl._
     val vpl =

@@ -164,6 +164,16 @@ class PlanSpec extends SparkSpec {
     assert(r2.getAs[Double]("e") == 1.5)
     val hs = r2.getSeq[org.apache.spark.sql.Row](1)
     assert(hs.length == 2 && hs.head.getDouble(1) == 0.003)
+    // bare decimal/int literals: Spark parses 0.5 as DECIMAL(1,1) and
+    // 1 as INT — the builders must coerce, not demand the D suffix
+    val r3 = spark.sql(
+      """SELECT
+        |  ema_fold(array(struct(1L, 1.0D), struct(2L, 2.0D)), 0.5, 0.5) AS e,
+        |  hawkes_fold(array(struct(1L, 0L)), 0.001, 1, 0.0005) AS h""".stripMargin)
+      .head()
+    assert(r3.getAs[Double]("e") == 1.5)
+    // first event's intensity = mu + its own alpha jump = 0.001 + 1
+    assert(r3.getSeq[org.apache.spark.sql.Row](1).head.getDouble(1) == 1.001)
   }
 
   test("v3: LSH signature is the native expression, no interpreted lambdas") {

@@ -475,6 +475,16 @@ class StreamingSpec extends SparkSpec {
     assert(got.length == want.length && got.sameElements(want))
   }
 
+  test("ingest decontamination refuses an over-cap benchmark gram set") {
+    // the driver-side broadcast probe is only valid while the eval
+    // set is small; over the cap it must fail loudly and point at the
+    // distributed d6 join instead of OOMing the driver
+    val e = intercept[IllegalArgumentException](
+      graft.streaming.StreamingQueries.streamDecontamCapped(spark, sf, 10))
+    assert(e.getMessage.contains("exceeds 10 distinct"))
+    assert(e.getMessage.contains("d6"))
+  }
+
   test("ingest-time BPE tokenization equals the batch encode row for row") {
     // s34: merge table pre-fit on the static corpus, stateless
     // row-local encode on the stream — results must be identical to

@@ -294,6 +294,14 @@ class VplCoverageSpec extends SparkSpec {
       """stream F = A as a -> B where k == a.k as b -> C where k == a.k as c
         |    .within(1h) .forecast(mode: "warp") .emit(k: a.k)
         |""".stripMargin, Seq(evt.toString))("F").isFailure)
+    // non-numeric confidence must not silently compile as "no
+    // threshold", and out-of-range values are rejected too
+    for (bad <- Seq("confidence: \"high\"", "confidence: 1.5"))
+      assert(Vpl.runEvt(spark,
+        s"""stream F = A as a -> B where k == a.k as b -> C where k == a.k as c
+           |    .within(1h) .forecast($bad) .emit(k: a.k)
+           |""".stripMargin, Seq(evt.toString))("F").isFailure,
+        s"$bad must be a compile error")
   }
 
   test(".to(Conn) writes through a bound sink connector, no-ops unbound") {
