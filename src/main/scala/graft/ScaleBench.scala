@@ -57,7 +57,7 @@ object ScaleBench {
     // ---- stage the 10× derivation (idempotent) ----------------------
     // marker name versions the derivation: widening the query set to
     // events/embeddings consumers re-stages those tables
-    val marker = new java.io.File(s"$scaledDir/_staged_v2")
+    val marker = new java.io.File(s"$scaledDir/_staged_v3")
     if (!marker.exists()) {
       val docs = spark.read.parquet(s"$baseDir/documents.parquet")
       val reps = (0 until nReps).map { i =>
@@ -70,7 +70,21 @@ object ScaleBench {
         // quadratically with replicas (measured: d3 36x at 10x),
         // which benchmarks a different workload, not scale. Replica 0
         // is suffixed too, so per-doc compute is uniform.
-        docs.withColumn("doc_id", col("doc_id") + lit(i * 100000000L))
+        //
+        // doc_id derivation holds the BENCHMARK side of d6/s29/pipe1
+        // (docs with doc_id % 7 == 0) at its ORIGINAL fixed size:
+        // only replica 0's original benchmark docs keep residue 0;
+        // every other (doc, replica) gets a nonzero residue. A real
+        // eval set does not grow 30x when the training corpus does —
+        // the old +i*1e8 offsets replicated the benchmark with the
+        // corpus, so decontamination ratios measured an eval set
+        // scaling that never happens in production. The map
+        // (doc_id*nReps + i)*7 + c with c in [0,6] is injective
+        // across (doc_id, i).
+        val b = col("doc_id") % 7
+        val c = when(b === 0 && lit(i) === 0, lit(0L))
+          .otherwise((b + lit(i)) % 6 + 1)
+        docs.withColumn("doc_id", (col("doc_id") * nReps + i) * 7 + c)
           .withColumn("text",
             regexp_replace(col("text"), "(\\S+)", s"$$1r$i"))
       }

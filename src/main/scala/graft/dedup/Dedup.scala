@@ -62,6 +62,32 @@ object Dedup {
     * the contamination ratio, and how many distinct benchmark docs it
     * collides with.
     */
+  /** The benchmark's distinct k-gram FNV-1a hashes as a sorted
+    * driver-side array — the pre-fit "model" of the s29/pipe1
+    * row-local contamination probe ([[graft.functions.GramSetHits]]).
+    * Eval sets are small by NATURE, but that is an assumption, not an
+    * invariant: the limit(cap+1) probe bounds driver memory in the
+    * same single job and fails loudly over the cap (~80 MB of longs
+    * at the 10M default), pointing at the distributed
+    * [[decontaminate]] join as the over-cap operator.
+    */
+  def benchGramHashes(
+      benchmark: DataFrame,
+      k: Int,
+      cap: Int = 10000000,
+      textCol: String = "text"): Array[Long] = {
+    val grams = benchmark
+      .select(explode(shingles(col(textCol), k)).as("gram"))
+      .select(graft.functions.Fnv64(col("gram")).as("g"))
+      .distinct()
+    val probed = grams.limit(cap + 1).collect()
+    require(probed.length <= cap,
+      s"benchGramHashes: benchmark gram set exceeds $cap distinct " +
+        "grams — too large for a driver-side broadcast probe; use the " +
+        "distributed d6 decontamination join instead")
+    probed.map(_.getLong(0)).sorted
+  }
+
   def decontaminate(
       corpus: DataFrame,
       benchmark: DataFrame,

