@@ -1,0 +1,222 @@
+package graft.metrics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.graftbridge.MetricsBridge
+import org.apache.spark.sql.streaming.StreamingQueryListener
+import org.apache.spark.sql.util.QueryExecutionListener
+
+import scala.collection.mutable
+
+/** Engine observability counters — the data-plane analogue of the
+  * reference's per-stream metrics registry
+  * (crates/varpulis-runtime/src/metrics.rs:11-121: events_total,
+  * events_processed per stream, output_events_total, processing
+  * latency, active_streams; served as Prometheus text over its REST
+  * API). graft delegates transport to Spark's own metrics system;
+  * what Spark does NOT give out of the box is the reference's
+  * per-QUERY counter surface, which this class derives from the two
+  * public listener hooks:
+  *
+  *  - batch: a QueryExecutionListener reading the finished plan's
+  *    SQLMetrics (output rows, leaf-scan rows/bytes) plus duration —
+  *    executions / events in / events out / bytes / latency per
+  *    query label;
+  *  - streaming: a StreamingQueryListener folding each progress
+  *    event — micro-batches, input rows, sink rows, state rows,
+  *    watermark-dropped rows, processing time per stream name, and
+  *    an active-streams gauge.
+  *
+  * Counters surface two ways: [[table]] (a `graft_metrics` temp view
+  * — queryable like any other table, the Spark-native idiom) and
+  * [[gather]] (Prometheus text exposition, the reference's wire
+  * format, ready for any scrape endpoint).
+  *
+  * Label discipline: batch executions are labelled by the enclosing
+  * [[recordQuery]] tag when present (the listener callback is async,
+  * so recordQuery drains the listener bus before clearing its tag),
+  * else by the triggering action name. Like the staged streaming
+  * harness, tagged recording assumes one query at a time per session;
+  * untagged concurrent queries still count, under their action label.
+  */
+final class GraftMetrics private (spark: SparkSession) {
+
+  private final class BatchStat {
+    var executions = 0L
+    var failures = 0L
+    var outputRows = 0L
+    var scanRows = 0L
+    var scanBytes = 0L
+    var totalSec = 0.0
+    var maxSec = 0.0
+  }
+  private final class StreamStat {
+    var batches = 0L
+    var inputRows = 0L
+    var sinkRows = 0L
+    var stateRows = 0L // gauge: latest total
+    var droppedRows = 0L
+    var totalSec = 0.0
+  }
+
+  private val lock = new Object
+  private val batch = mutable.LinkedHashMap.empty[String, BatchStat]
+  private val streams = mutable.LinkedHashMap.empty[String, StreamStat]
+  private val activeStreams = mutable.Set.empty[java.util.UUID]
+  private var tag: Option[String] = None
+
+  private val queryListener = new QueryExecutionListener {
+    override def onSuccess(funcName: String, qe: QueryExecution,
+        durationNs: Long): Unit = lock.synchronized {
+      val s = batch.getOrElseUpdate(tag.getOrElse(funcName), new BatchStat)
+      val (out, scanRows, scanBytes) = MetricsBridge.planCounters(qe)
+      s.executions += 1
+      s.outputRows += out.getOrElse(0L)
+      s.scanRows += scanRows
+      s.scanBytes += scanBytes
+      val sec = durationNs / 1e9
+      s.totalSec += sec
+      s.maxSec = math.max(s.maxSec, sec)
+    }
+    override def onFailure(funcName: String, qe: QueryExecution,
+        exception: Exception): Unit = lock.synchronized {
+      batch.getOrElseUpdate(tag.getOrElse(funcName), new BatchStat)
+        .failures += 1
+    }
+  }
+
+  private val streamListener = new StreamingQueryListener {
+    override def onQueryStarted(
+        e: StreamingQueryListener.QueryStartedEvent): Unit =
+      lock.synchronized { activeStreams += e.id }
+    override def onQueryTerminated(
+        e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+      lock.synchronized { activeStreams -= e.id }
+    override def onQueryProgress(
+        e: StreamingQueryListener.QueryProgressEvent): Unit =
+      lock.synchronized {
+        val p = e.progress
+        val s = streams.getOrElseUpdate(
+          Option(p.name).getOrElse("unnamed"), new StreamStat)
+        s.batches += 1
+        s.inputRows += p.numInputRows
+        s.sinkRows += math.max(p.sink.numOutputRows, 0L)
+        val ops = p.stateOperators
+        if (ops.nonEmpty) s.stateRows = ops.map(_.numRowsTotal).sum
+        s.droppedRows += ops.map(_.numRowsDroppedByWatermark).sum
+        Option(p.durationMs.get("triggerExecution"))
+          .foreach(ms => s.totalSec += ms / 1e3)
+      }
+  }
+
+  /** Run `body` with batch executions labelled `name` instead of the
+    * action name. Drains the async listener bus before restoring the
+    * label, so every execution the body triggered is recorded under
+    * it — the same one-query-at-a-time session contract as the
+    * staged streaming harness.
+    */
+  def recordQuery[T](name: String)(body: => T): T = {
+    lock.synchronized { tag = Some(name) }
+    try body
+    finally {
+      MetricsBridge.drain(spark)
+      lock.synchronized { tag = None }
+    }
+  }
+
+  /** Block until all pending listener events are folded in. */
+  def sync(): Unit = MetricsBridge.drain(spark)
+
+  /** Counter snapshot in long format: (kind, name, metric, value) —
+    * registered as the `graft_metrics` temp view.
+    */
+  def table(): DataFrame = {
+    sync()
+    val rows = lock.synchronized {
+      val b = batch.toSeq.flatMap { case (n, s) =>
+        Seq(
+          ("query", n, "executions_total", s.executions.toDouble),
+          ("query", n, "failures_total", s.failures.toDouble),
+          ("query", n, "output_rows_total", s.outputRows.toDouble),
+          ("query", n, "scan_rows_total", s.scanRows.toDouble),
+          ("query", n, "scan_bytes_total", s.scanBytes.toDouble),
+          ("query", n, "duration_seconds_total", s.totalSec),
+          ("query", n, "duration_seconds_max", s.maxSec))
+      }
+      val st = streams.toSeq.flatMap { case (n, s) =>
+        Seq(
+          ("stream", n, "batches_total", s.batches.toDouble),
+          ("stream", n, "input_rows_total", s.inputRows.toDouble),
+          ("stream", n, "sink_rows_total", s.sinkRows.toDouble),
+          ("stream", n, "state_rows", s.stateRows.toDouble),
+          ("stream", n, "rows_dropped_by_watermark_total",
+            s.droppedRows.toDouble),
+          ("stream", n, "processing_seconds_total", s.totalSec))
+      }
+      b ++ st :+ (("engine", "", "active_streams",
+        activeStreams.size.toDouble))
+    }
+    import spark.implicits._
+    val df = rows.toDF("kind", "name", "metric", "value")
+    df.createOrReplaceTempView("graft_metrics")
+    df
+  }
+
+  /** Prometheus text exposition of the same counters — the
+    * reference's wire format (metrics.rs `gather()`), prefixed
+    * `graft_`.
+    */
+  def gather(): String = {
+    sync()
+    lock.synchronized {
+      val sb = new StringBuilder
+      def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+      def line(metric: String, labels: Seq[(String, String)], v: Double): Unit = {
+        val l =
+          if (labels.isEmpty) ""
+          else labels.map { case (k, x) => s"""$k="${esc(x)}"""" }
+            .mkString("{", ",", "}")
+        sb.append(s"graft_$metric$l $v\n")
+      }
+      batch.foreach { case (n, s) =>
+        val q = Seq("query" -> n)
+        line("queries_total", q, s.executions.toDouble)
+        line("query_failures_total", q, s.failures.toDouble)
+        line("output_rows_total", q, s.outputRows.toDouble)
+        line("scan_rows_total", q, s.scanRows.toDouble)
+        line("scan_bytes_total", q, s.scanBytes.toDouble)
+        line("query_duration_seconds_total", q, s.totalSec)
+      }
+      streams.foreach { case (n, s) =>
+        val q = Seq("stream" -> n)
+        line("stream_batches_total", q, s.batches.toDouble)
+        line("stream_input_rows_total", q, s.inputRows.toDouble)
+        line("stream_sink_rows_total", q, s.sinkRows.toDouble)
+        line("stream_state_rows", q, s.stateRows.toDouble)
+        line("stream_rows_dropped_by_watermark_total", q,
+          s.droppedRows.toDouble)
+        line("stream_processing_seconds_total", q, s.totalSec)
+      }
+      line("active_streams", Seq.empty, activeStreams.size.toDouble)
+      sb.toString
+    }
+  }
+
+  /** Unregister both listeners; counters stay readable. */
+  def detach(): Unit = {
+    spark.listenerManager.unregister(queryListener)
+    spark.streams.removeListener(streamListener)
+  }
+}
+
+object GraftMetrics {
+  /** Attach a fresh counter registry to the session (both listener
+    * hooks). Call [[GraftMetrics.detach]] to stop recording.
+    */
+  def attach(spark: SparkSession): GraftMetrics = {
+    val m = new GraftMetrics(spark)
+    spark.listenerManager.register(m.queryListener)
+    spark.streams.addListener(m.streamListener)
+    m
+  }
+}

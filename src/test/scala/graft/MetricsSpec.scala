@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The observability surface (SURVEY §2 — reference metrics.rs
+  * analogue): per-query batch counters from the
+  * QueryExecutionListener hook, per-stream counters from the
+  * StreamingQueryListener hook, the graft_metrics temp view, and the
+  * Prometheus text exposition.
+  */
+class MetricsSpec extends SparkSpec {
+
+  test("batch counters: executions, output rows, scan rows/bytes, duration") {
+    val m = graft.metrics.GraftMetrics.attach(spark)
+    try {
+      m.recordQuery("q1_agg") {
+        SparkEntry.queries("q1_agg")(spark, sf)
+          .write.format("noop").mode("overwrite").save()
+      }
+      val t = m.table().collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getDouble(3))
+        .toMap
+      assert(t(("query", "q1_agg", "executions_total")) >= 1.0)
+      assert(t(("query", "q1_agg", "scan_rows_total")) > 0.0,
+        "lineitem scan rows must be counted")
+      assert(t(("query", "q1_agg", "scan_bytes_total")) > 0.0)
+      assert(t(("query", "q1_agg", "duration_seconds_total")) > 0.0)
+      assert(t(("query", "q1_agg", "failures_total")) == 0.0)
+      // queryable like any table — the Spark-native surface
+      assert(spark.sql(
+        """SELECT value FROM graft_metrics
+          |WHERE kind = 'query' AND name = 'q1_agg'
+          |  AND metric = 'executions_total'""".stripMargin)
+        .head().getDouble(0) >= 1.0)
+      val prom = m.gather()
+      assert(prom.contains("""graft_queries_total{query="q1_agg"}"""))
+      assert(prom.contains("graft_active_streams 0.0"))
+    } finally m.detach()
+  }
+
+  test("streaming counters: batches, input/sink rows, active gauge") {
+    val m = graft.metrics.GraftMetrics.attach(spark)
+    try {
+      val n = Tables(spark, sf).events.count()
+      // staged synchronous run to a memory sink (s12's plan)
+      graft.streaming.StreamingQueries.streamDedup(spark, sf)
+      m.sync()
+      val t = m.table().collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getDouble(3))
+        .toMap
+      assert(t(("stream", "graft_s12_sink", "batches_total")) >= 1.0)
+      assert(t(("stream", "graft_s12_sink", "input_rows_total")) == n.toDouble,
+        "every staged event must be counted on ingest")
+      assert(t(("stream", "graft_s12_sink", "sink_rows_total")) > 0.0)
+      assert(t(("engine", "", "active_streams")) == 0.0,
+        "terminated streams leave the gauge")
+      val prom = m.gather()
+      assert(prom.contains(
+        """graft_stream_input_rows_total{stream="graft_s12_sink"}"""))
+    } finally m.detach()
+  }
+
+  test("detach stops recording; counters remain readable") {
+    val m = graft.metrics.GraftMetrics.attach(spark)
+    m.recordQuery("probe") {
+      spark.range(10).select(sum(col("id"))).collect()
+    }
+    m.detach()
+    val before = m.table().collect().length
+    spark.range(10).select(sum(col("id"))).collect()
+    m.sync()
+    assert(m.table().collect().length == before)
+  }
+}
