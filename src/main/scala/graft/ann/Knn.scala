@@ -31,6 +31,51 @@ object Knn {
     * ties to the lowest cell, empty cells keep their centroid.
     * Deterministic: first-nlist init, fixed iterations.
     */
+  /** Deterministic driver-side quantizer training sample over a
+    * (n_id: long, n_v: array<float|double>) projection: the n
+    * smallest rows by (xxhash64(n_id), n_id) — hash order keeps the
+    * sample spread across the corpus (an id-prefix sample is biased
+    * whenever ids track content), the id tiebreaker keeps it
+    * reproducible, and the usual training floor is n >= ~39*nlist
+    * (Lloyd stability rule of thumb).
+    *
+    * Planned as a plain hash-range FILTER + driver-side top-n, not
+    * orderBy(hash).limit(n): TakeOrderedAndProject walks a
+    * per-partition n-row heap of FULL rows (vector payload included)
+    * over the whole corpus — needless work at 100 TB when a
+    * threshold at ~2x the target fraction admits the same n smallest
+    * rows with overwhelming probability (binomial, mean 2n). The
+    * result is BIT-IDENTICAL to the top-K formulation (same ordering
+    * key, same n) — the astronomically-unlikely undersample falls
+    * back to it. The count() that sizes the threshold prunes to zero
+    * columns (parquet footer counts).
+    */
+  private def hashTrainSample(c: DataFrame, n: Int): Array[Array[Double]] = {
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val elemIsFloat = c.schema("n_v").dataType match {
+      case ArrayType(FloatType, _) => true
+      case _                       => false
+    }
+    def toVec(r: org.apache.spark.sql.Row): Array[Double] =
+      if (elemIsFloat) r.getSeq[Float](1).map(_.toDouble).toArray
+      else r.getSeq[Double](1).toArray
+    val proj = c.select(col("n_id"), col("n_v"),
+      xxhash64(col("n_id")).as("__h"))
+    val cnt = c.count()
+    val rows: Array[org.apache.spark.sql.Row] =
+      if (cnt <= n) proj.collect()
+      else {
+        val frac = math.min(1.0, 2.0 * n / cnt)
+        val t = BigInt(Long.MinValue) +
+          (BigDecimal(BigInt(1) << 64) * frac).toBigInt
+        val tl = t.min(BigInt(Long.MaxValue)).toLong
+        val got = proj.where(col("__h") < tl).collect()
+        if (got.length >= n) got
+        else proj.orderBy(col("__h"), col("n_id")).limit(n).collect()
+      }
+    rows.sortBy(r => (r.getLong(2), r.getLong(0))).take(n).map(toVec)
+  }
+
   private def trainCoarse(
       sample: Array[Array[Double]], nlist: Int, iters: Int): Array[Array[Double]] = {
     var cents: Array[Array[Double]] = sample.take(nlist).map(_.clone())
@@ -133,18 +178,7 @@ object Knn {
       case ArrayType(FloatType, _) => true
       case _ => false
     }
-    // deterministic but decorrelated from insertion order: an id-prefix
-    // sample is biased whenever ids track content (time/topic-ordered
-    // corpora), which skews centroids to the prefix's region. Hash
-    // order keeps the sample spread across the corpus; the id
-    // tiebreaker keeps it reproducible. Usual training floor is
-    // trainSample >= ~39*nlist (Lloyd stability rule of thumb).
-    val sample: Array[Array[Double]] = c
-      .orderBy(xxhash64(col("n_id")), col("n_id")).limit(trainSample)
-      .collect().map { r =>
-        if (elemIsFloat) r.getSeq[Float](1).map(_.toDouble).toArray
-        else r.getSeq[Double](1).toArray
-      }
+    val sample: Array[Array[Double]] = hashTrainSample(c, trainSample)
     require(sample.nonEmpty, "ivfTopK: empty corpus")
 
     val cents = trainCoarse(sample, nlist, iters)
@@ -219,12 +253,7 @@ object Knn {
       case ArrayType(FloatType, _) => true
       case _                       => false
     }
-    val sampleRaw: Array[Array[Double]] = c0
-      .orderBy(xxhash64(col("n_id")), col("n_id")).limit(trainSample)
-      .collect().map { r =>
-        if (elemIsFloat) r.getSeq[Float](1).map(_.toDouble).toArray
-        else r.getSeq[Double](1).toArray
-      }
+    val sampleRaw: Array[Array[Double]] = hashTrainSample(c0, trainSample)
     require(sampleRaw.nonEmpty, "pqTopK: empty corpus")
     val dim = sampleRaw.head.length
     require(dim % m == 0, s"pqTopK: dim $dim not divisible by m=$m")
@@ -443,9 +472,7 @@ object Knn {
     import graft.functions.Fnv64
     val c = corpus.select(col(idCol).as("n_id"),
       col(vecCol).cast("array<double>").as("n_v"))
-    val sample: Array[Array[Double]] = c
-      .orderBy(xxhash64(col("n_id")), col("n_id")).limit(trainSample)
-      .collect().map(_.getSeq[Double](1).toArray)
+    val sample: Array[Array[Double]] = hashTrainSample(c, trainSample)
     require(sample.nonEmpty, "clusterSample: empty corpus")
     val cents = trainCoarse(sample, nlist, iters)
     val assigned = c.withColumn("cell",
@@ -476,9 +503,7 @@ object Knn {
     import spark.implicits._
     val c = corpus.select(col(idCol).as("n_id"),
       col(vecCol).cast("array<double>").as("n_v"))
-    val sample: Array[Array[Double]] = c
-      .orderBy(xxhash64(col("n_id")), col("n_id")).limit(trainSample)
-      .collect().map(_.getSeq[Double](1).toArray)
+    val sample: Array[Array[Double]] = hashTrainSample(c, trainSample)
     require(sample.nonEmpty, "semDedup: empty corpus")
     val cents = trainCoarse(sample, nlist, iters)
 
