@@ -60,6 +60,30 @@ class MetricsSpec extends SparkSpec {
     } finally m.detach()
   }
 
+  test("scrape endpoint serves the Prometheus exposition over HTTP") {
+    val m = graft.metrics.GraftMetrics.attach(spark)
+    val srv = graft.metrics.MetricsServer.start(m, port = 0)
+    try {
+      m.recordQuery("scrape_probe") {
+        spark.range(5).select(sum(col("id"))).collect()
+      }
+      val url = new java.net.URI(
+        s"http://127.0.0.1:${srv.port}/metrics").toURL
+      val conn = url.openConnection()
+        .asInstanceOf[java.net.HttpURLConnection]
+      val body = try {
+        assert(conn.getResponseCode == 200)
+        assert(conn.getContentType.startsWith("text/plain"))
+        new String(conn.getInputStream.readAllBytes(), "UTF-8")
+      } finally conn.disconnect()
+      assert(body.contains("""graft_queries_total{query="scrape_probe"}"""))
+      assert(body.contains("graft_active_streams"))
+      val miss = new java.net.URI(s"http://127.0.0.1:${srv.port}/nope")
+        .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      try assert(miss.getResponseCode == 404) finally miss.disconnect()
+    } finally { srv.stop(); m.detach() }
+  }
+
   test("detach stops recording; counters remain readable") {
     val m = graft.metrics.GraftMetrics.attach(spark)
     m.recordQuery("probe") {
