@@ -117,14 +117,30 @@ object ScaleBench {
     // warmup
     spark.range(1000000L).selectExpr("sum(id)").collect()
     materialize(SparkEntry.queries("d1_exact_dedup")(spark, baseDir))
+    // First-touch every table at BOTH scales before timing (Bench's
+    // tier-3 lesson, re-learned at 30x: the scaled corpus is ~GBs and
+    // whichever query ran FIRST at the scaled dir absorbed its entire
+    // cold read — d1 showed 13x, pipe1 7.6x, purely by list position;
+    // warm, both return to their real ratios).
+    for (dir <- Seq(baseDir, scaledDir);
+         f <- Option(new java.io.File(dir).listFiles())
+           .getOrElse(Array.empty[java.io.File])
+         if f.getName.endsWith(".parquet"))
+      materialize(spark.read.parquet(f.getPath))
 
     val timed = sys.env.get("SCALEBENCH_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Queries)
-    def timeAll(dir: String): Seq[(String, Double)] = timed.map { name =>
-      val t0 = System.nanoTime()
-      materialize(SparkEntry.queries(name)(spark, dir))
-      name -> (System.nanoTime() - t0) / 1e9
+    // min-of-2 passes per scale (same rationale as Bench): one noisy
+    // window must not mint a phantom asymptote in a recorded ratio
+    def timeAll(dir: String): Seq[(String, Double)] = {
+      def pass(): Seq[(String, Double)] = timed.map { name =>
+        val t0 = System.nanoTime()
+        materialize(SparkEntry.queries(name)(spark, dir))
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+      val a = pass(); val b = pass().toMap
+      a.map { case (n, s) => n -> math.min(s, b(n)) }
     }
     val base = timeAll(baseDir)
     val scaled = timeAll(scaledDir)
@@ -133,9 +149,17 @@ object ScaleBench {
         xs.map { case (k, v) => s""""$k":$v""" }.mkString(",") + "}}"
     println(jline("sf0.1", base))
     println(jline(s"sf0.1x$nReps-derived", scaled))
-    System.err.println(f"${"query"}%-20s ${"sf0.1"}%8s ${nReps + "x"}%8s ratio")
+    // ratio is time growth at nReps-times the data; %lin normalizes it
+    // against perfectly linear scaling (100% = time grew exactly with
+    // the data; <100% = sublinear). A floor-dominated base (d1's one
+    // md5 shuffle costs ~0.3s of scheduling at sf0.1) inflates the raw
+    // ratio while %lin stays honest — superlinearity would show as
+    // >100%, and nothing may exceed it.
+    System.err.println(
+      f"${"query"}%-20s ${"sf0.1"}%8s ${nReps + "x"}%8s ratio  %%lin")
     base.zip(scaled).foreach { case ((n, b), (_, s)) =>
-      System.err.println(f"$n%-20s $b%8.2f $s%8.2f ${s / b}%5.1fx")
+      System.err.println(
+        f"$n%-20s $b%8.2f $s%8.2f ${s / b}%5.1fx ${s / b / nReps * 100}%5.0f%%")
     }
     spark.stop()
   }
