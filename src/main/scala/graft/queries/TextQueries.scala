@@ -1121,18 +1121,6 @@ object TextQueries {
         val qf = docs.filter(col("doc_id") % 7 =!= 0)
           .filter(quality >= 0.7)
           .select(col("doc_id"), col("text"), col("source"))
-        // exact-dedup as a WINDOW keeper election (row_number over fp,
-        // keep rank 1 = min doc_id): ONE pass over the regex-heavy
-        // quality scan and one text shuffle. The earlier
-        // groupBy+self-join on fp re-executed the whole upstream scan
-        // for each side and shuffled the text twice — measured 30x
-        // ScaleBench: 40s -> see SURVEY §16.
-        val fp = qf.withColumn("fp", md5(normalize(col("text"))))
-        val dw = org.apache.spark.sql.expressions.Window
-          .partitionBy("fp").orderBy("doc_id")
-        val surv = fp.withColumn("__rn", row_number().over(dw))
-          .filter(col("__rn") === 1)
-          .select("doc_id", "text", "source")
         // decontamination as the s29 ROW-LOCAL probe, not the d6
         // join: Dedup.decontaminate(surv, bench) + left_anti would
         // execute the regex-heavy quality scan and the keeper-election
@@ -1141,10 +1129,16 @@ object TextQueries {
         // with the benchmark side held fixed. The eval set is small
         // by nature (cap-guarded in the fit helper), so its distinct
         // gram hashes ride into ONE native row-local filter fused
-        // into the single corpus pass: pipe1 is now one scan + two
-        // shuffles (fp keeper election, final shard agg), the shape a
-        // 100 TB corpus pipeline must have. Over-cap eval sets fall
-        // back to d6's distributed join.
+        // into the single corpus pass. Over-cap eval sets fall back
+        // to d6's distributed join.
+        //
+        // The probe runs BEFORE the dedup shuffle even though the
+        // oracle (and the operator contract) decontaminates the
+        // SURVIVORS: the two stages commute because equal fp means
+        // equal normalized text, hence equal word shingles, hence an
+        // identical contamination verdict for every member of an fp
+        // group — filtering first removes exactly the rows the
+        // post-dedup filter would have.
         val benchHashes = Dedup.benchGramHashes(
           docs.filter(col("doc_id") % 7 === 0), k = 5)
         val hitsProbe = org.apache.spark.sql.graftbridge.ColumnBridge.column(
@@ -1152,14 +1146,33 @@ object TextQueries {
             org.apache.spark.sql.graftbridge.ColumnBridge.expression(
               shingles(col("text"), 5)),
             benchHashes))
-        val clean = surv.where(element_at(hitsProbe, 2) === 0L)
+        val probed = qf.where(element_at(hitsProbe, 2) === 0L)
+        // exact-dedup as a WINDOW keeper election (row_number over fp,
+        // keep rank 1 = min doc_id): ONE pass over the regex-heavy
+        // quality scan and ONE slim shuffle. The earlier
+        // groupBy+self-join on fp re-executed the whole upstream scan
+        // for each side and shuffled the text twice (measured 30x
+        // ScaleBench: 40s -> SURVEY §16); r9 additionally computes
+        // every downstream row-local output (token/char counts)
+        // BEFORE the exchange and DROPS the text column from it —
+        // the election shuffles ~40-byte rows instead of documents,
+        // the dominant byte-volume win at 100 TB.
+        val slim = probed.select(
+          col("doc_id"), col("source"),
+          md5(normalize(col("text"))).as("fp"),
+          bpeishTokenCount(col("text")).cast("long").as("toks"),
+          length(col("text")).cast("long").as("chars"))
+        val dw = org.apache.spark.sql.expressions.Window
+          .partitionBy("fp").orderBy("doc_id")
+        val clean = slim.withColumn("__rn", row_number().over(dw))
+          .filter(col("__rn") === 1)
         val n = regexp_extract(col("source"), "[0-9]+", 0).cast("int")
         val rate = when(n < 5, 900000L).when(n < 10, 600000L)
           .when(n < 15, 300000L).otherwise(120000L)
         val sampled = graft.text.TextAnalysis.stratifiedSample(
           clean, col("doc_id"), rate)
-        graft.text.TextAnalysis.shardStats(
-          sampled, col("doc_id"), col("text"), 16)
+        graft.text.TextAnalysis.shardStatsPre(
+          sampled, col("doc_id"), col("toks"), col("chars"), 16)
       }
     },
 

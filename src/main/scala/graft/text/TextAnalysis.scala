@@ -117,14 +117,29 @@ object TextAnalysis {
       idCol: Column,
       textCol: Column,
       nShards: Int,
+      salt: String = "shard"): DataFrame =
+    shardStatsPre(docs, idCol,
+      bpeishTokenCount(textCol).cast("long"),
+      length(textCol).cast("long"), nShards, salt)
+
+  /** [[shardStats]] over PRE-COMPUTED token/char counts — for
+    * pipelines (pipe1) that push the row-local counting below an
+    * earlier exchange so document text never rides a shuffle.
+    */
+  def shardStatsPre(
+      docs: DataFrame,
+      idCol: Column,
+      toksCol: Column,
+      charsCol: Column,
+      nShards: Int,
       salt: String = "shard"): DataFrame = {
     val shard = Fnv64.unsignedMod(
       Fnv64(concat(lit(salt + "|"), idCol.cast("string"))), nShards.toLong)
     docs.select(
       shard.as("shard"),
       idCol.as("id"),
-      bpeishTokenCount(textCol).cast("long").as("toks"),
-      length(textCol).cast("long").as("chars"))
+      toksCol.as("toks"),
+      charsCol.as("chars"))
       .groupBy("shard")
       .agg(
         count(lit(1)).as("n_docs"),
