@@ -479,10 +479,10 @@ object TextAnalysis {
     *  - the evolving vocab is persisted per round and the previous
     *    round unpersisted — the lineage stays one round deep.
     *
-    * Returns the merge table (rank, left, right, merged, pair_count)
-    * — rows-only BY DESIGN like the Lloyd-trained quantizers (an
-    * iterative training procedure, not a relational query);
-    * first-merges and determinism are spec-pinned on crafted corpora.
+    * Returns the merge table (rank, left, right, merged, pair_count).
+    * Since r9 it carries a full DuckDB hash oracle (deterministic
+    * unrolled-CTE re-derivation, see queries/TextQueries BpeOracle);
+    * first-merges and determinism stay spec-pinned on crafted corpora.
     */
   def bpeTrain(
       docs: DataFrame,
@@ -496,6 +496,24 @@ object TextAnalysis {
       .select(expr("filter(split(word, ''), x -> x != '')").as("syms"),
         col("freq"))
       .persist()
+    // The base word-freq aggregation is CORPUS-sized — materialize it
+    // into the cache at the session's full parallelism before pinning
+    // the round loop's tiny-exchange confs below.
+    vocab.count()
+    // Every exchange inside the round loop is VOCAB-sized (tens of
+    // thousands of rows): 32 reduce partitions are pure task-schedule
+    // overhead, and AQE's stage-materialization barrier turns each
+    // round's one aggregation into extra jobs — together they WERE the
+    // "inherent per-merge floor" (12 rounds ran ~2.8 s at sf0.1 on
+    // cached ~50k-row vocab). Pin both for the loop and restore after;
+    // like runToTable's capped stream partitioning, the brief
+    // session-conf mutation assumes the harness's one-query-at-a-time
+    // contract.
+    val pinned = Seq("spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.shuffle.partitions" -> "8")
+    val saved = pinned.map { case (k, _) => k -> spark.conf.get(k) }
+    pinned.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Long, String, String, String, Long)]
     // Each round's pair-count collect is the FIRST action over the
@@ -535,6 +553,7 @@ object TextAnalysis {
     vocab.unpersist()
     prev.foreach(_.unpersist())
     merges.toSeq.toDF("rank", "left", "right", "merged", "pair_count")
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
   /** [[bpeTrain]]'s merge table collected to the driver-side
