@@ -1,0 +1,135 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** OnnxImport: a hand-encoded ONNX ModelProto (protobuf wire format
+  * built byte-by-byte here — independent of the reader under test)
+  * imports into Score.MlpModel with the exact weights, covering
+  * raw_data/float_data/double_data tensor encodings, transB both
+  * ways, Relu folding, and the strict unsupported-op rejection.
+  */
+class OnnxImportSpec extends AnyFunSuite {
+
+  // ---- minimal protobuf writer (mirror of nothing in main code) ----
+  private def vint(v: Long): Array[Byte] = {
+    val out = Array.newBuilder[Byte]
+    var x = v
+    while ({
+      val b = (x & 0x7f).toByte
+      x >>>= 7
+      if (x != 0) out += (b | 0x80).toByte else out += b
+      x != 0
+    }) ()
+    out.result()
+  }
+  private def tag(field: Int, wire: Int): Array[Byte] = vint((field << 3) | wire)
+  private def ld(field: Int, body: Array[Byte]): Array[Byte] =
+    tag(field, 2) ++ vint(body.length) ++ body
+  private def str(field: Int, s: String): Array[Byte] = ld(field, s.getBytes("UTF-8"))
+  private def iAttr(field: Int, v: Long): Array[Byte] = tag(field, 0) ++ vint(v)
+  private def f32le(vs: Seq[Float]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(vs.length * 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    vs.foreach(bb.putFloat); bb.array()
+  }
+  private def f64le(vs: Seq[Double]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(vs.length * 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    vs.foreach(bb.putDouble); bb.array()
+  }
+
+  /** TensorProto with a chosen encoding: "raw32", "raw64", "f32", "f64" */
+  private def tensor(name: String, dims: Seq[Long], vals: Seq[Double],
+      enc: String): Array[Byte] = {
+    val dimsB = dims.flatMap(d => iAttr(1, d)).toArray
+    val body = enc match {
+      case "raw32" => iAttr(2, 1) ++ ld(9, f32le(vals.map(_.toFloat)))
+      case "raw64" => iAttr(2, 11) ++ ld(9, f64le(vals))
+      case "f32"   => iAttr(2, 1) ++ ld(4, f32le(vals.map(_.toFloat)))
+      case "f64"   => iAttr(2, 11) ++ ld(10, f64le(vals))
+    }
+    dimsB ++ body ++ str(8, name)
+  }
+
+  private def attrI(name: String, v: Long): Array[Byte] =
+    ld(5, str(1, name) ++ iAttr(3, v))
+  private def node(op: String, ins: Seq[String], out: String,
+      attrs: Array[Byte] = Array.empty): Array[Byte] =
+    ld(1, ins.flatMap(str(1, _)).toArray ++ str(2, out) ++ str(4, op) ++ attrs)
+  private def graphInput(name: String): Array[Byte] = ld(11, str(1, name))
+  private def model(graphFields: Array[Byte]): Array[Byte] = ld(7, graphFields)
+
+  // The demo net: W1 (2 out × 3 in), relu, W2 (1 out × 2 in).
+  private val w1 = Seq(0.25, -0.5, 0.125, 0.75, 0.0625, -0.25)
+  private val b1 = Seq(0.5, -0.25)
+  private val w2 = Seq(0.5, -0.75)
+  private val b2 = Seq(0.0625)
+
+  private def refForward(x: Array[Double]): Double = {
+    val h = Array(
+      math.max(0.25 * x(0) - 0.5 * x(1) + 0.125 * x(2) + 0.5, 0),
+      math.max(0.75 * x(0) + 0.0625 * x(1) - 0.25 * x(2) - 0.25, 0))
+    val z = 0.5 * h(0) - 0.75 * h(1) + 0.0625
+    0.5 + 0.5 * z / (1.0 + math.abs(z))
+  }
+
+  test("Gemm[transB=1] -> Relu -> Gemm[transB=0] imports exactly") {
+    // layer 1: transB=1, W dims [out=2, in=3], raw float32 + f64 bias
+    // layer 2: transB=0, W dims [in=2, out=1] (transposed storage),
+    //          packed float_data + raw float64 bias
+    val w2T = Seq(w2(0), w2(1)) // [2,1] in-major == same flat order here
+    val g =
+      graphInput("x") ++
+        node("Gemm", Seq("x", "W1", "B1"), "h_pre", attrI("transB", 1)) ++
+        node("Relu", Seq("h_pre"), "h") ++
+        node("Gemm", Seq("h", "W2", "B2"), "z", attrI("transB", 0)) ++
+        ld(5, tensor("W1", Seq(2, 3), w1, "raw32")) ++
+        ld(5, tensor("B1", Seq(2), b1, "f64")) ++
+        ld(5, tensor("W2", Seq(2, 1), w2T, "f32")) ++
+        ld(5, tensor("B2", Seq(1), b2, "raw64"))
+    val m = graft.ml.OnnxImport.fromBytes(model(g), "onnx_demo",
+      Seq("x1", "x2", "x3"))
+    assert(m.layers.length == 2)
+    assert(m.layers.head.relu && !m.layers.last.relu)
+    assert(m.layers.head.w.map(_.toSeq).toSeq ==
+      Seq(Seq(0.25f.toDouble, -0.5f.toDouble, 0.125f.toDouble),
+        Seq(0.75f.toDouble, 0.0625f.toDouble, -0.25f.toDouble)))
+    assert(m.layers.last.b.toSeq == b2)
+    for (x <- Seq(Array(1.0, 2.0, 3.0), Array(-0.5, 0.25, 7.0),
+        Array(0.0, 0.0, 0.0)))
+      assert(math.abs(m.forward(x) - refForward(x)) < 1e-7,
+        s"${x.toSeq}: ${m.forward(x)} vs ${refForward(x)}")
+  }
+
+  test("unsupported trailing activation is rejected, not approximated") {
+    val g =
+      graphInput("x") ++
+        node("Gemm", Seq("x", "W", "B"), "z", attrI("transB", 1)) ++
+        node("Sigmoid", Seq("z"), "p") ++
+        ld(5, tensor("W", Seq(1, 2), Seq(1.0, 2.0), "raw32")) ++
+        ld(5, tensor("B", Seq(1), Seq(0.5), "raw32"))
+    val e = intercept[IllegalArgumentException](
+      graft.ml.OnnxImport.fromBytes(model(g), "bad", Seq("a", "b")))
+    assert(e.getMessage.contains("'Sigmoid' unsupported"))
+    assert(e.getMessage.contains("without the output activation"))
+  }
+
+  test("input-width mismatch and non-default Gemm attrs are rejected") {
+    val ok =
+      graphInput("x") ++
+        node("Gemm", Seq("x", "W", "B"), "z", attrI("transB", 1)) ++
+        ld(5, tensor("W", Seq(1, 2), Seq(1.0, 2.0), "raw32")) ++
+        ld(5, tensor("B", Seq(1), Seq(0.5), "raw32"))
+    val e = intercept[IllegalArgumentException](
+      graft.ml.OnnxImport.fromBytes(model(ok), "m", Seq("a", "b", "c")))
+    assert(e.getMessage.contains("2 inputs, got 3"))
+    val trans =
+      graphInput("x") ++
+        node("Gemm", Seq("x", "W", "B"), "z", attrI("transA", 1)) ++
+        ld(5, tensor("W", Seq(2, 1), Seq(1.0, 2.0), "raw32")) ++
+        ld(5, tensor("B", Seq(1), Seq(0.5), "raw32"))
+    val e2 = intercept[IllegalArgumentException](
+      graft.ml.OnnxImport.fromBytes(model(trans), "m", Seq("a", "b")))
+    assert(e2.getMessage.contains("transA=1 unsupported"))
+  }
+}
