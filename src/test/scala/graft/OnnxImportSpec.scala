@@ -1,14 +1,13 @@
 package graft
 
-import org.scalatest.funsuite.AnyFunSuite
-
 /** OnnxImport: a hand-encoded ONNX ModelProto (protobuf wire format
   * built byte-by-byte here — independent of the reader under test)
   * imports into Score.MlpModel with the exact weights, covering
   * raw_data/float_data/double_data tensor encodings, transB both
-  * ways, Relu folding, and the strict unsupported-op rejection.
+  * ways, Relu folding, the strict unsupported-op rejection, and the
+  * VPL `.score(model:)` end-to-end binding.
   */
-class OnnxImportSpec extends AnyFunSuite {
+class OnnxImportSpec extends SparkSpec {
 
   // ---- minimal protobuf writer (mirror of nothing in main code) ----
   private def vint(v: Long): Array[Byte] = {
@@ -112,6 +111,39 @@ class OnnxImportSpec extends AnyFunSuite {
       graft.ml.OnnxImport.fromBytes(model(g), "bad", Seq("a", "b")))
     assert(e.getMessage.contains("'Sigmoid' unsupported"))
     assert(e.getMessage.contains("without the output activation"))
+  }
+
+  test("an ONNX-file model scores from VPL .score(model:)") {
+    import graft.vpl._
+    // the registered-query model (loaded once at MlQueries init from
+    // its Base64 .onnx bytes) bound into a VPL program — the full
+    // reference workflow: export net -> load file -> .score in-stream
+    val m = queries.MlQueries.onnxMlp
+    val vpl =
+      """event Pt:
+        |    x1: float
+        |    x2: float
+        |    x3: float
+        |
+        |stream S = Pt
+        |    .score(model: "onnx_mlp", inputs: [x1, x2, x3])
+        |    .emit(p: score)
+        |""".stripMargin
+    val evt = java.nio.file.Files.createTempFile("graft_onnx", ".evt")
+    java.nio.file.Files.writeString(evt,
+      """Pt { x1: 1.0, x2: 2.0, x3: 3.0 }
+        |Pt { x1: -4.0, x2: 0.5, x3: 0.0 }
+        |""".stripMargin)
+    val prog = VplParser.parse(vpl)
+    val decls = prog.events.map(e => e.name -> e).toMap
+    val c = new VplCompiler(prog,
+      new EvtSource(spark, Seq(evt.toString), decls),
+      models = Map("onnx_mlp" -> m))
+    val got = c.stream("S").select("p").collect()
+      .map(_.getDouble(0)).sorted
+    val want = Seq(m.forward(Array(1.0, 2.0, 3.0)),
+      m.forward(Array(-4.0, 0.5, 0.0))).sorted
+    assert(got.toSeq == want, got.mkString(","))
   }
 
   test("input-width mismatch and non-default Gemm attrs are rejected") {
