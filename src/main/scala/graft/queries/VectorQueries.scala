@@ -182,8 +182,14 @@ object VectorQueries {
       }
     },
 
-    // --- #41b IVF ANN: k-means cells + nProbe search (scale path) ---
-    "v4_knn_ivf" -> QueryDef.rowsOnly {
+    // --- #41b IVF ANN: k-means cells + nProbe search (scale path).
+    // FULLY HASH-ORACLED since r9: Lloyd training is deterministic
+    // (fixed sample order, in-order float folds), so the DuckDB
+    // oracle re-runs it — XXH64 sample ordering + 3 unrolled
+    // iterations + assignment + cosine ranking, bit-for-bit (see
+    // KmeansOracle) ---
+    "v4_knn_ivf" -> QueryDef.of(
+      KmeansOracle.v4Sql(k = 10, nlist = 16, nProbe = 4)) {
       (s, dir) => {
         val e = Tables(s, dir).embeddings
         Knn.ivfTopK(e, e.filter(col("vec_id") < 10), k = 10,
@@ -193,10 +199,12 @@ object VectorQueries {
 
     // --- #41c product-quantization ANN (memory-bound scale path):
     // codes instead of vectors in the candidate scan, ADC tables,
-    // exact re-rank of the top candidates. rows-only BY DESIGN (the
-    // per-subspace Lloyd training is an iterative numeric procedure);
-    // recall-vs-brute-force is spec-pinned like v4's ---
-    "v6_knn_ivfpq" -> QueryDef.rowsOnly {
+    // exact re-rank of the top candidates. FULLY HASH-ORACLED since
+    // r9 (KmeansOracle.v6Sql re-derives BOTH quantizer trainings, the
+    // PQ encode, the in-order ADC fold and the re-rank);
+    // recall-vs-brute-force stays spec-pinned like v4's ---
+    "v6_knn_ivfpq" -> QueryDef.of(
+      KmeansOracle.v6Sql(k = 10, m = 8, ksub = 32, refine = 6)) {
       (s, dir) => {
         val e = Tables(s, dir).embeddings
         Knn.pqTopK(e, e.filter(col("vec_id") < 10), k = 10,
@@ -206,10 +214,10 @@ object VectorQueries {
 
     // --- #41d SemDeDup semantic dedup (centroid-anchored linear
     // variant): k-means cells, per-cell keeper election, drop members
-    // at cos >= tau to the keeper. rows-only BY DESIGN like v4/v6
-    // (Lloyd training is iterative); keeper-uniqueness / drop-bound /
-    // determinism properties are spec-pinned in DedupSpec ---
-    "v7_semdedup" -> QueryDef.rowsOnly {
+    // at cos >= tau to the keeper. FULLY HASH-ORACLED since r9
+    // (KmeansOracle.v7Sql re-derives training + keepers + cos flags);
+    // keeper-uniqueness / drop-bound / determinism stay spec-pinned ---
+    "v7_semdedup" -> QueryDef.of(KmeansOracle.v7Sql(tau = 0.95, nlist = 16)) {
       (s, dir) =>
         Knn.semDedup(Tables(s, dir).embeddings, tau = 0.95, nlist = 16)
     },
@@ -217,9 +225,10 @@ object VectorQueries {
     // --- #41e cluster-balanced sampling (mixture curation): cap each
     // embedding cluster at ~perCell vectors via a deterministic FNV
     // keep-threshold — no per-cell window sort, so parallelism never
-    // caps at nlist. rows-only BY DESIGN like v4/v6/v7 (Lloyd);
-    // quota/coverage/determinism properties spec-pinned ---
-    "v8_cluster_sample" -> QueryDef.rowsOnly {
+    // caps at nlist. FULLY HASH-ORACLED since r9 (KmeansOracle.v8Sql);
+    // quota/coverage/determinism stay spec-pinned ---
+    "v8_cluster_sample" -> QueryDef.of(
+      KmeansOracle.v8Sql(perCell = 12, nlist = 16)) {
       (s, dir) =>
         Knn.clusterSample(Tables(s, dir).embeddings, perCell = 12,
           nlist = 16)
