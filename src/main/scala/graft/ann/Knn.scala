@@ -73,7 +73,20 @@ object Knn {
         if (got.length >= n) got
         else proj.orderBy(col("__h"), col("n_id")).limit(n).collect()
       }
-    rows.sortBy(r => (r.getLong(2), r.getLong(0))).take(n).map(toVec)
+    // hash-tie break compares ids generically — the public idCol
+    // contract is any orderable column, not LongType (the replaced
+    // orderBy formulation sorted ids engine-side and never narrowed)
+    val idOrd: Ordering[Any] = (x: Any, y: Any) => (x, y) match {
+      case (a: java.lang.Comparable[_], b) =>
+        a.asInstanceOf[java.lang.Comparable[Any]].compareTo(b)
+      case (null, null) => 0
+      case (null, _)    => -1
+      case (_, null)    => 1
+      case (a, _) => throw new IllegalArgumentException(
+        s"hashTrainSample: id type ${a.getClass} is not Comparable")
+    }
+    rows.sortBy(r => (r.getLong(2), r.get(0)))(
+      Ordering.Tuple2(Ordering.Long, idOrd)).take(n).map(toVec)
   }
 
   private def trainCoarse(
@@ -478,16 +491,24 @@ object Knn {
     val assigned = c.withColumn("cell",
       element_at(cellProbesCol(cents, 1)(col("n_v")), 1))
     val sizes = assigned.groupBy("cell").agg(count(lit(1)).as("cell_size"))
+    // rate is TRUNCATED to whole ppm before anything compares against
+    // it: `/` on longs is double division in Spark, and comparing the
+    // bucket against a fractional rate while EMITTING the truncated
+    // rate_ppm column made `kept` disagree with the published
+    // threshold on boundary buckets (bucket == floor(rate)) — the
+    // kind of one-in-a-million divergence that passes small-SF gates
+    // and flakes at scale. Integer semantics end to end.
     val rated = assigned.join(broadcast(sizes), Seq("cell"))
       .withColumn("rate_ppm", least(lit(1000000L),
-        lit(perCell.toLong) * lit(1000000L) / col("cell_size")))
+        (lit(perCell.toLong) * lit(1000000L) / col("cell_size"))
+          .cast("long")))
       .withColumn("bucket", Fnv64.unsignedMod(
         Fnv64(concat(lit("cs|"), col("n_id").cast("string"))), 1000000L))
     rated.select(
       col("n_id").as("vec_id"),
       col("cell").cast("long").as("cell"),
       col("cell_size").cast("long").as("cell_size"),
-      col("rate_ppm").cast("long").as("rate_ppm"),
+      col("rate_ppm").as("rate_ppm"),
       (col("bucket") < col("rate_ppm")).as("kept"))
   }
 

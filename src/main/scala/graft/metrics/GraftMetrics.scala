@@ -116,6 +116,9 @@ final class GraftMetrics private (spark: SparkSession) {
     * staged streaming harness.
     */
   def recordQuery[T](name: String)(body: => T): T = {
+    // drain BEFORE tagging too: an earlier untagged query's async
+    // onSuccess still in flight would otherwise land under this label
+    MetricsBridge.drain(spark)
     lock.synchronized { tag = Some(name) }
     try body
     finally {

@@ -20,18 +20,22 @@ import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
 final class MetricsServer private (m: GraftMetrics, bind: InetSocketAddress) {
 
   private val server: HttpServer = HttpServer.create(bind, 0)
+  // JDK HttpServer routes by longest matching context PREFIX, so the
+  // /metrics context also receives /metricsfoo — check the exact path
+  // in the handler; the root context then only ever sees true misses.
   server.createContext("/metrics", new HttpHandler {
     override def handle(x: HttpExchange): Unit = {
       val (code, body) =
-        if (x.getRequestMethod == "GET") (200, m.gather())
+        if (x.getRequestURI.getPath != "/metrics")
+          (404, "not found; scrape /metrics\n")
+        else if (x.getRequestMethod == "GET") (200, m.gather())
         else (405, "method not allowed\n")
       respond(x, code, body)
     }
   })
   server.createContext("/", new HttpHandler {
     override def handle(x: HttpExchange): Unit =
-      if (x.getRequestURI.getPath == "/metrics") () // handled above
-      else respond(x, 404, "not found; scrape /metrics\n")
+      respond(x, 404, "not found; scrape /metrics\n")
   })
   server.start()
 

@@ -191,21 +191,34 @@ object OnnxImport {
             node.attrI.getOrElse("transA", 0L) == 0L,
             "onnx: Gemm with alpha/beta != 1 or transA=1 unsupported")
           val transB = node.attrI.getOrElse("transB", 0L) == 1L
+          require(node.inputs.length >= 2,
+            "onnx: Gemm needs at least (X, W) inputs")
           val w = ws.getOrElse(node.inputs(1), sys.error(
             s"onnx: Gemm weight '${node.inputs(1)}' not an initializer"))
-          val b = ws.getOrElse(node.inputs(2), sys.error(
-            s"onnx: Gemm bias '${node.inputs(2)}' not an initializer"))
           require(w.dims.length == 2, s"onnx: weight '${w.name}' must be 2-D")
           val (nOut, nIn) =
             if (transB) (w.dims(0).toInt, w.dims(1).toInt)
             else (w.dims(1).toInt, w.dims(0).toInt)
-          require(b.values.length == nOut,
-            s"onnx: bias '${b.name}' length ${b.values.length} != $nOut outputs")
+          require(w.values.length == nOut * nIn,
+            s"onnx: weight '${w.name}' carries ${w.values.length} values " +
+              s"for dims [${w.dims.mkString(",")}] — truncated tensor?")
+          // the C (bias) input is OPTIONAL in the ONNX Gemm spec
+          // (nn.Linear(bias=False) exports without it) — absent means
+          // a zero bias, not a malformed file
+          val b: Array[Double] = node.inputs.lift(2) match {
+            case Some(bn) =>
+              val t = ws.getOrElse(bn,
+                sys.error(s"onnx: Gemm bias '$bn' not an initializer"))
+              require(t.values.length == nOut,
+                s"onnx: bias '${t.name}' length ${t.values.length} != $nOut outputs")
+              t.values
+            case None => new Array[Double](nOut)
+          }
           val rows = Array.tabulate(nOut, nIn) { (o, i) =>
             if (transB) w.values(o * nIn + i) else w.values(i * nOut + o)
           }
           if (lastGemm != null) layers += lastGemm
-          lastGemm = MlpLayer(rows, b.values, relu = false)
+          lastGemm = MlpLayer(rows, b, relu = false)
         case "Relu" =>
           require(lastGemm != null, "onnx: Relu before any Gemm")
           lastGemm = lastGemm.copy(relu = true)

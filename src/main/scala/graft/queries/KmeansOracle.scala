@@ -27,9 +27,11 @@ package graft.queries
   *
   * Validated three ways at sf0.01: an independent Python
   * reimplementation, the Spark output parquet (bit-equal), and the
-  * DuckDB oracle (bit-equal to both). v6 (IVF-PQ) stays rows-only:
-  * its per-subspace codebooks add 8 more Lloyd trainings per run —
-  * expressible the same way but disproportionate oracle complexity.
+  * DuckDB oracle (bit-equal to both). [[v6Sql]] extends the same
+  * machinery to IVF-PQ: the m per-subspace codebook trainings unroll
+  * exactly like the coarse quantizer (data-parallel over the
+  * subspace dimension), and the ADC score folds its table lookups in
+  * subspace order.
   */
 object KmeansOracle {
 

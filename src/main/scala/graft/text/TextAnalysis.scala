@@ -581,7 +581,12 @@ object TextAnalysis {
     */
   def trainedMergesCached(docs: DataFrame, textCol: Column,
       nMerges: Int, cacheKey: String): Seq[(String, String)] =
-    mergesCache.computeIfAbsent((cacheKey, nMerges),
+    // the text column rides in the key so a different column under
+    // the same corpus dir can never serve another column's merges;
+    // the remaining assumption — the data under cacheKey is immutable
+    // for the session — is the same one Spark's own file-listing
+    // caches make
+    mergesCache.computeIfAbsent((s"$cacheKey|$textCol", nMerges),
       _ => trainedMerges(docs, textCol, nMerges))
 
   /** BPE tokenizer APPLICATION (the second half of [[bpeTrain]]):

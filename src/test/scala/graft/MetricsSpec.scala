@@ -78,9 +78,14 @@ class MetricsSpec extends SparkSpec {
       } finally conn.disconnect()
       assert(body.contains("""graft_queries_total{query="scrape_probe"}"""))
       assert(body.contains("graft_active_streams"))
-      val miss = new java.net.URI(s"http://127.0.0.1:${srv.port}/nope")
-        .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
-      try assert(miss.getResponseCode == 404) finally miss.disconnect()
+      // true miss AND a prefix-match miss (JDK contexts route by
+      // prefix — /metricsfoo must not serve the metrics body)
+      for (path <- Seq("/nope", "/metricsfoo")) {
+        val miss = new java.net.URI(s"http://127.0.0.1:${srv.port}$path")
+          .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+        try assert(miss.getResponseCode == 404, path)
+        finally miss.disconnect()
+      }
     } finally { srv.stop(); m.detach() }
   }
 

@@ -100,6 +100,28 @@ class OnnxImportSpec extends SparkSpec {
         s"${x.toSeq}: ${m.forward(x)} vs ${refForward(x)}")
   }
 
+  test("bias-less Gemm (nn.Linear(bias=False) export) imports as zero bias") {
+    val g =
+      graphInput("x") ++
+        node("Gemm", Seq("x", "W"), "z", attrI("transB", 1)) ++
+        ld(5, tensor("W", Seq(1, 2), Seq(0.5, -0.25), "raw32"))
+    val m = graft.ml.OnnxImport.fromBytes(model(g), "nobias", Seq("a", "b"))
+    assert(m.layers.head.b.toSeq == Seq(0.0))
+    val z = 0.5 * 3.0 - 0.25 * 4.0
+    assert(m.forward(Array(3.0, 4.0)) == 0.5 + 0.5 * z / (1.0 + math.abs(z)))
+  }
+
+  test("truncated weight tensor is rejected with a pointed error") {
+    val g =
+      graphInput("x") ++
+        node("Gemm", Seq("x", "W", "B"), "z", attrI("transB", 1)) ++
+        ld(5, tensor("W", Seq(2, 2), Seq(1.0, 2.0, 3.0), "raw32")) ++
+        ld(5, tensor("B", Seq(2), Seq(0.0, 0.0), "raw32"))
+    val e = intercept[IllegalArgumentException](
+      graft.ml.OnnxImport.fromBytes(model(g), "m", Seq("a", "b")))
+    assert(e.getMessage.contains("truncated tensor"))
+  }
+
   test("unsupported trailing activation is rejected, not approximated") {
     val g =
       graphInput("x") ++
