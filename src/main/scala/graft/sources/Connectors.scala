@@ -114,7 +114,11 @@ object Connectors {
   val brokeredFormats: Map[String, String] = Map(
     "kafka"         -> "kafka",               // spark-sql-kafka
     "mqtt"          -> "org.apache.bahir.sql.streaming.mqtt.MQTTStreamSourceProvider",
-    "http"          -> "foreachBatch+http-client",
+    // http is NOT a stand-in: HttpConnector/HttpWebhookReceiver are a
+    // real JDK-only transport, loopback-tested end to end
+    // (HttpConnectorSpec) — webhook source with auth/batch caps,
+    // landing-dir stream, per-partition array-POST sink
+    "http"          -> "graft.sources.HttpConnector (bundled, real)",
     "nats"          -> "nats (community structured-streaming connector)",
     "kinesis"       -> "kinesis (kinesis-sql structured-streaming connector)",
     "elasticsearch" -> "org.elasticsearch.spark.sql",

@@ -1,0 +1,192 @@
+package graft.sources
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** REAL HTTP transport for the connector surface (reference
+  * connector/http.rs) — actual loopback-tested networking, zero new
+  * dependencies (JDK HttpServer + java.net.http.HttpClient), closing
+  * the "every broker is a file stand-in" gap for the one reference
+  * transport a hermetic container can genuinely exercise.
+  *
+  * Source half = the reference's HttpWebhookSource contract
+  * (http.rs:81-137): POST one JSON object to `/event` or a JSON
+  * array to `/batch`; optional `x-api-key` / `Authorization: Bearer`
+  * auth (401), max batch size (413), malformed payloads 400.
+  * Accepted events spool ATOMICALLY (tmp file + rename) as NDJSON
+  * into a landing directory and the stream is Spark's file source
+  * over it — the webhook → landing-zone → stream shape a
+  * DISTRIBUTED engine actually deploys: the reference pushes into an
+  * in-process channel, but Spark's executors do not live in the
+  * webhook's process, and micro-files in a landing zone are the
+  * standard bridge (exactly-once via file-source tracking).
+  *
+  * Sink half = HttpSink (http.rs:15-73): events POST as JSON with
+  * Content-Type application/json and optional extra headers; graft
+  * posts ONE ARRAY PER PARTITION to the configured URL (the webhook
+  * `/batch` contract — per-event POSTs, the reference's default,
+  * multiply network round-trips by event count at 100 TB), each
+  * executor posting its partitions independently.
+  */
+final class HttpWebhookReceiver private (
+    server: HttpServer,
+    spoolDir: String,
+    apiKey: Option[String],
+    maxBatch: Int) {
+
+  def port: Int = server.getAddress.getPort
+  def url: String = s"http://127.0.0.1:$port"
+  def stop(): Unit = server.stop(0)
+
+  private def authorized(x: HttpExchange): Boolean = apiKey.forall { k =>
+    val h = x.getRequestHeaders
+    Option(h.getFirst("x-api-key")).contains(k) ||
+      Option(h.getFirst("Authorization")).contains(s"Bearer $k")
+  }
+
+  private def respond(x: HttpExchange, code: Int, body: String): Unit = {
+    val b = body.getBytes(UTF_8)
+    x.sendResponseHeaders(code, b.length.toLong)
+    val os = x.getResponseBody
+    try os.write(b) finally os.close()
+  }
+
+  /** Atomic spool: NDJSON lines land as one part file via tmp+rename,
+    * so Spark's file stream source never lists a half-written file.
+    */
+  private def spool(lines: Seq[String]): Unit = {
+    val dir = Paths.get(spoolDir)
+    Files.createDirectories(dir)
+    val id = java.util.UUID.randomUUID().toString
+    val tmp = dir.resolve(s".tmp-$id")
+    Files.write(tmp, lines.mkString("", "\n", "\n").getBytes(UTF_8))
+    Files.move(tmp, dir.resolve(s"part-$id.json"),
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def handler(batch: Boolean): HttpHandler = new HttpHandler {
+    override def handle(x: HttpExchange): Unit = {
+      val out =
+        if (x.getRequestMethod != "POST") (405, "POST only\n")
+        else if (!authorized(x)) (401, "unauthorized\n")
+        else {
+          val body = new String(x.getRequestBody.readAllBytes(), UTF_8).trim
+          if (batch) HttpJson.splitTopLevelArray(body) match {
+            case None => (400, "expected a JSON array\n")
+            case Some(evs) if evs.length > maxBatch =>
+              (413, s"batch of ${evs.length} exceeds max $maxBatch\n")
+            case Some(evs) =>
+              if (evs.nonEmpty) spool(evs)
+              (200, s"""{"accepted":${evs.length}}""" + "\n")
+          }
+          else if (body.startsWith("{") && body.endsWith("}")) {
+            spool(Seq(body))
+            (200, """{"accepted":1}""" + "\n")
+          } else (400, "expected a JSON object\n")
+        }
+      respond(x, out._1, out._2)
+    }
+  }
+
+  server.createContext("/event", handler(batch = false))
+  server.createContext("/batch", handler(batch = true))
+  server.createContext("/", new HttpHandler {
+    override def handle(x: HttpExchange): Unit =
+      respond(x, 404, "POST /event or /batch\n")
+  })
+  server.start()
+}
+
+object HttpWebhookReceiver {
+  def start(spoolDir: String, port: Int = 0, apiKey: Option[String] = None,
+      maxBatch: Int = 10000): HttpWebhookReceiver =
+    new HttpWebhookReceiver(
+      HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0),
+      spoolDir, apiKey, maxBatch)
+}
+
+private[graft] object HttpJson {
+  /** Split a top-level JSON array into its element strings without a
+    * JSON dependency: depth counting over {}/[] with string-literal
+    * and escape awareness. Returns None when the input is not an
+    * array; nested structure inside elements is preserved verbatim.
+    */
+  def splitTopLevelArray(s: String): Option[Seq[String]] = {
+    val t = s.trim
+    if (!(t.startsWith("[") && t.endsWith("]"))) return None
+    val inner = t.substring(1, t.length - 1)
+    val out = Seq.newBuilder[String]
+    var depth = 0
+    var inStr = false
+    var esc = false
+    var start = 0
+    var i = 0
+    while (i < inner.length) {
+      val c = inner.charAt(i)
+      if (esc) esc = false
+      else if (inStr) {
+        if (c == '\\') esc = true
+        else if (c == '"') inStr = false
+      } else c match {
+        case '"' => inStr = true
+        case '{' | '[' => depth += 1
+        case '}' | ']' => depth -= 1
+        case ',' if depth == 0 =>
+          val e = inner.substring(start, i).trim
+          if (e.nonEmpty) out += e
+          start = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    val last = inner.substring(start).trim
+    if (last.nonEmpty) out += last
+    if (depth != 0 || inStr) None else Some(out.result())
+  }
+}
+
+/** The registry-facing connector: readStream/read over the webhook's
+  * landing directory, write POSTs partition batches to `sinkUrl`.
+  */
+final case class HttpConnector(
+    name: String,
+    spoolDir: String,
+    sinkUrl: String,
+    headers: Map[String, String] = Map.empty) extends Connector {
+
+  override def read(spark: SparkSession, schema: Option[StructType]): DataFrame = {
+    val r = spark.read
+    schema.fold(r)(s => r.schema(s)).json(spoolDir)
+  }
+
+  override def readStream(spark: SparkSession, schema: StructType): DataFrame =
+    spark.readStream.schema(schema).json(spoolDir)
+
+  override def write(df: DataFrame): Unit = {
+    val url = sinkUrl
+    val hdrs = headers.toSeq
+    df.toJSON.foreachPartition { (it: Iterator[String]) =>
+      val rows = it.toSeq
+      if (rows.nonEmpty) {
+        // client built executor-side, per partition — the per-partition
+        // init point the reference's connection pool corresponds to
+        val client = java.net.http.HttpClient.newHttpClient()
+        val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+          .header("Content-Type", "application/json")
+        hdrs.foreach { case (k, v) => b.header(k, v) }
+        val req = b.POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+          rows.mkString("[", ",", "]"))).build()
+        val resp = client.send(req,
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        if (resp.statusCode() / 100 != 2)
+          throw new java.io.IOException(
+            s"http sink POST $url returned ${resp.statusCode()}: ${resp.body()}")
+      }
+    }
+  }
+}
