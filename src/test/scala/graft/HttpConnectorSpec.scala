@@ -88,6 +88,35 @@ class HttpConnectorSpec extends SparkSpec {
     } finally rx.stop()
   }
 
+  test("VPL .to(Hooks) posts the stream's output over real HTTP") {
+    import graft.vpl._
+    val dir = java.nio.file.Files.createTempDirectory("graft_http_vpl_")
+    val rx = HttpWebhookReceiver.start(dir.toString)
+    try {
+      val vpl =
+        """stream Out = Ping
+          |    .where(v > 1.0)
+          |    .emit(k: k, v: v)
+          |    .to(Hooks)
+          |""".stripMargin
+      val evt = java.nio.file.Files.createTempFile("graft_http_vpl", ".evt")
+      java.nio.file.Files.writeString(evt,
+        """Ping { k: 1, v: 2.0 }
+          |Ping { k: 2, v: 0.5 }
+          |Ping { k: 3, v: 4.0 }
+          |""".stripMargin)
+      val prog = VplParser.parse(vpl)
+      val decls = prog.events.map(e => e.name -> e).toMap
+      new VplCompiler(prog, new EvtSource(spark, Seq(evt.toString), decls),
+        sinks = Map("Hooks" -> HttpConnector(
+          "Hooks", dir.toString, rx.url + "/batch"))).compileAllStrict()
+      // the VPL program's rows arrived over the wire and landed
+      val landed = spark.read.json(dir.toString)
+        .collect().map(r => r.getAs[Long]("k")).toSet
+      assert(landed == Set(1L, 3L))
+    } finally rx.stop()
+  }
+
   test("top-level array splitter: nesting, strings, escapes, rejects") {
     import graft.sources.HttpJson.splitTopLevelArray
     assert(splitTopLevelArray("""[{"a":[1,2],"b":"x,]}"},{"c":{"d":","}}]""")
