@@ -37,11 +37,34 @@ final class HttpWebhookReceiver private (
     server: HttpServer,
     spoolDir: String,
     apiKey: Option[String],
-    maxBatch: Int) {
+    maxBatch: Int,
+    rateLimit: Int,
+    nowNanos: () => Long) {
 
   def port: Int = server.getAddress.getPort
   def url: String = s"http://127.0.0.1:$port"
   def stop(): Unit = server.stop(0)
+
+  // Token bucket (reference HttpWebhookConfig.rate_limit, requests/s;
+  // 0 = unlimited): refills rateLimit tokens each wall second, burst
+  // capacity = one second's allowance. The clock injects for
+  // deterministic specs.
+  private object bucket {
+    private var tokens = rateLimit.toLong
+    private var windowStart = nowNanos()
+    def tryAcquire(): Boolean = synchronized {
+      if (rateLimit <= 0) true
+      else {
+        val now = nowNanos()
+        val elapsed = (now - windowStart) / 1000000000L
+        if (elapsed > 0) {
+          tokens = math.min(rateLimit.toLong, tokens + elapsed * rateLimit)
+          windowStart += elapsed * 1000000000L
+        }
+        if (tokens > 0) { tokens -= 1; true } else false
+      }
+    }
+  }
 
   private def authorized(x: HttpExchange): Boolean = apiKey.forall { k =>
     val h = x.getRequestHeaders
@@ -74,6 +97,7 @@ final class HttpWebhookReceiver private (
       val out =
         if (x.getRequestMethod != "POST") (405, "POST only\n")
         else if (!authorized(x)) (401, "unauthorized\n")
+        else if (!bucket.tryAcquire()) (429, "rate limit exceeded\n")
         else {
           val body = new String(x.getRequestBody.readAllBytes(), UTF_8).trim
           if (batch) HttpJson.splitTopLevelArray(body) match {
@@ -104,10 +128,11 @@ final class HttpWebhookReceiver private (
 
 object HttpWebhookReceiver {
   def start(spoolDir: String, port: Int = 0, apiKey: Option[String] = None,
-      maxBatch: Int = 10000): HttpWebhookReceiver =
+      maxBatch: Int = 10000, rateLimit: Int = 0,
+      nowNanos: () => Long = () => System.nanoTime()): HttpWebhookReceiver =
     new HttpWebhookReceiver(
       HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0),
-      spoolDir, apiKey, maxBatch)
+      spoolDir, apiKey, maxBatch, rateLimit, nowNanos)
 }
 
 private[graft] object HttpJson {

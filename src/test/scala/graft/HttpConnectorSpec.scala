@@ -88,6 +88,21 @@ class HttpConnectorSpec extends SparkSpec {
     } finally rx.stop()
   }
 
+  test("webhook rate limit: 429 over the per-second allowance, refills") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_http_rl_")
+    // injected clock -> deterministic bucket behavior
+    var t = 0L
+    val rx = HttpWebhookReceiver.start(dir.toString, rateLimit = 2,
+      nowNanos = () => t)
+    try {
+      assert(post(s"${rx.url}/event", """{"id":1}""").statusCode() == 200)
+      assert(post(s"${rx.url}/event", """{"id":2}""").statusCode() == 200)
+      assert(post(s"${rx.url}/event", """{"id":3}""").statusCode() == 429)
+      t += 1000000000L // one second later: allowance refills
+      assert(post(s"${rx.url}/event", """{"id":4}""").statusCode() == 200)
+    } finally rx.stop()
+  }
+
   test("VPL .to(Hooks) posts the stream's output over real HTTP") {
     import graft.vpl._
     val dir = java.nio.file.Files.createTempDirectory("graft_http_vpl_")
