@@ -39,6 +39,8 @@ final class HttpWebhookReceiver private (
     apiKey: Option[String],
     maxBatch: Int,
     rateLimit: Int,
+    maxEventBytes: Int,
+    maxBodyBytes: Int,
     nowNanos: () => Long) {
 
   def port: Int = server.getAddress.getPort
@@ -79,6 +81,45 @@ final class HttpWebhookReceiver private (
     try os.write(b) finally os.close()
   }
 
+  /** Bounded body read (reference limits.rs:1-32 enforced at
+    * http.rs:237,290: payload byte caps checked BEFORE parse). Two
+    * layers, both ahead of any unbounded allocation: a declared
+    * Content-Length over the cap is rejected without reading the
+    * body at all, and a chunked/undeclared body is read through a
+    * capped loop that stops the moment it crosses the cap — a
+    * multi-GB POST can never buffer in the receiver. Returns None
+    * when the cap was exceeded (-> 413).
+    */
+  private def readBounded(x: HttpExchange, cap: Int): Option[Array[Byte]] = {
+    val declared = Option(x.getRequestHeaders.getFirst("Content-Length"))
+      .flatMap(s => scala.util.Try(s.trim.toLong).toOption)
+    if (declared.exists(_ > cap)) None
+    else {
+      val in = x.getRequestBody
+      val out = new java.io.ByteArrayOutputStream(
+        math.min(cap, declared.getOrElse(8192L).toInt.max(16)))
+      val buf = new Array[Byte](8192)
+      var over = false
+      var n = in.read(buf)
+      while (n >= 0 && !over) {
+        if (out.size().toLong + n > cap) over = true
+        else { out.write(buf, 0, n); n = in.read(buf) }
+      }
+      if (over) None else Some(out.toByteArray)
+    }
+  }
+
+  /** Literal \n / \r are ILLEGAL inside JSON string literals (they
+    * must be escaped as \\n / \\r), so any raw newline in an accepted
+    * payload is inter-token whitespace — collapsing it to a space is
+    * lossless and keeps each spooled record on ONE physical NDJSON
+    * line. Without this, a pretty-printed object passes the shape
+    * check, spans multiple lines in the spool, and Spark's
+    * line-delimited json source reads it back as corrupt rows —
+    * ACKed 200 but silently lost.
+    */
+  private def oneLine(s: String): String = s.replaceAll("[\n\r]+", " ")
+
   /** Atomic spool: NDJSON lines land as one part file via tmp+rename,
     * so Spark's file stream source never lists a half-written file.
     */
@@ -98,20 +139,26 @@ final class HttpWebhookReceiver private (
         if (x.getRequestMethod != "POST") (405, "POST only\n")
         else if (!authorized(x)) (401, "unauthorized\n")
         else if (!bucket.tryAcquire()) (429, "rate limit exceeded\n")
-        else {
-          val body = new String(x.getRequestBody.readAllBytes(), UTF_8).trim
-          if (batch) HttpJson.splitTopLevelArray(body) match {
-            case None => (400, "expected a JSON array\n")
-            case Some(evs) if evs.length > maxBatch =>
-              (413, s"batch of ${evs.length} exceeds max $maxBatch\n")
-            case Some(evs) =>
-              if (evs.nonEmpty) spool(evs)
-              (200, s"""{"accepted":${evs.length}}""" + "\n")
-          }
-          else if (body.startsWith("{") && body.endsWith("}")) {
-            spool(Seq(body))
-            (200, """{"accepted":1}""" + "\n")
-          } else (400, "expected a JSON object\n")
+        else readBounded(x, if (batch) maxBodyBytes else maxEventBytes) match {
+          case None =>
+            val cap = if (batch) maxBodyBytes else maxEventBytes
+            (413, s"payload exceeds $cap bytes\n")
+          case Some(bytes) =>
+            val body = new String(bytes, UTF_8).trim
+            if (batch) HttpJson.splitTopLevelArray(body) match {
+              case None => (400, "expected a JSON array\n")
+              case Some(evs) if evs.length > maxBatch =>
+                (413, s"batch of ${evs.length} exceeds max $maxBatch\n")
+              case Some(evs) if evs.exists(_.length > maxEventBytes) =>
+                (413, s"batch element exceeds $maxEventBytes bytes\n")
+              case Some(evs) =>
+                if (evs.nonEmpty) spool(evs.map(oneLine))
+                (200, s"""{"accepted":${evs.length}}""" + "\n")
+            }
+            else if (body.startsWith("{") && body.endsWith("}")) {
+              spool(Seq(oneLine(body)))
+              (200, """{"accepted":1}""" + "\n")
+            } else (400, "expected a JSON object\n")
         }
       respond(x, out._1, out._2)
     }
@@ -127,12 +174,18 @@ final class HttpWebhookReceiver private (
 }
 
 object HttpWebhookReceiver {
+  /** maxEventBytes / maxBodyBytes mirror the reference's payload
+    * limits (limits.rs:1-32: 1 MiB per event; a batch body cap
+    * enforced before parsing).
+    */
   def start(spoolDir: String, port: Int = 0, apiKey: Option[String] = None,
       maxBatch: Int = 10000, rateLimit: Int = 0,
+      maxEventBytes: Int = 1 << 20, maxBodyBytes: Int = 16 << 20,
       nowNanos: () => Long = () => System.nanoTime()): HttpWebhookReceiver =
     new HttpWebhookReceiver(
       HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0),
-      spoolDir, apiKey, maxBatch, rateLimit, nowNanos)
+      spoolDir, apiKey, maxBatch, rateLimit, maxEventBytes, maxBodyBytes,
+      nowNanos)
 }
 
 private[graft] object HttpJson {
@@ -182,7 +235,8 @@ final case class HttpConnector(
     name: String,
     spoolDir: String,
     sinkUrl: String,
-    headers: Map[String, String] = Map.empty) extends Connector {
+    headers: Map[String, String] = Map.empty,
+    batchSize: Int = 10000) extends Connector {
 
   override def read(spark: SparkSession, schema: Option[StructType]): DataFrame = {
     val r = spark.read
@@ -195,12 +249,16 @@ final case class HttpConnector(
   override def write(df: DataFrame): Unit = {
     val url = sinkUrl
     val hdrs = headers.toSeq
+    val chunk = batchSize
     df.toJSON.foreachPartition { (it: Iterator[String]) =>
-      val rows = it.toSeq
-      if (rows.nonEmpty) {
-        // client built executor-side, per partition — the per-partition
-        // init point the reference's connection pool corresponds to
-        val client = java.net.http.HttpClient.newHttpClient()
+      // Client built executor-side, per partition — the per-partition
+      // init point the reference's connection pool corresponds to.
+      // The partition streams through grouped() in batchSize-sized
+      // array POSTs: memory is bounded by one chunk regardless of
+      // partition size, and a chunk can never trip the receiving
+      // webhook's maxBatch element cap (default matches).
+      lazy val client = java.net.http.HttpClient.newHttpClient()
+      it.grouped(chunk).foreach { rows =>
         val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
           .header("Content-Type", "application/json")
         hdrs.foreach { case (k, v) => b.header(k, v) }

@@ -132,6 +132,76 @@ class HttpConnectorSpec extends SparkSpec {
     } finally rx.stop()
   }
 
+  test("webhook bounds the body: oversized POST gets 413, never buffers") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_http_cap_")
+    val rx = HttpWebhookReceiver.start(dir.toString,
+      maxEventBytes = 64, maxBodyBytes = 256)
+    try {
+      // /event over its per-event byte cap -> 413 (Content-Length
+      // rejected before the body is read)
+      val big = """{"id":1,"pad":"""" + ("x" * 200) + """"}"""
+      assert(post(s"${rx.url}/event", big).statusCode() == 413)
+      // /batch whose total body exceeds the batch byte cap -> 413
+      val el = """{"id":1,"pad":"""" + ("y" * 40) + """"}"""
+      val hugeBatch = Seq.fill(10)(el).mkString("[", ",", "]")
+      assert(post(s"${rx.url}/batch", hugeBatch).statusCode() == 413)
+      // a batch inside the body cap but with ONE element over the
+      // per-event cap -> 413 (reference enforces the 1 MiB/event
+      // limit on batch elements too)
+      val fatEl = """[{"id":1,"pad":"""" + ("z" * 100) + """"}]"""
+      assert(post(s"${rx.url}/batch", fatEl).statusCode() == 413)
+      // under both caps still lands
+      assert(post(s"${rx.url}/event", """{"id":7}""").statusCode() == 200)
+      assert(spark.read.json(dir.toString).count() == 1)
+    } finally rx.stop()
+  }
+
+  test("pretty-printed JSON spools as ONE NDJSON line and reads back intact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_http_pp_")
+    val rx = HttpWebhookReceiver.start(dir.toString)
+    try {
+      // raw newlines are illegal inside JSON strings, so collapsing
+      // them is lossless — without it this event ACKs 200 but reads
+      // back as corrupt rows (silent data loss)
+      val pretty =
+        """{
+          |  "id": 42,
+          |  "kind": "pretty",
+          |  "value": 1.5
+          |}""".stripMargin
+      assert(post(s"${rx.url}/event", pretty).statusCode() == 200)
+      val prettyBatch =
+        """[
+          |  { "id": 43,
+          |    "kind": "batch-pretty", "value": 2.5 },
+          |  { "id": 44, "kind": "flat", "value": 3.5 }
+          |]""".stripMargin
+      assert(post(s"${rx.url}/batch", prettyBatch).statusCode() == 200)
+      val got = spark.read.schema(schema).json(dir.toString)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+        .toSet
+      assert(got == Set((42L, "pretty", 1.5), (43L, "batch-pretty", 2.5),
+        (44L, "flat", 3.5)))
+    } finally rx.stop()
+  }
+
+  test("sink chunks each partition: bounded memory, receiver cap can't trip") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_http_chunk_")
+    // receiver element cap 2; a 5-row single partition MUST chunk to pass
+    val rx = HttpWebhookReceiver.start(dir.toString, maxBatch = 2)
+    try {
+      val conn = HttpConnector("chunky", dir.toString, rx.url + "/batch",
+        batchSize = 2)
+      import spark.implicits._
+      val in = (1L to 5L).map(i => (i, s"k$i", i * 0.5))
+        .toDF("id", "kind", "value").coalesce(1)
+      conn.write(in) // 3 POSTs (2+2+1) — one giant array would 413
+      val got = spark.read.schema(schema).json(dir.toString)
+        .collect().map(_.getLong(0)).toSet
+      assert(got == (1L to 5L).toSet)
+    } finally rx.stop()
+  }
+
   test("top-level array splitter: nesting, strings, escapes, rejects") {
     import graft.sources.HttpJson.splitTopLevelArray
     assert(splitTopLevelArray("""[{"a":[1,2],"b":"x,]}"},{"c":{"d":","}}]""")
