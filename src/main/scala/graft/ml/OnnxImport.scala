@@ -13,8 +13,11 @@ import graft.ml.Score.{MlpLayer, MlpModel}
   * Supported graph shape: a single chain
   * `input → Gemm [→ Relu] → … → Gemm` with one final output unit
   * (exactly [[MlpModel]]'s shape; nn.Linear exports as Gemm with
-  * transB=1). Each Gemm must have alpha=1, beta=1, transA=0 (the
-  * PyTorch/sklearn export default); weights may arrive as
+  * transB=1), or the MatMul[→Add][→Relu] spelling of the same layer
+  * (skl2onnx/tf2onnx frequently emit MatMul+Add instead of Gemm —
+  * the pair folds into a Gemm-equivalent layer, a bare MatMul into a
+  * zero-bias one). Each Gemm must have alpha=1, beta=1, transA=0
+  * (the PyTorch/sklearn export default); weights may arrive as
   * float_data, double_data or raw_data in float32/float64.
   * Anything else — including a trailing Sigmoid/Softmax — is
   * REJECTED with a pointed error rather than silently approximated:
@@ -159,6 +162,7 @@ object OnnxImport {
     val nodes = Seq.newBuilder[Node]
     val inits = Map.newBuilder[String, Tensor]
     val graphInputs = Seq.newBuilder[String]
+    val graphOutputs = Seq.newBuilder[String]
     while (graph.hasMore) graph.tag() match {
       case (1, 2)  => nodes += parseNode(graph.lenDelim())
       case (5, 2)  => val t = parseTensor(graph.lenDelim()); inits += t.name -> t
@@ -168,6 +172,12 @@ object OnnxImport {
           case (1, 2) => graphInputs += vi.str()
           case (_, w) => vi.skip(w)
         }
+      case (12, 2) =>
+        val vo = graph.lenDelim()
+        while (vo.hasMore) vo.tag() match {
+          case (1, 2) => graphOutputs += vo.str()
+          case (_, w) => vo.skip(w)
+        }
       case (_, w) => graph.skip(w)
     }
     val ns = nodes.result(); val ws = inits.result()
@@ -175,12 +185,27 @@ object OnnxImport {
     require(dataInputs.size == 1,
       s"onnx: expected exactly one data input, got $dataInputs")
 
-    // walk the single chain from the data input
-    val byInput: Map[String, Node] =
-      ns.flatMap(n => n.inputs.take(1).map(_ -> n)).toMap
+    // Walk the single chain from the data input. Nodes key by their
+    // DATAFLOW input (the first input that is not an initializer —
+    // Add(bias, x) puts the constant first); a tensor consumed by two
+    // nodes means the graph branches, which the single-chain contract
+    // rejects rather than silently importing one arbitrary path.
+    val byInput: Map[String, Node] = {
+      val pairs = ns.flatMap { n =>
+        val flow = n.inputs.filterNot(ws.contains)
+        (if (flow.nonEmpty) flow.take(1) else n.inputs.take(1)).map(_ -> n)
+      }
+      val dup = pairs.groupBy(_._1).collect { case (k, vs) if vs.sizeIs > 1 => k }
+      require(dup.isEmpty, s"onnx: tensor(s) ${dup.mkString(", ")} consumed " +
+        "by multiple nodes — not a single chain")
+      pairs.toMap
+    }
     var cur = dataInputs.head
     val layers = Seq.newBuilder[MlpLayer]
     var lastGemm: MlpLayer = null
+    // true while an immediately preceding MatMul may still fold an Add
+    // into its (currently zero) bias
+    var matmulBiasOpen = false
     var n = 0
     while (byInput.contains(cur)) {
       val node = byInput(cur)
@@ -219,18 +244,61 @@ object OnnxImport {
           }
           if (lastGemm != null) layers += lastGemm
           lastGemm = MlpLayer(rows, b, relu = false)
+          matmulBiasOpen = false
+        case "MatMul" =>
+          // the skl2onnx/tf2onnx spelling: X·W with W an initializer
+          // of dims [nIn, nOut] (no transpose in the MatMul op); an
+          // immediately following Add supplies the bias
+          require(node.inputs.length == 2, "onnx: MatMul needs (X, W)")
+          val w = ws.getOrElse(node.inputs(1), sys.error(
+            s"onnx: MatMul weight '${node.inputs(1)}' not an initializer"))
+          require(w.dims.length == 2, s"onnx: weight '${w.name}' must be 2-D")
+          val (nIn, nOut) = (w.dims(0).toInt, w.dims(1).toInt)
+          require(w.values.length == nOut * nIn,
+            s"onnx: weight '${w.name}' carries ${w.values.length} values " +
+              s"for dims [${w.dims.mkString(",")}] — truncated tensor?")
+          val rows = Array.tabulate(nOut, nIn)((o, i) => w.values(i * nOut + o))
+          if (lastGemm != null) layers += lastGemm
+          lastGemm = MlpLayer(rows, new Array[Double](nOut), relu = false)
+          matmulBiasOpen = true
+        case "Add" =>
+          require(matmulBiasOpen,
+            "onnx: Add is supported only as the bias of an immediately " +
+              "preceding MatMul (the MatMul+Add spelling of Gemm)")
+          val biasNames = node.inputs.filter(_ != cur)
+          require(biasNames.length == 1,
+            s"onnx: Add expects (MatMul output, bias), got ${node.inputs}")
+          val t = ws.getOrElse(biasNames.head, sys.error(
+            s"onnx: Add bias '${biasNames.head}' not an initializer"))
+          require(t.values.length == lastGemm.b.length,
+            s"onnx: bias '${t.name}' length ${t.values.length} != " +
+              s"${lastGemm.b.length} outputs")
+          lastGemm = lastGemm.copy(b = t.values)
+          matmulBiasOpen = false
         case "Relu" =>
           require(lastGemm != null, "onnx: Relu before any Gemm")
           lastGemm = lastGemm.copy(relu = true)
+          matmulBiasOpen = false
         case other => throw new IllegalArgumentException(
           s"onnx: op '$other' unsupported — graft imports plain " +
-            "Gemm[->Relu] chains and applies its own deterministic " +
-            "rational squash to the last Gemm's logit; export the " +
-            "network without the output activation (no Sigmoid/Softmax)")
+            "Gemm[->Relu] / MatMul[->Add][->Relu] chains and applies " +
+            "its own deterministic rational squash to the last " +
+            "layer's logit; export the network without the output " +
+            "activation (no Sigmoid/Softmax)")
       }
       cur = node.outputs.head
       n += 1
       require(n <= 1024, "onnx: graph chain too long or cyclic")
+    }
+    // when the graph declares outputs, the walked chain must END at
+    // the (single) declared output — a walk that stops early means
+    // part of the graph was not imported
+    val outs = graphOutputs.result()
+    if (outs.nonEmpty) {
+      require(outs.size == 1, s"onnx: expected one graph output, got $outs")
+      require(cur == outs.head,
+        s"onnx: chain walk ended at '$cur' but the graph's declared " +
+          s"output is '${outs.head}' — graph not a single imported chain")
     }
     require(lastGemm != null, "onnx: no Gemm layer found")
     layers += lastGemm

@@ -56,6 +56,7 @@ class OnnxImportSpec extends SparkSpec {
       attrs: Array[Byte] = Array.empty): Array[Byte] =
     ld(1, ins.flatMap(str(1, _)).toArray ++ str(2, out) ++ str(4, op) ++ attrs)
   private def graphInput(name: String): Array[Byte] = ld(11, str(1, name))
+  private def graphOutput(name: String): Array[Byte] = ld(12, str(1, name))
   private def model(graphFields: Array[Byte]): Array[Byte] = ld(7, graphFields)
 
   // The demo net: W1 (2 out × 3 in), relu, W2 (1 out × 2 in).
@@ -133,6 +134,86 @@ class OnnxImportSpec extends SparkSpec {
       graft.ml.OnnxImport.fromBytes(model(g), "bad", Seq("a", "b")))
     assert(e.getMessage.contains("'Sigmoid' unsupported"))
     assert(e.getMessage.contains("without the output activation"))
+  }
+
+  test("MatMul+Add chain imports bit-equal to its Gemm twin") {
+    // the skl2onnx/tf2onnx spelling of the SAME demo net: MatMul
+    // weights store in-major [nIn, nOut], bias arrives via Add —
+    // Add(x, B) on layer 1 and the constant-first Add(B, x) order on
+    // layer 2, both of which must fold
+    val w1In = Seq(w1(0), w1(3), w1(1), w1(4), w1(2), w1(5)) // [3,2] in-major
+    val gMat =
+      graphInput("x") ++
+        node("MatMul", Seq("x", "W1"), "mm1") ++
+        node("Add", Seq("mm1", "B1"), "h_pre") ++
+        node("Relu", Seq("h_pre"), "h") ++
+        node("MatMul", Seq("h", "W2"), "mm2") ++
+        node("Add", Seq("B2", "mm2"), "z") ++
+        graphOutput("z") ++
+        ld(5, tensor("W1", Seq(3, 2), w1In, "raw32")) ++
+        ld(5, tensor("B1", Seq(2), b1, "f64")) ++
+        ld(5, tensor("W2", Seq(2, 1), w2, "f32")) ++
+        ld(5, tensor("B2", Seq(1), b2, "raw64"))
+    val gGemm =
+      graphInput("x") ++
+        node("Gemm", Seq("x", "W1", "B1"), "h_pre", attrI("transB", 1)) ++
+        node("Relu", Seq("h_pre"), "h") ++
+        node("Gemm", Seq("h", "W2", "B2"), "z", attrI("transB", 1)) ++
+        ld(5, tensor("W1", Seq(2, 3), w1, "raw32")) ++
+        ld(5, tensor("B1", Seq(2), b1, "f64")) ++
+        ld(5, tensor("W2", Seq(1, 2), w2, "f32")) ++
+        ld(5, tensor("B2", Seq(1), b2, "raw64"))
+    val mM = graft.ml.OnnxImport.fromBytes(model(gMat), "matmul",
+      Seq("x1", "x2", "x3"))
+    val mG = graft.ml.OnnxImport.fromBytes(model(gGemm), "gemm",
+      Seq("x1", "x2", "x3"))
+    assert(mM.layers.map(l => (l.w.map(_.toSeq).toSeq, l.b.toSeq, l.relu)) ==
+      mG.layers.map(l => (l.w.map(_.toSeq).toSeq, l.b.toSeq, l.relu)))
+    for (x <- Seq(Array(1.0, 2.0, 3.0), Array(-0.5, 0.25, 7.0),
+        Array(0.0, 0.0, 0.0)))
+      assert(mM.forward(x) == mG.forward(x)) // bit-equal, not approx
+  }
+
+  test("bias-less MatMul imports as zero bias; stray Add is rejected") {
+    val g =
+      graphInput("x") ++
+        node("MatMul", Seq("x", "W"), "z") ++
+        ld(5, tensor("W", Seq(2, 1), Seq(0.5, -0.25), "raw32"))
+    val m = graft.ml.OnnxImport.fromBytes(model(g), "mm_nobias", Seq("a", "b"))
+    assert(m.layers.head.b.toSeq == Seq(0.0))
+    // Add anywhere other than right after a MatMul is rejected
+    val bad =
+      graphInput("x") ++
+        node("Gemm", Seq("x", "W", "B"), "z", attrI("transB", 1)) ++
+        node("Add", Seq("z", "B"), "z2") ++
+        ld(5, tensor("W", Seq(1, 2), Seq(1.0, 2.0), "raw32")) ++
+        ld(5, tensor("B", Seq(1), Seq(0.5), "raw32"))
+    val e = intercept[IllegalArgumentException](
+      graft.ml.OnnxImport.fromBytes(model(bad), "m", Seq("a", "b")))
+    assert(e.getMessage.contains("immediately preceding MatMul"))
+  }
+
+  test("branching graphs and walks missing the declared output are rejected") {
+    // two nodes consuming the same tensor -> not a single chain
+    val branch =
+      graphInput("x") ++
+        node("Gemm", Seq("x", "W", "B"), "z1", attrI("transB", 1)) ++
+        node("Gemm", Seq("x", "W", "B"), "z2", attrI("transB", 1)) ++
+        ld(5, tensor("W", Seq(1, 2), Seq(1.0, 2.0), "raw32")) ++
+        ld(5, tensor("B", Seq(1), Seq(0.5), "raw32"))
+    val e = intercept[IllegalArgumentException](
+      graft.ml.OnnxImport.fromBytes(model(branch), "m", Seq("a", "b")))
+    assert(e.getMessage.contains("consumed by multiple nodes"))
+    // chain walk ends at a tensor that is NOT the declared output
+    val short =
+      graphInput("x") ++
+        node("Gemm", Seq("x", "W", "B"), "z", attrI("transB", 1)) ++
+        graphOutput("y_declared") ++
+        ld(5, tensor("W", Seq(1, 2), Seq(1.0, 2.0), "raw32")) ++
+        ld(5, tensor("B", Seq(1), Seq(0.5), "raw32"))
+    val e2 = intercept[IllegalArgumentException](
+      graft.ml.OnnxImport.fromBytes(model(short), "m", Seq("a", "b")))
+    assert(e2.getMessage.contains("declared"))
   }
 
   test("an ONNX-file model scores from VPL .score(model:)") {
