@@ -39,18 +39,22 @@ object Knn {
     * reproducible, and the usual training floor is n >= ~39*nlist
     * (Lloyd stability rule of thumb).
     *
-    * Planned as a plain hash-range FILTER + driver-side top-n, not
-    * orderBy(hash).limit(n): TakeOrderedAndProject walks a
-    * per-partition n-row heap of FULL rows (vector payload included)
-    * over the whole corpus — needless work at 100 TB when a
-    * threshold at ~2x the target fraction admits the same n smallest
-    * rows with overwhelming probability (binomial, mean 2n). The
-    * result is BIT-IDENTICAL to the top-K formulation (same ordering
-    * key, same n) — the astronomically-unlikely undersample falls
-    * back to it. The count() that sizes the threshold prunes to zero
-    * columns (parquet footer counts).
+    * Planned as ONE corpus scan: a hash-range FILTER at a fixed 1/64
+    * of the hash space feeds TakeOrderedAndProject, so the top-n heap
+    * only ever sees the filtered trickle (expected N/64 rows), never
+    * the full corpus — and the n smallest of a hash-PREFIX are the n
+    * smallest overall whenever at least n rows pass, so the result is
+    * BIT-IDENTICAL to the plain top-K formulation. Fewer than n
+    * admitted (corpus under ~64n rows — small by construction) falls
+    * back to the full top-K, where the second scan is over a corpus
+    * tiny enough not to matter. An earlier version sized the
+    * threshold from count() (an extra corpus pass on non-parquet
+    * inputs) and re-sorted driver-side through java Comparable, whose
+    * UTF-16 String order diverges from the engine's UTF8String binary
+    * order on supplementary-character ties; both paths now leave the
+    * (hash, id) ordering entirely to the engine.
     */
-  private def hashTrainSample(c: DataFrame, n: Int): Array[Array[Double]] = {
+  private[graft] def hashTrainSample(c: DataFrame, n: Int): Array[Array[Double]] = {
     import org.apache.spark.sql.types.{ArrayType, FloatType}
     val elemIsFloat = c.schema("n_v").dataType match {
       case ArrayType(FloatType, _) => true
@@ -61,32 +65,13 @@ object Knn {
       else r.getSeq[Double](1).toArray
     val proj = c.select(col("n_id"), col("n_v"),
       xxhash64(col("n_id")).as("__h"))
-    val cnt = c.count()
-    val rows: Array[org.apache.spark.sql.Row] =
-      if (cnt <= n) proj.collect()
-      else {
-        val frac = math.min(1.0, 2.0 * n / cnt)
-        val t = BigInt(Long.MinValue) +
-          (BigDecimal(BigInt(1) << 64) * frac).toBigInt
-        val tl = t.min(BigInt(Long.MaxValue)).toLong
-        val got = proj.where(col("__h") < tl).collect()
-        if (got.length >= n) got
-        else proj.orderBy(col("__h"), col("n_id")).limit(n).collect()
-      }
-    // hash-tie break compares ids generically — the public idCol
-    // contract is any orderable column, not LongType (the replaced
-    // orderBy formulation sorted ids engine-side and never narrowed)
-    val idOrd: Ordering[Any] = (x: Any, y: Any) => (x, y) match {
-      case (a: java.lang.Comparable[_], b) =>
-        a.asInstanceOf[java.lang.Comparable[Any]].compareTo(b)
-      case (null, null) => 0
-      case (null, _)    => -1
-      case (_, null)    => 1
-      case (a, _) => throw new IllegalArgumentException(
-        s"hashTrainSample: id type ${a.getClass} is not Comparable")
-    }
-    rows.sortBy(r => (r.getLong(2), r.get(0)))(
-      Ordering.Tuple2(Ordering.Long, idOrd)).take(n).map(toVec)
+    val threshold = Long.MinValue + (1L << 58) // 2^58 / 2^64 = 1/64
+    val got = proj.where(col("__h") < threshold)
+      .orderBy(col("__h"), col("n_id")).limit(n).collect()
+    val rows =
+      if (got.length >= n) got
+      else proj.orderBy(col("__h"), col("n_id")).limit(n).collect()
+    rows.map(toVec)
   }
 
   private def trainCoarse(

@@ -346,4 +346,39 @@ class PlanSpec extends SparkSpec {
     val p = planOf(df)
     assert(p.split("Exchange").length - 1 == 1, p)
   }
+
+  test("quantizer training sample runs ONE corpus scan, bit-identical to top-K") {
+    // hash-prefix filter + engine top-n in a single job — the earlier
+    // count()-sized threshold cost a second corpus pass on non-parquet
+    // inputs; the fixed 1/64 prefix admits >= n rows on any corpus
+    // over ~64n and the n smallest of a hash PREFIX are the n smallest
+    // overall, so the result must equal the plain top-K formulation
+    import org.apache.spark.sql.functions.xxhash64
+    val dir = java.nio.file.Files.createTempDirectory("graft_sample_scan_")
+    import spark.implicits._
+    val n = 64
+    (0L until 20000L).map(i => (i, Array(i * 0.5, 1.0 - i * 0.25)))
+      .toDF("n_id", "n_v").repartition(8)
+      .write.mode("overwrite").parquet(dir.toString)
+    val corpus = spark.read.parquet(dir.toString)
+    val want = corpus
+      .select(col("n_id"), col("n_v"), xxhash64(col("n_id")).as("h"))
+      .orderBy(col("h"), col("n_id")).limit(n)
+      .collect().map(_.getSeq[Double](1).toSeq)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    val got = try {
+      val r = graft.ann.Knn.hashTrainSample(corpus, n)
+      org.apache.spark.sql.graftbridge.MetricsBridge.drain(spark)
+      r
+    } finally spark.sparkContext.removeSparkListener(l)
+    assert(got.map(_.toSeq).toSeq == want.toSeq)
+    assert(jobs.get() == 1, s"expected ONE scan job, saw ${jobs.get()}")
+  }
 }
