@@ -1,10 +1,9 @@
 package graft.metrics
 
+import org.apache.spark.scheduler.{SparkListener, SparkListenerEvent, SparkListenerJobStart}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.execution.QueryExecution
 import org.apache.spark.sql.graftbridge.MetricsBridge
 import org.apache.spark.sql.streaming.StreamingQueryListener
-import org.apache.spark.sql.util.QueryExecutionListener
 
 import scala.collection.mutable
 
@@ -18,10 +17,11 @@ import scala.collection.mutable
   * per-QUERY counter surface, which this class derives from the two
   * public listener hooks:
   *
-  *  - batch: a QueryExecutionListener reading the finished plan's
-  *    SQLMetrics (output rows, leaf-scan rows/bytes) plus duration —
-  *    executions / events in / events out / bytes / latency per
-  *    query label;
+  *  - batch: a SparkListener reading each finished SQL execution's
+  *    plan SQLMetrics (output rows, leaf-scan rows/bytes) plus
+  *    duration — executions / events in / events out / bytes /
+  *    latency per query label, joined to its recordQuery tag by
+  *    execution id;
   *  - streaming: a StreamingQueryListener folding each progress
   *    event — micro-batches, input rows, sink rows, state rows,
   *    watermark-dropped rows, processing time per stream name, and
@@ -33,11 +33,12 @@ import scala.collection.mutable
   * format, ready for any scrape endpoint).
   *
   * Label discipline: batch executions are labelled by the enclosing
-  * [[recordQuery]] tag when present (the listener callback is async,
-  * so recordQuery drains the listener bus before clearing its tag),
-  * else by the triggering action name. Like the staged streaming
-  * harness, tagged recording assumes one query at a time per session;
-  * untagged concurrent queries still count, under their action label.
+  * [[recordQuery]] tag when present, else by the triggering action
+  * name. The tag travels as a thread-LOCAL property on the submitting
+  * thread, rides into each job's properties next to the SQL execution
+  * id, and is joined back to the finished execution BY THAT id — so
+  * concurrent tagged queries on separate threads attribute correctly
+  * (a session-wide tag would mislabel whichever finished second).
   */
 final class GraftMetrics private (spark: SparkSession) {
 
@@ -63,26 +64,53 @@ final class GraftMetrics private (spark: SparkSession) {
   private val batch = mutable.LinkedHashMap.empty[String, BatchStat]
   private val streams = mutable.LinkedHashMap.empty[String, StreamStat]
   private val activeStreams = mutable.Set.empty[java.util.UUID]
-  private var tag: Option[String] = None
+  // executionId -> recordQuery tag, learned from job properties
+  private val execTags = mutable.Map.empty[Long, String]
 
-  private val queryListener = new QueryExecutionListener {
-    override def onSuccess(funcName: String, qe: QueryExecution,
-        durationNs: Long): Unit = lock.synchronized {
-      val s = batch.getOrElseUpdate(tag.getOrElse(funcName), new BatchStat)
-      val (out, scanRows, scanBytes) = MetricsBridge.planCounters(qe)
-      s.executions += 1
-      s.outputRows += out.getOrElse(0L)
-      s.scanRows += scanRows
-      s.scanBytes += scanBytes
-      val sec = durationNs / 1e9
-      s.totalSec += sec
-      s.maxSec = math.max(s.maxSec, sec)
+  /** One SparkListener covers the whole batch surface: each job's
+    * properties carry BOTH the SQL execution id and (when the job was
+    * submitted under [[recordQuery]]) the graft tag — that pair maps
+    * executionId -> tag; the SQLExecutionEnd event then carries the
+    * finished QueryExecution, its duration, the action name, and the
+    * same executionId to join on. Executions without an action name
+    * (streaming micro-batches) are skipped here, exactly as the
+    * QueryExecutionListener surface skips them — the streaming
+    * listener owns those.
+    */
+  private val queryListener = new SparkListener {
+    override def onJobStart(js: SparkListenerJobStart): Unit = {
+      val p = js.properties
+      if (p != null) {
+        val eid = p.getProperty("spark.sql.execution.id")
+        val t = p.getProperty(GraftMetrics.TagProperty)
+        if (eid != null && t != null)
+          scala.util.Try(eid.toLong).foreach { id =>
+            lock.synchronized { execTags.getOrElseUpdate(id, t) }
+          }
+      }
     }
-    override def onFailure(funcName: String, qe: QueryExecution,
-        exception: Exception): Unit = lock.synchronized {
-      batch.getOrElseUpdate(tag.getOrElse(funcName), new BatchStat)
-        .failures += 1
-    }
+    override def onOtherEvent(e: SparkListenerEvent): Unit =
+      MetricsBridge.sqlExecutionEnd(e).foreach {
+        case (executionId, actionName, failed, qe, durationNs) =>
+          lock.synchronized {
+            val tagged = execTags.remove(executionId)
+            actionName.foreach { action =>
+              val s = batch.getOrElseUpdate(
+                tagged.getOrElse(action), new BatchStat)
+              if (failed) s.failures += 1
+              else {
+                val (out, scanRows, scanBytes) = MetricsBridge.planCounters(qe)
+                s.executions += 1
+                s.outputRows += out.getOrElse(0L)
+                s.scanRows += scanRows
+                s.scanBytes += scanBytes
+                val sec = durationNs / 1e9
+                s.totalSec += sec
+                s.maxSec = math.max(s.maxSec, sec)
+              }
+            }
+          }
+      }
   }
 
   private val streamListener = new StreamingQueryListener {
@@ -110,20 +138,19 @@ final class GraftMetrics private (spark: SparkSession) {
   }
 
   /** Run `body` with batch executions labelled `name` instead of the
-    * action name. Drains the async listener bus before restoring the
-    * label, so every execution the body triggered is recorded under
-    * it — the same one-query-at-a-time session contract as the
-    * staged streaming harness.
+    * action name. The label is a thread-local job property joined to
+    * executions by id, so concurrent recordQuery blocks on different
+    * threads attribute independently; the trailing drain makes the
+    * counters readable immediately after the block returns.
     */
   def recordQuery[T](name: String)(body: => T): T = {
-    // drain BEFORE tagging too: an earlier untagged query's async
-    // onSuccess still in flight would otherwise land under this label
-    MetricsBridge.drain(spark)
-    lock.synchronized { tag = Some(name) }
+    val sc = spark.sparkContext
+    val prev = sc.getLocalProperty(GraftMetrics.TagProperty)
+    sc.setLocalProperty(GraftMetrics.TagProperty, name)
     try body
     finally {
+      sc.setLocalProperty(GraftMetrics.TagProperty, prev) // null clears
       MetricsBridge.drain(spark)
-      lock.synchronized { tag = None }
     }
   }
 
@@ -207,18 +234,23 @@ final class GraftMetrics private (spark: SparkSession) {
 
   /** Unregister both listeners; counters stay readable. */
   def detach(): Unit = {
-    spark.listenerManager.unregister(queryListener)
+    spark.sparkContext.removeSparkListener(queryListener)
     spark.streams.removeListener(streamListener)
   }
 }
 
 object GraftMetrics {
+  /** Job-local property carrying the recordQuery label from the
+    * submitting thread into each job's properties.
+    */
+  val TagProperty = "graft.metrics.tag"
+
   /** Attach a fresh counter registry to the session (both listener
     * hooks). Call [[GraftMetrics.detach]] to stop recording.
     */
   def attach(spark: SparkSession): GraftMetrics = {
     val m = new GraftMetrics(spark)
-    spark.listenerManager.register(m.queryListener)
+    spark.sparkContext.addSparkListener(m.queryListener)
     spark.streams.addListener(m.streamListener)
     m
   }

@@ -43,4 +43,18 @@ object MetricsBridge {
     */
   def drain(spark: SparkSession): Unit =
     spark.sparkContext.listenerBus.waitUntilEmpty()
+
+  /** Unpack a SparkListenerSQLExecutionEnd's `private[sql]` fields
+    * for the metrics listener: (executionId, actionName when the
+    * execution came from a named Dataset action, failed, qe,
+    * durationNs). Returns None for any other event type.
+    */
+  def sqlExecutionEnd(e: org.apache.spark.scheduler.SparkListenerEvent)
+      : Option[(Long, Option[String], Boolean, QueryExecution, Long)] =
+    e match {
+      case end: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionEnd =>
+        Some((end.executionId, end.executionName,
+          end.executionFailure.isDefined, end.qe, end.duration))
+      case _ => None
+    }
 }

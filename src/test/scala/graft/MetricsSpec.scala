@@ -89,6 +89,41 @@ class MetricsSpec extends SparkSpec {
     } finally { srv.stop(); m.detach() }
   }
 
+  test("concurrent tagged queries on separate threads attribute correctly") {
+    val m = graft.metrics.GraftMetrics.attach(spark)
+    try {
+      // two labelled queries with DISTINGUISHABLE output-row counts
+      // racing on separate threads — the executionId join must put
+      // each execution under its own label (a session-wide tag
+      // mislabels whichever finishes second)
+      import java.util.concurrent.CyclicBarrier
+      val barrier = new CyclicBarrier(2)
+      def run(label: String, rows: Int): Thread = {
+        val t = new Thread(() => {
+          barrier.await()
+          for (_ <- 1 to 3) m.recordQuery(label) {
+            spark.range(1000).selectExpr("id % " + rows + " AS k")
+              .groupBy("k").count()
+              .write.format("noop").mode("overwrite").save()
+          }
+        })
+        t.start(); t
+      }
+      val ta = run("conc_a", 7)
+      val tb = run("conc_b", 13)
+      ta.join(120000); tb.join(120000)
+      m.sync()
+      val t = m.table().collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getDouble(3))
+        .toMap
+      assert(t(("query", "conc_a", "executions_total")) == 3.0)
+      assert(t(("query", "conc_b", "executions_total")) == 3.0)
+      // output rows pin the attribution: 7 groups/run vs 13 groups/run
+      assert(t(("query", "conc_a", "output_rows_total")) == 21.0)
+      assert(t(("query", "conc_b", "output_rows_total")) == 39.0)
+    } finally m.detach()
+  }
+
   test("detach stops recording; counters remain readable") {
     val m = graft.metrics.GraftMetrics.attach(spark)
     m.recordQuery("probe") {
