@@ -71,13 +71,15 @@ final case class ConsoleConnector(name: String, numRows: Int = 20)
     df.show(numRows, truncate = false)
 }
 
-/** JDBC connector (reference connector/database.rs): Spark's built-in
-  * `jdbc` format, url/table/options passed through. Like every Spark
-  * JDBC deployment it needs the database's driver jar on the
-  * classpath — absent here (hermetic build), so construction is
-  * covered by spec and execution is deferred to a real cluster.
-  * Batch-only: the reference's database connector is a sink/lookup,
-  * not a subscription source.
+/** JDBC connector (reference connector/database.rs, enrichment/
+  * sql.rs): Spark's built-in `jdbc` format, url/table/options passed
+  * through. This is REAL and tested in-process: Spark bundles
+  * embedded Derby (for the Hive metastore), so the spec drives a full
+  * write → read-back → `.enrich`-from-JDBC round trip over
+  * `jdbc:derby:` with zero extra dependencies (ConnectorSpec); any
+  * other database is the same binding plus its driver jar on the
+  * cluster classpath. Batch-only: the reference's database connector
+  * is a sink/lookup, not a subscription source.
   */
 final case class JdbcConnector(
     name: String, url: String, table: String,
