@@ -55,6 +55,12 @@ object SparkEntry {
     "s32_stream_hawkes" -> QueryDef(
       graft.streaming.StreamingQueries.streamHawkes,
       PatternQueries.defs("f4_hawkes").oracle),
+    // s35: as-of (SCD) enrichment at ingest — latest-dim-state per
+    // key in fMGWS state, facts attach it in finalized event-time
+    // order: shares e2's oracle verbatim
+    "s35_stream_asof_enrich" -> QueryDef(
+      graft.streaming.StreamingQueries.streamAsofEnrich,
+      CoreQueries.defs("e2_asof_enrich").oracle),
     // shared multi-query detection: each tag held to its single-query
     // join oracle (zdd_unified's sharing claim, checked per pattern)
     "s23_stream_multi_pattern" -> QueryDef.of(

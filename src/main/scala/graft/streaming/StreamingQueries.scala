@@ -55,6 +55,18 @@ object StreamingQueries {
   final case class BkOut(connector: String, event_id: Long,
       decision: String, state_after: String)
 
+  /** streaming as-of enrichment buffer/state/rows (see
+    * [[streamAsofEnrich]]) — the buffer keeps each event's type
+    * because a signup IS the dimension update
+    */
+  final case class AeBuf(event_id: Long, ts_us: Long, value: Double,
+      event_type: String)
+  final case class AeState(dimId: Option[Long], dimValue: Option[Double],
+      dimUs: Option[Long], buf: List[AeBuf])
+  final case class AeOut(event_id: Long, user_id: Long,
+      asof_signup_id: Option[Long], asof_value: Option[Double],
+      asof_gap_us: Option[Long])
+
   // Staged source dirs and schemas are memoized per input file: the
   // staged contents are immutable for a given file, and re-staging per
   // query costs two batch reads + a parquet write — ~1s × every
@@ -686,6 +698,67 @@ object StreamingQueries {
           outRows.iterator
       }
     runToTable(spark, out.toDF(), "graft_s11_sink", "append")
+  }
+
+  /** #7d-streaming: as-of (SCD) enrichment on a live stream — the one
+    * enrichment mode the reference runs live by nature
+    * (enrichment/cache.rs keeps a TTL'd latest-state cache that
+    * lookups hit as events arrive): facts and dimension updates
+    * interleave on ONE keyed stream, fMGWS state carries each user's
+    * latest signup (id, value, time), and every fact attaches the
+    * state as of its event time — O(1) state per key, no join.
+    * Events apply in (event-time, event_id) order only once the
+    * watermark finalizes them, so the attach order is micro-batch-
+    * split invariant and the result shares e2's batch oracle
+    * verbatim (facts before any signup emit NULL state — the
+    * fallback contract).
+    */
+  def streamAsofEnrich(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val path = s"$dir/events.parquet"
+    val schema = schemaOf(spark, path)
+    val src = graft.Tables.normalizeEvents(
+      spark.readStream.schema(schema).parquet(closedStreamDir(spark, path)))
+      .withWatermark("ts", "1 second")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), unix_micros(col("ts")).as("ts_us"), col("ts"))
+      .as[PatternStream.Ev]
+    val out = src.groupByKey(_.user_id)
+      .flatMapGroupsWithState[AeState, AeOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[PatternStream.Ev],
+         state: GroupState[AeState]) =>
+          val prev = state.getOption.getOrElse(AeState(None, None, None, Nil))
+          var dimId = prev.dimId
+          var dimValue = prev.dimValue
+          var dimUs = prev.dimUs
+          var buf = prev.buf
+          if (!state.hasTimedOut)
+            buf = buf ++ it.filter(_.event_type != "__sentinel")
+              .map(e => AeBuf(e.event_id, e.ts_us, e.value, e.event_type))
+          val wm = state.getCurrentWatermarkMs() * 1000L
+          val (safe, waiting) = buf.partition(_.ts_us <= wm)
+          buf = waiting
+          val outRows = scala.collection.mutable.ArrayBuffer.empty[AeOut]
+          for (e <- safe.sortBy(x => (x.ts_us, x.event_id))) {
+            if (e.event_type == "signup") {
+              dimId = Some(e.event_id)
+              dimValue = Some(e.value)
+              dimUs = Some(e.ts_us)
+            } else {
+              outRows += AeOut(e.event_id, user, dimId, dimValue,
+                dimUs.map(d => e.ts_us - d))
+            }
+          }
+          state.update(AeState(dimId, dimValue, dimUs, buf))
+          if (buf.nonEmpty)
+            state.setTimeoutTimestamp(math.max(
+              (buf.map(_.ts_us).min / 1000L) + 1L,
+              state.getCurrentWatermarkMs() + 1L))
+          outRows.iterator
+      }
+    runToTable(spark, out.toDF(), "graft_s35_sink", "append")
   }
 
   /** #35-streaming: exact dedup on a live stream — `dropDuplicates`
