@@ -713,18 +713,15 @@ object StreamingQueries {
     * verbatim (facts before any signup emit NULL state — the
     * fallback contract).
     */
-  def streamAsofEnrich(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+  /** The s35 state machine, separated so the split-invariance spec
+    * can drive it over a fuzz-partitioned source.
+    */
+  private[graft] def asofEnrichTransform(
+      src: org.apache.spark.sql.Dataset[PatternStream.Ev])
+      : org.apache.spark.sql.Dataset[AeOut] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    val path = s"$dir/events.parquet"
-    val schema = schemaOf(spark, path)
-    val src = graft.Tables.normalizeEvents(
-      spark.readStream.schema(schema).parquet(closedStreamDir(spark, path)))
-      .withWatermark("ts", "1 second")
-      .select(col("event_id"), col("user_id"), col("event_type"),
-        col("value"), unix_micros(col("ts")).as("ts_us"), col("ts"))
-      .as[PatternStream.Ev]
-    val out = src.groupByKey(_.user_id)
+    import src.sparkSession.implicits._
+    src.groupByKey(_.user_id)
       .flatMapGroupsWithState[AeState, AeOut](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (user: Long, it: Iterator[PatternStream.Ev],
@@ -758,7 +755,20 @@ object StreamingQueries {
               state.getCurrentWatermarkMs() + 1L))
           outRows.iterator
       }
-    runToTable(spark, out.toDF(), "graft_s35_sink", "append")
+  }
+
+  def streamAsofEnrich(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val path = s"$dir/events.parquet"
+    val schema = schemaOf(spark, path)
+    val src = graft.Tables.normalizeEvents(
+      spark.readStream.schema(schema).parquet(closedStreamDir(spark, path)))
+      .withWatermark("ts", "1 second")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), unix_micros(col("ts")).as("ts_us"), col("ts"))
+      .as[PatternStream.Ev]
+    runToTable(spark, asofEnrichTransform(src).toDF(), "graft_s35_sink",
+      "append")
   }
 
   /** #35-streaming: exact dedup on a live stream — `dropDuplicates`

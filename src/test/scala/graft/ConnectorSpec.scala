@@ -99,6 +99,49 @@ class ConnectorSpec extends SparkSpec {
       (102L, "none", "fallback"), (103L, "vip", "ok")))
   }
 
+  test("VPL .enrich from a JDBC lookup and .to a JDBC sink (Derby end-to-end)") {
+    import spark.implicits._
+    import graft.vpl._
+    // the reference's database connector is a sink + enrichment
+    // lookup (connector/database.rs, enrichment/sql.rs) — this runs
+    // that exact shape through a VPL program against real Derby:
+    // dimension read over jdbc, program output written back over jdbc
+    val db = Files.createTempDirectory("graft_derby_vpl_").resolve("db")
+    val opts = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+    val url = s"jdbc:derby:$db;create=true"
+    val dimConn = JdbcConnector("UserDB", url, "tiers", opts)
+    dimConn.write(Seq((1L, "gold"), (2L, "silver")).toDF("u", "tier"))
+    val outConn = JdbcConnector("Scored", url, "scored_out", opts)
+    val vpl =
+      """connector UserDB = database(url: "jdbc:derby", table: "tiers")
+        |
+        |event Txn:
+        |    u: int
+        |    amount: float
+        |
+        |stream Out = Txn as t
+        |    .enrich(UserDB, key: t.u, fields: [tier], fallback: "none")
+        |    .emit(u: t.u, amount: t.amount, tier: tier, status: enrich_status)
+        |    .to(Scored)
+        |""".stripMargin
+    val evt = Files.createTempFile("graft_dbvpl", ".evt")
+    java.nio.file.Files.writeString(evt,
+      """Txn { u: 1, amount: 10.0 }
+        |Txn { u: 2, amount: 5.5 }
+        |Txn { u: 7, amount: 1.0 }
+        |""".stripMargin)
+    val prog = VplParser.parse(vpl)
+    val decls = prog.events.map(e => e.name -> e).toMap
+    new VplCompiler(prog, new EvtSource(spark, Seq(evt.toString), decls),
+      lookups = Map("UserDB" -> dimConn.read(spark)),
+      sinks = Map("Scored" -> outConn)).compileAllStrict()
+    val back = outConn.read(spark).orderBy("u").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2), r.getString(3)))
+      .toSeq
+    assert(back == Seq((1L, 10.0, "gold", "ok"), (2L, 5.5, "silver", "ok"),
+      (7L, 1.0, "none", "fallback")))
+  }
+
   test("rate connector drives an unbounded pipeline") {
     val src = RateConnector("r", 100).readStream(spark, null)
     val agg = src.groupBy(window(col("timestamp"), "1 second"))

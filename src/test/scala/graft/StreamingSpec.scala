@@ -329,6 +329,69 @@ class StreamingSpec extends SparkSpec {
       s"expected only user 2's absence, got ${got.toSeq}")
   }
 
+  test("streaming as-of enrichment is micro-batch-split invariant (fuzz)") {
+    import spark.implicits._
+    import graft.streaming.PatternStream.Ev
+    // asofEnrichTransform buffers per key until the watermark
+    // finalizes (ts, event_id) order, so a signup DELIVERED after the
+    // facts it must enrich (but earlier in event time) still attaches
+    // to them — any partition of the same events into micro-batches
+    // yields identical output. Deterministic fuzz: 120 events over 5
+    // users, signups interleaved, file assignment by seeded random.
+    val rnd = new scala.util.Random(7)
+    val base = 1704067200L * 1000000L
+    val events = (1 to 120).map { i =>
+      val et =
+        if (i % 7 == 0) "signup" else if (i % 3 == 0) "purchase" else "click"
+      (i.toLong, (i % 5).toLong + 1, et, base + i * 60000000L,
+        rnd.nextInt(1000) / 10.0)
+    }
+    // expected: fold each user's events in (us, event_id) order
+    val expected = events.groupBy(_._2).toSeq.flatMap { case (u, evs) =>
+      var dim: Option[(Long, Double, Long)] = None
+      evs.sortBy(e => (e._4, e._1)).flatMap { e =>
+        if (e._3 == "signup") { dim = Some((e._1, e._5, e._4)); None }
+        else Some((e._1, u, dim.map(_._1), dim.map(_._2),
+          dim.map(d => e._4 - d._3)))
+      }
+    }.toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft_asofmb_").toString
+    events.groupBy(_ => rnd.nextInt(7)).toSeq.foreach { case (b, evs) =>
+      evs.toDF("event_id", "user_id", "event_type", "us", "value")
+        .withColumn("ts", timestamp_micros(col("us")))
+        .coalesce(1).write.parquet(s"$dir/b=$b")
+    }
+    // sentinel far enough out to finalize everything past the delay
+    Seq((9999L, 0L, "__sentinel", base + 259200L * 1000000L, 0.0))
+      .toDF("event_id", "user_id", "event_type", "us", "value")
+      .withColumn("ts", timestamp_micros(col("us")))
+      .coalesce(1).write.parquet(s"$dir/b=9")
+    val schema = spark.read.parquet(s"$dir/b=9").schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/b=*")
+      // delay covers the fuzz's full 2 h event-time spread
+      .withWatermark("ts", "3 hours")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("us").as("ts_us"), col("ts"))
+      .as[Ev]
+    val out = graft.streaming.StreamingQueries.asofEnrichTransform(src)
+    val q = out.toDF().writeStream.format("memory")
+      .queryName("graft_asofmb_sink").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 5,
+        "expected a genuinely multi-batch run")
+    } finally q.stop()
+    val got = spark.table("graft_asofmb_sink").collect().map { r =>
+      (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))
+    }.toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+  }
+
   test("streaming NFA evicts state for quiet keys once watermark passes") {
     import spark.implicits._
     import graft.streaming.PatternStream._
