@@ -674,6 +674,43 @@ object TextQueries {
       }
     },
 
+    // --- #43f temperature-flattened multilingual resampling (the
+    // UniMax/mT5 mixing step): keep rates DERIVED from per-language
+    // counts at temperature α=1/2 — weight = isqrt(cnt), exact in
+    // 64-bit integer arithmetic on both engines (double sqrt
+    // corrected ±1), budget 30% of the corpus, every division the
+    // truncating integer div — so the oracle replays each rate and
+    // each hash keep decision bit for bit ---
+    "t16_temperature_mix" -> QueryDef.of(
+      s"""WITH c AS (
+         |  SELECT lang, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM documents GROUP BY 1),
+         |w AS (
+         |  SELECT lang, cnt,
+         |    CASE WHEN (s0+1)*(s0+1) <= cnt THEN s0+1
+         |         WHEN s0*s0 > cnt THEN s0-1 ELSE s0 END AS weight
+         |  FROM (SELECT lang, cnt,
+         |          CAST(floor(sqrt(CAST(cnt AS DOUBLE))) AS BIGINT) AS s0
+         |        FROM c)),
+         |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_docs,
+         |        CAST(sum(weight) AS BIGINT) AS total_w FROM w),
+         |r AS (
+         |  SELECT lang,
+         |    least(1000000,
+         |      ((((total_docs * 3) // 10) * weight // total_w) * 1000000)
+         |        // cnt) AS rate_ppm
+         |  FROM w, t)
+         |SELECT d.doc_id, d.lang,
+         |  CAST(${fnvSql("('temp|' || CAST(doc_id AS VARCHAR))")} % 1000000 AS BIGINT) AS bucket,
+         |  CAST(r.rate_ppm AS BIGINT) AS rate_ppm
+         |FROM documents d JOIN r USING (lang)
+         |WHERE CAST(${fnvSql("('temp|' || CAST(doc_id AS VARCHAR))")} % 1000000 AS BIGINT) < r.rate_ppm""".stripMargin) {
+      (s, dir) =>
+        graft.text.TextAnalysis.temperatureSample(
+          Tables(s, dir).documents.select(col("doc_id"), col("lang")),
+          col("doc_id"), col("lang"), budgetNum = 3L, budgetDen = 10L)
+    },
+
     // --- #43e shard assignment + per-shard budget stats (the
     // "N balanced output shards" report before a training write) ---
     // --- #45g corpus-frequency quality score (the CCNet

@@ -232,5 +232,67 @@ object VectorQueries {
       (s, dir) =>
         Knn.clusterSample(Tables(s, dir).embeddings, perCell = 12,
           nlist = 16)
-    })
+    },
+
+    // --- #41f hybrid retrieval (BM25 ⊕ vector) with reciprocal-rank
+    // fusion — the standard two-tower search shape (sparse lexical +
+    // dense semantic candidates, fused on RANK so the two score
+    // scales never need calibrating; Cormack et al. 2009). Each side
+    // is an independently 100 TB-ready top-k (BM25 broadcast-stats
+    // scan → TakeOrderedAndProject; cosine the v1 broadcast-probe),
+    // the fusion a full-outer join of two ≤50-row sides. RRF is kept
+    // EXACT: 1e12 div (60+rank) in integer arithmetic, so no double
+    // ever orders the output. BM25 ranks on the 6dp-rounded score
+    // (the t11 gate pins those bit-equal), cosine on the raw
+    // in-order fold (the v1 gate) — both tie-broken by id ---
+    "v9_hybrid_rrf" -> QueryDef.of {
+      val t11 = graft.queries.TextQueries.defs("t11_bm25").oracle.get
+      s"""WITH tq AS ($t11),
+         |tr AS (
+         |  SELECT doc_id, bm25_rank FROM (
+         |    SELECT doc_id,
+         |      row_number() OVER (ORDER BY bm25 DESC, doc_id) AS bm25_rank
+         |    FROM tq) WHERE bm25_rank <= 50),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |p AS (
+         |  SELECT c.vec_id AS n_id, ${cosSql("q.v", "c.v")} AS cos
+         |  FROM e q JOIN e c ON q.vec_id = 0 AND c.vec_id != 0),
+         |vr AS (
+         |  SELECT n_id, cos_rank FROM (
+         |    SELECT n_id,
+         |      row_number() OVER (ORDER BY cos DESC, n_id) AS cos_rank
+         |    FROM p) WHERE cos_rank <= 50),
+         |f AS (
+         |  SELECT COALESCE(tr.doc_id, vr.n_id) AS doc_id,
+         |    CAST(tr.bm25_rank AS BIGINT) AS bm25_rank,
+         |    CAST(vr.cos_rank AS BIGINT) AS cos_rank,
+         |    COALESCE(1000000000000 // (60 + tr.bm25_rank), 0)
+         |      + COALESCE(1000000000000 // (60 + vr.cos_rank), 0) AS rrf
+         |  FROM tr FULL JOIN vr ON tr.doc_id = vr.n_id)
+         |SELECT doc_id, bm25_rank, cos_rank,
+         |  CAST(rrf AS BIGINT) AS rrf_scaled
+         |FROM f ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
+    } { (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val terms = Seq("spark", "join", "window", "dup")
+      // lexical side: distributed top-50 (TakeOrderedAndProject),
+      // then ranks assigned by a window over ONLY those 50 rows
+      val tTop = graft.text.TextAnalysis.bm25(
+          Tables(s, dir).documents, col("doc_id"), col("text"), terms)
+        .orderBy(col("bm25").desc, col("doc_id")).limit(50)
+        .withColumn("bm25_rank", row_number()
+          .over(Window.orderBy(col("bm25").desc, col("doc_id")))
+          .cast("long"))
+        .select(col("doc_id").as("t_id"), col("bm25_rank"))
+      val e = Tables(s, dir).embeddings
+      val vTop = Knn.bruteForce(e, e.filter(col("vec_id") === 0), k = 50)
+        .select(col("n_id").as("v_id"), col("rank").as("cos_rank"))
+      tTop.join(vTop, col("t_id") === col("v_id"), "full_outer")
+        .select(coalesce(col("t_id"), col("v_id")).as("doc_id"),
+          col("bm25_rank"), col("cos_rank"),
+          (coalesce(expr("1000000000000L div (60 + bm25_rank)"), lit(0L))
+            + coalesce(expr("1000000000000L div (60 + cos_rank)"), lit(0L)))
+            .as("rrf_scaled"))
+        .orderBy(col("rrf_scaled").desc, col("doc_id")).limit(20)
+    } })
 }

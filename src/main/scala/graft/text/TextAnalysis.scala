@@ -101,6 +101,74 @@ object TextAnalysis {
       .filter(col("bucket") < col("rate_ppm"))
   }
 
+  /** Exact integer square root as a Column: floor(sqrt(n)) computed
+    * via the double sqrt then corrected ±1, so the result is EXACT
+    * regardless of libm rounding (double sqrt of a long is always
+    * within one of the true floor) — the trick that lets a
+    * temperature-weighted sampling decision stay bit-identical
+    * across engines without ever trusting a transcendental.
+    */
+  private def isqrt(n: Column): Column = {
+    val s0 = floor(sqrt(n.cast("double"))).cast("long")
+    when((s0 + 1) * (s0 + 1) <= n, s0 + 1)
+      .when(s0 * s0 > n, s0 - 1)
+      .otherwise(s0)
+  }
+
+  /** Temperature-flattened group resampling — the multilingual
+    * mixing step of a pretraining pipeline (the UniMax / mT5 shape:
+    * sample languages ∝ countᵅ instead of raw count, so
+    * head languages stop drowning the tail). α is fixed at 1/2
+    * (countᵅ = √count) because the integer square root is the one
+    * temperature exponent computable EXACTLY in 64-bit arithmetic on
+    * any engine — every decision below is integer math, so the
+    * sample reproduces bit for bit (same contract as
+    * [[stratifiedSample]], which this generalizes: there the rates
+    * are given, here they are derived from the corpus itself).
+    *
+    * Derivation (all integer, in this order): per-group counts cntᵍ;
+    * weights wᵍ = isqrt(cntᵍ); budget B = totalDocs·num/den; per-
+    * group target tᵍ = B·wᵍ/Σw; keep rate rᵍ = min(1e6, tᵍ·1e6/cntᵍ)
+    * ppm; a doc survives iff fnv64(salt|id) mod 1e6 < rᵍ.
+    *
+    * Plan shape: ONE aggregation shuffle on the group key builds the
+    * (tiny) rate table, which broadcast-joins back onto a single
+    * corpus scan — the keep decision itself is the same row-local
+    * hash filter as stratifiedSample. Group cardinality is languages
+    * or domains (dozens), so the rate table broadcasts at any corpus
+    * size; re-weighting is a threshold move, no global resample.
+    */
+  def temperatureSample(
+      docs: DataFrame,
+      idCol: Column,
+      groupCol: Column,
+      budgetNum: Long,
+      budgetDen: Long,
+      salt: String = "temp"): DataFrame = {
+    val counts = docs.groupBy(groupCol.as("grp"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("weight", isqrt(col("cnt")))
+    val totals = counts.agg(sum(col("cnt")).as("total_docs"),
+      sum(col("weight")).as("total_w"))
+    // `div` (not `/`): Spark's / on longs goes through DOUBLE, whose
+    // rounding can land a quotient one above the true integer floor;
+    // every operand here is non-negative so div (truncating) and the
+    // oracle's // (flooring) agree exactly
+    val rates = counts.crossJoin(broadcast(totals))
+      .withColumn("budget",
+        expr(s"(total_docs * ${budgetNum}L) div ${budgetDen}L"))
+      .withColumn("target", expr("(budget * weight) div total_w"))
+      .withColumn("rate_ppm",
+        least(lit(1000000L), expr("(target * 1000000L) div cnt")))
+      .select(col("grp"), col("rate_ppm"))
+    val bucket = Fnv64.unsignedMod(
+      Fnv64(concat(lit(salt + "|"), idCol.cast("string"))), 1000000L)
+    docs.withColumn("bucket", bucket)
+      .join(broadcast(rates), groupCol === col("grp"))
+      .filter(col("bucket") < col("rate_ppm"))
+      .drop("grp")
+  }
+
   /** Deterministic shard assignment + per-shard budget stats — the
     * "write the corpus as N balanced shards" step before training.
     * shard = fnv64(salt|id) mod nShards; the report aggregates doc /

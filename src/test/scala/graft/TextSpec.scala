@@ -183,6 +183,61 @@ class TextSpec extends SparkSpec {
       s"expected a broadcast join for the benchmark grams:\n$plan")
   }
 
+  test("temperature sample: flattens head languages, hits budget, exact isqrt") {
+    val in = Tables(spark, sf).documents.select(col("doc_id"), col("lang"))
+    def run() = graft.text.TextAnalysis
+      .temperatureSample(in, col("doc_id"), col("lang"),
+        budgetNum = 3L, budgetDen = 10L)
+    val kept = run().collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3))).toSeq
+    // deterministic
+    assert(run().collect().map(_.getLong(0)).toSet ==
+      kept.map(_._1).toSet)
+    // every emitted rate equals the exact integer derivation
+    // (weights = isqrt(cnt), budget = 3/10, truncating divisions) —
+    // recomputed independently in plain Scala
+    val counts = in.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def isq(n: Long): Long = { val s = math.sqrt(n.toDouble).toLong
+      if ((s + 1) * (s + 1) <= n) s + 1 else if (s * s > n) s - 1 else s }
+    val totalDocs = counts.values.sum
+    val totalW = counts.values.map(isq).sum
+    val budget = totalDocs * 3L / 10L
+    val expRate = counts.map { case (l, c) =>
+      l -> math.min(1000000L, budget * isq(c) / totalW * 1000000L / c) }
+    val rates = kept.groupBy(_._2).map { case (l, rs) => l -> rs.head._3 }
+    rates.foreach { case (l, r) =>
+      assert(r == expRate(l), s"rate($l)=$r, expected ${expRate(l)}") }
+    // sampled share lands near the 30% budget (uniform hash, loose)
+    val share = kept.size.toDouble / in.count()
+    assert(math.abs(share - 0.3) < 0.1, s"share $share")
+    // the isqrt correction is exact on perfect squares and neighbors
+    val sq = spark.sql(
+      """SELECT n, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS s0
+        |FROM VALUES (0L),(1L),(3L),(4L),(15L),(16L),(17L),
+        |  (999999999999L),(1000000000000L) AS t(n)""".stripMargin)
+      .selectExpr("n",
+        """CASE WHEN (s0+1)*(s0+1) <= n THEN s0+1
+          |     WHEN s0*s0 > n THEN s0-1 ELSE s0 END AS s""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    sq.foreach { case (n, s) =>
+      assert(s * s <= n && (s + 1) * (s + 1) > n, s"isqrt($n)=$s") }
+    // flattening semantics on an unambiguously skewed corpus: head
+    // 400 docs vs tail 25 (sqrt ratio 4) — the tail's keep rate must
+    // exceed the head's, and by roughly the sqrt of the size ratio
+    import spark.implicits._
+    val skew = ((1 to 400).map(i => (i.toLong, "head")) ++
+      (401 to 425).map(i => (i.toLong, "tail"))).toDF("doc_id", "lang")
+    val sk = graft.text.TextAnalysis
+      .temperatureSample(skew, col("doc_id"), col("lang"), 3L, 10L)
+      .select("lang", "rate_ppm").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sk("tail") > sk("head"),
+      s"tail rate ${sk("tail")} should exceed head rate ${sk("head")}")
+    val ratio = sk("tail").toDouble / sk("head")
+    assert(ratio > 2.5 && ratio < 6.0, s"flattening ratio $ratio, want ~4")
+  }
+
   test("stratified sample: deterministic, monotone in rate, near target") {
     val docs = Tables(spark, sf).documents.select(col("doc_id"))
     def sample(ppm: Long) = graft.text.TextAnalysis
