@@ -206,6 +206,12 @@ object SparkEntry {
          |SELECT doc_id, source, bucket, CAST(rate_ppm AS BIGINT) AS rate_ppm
          |FROM s WHERE bucket < rate_ppm""".stripMargin)(
       graft.streaming.StreamingQueries.streamSample),
+    // s36: streaming temperature resampling — rates pre-fit on the
+    // static corpus through t16's exact integer derivation, applied
+    // as a stateless ingest filter; shares t16's oracle verbatim
+    "s36_stream_temperature" -> QueryDef.of(
+      graft.queries.TextQueries.defs("t16_temperature_mix").oracle.get)(
+      graft.streaming.StreamingQueries.streamTemperature),
     // s24: streaming greedy sequence packing — per-shard (bin, used)
     // state folding arrivals through the batch expression's step
     // function; shares t10's recursive-CTE oracle row for row

@@ -1021,6 +1021,31 @@ object StreamingQueries {
     runToTable(spark, out, "graft_s18_sink", "append")
   }
 
+  /** #45d2-streaming: temperature-flattened multilingual resampling
+    * at ingest. The per-language rate table is PRE-FIT once on the
+    * static corpus through the SAME integer derivation as batch t16
+    * (the s26/s30 train-offline-once pattern — mixture rates are a
+    * model you fit offline and apply live), then the keep decision
+    * is the stateless row-local hash filter riding a broadcast
+    * stream-static join: zero state, zero stream-side shuffle, and
+    * bit-identical survivors to the batch twin (shares t16's
+    * oracle).
+    */
+  def streamTemperature(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/documents.parquet"
+    val schema = schemaOf(spark, path)
+    val static = graft.Tables.normalizeDocuments(spark.read.parquet(path))
+      .select(col("doc_id"), col("lang"))
+    val rates = graft.text.TextAnalysis.temperatureRates(
+      static, col("lang"), budgetNum = 3L, budgetDen = 10L)
+    val src = graft.Tables.normalizeDocuments(
+      spark.readStream.schema(schema).parquet(streamDir(path)))
+      .select(col("doc_id"), col("lang"))
+    val out = graft.text.TextAnalysis.applyTemperatureRates(
+      src, col("doc_id"), col("lang"), rates)
+    runToTable(spark, out, "graft_s36_sink", "append")
+  }
+
   /** #45j-streaming: the Gopher/C4 filter battery applied on a live
     * document feed — stateless row-local column work, so the
     * streaming plan is the batch plan under a micro-batch scheduler

@@ -138,13 +138,16 @@ object TextAnalysis {
     * or domains (dozens), so the rate table broadcasts at any corpus
     * size; re-weighting is a threshold move, no global resample.
     */
-  def temperatureSample(
+  /** The (group → keep-rate ppm) table [[temperatureSample]] derives
+    * — exposed so a streaming twin can PRE-FIT the rates on the
+    * static corpus (the s26/s30 train-offline-once pattern) and apply
+    * the identical row-local decision at ingest.
+    */
+  def temperatureRates(
       docs: DataFrame,
-      idCol: Column,
       groupCol: Column,
       budgetNum: Long,
-      budgetDen: Long,
-      salt: String = "temp"): DataFrame = {
+      budgetDen: Long): DataFrame = {
     val counts = docs.groupBy(groupCol.as("grp"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("weight", isqrt(col("cnt")))
@@ -154,13 +157,36 @@ object TextAnalysis {
     // rounding can land a quotient one above the true integer floor;
     // every operand here is non-negative so div (truncating) and the
     // oracle's // (flooring) agree exactly
-    val rates = counts.crossJoin(broadcast(totals))
+    counts.crossJoin(broadcast(totals))
       .withColumn("budget",
         expr(s"(total_docs * ${budgetNum}L) div ${budgetDen}L"))
       .withColumn("target", expr("(budget * weight) div total_w"))
       .withColumn("rate_ppm",
         least(lit(1000000L), expr("(target * 1000000L) div cnt")))
       .select(col("grp"), col("rate_ppm"))
+  }
+
+  def temperatureSample(
+      docs: DataFrame,
+      idCol: Column,
+      groupCol: Column,
+      budgetNum: Long,
+      budgetDen: Long,
+      salt: String = "temp"): DataFrame =
+    applyTemperatureRates(docs, idCol, groupCol,
+      temperatureRates(docs, groupCol, budgetNum, budgetDen), salt)
+
+  /** The row-local half: attach the broadcast rate table and keep
+    * docs whose hash bucket clears their group's threshold. Stateless
+    * and deterministic, so batch and ingest-time twins make identical
+    * decisions.
+    */
+  def applyTemperatureRates(
+      docs: DataFrame,
+      idCol: Column,
+      groupCol: Column,
+      rates: DataFrame,
+      salt: String = "temp"): DataFrame = {
     val bucket = Fnv64.unsignedMod(
       Fnv64(concat(lit(salt + "|"), idCol.cast("string"))), 1000000L)
     docs.withColumn("bucket", bucket)
