@@ -224,4 +224,55 @@ class CheckpointSpec extends SparkSpec {
     assert(got(3L) == i3,
       s"restart must resume the recursion mid-key: got ${got(3L)}, want $i3")
   }
+
+  test("as-of enrichment dim state survives a restart") {
+    import spark.implicits._
+    import graft.streaming.{PatternStream, StreamingQueries}
+    val src = Files.createTempDirectory("graft_ae_src_").toString
+    val out = Files.createTempDirectory("graft_ae_out_").toString
+    val chk = Files.createTempDirectory("graft_ae_chk_").toString
+    val base = 1700000000L * 1000000L
+    def ev(id: Long, user: Long, tpe: String, offUs: Long, v: Double) =
+      PatternStream.Ev(id, user, tpe, v, base + offUs,
+        new java.sql.Timestamp((base + offUs) / 1000L))
+    def runOnce(): Unit = {
+      val schema = Seq(ev(0, 0, "e", 0, 0)).toDF().schema
+      val stream = spark.readStream.schema(schema).parquet(src)
+        .withWatermark("ts", "1 second").as[PatternStream.Ev]
+      val q = StreamingQueries.asofEnrichTransform(stream).toDF()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", chk)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val H = 3600L * 1000000L
+    // phase 1: u1 signs up at t0, u2 clicks pre-signup (NULL state),
+    // u1 clicks at t+2min (enriched); watermark flushed to ~1h
+    Seq(ev(1, 1, "signup", 0, 7.5), ev(2, 2, "click", 60000000L, 1.0),
+      ev(3, 1, "click", 120000000L, 2.0),
+      ev(98, 0, "__sentinel", H, 0))
+      .toDF().write.mode("append").parquet(src)
+    runOnce()
+    // phase 2 after downtime: u1's click at t+2h MUST attach the
+    // signup held in phase-1 state — correct only if the dim carry
+    // survived the restart; u2's signup + click land fresh
+    Seq(ev(4, 2, "signup", 2 * H, 9.0),
+      ev(5, 1, "click", 2 * H + 60000000L, 3.0),
+      ev(6, 2, "click", 2 * H + 120000000L, 4.0),
+      ev(99, 0, "__sentinel", 5 * H, 0))
+      .toDF().write.mode("append").parquet(src)
+    runOnce()
+    val got = spark.read.parquet(out).collect().map { r =>
+      r.getAs[Long]("event_id") ->
+        ((if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+          if (r.isNullAt(4)) None else Some(r.getLong(4))))
+    }.toMap
+    assert(got.keySet == Set(2L, 3L, 5L, 6L), s"got $got")
+    assert(got(2L) == ((None, None, None)), "pre-signup fact stays NULL")
+    assert(got(3L) == ((Some(1L), Some(7.5), Some(120000000L))))
+    assert(got(5L) == ((Some(1L), Some(7.5), Some(2 * H + 60000000L))),
+      s"restart must carry u1's dim state: got ${got(5L)}")
+    assert(got(6L) == ((Some(4L), Some(9.0), Some(120000000L))))
+  }
 }
