@@ -124,7 +124,12 @@ object Connectors {
     "nats"          -> "nats (community structured-streaming connector)",
     "kinesis"       -> "kinesis (kinesis-sql structured-streaming connector)",
     "elasticsearch" -> "org.elasticsearch.spark.sql",
-    "redis"         -> "org.apache.spark.sql.redis",
+    // redis is NOT a stand-in either: RedisConnector speaks actual
+    // RESP2 over TCP (SUBSCRIBE-spool source, pipelined PUBLISH sink,
+    // SET/GET with key prefix), loopback-tested in RedisConnectorSpec;
+    // org.apache.spark.sql.redis remains the option for the
+    // dataframe-over-keyspace style on clusters that ship it
+    "redis"         -> "graft.sources.RedisConnector (bundled, real)",
     // s3 is not a format: every FileConnector takes s3a:// paths
     // once the hadoop-aws jars are on the cluster classpath
     "s3"            -> "file formats over s3a:// paths")

@@ -1,0 +1,97 @@
+package graft
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, EOFException}
+import java.net.{InetSocketAddress, ServerSocket, Socket}
+import java.util.concurrent.ConcurrentHashMap
+
+import graft.sources.Resp
+
+/** Loopback RESP2 server FIXTURE for RedisConnectorSpec — the
+  * counterpart of HttpConnectorSpec's JDK-HttpServer webhook: it
+  * implements the documented Redis wire protocol (RESP2 framing;
+  * PING / SET / GET / PUBLISH / SUBSCRIBE command semantics) far
+  * enough that the PRODUCT-side client, subscriber, and sink are
+  * exercised over real TCP sockets with real protocol framing. Test
+  * scope only; the product never depends on it.
+  */
+final class MiniRedisServer {
+  private val server = new ServerSocket()
+  server.bind(new InetSocketAddress("127.0.0.1", 0))
+  def port: Int = server.getLocalPort
+
+  private val kv = new ConcurrentHashMap[String, String]()
+  // channel -> live subscriber output streams (writes synchronized
+  // per-stream so concurrent PUBLISHes can't interleave a frame)
+  private val subs =
+    new ConcurrentHashMap[String, java.util.List[BufferedOutputStream]]()
+  @volatile private var running = true
+
+  private def bulk(s: String): Array[Byte] =
+    (s"$$${s.getBytes("UTF-8").length}\r\n$s\r\n").getBytes("UTF-8")
+
+  private def pushMessage(out: BufferedOutputStream, channel: String,
+      payload: String): Unit = out.synchronized {
+    out.write(s"*3\r\n".getBytes("UTF-8"))
+    out.write(bulk("message")); out.write(bulk(channel)); out.write(bulk(payload))
+    out.flush()
+  }
+
+  private def handle(sock: Socket): Unit = {
+    val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
+    val out = new BufferedOutputStream(sock.getOutputStream)
+    def reply(s: String): Unit =
+      out.synchronized { out.write(s.getBytes("UTF-8")); out.flush() }
+    try {
+      while (running) Resp.read(in) match {
+        case Resp.RArr(items) =>
+          val args = items.collect { case Resp.RBulk(Some(s)) => s }
+          args.map(_.toUpperCase).headOption match {
+            case Some("PING") => reply("+PONG\r\n")
+            case Some("SET") if args.length == 3 =>
+              kv.put(args(1), args(2)); reply("+OK\r\n")
+            case Some("GET") if args.length == 2 =>
+              Option(kv.get(args(1))) match {
+                case Some(v) => out.synchronized {
+                  out.write(bulk(v)); out.flush()
+                }
+                case None => reply("$-1\r\n")
+              }
+            case Some("PUBLISH") if args.length == 3 =>
+              val receivers = Option(subs.get(args(1)))
+                .map { l => l.forEach(o => pushMessage(o, args(1), args(2))); l.size }
+                .getOrElse(0)
+              reply(s":$receivers\r\n")
+            case Some("SUBSCRIBE") if args.length == 2 =>
+              subs.computeIfAbsent(args(1),
+                _ => new java.util.concurrent.CopyOnWriteArrayList[BufferedOutputStream]())
+                .add(out)
+              out.synchronized {
+                out.write("*3\r\n".getBytes("UTF-8"))
+                out.write(bulk("subscribe")); out.write(bulk(args(1)))
+                out.write(":1\r\n".getBytes("UTF-8"))
+                out.flush()
+              }
+            case _ => reply("-ERR unknown command\r\n")
+          }
+        case _ => reply("-ERR expected command array\r\n")
+      }
+    } catch {
+      case _: EOFException | _: java.io.IOException => // client closed
+    } finally {
+      subs.values.forEach(_.remove(out))
+      sock.close()
+    }
+  }
+
+  private val acceptor = new Thread(() => {
+    try while (running) {
+      val sock = server.accept()
+      val t = new Thread(() => handle(sock), "mini-redis-conn")
+      t.setDaemon(true); t.start()
+    } catch { case _: java.io.IOException => /* server closed */ }
+  }, "mini-redis-acceptor")
+  acceptor.setDaemon(true)
+  acceptor.start()
+
+  def stop(): Unit = { running = false; server.close() }
+}
