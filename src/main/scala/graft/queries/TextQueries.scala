@@ -711,6 +711,81 @@ object TextQueries {
           col("doc_id"), col("lang"), budgetNum = 3L, budgetDen = 10L)
     },
 
+    // --- #45o bigram-LM fluency filter (the CCNet/Wenzek perplexity
+    // filter): stupid-backoff bigram LM trained on the English
+    // reference slice, every doc scored by mean Q14 bigram
+    // probability — ALL integer arithmetic (a log-prob sum would be
+    // an unordered float aggregate; integer sums commute), so the
+    // oracle replays every count, every backoff decision, and every
+    // fixed-point division bit for bit ---
+    "t17_lm_fluency" -> QueryDef.of(
+      s"""WITH dw AS (SELECT doc_id, lang, $wordsSql AS w FROM documents),
+         |tw AS (SELECT w FROM dw WHERE lang = 'en'),
+         |uni AS (
+         |  SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM (SELECT unnest(w) AS tok FROM tw) GROUP BY 1),
+         |tt AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM uni),
+         |tocc AS (
+         |  SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+         |  FROM tw WHERE len(w) >= 2),
+         |bi AS (
+         |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt2
+         |  FROM (SELECT w[i] AS w1, w[i+1] AS w2 FROM tocc) GROUP BY 1, 2),
+         |bi2 AS (
+         |  SELECT bi.w1, bi.w2, bi.cnt2, uni.cnt AS cnt1w1
+         |  FROM bi JOIN uni ON bi.w1 = uni.tok),
+         |occ AS (
+         |  SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+         |  FROM dw WHERE len(w) >= 2),
+         |o2 AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2 FROM occ),
+         |q AS (
+         |  SELECT o2.doc_id,
+         |    CASE WHEN bi2.cnt2 IS NOT NULL
+         |         THEN (bi2.cnt2 * 16384) // bi2.cnt1w1
+         |         ELSE (32768 * COALESCE(u2.cnt, 0)) // (5 * tt.total) END AS q
+         |  FROM o2
+         |  LEFT JOIN bi2 ON o2.w1 = bi2.w1 AND o2.w2 = bi2.w2
+         |  LEFT JOIN uni u2 ON o2.w2 = u2.tok
+         |  CROSS JOIN tt),
+         |d AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |    CAST(sum(q) AS BIGINT) AS sum_q
+         |  FROM q GROUP BY 1)
+         |SELECT doc_id, n_bigrams, sum_q,
+         |  CAST(sum_q // n_bigrams AS BIGINT) AS fluency_q14,
+         |  CAST(sum_q AS DOUBLE) / (CAST(n_bigrams AS DOUBLE) * 16384.0::DOUBLE)
+         |    AS fluency,
+         |  (sum_q // n_bigrams) >= 1200 AS keep
+         |FROM d""".stripMargin) {
+      (s, dir) =>
+        graft.text.TextAnalysis.lmFluency(
+          Tables(s, dir).documents, col("doc_id"), col("text"),
+          trainFilter = col("lang") === "en", keepQ14 = 1200L)
+    },
+
+    // --- #45p sliding-window document chunking (RAG / context-window
+    // prep): overlapping fixed-token windows per doc, stride-advanced
+    // so every token is covered and no tail window is swallowed by
+    // its predecessor. Row-local integer slicing — both engines emit
+    // the identical chunk set ---
+    "t18_chunk" -> QueryDef.of(
+      s"""WITH dw AS (SELECT doc_id, $wordsSql AS w FROM documents),
+         |s AS (
+         |  SELECT doc_id, w,
+         |    unnest(generate_series(1, greatest(len(w) - 16, 1), 48)) AS start_tok
+         |  FROM dw WHERE len(w) >= 1)
+         |SELECT doc_id,
+         |  CAST((start_tok - 1) // 48 AS BIGINT) AS chunk_idx,
+         |  CAST(start_tok AS BIGINT) AS start_tok,
+         |  CAST(len(w[start_tok:start_tok+63]) AS BIGINT) AS n_tokens,
+         |  array_to_string(w[start_tok:start_tok+63], ' ') AS chunk_text
+         |FROM s""".stripMargin) {
+      (s, dir) =>
+        graft.text.TextAnalysis.chunkDocs(
+          Tables(s, dir).documents, col("doc_id"), col("text"),
+          chunkTokens = 64, stride = 48)
+    },
+
     // --- #43e shard assignment + per-shard budget stats (the
     // "N balanced output shards" report before a training write) ---
     // --- #45g corpus-frequency quality score (the CCNet

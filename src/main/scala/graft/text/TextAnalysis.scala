@@ -730,6 +730,118 @@ object TextAnalysis {
     * `.where` chains (docs/language/operators.md); this is the same
     * declarative form with the published pretraining rule set.
     */
+  /** Bigram-LM fluency scoring — the CCNet / Wenzek et al. 2020
+    * perplexity-filter shape: train a language model on a REFERENCE
+    * slice of the corpus (CCNet uses Wikipedia; here the caller's
+    * `trainFilter`, e.g. the English slice), score every document by
+    * how predictable its word sequence is under that model, and keep
+    * the fluent ones. Degenerate/boilerplate text scores low because
+    * its bigrams never appear in the reference slice.
+    *
+    * The model is a stupid-backoff bigram LM (Brants et al. 2007)
+    * kept in EXACT integer arithmetic so the gate stays hash-exact:
+    * p(w2|w1) ≈ cnt(w1,w2)/cnt(w1) when the bigram was seen in the
+    * reference, else 0.4·cnt(w2)/T (the backoff, 0.4 = 2/5 exact).
+    * Each probability is Q14 fixed-point ((x·16384) div y — at Q14 a
+    * bigram would need >2^49 ≈ 5.6e14 reference occurrences to
+    * overflow a long, beyond any real corpus), and the per-doc score
+    * is the MEAN scaled probability, not the log: a per-doc Σln(p)
+    * would be a float aggregate whose addend order Spark does not
+    * pin, while integer sums commute exactly. Ranking power for a
+    * keep/drop filter is equivalent; the threshold is an integer
+    * comparison.
+    *
+    * Plan shape at 100 TB: two aggregation shuffles build the model
+    * tables (unigrams, bigrams — vocabulary-sized, from the
+    * reference slice only); scoring re-joins the exploded bigram
+    * stream to them twice (AQE broadcasts while the model fits,
+    * shuffle-joins beyond) and rolls up per doc with map-side
+    * partial aggregation. No per-doc quadratic work, no driver
+    * state; the model tables are the only small data.
+    */
+  def lmFit(docs: DataFrame, textCol: Column, trainFilter: Column):
+      (DataFrame, DataFrame, DataFrame) = {
+    val train = docs.where(trainFilter).select(words(textCol).as("w"))
+    val uni = train.select(explode(col("w")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val totals = uni.agg(sum(col("cnt")).cast("long").as("total"))
+    val bi = train.select(explode(bigramPairs(col("w"))).as("p"))
+      .select(col("p.w1"), col("p.w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cnt2"))
+      .join(uni.withColumnRenamed("tok", "w1")
+        .withColumnRenamed("cnt", "cnt1w1"), Seq("w1"))
+    (bi, uni, totals)
+  }
+
+  /** (w1, w2) pairs of adjacent words, order-preserving. */
+  private def bigramPairs(w: Column): Column =
+    transform(slice(w, lit(1), greatest(size(w) - 1, lit(0))),
+      (x, i) => struct(x.as("w1"), element_at(w, i + lit(2)).as("w2")))
+
+  def lmScore(docs: DataFrame, idCol: Column, textCol: Column,
+      bi: DataFrame, uni: DataFrame, totals: DataFrame,
+      keepQ14: Long): DataFrame = {
+    val occ = docs
+      .select(idCol.as("doc_id"), explode(bigramPairs(words(textCol))).as("p"))
+      .select(col("doc_id"), col("p.w1"), col("p.w2"))
+    occ
+      .join(bi, Seq("w1", "w2"), "left")
+      .join(uni.withColumnRenamed("tok", "w2")
+        .withColumnRenamed("cnt", "cntw2"), Seq("w2"), "left")
+      .crossJoin(broadcast(totals))
+      // div (not /): long / goes through DOUBLE — see temperatureRates
+      .withColumn("q", expr(
+        """CASE WHEN cnt2 IS NOT NULL THEN (cnt2 * 16384L) div cnt1w1
+          |     ELSE (32768L * coalesce(cntw2, 0L)) div (5L * total) END"""
+          .stripMargin))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("q")).as("sum_q"))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_q"),
+        expr("sum_q div n_bigrams").as("fluency_q14"),
+        (col("sum_q").cast("double") /
+          (col("n_bigrams").cast("double") * lit(16384.0))).as("fluency"),
+        (expr("sum_q div n_bigrams") >= keepQ14).as("keep"))
+  }
+
+  def lmFluency(docs: DataFrame, idCol: Column, textCol: Column,
+      trainFilter: Column, keepQ14: Long): DataFrame = {
+    val (bi, uni, totals) = lmFit(docs, textCol, trainFilter)
+    lmScore(docs, idCol, textCol, bi, uni, totals, keepQ14)
+  }
+
+  /** Sliding-window document chunking — the RAG / context-window
+    * preparation step: each document becomes overlapping
+    * `chunkTokens`-word windows advancing by `stride` words, so
+    * every token lands in at least one chunk and consecutive chunks
+    * share `chunkTokens - stride` words of context. Window starts
+    * run 1, 1+stride, … up to len - overlap (so the final, possibly
+    * partial, window still reaches the document's end without
+    * emitting a tail window fully contained in its predecessor).
+    *
+    * Purely row-local (explode of a per-row integer sequence + array
+    * slices) — zero shuffles, zero state; at 100 TB it pipelines
+    * inside whole-stage codegen on the scan.
+    */
+  def chunkDocs(docs: DataFrame, idCol: Column, textCol: Column,
+      chunkTokens: Int = 64, stride: Int = 48): DataFrame = {
+    require(stride >= 1 && chunkTokens >= stride,
+      s"need 1 <= stride <= chunkTokens, got $stride/$chunkTokens")
+    val overlap = chunkTokens - stride
+    docs.select(idCol.as("doc_id"), words(textCol).as("w"))
+      .where(size(col("w")) >= 1)
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(1),
+          greatest(size(col("w")) - overlap, lit(1)),
+          lit(stride))).as("start_tok"))
+      .select(col("doc_id"),
+        expr(s"CAST((start_tok - 1) div $stride AS BIGINT)").as("chunk_idx"),
+        col("start_tok").cast("long").as("start_tok"),
+        size(slice(col("w"), col("start_tok"), lit(chunkTokens)))
+          .cast("long").as("n_tokens"),
+        array_join(slice(col("w"), col("start_tok"), lit(chunkTokens)), " ")
+          .as("chunk_text"))
+  }
+
   def gopherFilter(
       docs: DataFrame,
       textCol: String = "text",
