@@ -34,6 +34,16 @@ object SparkEntry {
     "s26_stream_dsir" -> QueryDef(
       graft.streaming.StreamingQueries.streamDsir,
       TextQueries.defs("t13_dsir").oracle),
+    // s37: sliding-window chunking at ingest — stateless generator
+    // fan-out, shares t18's oracle verbatim
+    "s37_stream_chunk" -> QueryDef(
+      graft.streaming.StreamingQueries.streamChunk,
+      TextQueries.defs("t18_chunk").oracle),
+    // s38: ingest-time bigram-LM fluency gate — pre-fit integer
+    // model, row-local native scorer: shares t17's oracle verbatim
+    "s38_stream_lm_fluency" -> QueryDef(
+      graft.streaming.StreamingQueries.streamLmFluency,
+      TextQueries.defs("t17_lm_fluency").oracle),
     // s27: multimodal frame sampling at ingest — stateless generator
     // fan-out, shares m3's oracle verbatim
     "s27_stream_frames" -> QueryDef(

@@ -1087,6 +1087,45 @@ object StreamingQueries {
     runToTable(spark, out, "graft_s34_sink", "append")
   }
 
+  /** #45o-streaming: bigram-LM fluency filtering AT INGEST — the
+    * CCNet-style quality gate applied before anything lands in the
+    * lake. The stupid-backoff model (bigram + unigram count maps +
+    * total, all exact integers) is fit ONCE on the static reference
+    * slice (cap-guarded driver collect, the s26/s30
+    * train-offline-once pattern) and rides into a native row-local
+    * scorer as codegen reference objects: O(1) hash lookups per
+    * bigram, no joins, no shuffle, no state. Long sums commute, so
+    * the per-doc totals are bit-identical to the batch join
+    * formulation and s38 shares t17's oracle verbatim.
+    */
+  def streamLmFluency(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/documents.parquet"
+    val staticDocs = graft.Tables(spark, dir).documents
+    val (bi, uni, total) = graft.text.TextAnalysis.lmFitLocal(
+      staticDocs, col("text"), col("lang") === "en")
+    val src = graft.Tables.normalizeDocuments(
+      spark.readStream.schema(schemaOf(spark, path)).parquet(streamDir(path)))
+    val out = graft.text.TextAnalysis.lmScoreLocal(
+      src, col("doc_id"), col("text"), bi, uni, total, keepQ14 = 1200L)
+    runToTable(spark, out, "graft_s38_sink", "append")
+  }
+
+  /** #45p-streaming: sliding-window chunking AT INGEST — documents
+    * explode into overlapping token windows as they arrive (the RAG
+    * indexing placement: chunks are what gets embedded, so producing
+    * them at ingest feeds the index without a batch pass). Stateless
+    * row-local generator fan-out (the s27 frame-sampling shape);
+    * shares t18's oracle verbatim.
+    */
+  def streamChunk(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/documents.parquet"
+    val src = graft.Tables.normalizeDocuments(
+      spark.readStream.schema(schemaOf(spark, path)).parquet(streamDir(path)))
+    val out = graft.text.TextAnalysis.chunkDocs(
+      src, col("doc_id"), col("text"), chunkTokens = 64, stride = 48)
+    runToTable(spark, out, "graft_s37_sink", "append")
+  }
+
   /** #45k-streaming: DSIR importance scoring on a live document feed.
     * The model (4096 scaled log-ratios) is fitted ONCE on the static
     * corpus at query start — the f3 pre-fit-model precedent — and

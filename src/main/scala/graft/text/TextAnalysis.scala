@@ -809,6 +809,56 @@ object TextAnalysis {
     lmScore(docs, idCol, textCol, bi, uni, totals, keepQ14)
   }
 
+  /** Driver-side LM fit for the ingest twin (the s26/s29
+    * train-offline-once pattern): the reference-slice model collects
+    * into hash maps, cap-guarded with a limit probe so an oversized
+    * vocabulary fails LOUDLY instead of silently OOMing the driver
+    * (beyond the cap the batch join formulation is the scale path).
+    */
+  def lmFitLocal(docs: DataFrame, textCol: Column, trainFilter: Column,
+      maxVocab: Int = 2000000): (java.util.HashMap[String, Array[Long]],
+      java.util.HashMap[String, java.lang.Long], Long) = {
+    val (bi, uni, totals) = lmFit(docs, textCol, trainFilter)
+    require(bi.limit(maxVocab + 1).count() <= maxVocab,
+      s"lmFitLocal: bigram vocabulary exceeds $maxVocab — " +
+        "use the batch join formulation (lmFluency) at this scale")
+    val biMap = new java.util.HashMap[String, Array[Long]]()
+    bi.collect().foreach { r =>
+      biMap.put(r.getAs[String]("w1") + " " + r.getAs[String]("w2"),
+        Array(r.getAs[Long]("cnt2"), r.getAs[Long]("cnt1w1")))
+    }
+    val uniMap = new java.util.HashMap[String, java.lang.Long]()
+    uni.collect().foreach { r =>
+      uniMap.put(r.getAs[String]("tok"), Long.box(r.getAs[Long]("cnt")))
+    }
+    (biMap, uniMap, totals.collect()(0).getAs[Long]("total"))
+  }
+
+  /** Row-local scoring against a driver-fit model — zero joins, zero
+    * shuffles, identical integer arithmetic to [[lmScore]]; the
+    * projection mirrors the batch one exactly so the twin shares the
+    * oracle.
+    */
+  def lmScoreLocal(docs: DataFrame, idCol: Column, textCol: Column,
+      bi: java.util.HashMap[String, Array[Long]],
+      uni: java.util.HashMap[String, java.lang.Long],
+      total: Long, keepQ14: Long): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import graft.functions.LmScore
+    val sc = ColumnBridge.column(LmScore(
+      ColumnBridge.expression(words(textCol)), bi, uni, total))
+    docs.select(idCol.as("doc_id"), sc.as("sc"))
+      .select(col("doc_id"),
+        element_at(col("sc"), 1).as("n_bigrams"),
+        element_at(col("sc"), 2).as("sum_q"))
+      .where(col("n_bigrams") > 0L) // batch emits docs with >= 2 words
+      .select(col("doc_id"), col("n_bigrams"), col("sum_q"),
+        expr("sum_q div n_bigrams").as("fluency_q14"),
+        (col("sum_q").cast("double") /
+          (col("n_bigrams").cast("double") * lit(16384.0))).as("fluency"),
+        (expr("sum_q div n_bigrams") >= keepQ14).as("keep"))
+  }
+
   /** Sliding-window document chunking — the RAG / context-window
     * preparation step: each document becomes overlapping
     * `chunkTokens`-word windows advancing by `stride` words, so

@@ -405,6 +405,86 @@ class TextSpec extends SparkSpec {
     assert(batch.except(local).isEmpty && local.except(batch).isEmpty)
   }
 
+  test("lm fluency: reference-like text outscores scrambled text") {
+    import spark.implicits._
+    // train on the 'en' slice; fluent docs reuse its bigrams, the
+    // scrambled doc shares the vocabulary but not the transitions
+    val crafted = Seq(
+      (0L, "the cat sat on the mat", "en"),
+      (1L, "the dog sat on the mat", "en"),
+      (2L, "the cat sat on the mat again", "xx"),   // fluent, held out
+      (3L, "mat the on sat cat the", "xx"),          // scrambled
+      (4L, "zork quux blarg zork", "xx"))            // out-of-vocab
+      .toDF("doc_id", "text", "lang")
+    val got = graft.text.TextAnalysis.lmFluency(
+      crafted, col("doc_id"), col("text"),
+      trainFilter = col("lang") === "en", keepQ14 = 1200L)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("fluency_q14")).toMap
+    assert(got(2L) > got(3L), s"fluent must beat scrambled: $got")
+    assert(got(3L) > got(4L), s"in-vocab backoff must beat OOV: $got")
+    assert(got(4L) == 0L, "all-OOV bigrams score zero")
+    // single-word docs emit nothing (no bigrams)
+    val one = graft.text.TextAnalysis.lmFluency(
+      Seq((9L, "word", "en")).toDF("doc_id", "text", "lang"),
+      col("doc_id"), col("text"), col("lang") === "en", 0L)
+    assert(one.count() == 0)
+  }
+
+  test("lm fluency: row-local native scorer ≡ batch join path") {
+    // the streaming twin's scorer (hash-map lookups + long sums) must
+    // reproduce the batch join formulation BIT-identically on the
+    // real corpus — the property that lets s38 share t17's oracle
+    val d = docs
+    val train = col("lang") === "en"
+    val batch = graft.text.TextAnalysis.lmFluency(
+      d, col("doc_id"), col("text"), train, keepQ14 = 1200L)
+    val (bi, uni, total) = graft.text.TextAnalysis.lmFitLocal(
+      d, col("text"), train)
+    val local = graft.text.TextAnalysis.lmScoreLocal(
+      d, col("doc_id"), col("text"), bi, uni, total, keepQ14 = 1200L)
+    assert(batch.count() > 0)
+    assert(batch.except(local).isEmpty && local.except(batch).isEmpty)
+  }
+
+  test("lm fluency: oversized vocabulary fails loudly, not silently") {
+    val e = intercept[IllegalArgumentException] {
+      graft.text.TextAnalysis.lmFitLocal(
+        docs, col("text"), col("lang") === "en", maxVocab = 3)
+    }
+    assert(e.getMessage.contains("bigram vocabulary exceeds"))
+  }
+
+  test("chunking covers every token; overlap and tail policy hold") {
+    import spark.implicits._
+    // 120 words -> starts 1,49,97; 100 -> 1,49; 64 -> 1; 10 -> 1
+    val mk = (n: Int) => (1 to n).map(i => s"w$i").mkString(" ")
+    val crafted = Seq(
+      (0L, mk(120)), (1L, mk(100)), (2L, mk(64)), (3L, mk(10)),
+      (4L, ""))
+      .toDF("doc_id", "text")
+    val ch = graft.text.TextAnalysis.chunkDocs(
+      crafted, col("doc_id"), col("text"), chunkTokens = 64, stride = 48)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_idx"),
+        r.getAs[Long]("start_tok"), r.getAs[Long]("n_tokens"),
+        r.getAs[String]("chunk_text")))
+    val byDoc = ch.groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    assert(byDoc(0L).map(c => (c._3, c._4)).toSeq ==
+      Seq((1L, 64L), (49L, 64L), (97L, 24L)))
+    assert(byDoc(1L).map(c => (c._3, c._4)).toSeq ==
+      Seq((1L, 64L), (49L, 52L)))
+    assert(byDoc(2L).map(c => (c._3, c._4)).toSeq == Seq((1L, 64L)))
+    assert(byDoc(3L).map(c => (c._3, c._4)).toSeq == Seq((1L, 10L)))
+    assert(!byDoc.contains(4L), "empty docs emit no chunks")
+    // every token of doc 0 appears in at least one chunk, and
+    // consecutive chunks share exactly the 16-token overlap
+    val c0 = byDoc(0L)
+    val covered = c0.flatMap(_._5.split(" ")).toSet
+    assert(covered == (1 to 120).map(i => s"w$i").toSet)
+    val shared = c0(0)._5.split(" ").toSet intersect c0(1)._5.split(" ").toSet
+    assert(shared.size == 16)
+  }
+
   test("bpe training learns the hand-computable merges in order") {
     import spark.implicits._
     // classic BPE toy: 'aa' dominates, then 'aab' ('aa'+'b'), then ...
