@@ -34,7 +34,9 @@ object ScaleBench {
       "v7_semdedup", "d8_embed_decontam",
       "g2_rate_limit", "g3_circuit_breaker", "x6_vpl_trend_agg",
       "e2_asof_enrich", "pipe2_clean_corpus", "t14_bpe_merges",
-      "f4_hawkes", "a2_ema", "t15_bpe_encode", "m4_mlp_score")
+      "f4_hawkes", "a2_ema", "t15_bpe_encode", "m4_mlp_score",
+      "t16_temperature_mix", "t17_lm_fluency", "t18_chunk",
+      "v9_hybrid_rrf")
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

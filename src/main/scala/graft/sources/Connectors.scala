@@ -123,7 +123,13 @@ object Connectors {
     "http"          -> "graft.sources.HttpConnector (bundled, real)",
     "nats"          -> "nats (community structured-streaming connector)",
     "kinesis"       -> "kinesis (kinesis-sql structured-streaming connector)",
-    "elasticsearch" -> "org.elasticsearch.spark.sql",
+    // elasticsearch's SINK half is real: EsConnector speaks the
+    // actual _bulk NDJSON contract over HTTP (chunked, auth headers,
+    // per-item error surfacing), loopback-tested in EsConnectorSpec —
+    // matching the reference, whose ElasticsearchSink is write-only;
+    // org.elasticsearch.spark.sql remains the read path on clusters
+    // that ship es-hadoop
+    "elasticsearch" -> "graft.sources.EsConnector (bundled sink, real)",
     // redis is NOT a stand-in either: RedisConnector speaks actual
     // RESP2 over TCP (SUBSCRIBE-spool source, pipelined PUBLISH sink,
     // SET/GET with key prefix), loopback-tested in RedisConnectorSpec;

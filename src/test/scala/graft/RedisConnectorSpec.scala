@@ -111,6 +111,45 @@ class RedisConnectorSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("VPL .to(Cache) publishes the stream's output over real TCP") {
+    import graft.vpl._
+    val srv = new MiniRedisServer
+    val dir = java.nio.file.Files.createTempDirectory("graft_redis_vpl_")
+    try {
+      val sub = RedisSubscriber.start("127.0.0.1", srv.port, "out",
+        dir.toString)
+      val probe = new RedisClient("127.0.0.1", srv.port)
+      try assert(awaitTrue(2000)(
+        probe.publish("out", """{"k":0,"v":0.0}""") == 1L))
+      finally probe.close()
+      val vpl =
+        """stream Out = Ping
+          |    .where(v > 1.0)
+          |    .emit(k: k, v: v)
+          |    .to(Cache)
+          |""".stripMargin
+      val evt = java.nio.file.Files.createTempFile("graft_redis_vpl", ".evt")
+      java.nio.file.Files.writeString(evt,
+        """Ping { k: 1, v: 2.0 }
+          |Ping { k: 2, v: 0.5 }
+          |Ping { k: 3, v: 4.0 }
+          |""".stripMargin)
+      val prog = VplParser.parse(vpl)
+      val decls = prog.events.map(e => e.name -> e).toMap
+      new VplCompiler(prog, new EvtSource(spark, Seq(evt.toString), decls),
+        sinks = Map("Cache" -> RedisConnector(
+          "Cache", "127.0.0.1", srv.port, "out", dir.toString)))
+        .compileAllStrict()
+      // program rows went over the wire, landed via the subscriber
+      assert(awaitTrue(3000)(sub.messageCount == 3),
+        s"messages=${sub.messageCount}")
+      sub.stop()
+      val landed = spark.read.json(dir.toString)
+        .where(col("k") > 0).collect().map(_.getAs[Long]("k")).toSet
+      assert(landed == Set(1L, 3L))
+    } finally srv.stop()
+  }
+
   test("pipeline batches N commands into one flush with N replies") {
     val srv = new MiniRedisServer
     try {
