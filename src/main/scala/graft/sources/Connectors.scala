@@ -121,7 +121,11 @@ object Connectors {
     // (HttpConnectorSpec) — webhook source with auth/batch caps,
     // landing-dir stream, per-partition array-POST sink
     "http"          -> "graft.sources.HttpConnector (bundled, real)",
-    "nats"          -> "nats (community structured-streaming connector)",
+    // nats is NOT a stand-in either: NatsConnector speaks the actual
+    // text wire protocol (INFO/CONNECT handshake with user/pass or
+    // token auth, SUB incl. queue groups, chunked PUB sink sealed by
+    // a PING/PONG barrier), loopback-tested in NatsConnectorSpec
+    "nats"          -> "graft.sources.NatsConnector (bundled, real)",
     "kinesis"       -> "kinesis (kinesis-sql structured-streaming connector)",
     // elasticsearch's SINK half is real: EsConnector speaks the
     // actual _bulk NDJSON contract over HTTP (chunked, auth headers,

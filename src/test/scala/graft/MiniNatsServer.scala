@@ -1,0 +1,99 @@
+package graft
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, EOFException}
+import java.net.{InetSocketAddress, ServerSocket, Socket}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.atomic.AtomicLong
+
+import graft.sources.NatsProto
+
+/** Loopback NATS server FIXTURE for NatsConnectorSpec — implements
+  * the documented client protocol (INFO/CONNECT/SUB/PUB/MSG/PING/
+  * PONG, docs.nats.io) far enough to exercise the product client
+  * over real TCP, including the two NATS-specific behaviors worth
+  * pinning: CONNECT auth (-ERR on bad token/credentials) and QUEUE
+  * GROUPS (each message goes to every plain subscriber but exactly
+  * ONE member per group, round-robin here for determinism). Test
+  * scope only.
+  */
+final class MiniNatsServer(requireToken: Option[String] = None) {
+  private val server = new ServerSocket()
+  server.bind(new InetSocketAddress("127.0.0.1", 0))
+  def port: Int = server.getLocalPort
+
+  private final case class Sub(out: BufferedOutputStream, subject: String,
+    sid: String, queue: Option[String])
+  private val subs = new java.util.concurrent.CopyOnWriteArrayList[Sub]()
+  private val rr = new AtomicLong(0)
+  @volatile private var running = true
+
+  private def deliver(subject: String, payload: String): Unit = {
+    val matching = {
+      val b = Seq.newBuilder[Sub]
+      subs.forEach(s => if (s.subject == subject) b += s)
+      b.result()
+    }
+    val (grouped, plain) = matching.partition(_.queue.isDefined)
+    val perGroup = grouped.groupBy(_.queue.get).values.map { members =>
+      members((rr.getAndIncrement() % members.length).toInt)
+    }
+    (plain ++ perGroup).foreach { s =>
+      s.out.synchronized {
+        val p = payload.getBytes(UTF_8)
+        s.out.write(s"MSG $subject ${s.sid} ${p.length}\r\n".getBytes(UTF_8))
+        s.out.write(p); s.out.write("\r\n".getBytes(UTF_8))
+        s.out.flush()
+      }
+    }
+  }
+
+  private def handle(sock: Socket): Unit = {
+    val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
+    val out = new BufferedOutputStream(sock.getOutputStream)
+    def send(s: String): Unit =
+      out.synchronized { out.write(s.getBytes(UTF_8)); out.flush() }
+    var authed = requireToken.isEmpty
+    try {
+      send(s"""INFO {"server_id":"mini","version":"fixture"}""" + "\r\n")
+      while (running) {
+        val line = NatsProto.readLine(in)
+        val upper = line.toUpperCase
+        if (upper.startsWith("CONNECT")) {
+          authed = requireToken.forall(t =>
+            line.contains(s""""auth_token":"$t""""))
+          // non-verbose: no +OK; a failed auth surfaces on first PING
+        } else if (upper == "PING") {
+          if (authed) send("PONG\r\n")
+          else { send("-ERR 'Authorization Violation'\r\n"); return }
+        } else if (upper == "PONG") {
+          // client answering our (never-sent) PING — ignore
+        } else if (upper.startsWith("SUB ")) {
+          val parts = line.split(" ")
+          if (parts.length == 3) subs.add(Sub(out, parts(1), parts(2), None))
+          else subs.add(Sub(out, parts(1), parts(3), Some(parts(2))))
+        } else if (upper.startsWith("PUB ")) {
+          val parts = line.split(" ")
+          val payload = NatsProto.readPayload(in, parts.last.toInt)
+          if (authed) deliver(parts(1), payload)
+        } else send("-ERR 'Unknown Protocol Operation'\r\n")
+      }
+    } catch {
+      case _: EOFException | _: java.io.IOException => // client closed
+    } finally {
+      subs.removeIf(_.out eq out)
+      sock.close()
+    }
+  }
+
+  private val acceptor = new Thread(() => {
+    try while (running) {
+      val sock = server.accept()
+      val t = new Thread(() => handle(sock), "mini-nats-conn")
+      t.setDaemon(true); t.start()
+    } catch { case _: java.io.IOException => /* server closed */ }
+  }, "mini-nats-acceptor")
+  acceptor.setDaemon(true)
+  acceptor.start()
+
+  def stop(): Unit = { running = false; server.close() }
+}
