@@ -115,7 +115,12 @@ object Connectors {
     */
   val brokeredFormats: Map[String, String] = Map(
     "kafka"         -> "kafka",               // spark-sql-kafka
-    "mqtt"          -> "org.apache.bahir.sql.streaming.mqtt.MQTTStreamSourceProvider",
+    // mqtt is NOT a stand-in either: MqttConnector speaks actual
+    // MQTT 3.1.1 binary framing (CONNECT/CONNACK auth codes,
+    // SUBSCRIBE incl. '#' wildcard, QoS 0/1 PUBLISH with PUBACK
+    // acknowledgement, PING barrier), loopback-tested in
+    // MqttConnectorSpec; bahir remains an option where it ships
+    "mqtt"          -> "graft.sources.MqttConnector (bundled, real)",
     // http is NOT a stand-in: HttpConnector/HttpWebhookReceiver are a
     // real JDK-only transport, loopback-tested end to end
     // (HttpConnectorSpec) — webhook source with auth/batch caps,
