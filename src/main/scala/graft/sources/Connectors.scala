@@ -131,7 +131,13 @@ object Connectors {
     // token auth, SUB incl. queue groups, chunked PUB sink sealed by
     // a PING/PONG barrier), loopback-tested in NatsConnectorSpec
     "nats"          -> "graft.sources.NatsConnector (bundled, real)",
-    "kinesis"       -> "kinesis (kinesis-sql structured-streaming connector)",
+    // kinesis is NOT a stand-in either: KinesisConnector implements
+    // AWS SigV4 signing (JDK crypto) + the x-amz-json-1.1 operations
+    // (PutRecords sink in <=500-record chunks, ListShards /
+    // GetShardIterator / GetRecords poller source) — the loopback
+    // fixture VERIFIES signatures cryptographically
+    // (KinesisConnectorSpec); kinesis-sql remains an option
+    "kinesis"       -> "graft.sources.KinesisConnector (bundled, real)",
     // elasticsearch's SINK half is real: EsConnector speaks the
     // actual _bulk NDJSON contract over HTTP (chunked, auth headers,
     // per-item error surfacing), loopback-tested in EsConnectorSpec —

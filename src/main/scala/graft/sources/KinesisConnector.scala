@@ -1,0 +1,265 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** AWS Signature Version 4 — the published signing algorithm
+  * (docs.aws.amazon.com/general/latest/gr/sigv4_signing.html),
+  * implemented with JDK crypto only. This is the part that makes an
+  * AWS client an AWS client: the canonical-request → string-to-sign
+  * → HMAC-chain derivation, verifiable by any server holding the
+  * same secret (the spec fixture RECOMPUTES the signature and
+  * rejects mismatches, so the test is a real cryptographic round
+  * trip, not an echo).
+  */
+private[graft] object AwsSigV4 {
+  private def hmac(key: Array[Byte], data: String): Array[Byte] = {
+    val mac = javax.crypto.Mac.getInstance("HmacSHA256")
+    mac.init(new javax.crypto.spec.SecretKeySpec(key, "HmacSHA256"))
+    mac.doFinal(data.getBytes(UTF_8))
+  }
+  private def hex(b: Array[Byte]): String =
+    b.map(x => f"${x & 0xff}%02x").mkString
+  private def sha256Hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+    hex(d.digest(s.getBytes(UTF_8)))
+  }
+
+  /** The Authorization header value for a request. `headers` must
+    * already contain every header to be signed (lowercase names).
+    */
+  def authorization(method: String, path: String, query: String,
+      headers: Seq[(String, String)], payload: String,
+      accessKey: String, secretKey: String, region: String,
+      service: String, amzDate: String): String = {
+    val date = amzDate.take(8)
+    val sorted = headers.map { case (k, v) => (k.toLowerCase, v.trim) }
+      .sortBy(_._1)
+    val canonicalHeaders = sorted.map { case (k, v) => s"$k:$v\n" }.mkString
+    val signedHeaders = sorted.map(_._1).mkString(";")
+    val canonicalRequest = Seq(method, path, query, canonicalHeaders,
+      signedHeaders, sha256Hex(payload)).mkString("\n")
+    val scope = s"$date/$region/$service/aws4_request"
+    val stringToSign = Seq("AWS4-HMAC-SHA256", amzDate, scope,
+      sha256Hex(canonicalRequest)).mkString("\n")
+    val kSigning = hmac(hmac(hmac(hmac(
+      ("AWS4" + secretKey).getBytes(UTF_8), date), region), service),
+      "aws4_request")
+    val signature = hex(hmac(kSigning, stringToSign))
+    s"AWS4-HMAC-SHA256 Credential=$accessKey/$scope, " +
+      s"SignedHeaders=$signedHeaders, Signature=$signature"
+  }
+}
+
+/** Minimal Kinesis Data Streams client: the service is JSON over
+  * HTTP (x-amz-json-1.1, X-Amz-Target routing), so with SigV4 in
+  * hand the operations the reference connector uses
+  * (kinesis.rs gated impl: GetShardIterator/GetRecords source loop,
+  * PutRecords sink) need no SDK. `endpoint` points at AWS in
+  * production and at the loopback fixture in tests.
+  */
+final class KinesisClient(endpoint: String, region: String,
+    accessKey: String, secretKey: String,
+    nowMillis: () => Long = () => System.currentTimeMillis()) {
+
+  private val client = java.net.http.HttpClient.newHttpClient()
+
+  private def amzDate(): String = {
+    val i = java.time.Instant.ofEpochMilli(nowMillis())
+      .atZone(java.time.ZoneOffset.UTC)
+    f"${i.getYear}%04d${i.getMonthValue}%02d${i.getDayOfMonth}%02d" +
+      f"T${i.getHour}%02d${i.getMinute}%02d${i.getSecond}%02dZ"
+  }
+
+  /** One signed operation call; returns the response body. */
+  def call(target: String, bodyJson: String): String = {
+    val uri = java.net.URI.create(endpoint)
+    val host = uri.getHost + (if (uri.getPort > 0) s":${uri.getPort}" else "")
+    val date = amzDate()
+    val hdrs = Seq(
+      "content-type" -> "application/x-amz-json-1.1",
+      "host" -> host,
+      "x-amz-date" -> date,
+      "x-amz-target" -> s"Kinesis_20131202.$target")
+    val auth = AwsSigV4.authorization("POST", "/", "", hdrs, bodyJson,
+      accessKey, secretKey, region, "kinesis", date)
+    val b = java.net.http.HttpRequest.newBuilder(uri)
+      .header("Content-Type", "application/x-amz-json-1.1")
+      .header("X-Amz-Date", date)
+      .header("X-Amz-Target", s"Kinesis_20131202.$target")
+      .header("Authorization", auth)
+      .POST(java.net.http.HttpRequest.BodyPublishers.ofString(bodyJson))
+    val resp = client.send(b.build(),
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() / 100 != 2)
+      throw new java.io.IOException(
+        s"kinesis $target returned ${resp.statusCode()}: ${resp.body()}")
+    resp.body()
+  }
+
+  private def b64(s: String): String =
+    java.util.Base64.getEncoder.encodeToString(s.getBytes(UTF_8))
+
+  /** PutRecords — one batch call, records as (partitionKey, data).
+    * The API caps a batch at 500 records; callers chunk.
+    */
+  def putRecords(stream: String, records: Seq[(String, String)]): Unit = {
+    require(records.length <= 500, "kinesis: PutRecords caps at 500")
+    val rs = records.map { case (pk, data) =>
+      s"""{"Data":"${b64(data)}","PartitionKey":"$pk"}"""
+    }.mkString(",")
+    val resp = call("PutRecords",
+      s"""{"StreamName":"$stream","Records":[$rs]}""")
+    // FailedRecordCount > 0 means partial failure — loud, not silent
+    """"FailedRecordCount"\s*:\s*(\d+)""".r.findFirstMatchIn(resp)
+      .map(_.group(1).toInt).filter(_ > 0)
+      .foreach(n => throw new java.io.IOException(
+        s"kinesis: PutRecords failed $n record(s): $resp"))
+  }
+
+  def listShards(stream: String): Seq[String] = {
+    val resp = call("ListShards", s"""{"StreamName":"$stream"}""")
+    """"ShardId"\s*:\s*"([^"]+)"""".r.findAllMatchIn(resp)
+      .map(_.group(1)).toSeq
+  }
+
+  def getShardIterator(stream: String, shardId: String,
+      iteratorType: String): String = {
+    val resp = call("GetShardIterator",
+      s"""{"StreamName":"$stream","ShardId":"$shardId","ShardIteratorType":"$iteratorType"}""")
+    """"ShardIterator"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(resp)
+      .map(_.group(1))
+      .getOrElse(throw new java.io.IOException(s"kinesis: no iterator in $resp"))
+  }
+
+  /** (records, nextIterator) — records decoded from base64. */
+  def getRecords(iterator: String, limit: Int): (Seq[String], String) = {
+    val resp = call("GetRecords",
+      s"""{"ShardIterator":"$iterator","Limit":$limit}""")
+    val recs = """"Data"\s*:\s*"([^"]+)"""".r.findAllMatchIn(resp)
+      .map(m => new String(
+        java.util.Base64.getDecoder.decode(m.group(1)), UTF_8)).toSeq
+    val next = """"NextShardIterator"\s*:\s*"([^"]+)"""".r
+      .findFirstMatchIn(resp).map(_.group(1))
+      .getOrElse(throw new java.io.IOException(s"kinesis: no next iterator"))
+    (recs, next)
+  }
+}
+
+/** Driver-side poller (the reference source's GetShardIterator →
+  * GetRecords loop, kinesis.rs gated impl; same spool shape as the
+  * REST poller): every shard polled on the configured interval from
+  * ONE driver thread, JSON records spooled atomically as NDJSON.
+  * Kinesis bills per-shard read throughput — a thousand executors
+  * polling the same shards would throttle instantly; the landing dir
+  * gives exactly-once delivery downstream.
+  */
+final class KinesisPoller private (client: KinesisClient, stream: String,
+    iteratorType: String, spoolDir: String, batchSize: Int,
+    pollIntervalMs: Long) {
+
+  @volatile private var running = true
+  @volatile private var records = 0L
+  @volatile private var failures = 0L
+
+  private def spool(lines: Seq[String]): Unit = if (lines.nonEmpty) {
+    val dir = Paths.get(spoolDir)
+    Files.createDirectories(dir)
+    val id = java.util.UUID.randomUUID().toString
+    val tmp = dir.resolve(s".tmp-$id")
+    Files.write(tmp, lines.mkString("", "\n", "\n").getBytes(UTF_8))
+    Files.move(tmp, dir.resolve(s"part-$id.json"),
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private val thread = new Thread(() => {
+    try {
+      var iterators = client.listShards(stream)
+        .map(s => client.getShardIterator(stream, s, iteratorType))
+      while (running) {
+        iterators = iterators.map { it =>
+          try {
+            val (recs, next) = client.getRecords(it, batchSize)
+            val (ok, bad) = recs.map(_.trim).partition(r =>
+              r.startsWith("{") && r.endsWith("}"))
+            spool(ok.map(_.replaceAll("[\n\r]+", " ")))
+            records += ok.length
+            failures += bad.length
+            next
+          } catch {
+            case _: java.io.IOException => failures += 1; it
+          }
+        }
+        if (running) Thread.sleep(pollIntervalMs)
+      }
+    } catch { case _: InterruptedException => () }
+  }, s"graft-kinesis-poller-$stream")
+  thread.setDaemon(true)
+
+  def recordCount: Long = records
+  def failureCount: Long = failures
+
+  def stop(): Unit = {
+    running = false
+    thread.interrupt()
+    thread.join(5000)
+  }
+}
+
+object KinesisPoller {
+  /** Defaults mirror KinesisConfig::new (kinesis.rs:30-43):
+    * LATEST iterator, batch 100, 200 ms poll.
+    */
+  def start(client: KinesisClient, stream: String, spoolDir: String,
+      iteratorType: String = "LATEST", batchSize: Int = 100,
+      pollIntervalMs: Long = 200L): KinesisPoller = {
+    val p = new KinesisPoller(client, stream, iteratorType, spoolDir,
+      batchSize, pollIntervalMs)
+    p.thread.start()
+    p
+  }
+}
+
+/** Registry-facing Kinesis connector: reads come off the poller's
+  * landing directory; write PutRecords each partition in ≤500-record
+  * chunks, executor-side, each row's partition key either the
+  * configured fixed key or a stable hash of the row (shard affinity
+  * without hot-keying a single shard).
+  */
+final case class KinesisConnector(
+    name: String,
+    endpoint: String,
+    region: String,
+    stream: String,
+    spoolDir: String,
+    accessKey: String,
+    secretKey: String,
+    partitionKey: Option[String] = None,
+    batchSize: Int = 500) extends Connector {
+
+  override def read(spark: SparkSession, schema: Option[StructType]): DataFrame = {
+    val r = spark.read
+    schema.fold(r)(s => r.schema(s)).json(spoolDir)
+  }
+
+  override def readStream(spark: SparkSession, schema: StructType): DataFrame =
+    spark.readStream.schema(schema).json(spoolDir)
+
+  override def write(df: DataFrame): Unit = {
+    val (ep, rg, st, ak, sk) = (endpoint, region, stream, accessKey, secretKey)
+    val pk = partitionKey
+    val chunk = math.min(batchSize, 500)
+    df.toJSON.foreachPartition { (it: Iterator[String]) =>
+      if (it.hasNext) {
+        val client = new KinesisClient(ep, rg, ak, sk)
+        it.grouped(chunk).foreach { rows =>
+          client.putRecords(st,
+            rows.map(r => (pk.getOrElse(math.abs(r.hashCode).toString), r)))
+        }
+      }
+    }
+  }
+}
