@@ -17,6 +17,31 @@ import org.apache.spark.sql.types.StructType
   * results go out through [[Connector.write]] — the `.from()` /
   * `.to()` halves of the VPL surface.
   */
+/** JSON string escaping for the hand-rolled wire clients (NATS
+  * CONNECT options, Kinesis request bodies): any user-supplied value
+  * interpolated into a JSON frame goes through [[escape]] so quotes,
+  * backslashes, and control characters cannot malform the frame.
+  */
+private[graft] object JsonStr {
+  def escape(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length + 8)
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '"'            => sb.append("\\\"")
+        case '\\'           => sb.append("\\\\")
+        case '\n'           => sb.append("\\n")
+        case '\r'           => sb.append("\\r")
+        case '\t'           => sb.append("\\t")
+        case c if c < 0x20  => sb.append(f"\\u${c.toInt}%04x")
+        case c              => sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+}
+
 trait Connector {
   def name: String
   /** batch read (VPL: table-style bind) */

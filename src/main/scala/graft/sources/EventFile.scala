@@ -24,8 +24,21 @@ import org.apache.spark.sql.functions._
   * for undeclared events exactly as the reference's dynamic payloads
   * behave). Callers cast fields as their event schema declares (VPL
   * `event` blocks).
+  *
+  * CONTRACT — replay scripts only, NOT a data path. The running
+  * BATCH-offset carry is a global `Window.orderBy(line_no)`
+  * (single-partition by construction): correct and cheap for the
+  * KB-scale .evt test-injection scripts this format exists for, and
+  * wrong for bulk data — bulk ingestion goes through the parquet/
+  * json/csv [[FileConnector]] sources. [[maxScriptBytes]] enforces
+  * the contract: any input over 64 MiB fails fast with a pointer at
+  * the right source, so the single-partition window can never be
+  * reached by a data-scale path.
   */
 object EventFile {
+
+  /** Hard cap on total .evt input size — see the class contract. */
+  val maxScriptBytes: Long = 64L * 1024 * 1024
 
   private val unitUs: Map[String, Long] = Map(
     "ns" -> 1L, "us" -> 1L, "ms" -> 1000L, "s" -> 1000000L,
@@ -38,6 +51,18 @@ object EventFile {
     * earlier ones (the reference's restart-and-continue replay).
     */
   def read(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    // replay-scripts-only guard: fail fast before building the
+    // single-partition plan (driver-side stat, no job)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val total = paths.map { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      if (fs.exists(hp)) fs.getContentSummary(hp).getLength else 0L
+    }.sum
+    require(total <= maxScriptBytes,
+      s".evt input is $total bytes (cap $maxScriptBytes): EventFile is " +
+        "for KB-scale replay scripts (single-partition BATCH carry); " +
+        "bulk data belongs in a parquet/json/csv FileConnector")
     val perFile = paths.zipWithIndex.map { case (p, idx) =>
       readOne(spark, p)
         .withColumn("line_no", col("line_no") + lit(idx.toLong * 1000000000L))

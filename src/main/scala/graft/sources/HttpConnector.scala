@@ -149,7 +149,12 @@ final class HttpWebhookReceiver private (
               case None => (400, "expected a JSON array\n")
               case Some(evs) if evs.length > maxBatch =>
                 (413, s"batch of ${evs.length} exceeds max $maxBatch\n")
-              case Some(evs) if evs.exists(_.length > maxEventBytes) =>
+              // UTF-8 BYTE length, matching readBounded's single-event
+              // semantics (String.length counts UTF-16 chars — a
+              // multi-byte element could pass a char check at ~3x the
+              // byte cap)
+              case Some(evs)
+                  if evs.exists(_.getBytes(UTF_8).length > maxEventBytes) =>
                 (413, s"batch element exceeds $maxEventBytes bytes\n")
               case Some(evs) =>
                 if (evs.nonEmpty) spool(evs.map(oneLine))

@@ -108,11 +108,14 @@ final class KinesisClient(endpoint: String, region: String,
     */
   def putRecords(stream: String, records: Seq[(String, String)]): Unit = {
     require(records.length <= 500, "kinesis: PutRecords caps at 500")
+    // partition keys and stream names are user-configured strings —
+    // JSON-escape them so a quote/backslash cannot malform the body
+    // (Data is base64, whose alphabet needs no escaping)
     val rs = records.map { case (pk, data) =>
-      s"""{"Data":"${b64(data)}","PartitionKey":"$pk"}"""
+      s"""{"Data":"${b64(data)}","PartitionKey":"${JsonStr.escape(pk)}"}"""
     }.mkString(",")
     val resp = call("PutRecords",
-      s"""{"StreamName":"$stream","Records":[$rs]}""")
+      s"""{"StreamName":"${JsonStr.escape(stream)}","Records":[$rs]}""")
     // FailedRecordCount > 0 means partial failure — loud, not silent
     """"FailedRecordCount"\s*:\s*(\d+)""".r.findFirstMatchIn(resp)
       .map(_.group(1).toInt).filter(_ > 0)
@@ -121,7 +124,8 @@ final class KinesisClient(endpoint: String, region: String,
   }
 
   def listShards(stream: String): Seq[String] = {
-    val resp = call("ListShards", s"""{"StreamName":"$stream"}""")
+    val resp = call("ListShards",
+      s"""{"StreamName":"${JsonStr.escape(stream)}"}""")
     """"ShardId"\s*:\s*"([^"]+)"""".r.findAllMatchIn(resp)
       .map(_.group(1)).toSeq
   }
@@ -129,7 +133,7 @@ final class KinesisClient(endpoint: String, region: String,
   def getShardIterator(stream: String, shardId: String,
       iteratorType: String): String = {
     val resp = call("GetShardIterator",
-      s"""{"StreamName":"$stream","ShardId":"$shardId","ShardIteratorType":"$iteratorType"}""")
+      s"""{"StreamName":"${JsonStr.escape(stream)}","ShardId":"${JsonStr.escape(shardId)}","ShardIteratorType":"$iteratorType"}""")
     """"ShardIterator"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(resp)
       .map(_.group(1))
       .getOrElse(throw new java.io.IOException(s"kinesis: no iterator in $resp"))

@@ -158,6 +158,15 @@ final class MqttClient(host: String, port: Int, clientId: String,
     id
   }
 
+  /** Fire-and-forget PINGREQ — the subscriber loop's keepalive.
+    * CONNECT advertises keepAliveSec, so a spec-compliant broker
+    * drops a client silent for 1.5× that; the subscriber's idle
+    * branch calls this and its reader consumes the PINGRESP
+    * (nextMessage skips type 13), keeping the session alive with no
+    * second read path.
+    */
+  def keepalive(): Unit = { out.write(MqttProto.pingreq); out.flush() }
+
   /** PINGREQ/PINGRESP round trip — the QoS-0 flush barrier. */
   def ping(): Unit = {
     out.write(MqttProto.pingreq); out.flush()
@@ -249,6 +258,7 @@ final class MqttSubscriber private (client: MqttClient, spoolDir: String,
   @volatile private var running = true
   @volatile private var messages = 0L
   @volatile private var failures = 0L
+  @volatile private var terminal: Option[Throwable] = None
 
   private def spool(line: String): Unit = {
     val dir = Paths.get(spoolDir)
@@ -269,17 +279,35 @@ final class MqttSubscriber private (client: MqttClient, spoolDir: String,
             spool(payload.replaceAll("[\n\r]+", " ")); messages += 1
           } else failures += 1
         } catch {
-          case _: java.net.SocketTimeoutException => () // idle
+          // idle past the socket timeout: keep the MQTT session alive
+          // (CONNECT promised keepAliveSec; a silent client gets
+          // disconnected by a spec-compliant broker)
+          case _: java.net.SocketTimeoutException => client.keepalive()
         }
       }
     } catch {
-      case _: EOFException | _: java.net.SocketException => () // closed
+      // broker-initiated disconnect while running=true is a DEAD
+      // stream, not a clean stop — record it so callers can tell
+      // idle from dead (stop() closes the socket, which lands here
+      // with running=false and stays clean)
+      case e @ (_: EOFException | _: java.net.SocketException |
+                _: java.io.IOException) =>
+        if (running) {
+          terminal = Some(e)
+          System.err.println(s"graft-mqtt-subscriber: terminal: $e")
+        }
     }
   }, "graft-mqtt-subscriber")
   thread.setDaemon(true)
 
   def messageCount: Long = messages
   def failureCount: Long = failures
+  /** The exception that killed the spool thread, if any — None while
+    * healthy or after a clean stop(). A Some here means ingestion
+    * halted and the landing dir will never grow again.
+    */
+  def terminalError: Option[Throwable] = terminal
+  def isDead: Boolean = terminal.isDefined
 
   def stop(): Unit = {
     running = false

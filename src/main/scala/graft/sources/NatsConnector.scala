@@ -73,18 +73,27 @@ final class NatsClient(host: String, port: Int,
   private[sources] val in =
     new DataInputStream(new BufferedInputStream(socket.getInputStream))
 
+  // Messages that arrive while we are waiting for a PONG barrier
+  // (published between SUB registration and the PONG, say) — buffered
+  // here instead of desyncing the stream, drained by nextMessage().
+  private val pending = new scala.collection.mutable.Queue[String]
+
   // Handshake: server leads with INFO {...}; client answers CONNECT.
   // verbose:false suppresses +OK acks (the standard client mode);
   // auth rides in the CONNECT options like the reference's
-  // with_credentials / with_token (nats.rs:47-58).
+  // with_credentials / with_token (nats.rs:47-58) — values
+  // JSON-escaped so a quote or backslash in a credential cannot
+  // produce a malformed CONNECT frame.
   locally {
     val info = NatsProto.readLine(in)
     if (!info.startsWith("INFO "))
       throw new java.io.IOException(s"nats: expected INFO, got $info")
+    import JsonStr.{escape => esc}
     val auth = (username, password, token) match {
-      case (Some(u), Some(p), _) => s""","user":"$u","pass":"$p""""
-      case (_, _, Some(t))       => s""","auth_token":"$t""""
-      case _                     => ""
+      case (Some(u), Some(p), _) =>
+        s""","user":"${esc(u)}","pass":"${esc(p)}""""
+      case (_, _, Some(t)) => s""","auth_token":"${esc(t)}""""
+      case _               => ""
     }
     out.write((s"""CONNECT {"verbose":false,"pedantic":false$auth}""" +
       "\r\n").getBytes(UTF_8))
@@ -93,9 +102,17 @@ final class NatsClient(host: String, port: Int,
 
   private def expectPong(): Unit = {
     var line = NatsProto.readLine(in)
-    // the server may interleave its own PING; answer and keep reading
-    while (line == "PING") { out.write("PONG\r\n".getBytes(UTF_8)); out.flush()
-      line = NatsProto.readLine(in) }
+    // the server may interleave its own PING (answer it) or deliver
+    // a MSG for an already-registered subscription (buffer it —
+    // throwing would leave the payload unread and desync the stream)
+    while (line == "PING" || line.startsWith("MSG ")) {
+      if (line == "PING") {
+        out.write("PONG\r\n".getBytes(UTF_8)); out.flush()
+      } else {
+        pending.enqueue(NatsProto.readPayload(in, line.split(" ").last.toInt))
+      }
+      line = NatsProto.readLine(in)
+    }
     if (line.startsWith("-ERR"))
       throw new java.io.IOException(s"nats: $line")
     if (line != "PONG")
@@ -136,6 +153,7 @@ final class NatsClient(host: String, port: Int,
     * Throws SocketTimeoutException when idle past the socket timeout.
     */
   def nextMessage(): String = {
+    if (pending.nonEmpty) return pending.dequeue()
     var line = NatsProto.readLine(in)
     while (line == "PING" || line == "PONG" || line.startsWith("+OK")) {
       if (line == "PING") { out.write("PONG\r\n".getBytes(UTF_8)); out.flush() }
@@ -163,6 +181,7 @@ final class NatsSubscriber private (client: NatsClient, spoolDir: String,
   @volatile private var running = true
   @volatile private var messages = 0L
   @volatile private var failures = 0L
+  @volatile private var terminal: Option[Throwable] = None
 
   private def spool(line: String): Unit = {
     val dir = Paths.get(spoolDir)
@@ -187,13 +206,26 @@ final class NatsSubscriber private (client: NatsClient, spoolDir: String,
         }
       }
     } catch {
-      case _: EOFException | _: java.net.SocketException => () // closed
+      // connection dropped while running=true = dead stream; record
+      // it so callers can tell idle from dead (clean stop() closes
+      // the socket with running=false and stays clean)
+      case e @ (_: EOFException | _: java.net.SocketException |
+                _: java.io.IOException) =>
+        if (running) {
+          terminal = Some(e)
+          System.err.println(s"graft-nats-subscriber: terminal: $e")
+        }
     }
   }, "graft-nats-subscriber")
   thread.setDaemon(true)
 
   def messageCount: Long = messages
   def failureCount: Long = failures
+  /** The exception that killed the spool thread, if any — None while
+    * healthy or after a clean stop().
+    */
+  def terminalError: Option[Throwable] = terminal
+  def isDead: Boolean = terminal.isDefined
 
   def stop(): Unit = {
     running = false

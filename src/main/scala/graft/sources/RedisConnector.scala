@@ -174,6 +174,7 @@ final class RedisSubscriber private (
   @volatile private var running = true
   @volatile private var messages = 0L
   @volatile private var failures = 0L
+  @volatile private var terminal: Option[Throwable] = None
   private val client = new RedisClient(host, port, timeoutMs)
 
   private def oneLine(s: String): String = s.replaceAll("[\n\r]+", " ")
@@ -207,13 +208,26 @@ final class RedisSubscriber private (
         }
       }
     } catch {
-      case _: EOFException | _: java.net.SocketException => () // closed
+      // connection dropped while running=true = dead stream; record
+      // it so callers can tell idle from dead (clean stop() closes
+      // the socket with running=false and stays clean)
+      case e @ (_: EOFException | _: java.net.SocketException |
+                _: java.io.IOException) =>
+        if (running) {
+          terminal = Some(e)
+          System.err.println(s"graft-redis-subscriber: terminal: $e")
+        }
     }
   }, s"graft-redis-subscriber-$channel")
   thread.setDaemon(true)
 
   def messageCount: Long = messages
   def failureCount: Long = failures
+  /** The exception that killed the spool thread, if any — None while
+    * healthy or after a clean stop().
+    */
+  def terminalError: Option[Throwable] = terminal
+  def isDead: Boolean = terminal.isDefined
 
   def stop(): Unit = {
     running = false

@@ -96,6 +96,56 @@ class BenchSpec extends AnyFunSuite {
     assert(r == Set("q1", "new1"), r.toString)
   }
 
+  test("noiseVerdict: quiet run stays clean, sustained load flags itself") {
+    // quiet: every probe near the floor
+    val (rClean, sClean) = Bench.noiseVerdict(Seq(0.42, 0.41, 0.44), 0.40)
+    assert(!sClean && rClean < 1.2, s"$rClean")
+    // transient spike: ONE slow probe, the rest quiet — min-of-N
+    // timing already defends there, so the verdict must stay clean
+    val (_, sSpike) = Bench.noiseVerdict(Seq(0.41, 2.5, 0.43), 0.40)
+    assert(!sSpike)
+    // sustained co-tenant load (the r10 signature): EVERY probe slow
+    val (rLoad, sLoad) = Bench.noiseVerdict(Seq(0.9, 1.1, 0.85), 0.40)
+    assert(sLoad && rLoad > 2.0, s"$rLoad")
+    // no probes (defensive): clean, ratio 1
+    assert(Bench.noiseVerdict(Nil, 0.40) == ((1.0, false)))
+  }
+
+  test("a deliberately loaded probe reads slower than a quiet one") {
+    // the probe is single-threaded CPU work: saturating the host's
+    // cores while it runs must inflate it, which is exactly the
+    // signal noiseVerdict keys on. Ratio-based (loaded vs quiet on
+    // THIS host right now), so the test is immune to absolute speed.
+    Bench.probeOnce(Bench.probeIters / 10) // JIT warm
+    val quiet = (1 to 3).map(_ => Bench.probeOnce(Bench.probeIters / 4)).min
+    val cores = Runtime.getRuntime.availableProcessors()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val hogs = (1 to cores * 2).map { _ =>
+      val t = new Thread(() => {
+        var x = 1L
+        while (!stop.get()) { x = x * 6364136223846793005L + 1442695040888963407L }
+        if (x == 42L) System.err.print("")
+      })
+      t.setDaemon(true); t.start(); t
+    }
+    try {
+      val loaded = (1 to 3).map(_ => Bench.probeOnce(Bench.probeIters / 4)).min
+      info(f"quiet=${quiet}%.3fs loaded=${loaded}%.3fs (${loaded / quiet}%.2fx)")
+      assert(loaded > quiet * 1.3,
+        f"loaded probe ${loaded}%.3fs not slower than quiet ${quiet}%.3fs")
+    } finally { stop.set(true); hogs.foreach(_.join(1000)) }
+  }
+
+  test("benchLine carries the probe fields and still fits the window") {
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val results = names.map(n => n -> 123.456789)
+    val line = Bench.benchLine(results, Nil, "/root/testdata/sf0.1",
+      Some((2.37, true)))
+    assert(line.contains(""""probe_ratio":2.37"""))
+    assert(line.contains(""""host_noise_suspected":true"""))
+    assert(line.length < 1700, s"bench line too long: ${line.length}")
+  }
+
   test("retimeSet caps: at most 12 regressions + 8 no-prev") {
     val prevOf = (n: String) =>
       if (n.startsWith("r")) Some(1.0) else None
