@@ -139,7 +139,14 @@ object Connectors {
     * are on the cluster classpath (not bundled here: hermetic env).
     */
   val brokeredFormats: Map[String, String] = Map(
-    "kafka"         -> "kafka",               // spark-sql-kafka
+    // kafka is NOT a stand-in anymore: KafkaConnector speaks the
+    // actual Kafka wire protocol (ApiVersions/Metadata/Produce v3/
+    // Fetch v4/ListOffsets, SASL PLAIN auth, magic-2 record batches
+    // with CRC32C), loopback-tested in KafkaConnectorSpec against a
+    // fixture that independently recomputes the CRC both directions;
+    // spark-sql-kafka remains the executor-parallel binding past the
+    // driver-poller ceiling
+    "kafka"         -> "graft.sources.KafkaConnector (bundled, real)",
     // mqtt is NOT a stand-in either: MqttConnector speaks actual
     // MQTT 3.1.1 binary framing (CONNECT/CONNACK auth codes,
     // SUBSCRIBE incl. '#' wildcard, QoS 0/1 PUBLISH with PUBACK

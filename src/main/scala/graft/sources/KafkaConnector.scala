@@ -1,0 +1,602 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, EOFException}
+import java.net.{InetSocketAddress, Socket}
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** REAL Kafka transport for the connector surface (reference
+  * connector/kafka.rs:19-56 config: brokers, topic, group_id,
+  * transactional_id; its full impl is feature-gated behind rdkafka —
+  * source consumes JSON payloads, kafka.rs:256-296; sink produces
+  * each event's JSON with acks=all, kafka.rs:344-353). graft
+  * implements the actual Kafka wire protocol
+  * (kafka.apache.org/protocol) with zero new dependencies, loopback-
+  * tested like MQTT/NATS/Redis/Kinesis.
+  *
+  * Protocol versions are the post-KIP-896 floor — the OLDEST versions
+  * a Kafka 4.x broker still accepts, which are also the newest
+  * non-flexible (pre-tagged-fields) encodings, so one codec covers
+  * brokers from 2.1 through current:
+  *   - ApiVersions v0, Metadata v4, Produce v3, Fetch v4,
+  *     ListOffsets v1, SaslHandshake v1 + SaslAuthenticate v0 (PLAIN)
+  *   - records travel as magic-2 record batches (zigzag-varint record
+  *     framing, CRC32C over the batch tail) — the only message format
+  *     modern brokers retain; the loopback fixture RECOMPUTES the
+  *     CRC and rejects mismatches, so the spec round trip is a real
+  *     integrity check, not an echo.
+  *
+  * Uncompressed batches only (attributes=0): compression codecs are
+  * whole libraries (lz4/zstd) and the no-new-dependencies rule
+  * excludes them; a broker never requires producers to compress.
+  *
+  * Distribution shape matches the other brokered connectors: ONE
+  * driver-side poller (the reference's single consumer loop,
+  * kafka.rs:249-311) fetches every partition and spools JSON values
+  * as atomic NDJSON for Spark's file source; the sink produces
+  * executor-side, one connection per Spark partition, in bounded
+  * chunks with acks=-1 — each Produce response is the broker's
+  * durability acknowledgment, so a Spark task succeeds only once its
+  * records are acked (at-least-once, like every task-retry sink; the
+  * reference's transactional exactly-once rides on broker-side
+  * transaction coordination that its own default path doesn't use
+  * either). Spool ceiling, measured on loopback
+  * (ConnectorThroughputSpec): ~140k rec/s through one poller thread
+  * (fetch is batch-framed, so the spool amortizes far better than
+  * the push protocols) — beyond it, or for multi-broker leader
+  * routing, bind spark-sql-kafka for executor-parallel ingestion.
+  */
+private[graft] object KafkaProto {
+
+  // ---- primitive writer ---------------------------------------------
+  final class Wire {
+    private val buf = new java.io.ByteArrayOutputStream(256)
+    def i8(v: Int): Wire = { buf.write(v & 0xff); this }
+    def i16(v: Int): Wire = { buf.write((v >> 8) & 0xff); buf.write(v & 0xff); this }
+    def i32(v: Int): Wire = { i16(v >> 16); i16(v); this }
+    def i64(v: Long): Wire = { i32((v >> 32).toInt); i32(v.toInt); this }
+    def bool(v: Boolean): Wire = i8(if (v) 1 else 0)
+    def str(s: String): Wire = { val b = s.getBytes(UTF_8); i16(b.length); raw(b) }
+    def nullableStr(s: Option[String]): Wire =
+      s.fold(i16(-1))(str)
+    def bytes(b: Array[Byte]): Wire = { i32(b.length); raw(b) }
+    def nullableBytes(b: Option[Array[Byte]]): Wire =
+      b.fold(i32(-1))(bytes)
+    def raw(b: Array[Byte]): Wire = { buf.write(b, 0, b.length); this }
+    /** zigzag varint (record framing) */
+    def vInt(v: Int): Wire = vLong(v.toLong)
+    def vLong(v: Long): Wire = {
+      var z = (v << 1) ^ (v >> 63)
+      while ((z & ~0x7fL) != 0) { buf.write(((z & 0x7f) | 0x80).toInt); z >>>= 7 }
+      buf.write(z.toInt)
+      this
+    }
+    def array[T](xs: Seq[T])(f: (Wire, T) => Unit): Wire = {
+      i32(xs.length); xs.foreach(x => f(this, x)); this
+    }
+    def result(): Array[Byte] = buf.toByteArray
+    def size: Int = buf.size
+  }
+
+  // ---- primitive reader ---------------------------------------------
+  final class Cursor(val bb: ByteBuffer) {
+    def i8: Int = bb.get().toInt
+    def i16: Int = bb.getShort().toInt
+    def i32: Int = bb.getInt()
+    def i64: Long = bb.getLong()
+    def bool: Boolean = bb.get() != 0
+    def str: String = {
+      val n = i16
+      val b = new Array[Byte](n); bb.get(b); new String(b, UTF_8)
+    }
+    def nullableStr: Option[String] = {
+      val n = i16
+      if (n < 0) None
+      else { val b = new Array[Byte](n); bb.get(b); Some(new String(b, UTF_8)) }
+    }
+    def bytes(n: Int): Array[Byte] = { val b = new Array[Byte](n); bb.get(b); b }
+    def nullableBytes: Option[Array[Byte]] = {
+      val n = i32
+      if (n < 0) None else Some(bytes(n))
+    }
+    def vLong: Long = {
+      var z = 0L; var shift = 0; var b = 0
+      do {
+        b = bb.get() & 0xff
+        z |= (b & 0x7fL) << shift
+        shift += 7
+      } while ((b & 0x80) != 0)
+      (z >>> 1) ^ -(z & 1)
+    }
+    def vInt: Int = vLong.toInt
+    def remaining: Int = bb.remaining()
+  }
+
+  def crc32c(b: Array[Byte], off: Int, len: Int): Int = {
+    val c = new java.util.zip.CRC32C
+    c.update(b, off, len)
+    c.getValue.toInt
+  }
+
+  /** One decoded record. */
+  final case class Record(offset: Long, timestamp: Long,
+      key: Option[Array[Byte]], value: Array[Byte])
+
+  /** Encode records as ONE magic-2 record batch (uncompressed).
+    * Layout per the spec: baseOffset, batchLength (bytes after the
+    * field), partitionLeaderEpoch, magic=2, crc (CRC32C over
+    * attributes..end), attributes, lastOffsetDelta, base/maxTimestamp,
+    * producerId/Epoch, baseSequence, recordCount, records.
+    */
+  def encodeBatch(baseOffset: Long,
+      records: Seq[(Option[Array[Byte]], Array[Byte], Long)]): Array[Byte] = {
+    require(records.nonEmpty, "kafka: empty batch")
+    val baseTs = records.map(_._3).min
+    val maxTs = records.map(_._3).max
+    val body = new Wire // attributes .. records (the CRC'd section)
+    body.i16(0)                       // attributes: no compression
+      .i32(records.length - 1)        // lastOffsetDelta
+      .i64(baseTs).i64(maxTs)
+      .i64(-1L).i16(-1).i32(-1)       // producerId/Epoch, baseSequence
+      .i32(records.length)
+    records.zipWithIndex.foreach { case ((k, v, ts), i) =>
+      val r = new Wire
+      r.i8(0)                         // record attributes
+        .vLong(ts - baseTs)           // timestampDelta
+        .vInt(i)                      // offsetDelta
+      k match {
+        case Some(kb) => r.vInt(kb.length).raw(kb)
+        case None     => r.vInt(-1)
+      }
+      r.vInt(v.length).raw(v)
+      r.vInt(0)                       // headers
+      val rb = r.result()
+      body.vInt(rb.length).raw(rb)
+    }
+    val tail = body.result()
+    val crc = crc32c(tail, 0, tail.length)
+    val out = new Wire
+    out.i64(baseOffset)
+      .i32(4 + 1 + 4 + tail.length)   // batchLength: leaderEpoch+magic+crc+tail
+      .i32(-1)                        // partitionLeaderEpoch
+      .i8(2)                          // magic
+      .i32(crc)
+      .raw(tail)
+    out.result()
+  }
+
+  /** Decode every batch in a record set (a Fetch response may carry
+    * several); validates magic and CRC32C, rejects compressed batches.
+    */
+  def decodeBatches(recordSet: Array[Byte]): Seq[Record] = {
+    val out = Seq.newBuilder[Record]
+    val bb = ByteBuffer.wrap(recordSet)
+    // a partial trailing batch (broker hit maxBytes mid-batch) is legal;
+    // stop cleanly when fewer than header bytes remain
+    while (bb.remaining() >= 12 + 49) {
+      val baseOffset = bb.getLong()
+      val batchLength = bb.getInt()
+      if (bb.remaining() < batchLength) { bb.position(bb.limit()) }
+      else {
+        val start = bb.position()
+        val c = new Cursor(bb)
+        val _leaderEpoch = c.i32
+        val magic = c.i8
+        require(magic == 2, s"kafka: unsupported message magic $magic")
+        val crc = c.i32
+        val tailLen = batchLength - 4 - 1 - 4
+        val got = crc32c(recordSet, bb.position(), tailLen)
+        require(got == crc,
+          f"kafka: record batch CRC mismatch (got 0x$got%08x want 0x$crc%08x)")
+        val attributes = c.i16
+        require((attributes & 0x07) == 0,
+          "kafka: compressed batches not supported (graft produces " +
+            "uncompressed; configure producers accordingly)")
+        val _lastOffsetDelta = c.i32
+        val baseTs = c.i64
+        val _maxTs = c.i64
+        c.i64; c.i16; c.i32 // producerId, producerEpoch, baseSequence
+        val n = c.i32
+        var i = 0
+        while (i < n) {
+          val len = c.vInt
+          val end = bb.position() + len
+          c.i8 // record attributes
+          val tsDelta = c.vLong
+          val offDelta = c.vInt
+          val kLen = c.vInt
+          val key = if (kLen < 0) None else Some(c.bytes(kLen))
+          val vLen = c.vInt
+          val value = if (vLen < 0) Array.empty[Byte] else c.bytes(vLen)
+          out += Record(baseOffset + offDelta, baseTs + tsDelta, key, value)
+          bb.position(end) // skip headers
+          i += 1
+        }
+        bb.position(start + batchLength)
+      }
+    }
+    out.result()
+  }
+
+  // error codes this client surfaces by name
+  val errorNames: Map[Int, String] = Map(
+    0 -> "NONE", 1 -> "OFFSET_OUT_OF_RANGE", 2 -> "CORRUPT_MESSAGE",
+    3 -> "UNKNOWN_TOPIC_OR_PARTITION", 5 -> "LEADER_NOT_AVAILABLE",
+    6 -> "NOT_LEADER_OR_FOLLOWER", 33 -> "UNSUPPORTED_SASL_MECHANISM",
+    34 -> "ILLEGAL_SASL_STATE", 35 -> "UNSUPPORTED_VERSION",
+    58 -> "SASL_AUTHENTICATION_FAILED")
+  def errName(code: Int): String =
+    errorNames.getOrElse(code, s"ERROR_$code")
+}
+
+/** Blocking Kafka client over one TCP connection (not thread-safe).
+  * Speaks to one broker — correct for the single-broker loopback
+  * fixture and for clusters fronted by a single bootstrap address
+  * where that broker leads the produced partitions; a multi-broker
+  * leader-routing layer is what spark-sql-kafka is for.
+  */
+final class KafkaClient(host: String, port: Int,
+    clientId: String = "graft",
+    username: Option[String] = None, password: Option[String] = None,
+    timeoutMs: Int = 5000) extends AutoCloseable {
+
+  import KafkaProto._
+
+  private val socket = new Socket()
+  socket.connect(new InetSocketAddress(host, port), timeoutMs)
+  socket.setSoTimeout(timeoutMs)
+  private val out = new BufferedOutputStream(socket.getOutputStream)
+  private val in =
+    new DataInputStream(new BufferedInputStream(socket.getInputStream))
+  private var correlation = 0
+
+  /** One request/response round trip (header v1: apiKey, apiVersion,
+    * correlationId, clientId).
+    */
+  private def call(apiKey: Int, apiVersion: Int, body: Wire): Cursor = {
+    correlation += 1
+    val head = new Wire
+    head.i16(apiKey).i16(apiVersion).i32(correlation)
+      .nullableStr(Some(clientId))
+    val payload = head.result() ++ body.result()
+    val frame = new Wire
+    frame.i32(payload.length).raw(payload)
+    out.write(frame.result()); out.flush()
+    val szb = new Array[Byte](4)
+    in.readFully(szb)
+    val sz = ByteBuffer.wrap(szb).getInt
+    if (sz < 4 || sz > 64 * 1024 * 1024)
+      throw new java.io.IOException(s"kafka: bad response size $sz")
+    val resp = new Array[Byte](sz)
+    in.readFully(resp)
+    val c = new Cursor(ByteBuffer.wrap(resp))
+    val corr = c.i32
+    if (corr != correlation)
+      throw new java.io.IOException(
+        s"kafka: correlation mismatch (got $corr want $correlation)")
+    c
+  }
+
+  /** ApiVersions v0 → apiKey -> (min, max). Run first, like every
+    * real client: proves the peer speaks Kafka before anything else.
+    */
+  def apiVersions(): Map[Int, (Int, Int)] = {
+    val c = call(18, 0, new Wire)
+    val err = c.i16
+    if (err != 0)
+      throw new java.io.IOException(s"kafka: ApiVersions ${errName(err)}")
+    val n = c.i32
+    (0 until n).map { _ => (c.i16, (c.i16, c.i16)) }.toMap
+  }
+
+  /** SASL/PLAIN: SaslHandshake v1 then SaslAuthenticate v0 with the
+    * RFC 4616 token. Auth failures surface as IOException with the
+    * broker's error (the auth-failure isolation the spec pins).
+    */
+  private def saslPlain(user: String, pass: String): Unit = {
+    val h = call(17, 1, new Wire().str("PLAIN"))
+    val herr = h.i16
+    if (herr != 0)
+      throw new java.io.IOException(s"kafka: SaslHandshake ${errName(herr)}")
+    val token = ("\u0000" + user + "\u0000" + pass).getBytes(UTF_8)
+    val a = call(36, 0, new Wire().bytes(token))
+    val aerr = a.i16
+    if (aerr != 0) {
+      val msg = a.nullableStr.getOrElse("")
+      throw new java.io.IOException(
+        s"kafka: SaslAuthenticate ${errName(aerr)} $msg".trim)
+    }
+  }
+
+  // handshake: prove the peer speaks Kafka, then authenticate
+  locally {
+    apiVersions()
+    for (u <- username; p <- password) saslPlain(u, p)
+  }
+
+  /** Metadata v4 → partition ids of `topic` (created on demand when
+    * the broker allows auto-creation, mirroring consumer bootstrap).
+    */
+  def partitions(topic: String): Seq[Int] = {
+    val body = new Wire
+    body.array(Seq(topic))((w, t) => w.str(t))
+      .bool(true) // allow_auto_topic_creation
+    val c = call(3, 4, body)
+    c.i32 // throttle
+    val nb = c.i32
+    (0 until nb).foreach { _ => c.i32; c.str; c.i32; c.nullableStr } // brokers
+    c.nullableStr // cluster id
+    c.i32         // controller
+    val nt = c.i32
+    val parts = Seq.newBuilder[Int]
+    (0 until nt).foreach { _ =>
+      val terr = c.i16
+      val name = c.str
+      c.bool // is_internal
+      val np = c.i32
+      (0 until np).foreach { _ =>
+        c.i16 // partition error
+        val idx = c.i32
+        c.i32 // leader
+        val nr = c.i32; (0 until nr).foreach(_ => c.i32)
+        val ni = c.i32; (0 until ni).foreach(_ => c.i32)
+        if (name == topic) parts += idx
+      }
+      if (name == topic && terr != 0 && terr != 5) // 5 = leader pending on create
+        throw new java.io.IOException(s"kafka: Metadata($topic) ${errName(terr)}")
+    }
+    parts.result()
+  }
+
+  /** Produce v3 (acks=-1): one record batch to one partition; returns
+    * the assigned base offset. The response IS the durability ack.
+    */
+  def produce(topic: String, partition: Int,
+      records: Seq[(Option[String], String)],
+      timestamp: Long = 0L): Long = {
+    val batch = encodeBatch(0L, records.map { case (k, v) =>
+      (k.map(_.getBytes(UTF_8)), v.getBytes(UTF_8), timestamp)
+    })
+    val body = new Wire
+    body.nullableStr(None) // transactional_id
+      .i16(-1)             // acks=all
+      .i32(30000)          // timeout
+      .array(Seq(topic)) { (w, t) =>
+        w.str(t).array(Seq(partition)) { (w2, p) =>
+          w2.i32(p).nullableBytes(Some(batch))
+        }
+      }
+    val c = call(0, 3, body)
+    val nt = c.i32
+    var base = -1L
+    (0 until nt).foreach { _ =>
+      c.str
+      val np = c.i32
+      (0 until np).foreach { _ =>
+        c.i32 // partition
+        val err = c.i16
+        val off = c.i64
+        c.i64 // log_append_time
+        if (err != 0)
+          throw new java.io.IOException(
+            s"kafka: Produce($topic/$partition) ${errName(err)}")
+        base = off
+      }
+    }
+    c.i32 // throttle
+    base
+  }
+
+  /** ListOffsets v1: timestamp -2 = earliest, -1 = latest (log end). */
+  def listOffset(topic: String, partition: Int, timestamp: Long): Long = {
+    val body = new Wire
+    body.i32(-1) // replica_id
+      .array(Seq(topic)) { (w, t) =>
+        w.str(t).array(Seq(partition))((w2, p) => { w2.i32(p).i64(timestamp); () })
+      }
+    val c = call(2, 1, body)
+    val nt = c.i32
+    var result = -1L
+    (0 until nt).foreach { _ =>
+      c.str
+      val np = c.i32
+      (0 until np).foreach { _ =>
+        c.i32 // partition
+        val err = c.i16
+        c.i64 // timestamp
+        val off = c.i64
+        if (err != 0)
+          throw new java.io.IOException(
+            s"kafka: ListOffsets($topic/$partition) ${errName(err)}")
+        result = off
+      }
+    }
+    result
+  }
+
+  /** Fetch v4 from one partition → (records from `offset`, high
+    * watermark). Empty seq when caught up (maxWaitMs elapsed with
+    * nothing new).
+    */
+  def fetch(topic: String, partition: Int, offset: Long,
+      maxBytes: Int = 1 << 20, maxWaitMs: Int = 100): (Seq[Record], Long) = {
+    val body = new Wire
+    body.i32(-1)        // replica_id
+      .i32(maxWaitMs)
+      .i32(1)           // min_bytes
+      .i32(maxBytes)
+      .i8(0)            // isolation_level: read_uncommitted
+      .array(Seq(topic)) { (w, t) =>
+        w.str(t).array(Seq(partition)) { (w2, p) =>
+          w2.i32(p).i64(offset).i32(maxBytes)
+        }
+      }
+    val c = call(1, 4, body)
+    c.i32 // throttle
+    val nt = c.i32
+    var recs: Seq[Record] = Nil
+    var hw = -1L
+    (0 until nt).foreach { _ =>
+      c.str
+      val np = c.i32
+      (0 until np).foreach { _ =>
+        c.i32 // partition
+        val err = c.i16
+        hw = c.i64
+        c.i64 // last_stable_offset
+        val na = c.i32 // aborted txns (nullable array)
+        if (na > 0) (0 until na).foreach { _ => c.i64; c.i64 }
+        val rs = c.nullableBytes
+        if (err != 0)
+          throw new java.io.IOException(
+            s"kafka: Fetch($topic/$partition@$offset) ${errName(err)}")
+        recs = rs.filter(_.nonEmpty).map(decodeBatches)
+          .getOrElse(Nil).filter(_.offset >= offset)
+      }
+    }
+    (recs, hw)
+  }
+
+  override def close(): Unit = socket.close()
+}
+
+/** Driver-side consumer loop (the reference's single StreamConsumer,
+  * kafka.rs:249-311, minus rebalancing — ONE member, every
+  * partition): fetches each partition on the poll interval, spools
+  * JSON values as atomic NDJSON, tracks offsets in memory. Same spool
+  * seam as REST/Kinesis/Redis: past the single-connection ceiling,
+  * bind spark-sql-kafka for executor-parallel ingestion.
+  */
+final class KafkaPoller private (client: KafkaClient, topic: String,
+    spoolDir: String, startAt: String, pollIntervalMs: Long) {
+
+  @volatile private var running = true
+  @volatile private var records = 0L
+  @volatile private var failures = 0L
+  @volatile private var terminal: Option[Throwable] = None
+
+  private def spool(lines: Seq[String]): Unit = if (lines.nonEmpty) {
+    val dir = Paths.get(spoolDir)
+    Files.createDirectories(dir)
+    val id = java.util.UUID.randomUUID().toString
+    val tmp = dir.resolve(s".tmp-$id")
+    Files.write(tmp, lines.mkString("", "\n", "\n").getBytes(UTF_8))
+    Files.move(tmp, dir.resolve(s"part-$id.json"),
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private val thread = new Thread(() => {
+    try {
+      val ts = if (startAt == "earliest") -2L else -1L
+      val offsets = scala.collection.mutable.Map.empty[Int, Long]
+      client.partitions(topic).foreach { p =>
+        offsets(p) = client.listOffset(topic, p, ts)
+      }
+      while (running) {
+        offsets.keys.toSeq.sorted.foreach { p =>
+          val (recs, _) = client.fetch(topic, p, offsets(p))
+          if (recs.nonEmpty) {
+            val vals = recs.map(r => new String(r.value, UTF_8).trim)
+            val (ok, bad) = vals.partition(v =>
+              v.startsWith("{") && v.endsWith("}"))
+            spool(ok.map(_.replaceAll("[\n\r]+", " ")))
+            records += ok.length
+            failures += bad.length
+            offsets(p) = recs.map(_.offset).max + 1
+          }
+        }
+        if (running) Thread.sleep(pollIntervalMs)
+      }
+    } catch {
+      case _: InterruptedException => ()
+      case e @ (_: EOFException | _: java.net.SocketException |
+                _: java.io.IOException) =>
+        if (running) {
+          terminal = Some(e)
+          System.err.println(s"graft-kafka-poller: terminal: $e")
+        }
+    }
+  }, s"graft-kafka-poller-$topic")
+  thread.setDaemon(true)
+
+  def recordCount: Long = records
+  def failureCount: Long = failures
+  /** The exception that killed the poll loop, if any — None while
+    * healthy or after a clean stop().
+    */
+  def terminalError: Option[Throwable] = terminal
+  def isDead: Boolean = terminal.isDefined
+
+  def stop(): Unit = {
+    running = false
+    thread.interrupt()
+    thread.join(5000)
+    client.close()
+  }
+}
+
+object KafkaPoller {
+  /** startAt mirrors auto.offset.reset (kafka.rs:231: latest default;
+    * "earliest" replays the retained log).
+    */
+  def start(client: KafkaClient, topic: String, spoolDir: String,
+      startAt: String = "latest", pollIntervalMs: Long = 100L): KafkaPoller = {
+    val p = new KafkaPoller(client, topic, spoolDir, startAt, pollIntervalMs)
+    p.thread.start()
+    p
+  }
+}
+
+/** Registry-facing Kafka connector: reads come off the poller's
+  * landing directory; write produces each Spark partition's rows
+  * through its own connection in bounded chunks at acks=-1, chunk c
+  * of partition p landing on topic partition (p + c) mod P — all
+  * topic partitions receive load without any cross-executor
+  * coordination. `key` optionally stamps every record with a fixed
+  * key (the reference keys by event_type, kafka.rs:350).
+  */
+final case class KafkaConnector(
+    name: String,
+    host: String,
+    port: Int,
+    topic: String,
+    spoolDir: String,
+    username: Option[String] = None,
+    password: Option[String] = None,
+    key: Option[String] = None,
+    batchSize: Int = 500,
+    timeoutMs: Int = 5000) extends Connector {
+
+  override def read(spark: SparkSession, schema: Option[StructType]): DataFrame = {
+    val r = spark.read
+    schema.fold(r)(s => r.schema(s)).json(spoolDir)
+  }
+
+  override def readStream(spark: SparkSession, schema: StructType): DataFrame =
+    spark.readStream.schema(schema).json(spoolDir)
+
+  override def write(df: DataFrame): Unit = {
+    val (h, p, t, chunk, to) = (host, port, topic, batchSize, timeoutMs)
+    val (u, pw, k) = (username, password, key)
+    df.toJSON.foreachPartition { (it: Iterator[String]) =>
+      if (it.hasNext) {
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val client = new KafkaClient(h, p, s"graft-sink-$pid", u, pw, to)
+        try {
+          val parts = client.partitions(t)
+          require(parts.nonEmpty, s"kafka: topic $t has no partitions")
+          var c = 0
+          it.grouped(chunk).foreach { rows =>
+            val target = parts((pid + c) % parts.length)
+            client.produce(t, target, rows.map(r => (k, r)))
+            c += 1
+          }
+        } finally client.close()
+      }
+    }
+  }
+}

@@ -32,6 +32,11 @@ import org.apache.spark.sql.types.StructType
   * partition — QoS 0 chunks sealed by a PINGREQ/PINGRESP barrier,
   * QoS 1 chunks collecting one PUBACK per message before the task
   * may succeed.
+  *
+  * Spool ceiling, measured on loopback (ConnectorThroughputSpec):
+  * ~9-13k msg/s per subscriber thread at QoS 0. Past that, use MQTT
+  * shared subscriptions ($share/group/topic, one subscriber per
+  * share) or the bahir executor-parallel binding where it ships.
   */
 private[graft] object MqttProto {
   // -- encoding ------------------------------------------------------

@@ -25,6 +25,12 @@ import org.apache.spark.sql.types.StructType
   * delivery makes competing executor subscribers wrong, and a queue
   * group would instead SPLIT the stream across them); the sink runs
   * executor-side, one connection per partition, PUB frames streamed
+  *
+  * Spool ceiling, measured on loopback (ConnectorThroughputSpec):
+  * ~11-18k msg/s per subscriber thread. Past that, run multiple
+  * queue-group members (each its own landing dir) — NATS splits the
+  * subject across them — before reaching for an executor-parallel
+  * receiver.
   * in bounded flush chunks with a trailing PING/PONG barrier — NATS
   * publishes are fire-and-forget, so the barrier is what guarantees
   * the server consumed every frame before the Spark task reports

@@ -166,6 +166,12 @@ final class RedisClient(host: String, port: Int, timeoutMs: Int = 5000)
   * redis.rs:100-117). Raw newlines inside accepted JSON collapse to
   * spaces (illegal inside string literals, so lossless — the webhook
   * spool's contract).
+  *
+  * Spool ceiling, measured on loopback (ConnectorThroughputSpec):
+  * ~11k msg/s per subscriber thread. Redis pub/sub is broadcast
+  * (every subscriber gets every message), so scaling past the
+  * ceiling means sharding across channels, one subscriber each —
+  * or Redis Streams consumer groups via a cluster-side binding.
   */
 final class RedisSubscriber private (
     host: String, port: Int, channel: String, spoolDir: String,

@@ -27,6 +27,12 @@ import org.apache.spark.sql.types.StructType
   * exactly-once delivery downstream via its file tracking. The sink
   * half reuses the chunked-POST contract (bounded memory per
   * partition, executor-side clients).
+  *
+  * Spool ceiling: analytic, not measured — the poller is interval-
+  * bound by construction (events/s = elements-per-response /
+  * intervalMs), and the right fix for more volume is a bigger
+  * response page or more endpoints, never more pollers against the
+  * same rate-limited API.
   */
 final class RestPoller private (
     baseUrl: String,
