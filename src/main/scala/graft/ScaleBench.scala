@@ -59,7 +59,7 @@ object ScaleBench {
     // ---- stage the 10× derivation (idempotent) ----------------------
     // marker name versions the derivation: widening the query set to
     // events/embeddings consumers re-stages those tables
-    val marker = new java.io.File(s"$scaledDir/_staged_v3")
+    val marker = new java.io.File(s"$scaledDir/_staged_v4")
     if (!marker.exists()) {
       val docs = spark.read.parquet(s"$baseDir/documents.parquet")
       val reps = (0 until nReps).map { i =>
@@ -97,8 +97,27 @@ object ScaleBench {
         events.withColumn("event_id", col("event_id") + lit(i * 100000000L))
           .withColumn("user_id", col("user_id") + lit(i * 10000000L))
       }
-      evReps.reduce(_.unionByName(_)).write.mode("overwrite")
-        .parquet(s"$scaledDir/events.parquet")
+      // events must land as a single parquet FILE like the testdata
+      // tables: the streaming tier's staging symlinks the path into a
+      // file-source dir, and a directory-shaped table never feeds the
+      // stream (measured: the x10 tier read 1 row)
+      val evTmp = s"$scaledDir/events_tmp"
+      evReps.reduce(_.unionByName(_)).coalesce(1).write.mode("overwrite")
+        .parquet(evTmp)
+      val part = new java.io.File(evTmp).listFiles()
+        .find(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file under $evTmp"))
+      val evDest = java.nio.file.Paths.get(s"$scaledDir/events.parquet")
+      // a previous derivation may have left a directory-shaped table
+      val destFile = evDest.toFile
+      if (destFile.isDirectory) {
+        Option(destFile.listFiles()).getOrElse(Array.empty).foreach(_.delete())
+      }
+      java.nio.file.Files.deleteIfExists(evDest)
+      java.nio.file.Files.move(part.toPath, evDest)
+      new java.io.File(evTmp).listFiles().foreach(_.delete())
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(evTmp))
       // embeddings: disjoint vec_ids, vectors unchanged — the v1/v3
       // query side stays the fixed vec_id<10 broadcast set, so the
       // measurement is corpus-side scan/bucket scaling
@@ -163,6 +182,81 @@ object ScaleBench {
       System.err.println(
         f"$n%-20s $b%8.2f $s%8.2f ${s / b}%5.1fx ${s / b / nReps * 100}%5.0f%%")
     }
+
+    // ---- streaming throughput tier ----------------------------------
+    // The batch family above is measured to 100x; this tier drives the
+    // fMGWS/state-store family at the SAME derived event volumes and
+    // reports the reference's own unit (ev/s) plus the state-store
+    // peak per micro-batch — the number that says whether state stays
+    // bounded as volume grows. A StreamingQueryListener harvests
+    // progress from the queries' internal memory-sink runs, so the
+    // registered plans are measured UNCHANGED. SCALEBENCH_STREAMING=0
+    // skips; SCALEBENCH_STREAM_QUERIES filters.
+    if (sys.env.getOrElse("SCALEBENCH_STREAMING", "1") != "0") {
+      val recorder = new StreamStatsListener
+      spark.streams.addListener(recorder)
+      val sQueries = sys.env.get("SCALEBENCH_STREAM_QUERIES")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Seq("s2_stream_pattern", "s9_stream_ema",
+          "s16_stream_trend", "s23_stream_multi_pattern",
+          "s35_stream_asof_enrich"))
+      final case class SRun(rows: Long, sec: Double, statePeak: Long,
+          batches: Long) {
+        def evPerSec: Double = if (sec > 0) rows / sec else 0.0
+      }
+      // best-of-2: throughput tiers report the machine's capability,
+      // and one noisy window must not understate it
+      def runOnce(name: String, dir: String): SRun = {
+        recorder.reset()
+        val t0 = System.nanoTime()
+        materialize(SparkEntry.queries(name)(spark, dir))
+        val sec = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(300) // drain async listener events
+        SRun(recorder.inputRows.get(), sec, recorder.statePeak.get(),
+          recorder.batches.get())
+      }
+      def run(name: String, dir: String): SRun = {
+        val a = runOnce(name, dir); val b = runOnce(name, dir)
+        if (a.evPerSec >= b.evPerSec) a else b
+      }
+      System.err.println(
+        f"${"stream query"}%-26s ${"scale"}%14s ${"events"}%9s " +
+          f"${"wall"}%7s ${"ev/s"}%10s ${"state^"}%8s batches")
+      val lines = for (tag <- Seq("sf0.1" -> baseDir,
+          s"x$nReps" -> scaledDir); name <- sQueries) yield {
+        val r = run(name, tag._2)
+        System.err.println(
+          f"$name%-26s ${tag._1}%14s ${r.rows}%9d ${r.sec}%7.2f " +
+            f"${r.evPerSec}%10.0f ${r.statePeak}%8d ${r.batches}%7d")
+        s""""${Bench.shortName(name)}_${tag._1}":{"rows":${r.rows},""" +
+          s""""sec":${r.sec},"ev_s":${r.evPerSec.toLong},""" +
+          s""""state_peak":${r.statePeak},"batches":${r.batches}}"""
+      }
+      println(s"""{"scale":"streaming","tiers":{${lines.mkString(",")}}}""")
+      spark.streams.removeListener(recorder)
+    }
     spark.stop()
   }
+}
+
+/** Harvests micro-batch progress from whatever streaming query runs
+  * while attached: total input rows, max state-store rows across all
+  * stateful operators and batches, batch count.
+  */
+final class StreamStatsListener
+    extends org.apache.spark.sql.streaming.StreamingQueryListener {
+  import org.apache.spark.sql.streaming.StreamingQueryListener._
+  val inputRows = new java.util.concurrent.atomic.AtomicLong
+  val statePeak = new java.util.concurrent.atomic.AtomicLong
+  val batches = new java.util.concurrent.atomic.AtomicLong
+  def reset(): Unit = { inputRows.set(0); statePeak.set(0); batches.set(0) }
+  override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+  override def onQueryProgress(e: QueryProgressEvent): Unit = {
+    inputRows.addAndGet(e.progress.numInputRows)
+    batches.incrementAndGet()
+    e.progress.stateOperators.foreach { so =>
+      statePeak.getAndUpdate(m => math.max(m, so.numRowsTotal))
+    }
+  }
+  override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
 }

@@ -11,21 +11,24 @@ import graft.ml.Score.{MlpLayer, MlpModel}
   * tensors — is a ~100-line strict reader.
   *
   * Supported graph shape: a single chain
-  * `input → Gemm [→ Relu] → … → Gemm` with one final output unit
-  * (exactly [[MlpModel]]'s shape; nn.Linear exports as Gemm with
-  * transB=1), or the MatMul[→Add][→Relu] spelling of the same layer
+  * `input → Gemm [→ act] → … → Gemm [→ act]` with one final output
+  * unit (exactly [[MlpModel]]'s shape; nn.Linear exports as Gemm with
+  * transB=1), or the MatMul[→Add][→act] spelling of the same layer
   * (skl2onnx/tf2onnx frequently emit MatMul+Add instead of Gemm —
   * the pair folds into a Gemm-equivalent layer, a bare MatMul into a
-  * zero-bias one). Each Gemm must have alpha=1, beta=1, transA=0
-  * (the PyTorch/sklearn export default); weights may arrive as
-  * float_data, double_data or raw_data in float32/float64.
-  * Anything else — including a trailing Sigmoid/Softmax — is
-  * REJECTED with a pointed error rather than silently approximated:
-  * graft's score calibration is the deterministic rational squash
-  * 0.5 + 0.5·z/(1+|z|) applied to the last Gemm's logit (the
-  * bit-reproducibility contract; logistic exp() rounds differently
-  * across libms), so networks should be exported without the output
-  * activation.
+  * zero-bias one). Activations: Relu, and — since r11 — Sigmoid and
+  * Tanh (the skl2onnx MLPClassifier defaults), computed via
+  * StrictMath (fdlibm — bit-identical on every JVM). Each Gemm must
+  * have alpha=1, beta=1, transA=0 (the PyTorch/sklearn export
+  * default); weights may arrive as float_data, double_data or
+  * raw_data in float32/float64. Anything else (Softmax, branching
+  * graphs, stacked activations) is REJECTED with a pointed error
+  * rather than silently approximated. Output calibration: a chain
+  * ending in linear/Relu squashes through graft's deterministic
+  * rational sigmoid 0.5 + 0.5·z/(1+|z|) (the SQL-oracle-able
+  * contract used by m5); a chain ending in Sigmoid/Tanh keeps its
+  * own calibration and is scored on the JVM path only (libm exp()
+  * is not bit-reproducible across SQL engines).
   */
 object OnnxImport {
 
@@ -275,16 +278,21 @@ object OnnxImport {
               s"${lastGemm.b.length} outputs")
           lastGemm = lastGemm.copy(b = t.values)
           matmulBiasOpen = false
-        case "Relu" =>
-          require(lastGemm != null, "onnx: Relu before any Gemm")
-          lastGemm = lastGemm.copy(relu = true)
+        case act @ ("Relu" | "Sigmoid" | "Tanh") =>
+          require(lastGemm != null, s"onnx: $act before any Gemm/MatMul")
+          require(lastGemm.act == "linear",
+            s"onnx: $act follows a layer already activated with " +
+              s"'${lastGemm.act}' — stacked activations are not a " +
+              "plain MLP chain")
+          lastGemm = lastGemm.copy(act = act.toLowerCase)
           matmulBiasOpen = false
         case other => throw new IllegalArgumentException(
           s"onnx: op '$other' unsupported — graft imports plain " +
-            "Gemm[->Relu] / MatMul[->Add][->Relu] chains and applies " +
-            "its own deterministic rational squash to the last " +
-            "layer's logit; export the network without the output " +
-            "activation (no Sigmoid/Softmax)")
+            "Gemm / MatMul[->Add] chains with Relu/Sigmoid/Tanh " +
+            "activations; a linear/relu-ended chain squashes through " +
+            "graft's deterministic rational sigmoid, a Sigmoid/Tanh-" +
+            "ended chain keeps its own calibration (Softmax outputs " +
+            "are multi-class — export the logit instead)")
       }
       cur = node.outputs.head
       n += 1

@@ -68,8 +68,29 @@ object Score {
     * ONNX session would load); weights ride in the closure —
     * model-as-literal, like the DSIR/BM25 ingest twins.
     */
+  /** One dense layer y = act(W·x + b). Activations: `linear`, `relu`
+    * (both hash-oracle-able — pure IEEE primitives), and `sigmoid` /
+    * `tanh` (the skl2onnx MLPClassifier defaults) computed via
+    * StrictMath — fdlibm, bit-identical across every JVM, so the
+    * determinism contract holds JVM-to-JVM; they are NOT SQL-oracle-
+    * able (libm exp() rounds differently engine-to-engine), so
+    * [[MlpModel.toOracleSql]] rejects them and the oracled queries
+    * (m4/m5/s33) stay on linear/relu chains.
+    */
   final case class MlpLayer(w: Array[Array[Double]], b: Array[Double],
-      relu: Boolean)
+      act: String) {
+    require(MlpLayer.activations(act),
+      s"unsupported activation '$act' (${MlpLayer.activations.mkString("|")})")
+    def relu: Boolean = act == "relu"
+  }
+
+  object MlpLayer {
+    val activations: Set[String] = Set("linear", "relu", "sigmoid", "tanh")
+    /** boolean-era constructor kept for the linear/relu call sites */
+    def apply(w: Array[Array[Double]], b: Array[Double],
+        relu: Boolean): MlpLayer =
+      MlpLayer(w, b, if (relu) "relu" else "linear")
+  }
 
   final case class MlpModel(
       name: String,
@@ -79,12 +100,21 @@ object Score {
     require(layers.nonEmpty && layers.last.b.length == 1,
       "final layer must have exactly one output")
 
-    /** One forward pass; index-order accumulation (see contract). */
+    /** One forward pass; index-order accumulation (see contract).
+      * The rational output squash applies only to a linear/relu last
+      * layer (the logit contract); a sigmoid/tanh last layer IS the
+      * network's own calibration and passes through untouched.
+      */
     def forward(x0: Array[Double]): Double = {
       var x = x0
       var li = 0
       while (li < layers.length) {
         val l = layers(li)
+        // activation resolved once per layer, outside the hot loop
+        val code = l.act match {
+          case "relu" => 1; case "sigmoid" => 2; case "tanh" => 3
+          case _      => 0
+        }
         val y = new Array[Double](l.b.length)
         var o = 0
         while (o < l.b.length) {
@@ -93,14 +123,20 @@ object Score {
           var i = 0
           while (i < row.length) { s += row(i) * x(i); i += 1 }
           s += l.b(o)
-          y(o) = if (l.relu && s < 0.0) 0.0 else s
+          y(o) = code match {
+            case 1 => if (s < 0.0) 0.0 else s
+            case 2 => 1.0 / (1.0 + StrictMath.exp(-s)) // fdlibm: JVM-stable
+            case 3 => StrictMath.tanh(s)
+            case _ => s
+          }
           o += 1
         }
         x = y
         li += 1
       }
       val z = x(0)
-      0.5 + 0.5 * z / (1.0 + math.abs(z))
+      if (layers.last.act == "sigmoid" || layers.last.act == "tanh") z
+      else 0.5 + 0.5 * z / (1.0 + math.abs(z))
     }
 
     override def score(df: DataFrame): DataFrame = {
@@ -149,6 +185,10 @@ object Score {
         (if (s.contains('.') || s.contains('e') || s.contains('E')) s
          else s + ".0") + "::DOUBLE"
       }
+      require(layers.forall(l => l.act == "linear" || l.act == "relu"),
+        "sigmoid/tanh layers are not SQL-oracle-able (libm exp() is " +
+          "not bit-reproducible across engines); score them through " +
+          "the JVM path")
       var exprs: Seq[String] = inputs
       for (l <- layers) {
         exprs = l.w.zip(l.b).map { case (row, bb) =>
@@ -185,9 +225,7 @@ object Score {
           r.elements().asScala.map(_.asDouble()).toArray).toArray
         val b = ln.get("b").elements().asScala.map(_.asDouble()).toArray
         val act = Option(ln.get("act")).map(_.asText()).getOrElse("linear")
-        require(act == "relu" || act == "linear",
-          s"unsupported activation '$act' (relu|linear)")
-        MlpLayer(w, b, relu = act == "relu")
+        MlpLayer(w, b, act) // validates against MlpLayer.activations
       }.toSeq
       MlpModel(name, inputs, layers)
     }

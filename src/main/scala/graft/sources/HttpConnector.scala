@@ -231,6 +231,103 @@ private[graft] object HttpJson {
     if (last.nonEmpty) out += last
     if (depth != 0 || inStr) None else Some(out.result())
   }
+
+  /** All string values of object fields named `key`, anywhere in
+    * `json` — found by a string-literal/escape-aware scan, not regex:
+    * only actual object KEYS match (a string is a key iff the next
+    * non-space char is ':'), so a VALUE that happens to contain
+    * `"Data":` text cannot mis-extract, and escaped quotes inside
+    * values are handled. Standard JSON escapes are decoded.
+    */
+  def stringValuesOf(json: String, key: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var i = 0
+    val n = json.length
+    def skipWs(j0: Int): Int = {
+      var j = j0
+      while (j < n && json.charAt(j).isWhitespace) j += 1
+      j
+    }
+    /** parse the string literal starting at the opening quote;
+      * returns (decoded, indexAfterClosingQuote) */
+    def readStr(j0: Int): (String, Int) = {
+      val sb = new java.lang.StringBuilder
+      var j = j0 + 1
+      while (j < n && json.charAt(j) != '"') {
+        val c = json.charAt(j)
+        if (c == '\\' && j + 1 < n) {
+          json.charAt(j + 1) match {
+            case '"'  => sb.append('"'); j += 2
+            case '\\' => sb.append('\\'); j += 2
+            case '/'  => sb.append('/'); j += 2
+            case 'n'  => sb.append('\n'); j += 2
+            case 't'  => sb.append('\t'); j += 2
+            case 'r'  => sb.append('\r'); j += 2
+            case 'b'  => sb.append('\b'); j += 2
+            case 'f'  => sb.append('\f'); j += 2
+            case 'u' if j + 5 < n =>
+              sb.append(Integer.parseInt(json.substring(j + 2, j + 6), 16)
+                .toChar)
+              j += 6
+            case o => sb.append(o); j += 2
+          }
+        } else { sb.append(c); j += 1 }
+      }
+      (sb.toString, j + 1)
+    }
+    while (i < n) {
+      if (json.charAt(i) == '"') {
+        val (s, after) = readStr(i)
+        val colon = skipWs(after)
+        if (colon < n && json.charAt(colon) == ':') {
+          // `s` is a KEY; when it matches and the value is a string,
+          // capture the value (and continue scanning after it)
+          val vStart = skipWs(colon + 1)
+          if (s == key && vStart < n && json.charAt(vStart) == '"') {
+            val (v, vAfter) = readStr(vStart)
+            out += v
+            i = vAfter
+          } else i = colon + 1
+        } else i = after
+      } else i += 1
+    }
+    out.result()
+  }
+
+  /** First numeric value of an object field named `key` (integer),
+    * via the same key-aware scan.
+    */
+  def longValueOf(json: String, key: String): Option[Long] = {
+    var i = 0
+    val n = json.length
+    def skipWs(j0: Int): Int = {
+      var j = j0
+      while (j < n && json.charAt(j).isWhitespace) j += 1
+      j
+    }
+    while (i < n) {
+      if (json.charAt(i) == '"') {
+        // skip the string literal (escape-aware)
+        var j = i + 1
+        while (j < n && json.charAt(j) != '"') {
+          if (json.charAt(j) == '\\') j += 1
+          j += 1
+        }
+        val s = json.substring(i + 1, math.min(j, n))
+        val colon = skipWs(j + 1)
+        if (colon < n && json.charAt(colon) == ':' && s == key) {
+          var k = skipWs(colon + 1)
+          val start = k
+          if (k < n && json.charAt(k) == '-') k += 1
+          while (k < n && json.charAt(k).isDigit) k += 1
+          if (k > start)
+            return scala.util.Try(json.substring(start, k).toLong).toOption
+        }
+        i = j + 1
+      } else i += 1
+    }
+    None
+  }
 }
 
 /** The registry-facing connector: readStream/read over the webhook's

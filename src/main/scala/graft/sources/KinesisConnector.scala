@@ -117,8 +117,7 @@ final class KinesisClient(endpoint: String, region: String,
     val resp = call("PutRecords",
       s"""{"StreamName":"${JsonStr.escape(stream)}","Records":[$rs]}""")
     // FailedRecordCount > 0 means partial failure — loud, not silent
-    """"FailedRecordCount"\s*:\s*(\d+)""".r.findFirstMatchIn(resp)
-      .map(_.group(1).toInt).filter(_ > 0)
+    HttpJson.longValueOf(resp, "FailedRecordCount").filter(_ > 0)
       .foreach(n => throw new java.io.IOException(
         s"kinesis: PutRecords failed $n record(s): $resp"))
   }
@@ -126,28 +125,28 @@ final class KinesisClient(endpoint: String, region: String,
   def listShards(stream: String): Seq[String] = {
     val resp = call("ListShards",
       s"""{"StreamName":"${JsonStr.escape(stream)}"}""")
-    """"ShardId"\s*:\s*"([^"]+)"""".r.findAllMatchIn(resp)
-      .map(_.group(1)).toSeq
+    HttpJson.stringValuesOf(resp, "ShardId")
   }
 
   def getShardIterator(stream: String, shardId: String,
       iteratorType: String): String = {
     val resp = call("GetShardIterator",
       s"""{"StreamName":"${JsonStr.escape(stream)}","ShardId":"${JsonStr.escape(shardId)}","ShardIteratorType":"$iteratorType"}""")
-    """"ShardIterator"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(resp)
-      .map(_.group(1))
+    HttpJson.stringValuesOf(resp, "ShardIterator").headOption
       .getOrElse(throw new java.io.IOException(s"kinesis: no iterator in $resp"))
   }
 
-  /** (records, nextIterator) — records decoded from base64. */
+  /** (records, nextIterator) — records decoded from base64. Field
+    * extraction is the key-aware JSON scan (HttpJson.stringValuesOf),
+    * not regex: a payload whose TEXT contains `"Data":"..."` cannot
+    * mis-extract, because only structural object keys match.
+    */
   def getRecords(iterator: String, limit: Int): (Seq[String], String) = {
     val resp = call("GetRecords",
-      s"""{"ShardIterator":"$iterator","Limit":$limit}""")
-    val recs = """"Data"\s*:\s*"([^"]+)"""".r.findAllMatchIn(resp)
-      .map(m => new String(
-        java.util.Base64.getDecoder.decode(m.group(1)), UTF_8)).toSeq
-    val next = """"NextShardIterator"\s*:\s*"([^"]+)"""".r
-      .findFirstMatchIn(resp).map(_.group(1))
+      s"""{"ShardIterator":"${JsonStr.escape(iterator)}","Limit":$limit}""")
+    val recs = HttpJson.stringValuesOf(resp, "Data")
+      .map(d => new String(java.util.Base64.getDecoder.decode(d), UTF_8))
+    val next = HttpJson.stringValuesOf(resp, "NextShardIterator").headOption
       .getOrElse(throw new java.io.IOException(s"kinesis: no next iterator"))
     (recs, next)
   }

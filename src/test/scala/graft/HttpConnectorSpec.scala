@@ -202,6 +202,29 @@ class HttpConnectorSpec extends SparkSpec {
     } finally rx.stop()
   }
 
+  test("key-aware JSON field scan: values containing key-lookalikes can't mis-extract") {
+    import graft.sources.HttpJson.{stringValuesOf, longValueOf}
+    // the Kinesis GetRecords shape — the VALUE of one Data field
+    // contains the text "Data":"evil" inside a decoded string; regex
+    // extraction would pick it up, the key-aware scan must not
+    val resp =
+      """{"Records":[{"Data":"aGVsbG8=","PartitionKey":"p1"},
+        |{"Data":"eyJ4IjogIlwiRGF0YVwiOlwiZXZpbFwiIn0=","PartitionKey":"\"Data\":\"nope\""}],
+        |"NextShardIterator":"it2","MillisBehindLatest":0}""".stripMargin
+    assert(stringValuesOf(resp, "Data") ==
+      Seq("aGVsbG8=", "eyJ4IjogIlwiRGF0YVwiOlwiZXZpbFwiIn0="))
+    assert(stringValuesOf(resp, "NextShardIterator") == Seq("it2"))
+    // escaped quotes inside values decode; keys inside values ignored
+    assert(stringValuesOf("""{"a":"x\"y","b":"A"}""", "a") == Seq("x\"y"))
+    assert(stringValuesOf("""{"a":"A"}""", "a") == Seq("A"))
+    assert(longValueOf("""{"FailedRecordCount":3,"o":{"n":-7}}""",
+      "FailedRecordCount") == Some(3L))
+    assert(longValueOf("""{"o":{"n":-7}}""", "n") == Some(-7L))
+    assert(longValueOf("""{"s":"FailedRecordCount: 9"}""",
+      "FailedRecordCount").isEmpty)
+    assert(stringValuesOf("""{"s":"not here"}""", "missing").isEmpty)
+  }
+
   test("top-level array splitter: nesting, strings, escapes, rejects") {
     import graft.sources.HttpJson.splitTopLevelArray
     assert(splitTopLevelArray("""[{"a":[1,2],"b":"x,]}"},{"c":{"d":","}}]""")

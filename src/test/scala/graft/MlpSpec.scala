@@ -35,8 +35,23 @@ class MlpSpec extends SparkSpec {
     assert(loaded.name == m.name && loaded.inputCols == m.inputCols)
     for (x <- Seq(Array(1.0, 2.0, 3.0), Array(-0.5, 0.25, 7.0)))
       assert(loaded.forward(x) == m.forward(x))
+    // sigmoid/tanh (skl2onnx defaults) load since r11 and compute via
+    // StrictMath — JVM-deterministic, but NOT SQL-oracle-able
+    val tanhModel = Score.MlpModel.fromJson(json.replace("relu", "tanh"))
+    assert(tanhModel.layers.head.act == "tanh")
+    assert(tanhModel.forward(Array(1.0, 2.0, 3.0)) ==
+      0.5 + 0.5 * {
+        val h = Array(
+          StrictMath.tanh(0.25 - 1.0 + 0.375 + 0.5),
+          StrictMath.tanh(0.75 + 0.125 - 0.75 - 0.25),
+          StrictMath.tanh(-0.125 + 1.0 + 1.125 + 0.125))
+        val z = 0.5 * h(0) - 0.75 * h(1) + 0.25 * h(2) + 0.0625
+        z / (1.0 + math.abs(z))
+      })
+    intercept[IllegalArgumentException](
+      tanhModel.toOracleSql(Seq("x1", "x2", "x3")))
     val bad = intercept[IllegalArgumentException](Score.MlpModel.fromJson(
-      json.replace("relu", "tanh")))
+      json.replace("relu", "softmax")))
     assert(bad.getMessage.contains("unsupported activation"))
   }
 

@@ -123,17 +123,62 @@ class OnnxImportSpec extends SparkSpec {
     assert(e.getMessage.contains("truncated tensor"))
   }
 
-  test("unsupported trailing activation is rejected, not approximated") {
+  test("Tanh-hidden + Sigmoid-output chain (the skl2onnx MLPClassifier " +
+      "shape) imports and scores bit-equal to a StrictMath recomputation") {
     val g =
       graphInput("x") ++
-        node("Gemm", Seq("x", "W", "B"), "z", attrI("transB", 1)) ++
+        node("Gemm", Seq("x", "W1", "B1"), "h_pre", attrI("transB", 1)) ++
+        node("Tanh", Seq("h_pre"), "h") ++
+        node("Gemm", Seq("h", "W2", "B2"), "z", attrI("transB", 1)) ++
         node("Sigmoid", Seq("z"), "p") ++
+        graphOutput("p") ++
+        ld(5, tensor("W1", Seq(2, 3), w1, "raw32")) ++
+        ld(5, tensor("B1", Seq(2), b1, "f64")) ++
+        ld(5, tensor("W2", Seq(1, 2), w2, "f32")) ++
+        ld(5, tensor("B2", Seq(1), b2, "raw64"))
+    val m = graft.ml.OnnxImport.fromBytes(model(g), "sig",
+      Seq("x1", "x2", "x3"))
+    assert(m.layers.map(_.act) == Seq("tanh", "sigmoid"))
+    def ref(x: Array[Double]): Double = {
+      val h = Array(
+        StrictMath.tanh(0.25f.toDouble * x(0) + (-0.5f).toDouble * x(1) +
+          0.125f.toDouble * x(2) + 0.5),
+        StrictMath.tanh(0.75f.toDouble * x(0) + 0.0625f.toDouble * x(1) +
+          (-0.25f).toDouble * x(2) + -0.25))
+      val z = 0.5f.toDouble * h(0) + (-0.75f).toDouble * h(1) + 0.0625
+      // Sigmoid-ended chains keep the network's own calibration —
+      // NO extra rational squash on top
+      1.0 / (1.0 + StrictMath.exp(-z))
+    }
+    for (x <- Seq(Array(1.0, 2.0, 3.0), Array(-0.5, 0.25, 7.0),
+        Array(0.0, 0.0, 0.0), Array(100.0, -100.0, 3.25)))
+      assert(m.forward(x) == ref(x), // bit-equal, not approx
+        s"${x.toSeq}: ${m.forward(x)} vs ${ref(x)}")
+    // ...and sigmoid/tanh layers refuse the SQL-oracle path
+    val e = intercept[IllegalArgumentException](m.toOracleSql(Seq("a", "b", "c")))
+    assert(e.getMessage.contains("not SQL-oracle-able"))
+  }
+
+  test("stacked activations and Softmax are rejected, not approximated") {
+    val stacked =
+      graphInput("x") ++
+        node("Gemm", Seq("x", "W", "B"), "z", attrI("transB", 1)) ++
+        node("Relu", Seq("z"), "r") ++
+        node("Sigmoid", Seq("r"), "p") ++
         ld(5, tensor("W", Seq(1, 2), Seq(1.0, 2.0), "raw32")) ++
         ld(5, tensor("B", Seq(1), Seq(0.5), "raw32"))
     val e = intercept[IllegalArgumentException](
-      graft.ml.OnnxImport.fromBytes(model(g), "bad", Seq("a", "b")))
-    assert(e.getMessage.contains("'Sigmoid' unsupported"))
-    assert(e.getMessage.contains("without the output activation"))
+      graft.ml.OnnxImport.fromBytes(model(stacked), "bad", Seq("a", "b")))
+    assert(e.getMessage.contains("already activated"))
+    val softmax =
+      graphInput("x") ++
+        node("Gemm", Seq("x", "W", "B"), "z", attrI("transB", 1)) ++
+        node("Softmax", Seq("z"), "p") ++
+        ld(5, tensor("W", Seq(1, 2), Seq(1.0, 2.0), "raw32")) ++
+        ld(5, tensor("B", Seq(1), Seq(0.5), "raw32"))
+    val e2 = intercept[IllegalArgumentException](
+      graft.ml.OnnxImport.fromBytes(model(softmax), "bad", Seq("a", "b")))
+    assert(e2.getMessage.contains("'Softmax' unsupported"))
   }
 
   test("MatMul+Add chain imports bit-equal to its Gemm twin") {
