@@ -170,12 +170,12 @@ object Connectors {
     // fixture VERIFIES signatures cryptographically
     // (KinesisConnectorSpec); kinesis-sql remains an option
     "kinesis"       -> "graft.sources.KinesisConnector (bundled, real)",
-    // elasticsearch's SINK half is real: EsConnector speaks the
-    // actual _bulk NDJSON contract over HTTP (chunked, auth headers,
-    // per-item error surfacing), loopback-tested in EsConnectorSpec —
-    // matching the reference, whose ElasticsearchSink is write-only;
-    // org.elasticsearch.spark.sql remains the read path on clusters
-    // that ship es-hadoop
+    // elasticsearch is real BOTH ways: EsConnector speaks the actual
+    // _bulk NDJSON sink contract (chunked, auth headers, per-item
+    // error surfacing) AND an executor-parallel sliced-scroll READ
+    // (one scroll per Spark partition — es-hadoop's distribution
+    // shape), loopback-tested in EsConnectorSpec; the read half
+    // EXCEEDS the reference, whose ElasticsearchSink is write-only
     "elasticsearch" -> "graft.sources.EsConnector (bundled sink, real)",
     // redis is NOT a stand-in either: RedisConnector speaks actual
     // RESP2 over TCP (SUBSCRIBE-spool source, pipelined PUBLISH sink,

@@ -34,9 +34,77 @@ import org.apache.spark.sql.types.StructType
   * per partition, the partition streamed through `grouped(batchSize)`
   * bulk POSTs — bounded memory, and a 1000-executor cluster indexes
   * in parallel against the cluster-side load balancer exactly as the
-  * es-hadoop connector does. Write-only, like the reference
-  * (ElasticsearchSink has no source half).
+  * es-hadoop connector does. Since r11 the READ half exists too —
+  * executor-parallel sliced scroll (see [[EsScroll]] and `read`) —
+  * which EXCEEDS the reference (ElasticsearchSink has no source
+  * half).
   */
+/** Executor-side scroll client: one slice of an index, paged lazily
+  * through the documented scroll API (`POST /{index}/_search?scroll=`
+  * then `POST /_search/scroll`), the context DELETEd when drained.
+  * Responses parse through the key-aware JSON scan (no regex, no
+  * dependency): `_source` objects via balanced-brace capture,
+  * `_scroll_id` via the string scan.
+  */
+private[graft] object EsScroll {
+
+  private def post(client: java.net.http.HttpClient, url: String,
+      body: String, hdr: Option[(String, String)],
+      method: String = "POST"): String = {
+    val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+      .header("Content-Type", "application/json")
+      .method(method,
+        java.net.http.HttpRequest.BodyPublishers.ofString(body))
+    hdr.foreach { case (k, v) => b.header(k, v) }
+    val resp = client.send(b.build(),
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() / 100 != 2)
+      throw new java.io.IOException(
+        s"es $method $url returned ${resp.statusCode()}: ${resp.body()}")
+    resp.body()
+  }
+
+  /** Lazily iterate every `_source` document of slice `sliceId`/`max`
+    * of `index` (match_all, `_doc` order — the fastest scroll sort).
+    */
+  def slice(baseUrl: String, index: String, hdr: Option[(String, String)],
+      sliceId: Int, max: Int, page: Int,
+      keepAlive: String = "1m"): Iterator[String] = {
+    val client = java.net.http.HttpClient.newHttpClient()
+    val base = baseUrl.stripSuffix("/")
+    val sliceClause =
+      if (max > 1) s""""slice":{"id":$sliceId,"max":$max},""" else ""
+    val first = post(client, s"$base/$index/_search?scroll=$keepAlive",
+      s"""{$sliceClause"size":$page,"sort":["_doc"],"query":{"match_all":{}}}""",
+      hdr)
+    new scala.collection.AbstractIterator[String] {
+      private var sid = HttpJson.stringValuesOf(first, "_scroll_id")
+        .headOption.getOrElse(
+          throw new java.io.IOException(s"es: no _scroll_id in $first"))
+      private var buf = HttpJson.objectValuesOf(first, "_source").iterator
+      private var drained = false
+      private def advance(): Unit =
+        while (!buf.hasNext && !drained) {
+          val resp = post(client, s"$base/_search/scroll",
+            s"""{"scroll":"$keepAlive","scroll_id":"${JsonStr.escape(sid)}"}""",
+            hdr)
+          sid = HttpJson.stringValuesOf(resp, "_scroll_id").headOption
+            .getOrElse(sid)
+          val hits = HttpJson.objectValuesOf(resp, "_source")
+          if (hits.isEmpty) {
+            drained = true
+            // clear the server-side context promptly (best effort)
+            try post(client, s"$base/_search/scroll",
+              s"""{"scroll_id":"${JsonStr.escape(sid)}"}""", hdr, "DELETE")
+            catch { case _: java.io.IOException => () }
+          } else buf = hits.iterator
+        }
+      override def hasNext: Boolean = { advance(); buf.hasNext }
+      override def next(): String = { advance(); buf.next() }
+    }
+  }
+}
+
 final case class EsConnector(
     name: String,
     baseUrl: String,
@@ -45,6 +113,8 @@ final case class EsConnector(
     password: Option[String] = None,
     apiKey: Option[String] = None,
     batchSize: Int = 200,
+    sliceCount: Int = 4,
+    scrollPage: Int = 500,
     nowMillis: () => Long = () => System.currentTimeMillis()) extends Connector {
 
   /** `{yyyy}`/`{MM}`/`{dd}` expansion (elasticsearch.rs:210-218), UTC
@@ -65,13 +135,35 @@ final case class EsConnector(
         "Authorization" -> ("Basic " + java.util.Base64.getEncoder
           .encodeToString(s"$u:$p".getBytes(UTF_8))))
 
-  override def read(spark: SparkSession, schema: Option[StructType]): DataFrame =
-    throw new UnsupportedOperationException(
-      "elasticsearch connector is write-only (reference ElasticsearchSink)")
+  /** Batch read of the index via SLICED scroll — one independent
+    * scroll per Spark partition (`"slice":{"id":i,"max":n}`), so a
+    * 1000-executor cluster reads ES in parallel with zero driver
+    * funneling: this is the es-hadoop distribution shape, and it
+    * EXCEEDS the reference, whose ES connector is write-only
+    * (elasticsearch.rs ships only ElasticsearchSink). Each task pages
+    * lazily (`scrollPage` docs per request, bounded memory) and
+    * clears its scroll context when drained. Pass `schema` — without
+    * it, Spark's JSON schema inference re-runs the scroll for the
+    * sampling pass.
+    */
+  override def read(spark: SparkSession, schema: Option[StructType]): DataFrame = {
+    val (url, idx, hdr) = (baseUrl, expandIndex(nowMillis()), authHeader)
+    val (slices, page) = (math.max(1, sliceCount), scrollPage)
+    val docs = spark.createDataset(
+      spark.sparkContext.parallelize(0 until slices, slices)
+        .flatMap(i => EsScroll.slice(url, idx, hdr, i, slices, page)))(
+      org.apache.spark.sql.Encoders.STRING)
+    val r = spark.read
+    schema.fold(r)(s => r.schema(s)).json(docs)
+  }
 
+  /** A search is a bounded snapshot — batch-only, like JDBC. Live
+    * tailing of an index belongs to change-data tooling, not scroll.
+    */
   override def readStream(spark: SparkSession, schema: StructType): DataFrame =
     throw new UnsupportedOperationException(
-      "elasticsearch connector is write-only (reference ElasticsearchSink)")
+      "elasticsearch read is batch-only (a scroll is a point-in-time " +
+        "snapshot); use read() or a CDC pipeline for live tailing")
 
   override def write(df: DataFrame): Unit = {
     val url = baseUrl.stripSuffix("/") + "/_bulk"

@@ -294,6 +294,57 @@ private[graft] object HttpJson {
     out.result()
   }
 
+  /** All OBJECT values of fields named `key` (e.g. every `_source`
+    * document in an ES search response), captured verbatim by
+    * balanced-brace counting with string-literal/escape awareness —
+    * same key-position rule as [[stringValuesOf]].
+    */
+  def objectValuesOf(json: String, key: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var i = 0
+    val n = json.length
+    def skipWs(j0: Int): Int = {
+      var j = j0
+      while (j < n && json.charAt(j).isWhitespace) j += 1
+      j
+    }
+    def skipStr(j0: Int): Int = { // j0 at opening quote; returns after close
+      var j = j0 + 1
+      while (j < n && json.charAt(j) != '"') {
+        if (json.charAt(j) == '\\') j += 1
+        j += 1
+      }
+      j + 1
+    }
+    while (i < n) {
+      if (json.charAt(i) == '"') {
+        val after = skipStr(i)
+        val s = json.substring(i + 1, math.min(after - 1, n))
+        val colon = skipWs(after)
+        if (colon < n && json.charAt(colon) == ':' && s == key) {
+          val vStart = skipWs(colon + 1)
+          if (vStart < n && json.charAt(vStart) == '{') {
+            var depth = 0
+            var j = vStart
+            var end = -1
+            while (j < n && end < 0) {
+              json.charAt(j) match {
+                case '"' => j = skipStr(j) - 1
+                case '{' => depth += 1
+                case '}' => depth -= 1; if (depth == 0) end = j
+                case _   =>
+              }
+              j += 1
+            }
+            if (end > 0) { out += json.substring(vStart, end + 1); i = end + 1 }
+            else i = vStart + 1
+          } else i = colon + 1
+        } else i = after
+      } else i += 1
+    }
+    out.result()
+  }
+
   /** First numeric value of an object field named `key` (integer),
     * via the same key-aware scan.
     */

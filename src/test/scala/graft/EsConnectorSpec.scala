@@ -30,6 +30,65 @@ final class FakeEs(requireAuth: Option[String] = None) {
     try os.write(b) finally os.close()
   }
 
+  // ---- scroll state: scroll_id -> (remaining docs, page size) ------
+  private val scrolls =
+    new ConcurrentHashMap[String, (List[String], Int)]()
+  @volatile var searchCalls = 0
+  @volatile var scrollDeletes = 0
+
+  private def hitsJson(docs: Seq[String], sid: String): String = {
+    val hits = docs.map(d => s"""{"_index":"x","_source":$d}""")
+      .mkString(",")
+    s"""{"_scroll_id":"$sid","took":1,"hits":{"total":{"value":${docs.length}},"hits":[$hits]}}"""
+  }
+
+  private def extractInt(body: String, key: String, dflt: Int): Int =
+    (s""""$key"\\s*:\\s*(\\d+)""").r.findFirstMatchIn(body)
+      .map(_.group(1).toInt).getOrElse(dflt)
+
+  // POST /{index}/_search?scroll=..  and  POST|DELETE /_search/scroll
+  server.createContext("/", (x: HttpExchange) => {
+    val auth = Option(x.getRequestHeaders.getFirst("Authorization"))
+    val path = x.getRequestURI.getPath
+    if (requireAuth.exists(a => !auth.contains(a)))
+      respond(x, 401, """{"error":"unauthorized"}""")
+    else if (path == "/_search/scroll") {
+      val body = new String(x.getRequestBody.readAllBytes(), UTF_8)
+      val sid = """"scroll_id"\s*:\s*"([^"]+)"""".r
+        .findFirstMatchIn(body).map(_.group(1)).getOrElse("")
+      if (x.getRequestMethod == "DELETE") {
+        scrollDeletes += 1
+        scrolls.remove(sid)
+        respond(x, 200, """{"succeeded":true}""")
+      } else Option(scrolls.get(sid)) match {
+        case None => respond(x, 404, """{"error":"no such scroll"}""")
+        case Some((rest, page)) =>
+          val (now, later) = rest.splitAt(page)
+          scrolls.put(sid, (later, page))
+          respond(x, 200, hitsJson(now, sid))
+      }
+    } else if (path.endsWith("/_search")) {
+      searchCalls += 1
+      val idx = path.stripPrefix("/").stripSuffix("/_search")
+      val body = new String(x.getRequestBody.readAllBytes(), UTF_8)
+      val page = extractInt(body, "size", 10)
+      val all = Option(indexed.get(idx)).map { l =>
+        val b = Seq.newBuilder[String]; l.forEach(b += _); b.result()
+      }.getOrElse(Nil)
+      // sliced scroll: doc i belongs to slice (i % max == id)
+      val sliced =
+        if (body.contains("\"slice\"")) {
+          val id = extractInt(body, "id", 0)
+          val max = extractInt(body, "max", 1)
+          all.zipWithIndex.collect { case (d, i) if i % max == id => d }
+        } else all
+      val sid = java.util.UUID.randomUUID().toString
+      val (now, later) = sliced.splitAt(page)
+      scrolls.put(sid, (later.toList, page))
+      respond(x, 200, hitsJson(now, sid))
+    } else respond(x, 404, """{"error":"not found"}""")
+  })
+
   server.createContext("/_bulk", (x: HttpExchange) => {
     val auth = Option(x.getRequestHeaders.getFirst("Authorization"))
     if (requireAuth.exists(a => !auth.contains(a)))
@@ -118,6 +177,56 @@ class EsConnectorSpec extends SparkSpec {
       conn.write(Seq((3L, "z")).toDF("id", "kind"))
       assert(basicEs.indexed.containsKey("ix2"))
     } finally basicEs.stop()
+  }
+
+  test("sliced-scroll read: sink -> index -> executor-parallel read back") {
+    val es = new FakeEs()
+    try {
+      import spark.implicits._
+      val conn = EsConnector("es", es.url, "docs", batchSize = 3,
+        sliceCount = 3, scrollPage = 4)
+      val in = (1 to 25).map(i => (i.toLong, s"k$i", i * 0.5))
+        .toDF("id", "kind", "value").repartition(2)
+      conn.write(in)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("kind",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.DoubleType)))
+      val got = conn.read(spark, Some(schema))
+      // one independent scroll per slice, partition-parallel
+      assert(got.rdd.getNumPartitions == 3)
+      val rows = got.collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+      assert(rows == (1 to 25).map(i => (i.toLong, s"k$i", i * 0.5)).toSet)
+      // 3 slices searched; paging (25 docs / 3 slices / page 4) forces
+      // continuation scrolls; every drained slice cleared its context
+      assert(es.searchCalls == 3, s"searches=${es.searchCalls}")
+      assert(es.scrollDeletes == 3, s"deletes=${es.scrollDeletes}")
+    } finally es.stop()
+  }
+
+  test("read honors auth; unauthenticated scroll fails loudly") {
+    val es = new FakeEs(requireAuth = Some("ApiKey sesame"))
+    try {
+      import spark.implicits._
+      val ok = EsConnector("es", es.url, "sec", apiKey = Some("sesame"),
+        sliceCount = 2)
+      ok.write(Seq((1L, "x"), (2L, "y")).toDF("id", "kind"))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("kind",
+          org.apache.spark.sql.types.StringType)))
+      assert(ok.read(spark, Some(schema)).count() == 2)
+      val anon = EsConnector("es", es.url, "sec", sliceCount = 2)
+      val e = intercept[org.apache.spark.SparkException](
+        anon.read(spark, Some(schema)).count())
+      val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+      assert(msg.contains("401"), msg)
+    } finally es.stop()
   }
 
   test("HTTP 200 with per-item errors fails the write loudly") {
