@@ -471,12 +471,15 @@ final class KafkaClient(host: String, port: Int,
   * seam as REST/Kinesis/Redis: past the single-connection ceiling,
   * bind spark-sql-kafka for executor-parallel ingestion.
   */
-final class KafkaPoller private (client: KafkaClient, topic: String,
-    spoolDir: String, startAt: String, pollIntervalMs: Long) {
+final class KafkaPoller private (connect: () => KafkaClient,
+    firstClient: KafkaClient, topic: String, spoolDir: String,
+    startAt: String, pollIntervalMs: Long, maxReconnects: Int) {
 
+  @volatile private var client: KafkaClient = firstClient
   @volatile private var running = true
   @volatile private var records = 0L
   @volatile private var failures = 0L
+  @volatile private var reconnected = 0L
   @volatile private var terminal: Option[Throwable] = None
 
   private def spool(lines: Seq[String]): Unit = if (lines.nonEmpty) {
@@ -490,41 +493,76 @@ final class KafkaPoller private (client: KafkaClient, topic: String,
   }
 
   private val thread = new Thread(() => {
-    try {
-      val ts = if (startAt == "earliest") -2L else -1L
-      val offsets = scala.collection.mutable.Map.empty[Int, Long]
-      client.partitions(topic).foreach { p =>
-        offsets(p) = client.listOffset(topic, p, ts)
-      }
-      while (running) {
-        offsets.keys.toSeq.sorted.foreach { p =>
-          val (recs, _) = client.fetch(topic, p, offsets(p))
-          if (recs.nonEmpty) {
-            val vals = recs.map(r => new String(r.value, UTF_8).trim)
-            val (ok, bad) = vals.partition(v =>
-              v.startsWith("{") && v.endsWith("}"))
-            spool(ok.map(_.replaceAll("[\n\r]+", " ")))
-            records += ok.length
-            failures += bad.length
-            offsets(p) = recs.map(_.offset).max + 1
+    var backoffMs = 500L
+    var attempts = 0
+    // tracked offsets SURVIVE reconnects — the consumer resumes where
+    // it left off, like the reference's committed offsets
+    val offsets = scala.collection.mutable.Map.empty[Int, Long]
+    while (running && terminal.isEmpty) {
+      try {
+        if (offsets.isEmpty) {
+          val ts = if (startAt == "earliest") -2L else -1L
+          client.partitions(topic).foreach { p =>
+            offsets(p) = client.listOffset(topic, p, ts)
           }
         }
-        if (running) Thread.sleep(pollIntervalMs)
-      }
-    } catch {
-      case _: InterruptedException => ()
-      case e @ (_: EOFException | _: java.net.SocketException |
-                _: java.io.IOException) =>
-        if (running) {
-          terminal = Some(e)
-          System.err.println(s"graft-kafka-poller: terminal: $e")
+        while (running) {
+          offsets.keys.toSeq.sorted.foreach { p =>
+            val (recs, _) = client.fetch(topic, p, offsets(p))
+            if (recs.nonEmpty) {
+              val vals = recs.map(r => new String(r.value, UTF_8).trim)
+              val (ok, bad) = vals.partition(v =>
+                v.startsWith("{") && v.endsWith("}"))
+              spool(ok.map(_.replaceAll("[\n\r]+", " ")))
+              records += ok.length
+              failures += bad.length
+              offsets(p) = recs.map(_.offset).max + 1
+              attempts = 0; backoffMs = 500L
+            }
+          }
+          if (running) Thread.sleep(pollIntervalMs)
         }
+      } catch {
+        case _: InterruptedException => ()
+        // broker connection lost while running=true: reconnect with
+        // backoff from the tracked offsets; exhausted retries mark
+        // the poller DEAD (clean stop() stays silent)
+        case e @ (_: EOFException | _: java.net.SocketException |
+                  _: java.io.IOException) if running =>
+          // release the dead socket NOW: a half-open client keeps the
+          // broker side in FIN_WAIT_2 and can block a same-port restart
+          try client.close() catch { case _: Exception => () }
+          attempts += 1
+          if (attempts > maxReconnects) {
+            terminal = Some(e)
+            System.err.println(
+              s"graft-kafka-poller: terminal after $maxReconnects " +
+                s"reconnect attempts: $e")
+          } else {
+            System.err.println(s"graft-kafka-poller: connection lost " +
+              s"($e); reconnect #$attempts in ${backoffMs}ms")
+            val interrupted =
+              try { Thread.sleep(backoffMs); false }
+              catch { case _: InterruptedException => true } // stop()
+            if (!interrupted) {
+              backoffMs = math.min(backoffMs * 2, 30000L)
+              try {
+                client = connect()
+                reconnected += 1
+              } catch {
+                case _: java.io.IOException => () // next pass retries
+              }
+            }
+          }
+        case _: Throwable if !running => ()
+      }
     }
   }, s"graft-kafka-poller-$topic")
   thread.setDaemon(true)
 
   def recordCount: Long = records
   def failureCount: Long = failures
+  def reconnectCount: Long = reconnected
   /** The exception that killed the poll loop, if any — None while
     * healthy or after a clean stop().
     */
@@ -541,11 +579,14 @@ final class KafkaPoller private (client: KafkaClient, topic: String,
 
 object KafkaPoller {
   /** startAt mirrors auto.offset.reset (kafka.rs:231: latest default;
-    * "earliest" replays the retained log).
+    * "earliest" replays the retained log). `connect` is invoked once
+    * here (bad config fails fast) and again on each reconnect.
     */
-  def start(client: KafkaClient, topic: String, spoolDir: String,
-      startAt: String = "latest", pollIntervalMs: Long = 100L): KafkaPoller = {
-    val p = new KafkaPoller(client, topic, spoolDir, startAt, pollIntervalMs)
+  def start(connect: () => KafkaClient, topic: String, spoolDir: String,
+      startAt: String = "latest", pollIntervalMs: Long = 100L,
+      maxReconnects: Int = 8): KafkaPoller = {
+    val p = new KafkaPoller(connect, connect(), topic, spoolDir, startAt,
+      pollIntervalMs, maxReconnects)
     p.thread.start()
     p
   }

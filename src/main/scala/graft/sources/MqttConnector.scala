@@ -255,14 +255,20 @@ final class MqttClient(host: String, port: Int, clientId: String,
 
 /** Driver-side subscriber: one subscription, JSON payloads spooled
   * atomically as NDJSON; non-JSON counted and skipped (mqtt.rs warns
-  * and continues).
+  * and continues). A dropped connection RECONNECTS with exponential
+  * backoff (0.5 s doubling to 30 s, `maxReconnects` attempts before
+  * giving up — matching the reference source loops' backoff shape,
+  * kafka.rs:299-303); only exhausted retries set [[terminalError]].
   */
-final class MqttSubscriber private (client: MqttClient, spoolDir: String,
-    timeoutMs: Int) {
+final class MqttSubscriber private (connect: () => MqttClient,
+    firstClient: MqttClient, spoolDir: String, timeoutMs: Int,
+    maxReconnects: Int) {
 
+  @volatile private var client: MqttClient = firstClient
   @volatile private var running = true
   @volatile private var messages = 0L
   @volatile private var failures = 0L
+  @volatile private var reconnected = 0L
   @volatile private var terminal: Option[Throwable] = None
 
   private def spool(line: String): Unit = {
@@ -276,40 +282,70 @@ final class MqttSubscriber private (client: MqttClient, spoolDir: String,
   }
 
   private val thread = new Thread(() => {
-    try {
-      while (running) {
-        try {
-          val payload = client.nextMessage().trim
-          if (payload.startsWith("{") && payload.endsWith("}")) {
-            spool(payload.replaceAll("[\n\r]+", " ")); messages += 1
-          } else failures += 1
-        } catch {
-          // idle past the socket timeout: keep the MQTT session alive
-          // (CONNECT promised keepAliveSec; a silent client gets
-          // disconnected by a spec-compliant broker)
-          case _: java.net.SocketTimeoutException => client.keepalive()
+    var backoffMs = 500L
+    var attempts = 0
+    while (running && terminal.isEmpty) {
+      try {
+        while (running) {
+          try {
+            val payload = client.nextMessage().trim
+            if (payload.startsWith("{") && payload.endsWith("}")) {
+              spool(payload.replaceAll("[\n\r]+", " ")); messages += 1
+            } else failures += 1
+            attempts = 0; backoffMs = 500L // healthy again
+          } catch {
+            // idle past the socket timeout: keep the MQTT session
+            // alive (CONNECT promised keepAliveSec; a silent client
+            // gets disconnected by a spec-compliant broker)
+            case _: java.net.SocketTimeoutException => client.keepalive()
+          }
         }
+      } catch {
+        // connection dropped while running=true: reconnect with
+        // backoff; exhausted retries mark the stream DEAD so callers
+        // can tell idle from dead (a clean stop() lands here with
+        // running=false and stays silent)
+        case e @ (_: EOFException | _: java.net.SocketException |
+                  _: java.io.IOException) if running =>
+          // release the dead socket NOW: a half-open client keeps the
+          // broker side in FIN_WAIT_2 and can block a same-port restart
+          try client.close() catch { case _: Exception => () }
+          attempts += 1
+          if (attempts > maxReconnects) {
+            terminal = Some(e)
+            System.err.println(
+              s"graft-mqtt-subscriber: terminal after $maxReconnects " +
+                s"reconnect attempts: $e")
+          } else {
+            System.err.println(s"graft-mqtt-subscriber: connection lost " +
+              s"($e); reconnect #$attempts in ${backoffMs}ms")
+            val interrupted =
+              try { Thread.sleep(backoffMs); false }
+              catch { case _: InterruptedException => true } // stop()
+            if (!interrupted) {
+              backoffMs = math.min(backoffMs * 2, 30000L)
+              try {
+                val fresh = connect() // connects AND re-subscribes
+                client = fresh
+                reconnected += 1
+              } catch {
+                case _: java.io.IOException => () // next pass retries
+              }
+            }
+          }
+        case _: Throwable if !running => ()
       }
-    } catch {
-      // broker-initiated disconnect while running=true is a DEAD
-      // stream, not a clean stop — record it so callers can tell
-      // idle from dead (stop() closes the socket, which lands here
-      // with running=false and stays clean)
-      case e @ (_: EOFException | _: java.net.SocketException |
-                _: java.io.IOException) =>
-        if (running) {
-          terminal = Some(e)
-          System.err.println(s"graft-mqtt-subscriber: terminal: $e")
-        }
     }
   }, "graft-mqtt-subscriber")
   thread.setDaemon(true)
 
   def messageCount: Long = messages
   def failureCount: Long = failures
+  def reconnectCount: Long = reconnected
   /** The exception that killed the spool thread, if any — None while
     * healthy or after a clean stop(). A Some here means ingestion
-    * halted and the landing dir will never grow again.
+    * halted (reconnect retries exhausted) and the landing dir will
+    * never grow again.
     */
   def terminalError: Option[Throwable] = terminal
   def isDead: Boolean = terminal.isDefined
@@ -317,6 +353,7 @@ final class MqttSubscriber private (client: MqttClient, spoolDir: String,
   def stop(): Unit = {
     running = false
     client.close()
+    thread.interrupt() // break a backoff sleep
     thread.join(timeoutMs.toLong * 2)
   }
 }
@@ -325,10 +362,16 @@ object MqttSubscriber {
   def start(host: String, port: Int, topic: String, spoolDir: String,
       clientId: String = "graft-sub", qos: Int = 0,
       username: Option[String] = None, password: Option[String] = None,
-      timeoutMs: Int = 2000): MqttSubscriber = {
-    val c = new MqttClient(host, port, clientId, username, password, timeoutMs)
-    c.subscribe(topic, qos)
-    val s = new MqttSubscriber(c, spoolDir, timeoutMs)
+      timeoutMs: Int = 2000, maxReconnects: Int = 8): MqttSubscriber = {
+    def connect(): MqttClient = {
+      val c = new MqttClient(host, port, clientId, username, password,
+        timeoutMs)
+      c.subscribe(topic, qos)
+      c
+    }
+    // first connect in the caller's thread: bad config fails fast
+    val s = new MqttSubscriber(() => connect(), connect(), spoolDir,
+      timeoutMs, maxReconnects)
     s.thread.start()
     s
   }

@@ -25,16 +25,16 @@ import org.apache.spark.sql.types.StructType
   * delivery makes competing executor subscribers wrong, and a queue
   * group would instead SPLIT the stream across them); the sink runs
   * executor-side, one connection per partition, PUB frames streamed
+  * in bounded flush chunks with a trailing PING/PONG barrier — NATS
+  * publishes are fire-and-forget, so the barrier is what guarantees
+  * the server consumed every frame before the Spark task reports
+  * success.
   *
   * Spool ceiling, measured on loopback (ConnectorThroughputSpec):
   * ~11-18k msg/s per subscriber thread. Past that, run multiple
   * queue-group members (each its own landing dir) — NATS splits the
   * subject across them — before reaching for an executor-parallel
   * receiver.
-  * in bounded flush chunks with a trailing PING/PONG barrier — NATS
-  * publishes are fire-and-forget, so the barrier is what guarantees
-  * the server consumed every frame before the Spark task reports
-  * success.
   */
 private[graft] object NatsProto {
   /** Read one \r\n-terminated control line. */
@@ -179,14 +179,19 @@ final class NatsClient(host: String, port: Int,
 /** Driver-side subscriber: one subscription (plain or queue-group),
   * each JSON message spooled atomically as one NDJSON line; non-JSON
   * payloads counted and skipped (the reference warns and continues,
-  * nats.rs:136-147).
+  * nats.rs:136-147). A dropped connection RECONNECTS with exponential
+  * backoff (0.5 s doubling to 30 s, `maxReconnects` attempts); only
+  * exhausted retries set [[terminalError]].
   */
-final class NatsSubscriber private (client: NatsClient, spoolDir: String,
-    timeoutMs: Int) {
+final class NatsSubscriber private (connect: () => NatsClient,
+    firstClient: NatsClient, spoolDir: String, timeoutMs: Int,
+    maxReconnects: Int) {
 
+  @volatile private var client: NatsClient = firstClient
   @volatile private var running = true
   @volatile private var messages = 0L
   @volatile private var failures = 0L
+  @volatile private var reconnected = 0L
   @volatile private var terminal: Option[Throwable] = None
 
   private def spool(line: String): Unit = {
@@ -200,33 +205,57 @@ final class NatsSubscriber private (client: NatsClient, spoolDir: String,
   }
 
   private val thread = new Thread(() => {
-    try {
-      while (running) {
-        try {
-          val payload = client.nextMessage().trim
-          if (payload.startsWith("{") && payload.endsWith("}")) {
-            spool(payload.replaceAll("[\n\r]+", " ")); messages += 1
-          } else failures += 1
-        } catch {
-          case _: java.net.SocketTimeoutException => () // idle
+    var backoffMs = 500L
+    var attempts = 0
+    while (running && terminal.isEmpty) {
+      try {
+        while (running) {
+          try {
+            val payload = client.nextMessage().trim
+            if (payload.startsWith("{") && payload.endsWith("}")) {
+              spool(payload.replaceAll("[\n\r]+", " ")); messages += 1
+            } else failures += 1
+            attempts = 0; backoffMs = 500L
+          } catch {
+            case _: java.net.SocketTimeoutException => () // idle
+          }
         }
+      } catch {
+        // connection dropped while running=true: reconnect with
+        // backoff; exhausted retries mark the stream DEAD (a clean
+        // stop() lands here with running=false and stays silent)
+        case e @ (_: EOFException | _: java.net.SocketException |
+                  _: java.io.IOException) if running =>
+          // release the dead socket NOW: a half-open client keeps the
+          // broker side in FIN_WAIT_2 and can block a same-port restart
+          try client.close() catch { case _: Exception => () }
+          attempts += 1
+          if (attempts > maxReconnects) {
+            terminal = Some(e)
+            System.err.println(
+              s"graft-nats-subscriber: terminal after $maxReconnects " +
+                s"reconnect attempts: $e")
+          } else {
+            System.err.println(s"graft-nats-subscriber: connection lost " +
+              s"($e); reconnect #$attempts in ${backoffMs}ms")
+            val interrupted =
+              try { Thread.sleep(backoffMs); false }
+              catch { case _: InterruptedException => true } // stop()
+            if (!interrupted) {
+              backoffMs = math.min(backoffMs * 2, 30000L)
+              try { client = connect(); reconnected += 1 }
+              catch { case _: java.io.IOException => () } // next pass retries
+            }
+          }
+        case _: Throwable if !running => ()
       }
-    } catch {
-      // connection dropped while running=true = dead stream; record
-      // it so callers can tell idle from dead (clean stop() closes
-      // the socket with running=false and stays clean)
-      case e @ (_: EOFException | _: java.net.SocketException |
-                _: java.io.IOException) =>
-        if (running) {
-          terminal = Some(e)
-          System.err.println(s"graft-nats-subscriber: terminal: $e")
-        }
     }
   }, "graft-nats-subscriber")
   thread.setDaemon(true)
 
   def messageCount: Long = messages
   def failureCount: Long = failures
+  def reconnectCount: Long = reconnected
   /** The exception that killed the spool thread, if any — None while
     * healthy or after a clean stop().
     */
@@ -236,6 +265,7 @@ final class NatsSubscriber private (client: NatsClient, spoolDir: String,
   def stop(): Unit = {
     running = false
     client.close()
+    thread.interrupt() // break a backoff sleep
     thread.join(timeoutMs.toLong * 2)
   }
 }
@@ -244,10 +274,16 @@ object NatsSubscriber {
   def start(host: String, port: Int, subject: String, spoolDir: String,
       queueGroup: Option[String] = None,
       username: Option[String] = None, password: Option[String] = None,
-      token: Option[String] = None, timeoutMs: Int = 2000): NatsSubscriber = {
-    val c = new NatsClient(host, port, username, password, token, timeoutMs)
-    c.subscribe(subject, sid = "1", queueGroup = queueGroup)
-    val s = new NatsSubscriber(c, spoolDir, timeoutMs)
+      token: Option[String] = None, timeoutMs: Int = 2000,
+      maxReconnects: Int = 8): NatsSubscriber = {
+    def connect(): NatsClient = {
+      val c = new NatsClient(host, port, username, password, token, timeoutMs)
+      c.subscribe(subject, sid = "1", queueGroup = queueGroup)
+      c
+    }
+    // first connect in the caller's thread: bad config fails fast
+    val s = new NatsSubscriber(() => connect(), connect(), spoolDir,
+      timeoutMs, maxReconnects)
     s.thread.start()
     s
   }

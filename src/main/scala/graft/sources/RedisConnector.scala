@@ -175,13 +175,21 @@ final class RedisClient(host: String, port: Int, timeoutMs: Int = 5000)
   */
 final class RedisSubscriber private (
     host: String, port: Int, channel: String, spoolDir: String,
-    timeoutMs: Int) {
+    timeoutMs: Int, maxReconnects: Int) {
 
+  private def connect(): RedisClient = {
+    val c = new RedisClient(host, port, timeoutMs)
+    c.subscribe(channel)
+    c
+  }
+
+  // first connect in the caller's thread: bad config fails fast
+  @volatile private var client: RedisClient = connect()
   @volatile private var running = true
   @volatile private var messages = 0L
   @volatile private var failures = 0L
+  @volatile private var reconnected = 0L
   @volatile private var terminal: Option[Throwable] = None
-  private val client = new RedisClient(host, port, timeoutMs)
 
   private def oneLine(s: String): String = s.replaceAll("[\n\r]+", " ")
 
@@ -196,39 +204,62 @@ final class RedisSubscriber private (
   }
 
   private val thread = new Thread(() => {
-    try {
-      client.subscribe(channel)
-      while (running) {
-        try {
-          Resp.read(client.in) match {
-            case Resp.RArr(Seq(Resp.RBulk(Some("message")), _,
-                Resp.RBulk(Some(payload)))) =>
-              val t = payload.trim
-              if (t.startsWith("{") && t.endsWith("}")) {
-                spool(oneLine(t)); messages += 1
-              } else failures += 1
-            case _ => () // other pushes (unsubscribe acks) ignored
+    var backoffMs = 500L
+    var attempts = 0
+    while (running && terminal.isEmpty) {
+      try {
+        while (running) {
+          try {
+            Resp.read(client.in) match {
+              case Resp.RArr(Seq(Resp.RBulk(Some("message")), _,
+                  Resp.RBulk(Some(payload)))) =>
+                val t = payload.trim
+                if (t.startsWith("{") && t.endsWith("}")) {
+                  spool(oneLine(t)); messages += 1
+                } else failures += 1
+                attempts = 0; backoffMs = 500L
+              case _ => () // other pushes (unsubscribe acks) ignored
+            }
+          } catch {
+            case _: java.net.SocketTimeoutException => () // idle; poll running
           }
-        } catch {
-          case _: java.net.SocketTimeoutException => () // idle; poll running
         }
+      } catch {
+        // connection dropped while running=true: reconnect with
+        // backoff; exhausted retries mark the stream DEAD (a clean
+        // stop() lands here with running=false and stays silent)
+        case e @ (_: EOFException | _: java.net.SocketException |
+                  _: java.io.IOException) if running =>
+          // release the dead socket NOW: a half-open client keeps the
+          // broker side in FIN_WAIT_2 and can block a same-port restart
+          try client.close() catch { case _: Exception => () }
+          attempts += 1
+          if (attempts > maxReconnects) {
+            terminal = Some(e)
+            System.err.println(
+              s"graft-redis-subscriber: terminal after $maxReconnects " +
+                s"reconnect attempts: $e")
+          } else {
+            System.err.println(s"graft-redis-subscriber: connection lost " +
+              s"($e); reconnect #$attempts in ${backoffMs}ms")
+            val interrupted =
+              try { Thread.sleep(backoffMs); false }
+              catch { case _: InterruptedException => true } // stop()
+            if (!interrupted) {
+              backoffMs = math.min(backoffMs * 2, 30000L)
+              try { client = connect(); reconnected += 1 }
+              catch { case _: java.io.IOException => () } // next pass retries
+            }
+          }
+        case _: Throwable if !running => ()
       }
-    } catch {
-      // connection dropped while running=true = dead stream; record
-      // it so callers can tell idle from dead (clean stop() closes
-      // the socket with running=false and stays clean)
-      case e @ (_: EOFException | _: java.net.SocketException |
-                _: java.io.IOException) =>
-        if (running) {
-          terminal = Some(e)
-          System.err.println(s"graft-redis-subscriber: terminal: $e")
-        }
     }
   }, s"graft-redis-subscriber-$channel")
   thread.setDaemon(true)
 
   def messageCount: Long = messages
   def failureCount: Long = failures
+  def reconnectCount: Long = reconnected
   /** The exception that killed the spool thread, if any — None while
     * healthy or after a clean stop().
     */
@@ -238,14 +269,16 @@ final class RedisSubscriber private (
   def stop(): Unit = {
     running = false
     client.close() // unblocks the reader
+    thread.interrupt() // break a backoff sleep
     thread.join(timeoutMs.toLong * 2)
   }
 }
 
 object RedisSubscriber {
   def start(host: String, port: Int, channel: String, spoolDir: String,
-      timeoutMs: Int = 2000): RedisSubscriber = {
-    val s = new RedisSubscriber(host, port, channel, spoolDir, timeoutMs)
+      timeoutMs: Int = 2000, maxReconnects: Int = 8): RedisSubscriber = {
+    val s = new RedisSubscriber(host, port, channel, spoolDir, timeoutMs,
+      maxReconnects)
     s.thread.start()
     s
   }

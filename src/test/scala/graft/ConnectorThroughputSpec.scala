@@ -97,7 +97,7 @@ class ConnectorThroughputSpec extends SparkSpec {
       } finally pre.close()
       val t0 = System.nanoTime()
       val poller = KafkaPoller.start(
-        new KafkaClient("127.0.0.1", srv.port), "tp", dir.toString,
+        () => new KafkaClient("127.0.0.1", srv.port), "tp", dir.toString,
         startAt = "earliest", pollIntervalMs = 5L)
       try {
         assert(awaitTrue(30000)(poller.recordCount == n),

@@ -156,7 +156,7 @@ class KafkaConnectorSpec extends SparkSpec {
       pre.produce("ev", 1, Seq((None, "not json")))
       pre.close()
       val poller = KafkaPoller.start(
-        new KafkaClient("127.0.0.1", srv.port), "ev", dir.toString,
+        () => new KafkaClient("127.0.0.1", srv.port), "ev", dir.toString,
         startAt = "earliest", pollIntervalMs = 20L)
       try {
         assert(awaitTrue(3000)(
@@ -194,7 +194,7 @@ class KafkaConnectorSpec extends SparkSpec {
       assert(srv.logSize("loop", 0) > 0 && srv.logSize("loop", 1) > 0,
         "chunk rotation must spread load over topic partitions")
       val poller = KafkaPoller.start(
-        new KafkaClient("127.0.0.1", srv.port), "loop", dir.toString,
+        () => new KafkaClient("127.0.0.1", srv.port), "loop", dir.toString,
         startAt = "earliest", pollIntervalMs = 20L)
       try assert(awaitTrue(3000)(poller.recordCount == 7))
       finally poller.stop()

@@ -20,11 +20,28 @@ import graft.sources.KafkaProto.{Cursor, Wire}
   */
 final class MiniKafkaBroker(
     numPartitions: Int = 2,
-    requireUser: Option[(String, String)] = None) {
+    requireUser: Option[(String, String)] = None,
+    bindPort: Int = 0) {
 
   private val server = new ServerSocket()
-  server.bind(new InetSocketAddress("127.0.0.1", 0))
+  server.setReuseAddress(true) // restart-on-same-port (reconnect tests)
+  // a fixed-port restart can race the previous instance's FIN
+  // exchange (half-open peers hold the port outside TIME_WAIT);
+  // retry briefly, like a real broker restart script would
+  locally {
+    val deadline = System.nanoTime() + 5000000000L
+    var bound = false
+    while (!bound) {
+      try { server.bind(new InetSocketAddress("127.0.0.1", bindPort)); bound = true }
+      catch {
+        case e: java.net.BindException =>
+          if (bindPort == 0 || System.nanoTime() > deadline) throw e
+          Thread.sleep(100)
+      }
+    }
+  }
   def port: Int = server.getLocalPort
+  private val conns = new java.util.concurrent.CopyOnWriteArrayList[Socket]()
 
   private final case class Rec(key: Option[Array[Byte]],
       value: Array[Byte], timestamp: Long)
@@ -296,6 +313,7 @@ final class MiniKafkaBroker(
   private val acceptor = new Thread(() => {
     try while (running) {
       val sock = server.accept()
+      conns.add(sock)
       val t = new Thread(() => handle(sock), "mini-kafka-conn")
       t.setDaemon(true); t.start()
     } catch { case _: java.io.IOException => /* server closed */ }
@@ -303,5 +321,8 @@ final class MiniKafkaBroker(
   acceptor.setDaemon(true)
   acceptor.start()
 
-  def stop(): Unit = { running = false; server.close() }
+  def stop(): Unit = {
+    running = false; server.close()
+    conns.forEach(s => try s.close() catch { case _: Exception => () })
+  }
 }

@@ -14,10 +14,26 @@ import graft.sources.Resp
   * exercised over real TCP sockets with real protocol framing. Test
   * scope only; the product never depends on it.
   */
-final class MiniRedisServer {
+final class MiniRedisServer(bindPort: Int = 0) {
   private val server = new ServerSocket()
-  server.bind(new InetSocketAddress("127.0.0.1", 0))
+  server.setReuseAddress(true) // restart-on-same-port (reconnect tests)
+  // a fixed-port restart can race the previous instance's FIN
+  // exchange (half-open peers hold the port outside TIME_WAIT);
+  // retry briefly, like a real broker restart script would
+  locally {
+    val deadline = System.nanoTime() + 5000000000L
+    var bound = false
+    while (!bound) {
+      try { server.bind(new InetSocketAddress("127.0.0.1", bindPort)); bound = true }
+      catch {
+        case e: java.net.BindException =>
+          if (bindPort == 0 || System.nanoTime() > deadline) throw e
+          Thread.sleep(100)
+      }
+    }
+  }
   def port: Int = server.getLocalPort
+  private val conns = new java.util.concurrent.CopyOnWriteArrayList[Socket]()
 
   private val kv = new ConcurrentHashMap[String, String]()
   // channel -> live subscriber output streams (writes synchronized
@@ -86,6 +102,7 @@ final class MiniRedisServer {
   private val acceptor = new Thread(() => {
     try while (running) {
       val sock = server.accept()
+      conns.add(sock)
       val t = new Thread(() => handle(sock), "mini-redis-conn")
       t.setDaemon(true); t.start()
     } catch { case _: java.io.IOException => /* server closed */ }
@@ -93,5 +110,8 @@ final class MiniRedisServer {
   acceptor.setDaemon(true)
   acceptor.start()
 
-  def stop(): Unit = { running = false; server.close() }
+  def stop(): Unit = {
+    running = false; server.close()
+    conns.forEach(s => try s.close() catch { case _: Exception => () })
+  }
 }
