@@ -50,6 +50,12 @@ trait Connector {
   def readStream(spark: SparkSession, schema: StructType): DataFrame
   /** sink (VPL: `.to(conn)`) — batch flavor */
   def write(df: DataFrame): Unit
+  /** The same connector aimed at a different target — topic (Kafka/
+    * MQTT), subject (NATS), channel (Redis), index (ES), path (file).
+    * VPL's per-op `​.to(Conn, topic: "x")` override; connectors
+    * without a target notion return themselves.
+    */
+  def withTarget(target: String): Connector = this
 }
 
 /** File/directory connector: json | csv | parquet. */

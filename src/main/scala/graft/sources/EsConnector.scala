@@ -117,6 +117,8 @@ final case class EsConnector(
     scrollPage: Int = 500,
     nowMillis: () => Long = () => System.currentTimeMillis()) extends Connector {
 
+  override def withTarget(target: String): Connector = copy(index = target)
+
   /** `{yyyy}`/`{MM}`/`{dd}` expansion (elasticsearch.rs:210-218), UTC
     * like the reference's chrono::Utc.
     */

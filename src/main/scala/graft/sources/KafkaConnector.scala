@@ -612,6 +612,8 @@ final case class KafkaConnector(
     batchSize: Int = 500,
     timeoutMs: Int = 5000) extends Connector {
 
+  override def withTarget(target: String): Connector = copy(topic = target)
+
   override def read(spark: SparkSession, schema: Option[StructType]): DataFrame = {
     val r = spark.read
     schema.fold(r)(s => r.schema(s)).json(spoolDir)

@@ -395,6 +395,8 @@ final case class MqttConnector(
     batchSize: Int = 1000,
     timeoutMs: Int = 5000) extends Connector {
 
+  override def withTarget(target: String): Connector = copy(topic = target)
+
   override def read(spark: SparkSession, schema: Option[StructType]): DataFrame = {
     val r = spark.read
     schema.fold(r)(s => r.schema(s)).json(spoolDir)

@@ -306,6 +306,8 @@ final case class NatsConnector(
     batchSize: Int = 1000,
     timeoutMs: Int = 5000) extends Connector {
 
+  override def withTarget(target: String): Connector = copy(subject = target)
+
   override def read(spark: SparkSession, schema: Option[StructType]): DataFrame = {
     val r = spark.read
     schema.fold(r)(s => r.schema(s)).json(spoolDir)

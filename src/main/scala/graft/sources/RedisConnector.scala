@@ -301,6 +301,8 @@ final case class RedisConnector(
     batchSize: Int = 1000,
     timeoutMs: Int = 5000) extends Connector {
 
+  override def withTarget(target: String): Connector = copy(channel = target)
+
   private def fullKey(key: String): String =
     keyPrefix.fold(key)(p => s"$p:$key")
 

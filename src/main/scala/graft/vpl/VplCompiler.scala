@@ -229,6 +229,19 @@ final class VplCompiler(program: VProgram, source: VplSource,
       * compiling a program never needs live brokers.
       */
     sinks: Map[String, graft.sources.Connector] = Map.empty,
+    /** `.from(Connector, ...)` SOURCE bindings: connector name → a
+      * real [[graft.sources.Connector]] (build them from the
+      * program's own declarations with [[ConnectorBinder.bind]]). A
+      * bound head stream reads the connector's landing dir under the
+      * event declaration's schema instead of the ambient test source;
+      * per-op `topic:`/`subject:`/`channel:` params re-aim the
+      * connector. Events may carry their own ISO-8601 `ts`; rows
+      * without one get arrival-order synthetic event time (the
+      * reference's kafka source also stamps arrival time,
+      * kafka.rs:274). Unbound `.from`s keep reading the ambient
+      * source, so nothing needs live brokers.
+      */
+    sourceConns: Map[String, graft.sources.Connector] = Map.empty,
     /** `.score(model: "name", ...)` bindings: model name → pluggable
       * [[graft.ml.Score.Model]]. An unbound model scores with the
       * deterministic stand-in (see OpScore below) so scoring.rs-shaped
@@ -1147,6 +1160,18 @@ final class VplCompiler(program: VProgram, source: VplSource,
         val ins = names.map(n => n -> prefixed(resolveAny(n), n))
         joinInputs = Some(ins)
         ins.head._2 // placeholder until OpOn builds the join
+      case SrcName(n, alias) if s.ops.exists {
+          case OpFrom(c, _) => sourceConns.contains(c)
+          case _            => false
+        } =>
+        // head stream bound to a REAL connector: read its landing dir
+        // under the declared schema (see sourceConns scaladoc)
+        headAlias = alias
+        val (conn0, ps) = s.ops.collectFirst {
+          case OpFrom(c, p) if sourceConns.contains(c) =>
+            (sourceConns(c), p)
+        }.get
+        boundSource(conn0, ps, n)
       case SrcName(n, alias) =>
         headAlias = alias
         if (!streaming && program.streams.forall(_.name != n) &&
@@ -2797,11 +2822,58 @@ final class VplCompiler(program: VProgram, source: VplSource,
     if (!finished && seq.isDefined) materializeSeq()
     // bound `.to(Conn)` sinks receive the stream's final frame (the
     // batch flavor of the reference's sink wiring); unbound ones are
-    // no-ops so programs compile without live brokers
-    s.ops.collect { case OpTo(c2, _) => c2 }.distinct.foreach { c2 =>
-      sinks.get(c2).foreach(_.write(stripHidden(df)))
-    }
+    // no-ops so programs compile without live brokers. A per-op
+    // `topic:`/`subject:`/`channel:`/`index:` param re-aims the bound
+    // connector (01_filter.vpl: `.to(Broker, topic: "bench-01-output")`).
+    s.ops.collect { case OpTo(c2, ps) => (c2, opTarget(ps)) }.distinct
+      .foreach { case (c2, target) =>
+        sinks.get(c2).foreach(conn =>
+          target.fold(conn)(conn.withTarget).write(stripHidden(df)))
+      }
     df
+  }
+
+  /** The target override of a `.from`/`.to` op's params. */
+  private def opTarget(ps: Seq[(String, VExpr)]): Option[String] =
+    Seq("topic", "subject", "channel", "index").flatMap { k =>
+      ps.collectFirst { case (kk, VStr(v)) if kk == k => v }
+    }.headOption
+
+  /** Base DataFrame of a connector-bound head stream: the connector's
+    * landing dir read under the event declaration's schema (inherited
+    * fields included), normalized to the VplSource.resolve contract —
+    * event_id, ts, payload fields. Rows without their own `ts` get
+    * arrival-order synthetic event time.
+    */
+  private def boundSource(conn0: graft.sources.Connector,
+      ps: Seq[(String, VExpr)], eventType: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val conn = opTarget(ps).fold(conn0)(conn0.withTarget)
+    val spark = source.allEvents.sparkSession
+    def fieldsOf(e: VEvent): Seq[(String, String)] =
+      e.parent.flatMap(pn => program.events.find(_.name == pn))
+        .map(fieldsOf).getOrElse(Nil) ++ e.fields
+    val schema = program.events.find(_.name == eventType).map { e =>
+      val declared = fieldsOf(e).filter(_._1 != "ts").map { case (f, t) =>
+        StructField(f, t.stripSuffix("?") match {
+          case "int"       => LongType
+          case "float"     => DoubleType
+          case "bool"      => BooleanType
+          case "timestamp" => TimestampType
+          case _           => StringType
+        })
+      }
+      StructType(declared :+ StructField("ts", TimestampType))
+    }
+    val raw = conn.read(spark, schema)
+    val withTs =
+      if (raw.columns.contains("ts"))
+        raw.withColumn("ts", coalesce(col("ts").cast("timestamp"),
+          timestamp_micros(monotonically_increasing_id())))
+      else raw.withColumn("ts",
+        timestamp_micros(monotonically_increasing_id()))
+    if (withTs.columns.contains("event_id")) withTs
+    else withTs.withColumn("event_id", monotonically_increasing_id())
   }
 }
 
