@@ -2865,15 +2865,37 @@ final class VplCompiler(program: VProgram, source: VplSource,
       }
       StructType(declared :+ StructField("ts", TimestampType))
     }
-    val raw = conn.read(spark, schema)
+    // streaming mode tails the landing dir through the connector's
+    // file-stream read (unbounded micro-batches); batch mode snapshots
+    // it. Streaming needs the declared schema (file streams cannot
+    // infer), so undeclared event types are batch-bound-only.
+    val raw =
+      if (streaming)
+        conn.readStream(spark, schema.getOrElse(throw VplCompileError(
+          s"streaming .from($eventType) needs an `event $eventType:` " +
+            "declaration (file streams cannot infer a schema)")))
+      else conn.read(spark, schema)
+    // synthetic event time for rows without their own ts: batch uses
+    // arrival order (deterministic); streaming uses processing time —
+    // the reference's kafka source also stamps arrival time
+    // (monotonically_increasing_id is not available on streams)
+    val synthTs =
+      if (streaming) current_timestamp()
+      else timestamp_micros(monotonically_increasing_id())
     val withTs =
       if (raw.columns.contains("ts"))
-        raw.withColumn("ts", coalesce(col("ts").cast("timestamp"),
-          timestamp_micros(monotonically_increasing_id())))
-      else raw.withColumn("ts",
-        timestamp_micros(monotonically_increasing_id()))
-    if (withTs.columns.contains("event_id")) withTs
-    else withTs.withColumn("event_id", monotonically_increasing_id())
+        raw.withColumn("ts", coalesce(col("ts").cast("timestamp"), synthTs))
+      else raw.withColumn("ts", synthTs)
+    val withId =
+      if (withTs.columns.contains("event_id")) withTs
+      else if (streaming)
+        withTs.withColumn("event_id", unix_micros(col("ts")))
+      else withTs.withColumn("event_id", monotonically_increasing_id())
+    // the streaming machinery routes on event_type (the batch
+    // resolve() contract pre-filters instead, so batch omits it)
+    if (streaming && !withId.columns.contains("event_type"))
+      withId.withColumn("event_type", lit(eventType))
+    else withId
   }
 }
 

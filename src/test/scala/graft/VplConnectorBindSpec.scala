@@ -128,6 +128,48 @@ class VplConnectorBindSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("streaming .from(kafka): the bound landing dir tails as a stream") {
+    val srv = new MiniKafkaBroker(numPartitions = 1)
+    try {
+      val vpl =
+        s"""connector B = kafka(brokers: "127.0.0.1:${srv.port}")
+           |
+           |event Tick:
+           |    sym: str
+           |    v: float
+           |
+           |stream S = Tick
+           |    .from(B, topic: "st-in")
+           |    .where(v > 1.0)
+           |    .emit(sym: sym, v: v)
+           |""".stripMargin
+      val prog = VplParser.parse(vpl)
+      val conns = ConnectorBinder.bind(prog)
+      val kc = conns("B").asInstanceOf[KafkaConnector]
+      val pre = new KafkaClient("127.0.0.1", srv.port)
+      pre.partitions("st-in")
+      pre.produce("st-in", 0, Seq(
+        (None, """{"sym":"a","v":0.5}"""),
+        (None, """{"sym":"b","v":2.5}"""),
+        (None, """{"sym":"c","v":3.5}""")))
+      pre.close()
+      val poller = KafkaPoller.start(
+        () => new KafkaClient("127.0.0.1", srv.port), "st-in",
+        kc.spoolDir, startAt = "earliest", pollIntervalMs = 20L)
+      try assert(awaitTrue(5000)(poller.recordCount == 3))
+      finally poller.stop()
+      val c = new VplCompiler(prog, emptyEvtSource,
+        sourceConns = conns, streaming = true)
+      spark.sql("DROP VIEW IF EXISTS graft_bind_stream")
+      val q = c.stream("S").writeStream.format("memory")
+        .queryName("graft_bind_stream").outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      val got = spark.table("graft_bind_stream")
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+      assert(got == Set(("b", 2.5), ("c", 3.5)), s"got $got")
+    } finally srv.stop()
+  }
+
   test("per-op sink target: one connector, two .to topics") {
     val srv = new MiniKafkaBroker(numPartitions = 1)
     try {
