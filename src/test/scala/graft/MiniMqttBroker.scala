@@ -40,8 +40,9 @@ final class MiniMqttBroker(
   private val conns = new java.util.concurrent.CopyOnWriteArrayList[Socket]()
 
   private final case class Sub(out: BufferedOutputStream, topic: String,
-    qos: Int)
+    qos: Int, shareGroup: Option[String])
   private val subs = new java.util.concurrent.CopyOnWriteArrayList[Sub]()
+  private val rr = new java.util.concurrent.atomic.AtomicLong(0)
   @volatile private var running = true
   @volatile var publishesSeen = 0
 
@@ -49,10 +50,32 @@ final class MiniMqttBroker(
     filter == topic ||
       (filter.endsWith("#") && topic.startsWith(filter.dropRight(1)))
 
+  /** `$share/<group>/<filter>` → (Some(group), filter); the de-facto
+    * shared-subscription extension 3.1.1 brokers (EMQX, HiveMQ)
+    * support and MQTT 5 standardized — each message goes to ONE
+    * member per share group (round-robin here for determinism).
+    */
+  private def parseShare(filter: String): (Option[String], String) =
+    if (filter.startsWith("$share/")) {
+      val rest = filter.stripPrefix("$share/")
+      val slash = rest.indexOf('/')
+      if (slash > 0) (Some(rest.take(slash)), rest.drop(slash + 1))
+      else (None, filter)
+    } else (None, filter)
+
   private def deliver(topic: String, payload: Array[Byte]): Unit = {
     var pid = 100
-    subs.forEach { s =>
-      if (matches(s.topic, topic)) s.out.synchronized {
+    val matching = {
+      val b = Seq.newBuilder[Sub]
+      subs.forEach(s => if (matches(s.topic, topic)) b += s)
+      b.result()
+    }
+    val (grouped, plain) = matching.partition(_.shareGroup.isDefined)
+    val perGroup = grouped.groupBy(_.shareGroup.get).values.map { members =>
+      members((rr.getAndIncrement() % members.length).toInt)
+    }
+    (plain ++ perGroup).foreach { s =>
+      s.out.synchronized {
         pid += 1
         s.out.write(MqttProto.publish(topic, payload, s.qos, pid))
         s.out.flush()
@@ -111,7 +134,8 @@ final class MiniMqttBroker(
             val tlen = MqttProto.u16(body, 2)
             val topic = new String(body, 4, tlen, UTF_8)
             val qos = body(4 + tlen) & 0xff
-            subs.add(Sub(out, topic, math.min(qos, 1)))
+            val (group, filter) = parseShare(topic)
+            subs.add(Sub(out, filter, math.min(qos, 1), group))
             send(MqttProto.packet(0x90,
               Array(((pid >> 8) & 0xff).toByte, (pid & 0xff).toByte,
                 math.min(qos, 1).toByte))) // SUBACK

@@ -81,6 +81,36 @@ class MqttConnectorSpec extends SparkSpec {
     } finally broker.stop()
   }
 
+  test("shared subscription: $share group splits the topic across members") {
+    // the documented scale-out path past one subscriber's spool
+    // ceiling: $share/<group>/<topic> members each receive a DISJOINT
+    // subset (the de-facto 3.1.1 broker extension, standardized in
+    // MQTT 5) — the MQTT twin of NATS queue groups
+    val srv = new MiniMqttBroker()
+    val d1 = java.nio.file.Files.createTempDirectory("graft_mqtt_sh1_")
+    val d2 = java.nio.file.Files.createTempDirectory("graft_mqtt_sh2_")
+    try {
+      val m1 = MqttSubscriber.start("127.0.0.1", srv.port,
+        "$share/g/work", d1.toString, clientId = "m1")
+      val m2 = MqttSubscriber.start("127.0.0.1", srv.port,
+        "$share/g/work", d2.toString, clientId = "m2")
+      val pub = new MqttClient("127.0.0.1", srv.port, "sh-pub")
+      try {
+        (1 to 10).foreach(i => pub.publish("work", s"""{"id":$i}"""))
+        pub.ping()
+        assert(awaitTrue(3000)(m1.messageCount + m2.messageCount == 10),
+          s"split=${m1.messageCount}/${m2.messageCount}")
+        // load-balanced, not broadcast: both members got SOME work
+        assert(m1.messageCount > 0 && m2.messageCount > 0)
+      } finally { pub.close(); m1.stop(); m2.stop() }
+      // no id delivered twice across the group
+      val ids = spark.read.json(d1.toString)
+        .unionByName(spark.read.json(d2.toString))
+        .collect().map(_.getAs[Long]("id")).toSeq
+      assert(ids.sorted == (1L to 10L), s"got $ids")
+    } finally srv.stop()
+  }
+
   test("sink -> topic -> stream round trip over real loopback TCP") {
     val broker = new MiniMqttBroker()
     val dir = java.nio.file.Files.createTempDirectory("graft_mqtt_rt_")
