@@ -109,10 +109,15 @@ object ScaleBench {
           f.getName.endsWith(".parquet"))
         .getOrElse(sys.error(s"no part file under $evTmp"))
       val evDest = java.nio.file.Paths.get(s"$scaledDir/events.parquet")
-      // a previous derivation may have left a directory-shaped table
+      // a previous derivation may have left a directory-shaped table —
+      // delete it recursively (bottom-up) so a partitioned write's
+      // subdirectories don't survive File.delete() and crash the move
       val destFile = evDest.toFile
       if (destFile.isDirectory) {
-        Option(destFile.listFiles()).getOrElse(Array.empty).foreach(_.delete())
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(evDest).sorted(
+          java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .iterator().asScala.foreach(java.nio.file.Files.delete)
       }
       java.nio.file.Files.deleteIfExists(evDest)
       java.nio.file.Files.move(part.toPath, evDest)

@@ -30,9 +30,12 @@ import org.apache.spark.sql.types.StructType
   *     CRC and rejects mismatches, so the spec round trip is a real
   *     integrity check, not an echo.
   *
-  * Uncompressed batches only (attributes=0): compression codecs are
-  * whole libraries (lz4/zstd) and the no-new-dependencies rule
-  * excludes them; a broker never requires producers to compress.
+  * Compression: the consumer decodes UNCOMPRESSED and GZIP batches
+  * (attributes&7 == 0|1 — gzip via java.util.zip, zero new
+  * dependencies); lz4/zstd/snappy are whole libraries the
+  * no-new-dependencies rule excludes and are rejected LOUDLY with the
+  * producer-side workaround named. The producer emits uncompressed
+  * (gzip encode exists for the fixture's round-trip proof).
   *
   * Distribution shape matches the other brokered connectors: ONE
   * driver-side poller (the reference's single consumer loop,
@@ -126,6 +129,13 @@ private[graft] object KafkaProto {
   final case class Record(offset: Long, timestamp: Long,
       key: Option[Array[Byte]], value: Array[Byte])
 
+  /** Fetch hit error 1: the requested offset fell off the log
+    * (truncation/retention). Typed so the poller can re-resolve the
+    * partition offset per its startAt policy (the auto.offset.reset
+    * behavior) instead of treating it as connection loss.
+    */
+  final class OffsetOutOfRange(msg: String) extends java.io.IOException(msg)
+
   /** Encode records as ONE magic-2 record batch (uncompressed).
     * Layout per the spec: baseOffset, batchLength (bytes after the
     * field), partitionLeaderEpoch, magic=2, crc (CRC32C over
@@ -133,16 +143,12 @@ private[graft] object KafkaProto {
     * producerId/Epoch, baseSequence, recordCount, records.
     */
   def encodeBatch(baseOffset: Long,
-      records: Seq[(Option[Array[Byte]], Array[Byte], Long)]): Array[Byte] = {
+      records: Seq[(Option[Array[Byte]], Array[Byte], Long)],
+      gzip: Boolean = false): Array[Byte] = {
     require(records.nonEmpty, "kafka: empty batch")
     val baseTs = records.map(_._3).min
     val maxTs = records.map(_._3).max
-    val body = new Wire // attributes .. records (the CRC'd section)
-    body.i16(0)                       // attributes: no compression
-      .i32(records.length - 1)        // lastOffsetDelta
-      .i64(baseTs).i64(maxTs)
-      .i64(-1L).i16(-1).i32(-1)       // producerId/Epoch, baseSequence
-      .i32(records.length)
+    val recs = new Wire // the records block (compressed section if gzip)
     records.zipWithIndex.foreach { case ((k, v, ts), i) =>
       val r = new Wire
       r.i8(0)                         // record attributes
@@ -155,8 +161,23 @@ private[graft] object KafkaProto {
       r.vInt(v.length).raw(v)
       r.vInt(0)                       // headers
       val rb = r.result()
-      body.vInt(rb.length).raw(rb)
+      recs.vInt(rb.length).raw(rb)
     }
+    val recBytes =
+      if (!gzip) recs.result()
+      else {
+        val bos = new java.io.ByteArrayOutputStream(recs.size)
+        val gz = new java.util.zip.GZIPOutputStream(bos)
+        gz.write(recs.result()); gz.close()
+        bos.toByteArray
+      }
+    val body = new Wire // attributes .. records (the CRC'd section)
+    body.i16(if (gzip) 1 else 0)      // attributes bits 0-2: codec
+      .i32(records.length - 1)        // lastOffsetDelta
+      .i64(baseTs).i64(maxTs)
+      .i64(-1L).i16(-1).i32(-1)       // producerId/Epoch, baseSequence
+      .i32(records.length)
+      .raw(recBytes)
     val tail = body.result()
     val crc = crc32c(tail, 0, tail.length)
     val out = new Wire
@@ -193,27 +214,51 @@ private[graft] object KafkaProto {
         require(got == crc,
           f"kafka: record batch CRC mismatch (got 0x$got%08x want 0x$crc%08x)")
         val attributes = c.i16
-        require((attributes & 0x07) == 0,
-          "kafka: compressed batches not supported (graft produces " +
-            "uncompressed; configure producers accordingly)")
+        val codec = attributes & 0x07
         val _lastOffsetDelta = c.i32
         val baseTs = c.i64
         val _maxTs = c.i64
         c.i64; c.i16; c.i32 // producerId, producerEpoch, baseSequence
         val n = c.i32
+        // the records block (everything after the batch header) is the
+        // compressed section when attributes bits 0-2 name a codec;
+        // gzip decodes with java.util.zip (zero new dependencies),
+        // lz4/zstd/snappy are whole libraries and stay LOUD rejections
+        val recordsLen = start + batchLength - bb.position()
+        val rc: Cursor = codec match {
+          case 0 => c
+          case 1 =>
+            val gz = new java.util.zip.GZIPInputStream(
+              new java.io.ByteArrayInputStream(
+                recordSet, bb.position(), recordsLen))
+            val plain = gz.readAllBytes()
+            bb.position(bb.position() + recordsLen)
+            new Cursor(ByteBuffer.wrap(plain))
+          case other =>
+            val name = other match {
+              case 2 => "snappy"; case 3 => "lz4"; case 4 => "zstd"
+              case x => s"codec $x"
+            }
+            throw new IllegalArgumentException(
+              s"kafka: $name-compressed batches not supported — graft " +
+                "decodes uncompressed and gzip only (java.util.zip); " +
+                "lz4/zstd/snappy require libraries the no-new-" +
+                "dependencies rule excludes. Configure producers with " +
+                "compression.type=none|gzip, or bind spark-sql-kafka.")
+        }
         var i = 0
         while (i < n) {
-          val len = c.vInt
-          val end = bb.position() + len
-          c.i8 // record attributes
-          val tsDelta = c.vLong
-          val offDelta = c.vInt
-          val kLen = c.vInt
-          val key = if (kLen < 0) None else Some(c.bytes(kLen))
-          val vLen = c.vInt
-          val value = if (vLen < 0) Array.empty[Byte] else c.bytes(vLen)
+          val len = rc.vInt
+          val end = rc.bb.position() + len
+          rc.i8 // record attributes
+          val tsDelta = rc.vLong
+          val offDelta = rc.vInt
+          val kLen = rc.vInt
+          val key = if (kLen < 0) None else Some(rc.bytes(kLen))
+          val vLen = rc.vInt
+          val value = if (vLen < 0) Array.empty[Byte] else rc.bytes(vLen)
           out += Record(baseOffset + offDelta, baseTs + tsDelta, key, value)
-          bb.position(end) // skip headers
+          rc.bb.position(end) // skip headers
           i += 1
         }
         bb.position(start + batchLength)
@@ -451,6 +496,9 @@ final class KafkaClient(host: String, port: Int,
         val na = c.i32 // aborted txns (nullable array)
         if (na > 0) (0 until na).foreach { _ => c.i64; c.i64 }
         val rs = c.nullableBytes
+        if (err == 1)
+          throw new OffsetOutOfRange(
+            s"kafka: Fetch($topic/$partition@$offset) OFFSET_OUT_OF_RANGE")
         if (err != 0)
           throw new java.io.IOException(
             s"kafka: Fetch($topic/$partition@$offset) ${errName(err)}")
@@ -498,17 +546,35 @@ final class KafkaPoller private (connect: () => KafkaClient,
     // tracked offsets SURVIVE reconnects — the consumer resumes where
     // it left off, like the reference's committed offsets
     val offsets = scala.collection.mutable.Map.empty[Int, Long]
+    val resetTs = if (startAt == "earliest") -2L else -1L
     while (running && terminal.isEmpty) {
       try {
         if (offsets.isEmpty) {
-          val ts = if (startAt == "earliest") -2L else -1L
-          client.partitions(topic).foreach { p =>
-            offsets(p) = client.listOffset(topic, p, ts)
+          val parts = client.partitions(topic)
+          if (parts.isEmpty) {
+            // topic auto-created with the leader still pending
+            // (Metadata error 5 tolerated): re-query metadata after
+            // the poll interval instead of entering the poll loop
+            // with no partitions and spinning forever while looking
+            // healthy
+            Thread.sleep(pollIntervalMs)
+          } else parts.foreach { p =>
+            offsets(p) = client.listOffset(topic, p, resetTs)
           }
         }
-        while (running) {
+        while (running && offsets.nonEmpty) {
           offsets.keys.toSeq.sorted.foreach { p =>
-            val (recs, _) = client.fetch(topic, p, offsets(p))
+            val (recs, _) =
+              try client.fetch(topic, p, offsets(p))
+              catch {
+                // log truncated/retained past our position: re-resolve
+                // per the startAt policy (auto.offset.reset) rather
+                // than burning reconnect attempts refetching the same
+                // invalid offset
+                case _: KafkaProto.OffsetOutOfRange =>
+                  offsets(p) = client.listOffset(topic, p, resetTs)
+                  client.fetch(topic, p, offsets(p))
+              }
             if (recs.nonEmpty) {
               val vals = recs.map(r => new String(r.value, UTF_8).trim)
               val (ok, bad) = vals.partition(v =>
@@ -524,11 +590,15 @@ final class KafkaPoller private (connect: () => KafkaClient,
         }
       } catch {
         case _: InterruptedException => ()
-        // broker connection lost while running=true: reconnect with
-        // backoff from the tracked offsets; exhausted retries mark
-        // the poller DEAD (clean stop() stays silent)
-        case e @ (_: EOFException | _: java.net.SocketException |
-                  _: java.io.IOException) if running =>
+        // ANY failure while running=true — connection loss (IO) or a
+        // NON-IO decode error (CRC mismatch / bad magic / unsupported
+        // codec → IllegalArgumentException) — routes through the same
+        // reconnect-then-terminal path: a reconnect resyncs framing
+        // and refetches from the tracked offsets, and a persistently
+        // corrupt topic exhausts retries into terminalError. No
+        // exception may kill this thread while isDead still reads
+        // false (clean stop() stays silent below).
+        case e: Throwable if running =>
           // release the dead socket NOW: a half-open client keeps the
           // broker side in FIN_WAIT_2 and can block a same-port restart
           try client.close() catch { case _: Exception => () }
@@ -550,7 +620,7 @@ final class KafkaPoller private (connect: () => KafkaClient,
                 client = connect()
                 reconnected += 1
               } catch {
-                case _: java.io.IOException => () // next pass retries
+                case _: Exception => () // next pass retries
               }
             }
           }
@@ -635,7 +705,10 @@ final case class KafkaConnector(
           var c = 0
           it.grouped(chunk).foreach { rows =>
             val target = parts((pid + c) % parts.length)
-            client.produce(t, target, rows.map(r => (k, r)))
+            // stamp real produce time (CreateTime): epoch-0 records
+            // are instantly past any time-based retention window
+            client.produce(t, target, rows.map(r => (k, r)),
+              timestamp = System.currentTimeMillis())
             c += 1
           }
         } finally client.close()

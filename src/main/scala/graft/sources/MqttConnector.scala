@@ -301,12 +301,15 @@ final class MqttSubscriber private (connect: () => MqttClient,
           }
         }
       } catch {
-        // connection dropped while running=true: reconnect with
-        // backoff; exhausted retries mark the stream DEAD so callers
-        // can tell idle from dead (a clean stop() lands here with
-        // running=false and stays silent)
-        case e @ (_: EOFException | _: java.net.SocketException |
-                  _: java.io.IOException) if running =>
+        // ANY failure while running=true — connection loss (IO) or a
+        // NON-IO decode error (malformed remaining-length, unexpected
+        // packet type) — routes through the same reconnect-then-
+        // terminal path: a reconnect resyncs packet framing, and a
+        // persistently corrupt peer exhausts retries into
+        // terminalError. No exception may kill this thread while
+        // isDead still reads false (a clean stop() lands below with
+        // running=false and stays silent).
+        case e: Throwable if running =>
           // release the dead socket NOW: a half-open client keeps the
           // broker side in FIN_WAIT_2 and can block a same-port restart
           try client.close() catch { case _: Exception => () }
@@ -329,7 +332,7 @@ final class MqttSubscriber private (connect: () => MqttClient,
                 client = fresh
                 reconnected += 1
               } catch {
-                case _: java.io.IOException => () // next pass retries
+                case _: Exception => () // next pass retries
               }
             }
           }

@@ -225,11 +225,15 @@ final class RedisSubscriber private (
           }
         }
       } catch {
-        // connection dropped while running=true: reconnect with
-        // backoff; exhausted retries mark the stream DEAD (a clean
-        // stop() lands here with running=false and stays silent)
-        case e @ (_: EOFException | _: java.net.SocketException |
-                  _: java.io.IOException) if running =>
+        // ANY failure while running=true — connection loss (IO) or a
+        // NON-IO decode error (malformed RESP length → NumberFormat-
+        // Exception) — routes through the same reconnect-then-
+        // terminal path: a reconnect resyncs frame boundaries, and a
+        // persistently corrupt peer exhausts retries into
+        // terminalError. No exception may kill this thread while
+        // isDead still reads false (a clean stop() lands below with
+        // running=false and stays silent).
+        case e: Throwable if running =>
           // release the dead socket NOW: a half-open client keeps the
           // broker side in FIN_WAIT_2 and can block a same-port restart
           try client.close() catch { case _: Exception => () }
@@ -248,7 +252,7 @@ final class RedisSubscriber private (
             if (!interrupted) {
               backoffMs = math.min(backoffMs * 2, 30000L)
               try { client = connect(); reconnected += 1 }
-              catch { case _: java.io.IOException => () } // next pass retries
+              catch { case _: Exception => () } // next pass retries
             }
           }
         case _: Throwable if !running => ()

@@ -176,6 +176,60 @@ class KafkaConnectorSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("gzip codec: encode/decode round trip, fixture decodes independently") {
+    val recs = Seq(
+      (Some("k1".getBytes(UTF_8)), """{"id":1}""".getBytes(UTF_8), 1000L),
+      (None, """{"id":2}""".getBytes(UTF_8), 1500L))
+    val batch = KafkaProto.encodeBatch(7L, recs, gzip = true)
+    // attributes bits 0-2 must mark gzip (codec 1)
+    val attrOff = 8 + 4 + 4 + 1 + 4
+    assert((((batch(attrOff) & 0xff) << 8) | (batch(attrOff + 1) & 0xff)) == 1)
+    val got = KafkaProto.decodeBatches(batch)
+    assert(got.map(_.offset) == Seq(7L, 8L))
+    assert(got.map(_.timestamp) == Seq(1000L, 1500L))
+    assert(got.map(r => new String(r.value, UTF_8)) ==
+      Seq("""{"id":1}""", """{"id":2}"""))
+    // CRC covers the COMPRESSED bytes: flipping one still rejects
+    val corrupt = batch.clone()
+    corrupt(corrupt.length - 3) = (corrupt(corrupt.length - 3) ^ 0x01).toByte
+    val e = intercept[IllegalArgumentException](
+      KafkaProto.decodeBatches(corrupt))
+    assert(e.getMessage.contains("CRC"))
+  }
+
+  test("poller spools gzip-compressed fetches (producer-compressed topics)") {
+    val srv = new MiniKafkaBroker(numPartitions = 1)
+    srv.gzipFetch = true // every fetched batch arrives gzip-compressed
+    val dir = java.nio.file.Files.createTempDirectory("graft_kafka_gz_")
+    try {
+      val pre = new KafkaClient("127.0.0.1", srv.port)
+      pre.partitions("gz")
+      // gzip produce proves the fixture's independent decompression
+      // accepts the client's compressed encoding too
+      val gzBatch = KafkaProto.encodeBatch(0L,
+        Seq((None, """{"id":1,"kind":"a","value":0.5}""".getBytes(UTF_8), 10L)),
+        gzip = true)
+      assert(srv.parseBatch(gzBatch).exists(_.length == 1),
+        "fixture must decode a gzip produce")
+      pre.produce("gz", 0, Seq(
+        (None, """{"id":1,"kind":"a","value":0.5}"""),
+        (None, """{"id":2,"kind":"b","value":1.5}""")))
+      pre.close()
+      val poller = KafkaPoller.start(
+        () => new KafkaClient("127.0.0.1", srv.port), "gz", dir.toString,
+        startAt = "earliest", pollIntervalMs = 20L)
+      try {
+        assert(awaitTrue(3000)(poller.recordCount == 2),
+          s"records=${poller.recordCount} dead=${poller.isDead}")
+        assert(!poller.isDead)
+      } finally poller.stop()
+      val got = spark.read.schema(schema).json(dir.toString)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+        .toSet
+      assert(got == Set((1L, "a", 0.5), (2L, "b", 1.5)))
+    } finally srv.stop()
+  }
+
   test("sink -> broker -> poller -> stream round trip, chunked produce") {
     val srv = new MiniKafkaBroker(numPartitions = 2)
     val dir = java.nio.file.Files.createTempDirectory("graft_kafka_rt_")
@@ -188,6 +242,11 @@ class KafkaConnectorSpec extends SparkSpec {
       conn.write(in) // executor-side acks=-1 produces
       val total = srv.logSize("loop", 0) + srv.logSize("loop", 1)
       assert(total == 7, s"broker holds $total records")
+      // the sink stamps real CreateTime, never epoch 0 (epoch-0
+      // segments are instantly past any time-based retention)
+      val before = System.currentTimeMillis() - 60000L
+      assert((srv.logTimestamps("loop", 0) ++ srv.logTimestamps("loop", 1))
+        .forall(_ > before), "sink must stamp real produce time")
       // chunks of 2 from two Spark partitions = at least 4 produces,
       // rotated across topic partitions
       assert(srv.producesSeen >= 4)

@@ -43,7 +43,7 @@ final class MiniKafkaBroker(
   def port: Int = server.getLocalPort
   private val conns = new java.util.concurrent.CopyOnWriteArrayList[Socket]()
 
-  private final case class Rec(key: Option[Array[Byte]],
+  private[graft] final case class Rec(key: Option[Array[Byte]],
       value: Array[Byte], timestamp: Long)
   // (topic, partition) -> append log
   private val logs = scala.collection.mutable.Map
@@ -51,6 +51,15 @@ final class MiniKafkaBroker(
   @volatile private var running = true
   @volatile var producesSeen = 0
   @volatile var corruptBatches = 0
+  /** Fetch responses carry gzip-compressed batches (attributes=1) —
+    * proves the client decodes producer-compressed topics.
+    */
+  @volatile var gzipFetch = false
+  /** Flip one CRC-covered byte in the NEXT fetched batch — the
+    * corrupt-frame fault MalformedFrameSpec drives through the
+    * poller (decode must route to reconnect, never die silently).
+    */
+  @volatile var corruptNextFetch = false
 
   private def log(topic: String, p: Int) = logs.synchronized {
     logs.getOrElseUpdate((topic, p),
@@ -64,11 +73,13 @@ final class MiniKafkaBroker(
   def logSize(topic: String, p: Int): Int = log(topic, p).synchronized {
     log(topic, p).length
   }
+  def logTimestamps(topic: String, p: Int): Seq[Long] =
+    log(topic, p).synchronized(log(topic, p).map(_.timestamp).toSeq)
 
   /** Parse one magic-2 record batch, RECOMPUTING the CRC; None on
     * corruption (the produce path then answers CORRUPT_MESSAGE).
     */
-  private def parseBatch(set: Array[Byte]): Option[Seq[Rec]] = {
+  private[graft] def parseBatch(set: Array[Byte]): Option[Seq[Rec]] = {
     val bb = ByteBuffer.wrap(set)
     val c = new Cursor(bb)
     val _baseOffset = c.i64
@@ -82,25 +93,35 @@ final class MiniKafkaBroker(
     val got = KafkaProto.crc32c(set, bb.position(), tailLen)
     if (got != crc) return None
     val attributes = c.i16
-    if ((attributes & 0x07) != 0) return None // compression unsupported
+    val codec = attributes & 0x07
+    if (codec != 0 && codec != 1) return None // only none/gzip decodable
     c.i32 // lastOffsetDelta
     val baseTs = c.i64
     c.i64; c.i64; c.i16; c.i32 // maxTs, producerId, producerEpoch, baseSeq
     val n = c.i32
+    // independent decompression of the records block (gzip = codec 1)
+    val rc: Cursor =
+      if (codec == 0) c
+      else {
+        val recordsLen = 12 + batchLength - bb.position()
+        val gz = new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(set, bb.position(), recordsLen))
+        new Cursor(ByteBuffer.wrap(gz.readAllBytes()))
+      }
     val out = Seq.newBuilder[Rec]
     var i = 0
     while (i < n) {
-      val len = c.vInt
-      val end = bb.position() + len
-      c.i8
-      val tsDelta = c.vLong
-      c.vInt // offsetDelta
-      val kLen = c.vInt
-      val key = if (kLen < 0) None else Some(c.bytes(kLen))
-      val vLen = c.vInt
-      val value = if (vLen < 0) Array.empty[Byte] else c.bytes(vLen)
+      val len = rc.vInt
+      val end = rc.bb.position() + len
+      rc.i8
+      val tsDelta = rc.vLong
+      rc.vInt // offsetDelta
+      val kLen = rc.vInt
+      val key = if (kLen < 0) None else Some(rc.bytes(kLen))
+      val vLen = rc.vInt
+      val value = if (vLen < 0) Array.empty[Byte] else rc.bytes(vLen)
       out += Rec(key, value, baseTs + tsDelta)
-      bb.position(end)
+      rc.bb.position(end)
       i += 1
     }
     Some(out.result())
@@ -280,7 +301,14 @@ final class MiniKafkaBroker(
                       // then validates a CRC this fixture computed
                       val recs = l.drop(off.toInt).map(r =>
                         (r.key, r.value, r.timestamp)).toSeq
-                      (p, 0, hw, Some(KafkaProto.encodeBatch(off, recs)))
+                      val batch =
+                        KafkaProto.encodeBatch(off, recs, gzip = gzipFetch)
+                      if (corruptNextFetch) {
+                        corruptNextFetch = false
+                        batch(batch.length - 1) =
+                          (batch(batch.length - 1) ^ 0x01).toByte
+                      }
+                      (p, 0, hw, Some(batch))
                     }
                   }
                 }

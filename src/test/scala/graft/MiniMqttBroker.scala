@@ -75,13 +75,24 @@ final class MiniMqttBroker(
       members((rr.getAndIncrement() % members.length).toInt)
     }
     (plain ++ perGroup).foreach { s =>
-      s.out.synchronized {
+      try s.out.synchronized {
         pid += 1
         s.out.write(MqttProto.publish(topic, payload, s.qos, pid))
         s.out.flush()
+      } catch {
+        // a subscriber that dropped (e.g. after an injected fault)
+        // must not break delivery to the live ones
+        case _: java.io.IOException => subs.remove(s)
       }
     }
   }
+
+  /** Push raw bytes onto every live subscriber connection — the
+    * malformed-frame fault MalformedFrameSpec injects (a truncated
+    * PUBLISH whose decode throws a NON-IO exception).
+    */
+  def injectRaw(bytes: Array[Byte]): Unit =
+    subs.forEach(s => s.out.synchronized { s.out.write(bytes); s.out.flush() })
 
   private def parseConnect(body: Array[Byte]): (String, Option[String], Option[String]) = {
     val protoLen = MqttProto.u16(body, 0)

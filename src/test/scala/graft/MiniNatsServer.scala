@@ -55,14 +55,25 @@ final class MiniNatsServer(requireToken: Option[String] = None,
       members((rr.getAndIncrement() % members.length).toInt)
     }
     (plain ++ perGroup).foreach { s =>
-      s.out.synchronized {
+      try s.out.synchronized {
         val p = payload.getBytes(UTF_8)
         s.out.write(s"MSG $subject ${s.sid} ${p.length}\r\n".getBytes(UTF_8))
         s.out.write(p); s.out.write("\r\n".getBytes(UTF_8))
         s.out.flush()
+      } catch {
+        // a subscriber that dropped (e.g. after an injected fault)
+        // must not break delivery to the live ones
+        case _: java.io.IOException => subs.remove(s)
       }
     }
   }
+
+  /** Push raw bytes onto every live subscriber connection — the
+    * malformed-frame fault MalformedFrameSpec injects (a MSG header
+    * with a non-numeric payload size → NumberFormatException).
+    */
+  def injectRaw(bytes: Array[Byte]): Unit =
+    subs.forEach(s => s.out.synchronized { s.out.write(bytes); s.out.flush() })
 
   private def handle(sock: Socket): Unit = {
     val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))

@@ -52,6 +52,14 @@ final class MiniRedisServer(bindPort: Int = 0) {
     out.flush()
   }
 
+  /** Push raw bytes onto every subscriber of `channel` — the
+    * malformed-frame fault MalformedFrameSpec injects (a RESP bulk
+    * header with a non-numeric length → NumberFormatException).
+    */
+  def injectRaw(channel: String, bytes: Array[Byte]): Unit =
+    Option(subs.get(channel)).foreach(_.forEach(o =>
+      o.synchronized { o.write(bytes); o.flush() }))
+
   private def handle(sock: Socket): Unit = {
     val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
     val out = new BufferedOutputStream(sock.getOutputStream)
@@ -74,7 +82,14 @@ final class MiniRedisServer(bindPort: Int = 0) {
               }
             case Some("PUBLISH") if args.length == 3 =>
               val receivers = Option(subs.get(args(1)))
-                .map { l => l.forEach(o => pushMessage(o, args(1), args(2))); l.size }
+                .map { l =>
+                  l.forEach(o =>
+                    // a subscriber that dropped (e.g. after an injected
+                    // fault) must not break delivery to the live ones
+                    try pushMessage(o, args(1), args(2))
+                    catch { case _: java.io.IOException => l.remove(o) })
+                  l.size
+                }
                 .getOrElse(0)
               reply(s":$receivers\r\n")
             case Some("SUBSCRIBE") if args.length == 2 =>
