@@ -231,6 +231,13 @@ object Forecast {
     * available PST context (longest-suffix lookup, as in pst/).
     * Returns events annotated with forecast_probability /
     * forecast_state, mirroring the reference's forecast builtins.
+    *
+    * Execution shape: exactly TWO passes over events — one window
+    * pass fits the PST (an in-memory model, like the reference's
+    * pst/ tree; cap-guarded driver collect), one window pass scores
+    * every event against it via literal-map lookups (small model) or
+    * broadcast LocalRelation joins (large model). Probabilities are
+    * exact count ratios, bit-identical to the pstScores formulation.
     */
   def forecastPattern(
       spark: SparkSession,
@@ -239,24 +246,86 @@ object Forecast {
       maxDepth: Int = 3,
       typeCol: String = "event_type",
       partitionKeys: Seq[String] = Seq("user_id"),
-      orderCol: String = "event_id"): DataFrame = {
-    val model = pstScores(events, maxDepth, typeCol, partitionKeys, orderCol)
-      .filter(col("nxt") === targetType)
-      .select(col("depth"), col("context"), col("prob"))
+      orderCol: String = "event_id",
+      maxModelRows: Int = 2000000): DataFrame = {
     val w = W.partitionBy(partitionKeys.map(col): _*).orderBy(col(orderCol))
-    val withCtx = (1 to maxDepth).foldLeft(events) { (d, k) =>
-      d.withColumn(s"__lag$k", lag(col(typeCol), k - 1).over(w))
+    // ONE window pass computes lags 1..maxDepth of the type column;
+    // BOTH the model contexts (lags k..1 predicting this row's type)
+    // and the live scoring contexts (lags k-1..1 then this row's
+    // type) derive from these columns. The earlier shape ran a full
+    // window pass for the scoring frame PLUS one per depth inside the
+    // joins' model.filter(depth===k) build sides — maxDepth+1 passes
+    // over events where two suffice.
+    val withLags = (1 to maxDepth).foldLeft(events) { (d, k) =>
+      d.withColumn(s"__lag$k", lag(col(typeCol), k).over(w))
     }
-    val scored = (maxDepth to 1 by -1).foldLeft(withCtx) { (d, k) =>
+    // PST model fit: P(next = target | context of depth k) as an exact
+    // count ratio per (depth, context), keeping only contexts with >0
+    // target continuations (longest-suffix lookup must fall through
+    // to a shallower context otherwise). Like the reference, the PST
+    // is an in-memory model (pst/ builds it on the heap): it collects
+    // ONCE to the driver under a cap guard and re-enters the plan as
+    // per-depth LocalRelations, so the scoring joins broadcast tiny
+    // local tables instead of re-running the fit per depth.
+    val ctxStructs = (1 to maxDepth).map { k =>
       val ctx = concat_ws(">", (k to 1 by -1).map(i => col(s"__lag$i")): _*)
-      d.withColumn(s"__ctx$k", ctx)
+      when((1 to k).map(i => col(s"__lag$i").isNotNull).reduce(_ && _),
+        struct(lit(k).as("depth"), ctx.as("context")))
     }
-    // broadcast the (small) model and take the deepest matching context
-    val joined = (maxDepth to 1 by -1).foldLeft(scored) { (d, k) =>
-      val m = model.filter(col("depth") === k)
-        .select(col("context").as(s"__mctx$k"), col("prob").as(s"__p$k"))
-      d.join(broadcast(m), col(s"__ctx$k") === col(s"__mctx$k"), "left")
+    val modelDf = withLags
+      .select(explode(array_compact(array(ctxStructs: _*))).as("dc"),
+        col(typeCol).as("nxt"))
+      .groupBy(col("dc.depth").as("depth"), col("dc.context").as("context"))
+      .agg(sum(when(col("nxt") === targetType, 1L).otherwise(0L)).as("hits"),
+        count(lit(1)).as("total"))
+      .filter(col("hits") > 0)
+      // same longs, same division as the pstScores formulation —
+      // bit-identical probabilities
+      .select(col("context"),
+        (col("hits").cast("double") / col("total").cast("double")).as("prob"),
+        col("depth"))
+    // ONE action fits the model: limit+collect bounds driver memory,
+    // and the length check turns an oversized model into a loud
+    // failure instead of a silent OOM
+    val modelRows = modelDf.limit(maxModelRows + 1).collect()
+    require(modelRows.length <= maxModelRows,
+      s"forecastPattern: PST model exceeds $maxModelRows contexts — " +
+        "reduce maxDepth or the type-column cardinality at this scale")
+    val byDepth = modelRows
+      .groupBy(_.getAs[Int]("depth"))
+      .view.mapValues(_.map(r =>
+        (r.getAs[String]("context"), r.getAs[Double]("prob"))).toSeq)
+      .toMap
+    import spark.implicits._
+    // scoring contexts share the same lag columns: depth-k context is
+    // lags k-1..1 then the current type
+    val scored = (1 to maxDepth).foldLeft(withLags) { (d, k) =>
+      val parts = ((k - 1) to 1 by -1).map(i => col(s"__lag$i")) :+ col(typeCol)
+      d.withColumn(s"__ctx$k", concat_ws(">", parts: _*))
     }
+    // deepest-context-wins lookup, adaptive by model size: a small
+    // model (the common case — context cardinality is typeCol's
+    // vocabulary ^ depth) becomes literal-map element_at lookups, a
+    // pure codegen projection with ZERO joins in the scoring pass;
+    // element_at on a literal map is a linear scan, so past the
+    // threshold the per-depth slices join as broadcast LocalRelations
+    // instead (O(1) hash probes)
+    val mapLookupThreshold = 1024
+    val joined =
+      if (modelRows.length <= mapLookupThreshold) {
+        (maxDepth to 1 by -1).foldLeft(scored) { (d, k) =>
+          val m = byDepth.getOrElse(k, Seq.empty).toMap
+          val p = if (m.isEmpty) lit(null).cast("double")
+            else element_at(typedlit(m), col(s"__ctx$k"))
+          d.withColumn(s"__p$k", p)
+        }
+      } else {
+        (maxDepth to 1 by -1).foldLeft(scored) { (d, k) =>
+          val m = byDepth.getOrElse(k, Seq.empty)
+            .toDF(s"__mctx$k", s"__p$k")
+          d.join(broadcast(m), col(s"__ctx$k") === col(s"__mctx$k"), "left")
+        }
+      }
     val prob = coalesce(
       ((maxDepth to 1 by -1).map(k => col(s"__p$k")) :+ lit(0.0)): _*)
     val state = coalesce(
