@@ -16,19 +16,22 @@ import graft.ml.Score.{MlpLayer, MlpModel}
   * transB=1), or the MatMul[→Add][→act] spelling of the same layer
   * (skl2onnx/tf2onnx frequently emit MatMul+Add instead of Gemm —
   * the pair folds into a Gemm-equivalent layer, a bare MatMul into a
-  * zero-bias one). Activations: Relu, and — since r11 — Sigmoid and
-  * Tanh (the skl2onnx MLPClassifier defaults), computed via
-  * StrictMath (fdlibm — bit-identical on every JVM). Each Gemm must
-  * have alpha=1, beta=1, transA=0 (the PyTorch/sklearn export
-  * default); weights may arrive as float_data, double_data or
-  * raw_data in float32/float64. Anything else (Softmax, branching
-  * graphs, stacked activations) is REJECTED with a pointed error
-  * rather than silently approximated. Output calibration: a chain
-  * ending in linear/Relu squashes through graft's deterministic
-  * rational sigmoid 0.5 + 0.5·z/(1+|z|) (the SQL-oracle-able
-  * contract used by m5); a chain ending in Sigmoid/Tanh keeps its
-  * own calibration and is scored on the JVM path only (libm exp()
-  * is not bit-reproducible across SQL engines).
+  * zero-bias one). Activations: Relu, Sigmoid and Tanh (the skl2onnx
+  * MLPClassifier defaults), computed via StrictMath (fdlibm —
+  * bit-identical on every JVM), plus — since r12 — a TERMINAL Softmax
+  * (the other common skl2onnx classifier ending): multi-class
+  * probabilities via max-subtracted StrictMath.exp, scored as the
+  * top class's probability + its index (`score`, `score_class`).
+  * Each Gemm must have alpha=1, beta=1, transA=0 (the PyTorch/sklearn
+  * export default); weights may arrive as float_data, double_data or
+  * raw_data in float32/float64. Anything else (branching graphs,
+  * stacked activations, non-terminal Softmax) is REJECTED with a
+  * pointed error rather than silently approximated. Output
+  * calibration: a chain ending in linear/Relu squashes through
+  * graft's deterministic rational sigmoid 0.5 + 0.5·z/(1+|z|) (the
+  * SQL-oracle-able contract used by m5); a chain ending in Sigmoid/
+  * Tanh/Softmax keeps its own calibration and is scored on the JVM
+  * path only (libm exp() is not bit-reproducible across SQL engines).
   */
 object OnnxImport {
 
@@ -286,13 +289,29 @@ object OnnxImport {
               "plain MLP chain")
           lastGemm = lastGemm.copy(act = act.toLowerCase)
           matmulBiasOpen = false
+        case "Softmax" =>
+          // the other common skl2onnx classifier ending: multi-class
+          // probabilities. Importable only as the TERMINAL node (the
+          // MlpModel constructor enforces final-layer-only); axis must
+          // name the class axis of a [batch, classes] input
+          require(lastGemm != null, "onnx: Softmax before any Gemm/MatMul")
+          require(lastGemm.act == "linear",
+            s"onnx: Softmax follows a layer already activated with " +
+              s"'${lastGemm.act}' — stacked activations are not a " +
+              "plain MLP chain")
+          val axis = node.attrI.getOrElse("axis", -1L)
+          require(axis == -1L || axis == 1L,
+            s"onnx: Softmax axis $axis unsupported (expected the class " +
+              "axis of a [batch, classes] tensor: -1 or 1)")
+          lastGemm = lastGemm.copy(act = "softmax")
+          matmulBiasOpen = false
         case other => throw new IllegalArgumentException(
           s"onnx: op '$other' unsupported — graft imports plain " +
             "Gemm / MatMul[->Add] chains with Relu/Sigmoid/Tanh " +
-            "activations; a linear/relu-ended chain squashes through " +
-            "graft's deterministic rational sigmoid, a Sigmoid/Tanh-" +
-            "ended chain keeps its own calibration (Softmax outputs " +
-            "are multi-class — export the logit instead)")
+            "activations plus a terminal Softmax; a linear/relu-ended " +
+            "chain squashes through graft's deterministic rational " +
+            "sigmoid, a Sigmoid/Tanh/Softmax ending keeps its own " +
+            "calibration (JVM scoring path)")
       }
       cur = node.outputs.head
       n += 1

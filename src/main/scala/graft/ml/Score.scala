@@ -69,13 +69,16 @@ object Score {
     * model-as-literal, like the DSIR/BM25 ingest twins.
     */
   /** One dense layer y = act(W·x + b). Activations: `linear`, `relu`
-    * (both hash-oracle-able — pure IEEE primitives), and `sigmoid` /
+    * (both hash-oracle-able — pure IEEE primitives), `sigmoid` /
     * `tanh` (the skl2onnx MLPClassifier defaults) computed via
-    * StrictMath — fdlibm, bit-identical across every JVM, so the
-    * determinism contract holds JVM-to-JVM; they are NOT SQL-oracle-
-    * able (libm exp() rounds differently engine-to-engine), so
-    * [[MlpModel.toOracleSql]] rejects them and the oracled queries
-    * (m4/m5/s33) stay on linear/relu chains.
+    * StrictMath — fdlibm, bit-identical on every JVM, so the
+    * determinism contract holds JVM-to-JVM — and `softmax` (FINAL
+    * layer only, multi-class): p_i = exp(z_i − max z)/Σ exp(z_j −
+    * max z), max-subtracted for overflow stability, StrictMath.exp,
+    * index-order denominator sum. sigmoid/tanh/softmax are NOT
+    * SQL-oracle-able (libm exp() rounds differently engine-to-
+    * engine), so [[MlpModel.toOracleSql]] rejects them and the
+    * oracled queries (m4/m5/s33) stay on linear/relu chains.
     */
   final case class MlpLayer(w: Array[Array[Double]], b: Array[Double],
       act: String) {
@@ -85,7 +88,8 @@ object Score {
   }
 
   object MlpLayer {
-    val activations: Set[String] = Set("linear", "relu", "sigmoid", "tanh")
+    val activations: Set[String] =
+      Set("linear", "relu", "sigmoid", "tanh", "softmax")
     /** boolean-era constructor kept for the linear/relu call sites */
     def apply(w: Array[Array[Double]], b: Array[Double],
         relu: Boolean): MlpLayer =
@@ -97,15 +101,28 @@ object Score {
       inputCols: Seq[String],
       layers: Seq[MlpLayer],
       outputCol: String = "score") extends Model {
-    require(layers.nonEmpty && layers.last.b.length == 1,
-      "final layer must have exactly one output")
+    require(layers.nonEmpty &&
+      (layers.last.b.length == 1 || layers.last.act == "softmax"),
+      "final layer must have exactly one output (or be softmax multi-class)")
+    require(layers.init.forall(_.act != "softmax"),
+      "softmax is a final-layer activation only")
+
+    /** Softmax-terminated multi-class classifier? Scoring then emits
+      * the top class's probability to `outputCol` and its index to
+      * `outputCol_class`.
+      */
+    def multiClass: Boolean = layers.last.act == "softmax"
 
     /** One forward pass; index-order accumulation (see contract).
       * The rational output squash applies only to a linear/relu last
       * layer (the logit contract); a sigmoid/tanh last layer IS the
       * network's own calibration and passes through untouched.
       */
-    def forward(x0: Array[Double]): Double = {
+    /** Raw network output: every layer applied, including a final
+      * softmax (max-subtracted StrictMath.exp, index-order
+      * denominator) — the vector the per-class contracts read.
+      */
+    def forwardRaw(x0: Array[Double]): Array[Double] = {
       var x = x0
       var li = 0
       while (li < layers.length) {
@@ -113,7 +130,7 @@ object Score {
         // activation resolved once per layer, outside the hot loop
         val code = l.act match {
           case "relu" => 1; case "sigmoid" => 2; case "tanh" => 3
-          case _      => 0
+          case "softmax" => 4; case _ => 0
         }
         val y = new Array[Double](l.b.length)
         var o = 0
@@ -127,26 +144,56 @@ object Score {
             case 1 => if (s < 0.0) 0.0 else s
             case 2 => 1.0 / (1.0 + StrictMath.exp(-s)) // fdlibm: JVM-stable
             case 3 => StrictMath.tanh(s)
-            case _ => s
+            case _ => s // softmax applies vector-wise below
           }
           o += 1
+        }
+        if (code == 4) {
+          var m = y(0); var j = 1
+          while (j < y.length) { if (y(j) > m) m = y(j); j += 1 }
+          var denom = 0.0; j = 0
+          while (j < y.length) {
+            y(j) = StrictMath.exp(y(j) - m); denom += y(j); j += 1
+          }
+          j = 0
+          while (j < y.length) { y(j) /= denom; j += 1 }
         }
         x = y
         li += 1
       }
-      val z = x(0)
-      if (layers.last.act == "sigmoid" || layers.last.act == "tanh") z
-      else 0.5 + 0.5 * z / (1.0 + math.abs(z))
+      x
+    }
+
+    /** Index of the most probable class (first wins on ties). */
+    def argmax(probs: Array[Double]): Int = {
+      var best = 0; var i = 1
+      while (i < probs.length) { if (probs(i) > probs(best)) best = i; i += 1 }
+      best
+    }
+
+    def forward(x0: Array[Double]): Double = {
+      val out = forwardRaw(x0)
+      if (multiClass) out(argmax(out)) // top class's probability
+      else {
+        val z = out(0)
+        if (layers.last.act == "sigmoid" || layers.last.act == "tanh") z
+        else 0.5 + 0.5 * z / (1.0 + math.abs(z))
+      }
     }
 
     override def score(df: DataFrame): DataFrame = {
       val spark = df.sparkSession
       val cols = inputCols
       val self = this
+      val mc = multiClass
+      val extra = org.apache.spark.sql.types.StructField(outputCol,
+        org.apache.spark.sql.types.DoubleType, nullable = true) +:
+        (if (mc) Seq(org.apache.spark.sql.types.StructField(
+          s"${outputCol}_class", org.apache.spark.sql.types.LongType,
+          nullable = true))
+         else Nil)
       val schema = org.apache.spark.sql.types.StructType(
-        df.schema.fields :+
-          org.apache.spark.sql.types.StructField(outputCol,
-            org.apache.spark.sql.types.DoubleType, nullable = true))
+        df.schema.fields ++ extra)
       val enc = org.apache.spark.sql.Encoders.row(schema)
       df.mapPartitions { it =>
         // per-partition init point (a native runtime would load here)
@@ -167,8 +214,15 @@ object Score {
             }
             i += 1
           }
-          org.apache.spark.sql.Row.fromSeq(row.toSeq :+
-            (if (anyNull) null else java.lang.Double.valueOf(self.forward(x))))
+          val appended: Seq[Any] =
+            if (anyNull) if (mc) Seq(null, null) else Seq(null)
+            else if (mc) {
+              val probs = self.forwardRaw(x)
+              val k = self.argmax(probs)
+              Seq(java.lang.Double.valueOf(probs(k)),
+                java.lang.Long.valueOf(k.toLong))
+            } else Seq(java.lang.Double.valueOf(self.forward(x)))
+          org.apache.spark.sql.Row.fromSeq(row.toSeq ++ appended)
         }
       }(enc)
     }
@@ -186,9 +240,9 @@ object Score {
          else s + ".0") + "::DOUBLE"
       }
       require(layers.forall(l => l.act == "linear" || l.act == "relu"),
-        "sigmoid/tanh layers are not SQL-oracle-able (libm exp() is " +
-          "not bit-reproducible across engines); score them through " +
-          "the JVM path")
+        "sigmoid/tanh/softmax layers are not SQL-oracle-able (libm " +
+          "exp() is not bit-reproducible across engines); score them " +
+          "through the JVM path")
       var exprs: Seq[String] = inputs
       for (l <- layers) {
         exprs = l.w.zip(l.b).map { case (row, bb) =>

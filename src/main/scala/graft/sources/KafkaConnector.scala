@@ -682,7 +682,13 @@ final case class KafkaConnector(
     batchSize: Int = 500,
     timeoutMs: Int = 5000) extends Connector {
 
-  override def withTarget(target: String): Connector = copy(topic = target)
+  /** Re-aim at another topic. The landing dir becomes the per-topic
+    * subdir `spoolDir/target`, so two `.from(conn, topic:)` streams of
+    * one declared connector never read each other's events — point the
+    * topic's poller at the same subdir.
+    */
+  override def withTarget(target: String): Connector =
+    copy(topic = target, spoolDir = s"$spoolDir/$target")
 
   override def read(spark: SparkSession, schema: Option[StructType]): DataFrame = {
     val r = spark.read

@@ -398,7 +398,12 @@ final case class MqttConnector(
     batchSize: Int = 1000,
     timeoutMs: Int = 5000) extends Connector {
 
-  override def withTarget(target: String): Connector = copy(topic = target)
+  /** Re-aim at another topic; the landing dir becomes the per-topic
+    * subdir `spoolDir/target` (see KafkaConnector.withTarget).
+    */
+  override def withTarget(target: String): Connector =
+    copy(topic = target, spoolDir =
+      s"$spoolDir/${target.replaceAll("[^A-Za-z0-9._-]", "_")}")
 
   override def read(spark: SparkSession, schema: Option[StructType]): DataFrame = {
     val r = spark.read

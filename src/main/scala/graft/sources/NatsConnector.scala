@@ -310,7 +310,13 @@ final case class NatsConnector(
     batchSize: Int = 1000,
     timeoutMs: Int = 5000) extends Connector {
 
-  override def withTarget(target: String): Connector = copy(subject = target)
+  /** Re-aim at another subject; the landing dir becomes the
+    * per-subject subdir `spoolDir/target` (see
+    * KafkaConnector.withTarget).
+    */
+  override def withTarget(target: String): Connector =
+    copy(subject = target, spoolDir =
+      s"$spoolDir/${target.replaceAll("[^A-Za-z0-9._-]", "_")}")
 
   override def read(spark: SparkSession, schema: Option[StructType]): DataFrame = {
     val r = spark.read

@@ -305,7 +305,13 @@ final case class RedisConnector(
     batchSize: Int = 1000,
     timeoutMs: Int = 5000) extends Connector {
 
-  override def withTarget(target: String): Connector = copy(channel = target)
+  /** Re-aim at another channel; the landing dir becomes the
+    * per-channel subdir `spoolDir/target` (see
+    * KafkaConnector.withTarget).
+    */
+  override def withTarget(target: String): Connector =
+    copy(channel = target, spoolDir =
+      s"$spoolDir/${target.replaceAll("[^A-Za-z0-9._-]", "_")}")
 
   private def fullKey(key: String): String =
     keyPrefix.fold(key)(p => s"$p:$key")

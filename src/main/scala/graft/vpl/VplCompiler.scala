@@ -427,7 +427,24 @@ final class VplCompiler(program: VProgram, source: VplSource,
           case Success(df) => unhide(df)
           case Failure(e)  => throw e
         }
-      case None => source.resolve(name)
+      case None =>
+        // an event type whose instances arrive via connector-bound
+        // head streams (`stream Input = StockTick.from(Broker,
+        // topic:)`) participates in the event universe like any
+        // staged event — pattern declarations over the type (the
+        // reference's kafka 04_kleene benchmark) read the bound
+        // landing dirs; several topics of one type union
+        val boundHeads = program.streams.collect {
+          case VStream(_, SrcName(n, _), ops) if n == name =>
+            ops.collectFirst {
+              case OpFrom(c, p) if sourceConns.contains(c) =>
+                (sourceConns(c), p)
+            }
+        }.flatten
+        if (boundHeads.nonEmpty)
+          boundHeads.map { case (c, p) => boundSource(c, p, name) }
+            .reduce(_.unionByName(_, allowMissingColumns = true))
+        else source.resolve(name)
     }
 
   // ------------------------------------------------------------ sequences
@@ -2886,11 +2903,16 @@ final class VplCompiler(program: VProgram, source: VplSource,
       if (raw.columns.contains("ts"))
         raw.withColumn("ts", coalesce(col("ts").cast("timestamp"), synthTs))
       else raw.withColumn("ts", synthTs)
+    // event_id mirrors event time in BOTH arms: for synthetic ts this
+    // is identical to the raw monotonic id (synthTs = timestamp_micros
+    // of it), and for payload-carried ts it makes sequences ordered
+    // consistently ACROSS topics — two `.from(conn, topic:)` sources
+    // number independently, so a per-source monotonic id cannot order
+    // a multi-topic SASE pattern (the reference sequences on arrival
+    // time for the same reason)
     val withId =
       if (withTs.columns.contains("event_id")) withTs
-      else if (streaming)
-        withTs.withColumn("event_id", unix_micros(col("ts")))
-      else withTs.withColumn("event_id", monotonically_increasing_id())
+      else withTs.withColumn("event_id", unix_micros(col("ts")))
     // the streaming machinery routes on event_type (the batch
     // resolve() contract pre-filters instead, so batch omits it)
     if (streaming && !withId.columns.contains("event_type"))

@@ -50,9 +50,14 @@ class MlpSpec extends SparkSpec {
       })
     intercept[IllegalArgumentException](
       tanhModel.toOracleSql(Seq("x1", "x2", "x3")))
+    // softmax parses as an activation but only terminally (multi-class
+    // head); a hidden softmax is rejected loudly
     val bad = intercept[IllegalArgumentException](Score.MlpModel.fromJson(
       json.replace("relu", "softmax")))
-    assert(bad.getMessage.contains("unsupported activation"))
+    assert(bad.getMessage.contains("final-layer activation only"))
+    val unknown = intercept[IllegalArgumentException](Score.MlpModel.fromJson(
+      json.replace("relu", "gelu")))
+    assert(unknown.getMessage.contains("unsupported activation"))
   }
 
   test("JVM forward pass == the model's own generated SQL, bit for bit") {

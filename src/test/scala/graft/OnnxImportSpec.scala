@@ -170,15 +170,89 @@ class OnnxImportSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](
       graft.ml.OnnxImport.fromBytes(model(stacked), "bad", Seq("a", "b")))
     assert(e.getMessage.contains("already activated"))
-    val softmax =
+    // softmax is TERMINAL-only: a softmax feeding another layer is
+    // not a classifier head, reject it
+    val midSoftmax =
       graphInput("x") ++
         node("Gemm", Seq("x", "W", "B"), "z", attrI("transB", 1)) ++
         node("Softmax", Seq("z"), "p") ++
-        ld(5, tensor("W", Seq(1, 2), Seq(1.0, 2.0), "raw32")) ++
-        ld(5, tensor("B", Seq(1), Seq(0.5), "raw32"))
+        node("Gemm", Seq("p", "W2", "B2"), "out", attrI("transB", 1)) ++
+        ld(5, tensor("W", Seq(2, 2), Seq(1.0, 2.0, 3.0, 4.0), "raw32")) ++
+        ld(5, tensor("B", Seq(2), Seq(0.5, 0.25), "raw32")) ++
+        ld(5, tensor("W2", Seq(1, 2), Seq(1.0, 1.0), "raw32")) ++
+        ld(5, tensor("B2", Seq(1), Seq(0.0), "raw32"))
     val e2 = intercept[IllegalArgumentException](
-      graft.ml.OnnxImport.fromBytes(model(softmax), "bad", Seq("a", "b")))
-    assert(e2.getMessage.contains("'Softmax' unsupported"))
+      graft.ml.OnnxImport.fromBytes(model(midSoftmax), "bad", Seq("a", "b")))
+    assert(e2.getMessage.contains("final-layer activation only"))
+  }
+
+  test("terminal Softmax (3-class skl2onnx head) imports and scores " +
+      "bit-equal to a StrictMath recomputation") {
+    // 2 inputs -> Relu(3) -> Gemm(3) -> Softmax, axis=1
+    val w1 = Seq(0.5, -0.25, 1.0, 0.75, -0.5, 0.125) // 3x2 transB
+    val b1 = Seq(0.1, -0.2, 0.3)
+    val w2 = Seq(1.0, 0.5, -0.5, -1.0, 0.25, 0.75, 0.0, 2.0, -0.125) // 3x3
+    val b2 = Seq(0.05, -0.05, 0.0)
+    val g =
+      graphInput("x") ++
+        node("Gemm", Seq("x", "W1", "B1"), "h_pre", attrI("transB", 1)) ++
+        node("Relu", Seq("h_pre"), "h") ++
+        node("Gemm", Seq("h", "W2", "B2"), "z", attrI("transB", 1)) ++
+        node("Softmax", Seq("z"), "p", attrI("axis", 1)) ++
+        graphOutput("p") ++
+        ld(5, tensor("W1", Seq(3, 2), w1, "f64")) ++
+        ld(5, tensor("B1", Seq(3), b1, "f64")) ++
+        ld(5, tensor("W2", Seq(3, 3), w2, "f64")) ++
+        ld(5, tensor("B2", Seq(3), b2, "f64"))
+    val m = graft.ml.OnnxImport.fromBytes(model(g), "clf", Seq("x1", "x2"))
+    assert(m.layers.map(_.act) == Seq("relu", "softmax"))
+    assert(m.multiClass)
+    def ref(x: Array[Double]): (Array[Double], Int) = {
+      val h = (0 until 3).map { o =>
+        val s = w1(o * 2) * x(0) + w1(o * 2 + 1) * x(1) + b1(o)
+        if (s < 0.0) 0.0 else s
+      }
+      val z = (0 until 3).map { o =>
+        w2(o * 3) * h(0) + w2(o * 3 + 1) * h(1) + w2(o * 3 + 2) * h(2) + b2(o)
+      }
+      val mx = z.max
+      val ex = z.map(v => StrictMath.exp(v - mx))
+      val denom = ex(0) + ex(1) + ex(2)
+      val probs = ex.map(_ / denom).toArray
+      (probs, probs.indexOf(probs.max))
+    }
+    for (x <- Seq(Array(1.0, 2.0), Array(-3.0, 0.5), Array(0.0, 0.0),
+        Array(50.0, -50.0))) {
+      val (probs, k) = ref(x)
+      assert(m.forwardRaw(x).toSeq == probs.toSeq, // bit-equal
+        s"${x.toSeq}: ${m.forwardRaw(x).toSeq} vs ${probs.toSeq}")
+      assert(math.abs(probs.sum - 1.0) < 1e-12)
+      assert(m.forward(x) == probs(k))
+      assert(m.argmax(m.forwardRaw(x)) == k)
+    }
+    // scoring a frame appends top-class probability AND class index
+    import spark.implicits._
+    val df = Seq((1.0, 2.0), (-3.0, 0.5)).toDF("x1", "x2")
+    val scored = m.score(df).collect()
+    scored.foreach { r =>
+      val x = Array(r.getDouble(0), r.getDouble(1))
+      val (probs, k) = ref(x)
+      assert(r.getDouble(2) == probs(k))
+      assert(r.getLong(3) == k.toLong)
+    }
+    // multi-class heads refuse the SQL-oracle path
+    val e = intercept[IllegalArgumentException](m.toOracleSql(Seq("a", "b")))
+    assert(e.getMessage.contains("not SQL-oracle-able"))
+    // and an unsupported softmax axis is rejected loudly
+    val badAxis =
+      graphInput("x") ++
+        node("Gemm", Seq("x", "W1", "B1"), "z", attrI("transB", 1)) ++
+        node("Softmax", Seq("z"), "p", attrI("axis", 0)) ++
+        ld(5, tensor("W1", Seq(3, 2), w1, "f64")) ++
+        ld(5, tensor("B1", Seq(3), b1, "f64"))
+    val e3 = intercept[IllegalArgumentException](
+      graft.ml.OnnxImport.fromBytes(model(badAxis), "bad", Seq("a", "b")))
+    assert(e3.getMessage.contains("axis"))
   }
 
   test("MatMul+Add chain imports bit-equal to its Gemm twin") {

@@ -95,9 +95,11 @@ class VplConnectorBindSpec extends SparkSpec {
 
       // the driver-side consumer loop lands NDJSON where the bound
       // connector reads
+      // landing dir = the per-topic subdir (withTarget re-aims reads)
       val poller = KafkaPoller.start(
         () => new KafkaClient("127.0.0.1", srv.port), "bench-01-input",
-        kc.spoolDir, startAt = "earliest", pollIntervalMs = 20L)
+        s"${kc.spoolDir}/bench-01-input", startAt = "earliest",
+        pollIntervalMs = 20L)
       try assert(awaitTrue(5000)(poller.recordCount == 5))
       finally poller.stop()
 
@@ -155,7 +157,7 @@ class VplConnectorBindSpec extends SparkSpec {
       pre.close()
       val poller = KafkaPoller.start(
         () => new KafkaClient("127.0.0.1", srv.port), "st-in",
-        kc.spoolDir, startAt = "earliest", pollIntervalMs = 20L)
+        s"${kc.spoolDir}/st-in", startAt = "earliest", pollIntervalMs = 20L)
       try assert(awaitTrue(5000)(poller.recordCount == 3))
       finally poller.stop()
       val c = new VplCompiler(prog, emptyEvtSource,
