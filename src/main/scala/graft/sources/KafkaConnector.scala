@@ -50,8 +50,12 @@ import org.apache.spark.sql.types.StructType
   * either). Spool ceiling, measured on loopback
   * (ConnectorThroughputSpec): ~140k rec/s through one poller thread
   * (fetch is batch-framed, so the spool amortizes far better than
-  * the push protocols) — beyond it, or for multi-broker leader
-  * routing, bind spark-sql-kafka for executor-parallel ingestion.
+  * the push protocols) — beyond it, bind spark-sql-kafka for
+  * executor-parallel ingestion. Multi-broker clusters are first-class
+  * since r12: [[KafkaRouter]] routes every partition operation to its
+  * leader from the Metadata broker list, refreshing the view when a
+  * broker answers NOT_LEADER_OR_FOLLOWER (KafkaClusterSpec proves it
+  * against a two-node loopback cluster).
   */
 private[graft] object KafkaProto {
 
@@ -135,6 +139,12 @@ private[graft] object KafkaProto {
     * behavior) instead of treating it as connection loss.
     */
   final class OffsetOutOfRange(msg: String) extends java.io.IOException(msg)
+
+  /** Error 6: this broker no longer (or never) leads the partition.
+    * Typed so [[KafkaRouter]] can refresh metadata and re-route to
+    * the new leader instead of treating it as connection loss.
+    */
+  final class NotLeader(msg: String) extends java.io.IOException(msg)
 
   /** Encode records as ONE magic-2 record batch (uncompressed).
     * Layout per the spec: baseOffset, batchLength (bytes after the
@@ -278,16 +288,28 @@ private[graft] object KafkaProto {
     errorNames.getOrElse(code, s"ERROR_$code")
 }
 
+/** The partition-operation surface the poller and sink consume —
+  * implemented by [[KafkaClient]] (one broker) and [[KafkaRouter]]
+  * (per-partition leader routing across a cluster).
+  */
+trait KafkaApi extends AutoCloseable {
+  def partitions(topic: String): Seq[Int]
+  def listOffset(topic: String, partition: Int, timestamp: Long): Long
+  def fetch(topic: String, partition: Int, offset: Long,
+      maxBytes: Int = 1 << 20, maxWaitMs: Int = 100)
+      : (Seq[KafkaProto.Record], Long)
+  def produce(topic: String, partition: Int,
+      records: Seq[(Option[String], String)], timestamp: Long = 0L): Long
+}
+
 /** Blocking Kafka client over one TCP connection (not thread-safe).
-  * Speaks to one broker — correct for the single-broker loopback
-  * fixture and for clusters fronted by a single bootstrap address
-  * where that broker leads the produced partitions; a multi-broker
-  * leader-routing layer is what spark-sql-kafka is for.
+  * Speaks to one broker; [[KafkaRouter]] composes several of these
+  * into per-partition leader routing for multi-broker clusters.
   */
 final class KafkaClient(host: String, port: Int,
     clientId: String = "graft",
     username: Option[String] = None, password: Option[String] = None,
-    timeoutMs: Int = 5000) extends AutoCloseable {
+    timeoutMs: Int = 5000) extends KafkaApi {
 
   import KafkaProto._
 
@@ -363,21 +385,26 @@ final class KafkaClient(host: String, port: Int,
     for (u <- username; p <- password) saslPlain(u, p)
   }
 
-  /** Metadata v4 → partition ids of `topic` (created on demand when
-    * the broker allows auto-creation, mirroring consumer bootstrap).
+  /** Metadata v4 → (brokers by node id, partition → leader node id)
+    * of `topic` (created on demand when the broker allows
+    * auto-creation, mirroring consumer bootstrap). The full cluster
+    * view [[KafkaRouter]] routes with.
     */
-  def partitions(topic: String): Seq[Int] = {
+  def metadataFor(topic: String): (Map[Int, (String, Int)], Map[Int, Int]) = {
     val body = new Wire
     body.array(Seq(topic))((w, t) => w.str(t))
       .bool(true) // allow_auto_topic_creation
     val c = call(3, 4, body)
     c.i32 // throttle
     val nb = c.i32
-    (0 until nb).foreach { _ => c.i32; c.str; c.i32; c.nullableStr } // brokers
+    val brokers = (0 until nb).map { _ =>
+      val id = c.i32; val h = c.str; val p = c.i32; c.nullableStr // rack
+      id -> (h, p)
+    }.toMap
     c.nullableStr // cluster id
     c.i32         // controller
     val nt = c.i32
-    val parts = Seq.newBuilder[Int]
+    val leaders = Map.newBuilder[Int, Int]
     (0 until nt).foreach { _ =>
       val terr = c.i16
       val name = c.str
@@ -386,23 +413,25 @@ final class KafkaClient(host: String, port: Int,
       (0 until np).foreach { _ =>
         c.i16 // partition error
         val idx = c.i32
-        c.i32 // leader
+        val leader = c.i32
         val nr = c.i32; (0 until nr).foreach(_ => c.i32)
         val ni = c.i32; (0 until ni).foreach(_ => c.i32)
-        if (name == topic) parts += idx
+        if (name == topic) leaders += idx -> leader
       }
       if (name == topic && terr != 0 && terr != 5) // 5 = leader pending on create
         throw new java.io.IOException(s"kafka: Metadata($topic) ${errName(terr)}")
     }
-    parts.result()
+    (brokers, leaders.result())
   }
+
+  override def partitions(topic: String): Seq[Int] =
+    metadataFor(topic)._2.keys.toSeq.sorted
 
   /** Produce v3 (acks=-1): one record batch to one partition; returns
     * the assigned base offset. The response IS the durability ack.
     */
-  def produce(topic: String, partition: Int,
-      records: Seq[(Option[String], String)],
-      timestamp: Long = 0L): Long = {
+  override def produce(topic: String, partition: Int,
+      records: Seq[(Option[String], String)], timestamp: Long): Long = {
     val batch = encodeBatch(0L, records.map { case (k, v) =>
       (k.map(_.getBytes(UTF_8)), v.getBytes(UTF_8), timestamp)
     })
@@ -426,6 +455,9 @@ final class KafkaClient(host: String, port: Int,
         val err = c.i16
         val off = c.i64
         c.i64 // log_append_time
+        if (err == 6)
+          throw new NotLeader(
+            s"kafka: Produce($topic/$partition) NOT_LEADER_OR_FOLLOWER")
         if (err != 0)
           throw new java.io.IOException(
             s"kafka: Produce($topic/$partition) ${errName(err)}")
@@ -437,7 +469,8 @@ final class KafkaClient(host: String, port: Int,
   }
 
   /** ListOffsets v1: timestamp -2 = earliest, -1 = latest (log end). */
-  def listOffset(topic: String, partition: Int, timestamp: Long): Long = {
+  override def listOffset(topic: String, partition: Int,
+      timestamp: Long): Long = {
     val body = new Wire
     body.i32(-1) // replica_id
       .array(Seq(topic)) { (w, t) =>
@@ -454,6 +487,9 @@ final class KafkaClient(host: String, port: Int,
         val err = c.i16
         c.i64 // timestamp
         val off = c.i64
+        if (err == 6)
+          throw new NotLeader(
+            s"kafka: ListOffsets($topic/$partition) NOT_LEADER_OR_FOLLOWER")
         if (err != 0)
           throw new java.io.IOException(
             s"kafka: ListOffsets($topic/$partition) ${errName(err)}")
@@ -467,8 +503,8 @@ final class KafkaClient(host: String, port: Int,
     * watermark). Empty seq when caught up (maxWaitMs elapsed with
     * nothing new).
     */
-  def fetch(topic: String, partition: Int, offset: Long,
-      maxBytes: Int = 1 << 20, maxWaitMs: Int = 100): (Seq[Record], Long) = {
+  override def fetch(topic: String, partition: Int, offset: Long,
+      maxBytes: Int, maxWaitMs: Int): (Seq[Record], Long) = {
     val body = new Wire
     body.i32(-1)        // replica_id
       .i32(maxWaitMs)
@@ -499,6 +535,9 @@ final class KafkaClient(host: String, port: Int,
         if (err == 1)
           throw new OffsetOutOfRange(
             s"kafka: Fetch($topic/$partition@$offset) OFFSET_OUT_OF_RANGE")
+        if (err == 6)
+          throw new NotLeader(
+            s"kafka: Fetch($topic/$partition@$offset) NOT_LEADER_OR_FOLLOWER")
         if (err != 0)
           throw new java.io.IOException(
             s"kafka: Fetch($topic/$partition@$offset) ${errName(err)}")
@@ -512,6 +551,84 @@ final class KafkaClient(host: String, port: Int,
   override def close(): Unit = socket.close()
 }
 
+/** Per-partition leader routing across a multi-broker cluster — the
+  * layer a single-bootstrap deployment needs when the bootstrap
+  * broker does NOT lead every partition (the normal Kafka topology;
+  * real clients do exactly this). One [[KafkaClient]] per broker,
+  * opened lazily from the Metadata broker list; every partition
+  * operation goes to that partition's leader, and a broker answering
+  * NOT_LEADER_OR_FOLLOWER (leadership moved — reassignment, broker
+  * restart) triggers ONE metadata refresh and a re-route before the
+  * error propagates. Not thread-safe, like [[KafkaClient]] — the
+  * poller owns one per thread, the sink one per task.
+  */
+final class KafkaRouter(bootstrapHost: String, bootstrapPort: Int,
+    clientId: String = "graft",
+    username: Option[String] = None, password: Option[String] = None,
+    timeoutMs: Int = 5000) extends KafkaApi {
+
+  private val clients =
+    scala.collection.mutable.Map.empty[(String, Int), KafkaClient]
+  private var brokers: Map[Int, (String, Int)] = Map.empty
+  private var leaders: Map[(String, Int), Int] = Map.empty
+
+  private def clientAt(host: String, port: Int): KafkaClient =
+    clients.getOrElseUpdate((host, port),
+      new KafkaClient(host, port, clientId, username, password, timeoutMs))
+
+  // bootstrap connects eagerly: bad config fails fast, like KafkaClient
+  locally { clientAt(bootstrapHost, bootstrapPort); () }
+
+  private def refresh(topic: String): Seq[Int] = {
+    val (bs, ls) = clientAt(bootstrapHost, bootstrapPort).metadataFor(topic)
+    brokers = bs
+    leaders = leaders.filterNot(_._1._1 == topic) ++
+      ls.map { case (p, n) => (topic, p) -> n }
+    ls.keys.toSeq.sorted
+  }
+
+  private def leaderClient(topic: String, partition: Int): KafkaClient = {
+    if (!leaders.contains((topic, partition))) refresh(topic)
+    val node = leaders.getOrElse((topic, partition),
+      throw new java.io.IOException(
+        s"kafka: no leader for $topic/$partition in metadata"))
+    val (h, p) = brokers.getOrElse(node,
+      throw new java.io.IOException(
+        s"kafka: leader node $node of $topic/$partition not in broker list"))
+    clientAt(h, p)
+  }
+
+  /** Run `f` against the partition's leader; on NOT_LEADER (stale
+    * view) refresh metadata once and re-route.
+    */
+  private def routed[A](topic: String, partition: Int)
+      (f: KafkaClient => A): A =
+    try f(leaderClient(topic, partition))
+    catch {
+      case _: KafkaProto.NotLeader =>
+        refresh(topic)
+        f(leaderClient(topic, partition))
+    }
+
+  override def partitions(topic: String): Seq[Int] = refresh(topic)
+  override def listOffset(topic: String, partition: Int,
+      timestamp: Long): Long =
+    routed(topic, partition)(_.listOffset(topic, partition, timestamp))
+  override def fetch(topic: String, partition: Int, offset: Long,
+      maxBytes: Int, maxWaitMs: Int): (Seq[KafkaProto.Record], Long) =
+    routed(topic, partition)(
+      _.fetch(topic, partition, offset, maxBytes, maxWaitMs))
+  override def produce(topic: String, partition: Int,
+      records: Seq[(Option[String], String)], timestamp: Long): Long =
+    routed(topic, partition)(
+      _.produce(topic, partition, records, timestamp))
+
+  override def close(): Unit = {
+    clients.values.foreach(c => try c.close() catch { case _: Exception => () })
+    clients.clear()
+  }
+}
+
 /** Driver-side consumer loop (the reference's single StreamConsumer,
   * kafka.rs:249-311, minus rebalancing — ONE member, every
   * partition): fetches each partition on the poll interval, spools
@@ -519,11 +636,11 @@ final class KafkaClient(host: String, port: Int,
   * seam as REST/Kinesis/Redis: past the single-connection ceiling,
   * bind spark-sql-kafka for executor-parallel ingestion.
   */
-final class KafkaPoller private (connect: () => KafkaClient,
-    firstClient: KafkaClient, topic: String, spoolDir: String,
+final class KafkaPoller private (connect: () => KafkaApi,
+    firstClient: KafkaApi, topic: String, spoolDir: String,
     startAt: String, pollIntervalMs: Long, maxReconnects: Int) {
 
-  @volatile private var client: KafkaClient = firstClient
+  @volatile private var client: KafkaApi = firstClient
   @volatile private var running = true
   @volatile private var records = 0L
   @volatile private var failures = 0L
@@ -652,7 +769,7 @@ object KafkaPoller {
     * "earliest" replays the retained log). `connect` is invoked once
     * here (bad config fails fast) and again on each reconnect.
     */
-  def start(connect: () => KafkaClient, topic: String, spoolDir: String,
+  def start(connect: () => KafkaApi, topic: String, spoolDir: String,
       startAt: String = "latest", pollIntervalMs: Long = 100L,
       maxReconnects: Int = 8): KafkaPoller = {
     val p = new KafkaPoller(connect, connect(), topic, spoolDir, startAt,
@@ -704,7 +821,9 @@ final case class KafkaConnector(
     df.toJSON.foreachPartition { (it: Iterator[String]) =>
       if (it.hasNext) {
         val pid = org.apache.spark.TaskContext.getPartitionId()
-        val client = new KafkaClient(h, p, s"graft-sink-$pid", u, pw, to)
+        // router, not bare client: each chunk's produce goes to the
+        // target partition's LEADER (host/port is only the bootstrap)
+        val client = new KafkaRouter(h, p, s"graft-sink-$pid", u, pw, to)
         try {
           val parts = client.partitions(t)
           require(parts.nonEmpty, s"kafka: topic $t has no partitions")

@@ -21,7 +21,11 @@ import graft.sources.KafkaProto.{Cursor, Wire}
 final class MiniKafkaBroker(
     numPartitions: Int = 2,
     requireUser: Option[(String, String)] = None,
-    bindPort: Int = 0) {
+    bindPort: Int = 0,
+    nodeId: Int = 0,
+    cluster: MiniKafkaBroker.Cluster = null) {
+
+  import MiniKafkaBroker.Rec
 
   private val server = new ServerSocket()
   server.setReuseAddress(true) // restart-on-same-port (reconnect tests)
@@ -43,11 +47,12 @@ final class MiniKafkaBroker(
   def port: Int = server.getLocalPort
   private val conns = new java.util.concurrent.CopyOnWriteArrayList[Socket]()
 
-  private[graft] final case class Rec(key: Option[Array[Byte]],
-      value: Array[Byte], timestamp: Long)
-  // (topic, partition) -> append log
-  private val logs = scala.collection.mutable.Map
-    .empty[(String, Int), scala.collection.mutable.ArrayBuffer[Rec]]
+  // (topic, partition) -> append log (the cluster's SHARED store in
+  // cluster mode — the stand-in for replicated partitions)
+  private val logs =
+    if (cluster != null) cluster.logs
+    else scala.collection.mutable.Map
+      .empty[(String, Int), scala.collection.mutable.ArrayBuffer[Rec]]
   @volatile private var running = true
   @volatile var producesSeen = 0
   @volatile var corruptBatches = 0
@@ -69,6 +74,9 @@ final class MiniKafkaBroker(
     logs.synchronized(logs.keys.exists(_._1 == topic))
   private def createTopic(topic: String): Unit =
     (0 until numPartitions).foreach(p => log(topic, p))
+  /** Does this node lead the partition? (single-node: always) */
+  private def leads(p: Int): Boolean =
+    cluster == null || cluster.leaderOf(p) == nodeId
 
   def logSize(topic: String, p: Int): Int = log(topic, p).synchronized {
     log(topic, p).length
@@ -195,10 +203,15 @@ final class MiniKafkaBroker(
             val topics = (0 until math.max(nt, 0)).map(_ => c.str)
             val allowCreate = if (c.remaining > 0) c.bool else false
             topics.foreach(t => if (allowCreate && !topicExists(t)) createTopic(t))
+            // cluster mode advertises EVERY node and each
+            // partition's real leader; single-node stays (0, self)
+            val brokerList =
+              if (cluster != null) cluster.brokers
+              else Seq((nodeId, "127.0.0.1", port))
             val w = new Wire
             w.i32(0) // throttle
-              .array(Seq(0)) { (ww, id) => // one broker: this one
-                ww.i32(id).str("127.0.0.1").i32(port).nullableStr(None)
+              .array(brokerList) { (ww, b) =>
+                ww.i32(b._1).str(b._2).i32(b._3).nullableStr(None)
               }
               .nullableStr(Some("mini-kafka")).i32(0)
               .array(topics) { (ww, t) =>
@@ -207,9 +220,11 @@ final class MiniKafkaBroker(
                 } else {
                   ww.i16(0).str(t).bool(false)
                     .array(0 until numPartitions) { (w2, p) =>
-                      w2.i16(0).i32(p).i32(0)
-                        .array(Seq(0))((w3, r) => { w3.i32(r); () })
-                        .array(Seq(0))((w3, r) => { w3.i32(r); () })
+                      val leader =
+                        if (cluster != null) cluster.leaderOf(p) else nodeId
+                      w2.i16(0).i32(p).i32(leader)
+                        .array(Seq(leader))((w3, r) => { w3.i32(r); () })
+                        .array(Seq(leader))((w3, r) => { w3.i32(r); () })
                     }
                 }
               }
@@ -228,6 +243,7 @@ final class MiniKafkaBroker(
                 val set = c.nullableBytes.getOrElse(Array.empty[Byte])
                 producesSeen += 1
                 if (!topicExists(topic)) (p, 3, -1L)
+                else if (!leads(p)) (p, 6, -1L) // NOT_LEADER_OR_FOLLOWER
                 else parseBatch(set) match {
                   case None =>
                     corruptBatches += 1
@@ -261,6 +277,7 @@ final class MiniKafkaBroker(
                 val p = c.i32
                 val ts = c.i64
                 if (!topicExists(topic)) (p, 3, -1L)
+                else if (!leads(p)) (p, 6, -1L) // NOT_LEADER_OR_FOLLOWER
                 else {
                   val l = log(topic, p)
                   val off = l.synchronized {
@@ -290,6 +307,8 @@ final class MiniKafkaBroker(
                 val off = c.i64
                 c.i32 // partition max bytes
                 if (!topicExists(topic)) (p, 3, 0L, None: Option[Array[Byte]])
+                else if (!leads(p)) // NOT_LEADER_OR_FOLLOWER
+                  (p, 6, 0L, None: Option[Array[Byte]])
                 else {
                   val l = log(topic, p)
                   l.synchronized {
@@ -352,5 +371,40 @@ final class MiniKafkaBroker(
   def stop(): Unit = {
     running = false; server.close()
     conns.forEach(s => try s.close() catch { case _: Exception => () })
+  }
+}
+
+object MiniKafkaBroker {
+  final case class Rec(key: Option[Array[Byte]],
+      value: Array[Byte], timestamp: Long)
+
+  /** Shared state of a multi-node loopback cluster: ONE log store
+    * (the stand-in for replicated partitions) plus the leadership
+    * assignment, reassignable mid-test to exercise the router's
+    * NOT_LEADER refresh path.
+    */
+  final class Cluster {
+    private[graft] val logs = scala.collection.mutable.Map
+      .empty[(String, Int), scala.collection.mutable.ArrayBuffer[Rec]]
+    @volatile private[graft] var brokers: Seq[(Int, String, Int)] = Nil
+    /** partition -> leader node id */
+    @volatile var leaderOf: Int => Int = _ => 0
+  }
+
+  /** An n-node cluster on loopback: partition p led by node p % n.
+    * Every node serves Metadata with the full broker list; data
+    * requests for partitions it does not lead answer
+    * NOT_LEADER_OR_FOLLOWER, like a real broker.
+    */
+  def cluster(numPartitions: Int, nodes: Int,
+      requireUser: Option[(String, String)] = None)
+      : (Cluster, Seq[MiniKafkaBroker]) = {
+    val c = new Cluster
+    c.leaderOf = p => p % nodes
+    val bs = (0 until nodes).map(i =>
+      new MiniKafkaBroker(numPartitions, requireUser, bindPort = 0,
+        nodeId = i, cluster = c))
+    c.brokers = bs.zipWithIndex.map { case (b, i) => (i, "127.0.0.1", b.port) }
+    (c, bs)
   }
 }
