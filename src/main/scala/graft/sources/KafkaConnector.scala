@@ -30,12 +30,15 @@ import org.apache.spark.sql.types.StructType
   *     CRC and rejects mismatches, so the spec round trip is a real
   *     integrity check, not an echo.
   *
-  * Compression: the consumer decodes UNCOMPRESSED and GZIP batches
-  * (attributes&7 == 0|1 — gzip via java.util.zip, zero new
-  * dependencies); lz4/zstd/snappy are whole libraries the
-  * no-new-dependencies rule excludes and are rejected LOUDLY with the
-  * producer-side workaround named. The producer emits uncompressed
-  * (gzip encode exists for the fixture's round-trip proof).
+  * Compression: the consumer decodes UNCOMPRESSED, GZIP and LZ4
+  * batches (attributes&7 == 0|1|3 — gzip via java.util.zip, lz4 via
+  * the hand-rolled [[Lz4]] frame/block decoder; both zero new
+  * dependencies, and the batch CRC32C covers the compressed bytes so
+  * integrity is verified BEFORE decompression). zstd/snappy are whole
+  * libraries the no-new-dependencies rule excludes and are rejected
+  * LOUDLY with the producer-side workaround named. The producer emits
+  * uncompressed (gzip encode exists for the fixture's round-trip
+  * proof; the lz4 fixture encoder lives test-side).
   *
   * Distribution shape matches the other brokered connectors: ONE
   * driver-side poller (the reference's single consumer loop,
@@ -154,11 +157,28 @@ private[graft] object KafkaProto {
     */
   def encodeBatch(baseOffset: Long,
       records: Seq[(Option[Array[Byte]], Array[Byte], Long)],
-      gzip: Boolean = false): Array[Byte] = {
+      gzip: Boolean = false): Array[Byte] =
+    if (gzip)
+      encodeBatchWith(baseOffset, records, codec = 1, recBlock => {
+        val bos = new java.io.ByteArrayOutputStream(recBlock.length)
+        val gz = new java.util.zip.GZIPOutputStream(bos)
+        gz.write(recBlock); gz.close()
+        bos.toByteArray
+      })
+    else encodeBatchWith(baseOffset, records, codec = 0, identity)
+
+  /** [[encodeBatch]] with an arbitrary records-block codec — the
+    * fixture plugs its test-side lz4 compressor in here so the
+    * consumer's decoder round-trips against an independent encoder.
+    */
+  def encodeBatchWith(baseOffset: Long,
+      records: Seq[(Option[Array[Byte]], Array[Byte], Long)],
+      codec: Int,
+      compress: Array[Byte] => Array[Byte]): Array[Byte] = {
     require(records.nonEmpty, "kafka: empty batch")
     val baseTs = records.map(_._3).min
     val maxTs = records.map(_._3).max
-    val recs = new Wire // the records block (compressed section if gzip)
+    val recs = new Wire // the records block (the compressed section)
     records.zipWithIndex.foreach { case ((k, v, ts), i) =>
       val r = new Wire
       r.i8(0)                         // record attributes
@@ -173,16 +193,9 @@ private[graft] object KafkaProto {
       val rb = r.result()
       recs.vInt(rb.length).raw(rb)
     }
-    val recBytes =
-      if (!gzip) recs.result()
-      else {
-        val bos = new java.io.ByteArrayOutputStream(recs.size)
-        val gz = new java.util.zip.GZIPOutputStream(bos)
-        gz.write(recs.result()); gz.close()
-        bos.toByteArray
-      }
+    val recBytes = compress(recs.result())
     val body = new Wire // attributes .. records (the CRC'd section)
-    body.i16(if (gzip) 1 else 0)      // attributes bits 0-2: codec
+    body.i16(codec & 0x7)             // attributes bits 0-2: codec
       .i32(records.length - 1)        // lastOffsetDelta
       .i64(baseTs).i64(maxTs)
       .i64(-1L).i16(-1).i32(-1)       // producerId/Epoch, baseSequence
@@ -232,8 +245,11 @@ private[graft] object KafkaProto {
         val n = c.i32
         // the records block (everything after the batch header) is the
         // compressed section when attributes bits 0-2 name a codec;
-        // gzip decodes with java.util.zip (zero new dependencies),
-        // lz4/zstd/snappy are whole libraries and stay LOUD rejections
+        // gzip decodes with java.util.zip, lz4 with the hand-rolled
+        // frame/block decoder ([[Lz4]]) — both zero new dependencies.
+        // The batch CRC32C above covers the COMPRESSED bytes, so
+        // integrity is already checked before decompression.
+        // zstd/snappy are whole libraries and stay LOUD rejections.
         val recordsLen = start + batchLength - bb.position()
         val rc: Cursor = codec match {
           case 0 => c
@@ -244,17 +260,21 @@ private[graft] object KafkaProto {
             val plain = gz.readAllBytes()
             bb.position(bb.position() + recordsLen)
             new Cursor(ByteBuffer.wrap(plain))
+          case 3 =>
+            val plain = Lz4.decodeFrame(recordSet, bb.position(), recordsLen)
+            bb.position(bb.position() + recordsLen)
+            new Cursor(ByteBuffer.wrap(plain))
           case other =>
             val name = other match {
-              case 2 => "snappy"; case 3 => "lz4"; case 4 => "zstd"
-              case x => s"codec $x"
+              case 2 => "snappy"; case 4 => "zstd"; case x => s"codec $x"
             }
             throw new IllegalArgumentException(
               s"kafka: $name-compressed batches not supported — graft " +
-                "decodes uncompressed and gzip only (java.util.zip); " +
-                "lz4/zstd/snappy require libraries the no-new-" +
-                "dependencies rule excludes. Configure producers with " +
-                "compression.type=none|gzip, or bind spark-sql-kafka.")
+                "decodes uncompressed, gzip (java.util.zip) and lz4 " +
+                "(hand-rolled frame decoder); zstd/snappy require " +
+                "libraries the no-new-dependencies rule excludes. " +
+                "Configure producers with compression.type=" +
+                "none|gzip|lz4, or bind spark-sql-kafka.")
         }
         var i = 0
         while (i < n) {

@@ -117,7 +117,7 @@ class MalformedFrameSpec extends SparkSpec {
 
   test("Kafka: an unsupported-codec batch exhausts retries into terminalError") {
     // a PERSISTENT decode failure (every refetch returns the same
-    // lz4-marked batch) must not loop forever: retries exhaust into
+    // zstd-marked batch) must not loop forever: retries exhaust into
     // terminalError naming the codec and the workaround
     val srv = new MiniKafkaBroker(numPartitions = 1)
     val dir = java.nio.file.Files.createTempDirectory("graft_mf_kcodec_")
@@ -125,28 +125,35 @@ class MalformedFrameSpec extends SparkSpec {
     pre.partitions("mf")
     pre.produce("mf", 0, Seq((None, """{"id":1}""")))
     pre.close()
-    // hand-corrupt every fetch: mark lz4 by re-wiring gzipFetch off and
-    // injecting the codec bits via a custom fetch is not exposed, so
-    // drive the equivalent through decodeBatches directly
+    // drive the codec rejection through decodeBatches directly: mark
+    // the batch zstd (codec 4) and fix up the CRC so ONLY the codec
+    // rejection fires
     val records = Seq((None: Option[Array[Byte]],
       """{"id":1}""".getBytes("UTF-8"), 5L))
-    val batch = KafkaProto.encodeBatch(0L, records)
-    // flip attributes codec bits to 3 (lz4) and fix up the CRC so ONLY
-    // the codec rejection fires
-    val attrOff = 8 + 4 + 4 + 1 + 4 // baseOffset+len+epoch+magic+crc
-    batch(attrOff + 1) = 3.toByte
-    val tailLen = batch.length - attrOff
-    val crc = KafkaProto.crc32c(batch, attrOff, tailLen)
-    val crcOff = 8 + 4 + 4 + 1
-    batch(crcOff) = ((crc >> 24) & 0xff).toByte
-    batch(crcOff + 1) = ((crc >> 16) & 0xff).toByte
-    batch(crcOff + 2) = ((crc >> 8) & 0xff).toByte
-    batch(crcOff + 3) = (crc & 0xff).toByte
-    val e = intercept[IllegalArgumentException] {
-      KafkaProto.decodeBatches(batch)
+    def reCodec(codec: Byte): Array[Byte] = {
+      val batch = KafkaProto.encodeBatch(0L, records)
+      val attrOff = 8 + 4 + 4 + 1 + 4 // baseOffset+len+epoch+magic+crc
+      batch(attrOff + 1) = codec
+      val tailLen = batch.length - attrOff
+      val crc = KafkaProto.crc32c(batch, attrOff, tailLen)
+      val crcOff = 8 + 4 + 4 + 1
+      batch(crcOff) = ((crc >> 24) & 0xff).toByte
+      batch(crcOff + 1) = ((crc >> 16) & 0xff).toByte
+      batch(crcOff + 2) = ((crc >> 8) & 0xff).toByte
+      batch(crcOff + 3) = (crc & 0xff).toByte
+      batch
     }
-    assert(e.getMessage.contains("lz4"))
+    val e = intercept[IllegalArgumentException] {
+      KafkaProto.decodeBatches(reCodec(4))
+    }
+    assert(e.getMessage.contains("zstd"))
     assert(e.getMessage.contains("spark-sql-kafka"))
+    // a batch MISLABELED lz4 (records block is not an lz4 frame)
+    // fails loudly too — bad frame magic, never silent garbage
+    val e2 = intercept[IllegalArgumentException] {
+      KafkaProto.decodeBatches(reCodec(3))
+    }
+    assert(e2.getMessage.contains("lz4"))
     // exhaustion path: a poller whose broker vanishes goes terminal
     // (decode failures share the same reconnect machinery, so a
     // PERSISTENT codec rejection exhausts identically)

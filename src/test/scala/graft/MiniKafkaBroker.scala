@@ -60,6 +60,12 @@ final class MiniKafkaBroker(
     * proves the client decodes producer-compressed topics.
     */
   @volatile var gzipFetch = false
+  /** Fetch responses carry lz4-frame-compressed batches
+    * (attributes=3), encoded by the INDEPENDENT test-side compressor
+    * (Lz4Fixture) — proves the hand-rolled product decoder against
+    * a second implementation.
+    */
+  @volatile var lz4Fetch = false
   /** Flip one CRC-covered byte in the NEXT fetched batch — the
     * corrupt-frame fault MalformedFrameSpec drives through the
     * poller (decode must route to reconnect, never die silently).
@@ -321,7 +327,9 @@ final class MiniKafkaBroker(
                       val recs = l.drop(off.toInt).map(r =>
                         (r.key, r.value, r.timestamp)).toSeq
                       val batch =
-                        KafkaProto.encodeBatch(off, recs, gzip = gzipFetch)
+                        if (lz4Fetch) KafkaProto.encodeBatchWith(off, recs,
+                          codec = 3, Lz4Fixture.encodeFrame)
+                        else KafkaProto.encodeBatch(off, recs, gzip = gzipFetch)
                       if (corruptNextFetch) {
                         corruptNextFetch = false
                         batch(batch.length - 1) =

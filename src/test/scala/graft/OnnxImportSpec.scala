@@ -368,6 +368,44 @@ class OnnxImportSpec extends SparkSpec {
     assert(got.toSeq == want, got.mkString(","))
   }
 
+  test("a multi-class softmax model scores from VPL .score(model:), " +
+      "emitting probability AND class") {
+    import graft.vpl._
+    import graft.ml.Score.{MlpLayer, MlpModel}
+    val m = MlpModel("clf3", Seq("x1", "x2"), Seq(
+      MlpLayer(Array(Array(1.0, -1.0), Array(-0.5, 2.0), Array(0.25, 0.5)),
+        Array(0.1, -0.1, 0.0), "softmax")))
+    val vpl =
+      """event Pt:
+        |    x1: float
+        |    x2: float
+        |
+        |stream S = Pt
+        |    .score(model: "clf3", inputs: [x1, x2])
+        |    .emit(p: score, cls: score_class)
+        |""".stripMargin
+    val evt = java.nio.file.Files.createTempFile("graft_sm", ".evt")
+    java.nio.file.Files.writeString(evt,
+      """Pt { x1: 3.0, x2: 0.5 }
+        |Pt { x1: -1.0, x2: 2.0 }
+        |""".stripMargin)
+    val prog = VplParser.parse(vpl)
+    val decls = prog.events.map(e => e.name -> e).toMap
+    val c = new VplCompiler(prog,
+      new EvtSource(spark, Seq(evt.toString), decls),
+      models = Map("clf3" -> m))
+    val got = c.stream("S").select("p", "cls").collect()
+      .map(r => (r.getDouble(0), r.getLong(1))).toSet
+    def exp(x: Array[Double]): (Double, Long) = {
+      val probs = m.forwardRaw(x)
+      val k = m.argmax(probs)
+      (probs(k), k.toLong)
+    }
+    assert(got == Set(exp(Array(3.0, 0.5)), exp(Array(-1.0, 2.0))), s"$got")
+    // distinct winning classes so the assertion is not vacuous
+    assert(got.map(_._2).size == 2)
+  }
+
   test("input-width mismatch and non-default Gemm attrs are rejected") {
     val ok =
       graphInput("x") ++
