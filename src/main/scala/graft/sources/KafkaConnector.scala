@@ -30,15 +30,16 @@ import org.apache.spark.sql.types.StructType
   *     CRC and rejects mismatches, so the spec round trip is a real
   *     integrity check, not an echo.
   *
-  * Compression: the consumer decodes UNCOMPRESSED, GZIP and LZ4
-  * batches (attributes&7 == 0|1|3 — gzip via java.util.zip, lz4 via
-  * the hand-rolled [[Lz4]] frame/block decoder; both zero new
-  * dependencies, and the batch CRC32C covers the compressed bytes so
-  * integrity is verified BEFORE decompression). zstd/snappy are whole
-  * libraries the no-new-dependencies rule excludes and are rejected
+  * Compression: the consumer decodes UNCOMPRESSED, GZIP, SNAPPY and
+  * LZ4 batches (attributes&7 == 0|1|2|3 — gzip via java.util.zip,
+  * lz4 via the hand-rolled [[Lz4]] frame/block decoder, snappy via
+  * the hand-rolled [[Snappy]] raw + xerial-frame decoder; all zero
+  * new dependencies, and the batch CRC32C covers the compressed bytes
+  * so integrity is verified BEFORE decompression). zstd is a whole
+  * library the no-new-dependencies rule excludes and is rejected
   * LOUDLY with the producer-side workaround named. The producer emits
   * uncompressed (gzip encode exists for the fixture's round-trip
-  * proof; the lz4 fixture encoder lives test-side).
+  * proof; the lz4/snappy fixture encoders live test-side).
   *
   * Distribution shape matches the other brokered connectors: ONE
   * driver-side poller (the reference's single consumer loop,
@@ -260,21 +261,23 @@ private[graft] object KafkaProto {
             val plain = gz.readAllBytes()
             bb.position(bb.position() + recordsLen)
             new Cursor(ByteBuffer.wrap(plain))
+          case 2 =>
+            val plain = Snappy.decode(recordSet, bb.position(), recordsLen)
+            bb.position(bb.position() + recordsLen)
+            new Cursor(ByteBuffer.wrap(plain))
           case 3 =>
             val plain = Lz4.decodeFrame(recordSet, bb.position(), recordsLen)
             bb.position(bb.position() + recordsLen)
             new Cursor(ByteBuffer.wrap(plain))
           case other =>
-            val name = other match {
-              case 2 => "snappy"; case 4 => "zstd"; case x => s"codec $x"
-            }
+            val name = if (other == 4) "zstd" else s"codec $other"
             throw new IllegalArgumentException(
               s"kafka: $name-compressed batches not supported — graft " +
-                "decodes uncompressed, gzip (java.util.zip) and lz4 " +
-                "(hand-rolled frame decoder); zstd/snappy require " +
-                "libraries the no-new-dependencies rule excludes. " +
+                "decodes uncompressed, gzip (java.util.zip), lz4 and " +
+                "snappy (hand-rolled decoders); zstd is a whole " +
+                "library the no-new-dependencies rule excludes. " +
                 "Configure producers with compression.type=" +
-                "none|gzip|lz4, or bind spark-sql-kafka.")
+                "none|gzip|lz4|snappy, or bind spark-sql-kafka.")
         }
         var i = 0
         while (i < n) {

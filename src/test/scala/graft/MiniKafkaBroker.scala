@@ -66,6 +66,11 @@ final class MiniKafkaBroker(
     * a second implementation.
     */
   @volatile var lz4Fetch = false
+  /** Fetch responses carry xerial-framed snappy batches
+    * (attributes=2), encoded by the independent test-side compressor
+    * (SnappyFixture).
+    */
+  @volatile var snappyFetch = false
   /** Flip one CRC-covered byte in the NEXT fetched batch — the
     * corrupt-frame fault MalformedFrameSpec drives through the
     * poller (decode must route to reconnect, never die silently).
@@ -329,6 +334,8 @@ final class MiniKafkaBroker(
                       val batch =
                         if (lz4Fetch) KafkaProto.encodeBatchWith(off, recs,
                           codec = 3, Lz4Fixture.encodeFrame)
+                        else if (snappyFetch) KafkaProto.encodeBatchWith(off,
+                          recs, codec = 2, SnappyFixture.encodeXerial(_))
                         else KafkaProto.encodeBatch(off, recs, gzip = gzipFetch)
                       if (corruptNextFetch) {
                         corruptNextFetch = false
