@@ -106,12 +106,25 @@ object VplAst {
   final case class VContext(name: String, cores: Seq[Int])
   // --- imperative fn bodies (the `.process()` subset) --------------
   sealed trait VStmt
-  /** `for v in a..b:` (exclusive) / `a..=b` (inclusive) */
+  /** `for v in a..b:` (exclusive) / `a..=b` (inclusive) / `range(n)` */
   final case class SFor(v: String, from: VExpr, to: VExpr,
       inclusive: Boolean, body: Seq[VStmt]) extends VStmt
   /** `emit Type(name: expr, ...)` inside a processed fn */
   final case class SEmitStmt(eventType: String,
       args: Seq[(String, VExpr)]) extends VStmt
+  /** `let x [: type] = expr` binding */
+  final case class SLet(name: String, value: VExpr) extends VStmt
+  /** `x := expr` reassignment */
+  final case class SAssign(name: String, value: VExpr) extends VStmt
+  /** `while cond:` loop */
+  final case class SWhile(cond: VExpr, body: Seq[VStmt]) extends VStmt
+  /** statement `if cond:` / `else:` (distinct from the ternary) */
+  final case class SIf(cond: VExpr, thn: Seq[VStmt],
+      els: Seq[VStmt]) extends VStmt
+  /** `return [expr]` (a bare trailing expression is an implicit one) */
+  final case class SReturn(e: VExpr) extends VStmt
+  case object SBreak extends VStmt
+  case object SContinue extends VStmt
 
   /** function: single-expression body (inlined at call sites), or a
     * statement block of for/emit (compile-time unrolled by

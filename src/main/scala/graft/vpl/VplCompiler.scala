@@ -710,15 +710,55 @@ final class VplCompiler(program: VProgram, source: VplSource,
     if (depth > 20) throw VplCompileError("fn inlining too deep (recursive fn?)")
     e match {
       case VCall(name, args)
+          if fns.contains(name) && fns(name).stmts.nonEmpty &&
+            !fns(name).stmts.exists(_.isInstanceOf[SEmitStmt]) =>
+        // imperative statement body (while/if/assignment/recursion —
+        // imperative_benchmark.rs): constant-argument calls evaluate
+        // ONCE at compile time through the fuel-capped interpreter
+        // and re-enter the plan as a literal (the reference
+        // interprets the same body per event; with constant args the
+        // value is a per-event constant). emit-bodied fns stay on the
+        // .process() unroll path.
+        val inlined = args.map(inlineFns(_, depth + 1))
+        VplInterp.constArgs(inlined) match {
+          case Some(vals) =>
+            try VplInterp.toExpr(VplInterp.callFn(fns, fns(name), vals))
+            catch {
+              case ie: VplInterp.InterpError => throw VplCompileError(
+                s"fn $name: ${ie.getMessage}")
+            }
+          case None => throw VplCompileError(
+            s"fn $name has an imperative statement body; calls with " +
+              "non-constant (event-field) arguments are outside the " +
+              "compiled subset — constant-argument calls evaluate at " +
+              "compile time, single-return bodies inline as expressions")
+        }
+      case VCall(name, args)
           if fns.contains(name) && fns(name).stmts.isEmpty =>
         val f = fns(name)
         if (f.params.size != args.size)
           throw VplCompileError(s"fn $name: expected ${f.params.size} args, got ${args.size}")
         val sub = f.params.map(_._1).zip(args).toMap
         inlineFns(substitute(f.body, sub), depth + 1)
-      case VCall(n, args)   => VCall(n, args.map(inlineFns(_, depth)))
+      case VCall(n, args) =>
+        // list/map-shaped builtins over constants fold here (a
+        // Seq-valued constant has no column translation); everything
+        // else stays in the compiled vocabulary
+        val in = args.map(inlineFns(_, depth))
+        VplInterp.constArgs(in)
+          .flatMap(vs => VplInterp.tryFold(n, vs))
+          .fold(VCall(n, in): VExpr)(VplInterp.toExpr)
       case VBin(op, l, r)   => VBin(op, inlineFns(l, depth), inlineFns(r, depth))
       case VUn(op, x)       => VUn(op, inlineFns(x, depth))
+      case VMethod(t, "__index", Seq(i)) =>
+        val t2 = inlineFns(t, depth)
+        val i2 = inlineFns(i, depth)
+        VplInterp.constArgs(Seq(t2, i2)) match {
+          case Some(Seq(tv, iv)) =>
+            VplInterp.indexConst(tv, iv)
+              .fold(VMethod(t2, "__index", Seq(i2)): VExpr)(VplInterp.toExpr)
+          case _ => VMethod(t2, "__index", Seq(i2))
+        }
       case VMethod(t, m, a) => VMethod(inlineFns(t, depth), m, a.map(inlineFns(_, depth)))
       case VIf(c, t, f)     => VIf(inlineFns(c, depth), inlineFns(t, depth), inlineFns(f, depth))
       case VList(items)     => VList(items.map(inlineFns(_, depth)))
@@ -2359,6 +2399,10 @@ final class VplCompiler(program: VProgram, source: VplSource,
               (a to end).foreach(i => exec(body, env + (v -> VInt(i))))
             case SEmitStmt(_, eargs) =>
               rows += eargs.map { case (n, e) => n -> substitute(e, env) }
+            case other => throw VplCompileError(
+              s".process bodies support for/emit; $other belongs to " +
+                "the constant-argument interpreted subset (call the fn " +
+                "in expression position instead)")
           }
         exec(fn.stmts, fn.params.map(_._1).zip(args).toMap)
         if (rows.isEmpty)

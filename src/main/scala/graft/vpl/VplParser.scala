@@ -298,7 +298,18 @@ object VplParser {
       case _ => primary(filter = false)
     }
 
+    /** Column (0-based) of a source offset — the layout information
+      * the reference's INDENT/DEDENT preprocessing carries; statement
+      * blocks in fn bodies are delimited by it.
+      */
+    private def colOf(p: Int): Int = {
+      var i = p - 1
+      while (i >= 0 && src(i) != '\n') i -= 1
+      p - i - 1
+    }
+
     private def fnDecl(): VFn = {
+      val fnCol = colOf(peek.pos)
       eatId("fn")
       val name = ident()
       eatOp("(")
@@ -310,65 +321,133 @@ object VplParser {
       eatOp(")")
       val ret = if (isOp("->")) { advance(); Some(typeExpr()) } else None
       eatOp(":")
-      peek match {
-        case TId(k, _) if Set("while", "return")(k) =>
-          fail(s"fn $name: statement-block bodies are outside the compiled VPL subset")
-        case TId(k, _) if Set("for", "emit")(k) =>
-          // imperative for/emit block — the `.process()` subset,
-          // unrolled at compile time (emit_process.vpl). Blocks are
-          // parsed greedily (indentation is not tokenized): a for's
-          // body is everything up to the next non-statement token.
-          return VFn(name, params.result(), ret, VNull, stmtBlock())
-        case _ => ()
+      // EVERY body parses as an indentation-delimited statement block
+      // (a bare expression is the implicit return). Shapes then
+      // specialize:
+      //  - `let*` + return → the substituted single EXPRESSION the
+      //    inliner puts into Catalyst (functions.vpl calculate_score,
+      //    and one-return fns like `fn double(x): return x * 2`)
+      //  - for/emit only → the `.process()` unroll subset
+      //  - anything with while/if/assignment/recursion → a statement
+      //    fn, evaluated by the compile-time interpreter (VplInterp)
+      //    for constant-argument calls
+      val stmts = stmtBlockIndent(fnCol)
+      if (stmts.isEmpty) fail(s"fn $name: empty body")
+      val isProcess = stmts.forall {
+        case _: SFor | _: SEmitStmt => true
+        case _                      => false
+      } && stmts.exists {
+        case _: SFor | _: SEmitStmt => true
+        case _                      => false
+      } && {
+        def hasEmit(ss: Seq[VStmt]): Boolean = ss.exists {
+          case _: SEmitStmt   => true
+          case SFor(_, _, _, _, b) => hasEmit(b)
+          case _              => false
+        }
+        hasEmit(stmts)
       }
-      // `let x = e` prefix bindings desugar by substitution into the
-      // final expression (functions.vpl calculate_score)
-      val binds = Seq.newBuilder[(String, VExpr)]
-      while (isId("let")) {
-        advance(); val n = ident()
-        if (isOp(":")) { advance(); typeExpr() }
-        eatOp("="); binds += (n -> expr())
+      if (isProcess) return VFn(name, params.result(), ret, VNull, stmts)
+      // pure value shapes desugar to a single EXPRESSION the inliner
+      // puts into Catalyst (so event-field arguments work per row):
+      // a trailing return, or an if/elif/else chain whose every
+      // branch returns (→ nested ternary)
+      def asExpr(ss: Seq[VStmt]): Option[VExpr] = ss match {
+        case Seq(SReturn(e))  => Some(e)
+        case Seq(SIf(c, t, els)) if els.nonEmpty =>
+          for (a <- asExpr(t); b <- asExpr(els)) yield VIf(c, a, b)
+        case _ => None
       }
-      def subst(e: VExpr, n: String, r: VExpr): VExpr = e match {
-        case VRef(`n`)        => r
-        case VBin(op, l, x)   => VBin(op, subst(l, n, r), subst(x, n, r))
-        case VUn(op, x)       => VUn(op, subst(x, n, r))
-        case VCall(f, as)     => VCall(f, as.map(subst(_, n, r)))
-        case VMethod(t, m, a) => VMethod(subst(t, n, r), m, a.map(subst(_, n, r)))
-        case VIf(c, a, b)     => VIf(subst(c, n, r), subst(a, n, r), subst(b, n, r))
-        case VList(is)        => VList(is.map(subst(_, n, r)))
-        case VStruct(is)      => VStruct(is.map { case (k, v) => k -> subst(v, n, r) })
-        case other            => other
+      val letPrefix = stmts.takeWhile(_.isInstanceOf[SLet])
+      asExpr(stmts.drop(letPrefix.length)) match {
+        case Some(e0) =>
+          val body = letPrefix.collect { case SLet(n, r) => (n, r) }
+            .foldRight(e0) { case ((n, r), acc) => subst(acc, n, r) }
+          VFn(name, params.result(), ret, body)
+        case None => VFn(name, params.result(), ret, VNull, stmts)
       }
-      val body = binds.result().foldRight(expr()) { case ((n, r), acc) =>
-        subst(acc, n, r)
-      }
-      VFn(name, params.result(), ret, body)
     }
 
-    private def stmtBlock(): Seq[VStmt] = {
+    /** Indentation-aware statement block: statements sit at one
+      * column strictly right of the parent construct; the first
+      * dedent ends the block, matching the reference's INDENT/DEDENT
+      * layout. A trailing bare expression is the implicit return.
+      */
+    private def stmtBlockIndent(parentCol: Int): Seq[VStmt] = {
       val stmts = Seq.newBuilder[VStmt]
+      if (peek.isInstanceOf[TEof]) fail("expected an indented block")
+      val blockCol = colOf(peek.pos)
+      if (blockCol <= parentCol) fail("expected an indented block")
       var more = true
-      while (more) peek match {
-        case TId("for", _) =>
-          advance(); val v = ident(); eatId("in")
-          // expr() now parses the range itself (rangeExpr)
-          val (from, to, incl) = expr() match {
-            case VCall("__range", Seq(a, b, VBool(i))) => (a, b, i)
-            case _ => fail("expected a range (a..b or a..=b) in for")
-          }
-          eatOp(":")
-          stmts += SFor(v, from, to, incl, stmtBlock())
-          more = false // greedy body: siblings after a for need indent info
-        case TId("emit", _) =>
-          advance(); val t = ident()
-          eatOp("(")
-          val args = Seq.newBuilder[(String, VExpr)]
-          def one(): Unit = { val n = ident(); eatOp(":"); args += (n -> expr()) }
-          if (!isOp(")")) { one(); while (isOp(",")) { advance(); one() } }
-          eatOp(")")
-          stmts += SEmitStmt(t, args.result())
-        case _ => more = false
+      while (more && !peek.isInstanceOf[TEof]) {
+        val c = colOf(peek.pos)
+        if (c < blockCol) more = false
+        else if (c > blockCol) fail("unexpected extra indentation")
+        else peek match {
+          case TId("let", _) =>
+            advance(); val n = ident()
+            if (isOp(":")) { advance(); typeExpr() }
+            eatOp("=")
+            stmts += SLet(n, expr())
+          case TId("while", _) =>
+            advance(); val cond = expr(); eatOp(":")
+            stmts += SWhile(cond, stmtBlockIndent(blockCol))
+          case TId("for", _) =>
+            advance(); val v = ident(); eatId("in")
+            val (from, to, incl) = expr() match {
+              case VCall("__range", Seq(a, b, VBool(i))) => (a, b, i)
+              case VCall("range", Seq(n))                => (VInt(0), n, false)
+              case _ =>
+                fail("expected a range (a..b, a..=b or range(n)) in for")
+            }
+            eatOp(":")
+            stmts += SFor(v, from, to, incl, stmtBlockIndent(blockCol))
+          case TId("return", _) =>
+            advance()
+            val dedented = peek.isInstanceOf[TEof] ||
+              colOf(peek.pos) <= blockCol
+            stmts += SReturn(if (dedented) VNull else expr())
+          case TId("break", _)    => advance(); stmts += SBreak
+          case TId("continue", _) => advance(); stmts += SContinue
+          case TId("emit", _) =>
+            advance(); val t = ident()
+            eatOp("(")
+            val args = Seq.newBuilder[(String, VExpr)]
+            def one(): Unit = {
+              val n = ident(); eatOp(":"); args += (n -> expr())
+            }
+            if (!isOp(")")) { one(); while (isOp(",")) { advance(); one() } }
+            eatOp(")")
+            stmts += SEmitStmt(t, args.result())
+          case TId("if", _) =>
+            // statement `if cond:` vs the ternary `if c then a else b`
+            // as an implicit return — backtrack on `then`
+            val save = pos
+            advance(); val cond = expr()
+            if (isOp(":")) {
+              advance()
+              val thn = stmtBlockIndent(blockCol)
+              def ifTail(): Seq[VStmt] =
+                if (isId("elif") && colOf(peek.pos) == blockCol) {
+                  advance(); val c2 = expr(); eatOp(":")
+                  val t2 = stmtBlockIndent(blockCol)
+                  Seq(SIf(c2, t2, ifTail()))
+                } else if (isId("else") && colOf(peek.pos) == blockCol) {
+                  advance(); eatOp(":"); stmtBlockIndent(blockCol)
+                } else Nil
+              stmts += SIf(cond, thn, ifTail())
+            } else {
+              pos = save
+              stmts += SReturn(expr())
+              more = false
+            }
+          case TId(n, _) if peekAt(1) == TOp(":=", peekAt(1).pos) =>
+            advance(); advance()
+            stmts += SAssign(n, expr())
+          case _ =>
+            stmts += SReturn(expr())
+            more = false
+        }
       }
       stmts.result()
     }
@@ -922,10 +1001,18 @@ object VplParser {
         eatOp("]")
         VList(items.result())
       case TOp("{", _) =>
-        // `{name: expr, ...}` struct literal (nested emit payloads)
+        // `{name: expr, ...}` struct literal (nested emit payloads) /
+        // `{"key": expr, ...}` map literal (imperative fn bodies) —
+        // one node; string keys stay verbatim
         advance()
         val items = Seq.newBuilder[(String, VExpr)]
-        def one(): Unit = { val n = ident(); eatOp(":"); items += (n -> expr()) }
+        def one(): Unit = {
+          val n = peek match {
+            case TStr(s, _) => advance(); s
+            case _          => ident()
+          }
+          eatOp(":"); items += (n -> expr())
+        }
         if (!isOp("}")) { one(); while (isOp(",")) { advance(); one() } }
         eatOp("}")
         VStruct(items.result())
