@@ -168,11 +168,13 @@ final class KinesisClient(endpoint: String, region: String,
   */
 final class KinesisPoller private (client: KinesisClient, stream: String,
     iteratorType: String, spoolDir: String, batchSize: Int,
-    pollIntervalMs: Long) {
+    pollIntervalMs: Long, maxRestarts: Int) {
 
   @volatile private var running = true
   @volatile private var records = 0L
   @volatile private var failures = 0L
+  @volatile private var restarted = 0L
+  @volatile private var terminal: Option[Throwable] = None
 
   private def spool(lines: Seq[String]): Unit = if (lines.nonEmpty) {
     val dir = Paths.get(spoolDir)
@@ -185,31 +187,69 @@ final class KinesisPoller private (client: KinesisClient, stream: String,
   }
 
   private val thread = new Thread(() => {
-    try {
-      var iterators = client.listShards(stream)
-        .map(s => client.getShardIterator(stream, s, iteratorType))
-      while (running) {
-        iterators = iterators.map { it =>
-          try {
-            val (recs, next) = client.getRecords(it, batchSize)
-            val (ok, bad) = recs.map(_.trim).partition(r =>
-              r.startsWith("{") && r.endsWith("}"))
-            spool(ok.map(_.replaceAll("[\n\r]+", " ")))
-            records += ok.length
-            failures += bad.length
-            next
-          } catch {
-            case _: java.io.IOException => failures += 1; it
+    var backoffMs = 500L
+    var attempts = 0
+    // same resilience contract as the brokered transports: ANY
+    // failure while running=true — a transport IOException from the
+    // shard bootstrap, or a NON-IO decode error (malformed
+    // GetRecords JSON, bad Base64) — routes through restart-with-
+    // backoff (shards and iterators re-resolve) and exhausted
+    // retries set terminalError. No exception may kill this thread
+    // while isDead reads false.
+    while (running && terminal.isEmpty) {
+      try {
+        var iterators = client.listShards(stream)
+          .map(s => client.getShardIterator(stream, s, iteratorType))
+        while (running) {
+          iterators = iterators.map { it =>
+            try {
+              val (recs, next) = client.getRecords(it, batchSize)
+              val (ok, bad) = recs.map(_.trim).partition(r =>
+                r.startsWith("{") && r.endsWith("}"))
+              spool(ok.map(_.replaceAll("[\n\r]+", " ")))
+              records += ok.length
+              failures += bad.length
+              attempts = 0; backoffMs = 500L
+              next
+            } catch {
+              // a transient per-shard transport miss keeps the old
+              // iterator and retries next interval
+              case _: java.io.IOException => failures += 1; it
+            }
           }
+          if (running) Thread.sleep(pollIntervalMs)
         }
-        if (running) Thread.sleep(pollIntervalMs)
+      } catch {
+        case _: InterruptedException => ()
+        case e: Throwable if running =>
+          attempts += 1
+          if (attempts > maxRestarts) {
+            terminal = Some(e)
+            System.err.println(
+              s"graft-kinesis-poller: terminal after $maxRestarts " +
+                s"restart attempts: $e")
+          } else {
+            System.err.println(s"graft-kinesis-poller: poll failed " +
+              s"($e); restart #$attempts in ${backoffMs}ms")
+            try Thread.sleep(backoffMs)
+            catch { case _: InterruptedException => () } // stop()
+            backoffMs = math.min(backoffMs * 2, 30000L)
+            restarted += 1
+          }
+        case _: Throwable if !running => ()
       }
-    } catch { case _: InterruptedException => () }
+    }
   }, s"graft-kinesis-poller-$stream")
   thread.setDaemon(true)
 
   def recordCount: Long = records
   def failureCount: Long = failures
+  def restartCount: Long = restarted
+  /** The exception that killed the poll loop, if any — None while
+    * healthy or after a clean stop().
+    */
+  def terminalError: Option[Throwable] = terminal
+  def isDead: Boolean = terminal.isDefined
 
   def stop(): Unit = {
     running = false
@@ -224,9 +264,9 @@ object KinesisPoller {
     */
   def start(client: KinesisClient, stream: String, spoolDir: String,
       iteratorType: String = "LATEST", batchSize: Int = 100,
-      pollIntervalMs: Long = 200L): KinesisPoller = {
+      pollIntervalMs: Long = 200L, maxRestarts: Int = 8): KinesisPoller = {
     val p = new KinesisPoller(client, stream, iteratorType, spoolDir,
-      batchSize, pollIntervalMs)
+      batchSize, pollIntervalMs, maxRestarts)
     p.thread.start()
     p
   }

@@ -88,27 +88,56 @@ final class RestPoller private (
       StandardCopyOption.ATOMIC_MOVE)
   }
 
+  @volatile private var terminal: Option[Throwable] = None
+
   private val thread = new Thread(() => {
-    while (running) {
-      getOnce() match {
-        case Some(body) =>
-          polls += 1
-          val t = body.trim
-          HttpJson.splitTopLevelArray(t) match {
-            case Some(evs) => spool(evs.map(oneLine))
-            case None =>
-              if (t.startsWith("{") && t.endsWith("}")) spool(Seq(oneLine(t)))
-              else failures += 1 // non-JSON body: counted, not spooled
-          }
-        case None => failures += 1
+    var consecutive = 0
+    // same resilience contract as the brokered transports: a NON-IO
+    // fault (pathological body crashing the JSON scan, spool-dir IO
+    // surfacing as a runtime error) counts a failure and keeps
+    // polling; too many CONSECUTIVE faults set terminalError. No
+    // exception may kill this thread while isDead reads false.
+    while (running && terminal.isEmpty) {
+      try {
+        getOnce() match {
+          case Some(body) =>
+            polls += 1
+            val t = body.trim
+            HttpJson.splitTopLevelArray(t) match {
+              case Some(evs) => spool(evs.map(oneLine))
+              case None =>
+                if (t.startsWith("{") && t.endsWith("}")) spool(Seq(oneLine(t)))
+                else failures += 1 // non-JSON body: counted, not spooled
+            }
+            consecutive = 0
+          case None => failures += 1
+        }
+      } catch {
+        case _: InterruptedException => ()
+        case e: Throwable if running =>
+          failures += 1
+          consecutive += 1
+          if (consecutive > 8) {
+            terminal = Some(e)
+            System.err.println(
+              s"graft-rest-poller: terminal after 8 consecutive faults: $e")
+          } else System.err.println(s"graft-rest-poller: poll failed: $e")
+        case _: Throwable if !running => ()
       }
-      if (running) Thread.sleep(intervalMs)
+      if (running && terminal.isEmpty)
+        try Thread.sleep(intervalMs)
+        catch { case _: InterruptedException => () } // stop()
     }
   }, s"graft-rest-poller-$baseUrl$path")
   thread.setDaemon(true)
 
   def pollCount: Long = polls
   def failureCount: Long = failures
+  /** The exception that killed the poll loop, if any — None while
+    * healthy or after a clean stop().
+    */
+  def terminalError: Option[Throwable] = terminal
+  def isDead: Boolean = terminal.isDefined
 
   def stop(): Unit = {
     running = false

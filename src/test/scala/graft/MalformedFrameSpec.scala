@@ -115,6 +115,58 @@ class MalformedFrameSpec extends SparkSpec {
     } finally { poller.stop(); srv.stop() }
   }
 
+  test("Kinesis: an invalid-Base64 record restarts the poller, never dies silently") {
+    val kin = new MiniKinesis("AK", "sec")
+    val dir = java.nio.file.Files.createTempDirectory("graft_mf_kin_")
+    try {
+      val client = new KinesisClient(kin.url, "us-east-1", "AK", "sec")
+      client.putRecords("ev", Seq(("k", """{"id":1}""")))
+      val poller = KinesisPoller.start(client, "ev", dir.toString,
+        iteratorType = "TRIM_HORIZON", pollIntervalMs = 20L)
+      try {
+        assert(awaitTrue(3000)(poller.recordCount == 1))
+        // ONE malformed GetRecords response: Base64 decode throws a
+        // NON-IO IllegalArgumentException mid-decode; the poller must
+        // restart (re-bootstrapping shard iterators), never die with
+        // isDead == false
+        kin.corruptNextGetRecords = true
+        client.putRecords("ev", Seq(("k", """{"id":2}""")))
+        assert(awaitTrue(10000)(poller.isDead || poller.restartCount > 0),
+          s"silently dead thread: dead=${poller.isDead} " +
+            s"restarts=${poller.restartCount}")
+        assert(awaitTrue(5000)(poller.recordCount >= 2),
+          s"records=${poller.recordCount}")
+        assert(!poller.isDead)
+      } finally poller.stop()
+    } finally kin.stop()
+  }
+
+  test("REST: a persistent spool fault exhausts into terminalError") {
+    // endpoint is healthy; the landing path is a FILE, so every spool
+    // throws a non-IO-loop fault — consecutive faults must exhaust
+    // into terminalError instead of killing the thread silently
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/feed", (x: com.sun.net.httpserver.HttpExchange) => {
+      val b = """{"id":1,"kind":"a"}""".getBytes("UTF-8")
+      x.sendResponseHeaders(200, b.length.toLong)
+      val os = x.getResponseBody
+      try os.write(b) finally os.close()
+    })
+    server.start()
+    val url = s"http://127.0.0.1:${server.getAddress.getPort}"
+    val f = java.nio.file.Files.createTempFile("graft_mf_rest_", ".notadir")
+    try {
+      val p = RestPoller.start(url, "/feed", f.toString, intervalMs = 20L)
+      try {
+        assert(awaitTrue(15000)(p.isDead),
+          s"dead=${p.isDead} failures=${p.failureCount}")
+        assert(p.terminalError.isDefined)
+        assert(p.failureCount >= 8)
+      } finally p.stop()
+    } finally server.stop(0)
+  }
+
   test("Kafka: an unsupported-codec batch exhausts retries into terminalError") {
     // a PERSISTENT decode failure (every refetch returns the same
     // zstd-marked batch) must not loop forever: retries exhaust into

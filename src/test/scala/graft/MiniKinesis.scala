@@ -22,6 +22,11 @@ final class MiniKinesis(accessKey: String, secretKey: String,
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
   def url: String = s"http://127.0.0.1:${server.getAddress.getPort}"
   def stop(): Unit = server.stop(0)
+  /** Serve ONE malformed (invalid-Base64) GetRecords response — the
+    * non-IO decode fault MalformedFrameSpec drives through the
+    * poller.
+    */
+  @volatile var corruptNextGetRecords = false
 
   // stream -> shard -> records (decoded payloads, in arrival order)
   val shards = Seq("shardId-000000000000", "shardId-000000000001")
@@ -100,10 +105,19 @@ final class MiniKinesis(accessKey: String, secretKey: String,
             val b = Seq.newBuilder[String]; l.forEach(b += _); b.result()
           }.getOrElse(Nil)
           val out = all.slice(off, off + limit)
-          val b64 = out.map(r => s"""{"Data":"${java.util.Base64.getEncoder
-            .encodeToString(r.getBytes(UTF_8))}","PartitionKey":"x"}""")
-          respond(x, 200, s"""{"Records":[${b64.mkString(",")}],""" +
-            s""""NextShardIterator":"$shard:${off + out.length}"}""")
+          if (corruptNextGetRecords && out.nonEmpty) {
+            // malformed payload: invalid Base64 crashes the client's
+            // decode with a NON-IO exception (MalformedFrameSpec)
+            corruptNextGetRecords = false
+            respond(x, 200,
+              """{"Records":[{"Data":"!!!not-base64!!!","PartitionKey":"x"}],""" +
+                s""""NextShardIterator":"$shard:$off"}""")
+          } else {
+            val b64 = out.map(r => s"""{"Data":"${java.util.Base64.getEncoder
+              .encodeToString(r.getBytes(UTF_8))}","PartitionKey":"x"}""")
+            respond(x, 200, s"""{"Records":[${b64.mkString(",")}],""" +
+              s""""NextShardIterator":"$shard:${off + out.length}"}""")
+          }
         case other =>
           respond(x, 400, s"""{"__type":"UnknownOperationException $other"}""")
       }
