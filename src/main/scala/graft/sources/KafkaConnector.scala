@@ -246,11 +246,12 @@ private[graft] object KafkaProto {
         val n = c.i32
         // the records block (everything after the batch header) is the
         // compressed section when attributes bits 0-2 name a codec;
-        // gzip decodes with java.util.zip, lz4 with the hand-rolled
-        // frame/block decoder ([[Lz4]]) — both zero new dependencies.
-        // The batch CRC32C above covers the COMPRESSED bytes, so
-        // integrity is already checked before decompression.
-        // zstd/snappy are whole libraries and stay LOUD rejections.
+        // gzip decodes with java.util.zip, lz4 and snappy with the
+        // hand-rolled decoders ([[Lz4]], [[Snappy]]) — zero new
+        // dependencies. The batch CRC32C above covers the COMPRESSED
+        // bytes, so integrity is already checked before decompression.
+        // zstd is a whole library (FSE/Huffman) and stays a LOUD
+        // rejection naming the workaround.
         val recordsLen = start + batchLength - bb.position()
         val rc: Cursor = codec match {
           case 0 => c
@@ -828,7 +829,11 @@ final case class KafkaConnector(
     * topic's poller at the same subdir.
     */
   override def withTarget(target: String): Connector =
-    copy(topic = target, spoolDir = s"$spoolDir/$target")
+    // same character sanitization as the MQTT/NATS/Redis connectors:
+    // a topic containing '/' or '..' must not land the spool outside
+    // the configured root
+    copy(topic = target,
+      spoolDir = s"$spoolDir/${target.replaceAll("[^A-Za-z0-9._-]", "_")}")
 
   override def read(spark: SparkSession, schema: Option[StructType]): DataFrame = {
     val r = spark.read

@@ -129,9 +129,12 @@ final class KinesisClient(endpoint: String, region: String,
   }
 
   def getShardIterator(stream: String, shardId: String,
-      iteratorType: String): String = {
+      iteratorType: String,
+      startingSequenceNumber: Option[String] = None): String = {
+    val seq = startingSequenceNumber.fold("")(s =>
+      s""","StartingSequenceNumber":"${JsonStr.escape(s)}"""")
     val resp = call("GetShardIterator",
-      s"""{"StreamName":"${JsonStr.escape(stream)}","ShardId":"${JsonStr.escape(shardId)}","ShardIteratorType":"$iteratorType"}""")
+      s"""{"StreamName":"${JsonStr.escape(stream)}","ShardId":"${JsonStr.escape(shardId)}","ShardIteratorType":"$iteratorType"$seq}""")
     HttpJson.stringValuesOf(resp, "ShardIterator").headOption
       .getOrElse(throw new java.io.IOException(s"kinesis: no iterator in $resp"))
   }
@@ -142,13 +145,29 @@ final class KinesisClient(endpoint: String, region: String,
     * mis-extract, because only structural object keys match.
     */
   def getRecords(iterator: String, limit: Int): (Seq[String], String) = {
+    val (recs, next) = getRecordsWithSeq(iterator, limit)
+    (recs.map(_._1), next)
+  }
+
+  /** Like [[getRecords]] but each record carries its SequenceNumber
+    * (empty string if the response omits them), so the poller can
+    * resume a recovered restart with AFTER_SEQUENCE_NUMBER instead of
+    * silently skipping the outage window (LATEST) or fully replaying
+    * (TRIM_HORIZON).
+    */
+  def getRecordsWithSeq(iterator: String,
+      limit: Int): (Seq[(String, String)], String) = {
     val resp = call("GetRecords",
       s"""{"ShardIterator":"${JsonStr.escape(iterator)}","Limit":$limit}""")
-    val recs = HttpJson.stringValuesOf(resp, "Data")
+    val datas = HttpJson.stringValuesOf(resp, "Data")
       .map(d => new String(java.util.Base64.getDecoder.decode(d), UTF_8))
+    val seqs = HttpJson.stringValuesOf(resp, "SequenceNumber")
+    val paired =
+      if (seqs.length == datas.length) datas.zip(seqs)
+      else datas.map(_ -> "")
     val next = HttpJson.stringValuesOf(resp, "NextShardIterator").headOption
       .getOrElse(throw new java.io.IOException(s"kinesis: no next iterator"))
-    (recs, next)
+    (paired, next)
   }
 }
 
@@ -196,25 +215,41 @@ final class KinesisPoller private (client: KinesisClient, stream: String,
     // backoff (shards and iterators re-resolve) and exhausted
     // retries set terminalError. No exception may kill this thread
     // while isDead reads false.
+    //
+    // Restart position parity with the Kafka poller's tracked
+    // offsets: the last delivered SequenceNumber is remembered per
+    // shard, and a recovered restart resumes each already-read shard
+    // with AFTER_SEQUENCE_NUMBER (never re-reading or skipping the
+    // outage window); iteratorType only positions shards never read.
+    val lastSeq = scala.collection.mutable.Map[String, String]()
     while (running && terminal.isEmpty) {
       try {
-        var iterators = client.listShards(stream)
-          .map(s => client.getShardIterator(stream, s, iteratorType))
+        var iterators = client.listShards(stream).map { s =>
+          val it = lastSeq.get(s).filter(_.nonEmpty) match {
+            case Some(seq) =>
+              client.getShardIterator(stream, s, "AFTER_SEQUENCE_NUMBER",
+                Some(seq))
+            case None => client.getShardIterator(stream, s, iteratorType)
+          }
+          s -> it
+        }
         while (running) {
-          iterators = iterators.map { it =>
+          iterators = iterators.map { case (shard, it) =>
             try {
-              val (recs, next) = client.getRecords(it, batchSize)
-              val (ok, bad) = recs.map(_.trim).partition(r =>
+              val (recs, next) = client.getRecordsWithSeq(it, batchSize)
+              recs.lastOption.map(_._2).filter(_.nonEmpty)
+                .foreach(lastSeq(shard) = _)
+              val (ok, bad) = recs.map(_._1.trim).partition(r =>
                 r.startsWith("{") && r.endsWith("}"))
               spool(ok.map(_.replaceAll("[\n\r]+", " ")))
               records += ok.length
               failures += bad.length
               attempts = 0; backoffMs = 500L
-              next
+              shard -> next
             } catch {
               // a transient per-shard transport miss keeps the old
               // iterator and retries next interval
-              case _: java.io.IOException => failures += 1; it
+              case _: java.io.IOException => failures += 1; shard -> it
             }
           }
           if (running) Thread.sleep(pollIntervalMs)

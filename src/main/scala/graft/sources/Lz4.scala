@@ -114,7 +114,14 @@ private[graft] object Lz4 {
     val contentSize: Long =
       if (hasContentSize) {
         val lo = u32(); val hi = u32()
-        lo | (hi << 32)
+        val cs = lo | (hi << 32)
+        // sanity-cap the DECLARED size before allocating: a corrupt or
+        // hostile header claiming >1 GiB (Kafka fetches cap responses
+        // at 64 MiB compressed) must raise Lz4Error, not a wrapped
+        // NegativeArraySizeException from contentSize.toInt
+        if (cs < 0L || cs > (1L << 30))
+          throw new Lz4Error(s"lz4: implausible declared content size $cs")
+        cs
       } else -1L
     if (hasDictId) s += 4
     s += 1 // header checksum byte — CRC32C upstream covers integrity

@@ -2953,10 +2953,31 @@ final class VplCompiler(program: VProgram, source: VplSource,
     // consistently ACROSS topics — two `.from(conn, topic:)` sources
     // number independently, so a per-source monotonic id cannot order
     // a multi-topic SASE pattern (the reference sequences on arrival
-    // time for the same reason)
+    // time for the same reason). Payload timestamps are often coarse
+    // (second/millisecond resolution), so bare unix_micros collides
+    // for same-ts events and strict >/< sequence joins would silently
+    // drop A-then-B pairs sharing a timestamp; spread ties at 1 µs
+    // spacing in per-source arrival order (row_number partitioned by
+    // the ts bucket — distributes on ts, no global sort). Exact and
+    // unique while the tie count stays below the payload granularity
+    // in µs (1e6 for second-resolution data); ids never change scale,
+    // so downstream arithmetic (`.process` unroll) stays overflow-free.
     val withId =
       if (withTs.columns.contains("event_id")) withTs
-      else withTs.withColumn("event_id", unix_micros(col("ts")))
+      else if (streaming)
+        // streams cannot window over monotonically_increasing_id; ts
+        // there is either processing time (already distinct) or
+        // payload time, where the micro-batch state machinery orders
+        // ties by arrival within the batch
+        withTs.withColumn("event_id", unix_micros(col("ts")))
+      else {
+        val arrivalInTie = row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("ts"))
+            .orderBy(monotonically_increasing_id()))
+        withTs.withColumn("event_id",
+          unix_micros(col("ts")) + arrivalInTie.cast("long") - lit(1L))
+      }
     // the streaming machinery routes on event_type (the batch
     // resolve() contract pre-filters instead, so batch omits it)
     if (streaming && !withId.columns.contains("event_type"))

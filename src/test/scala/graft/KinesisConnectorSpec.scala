@@ -80,6 +80,41 @@ class KinesisConnectorSpec extends SparkSpec {
     } finally kin.stop()
   }
 
+  test("restart resumes AFTER the last sequence number: outage window kept") {
+    // records produced between a poller fault and its recovery must
+    // be delivered exactly once — the restart re-resolves iterators
+    // with AFTER_SEQUENCE_NUMBER from the tracked per-shard position
+    // (LATEST would skip the outage window; TRIM_HORIZON would
+    // duplicate everything already spooled)
+    val kin = new MiniKinesis("AK", "sec")
+    val dir = java.nio.file.Files.createTempDirectory("graft_kinesis_res_")
+    try {
+      val c = new KinesisClient(kin.url, "us-east-1", "AK", "sec")
+      c.putRecords("s", (1 to 3).map(i => ("samekey", s"""{"id":$i}""")))
+      val poller = KinesisPoller.start(c, "s", dir.toString,
+        iteratorType = "TRIM_HORIZON", pollIntervalMs = 20L)
+      try {
+        assert(awaitTrue(3000)(poller.recordCount == 3))
+        // fault the next GetRecords (non-IO decode error -> restart
+        // with backoff), and land two more records DURING the outage
+        kin.corruptNextGetRecords = true
+        c.putRecords("s", (4 to 5).map(i => ("samekey", s"""{"id":$i}""")))
+        assert(awaitTrue(5000)(poller.restartCount >= 1))
+        assert(awaitTrue(5000)(poller.recordCount == 5),
+          s"outage records lost: count=${poller.recordCount}")
+        // exactly once: the spool holds ids 1..5 with no duplicates
+        val lines = java.nio.file.Files.list(dir).toArray.toSeq
+          .map(_.asInstanceOf[java.nio.file.Path])
+          .filter(_.getFileName.toString.startsWith("part-"))
+          .flatMap(p => scala.io.Source.fromFile(p.toFile).getLines().toSeq)
+        val ids = lines.flatMap(l =>
+          sources.HttpJson.longValueOf(l, "id"))
+        assert(ids.sorted == Seq(1L, 2L, 3L, 4L, 5L), s"got $ids")
+        assert(!poller.isDead)
+      } finally poller.stop()
+    } finally kin.stop()
+  }
+
   test("sink -> shards -> poller -> stream round trip, signed end to end") {
     val kin = new MiniKinesis("AK", "sec")
     val dir = java.nio.file.Files.createTempDirectory("graft_kinesis_rt_")

@@ -113,6 +113,15 @@ class Lz4Spec extends SparkSpec {
     val f3 = f2.clone()
     f3(6) = 99 // content size says 99
     intercept[Lz4.Lz4Error](Lz4.decodeFrame(f3, 0, f3.length))
+    // an implausible DECLARED content size (>1 GiB / >Int.MaxValue) is
+    // an Lz4Error at header parse, not a NegativeArraySizeException
+    // from the wrapped toInt at allocation
+    val huge = f2.clone()
+    huge(6) = 0; huge(7) = 0; huge(8) = 0; huge(9) = 0x80.toByte // 2 GiB
+    intercept[Lz4.Lz4Error](Lz4.decodeFrame(huge, 0, huge.length))
+    val wrap = f2.clone() // bit 63 set: negative when read as a long
+    (6 to 13).foreach(i => wrap(i) = 0); wrap(13) = 0x80.toByte
+    intercept[Lz4.Lz4Error](Lz4.decodeFrame(wrap, 0, wrap.length))
     // bad magic, reserved version and truncation are loud
     intercept[Lz4.Lz4Error](Lz4.decodeFrame(Array[Byte](1, 2, 3, 4, 5, 6, 7), 0, 7))
     val badVer = f2.clone(); badVer(4) = 0x20

@@ -89,10 +89,18 @@ final class MiniKinesis(accessKey: String, secretKey: String,
             .findFirstMatchIn(body).map(_.group(1)).getOrElse("?")
           val itType = """"ShardIteratorType"\s*:\s*"([^"]+)"""".r
             .findFirstMatchIn(body).map(_.group(1)).getOrElse("LATEST")
+          val startSeq = """"StartingSequenceNumber"\s*:\s*"([^"]+)"""".r
+            .findFirstMatchIn(body).map(_.group(1))
           // iterator token encodes shard + offset; TRIM_HORIZON reads
-          // from 0, LATEST from the current end
-          val off = if (itType == "TRIM_HORIZON") 0
-            else Option(data.get(shard)).map(_.size).getOrElse(0)
+          // from 0, LATEST from the current end, AT/AFTER_SEQUENCE_
+          // NUMBER from the given position (seq numbers here ARE the
+          // absolute offsets, like the real service's ordering)
+          val off = itType match {
+            case "TRIM_HORIZON"          => 0
+            case "AT_SEQUENCE_NUMBER"    => startSeq.map(_.toInt).getOrElse(0)
+            case "AFTER_SEQUENCE_NUMBER" => startSeq.map(_.toInt + 1).getOrElse(0)
+            case _ => Option(data.get(shard)).map(_.size).getOrElse(0)
+          }
           respond(x, 200, s"""{"ShardIterator":"$shard:$off"}""")
         case "GetRecords" =>
           val it = """"ShardIterator"\s*:\s*"([^"]+)"""".r
@@ -113,8 +121,11 @@ final class MiniKinesis(accessKey: String, secretKey: String,
               """{"Records":[{"Data":"!!!not-base64!!!","PartitionKey":"x"}],""" +
                 s""""NextShardIterator":"$shard:$off"}""")
           } else {
-            val b64 = out.map(r => s"""{"Data":"${java.util.Base64.getEncoder
-              .encodeToString(r.getBytes(UTF_8))}","PartitionKey":"x"}""")
+            val b64 = out.zipWithIndex.map { case (r, i) =>
+              s"""{"Data":"${java.util.Base64.getEncoder
+                .encodeToString(r.getBytes(UTF_8))}","PartitionKey":"x",""" +
+                s""""SequenceNumber":"${off + i}"}"""
+            }
             respond(x, 200, s"""{"Records":[${b64.mkString(",")}],""" +
               s""""NextShardIterator":"$shard:${off + out.length}"}""")
           }

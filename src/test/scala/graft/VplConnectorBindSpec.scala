@@ -172,6 +172,48 @@ class VplConnectorBindSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("batch .from: same-payload-ts A→B pairs still sequence (unique event_id)") {
+    // payload timestamps are often coarse (second resolution); bare
+    // unix_micros event_ids collide and strict >/< sequence joins
+    // silently drop same-ts pairs — the tiebreaker spreads ties at
+    // 1 µs spacing in arrival order, so A-then-B at the same second
+    // matches while B-then-A (arrival order) does not
+    val vpl =
+      s"""connector B = kafka(brokers: "127.0.0.1:19092")
+         |
+         |event Tick:
+         |    sym: str
+         |    kind: str
+         |    ts: timestamp
+         |
+         |stream In = Tick
+         |    .from(B, topic: "ties")
+         |    .emit(sym: sym, kind: kind)
+         |
+         |stream Pairs = Tick as a
+         |    -> Tick where kind == "B" and sym == a.sym and a.kind == "A" as b
+         |    .within(10s)
+         |    .emit(sym: a.sym)
+         |""".stripMargin
+    val prog = VplParser.parse(vpl)
+    val conns = ConnectorBinder.bind(prog)
+    val kc = conns("B").asInstanceOf[KafkaConnector]
+    val dir = java.nio.file.Paths.get(s"${kc.spoolDir}/ties")
+    java.nio.file.Files.createDirectories(dir)
+    // arrival order within the file IS the spool order; all four
+    // events share one second-resolution timestamp. sym=x arrives
+    // A then B (must match); sym=y arrives B then A (must not).
+    java.nio.file.Files.write(dir.resolve("part-0.json"), Seq(
+      """{"sym":"x","kind":"A","ts":"2024-01-01T00:00:00"}""",
+      """{"sym":"y","kind":"B","ts":"2024-01-01T00:00:00"}""",
+      """{"sym":"x","kind":"B","ts":"2024-01-01T00:00:00"}""",
+      """{"sym":"y","kind":"A","ts":"2024-01-01T00:00:00"}""")
+      .mkString("", "\n", "\n").getBytes(UTF_8))
+    val c = new VplCompiler(prog, emptyEvtSource, sourceConns = conns)
+    val got = c.stream("Pairs").select("sym").collect().map(_.getString(0)).toSeq
+    assert(got == Seq("x"), s"got $got")
+  }
+
   test("per-op sink target: one connector, two .to topics") {
     val srv = new MiniKafkaBroker(numPartitions = 1)
     try {
