@@ -1,0 +1,283 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import graft.sources._
+import graft.vpl._
+
+/** The five reference flink-comparison scenarios
+  * (benchmarks/flink-comparison/scenario1-5/varpulis.vpl) pinned to
+  * their DOCUMENTED outcomes (BENCHMARK_RESULTS.md's 4/4-PASS event
+  * table and test-harness/run_multi_scenario_benchmark.py's
+  * expected_alerts + generators).
+  *
+  * Scenarios 1-4 declare an MQTT connector, so they run over the
+  * loopback MQTT broker exactly like VplKafkaBenchSpec runs the kafka
+  * programs: publish the harness's events to the harness's
+  * `benchmark/input/{EventType}` topics → real MQTT subscriber spools
+  * → VPL compile → assert the documented alert set. The scenario
+  * files declare the connector but (like the reference CLI, main.rs
+  * run_program: "No source connector bindings found") cannot consume
+  * events without the `.from()` input wiring the harness establishes
+  * externally by publishing per-event-type topics — the spec appends
+  * exactly that wiring (`stream __HarnessIn_X = X .from(MqttBench,
+  * topic: "benchmark/input/X")`), leaving every pattern/window/join
+  * under test verbatim. Scenario 5 declares no connector and replays
+  * over .evt (the reference's simulate path).
+  *
+  * Event times: the harness stamps epoch-ms offsets from a wall-clock
+  * base; the spec uses the same RELATIVE offsets from a fixed ISO
+  * base so runs are deterministic. Documented expectations that
+  * depend only on those relative offsets (alert sets, severities,
+  * aggregate values) are asserted exactly.
+  */
+class VplFlinkBenchSpec extends SparkSpec {
+
+  private val benchDir = "/root/reference/benchmarks/flink-comparison"
+
+  private def awaitTrue(timeoutMs: Long)(cond: => Boolean): Boolean = {
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    var ok = cond
+    while (!ok && System.nanoTime() < deadline) { Thread.sleep(20); ok = cond }
+    ok
+  }
+
+  private def emptyEvtSource: EvtSource = {
+    val f = java.nio.file.Files.createTempFile("graft_fb_empty", ".evt")
+    new EvtSource(spark, Seq(f.toString), Map.empty)
+  }
+
+  private def approx(a: Double, b: Double): Boolean =
+    math.abs(a - b) <= 1e-6 * math.max(1.0, math.max(math.abs(a), math.abs(b)))
+
+  /** Run one scenario verbatim over the MQTT loopback: `inputs` maps
+    * each event TYPE to its JSON payload lines, published to the
+    * harness topic `benchmark/input/{type}` (one subscriber per
+    * topic, spooling into the bound connector's per-topic landing
+    * dir).
+    */
+  private def run(scenarioDir: String, inputs: Seq[(String, Seq[String])],
+      streamName: String): org.apache.spark.sql.DataFrame = {
+    val broker = new MiniMqttBroker()
+    try {
+      val base = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$benchDir/$scenarioDir/varpulis.vpl")), UTF_8)
+        .replace("\"localhost\"", "\"127.0.0.1\"")
+        .replace("port: 1883", s"port: ${broker.port}")
+      val wiring = inputs.map { case (tpe, _) =>
+        s"""stream __HarnessIn_$tpe = $tpe
+           |    .from(MqttBench, topic: "benchmark/input/$tpe")""".stripMargin
+      }.mkString("\n\n")
+      val prog = VplParser.parse(base + "\n\n" + wiring + "\n")
+      val conns = ConnectorBinder.bind(prog)
+      val mc = conns("MqttBench").asInstanceOf[MqttConnector]
+      inputs.zipWithIndex.foreach { case ((tpe, lines), i) =>
+        val topic = s"benchmark/input/$tpe"
+        val landing = mc.withTarget(topic)
+          .asInstanceOf[MqttConnector].spoolDir
+        val sub = MqttSubscriber.start("127.0.0.1", broker.port, topic,
+          landing, clientId = s"graft-fb-sub-$i")
+        val pub = new MqttClient("127.0.0.1", broker.port, s"graft-fb-pub-$i")
+        try {
+          pub.publishAll(topic, lines, qos = 1)
+          assert(awaitTrue(5000)(sub.messageCount == lines.size),
+            s"$topic spooled ${sub.messageCount}/${lines.size}")
+        } finally { pub.close(); sub.stop() }
+      }
+      val c = new VplCompiler(prog, emptyEvtSource,
+        sinks = conns, sourceConns = conns)
+      val df = c.stream(streamName)
+      df.collect() // materialize while the fixture is alive
+      df
+    } finally broker.stop()
+  }
+
+  test("scenario1: PageView aggregation by category (5m window, 30s slide)") {
+    // run_multi_scenario_benchmark.py generate_scenario1_events —
+    // same relative offsets from an aligned fixed base;
+    // expected_alerts = ["news", "tech"]
+    val events = Seq(
+      ("user1", "/home", "news", 1500, 0),
+      ("user2", "/sports", "news", 2000, 1),
+      ("user3", "/tech", "tech", 3000, 2),
+      ("user1", "/weather", "news", 1000, 3),
+      ("user4", "/gadgets", "tech", 2500, 4),
+      ("user2", "/reviews", "tech", 4000, 5),
+      ("user5", "/politics", "news", 1800, 6),
+      ("_heartbeat", "/system", "system", 0, 310))
+    // seconds 0..6 land in one aligned 30s bucket; 310 wraps via minutes
+    val fixed = events.map { case (u, p, c, d, s) =>
+      s"""{"user_id":"$u","page":"$p","category":"$c","duration_ms":$d,"ts":"2026-01-01T00:${"%02d".format(5 + s / 60)}:${"%02d".format(s % 60)}"}"""
+    }
+    val out = run("scenario1-aggregation",
+      Seq("PageView" -> fixed), "PageViewsByCategory")
+    val rows = out.select("category", "view_count", "unique_users",
+      "avg_duration_ms", "total_duration_ms")
+      .collect().map(r => (r.getString(0),
+        r.getAs[Number](1).longValue, r.getAs[Number](2).longValue,
+        r.getAs[Number](3).doubleValue, r.getAs[Number](4).longValue))
+    val byCat = rows.groupBy(_._1)
+    // the documented alert categories fire with exactly the
+    // harness-event aggregates; every sliding window containing the
+    // 7-event burst reports the same values
+    val news = byCat("news").distinct
+    assert(news.toSet == Set(("news", 4L, 3L, 1575.0, 6300L)), s"news: ${news.toSeq}")
+    val tech = byCat("tech").distinct.toSeq
+    assert(tech.size == 1 && tech.head._2 == 3L && tech.head._3 == 3L &&
+      approx(tech.head._4, 9500.0 / 3) && tech.head._5 == 9500L,
+      s"tech: $tech")
+    // 5m/30s sliding → each event belongs to 10 windows; the burst
+    // spans 6s inside one 30s bucket, so news/tech each emit 10 rows
+    assert(byCat("news").length == 10 && byCat("tech").length == 10,
+      s"windows: news=${byCat("news").length} tech=${byCat("tech").length}")
+    assert(!rows.exists(r => r._1 != "news" && r._1 != "tech" && r._1 != "system"))
+  }
+
+  test("scenario2: Login -> failed Transaction, the documented 4/4-PASS table") {
+    // BENCHMARK_RESULTS.md test table + test-harness/data/
+    // scenario2_events.json (10 events, ts 1000..10000 ms): alerts for
+    // user1..user4, none for the success transactions
+    def ts(s: Int) = s"2026-01-01T00:00:${"%02d".format(s)}"
+    val logins = Seq(
+      ("user1", "192.168.1.1", "mobile", 1),
+      ("user2", "192.168.1.2", "desktop", 2),
+      ("user3", "192.168.1.3", "tablet", 5),
+      ("user4", "192.168.1.4", "mobile", 8)).map { case (u, ip, d, s) =>
+      s"""{"user_id":"$u","ip_address":"$ip","device":"$d","ts":"${ts(s)}"}"""
+    }
+    val txs = Seq(
+      ("user1", 500.0, "failed", "store_a", 3),
+      ("user3", 100.0, "success", "store_b", 4),
+      ("user2", 1500.0, "failed", "store_c", 6),
+      ("user3", 200.0, "failed", "store_d", 7),
+      ("user4", 50.0, "success", "store_e", 9),
+      ("user4", 2000.0, "failed", "store_f", 10)).map { case (u, a, st, m, s) =>
+      s"""{"user_id":"$u","amount":$a,"status":"$st","merchant":"$m","ts":"${ts(s)}"}"""
+    }
+    val out = run("scenario2-sequence",
+      Seq("Login" -> logins, "Transaction" -> txs), "SuspiciousActivity")
+    val got = out.select("user_id", "login_ip", "login_device",
+      "failed_amount", "merchant", "severity")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getDouble(3), r.getString(4), r.getString(5))).toSet
+    val expected = Set(
+      ("user1", "192.168.1.1", "mobile", 500.0, "store_a", "medium"),
+      ("user2", "192.168.1.2", "desktop", 1500.0, "store_c", "high"),
+      ("user3", "192.168.1.3", "tablet", 200.0, "store_d", "medium"),
+      ("user4", "192.168.1.4", "mobile", 2000.0, "store_f", "high"))
+    assert(got == expected, s"got $got")
+    assert(out.select("alert_type").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("LOGIN_THEN_FAILED_TX"))
+  }
+
+  test("scenario3: fraud chain suspicious -> 3 small purchases -> withdrawal") {
+    // generate_scenario3_events: expected_alerts = ["user1"] — user2's
+    // normal activity and the heartbeat must not alert
+    def ts(s: Int) = s"2026-01-01T00:00:${"%02d".format(s)}"
+    val txs = Seq(
+      ("user1", 6000.0, "transfer", "foreign_bank", "unknown", 0.85, 0),
+      ("user1", 25.0, "purchase", "coffee_shop", "city_a", 0.1, 5),
+      ("user1", 50.0, "purchase", "gas_station", "city_a", 0.1, 10),
+      ("user1", 35.0, "purchase", "grocery", "city_a", 0.1, 15),
+      ("user1", 5000.0, "withdrawal", "atm", "city_b", 0.5, 20),
+      ("user2", 200.0, "purchase", "store", "city_a", 0.2, 3),
+      ("_heartbeat", 0.0, "heartbeat", "system", "system", 0.0, 59))
+      .map { case (u, a, t, m, l, r, s) =>
+        s"""{"user_id":"$u","amount":$a,"type":"$t","merchant":"$m","location":"$l","risk_score":$r,"ts":"${ts(s)}"}"""
+      }
+    val out = run("scenario3-fraud", Seq("Transaction" -> txs), "FraudPattern")
+    val got = out.select("user_id", "initial_risk_score", "initial_amount",
+      "small_tx_total", "withdrawal_amount", "severity")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getString(5)))
+    assert(got.length == 1, s"got ${got.toSeq}")
+    val a = got.head
+    assert(a._1 == "user1" && approx(a._2, 0.85) && approx(a._3, 6000.0) &&
+      approx(a._4, 110.0) && approx(a._5, 5000.0) && a._6 == "critical",
+      s"alert $a")
+  }
+
+  test("scenario4: arbitrage join — documented alerts AAPL, MSFT, TSLA") {
+    // generate_scenario4_events: GOOG's 0.18% spread must not alert,
+    // the MarketA-only heartbeat must not join
+    def ts(s: Int) = s"2026-01-01T00:0${s / 60}:${"%02d".format(s % 60)}"
+    def tick(sym: String, price: Double, vol: Int, ex: String, s: Int) =
+      s"""{"symbol":"$sym","price":$price,"volume":$vol,"exchange":"$ex","ts":"${ts(s)}"}"""
+    val as = Seq(
+      tick("AAPL", 150.00, 1000, "NYSE", 10),
+      tick("GOOG", 2800.00, 500, "NYSE", 20),
+      tick("MSFT", 380.00, 1200, "NYSE", 30),
+      tick("TSLA", 250.00, 2000, "NYSE", 40),
+      tick("_heartbeat", 0.0, 0, "system", 50))
+    val bs = Seq(
+      tick("AAPL", 152.50, 800, "NASDAQ", 10),
+      tick("GOOG", 2805.00, 600, "NASDAQ", 20),
+      tick("MSFT", 386.00, 1000, "NASDAQ", 30),
+      tick("TSLA", 255.00, 1800, "NASDAQ", 40))
+    val out = run("scenario4-join",
+      Seq("MarketATick" -> as, "MarketBTick" -> bs), "ArbitrageOpportunity")
+    val got = out.select("symbol", "price_a", "price_b", "spread_pct",
+      "buy_on", "sell_on", "potential_profit")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getString(4), r.getString(5), r.getDouble(6)))
+      .sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq("AAPL", "MSFT", "TSLA"),
+      s"alert symbols ${got.map(_._1).toSeq}")
+    val expected = Map(
+      "AAPL" -> (150.0, 152.5, 2.5 / 150.0 * 100, 2.5 * 800),
+      "MSFT" -> (380.0, 386.0, 6.0 / 380.0 * 100, 6.0 * 1000),
+      "TSLA" -> (250.0, 255.0, 5.0 / 250.0 * 100, 5.0 * 1800))
+    got.foreach { case (sym, pa, pb, spread, buy, sell, profit) =>
+      val (ea, eb, es, ep) = expected(sym)
+      assert(approx(pa, ea) && approx(pb, eb) && approx(spread, es) &&
+        approx(profit, ep), s"$sym: ($pa, $pb, $spread, $profit)")
+      assert(buy == "NYSE" && sell == "NASDAQ", s"$sym routed $buy/$sell")
+    }
+  }
+
+  test("scenario5: progressive degradation + anomalous peaks over .evt replay") {
+    // no connector declared — the reference's simulate/.evt path.
+    // s1: 12 alternating 6/14 readings (avg 10, sample std 4.178 >
+    // 0.3*avg, count 12 > 10) → degradation; every (6, 14) ordered
+    // pair within 30m → 21 peaks. s2: 10 then 16 (1.6x) → 1 peak,
+    // only 2 readings → no degradation. s3: flat → nothing.
+    val sb = new StringBuilder
+    var t = 0
+    def emit(sensor: String, v: Double, loc: String): Unit = {
+      sb.append(s"BATCH ${t * 1000}\n")
+      sb.append(s"""SensorReading { sensor_id: "$sensor", value: $v, unit: "c", location: "$loc" }""")
+        .append("\n")
+      t += 10
+    }
+    (0 until 12).foreach(i => emit("s1", if (i % 2 == 0) 6.0 else 14.0, "z1"))
+    emit("s2", 10.0, "z2"); emit("s2", 16.0, "z2")
+    (0 until 4).foreach(_ => emit("s3", 10.0, "z3"))
+    val evt = java.nio.file.Files.createTempFile("graft_fb5", ".evt")
+    java.nio.file.Files.write(evt, sb.toString.getBytes(UTF_8))
+    val vpl = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$benchDir/scenario5-anomaly/varpulis.vpl")), UTF_8)
+    val all = Vpl.runEvt(spark, vpl, Seq(evt.toString))
+
+    val deg = all("ProgressiveDegradation").get
+      .select("sensor_id", "location", "avg_value", "std_value")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2),
+        r.getDouble(3)))
+    val expStd = math.sqrt(12 * 16.0 / 11) // sample stddev of 6/14 x6
+    assert(deg.nonEmpty && deg.forall { case (s, l, avg, std) =>
+      s == "s1" && l == "z1" && approx(avg, 10.0) && approx(std, expStd)
+    }, s"degradation: ${deg.toSeq}")
+    // 1h/5m sliding → the 110s burst sits in one 5m bucket → 12 windows
+    assert(deg.length == 12, s"${deg.length} degradation windows")
+
+    val peaks = all("AnomalousPeak").get
+      .select("sensor_id", "baseline_value", "spike_value")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    val s1Peaks = peaks.filter(_._1 == "s1")
+    val s2Peaks = peaks.filter(_._1 == "s2")
+    assert(s1Peaks.length == 21 &&
+      s1Peaks.forall(p => p._2 == 6.0 && p._3 == 14.0),
+      s"s1 peaks: ${s1Peaks.length}")
+    assert(s2Peaks.toSeq == Seq(("s2", 10.0, 16.0)), s"s2 peaks: ${s2Peaks.toSeq}")
+    assert(peaks.length == 22, s"total peaks ${peaks.length}")
+  }
+}
