@@ -103,7 +103,45 @@ object VplQueries {
       |          status: enrich_status)
       |""".stripMargin
 
+  private val stmtFnVpl =
+    """# per-event imperative fn body (while/:=/if) over an EVENT FIELD
+      |# (varpulis.pest statement grammar; the reference interprets the
+      |# body per event) — compiles to the fuel-capped row-level fold
+      |fn collatz_steps(v: int) -> int:
+      |    let n = v
+      |    let k = 0
+      |    while n > 1:
+      |        if n % 2 == 0:
+      |            n := n / 2
+      |        else:
+      |            n := 3 * n + 1
+      |        k := k + 1
+      |    return k
+      |
+      |stream CollatzSteps = purchase
+      |    .emit(event_id: event_id,
+      |          seed: to_int(floor(value)) % 97 + 1,
+      |          steps: collatz_steps(to_int(floor(value)) % 97 + 1))
+      |""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    // per-event imperative statement body under the hash gate: the
+    // oracle re-runs the while-loop as a DuckDB recursive CTE (the
+    // f4/g3 recursive-CTE precedent), one iteration per step
+    "x8_vpl_stmt_fn" -> QueryDef.of(
+      """WITH RECURSIVE base AS (
+        |  SELECT event_id, CAST(FLOOR(value) AS BIGINT) % 97 + 1 AS seed
+        |  FROM events WHERE event_type = 'purchase'
+        |), c AS (
+        |  SELECT event_id, seed, seed AS n, 0 AS k FROM base
+        |  UNION ALL
+        |  SELECT event_id, seed,
+        |    CASE WHEN n % 2 = 0 THEN n // 2 ELSE 3 * n + 1 END, k + 1
+        |  FROM c WHERE n > 1
+        |)
+        |SELECT event_id, seed, CAST(MAX(k) AS BIGINT) AS steps
+        |FROM c GROUP BY 1, 2""".stripMargin)(
+      (s, dir) => Vpl.tableStream(s, dir, stmtFnVpl, "CollatzSteps")),
     // `.enrich` through the FULL front end: the connector binds the
     // customer table (key column renamed to the VPL key), broadcast
     // left join + fallback coalesce — e1's semantics reached from

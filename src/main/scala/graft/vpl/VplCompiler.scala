@@ -717,8 +717,10 @@ final class VplCompiler(program: VProgram, source: VplSource,
         // ONCE at compile time through the fuel-capped interpreter
         // and re-enter the plan as a literal (the reference
         // interprets the same body per event; with constant args the
-        // value is a per-event constant). emit-bodied fns stay on the
-        // .process() unroll path.
+        // value is a per-event constant). Event-field-argument calls
+        // stay as calls here and compile to the per-row interpreter
+        // fold ([[StmtFnCall]]) in translate. emit-bodied fns stay on
+        // the .process() unroll path.
         val inlined = args.map(inlineFns(_, depth + 1))
         VplInterp.constArgs(inlined) match {
           case Some(vals) =>
@@ -727,11 +729,7 @@ final class VplCompiler(program: VProgram, source: VplSource,
               case ie: VplInterp.InterpError => throw VplCompileError(
                 s"fn $name: ${ie.getMessage}")
             }
-          case None => throw VplCompileError(
-            s"fn $name has an imperative statement body; calls with " +
-              "non-constant (event-field) arguments are outside the " +
-              "compiled subset — constant-argument calls evaluate at " +
-              "compile time, single-return bodies inline as expressions")
+          case None => VCall(name, inlined)
         }
       case VCall(name, args)
           if fns.contains(name) && fns(name).stmts.isEmpty =>
@@ -808,6 +806,39 @@ final class VplCompiler(program: VProgram, source: VplSource,
     case VList(items)     => VList(items.map(substitute(_, sub)))
     case VStruct(items)   => VStruct(items.map { case (n, x) => n -> substitute(x, sub) })
     case other            => other
+  }
+
+  /** Per-event imperative fn call over event-field args → the
+    * fuel-capped row-level interpreter fold ([[StmtFnCall]]).
+    * Validated here so misuse fails at compile time with VPL-shaped
+    * errors, never as an executor-side analysis failure.
+    */
+  private def stmtFnColumn(name: String, args: Seq[Column]): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val fn = fns(name)
+    if (fn.stmts.exists(_.isInstanceOf[SEmitStmt])) throw VplCompileError(
+      s"fn $name: emit-bodied fns run through .process(), not in " +
+        "expression position")
+    if (fn.params.size != args.size) throw VplCompileError(
+      s"fn $name: expected ${fn.params.size} args, got ${args.size}")
+    val dt: org.apache.spark.sql.types.DataType =
+      fn.ret.map(_.stripSuffix("?")) match {
+        case Some("int")   => org.apache.spark.sql.types.LongType
+        case Some("float") => org.apache.spark.sql.types.DoubleType
+        case Some("str")   => org.apache.spark.sql.types.StringType
+        case Some("bool")  => org.apache.spark.sql.types.BooleanType
+        case Some(other) => throw VplCompileError(
+          s"fn $name: per-event imperative calls return scalars " +
+            s"(int|float|str|bool), declared -> $other")
+        case None => throw VplCompileError(
+          s"fn $name: a per-event imperative call needs a declared " +
+            s"return type (`fn $name(...) -> int:`) — the row-level " +
+            "fold cannot infer its column type from a dynamically-" +
+            "typed body; constant-argument calls still evaluate at " +
+            "compile time without one")
+      }
+    ColumnBridge.column(
+      StmtFnCall(name, fns, dt, args.map(ColumnBridge.expression)))
   }
 
   private def translate(raw: VExpr, ctx: ExprCtx): Column = {
@@ -900,6 +931,12 @@ final class VplCompiler(program: VProgram, source: VplSource,
       case VCall("map", Seq(arrE, VLambda(Seq(p1, p2), body))) =>
         transform(t(arrE), x => withBound(Seq(
           p1 -> element_at(x, 1), p2 -> element_at(x, 2)))(t(body)))
+      // imperative statement-fn call whose args survived const
+      // folding → event-field args: the per-row fuel-capped
+      // interpreter fold (the reference evaluates the same body per
+      // event through its engine evaluator)
+      case VCall(fn0, args) if fns.contains(fn0) && fns(fn0).stmts.nonEmpty =>
+        stmtFnColumn(fn0, args.map(t))
       case VCall(fn, args) => builtin(fn, args.map(t))
       case VMethod(target, "__index", Seq(i)) =>
         poly(graft.functions.PolyIndex(_, _), t(target), t(i))

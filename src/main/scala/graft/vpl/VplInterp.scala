@@ -121,6 +121,15 @@ object VplInterp {
   def callFn(fns: Map[String, VFn], fn: VFn, args: Seq[Any]): Any =
     callFn(fns, fn, args, new Fuel(10000000L), depth = 0)
 
+  /** [[callFn]] with a caller-chosen fuel budget — the PER-ROW entry
+    * point of [[StmtFnCall]], where a runaway body must fail after a
+    * bounded number of steps on that row rather than consume the
+    * compile-time allowance.
+    */
+  def callFn(fns: Map[String, VFn], fn: VFn, args: Seq[Any],
+      fuelSteps: Long): Any =
+    callFn(fns, fn, args, new Fuel(fuelSteps), depth = 0)
+
   private def callFn(fns: Map[String, VFn], fn: VFn, args: Seq[Any],
       fuel: Fuel, depth: Int): Any = {
     if (depth > 256) throw InterpError(

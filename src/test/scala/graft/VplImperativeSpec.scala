@@ -115,8 +115,7 @@ class VplImperativeSpec extends SparkSpec {
       "all_positive")
   }
 
-  test("guardrails: runaway while exhausts fuel; field args to " +
-      "imperative bodies fail pointedly") {
+  test("guardrails: runaway while exhausts fuel at compile time") {
     val runaway =
       """event Pt:
         |    v: int
@@ -135,22 +134,135 @@ class VplImperativeSpec extends SparkSpec {
     val r = Vpl.runEvt(spark, runaway, Seq(evt.toString))("S")
     val e = intercept[Exception](r.get)
     assert(e.getMessage.contains("fuel"), e.getMessage)
+  }
+
+  test("per-event imperative bodies over EVENT FIELDS: while fold per row") {
+    // while i < x: i += 2 → the smallest even integer >= x, evaluated
+    // per event (the reference's engine evaluator runs the same body
+    // per event); expectation computed independently below
     val fieldArg =
       """event Pt:
         |    v: int
         |
-        |fn weird(x: int) -> int:
+        |fn round_up_even(x: int) -> int:
         |    let i = 0
         |    while i < x:
         |        i := i + 2
         |    return i
         |
         |stream S = Pt
-        |    .emit(r: weird(v))
+        |    .emit(v: v, r: round_up_even(v))
         |""".stripMargin
-    val r2 = Vpl.runEvt(spark, fieldArg, Seq(evt.toString))("S")
-    val e2 = intercept[Exception](r2.get)
-    assert(e2.getMessage.contains("non-constant"), e2.getMessage)
+    val vs = Seq(0L, 1L, 2L, 7L, 42L, 999L)
+    val evt = java.nio.file.Files.createTempFile("graft_imp_f", ".evt")
+    java.nio.file.Files.write(evt,
+      vs.map(v => s"Pt { v: $v }").mkString("", "\n", "\n").getBytes(UTF_8))
+    // CODEGEN_ONLY pins the hand-written doGenCode: a janino failure
+    // would surface here instead of silently falling back to eval
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    val got =
+      try Vpl.runEvt(spark, fieldArg, Seq(evt.toString))("S").get
+        .select("v", "r").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    def expect(x: Long): Long = { var i = 0L; while (i < x) i += 2; i }
+    assert(got == vs.map(v => (v, expect(v))).toSet, s"got $got")
+  }
+
+  test("per-event bodies: recursion, mixed types, and per-row fuel cap") {
+    // recursion over a field arg (factorial via the statement subset),
+    // a float return, and a string return through if/else branches
+    val vpl =
+      """event Pt:
+        |    v: int
+        |    w: float
+        |
+        |fn fact(n: int) -> int:
+        |    if n <= 1:
+        |        return 1
+        |    return n * fact(n - 1)
+        |
+        |fn geo_sum(r: float) -> float:
+        |    let acc = 0.0
+        |    let term = 1.0
+        |    let i = 0
+        |    while i < 10:
+        |        acc := acc + term
+        |        term := term * r
+        |        i := i + 1
+        |    return acc
+        |
+        |fn label(n: int) -> str:
+        |    let k = n
+        |    while k >= 10:
+        |        k := k - 10
+        |    if k < 5:
+        |        return "lo"
+        |    return "hi"
+        |
+        |stream S = Pt
+        |    .emit(v: v, f: fact(v), g: geo_sum(w), l: label(v))
+        |""".stripMargin
+    val rows = Seq((3L, 0.5), (6L, 2.0), (12L, 1.0))
+    val evt = java.nio.file.Files.createTempFile("graft_imp_r", ".evt")
+    java.nio.file.Files.write(evt,
+      rows.map { case (v, w) => s"Pt { v: $v, w: $w }" }
+        .mkString("", "\n", "\n").getBytes(UTF_8))
+    val got = Vpl.runEvt(spark, vpl, Seq(evt.toString))("S").get
+      .select("v", "f", "g", "l").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3)))
+      .toSet
+    def fact(n: Long): Long = if (n <= 1) 1 else n * fact(n - 1)
+    def geo(r: Double): Double = {
+      var acc = 0.0; var term = 1.0
+      for (_ <- 0 until 10) { acc += term; term *= r }
+      acc
+    }
+    val expected = rows.map { case (v, w) =>
+      (v, fact(v), geo(w), if (v % 10 < 5) "lo" else "hi")
+    }.toSet
+    assert(got == expected, s"got $got")
+
+    // a body that runs away on a FIELD value fails that row loudly
+    // (per-row fuel), not by hanging the executor
+    val runaway =
+      """event Pt:
+        |    v: int
+        |
+        |fn spin_to(x: int) -> int:
+        |    let i = 0
+        |    while i < x * 100000000:
+        |        i := i + 1
+        |    return i
+        |
+        |stream S = Pt
+        |    .emit(r: spin_to(v))
+        |""".stripMargin
+    val evt2 = java.nio.file.Files.createTempFile("graft_imp_rw", ".evt")
+    java.nio.file.Files.write(evt2, "Pt { v: 7 }\n".getBytes(UTF_8))
+    val e = intercept[Exception](
+      Vpl.runEvt(spark, runaway, Seq(evt2.toString))("S").get.collect())
+    assert(e.getMessage.contains("fuel") ||
+      Option(e.getCause).exists(_.getMessage.contains("fuel")),
+      s"${e.getMessage} / ${Option(e.getCause).map(_.getMessage)}")
+
+    // a per-event call needs the declared return type to pick the
+    // column type — pointed compile error, not a Spark analysis one
+    val unannotated =
+      """event Pt:
+        |    v: int
+        |
+        |fn mystery(x: int):
+        |    let i = 0
+        |    while i < x:
+        |        i := i + 1
+        |    return i
+        |
+        |stream S = Pt
+        |    .emit(r: mystery(v))
+        |""".stripMargin
+    val e2 = intercept[Exception](
+      Vpl.runEvt(spark, unannotated, Seq(evt2.toString))("S").get)
+    assert(e2.getMessage.contains("return type"), e2.getMessage)
   }
 
   test("break and continue (grammar statements beyond the benchmarks)") {
