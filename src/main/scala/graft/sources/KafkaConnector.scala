@@ -37,9 +37,14 @@ import org.apache.spark.sql.types.StructType
   * new dependencies, and the batch CRC32C covers the compressed bytes
   * so integrity is verified BEFORE decompression). zstd is a whole
   * library the no-new-dependencies rule excludes and is rejected
-  * LOUDLY with the producer-side workaround named. The producer emits
-  * uncompressed (gzip encode exists for the fixture's round-trip
-  * proof; the lz4/snappy fixture encoders live test-side).
+  * LOUDLY with the producer-side workaround named. The producer
+  * matches the consumer matrix since r13: `compression:
+  * none|gzip|lz4|snappy` on the connector compresses each produced
+  * batch (gzip via java.util.zip, lz4/snappy via the hand-rolled
+  * encoders in [[Lz4]]/[[Snappy]] — rdkafka `compression.type`
+  * parity, kafka.rs:19-56), and the test fixtures keep their OWN
+  * independent codec implementations so round trips still cross two
+  * implementations.
   *
   * Distribution shape matches the other brokered connectors: ONE
   * driver-side poller (the reference's single consumer loop,
@@ -159,14 +164,35 @@ private[graft] object KafkaProto {
   def encodeBatch(baseOffset: Long,
       records: Seq[(Option[Array[Byte]], Array[Byte], Long)],
       gzip: Boolean = false): Array[Byte] =
-    if (gzip)
+    encodeBatch(baseOffset, records, if (gzip) "gzip" else "none")
+
+  /** [[encodeBatch]] with a named codec — the producer counterpart
+    * of the consumer's decode matrix (none/gzip/lz4/snappy; zstd
+    * stays the loud rejection on BOTH sides, naming the workaround).
+    */
+  def encodeBatch(baseOffset: Long,
+      records: Seq[(Option[Array[Byte]], Array[Byte], Long)],
+      codecName: String): Array[Byte] = codecName match {
+    case "none" | "" =>
+      encodeBatchWith(baseOffset, records, codec = 0, identity)
+    case "gzip" =>
       encodeBatchWith(baseOffset, records, codec = 1, recBlock => {
         val bos = new java.io.ByteArrayOutputStream(recBlock.length)
         val gz = new java.util.zip.GZIPOutputStream(bos)
         gz.write(recBlock); gz.close()
         bos.toByteArray
       })
-    else encodeBatchWith(baseOffset, records, codec = 0, identity)
+    case "snappy" =>
+      encodeBatchWith(baseOffset, records, codec = 2, Snappy.compress)
+    case "lz4" =>
+      encodeBatchWith(baseOffset, records, codec = 3, Lz4.compressFrame)
+    case "zstd" => throw new IllegalArgumentException(
+      "kafka: zstd compression is not bundled (FSE/Huffman entropy " +
+        "coding is a whole library); produce with compression " +
+        "none/gzip/lz4/snappy, or recompress broker-side")
+    case other => throw new IllegalArgumentException(
+      s"kafka: unknown compression '$other' (none|gzip|lz4|snappy)")
+  }
 
   /** [[encodeBatch]] with an arbitrary records-block codec — the
     * fixture plugs its test-side lz4 compressor in here so the
@@ -333,7 +359,8 @@ trait KafkaApi extends AutoCloseable {
 final class KafkaClient(host: String, port: Int,
     clientId: String = "graft",
     username: Option[String] = None, password: Option[String] = None,
-    timeoutMs: Int = 5000) extends KafkaApi {
+    timeoutMs: Int = 5000,
+    produceCodec: String = "none") extends KafkaApi {
 
   import KafkaProto._
 
@@ -458,7 +485,7 @@ final class KafkaClient(host: String, port: Int,
       records: Seq[(Option[String], String)], timestamp: Long): Long = {
     val batch = encodeBatch(0L, records.map { case (k, v) =>
       (k.map(_.getBytes(UTF_8)), v.getBytes(UTF_8), timestamp)
-    })
+    }, produceCodec)
     val body = new Wire
     body.nullableStr(None) // transactional_id
       .i16(-1)             // acks=all
@@ -589,7 +616,8 @@ final class KafkaClient(host: String, port: Int,
 final class KafkaRouter(bootstrapHost: String, bootstrapPort: Int,
     clientId: String = "graft",
     username: Option[String] = None, password: Option[String] = None,
-    timeoutMs: Int = 5000) extends KafkaApi {
+    timeoutMs: Int = 5000,
+    produceCodec: String = "none") extends KafkaApi {
 
   private val clients =
     scala.collection.mutable.Map.empty[(String, Int), KafkaClient]
@@ -598,7 +626,8 @@ final class KafkaRouter(bootstrapHost: String, bootstrapPort: Int,
 
   private def clientAt(host: String, port: Int): KafkaClient =
     clients.getOrElseUpdate((host, port),
-      new KafkaClient(host, port, clientId, username, password, timeoutMs))
+      new KafkaClient(host, port, clientId, username, password, timeoutMs,
+        produceCodec))
 
   // bootstrap connects eagerly: bad config fails fast, like KafkaClient
   locally { clientAt(bootstrapHost, bootstrapPort); () }
@@ -821,7 +850,17 @@ final case class KafkaConnector(
     password: Option[String] = None,
     key: Option[String] = None,
     batchSize: Int = 500,
-    timeoutMs: Int = 5000) extends Connector {
+    timeoutMs: Int = 5000,
+    compression: String = "none") extends Connector {
+
+  // fail at CONSTRUCTION, not in an executor task: misconfigured
+  // codecs (zstd included, with the workaround named) surface where
+  // the connector is declared
+  locally {
+    KafkaProto.encodeBatch(0L,
+      Seq((None, Array[Byte](123, 125), 0L)), compression)
+    ()
+  }
 
   /** Re-aim at another topic. The landing dir becomes the per-topic
     * subdir `spoolDir/target`, so two `.from(conn, topic:)` streams of
@@ -846,12 +885,14 @@ final case class KafkaConnector(
   override def write(df: DataFrame): Unit = {
     val (h, p, t, chunk, to) = (host, port, topic, batchSize, timeoutMs)
     val (u, pw, k) = (username, password, key)
+    val codec = compression
     df.toJSON.foreachPartition { (it: Iterator[String]) =>
       if (it.hasNext) {
         val pid = org.apache.spark.TaskContext.getPartitionId()
         // router, not bare client: each chunk's produce goes to the
         // target partition's LEADER (host/port is only the bootstrap)
-        val client = new KafkaRouter(h, p, s"graft-sink-$pid", u, pw, to)
+        val client = new KafkaRouter(h, p, s"graft-sink-$pid", u, pw, to,
+          produceCodec = codec)
         try {
           val parts = client.partitions(t)
           require(parts.nonEmpty, s"kafka: topic $t has no partitions")

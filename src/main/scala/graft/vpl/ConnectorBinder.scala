@@ -74,7 +74,12 @@ object ConnectorBinder {
           topic = str(p, "topic").getOrElse(decl.name),
           spoolDir = spool,
           username = str(p, "username"), password = str(p, "password"),
-          key = str(p, "key")))
+          key = str(p, "key"),
+          // rdkafka's `compression.type` (kafka.rs:19-56); dots don't
+          // parse as param identifiers, so the VPL spellings are
+          // `compression:` / `compression_type:`
+          compression = str(p, "compression")
+            .orElse(str(p, "compression_type")).getOrElse("none")))
       case "mqtt" =>
         val (h, port) = hostPort(p, Seq("broker", "host"), 1883)
         Some(MqttConnector(decl.name, h, port,

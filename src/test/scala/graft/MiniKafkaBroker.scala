@@ -113,20 +113,28 @@ final class MiniKafkaBroker(
     if (got != crc) return None
     val attributes = c.i16
     val codec = attributes & 0x07
-    if (codec != 0 && codec != 1) return None // only none/gzip decodable
+    if (codec > 3) return None // zstd/reserved: CORRUPT_MESSAGE
     c.i32 // lastOffsetDelta
     val baseTs = c.i64
     c.i64; c.i64; c.i16; c.i32 // maxTs, producerId, producerEpoch, baseSeq
     val n = c.i32
-    // independent decompression of the records block (gzip = codec 1)
-    val rc: Cursor =
-      if (codec == 0) c
-      else {
-        val recordsLen = 12 + batchLength - bb.position()
+    // decompression of the records block (sink-side compression
+    // lands here since r13: gzip via java.util.zip stays an
+    // independent decoder; lz4/snappy reuse the product decoders —
+    // encoder/decoder independence for those lives in Lz4Spec/
+    // SnappySpec, whose fixtures implement their OWN compressors)
+    val recordsLen = 12 + batchLength - bb.position()
+    val rc: Cursor = codec match {
+      case 0 => c
+      case 1 =>
         val gz = new java.util.zip.GZIPInputStream(
           new java.io.ByteArrayInputStream(set, bb.position(), recordsLen))
         new Cursor(ByteBuffer.wrap(gz.readAllBytes()))
-      }
+      case 2 => new Cursor(ByteBuffer.wrap(
+        graft.sources.Snappy.decode(set, bb.position(), recordsLen)))
+      case _ => new Cursor(ByteBuffer.wrap(
+        graft.sources.Lz4.decodeFrame(set, bb.position(), recordsLen)))
+    }
     val out = Seq.newBuilder[Rec]
     var i = 0
     while (i < n) {
