@@ -63,6 +63,11 @@ final class GraftMetrics private (spark: SparkSession) {
   private val lock = new Object
   private val batch = mutable.LinkedHashMap.empty[String, BatchStat]
   private val streams = mutable.LinkedHashMap.empty[String, StreamStat]
+  // live poller references: counters are read at snapshot time, so a
+  // registered poller needs no push hooks (reference managed_registry
+  // keeps per-connector health the same pull-shaped way)
+  private val pollers =
+    mutable.LinkedHashMap.empty[(String, String), graft.sources.PollerHealth]
   private val activeStreams = mutable.Set.empty[java.util.UUID]
   // executionId -> recordQuery tag, learned from job properties
   private val execTags = mutable.Map.empty[Long, String]
@@ -157,6 +162,19 @@ final class GraftMetrics private (spark: SparkSession) {
   /** Block until all pending listener events are folded in. */
   def sync(): Unit = MetricsBridge.drain(spark)
 
+  /** Register a live ingestion loop under (transport, target) — its
+    * delivered/failure/reconnect counters and dead flag appear as
+    * `poller` rows in [[table]] and `graft_poller_*` lines in
+    * [[gather]] until [[deregisterPoller]]. Registration stores the
+    * reference; counters are read fresh at every snapshot.
+    */
+  def registerPoller(transport: String, target: String,
+      p: graft.sources.PollerHealth): Unit =
+    lock.synchronized { pollers((transport, target)) = p }
+
+  def deregisterPoller(transport: String, target: String): Unit =
+    lock.synchronized { pollers.remove((transport, target)); () }
+
   /** Counter snapshot in long format: (kind, name, metric, value) —
     * registered as the `graft_metrics` temp view.
     */
@@ -183,7 +201,15 @@ final class GraftMetrics private (spark: SparkSession) {
             s.droppedRows.toDouble),
           ("stream", n, "processing_seconds_total", s.totalSec))
       }
-      b ++ st :+ (("engine", "", "active_streams",
+      val ph = pollers.toSeq.flatMap { case ((transport, target), p) =>
+        val n = s"$transport/$target"
+        Seq(
+          ("poller", n, "delivered_total", p.deliveredCount.toDouble),
+          ("poller", n, "failures_total", p.healthFailures.toDouble),
+          ("poller", n, "reconnects_total", p.healthReconnects.toDouble),
+          ("poller", n, "dead", if (p.isDead) 1.0 else 0.0))
+      }
+      b ++ st ++ ph :+ (("engine", "", "active_streams",
         activeStreams.size.toDouble))
     }
     import spark.implicits._
@@ -226,6 +252,18 @@ final class GraftMetrics private (spark: SparkSession) {
         line("stream_rows_dropped_by_watermark_total", q,
           s.droppedRows.toDouble)
         line("stream_processing_seconds_total", q, s.totalSec)
+      }
+      pollers.foreach { case ((transport, target), p) =>
+        val l = Seq("transport" -> transport, "target" -> target)
+        line("poller_delivered_total", l, p.deliveredCount.toDouble)
+        line("poller_failures_total", l, p.healthFailures.toDouble)
+        line("poller_reconnects_total", l, p.healthReconnects.toDouble)
+        // the terminal error travels as a label on the dead gauge —
+        // numeric columns can't carry it, the exposition can
+        line("poller_dead",
+          l ++ p.terminalError.map(e =>
+            "error" -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}"),
+          if (p.isDead) 1.0 else 0.0)
       }
       line("active_streams", Seq.empty, activeStreams.size.toDouble)
       sb.toString

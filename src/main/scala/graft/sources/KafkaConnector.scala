@@ -691,7 +691,8 @@ final class KafkaRouter(bootstrapHost: String, bootstrapPort: Int,
   */
 final class KafkaPoller private (connect: () => KafkaApi,
     firstClient: KafkaApi, topic: String, spoolDir: String,
-    startAt: String, pollIntervalMs: Long, maxReconnects: Int) {
+    startAt: String, pollIntervalMs: Long, maxReconnects: Int)
+    extends PollerHealth {
 
   @volatile private var client: KafkaApi = firstClient
   @volatile private var running = true
@@ -801,6 +802,9 @@ final class KafkaPoller private (connect: () => KafkaApi,
   thread.setDaemon(true)
 
   def recordCount: Long = records
+  override def deliveredCount: Long = records
+  override def healthFailures: Long = failures
+  override def healthReconnects: Long = reconnected
   def failureCount: Long = failures
   def reconnectCount: Long = reconnected
   /** The exception that killed the poll loop, if any — None while

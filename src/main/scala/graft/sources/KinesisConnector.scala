@@ -187,7 +187,7 @@ final class KinesisClient(endpoint: String, region: String,
   */
 final class KinesisPoller private (client: KinesisClient, stream: String,
     iteratorType: String, spoolDir: String, batchSize: Int,
-    pollIntervalMs: Long, maxRestarts: Int) {
+    pollIntervalMs: Long, maxRestarts: Int) extends PollerHealth {
 
   @volatile private var running = true
   @volatile private var records = 0L
@@ -280,6 +280,9 @@ final class KinesisPoller private (client: KinesisClient, stream: String,
   def recordCount: Long = records
   def failureCount: Long = failures
   def restartCount: Long = restarted
+  override def deliveredCount: Long = records
+  override def healthFailures: Long = failures
+  override def healthReconnects: Long = restarted
   /** The exception that killed the poll loop, if any — None while
     * healthy or after a clean stop().
     */

@@ -262,7 +262,7 @@ final class MqttClient(host: String, port: Int, clientId: String,
   */
 final class MqttSubscriber private (connect: () => MqttClient,
     firstClient: MqttClient, spoolDir: String, timeoutMs: Int,
-    maxReconnects: Int) {
+    maxReconnects: Int) extends PollerHealth {
 
   @volatile private var client: MqttClient = firstClient
   @volatile private var running = true
@@ -345,6 +345,9 @@ final class MqttSubscriber private (connect: () => MqttClient,
   def messageCount: Long = messages
   def failureCount: Long = failures
   def reconnectCount: Long = reconnected
+  override def deliveredCount: Long = messages
+  override def healthFailures: Long = failures
+  override def healthReconnects: Long = reconnected
   /** The exception that killed the spool thread, if any — None while
     * healthy or after a clean stop(). A Some here means ingestion
     * halted (reconnect retries exhausted) and the landing dir will

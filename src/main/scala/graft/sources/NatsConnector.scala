@@ -185,7 +185,7 @@ final class NatsClient(host: String, port: Int,
   */
 final class NatsSubscriber private (connect: () => NatsClient,
     firstClient: NatsClient, spoolDir: String, timeoutMs: Int,
-    maxReconnects: Int) {
+    maxReconnects: Int) extends PollerHealth {
 
   @volatile private var client: NatsClient = firstClient
   @volatile private var running = true
@@ -260,6 +260,9 @@ final class NatsSubscriber private (connect: () => NatsClient,
   def messageCount: Long = messages
   def failureCount: Long = failures
   def reconnectCount: Long = reconnected
+  override def deliveredCount: Long = messages
+  override def healthFailures: Long = failures
+  override def healthReconnects: Long = reconnected
   /** The exception that killed the spool thread, if any — None while
     * healthy or after a clean stop().
     */

@@ -175,7 +175,7 @@ final class RedisClient(host: String, port: Int, timeoutMs: Int = 5000)
   */
 final class RedisSubscriber private (
     host: String, port: Int, channel: String, spoolDir: String,
-    timeoutMs: Int, maxReconnects: Int) {
+    timeoutMs: Int, maxReconnects: Int) extends PollerHealth {
 
   private def connect(): RedisClient = {
     val c = new RedisClient(host, port, timeoutMs)
@@ -264,6 +264,9 @@ final class RedisSubscriber private (
   def messageCount: Long = messages
   def failureCount: Long = failures
   def reconnectCount: Long = reconnected
+  override def deliveredCount: Long = messages
+  override def healthFailures: Long = failures
+  override def healthReconnects: Long = reconnected
   /** The exception that killed the spool thread, if any — None while
     * healthy or after a clean stop().
     */

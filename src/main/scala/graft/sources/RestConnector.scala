@@ -41,7 +41,7 @@ final class RestPoller private (
     headers: Map[String, String],
     intervalMs: Long,
     timeoutMs: Long,
-    retryCount: Int) {
+    retryCount: Int) extends PollerHealth {
 
   @volatile private var running = true
   @volatile private var polls = 0L
@@ -133,6 +133,8 @@ final class RestPoller private (
 
   def pollCount: Long = polls
   def failureCount: Long = failures
+  override def deliveredCount: Long = polls
+  override def healthFailures: Long = failures
   /** The exception that killed the poll loop, if any — None while
     * healthy or after a clean stop().
     */

@@ -124,6 +124,73 @@ class MetricsSpec extends SparkSpec {
     } finally m.detach()
   }
 
+  test("poller health: one row set per registered connector, " +
+      "Prometheus lines, dead flag with error label") {
+    import graft.sources._
+    val m = graft.metrics.GraftMetrics.attach(spark)
+    val broker = new MiniKafkaBroker(numPartitions = 1)
+    val mqtt = new MiniMqttBroker()
+    try {
+      val pre = new KafkaClient("127.0.0.1", broker.port)
+      pre.partitions("ph-in")
+      pre.produce("ph-in", 0, (1 to 5).map(i => (None, s"""{"i":$i}""")))
+      pre.close()
+      val kdir = java.nio.file.Files.createTempDirectory("graft_ph_k").toString
+      val kp = KafkaPoller.start(
+        () => new KafkaClient("127.0.0.1", broker.port), "ph-in", kdir,
+        startAt = "earliest", pollIntervalMs = 20L)
+      val mdir = java.nio.file.Files.createTempDirectory("graft_ph_m").toString
+      // tight reconnect budget so the broker-gone phase below goes
+      // terminal fast (the default 8-retry backoff outlasts the test)
+      val ms = MqttSubscriber.start("127.0.0.1", mqtt.port, "ph/t", mdir,
+        clientId = "graft-ph", maxReconnects = 1)
+      try {
+        val deadline = System.nanoTime() + 5e9.toLong
+        while (kp.recordCount < 5 && System.nanoTime() < deadline)
+          Thread.sleep(20)
+        assert(kp.recordCount == 5)
+        m.registerPoller("kafka", "ph-in", kp)
+        m.registerPoller("mqtt", "ph/t", ms)
+        val t = m.table().collect()
+          .map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getDouble(3))
+          .toMap
+        assert(t(("poller", "kafka/ph-in", "delivered_total")) == 5.0)
+        assert(t(("poller", "kafka/ph-in", "dead")) == 0.0)
+        assert(t(("poller", "mqtt/ph/t", "delivered_total")) == 0.0)
+        assert(t(("poller", "mqtt/ph/t", "dead")) == 0.0)
+        // the view is queryable SQL like any table
+        assert(spark.sql("SELECT count(*) FROM graft_metrics " +
+          "WHERE kind = 'poller'").collect().head.getLong(0) == 8L)
+        val prom = m.gather()
+        assert(prom.contains(
+          """graft_poller_delivered_total{transport="kafka",target="ph-in"} 5.0"""),
+          prom)
+        assert(prom.contains(
+          """graft_poller_dead{transport="mqtt",target="ph/t"} 0.0"""))
+        // kill the MQTT broker: the subscriber exhausts reconnects and
+        // the dead gauge flips WITH the terminal error as a label
+        mqtt.stop()
+        val d2 = System.nanoTime() + 30e9.toLong
+        while (!ms.isDead && System.nanoTime() < d2) Thread.sleep(50)
+        assert(ms.isDead, "subscriber must go terminal once the broker is gone")
+        val t2 = m.table().collect()
+          .map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getDouble(3))
+          .toMap
+        assert(t2(("poller", "mqtt/ph/t", "dead")) == 1.0)
+        // reconnects_total counts SUCCESSFUL reconnects — none happen
+        // with the broker gone; the row must still be present
+        assert(t2.contains(("poller", "mqtt/ph/t", "reconnects_total")))
+        val prom2 = m.gather()
+        assert(prom2.matches("(?s).*graft_poller_dead\\{transport=\"mqtt\"," +
+          "target=\"ph/t\",error=\"[^\"]+\"\\} 1\\.0.*"), prom2)
+        // deregistration removes the rows
+        m.deregisterPoller("mqtt", "ph/t")
+        assert(m.table().filter("kind = 'poller' AND name LIKE 'mqtt%'")
+          .count() == 0L)
+      } finally { ms.stop(); kp.stop() }
+    } finally { broker.stop(); try mqtt.stop() catch { case _: Exception => () }; m.detach() }
+  }
+
   test("detach stops recording; counters remain readable") {
     val m = graft.metrics.GraftMetrics.attach(spark)
     m.recordQuery("probe") {
