@@ -44,6 +44,12 @@ object SparkEntry {
     "s38_stream_lm_fluency" -> QueryDef(
       graft.streaming.StreamingQueries.streamLmFluency,
       TextQueries.defs("t17_lm_fluency").oracle),
+    // s39: per-event imperative fn fold at ingest (the r13 StmtFnCall
+    // path on a live stream) — stateless row-local, integer-exact:
+    // shares x8's recursive-CTE oracle verbatim
+    "s39_stream_stmt_fn" -> QueryDef(
+      graft.streaming.StreamingQueries.streamStmtFn,
+      VplQueries.defs("x8_vpl_stmt_fn").oracle),
     // s27: multimodal frame sampling at ingest — stateless generator
     // fan-out, shares m3's oracle verbatim
     "s27_stream_frames" -> QueryDef(

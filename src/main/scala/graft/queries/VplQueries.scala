@@ -103,7 +103,7 @@ object VplQueries {
       |          status: enrich_status)
       |""".stripMargin
 
-  private val stmtFnVpl =
+  private[graft] val stmtFnVpl =
     """# per-event imperative fn body (while/:=/if) over an EVENT FIELD
       |# (varpulis.pest statement grammar; the reference interprets the
       |# body per event) — compiles to the fuel-capped row-level fold

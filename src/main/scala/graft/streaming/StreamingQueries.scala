@@ -1110,6 +1110,31 @@ object StreamingQueries {
     runToTable(spark, out, "graft_s38_sink", "append")
   }
 
+  /** #49b-streaming: the per-event imperative fn fold AT INGEST —
+    * the same statement-bodied VPL fn (while/:=/if over an event
+    * field) the reference's engine evaluator runs per live event,
+    * compiled to the fuel-capped row-level [[graft.vpl.StmtFnCall]]
+    * and applied to the arriving stream. Stateless and row-local;
+    * the seed arithmetic is all integer (floor → long), so stream
+    * rows are bit-identical to batch and s39 shares x8's
+    * recursive-CTE oracle verbatim.
+    */
+  def streamStmtFn(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val path = s"$dir/events.parquet"
+    val src = graft.Tables.normalizeEvents(
+      spark.readStream.schema(schemaOf(spark, path)).parquet(streamDir(path)))
+      .filter(col("event_type") === "purchase")
+    val prog = graft.vpl.VplParser.parse(graft.queries.VplQueries.stmtFnVpl)
+    val fns = prog.fns.map(f => f.name -> f).toMap
+    val seed = floor(col("value")).cast("long") % 97 + 1
+    val steps = ColumnBridge.column(graft.vpl.StmtFnCall(
+      "collatz_steps", fns, org.apache.spark.sql.types.LongType,
+      Seq(ColumnBridge.expression(seed))))
+    val out = src.select(col("event_id"), seed.as("seed"), steps.as("steps"))
+    runToTable(spark, out, "graft_s39_sink", "append")
+  }
+
   /** #45p-streaming: sliding-window chunking AT INGEST — documents
     * explode into overlapping token windows as they arrive (the RAG
     * indexing placement: chunks are what gets embedded, so producing

@@ -265,6 +265,15 @@ class VplImperativeSpec extends SparkSpec {
     assert(e2.getMessage.contains("return type"), e2.getMessage)
   }
 
+  test("streaming twin: per-event fold at ingest is row-identical to batch x8") {
+    val dir = "/root/testdata/sf0.001"
+    val batch = graft.SparkEntry.queries("x8_vpl_stmt_fn")(spark, dir)
+    val stream = graft.SparkEntry.queries("s39_stream_stmt_fn")(spark, dir)
+    assert(batch.count() > 0)
+    assert(stream.except(batch).isEmpty && batch.except(stream).isEmpty,
+      "s39 must share x8's oracle bit-exactly")
+  }
+
   test("break and continue (grammar statements beyond the benchmarks)") {
     val vpl =
       """event Pt:
