@@ -138,6 +138,20 @@ class PlanSpec extends SparkSpec {
       p.contains("BroadcastHashJoin"), p)
   }
 
+  test("x8: the per-event imperative fold stays inside WholeStageCodegen") {
+    // StmtFnCall implements a real doGenCode (not CodegenFallback —
+    // a fallback expression would kick the whole projection out of
+    // WSCG); the plan must show the vpl fn inside a codegen span
+    val plan = q("x8_vpl_stmt_fn").queryExecution.executedPlan.toString()
+    assert(plan.contains("vpl_fn_collatz_steps"), plan)
+    val starIdx = plan.linesIterator.zipWithIndex.collectFirst {
+      case (l, i) if l.contains("vpl_fn_collatz_steps") => i
+    }.get
+    val line = plan.linesIterator.toSeq(starIdx)
+    assert(line.trim.startsWith("*"), // WSCG nodes render with '*'
+      s"fn projection not codegen'd:\n$line\n$plan")
+  }
+
   test("w1: aggregation has a map-side partial phase") {
     val p = planOf(q("w1_tumbling"))
     assert(p.contains("partial_count") || p.contains("HashAggregate"), p)

@@ -69,7 +69,12 @@ class RestConnectorSpec extends SparkSpec {
     val p = RestPoller.start(url, "/feed", dir.toString,
       bearerToken = Some("sesame"), intervalMs = 50, retryCount = 0)
     try {
-      awaitCondition(10000)(served.get() >= 2)
+      // await the THIRD request: the poll loop is sequential, so a
+      // third GET proves the second page was fully spooled (awaiting
+      // served >= 2 raced the page-2 spool against p.stop() — the
+      // response counter ticks when the server builds the body, not
+      // when the poller lands it)
+      awaitCondition(10000)(served.get() >= 3)
     } finally { p.stop(); srv.stop(0) }
     val got = spark.read.schema(schema).json(dir.toString)
       .select("id", "kind", "value").distinct().collect()

@@ -170,6 +170,26 @@ class VplFlinkBenchSpec extends SparkSpec {
       .map(_.getString(0)).toSeq == Seq("LOGIN_THEN_FAILED_TX"))
   }
 
+  test("scenario2 verbatim artifacts: the reference's OWN .evt replay file") {
+    // test-harness/data/scenario2_events.evt is the reference's replay
+    // script for the same documented table (BATCH offsets 1000..9000);
+    // program AND events both verbatim reference bytes — the declared
+    // MQTT connector degrades to the .evt source exactly like the
+    // reference's simulate path
+    val vpl = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$benchDir/scenario2-sequence/varpulis.vpl")), UTF_8)
+    val evt = s"$benchDir/test-harness/data/scenario2_events.evt"
+    val out = Vpl.runEvt(spark, vpl, Seq(evt))("SuspiciousActivity").get
+    val got = out.select("user_id", "failed_amount", "merchant", "severity")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getString(2),
+        r.getString(3))).toSet
+    assert(got == Set(
+      ("user1", 500.0, "store_a", "medium"),
+      ("user2", 1500.0, "store_c", "high"),
+      ("user3", 200.0, "store_d", "medium"),
+      ("user4", 2000.0, "store_f", "high")), s"got $got")
+  }
+
   test("scenario3: fraud chain suspicious -> 3 small purchases -> withdrawal") {
     // generate_scenario3_events: expected_alerts = ["user1"] — user2's
     // normal activity and the heartbeat must not alert
