@@ -123,10 +123,15 @@ final class HttpWebhookReceiver private (
   /** Atomic spool: NDJSON lines land as one part file via tmp+rename,
     * so Spark's file stream source never lists a half-written file.
     */
+  // AtomicLong: webhook handlers may run on concurrent threads
+  private val spoolSeq = new java.util.concurrent.atomic.AtomicLong
   private def spool(lines: Seq[String]): Unit = {
     val dir = Paths.get(spoolDir)
     Files.createDirectories(dir)
-    val id = java.util.UUID.randomUUID().toString
+    // zero-padded arrival sequence in the name: lexicographic listing
+    // order IS arrival order (boundSource derives deterministic
+    // synthetic event time from it on the batch `.from` route)
+    val id = f"${spoolSeq.getAndIncrement()}%016d-${java.util.UUID.randomUUID().toString}"
     val tmp = dir.resolve(s".tmp-$id")
     Files.write(tmp, lines.mkString("", "\n", "\n").getBytes(UTF_8))
     Files.move(tmp, dir.resolve(s"part-$id.json"),

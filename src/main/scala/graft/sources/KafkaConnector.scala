@@ -701,10 +701,15 @@ final class KafkaPoller private (connect: () => KafkaApi,
   @volatile private var reconnected = 0L
   @volatile private var terminal: Option[Throwable] = None
 
+  private var spoolSeq = 0L
   private def spool(lines: Seq[String]): Unit = if (lines.nonEmpty) {
     val dir = Paths.get(spoolDir)
     Files.createDirectories(dir)
-    val id = java.util.UUID.randomUUID().toString
+    // file names carry a zero-padded arrival sequence: lexicographic
+    // listing order IS arrival order, which the batch `.from` route
+    // turns into deterministic synthetic event time (boundSource)
+    val id = f"$spoolSeq%016d-${java.util.UUID.randomUUID().toString}"
+    spoolSeq += 1
     val tmp = dir.resolve(s".tmp-$id")
     Files.write(tmp, lines.mkString("", "\n", "\n").getBytes(UTF_8))
     Files.move(tmp, dir.resolve(s"part-$id.json"),

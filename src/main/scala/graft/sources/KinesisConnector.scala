@@ -195,10 +195,15 @@ final class KinesisPoller private (client: KinesisClient, stream: String,
   @volatile private var restarted = 0L
   @volatile private var terminal: Option[Throwable] = None
 
+  private var spoolSeq = 0L
   private def spool(lines: Seq[String]): Unit = if (lines.nonEmpty) {
     val dir = Paths.get(spoolDir)
     Files.createDirectories(dir)
-    val id = java.util.UUID.randomUUID().toString
+    // zero-padded arrival sequence in the name: lexicographic listing
+    // order IS arrival order (boundSource derives deterministic
+    // synthetic event time from it on the batch `.from` route)
+    val id = f"$spoolSeq%016d-${java.util.UUID.randomUUID().toString}"
+    spoolSeq += 1
     val tmp = dir.resolve(s".tmp-$id")
     Files.write(tmp, lines.mkString("", "\n", "\n").getBytes(UTF_8))
     Files.move(tmp, dir.resolve(s"part-$id.json"),

@@ -193,10 +193,15 @@ final class RedisSubscriber private (
 
   private def oneLine(s: String): String = s.replaceAll("[\n\r]+", " ")
 
+  private var spoolSeq = 0L
   private def spool(line: String): Unit = {
     val dir = Paths.get(spoolDir)
     Files.createDirectories(dir)
-    val id = java.util.UUID.randomUUID().toString
+    // zero-padded arrival sequence in the name: lexicographic listing
+    // order IS arrival order (boundSource derives deterministic
+    // synthetic event time from it on the batch `.from` route)
+    val id = f"$spoolSeq%016d-${java.util.UUID.randomUUID().toString}"
+    spoolSeq += 1
     val tmp = dir.resolve(s".tmp-$id")
     Files.write(tmp, (line + "\n").getBytes(UTF_8))
     Files.move(tmp, dir.resolve(s"part-$id.json"),

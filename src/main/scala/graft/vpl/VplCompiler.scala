@@ -2976,14 +2976,30 @@ final class VplCompiler(program: VProgram, source: VplSource,
     // synthetic event time for rows without their own ts: batch uses
     // arrival order (deterministic); streaming uses processing time —
     // the reference's kafka source also stamps arrival time
-    // (monotonically_increasing_id is not available on streams)
+    // (monotonically_increasing_id is not available on streams).
+    // Batch arrival order is (spool file name, in-file position):
+    // every poller names its part files with a zero-padded arrival
+    // sequence, and bare monotonically_increasing_id would follow
+    // Spark's size-descending file packing instead — per-message
+    // spools (MQTT/NATS/Redis land one file per message) scrambled
+    // under it. The global row_number sort is the EventFile contract:
+    // batch `.from` compiles serve replay/benchmark-scale landing
+    // dirs; the unbounded path is the streaming arm or the
+    // executor-parallel bindings.
+    val arrivalCol = "__graft_arrival"
+    val raw2 =
+      if (streaming) raw
+      else raw.withColumn(arrivalCol, row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(
+          input_file_name(), monotonically_increasing_id()))
+        .cast("long"))
     val synthTs =
       if (streaming) current_timestamp()
-      else timestamp_micros(monotonically_increasing_id())
+      else timestamp_micros(col(arrivalCol))
     val withTs =
-      if (raw.columns.contains("ts"))
-        raw.withColumn("ts", coalesce(col("ts").cast("timestamp"), synthTs))
-      else raw.withColumn("ts", synthTs)
+      if (raw2.columns.contains("ts"))
+        raw2.withColumn("ts", coalesce(col("ts").cast("timestamp"), synthTs))
+      else raw2.withColumn("ts", synthTs)
     // event_id mirrors event time in BOTH arms: for synthetic ts this
     // is identical to the raw monotonic id (synthTs = timestamp_micros
     // of it), and for payload-carried ts it makes sequences ordered
@@ -3011,15 +3027,18 @@ final class VplCompiler(program: VProgram, source: VplSource,
         val arrivalInTie = row_number().over(
           org.apache.spark.sql.expressions.Window
             .partitionBy(col("ts"))
-            .orderBy(monotonically_increasing_id()))
+            .orderBy(col(arrivalCol)))
         withTs.withColumn("event_id",
           unix_micros(col("ts")) + arrivalInTie.cast("long") - lit(1L))
       }
+    val cleaned =
+      if (withId.columns.contains(arrivalCol)) withId.drop(arrivalCol)
+      else withId
     // the streaming machinery routes on event_type (the batch
     // resolve() contract pre-filters instead, so batch omits it)
-    if (streaming && !withId.columns.contains("event_type"))
-      withId.withColumn("event_type", lit(eventType))
-    else withId
+    if (streaming && !cleaned.columns.contains("event_type"))
+      cleaned.withColumn("event_type", lit(eventType))
+    else cleaned
   }
 }
 
