@@ -30,21 +30,20 @@ import org.apache.spark.sql.types.StructType
   *     CRC and rejects mismatches, so the spec round trip is a real
   *     integrity check, not an echo.
   *
-  * Compression: the consumer decodes UNCOMPRESSED, GZIP, SNAPPY and
-  * LZ4 batches (attributes&7 == 0|1|2|3 — gzip via java.util.zip,
-  * lz4 via the hand-rolled [[Lz4]] frame/block decoder, snappy via
-  * the hand-rolled [[Snappy]] raw + xerial-frame decoder; all zero
-  * new dependencies, and the batch CRC32C covers the compressed bytes
-  * so integrity is verified BEFORE decompression). zstd is a whole
-  * library the no-new-dependencies rule excludes and is rejected
-  * LOUDLY with the producer-side workaround named. The producer
-  * matches the consumer matrix since r13: `compression:
-  * none|gzip|lz4|snappy` on the connector compresses each produced
-  * batch (gzip via java.util.zip, lz4/snappy via the hand-rolled
-  * encoders in [[Lz4]]/[[Snappy]] — rdkafka `compression.type`
-  * parity, kafka.rs:19-56), and the test fixtures keep their OWN
-  * independent codec implementations so round trips still cross two
-  * implementations.
+  * Compression: the consumer decodes the FULL rdkafka codec matrix —
+  * UNCOMPRESSED, GZIP, SNAPPY, LZ4 and ZSTD batches (attributes&7 ==
+  * 0|1|2|3|4 — gzip via java.util.zip, lz4/snappy/zstd via the
+  * hand-rolled [[Lz4]]/[[Snappy]]/[[Zstd]] decoders built from the
+  * public wire specs; zero new dependencies, and the batch CRC32C
+  * covers the compressed bytes so integrity is verified BEFORE
+  * decompression — zstd's own content checksum, which covers the
+  * DECODED bytes the CRC cannot see, is additionally verified). The
+  * producer matches the consumer matrix: `compression:
+  * none|gzip|lz4|snappy|zstd` on the connector compresses each
+  * produced batch (rdkafka `compression.type` parity, kafka.rs:19-56),
+  * and the test fixtures keep their OWN independent codec
+  * implementations (real-zstd CLI vectors for zstd) so round trips
+  * still cross two implementations.
   *
   * Distribution shape matches the other brokered connectors: ONE
   * driver-side poller (the reference's single consumer loop,
@@ -167,8 +166,7 @@ private[graft] object KafkaProto {
     encodeBatch(baseOffset, records, if (gzip) "gzip" else "none")
 
   /** [[encodeBatch]] with a named codec — the producer counterpart
-    * of the consumer's decode matrix (none/gzip/lz4/snappy; zstd
-    * stays the loud rejection on BOTH sides, naming the workaround).
+    * of the consumer's decode matrix (none/gzip/lz4/snappy/zstd).
     */
   def encodeBatch(baseOffset: Long,
       records: Seq[(Option[Array[Byte]], Array[Byte], Long)],
@@ -186,12 +184,10 @@ private[graft] object KafkaProto {
       encodeBatchWith(baseOffset, records, codec = 2, Snappy.compress)
     case "lz4" =>
       encodeBatchWith(baseOffset, records, codec = 3, Lz4.compressFrame)
-    case "zstd" => throw new IllegalArgumentException(
-      "kafka: zstd compression is not bundled (FSE/Huffman entropy " +
-        "coding is a whole library); produce with compression " +
-        "none/gzip/lz4/snappy, or recompress broker-side")
+    case "zstd" =>
+      encodeBatchWith(baseOffset, records, codec = 4, Zstd.compressFrame)
     case other => throw new IllegalArgumentException(
-      s"kafka: unknown compression '$other' (none|gzip|lz4|snappy)")
+      s"kafka: unknown compression '$other' (none|gzip|lz4|snappy|zstd)")
   }
 
   /** [[encodeBatch]] with an arbitrary records-block codec — the
@@ -272,12 +268,12 @@ private[graft] object KafkaProto {
         val n = c.i32
         // the records block (everything after the batch header) is the
         // compressed section when attributes bits 0-2 name a codec;
-        // gzip decodes with java.util.zip, lz4 and snappy with the
-        // hand-rolled decoders ([[Lz4]], [[Snappy]]) — zero new
-        // dependencies. The batch CRC32C above covers the COMPRESSED
-        // bytes, so integrity is already checked before decompression.
-        // zstd is a whole library (FSE/Huffman) and stays a LOUD
-        // rejection naming the workaround.
+        // gzip decodes with java.util.zip, lz4/snappy/zstd with the
+        // hand-rolled decoders ([[Lz4]], [[Snappy]], [[Zstd]]) — zero
+        // new dependencies, the FULL rdkafka codec matrix. The batch
+        // CRC32C above covers the COMPRESSED bytes, so integrity is
+        // already checked before decompression (and Zstd verifies its
+        // own content checksum over the DECODED bytes).
         val recordsLen = start + batchLength - bb.position()
         val rc: Cursor = codec match {
           case 0 => c
@@ -296,15 +292,16 @@ private[graft] object KafkaProto {
             val plain = Lz4.decodeFrame(recordSet, bb.position(), recordsLen)
             bb.position(bb.position() + recordsLen)
             new Cursor(ByteBuffer.wrap(plain))
+          case 4 =>
+            val plain = Zstd.decode(recordSet, bb.position(), recordsLen)
+            bb.position(bb.position() + recordsLen)
+            new Cursor(ByteBuffer.wrap(plain))
           case other =>
-            val name = if (other == 4) "zstd" else s"codec $other"
             throw new IllegalArgumentException(
-              s"kafka: $name-compressed batches not supported — graft " +
-                "decodes uncompressed, gzip (java.util.zip), lz4 and " +
-                "snappy (hand-rolled decoders); zstd is a whole " +
-                "library the no-new-dependencies rule excludes. " +
-                "Configure producers with compression.type=" +
-                "none|gzip|lz4|snappy, or bind spark-sql-kafka.")
+              s"kafka: codec $other batches not supported — graft " +
+                "decodes the full rdkafka matrix: uncompressed, gzip " +
+                "(java.util.zip), lz4, snappy and zstd (hand-rolled " +
+                "decoders); attribute bits 5-7 name no further codec.")
         }
         var i = 0
         while (i < n) {
@@ -862,9 +859,8 @@ final case class KafkaConnector(
     timeoutMs: Int = 5000,
     compression: String = "none") extends Connector {
 
-  // fail at CONSTRUCTION, not in an executor task: misconfigured
-  // codecs (zstd included, with the workaround named) surface where
-  // the connector is declared
+  // fail at CONSTRUCTION, not in an executor task: a misconfigured
+  // codec name surfaces where the connector is declared
   locally {
     KafkaProto.encodeBatch(0L,
       Seq((None, Array[Byte](123, 125), 0L)), compression)

@@ -169,8 +169,8 @@ class MalformedFrameSpec extends SparkSpec {
 
   test("Kafka: an unsupported-codec batch exhausts retries into terminalError") {
     // a PERSISTENT decode failure (every refetch returns the same
-    // zstd-marked batch) must not loop forever: retries exhaust into
-    // terminalError naming the codec and the workaround
+    // reserved-codec or mislabeled batch) must not loop forever:
+    // retries exhaust into terminalError naming the fault
     val srv = new MiniKafkaBroker(numPartitions = 1)
     val dir = java.nio.file.Files.createTempDirectory("graft_mf_kcodec_")
     val pre = new KafkaClient("127.0.0.1", srv.port)
@@ -178,8 +178,8 @@ class MalformedFrameSpec extends SparkSpec {
     pre.produce("mf", 0, Seq((None, """{"id":1}""")))
     pre.close()
     // drive the codec rejection through decodeBatches directly: mark
-    // the batch zstd (codec 4) and fix up the CRC so ONLY the codec
-    // rejection fires
+    // the batch with reserved codec 5 and fix up the CRC so ONLY the
+    // codec rejection fires
     val records = Seq((None: Option[Array[Byte]],
       """{"id":1}""".getBytes("UTF-8"), 5L))
     def reCodec(codec: Byte): Array[Byte] = {
@@ -196,16 +196,19 @@ class MalformedFrameSpec extends SparkSpec {
       batch
     }
     val e = intercept[IllegalArgumentException] {
-      KafkaProto.decodeBatches(reCodec(4))
+      KafkaProto.decodeBatches(reCodec(5))
     }
-    assert(e.getMessage.contains("zstd"))
-    assert(e.getMessage.contains("spark-sql-kafka"))
-    // a batch MISLABELED lz4 (records block is not an lz4 frame)
-    // fails loudly too — bad frame magic, never silent garbage
+    assert(e.getMessage.contains("codec 5"))
+    // a batch MISLABELED lz4 or zstd (records block is not a valid
+    // frame) fails loudly too — bad frame magic, never silent garbage
     val e2 = intercept[IllegalArgumentException] {
       KafkaProto.decodeBatches(reCodec(3))
     }
     assert(e2.getMessage.contains("lz4"))
+    val e3 = intercept[IllegalArgumentException] {
+      KafkaProto.decodeBatches(reCodec(4))
+    }
+    assert(e3.getMessage.contains("zstd") && e3.getMessage.contains("magic"))
     // exhaustion path: a poller whose broker vanishes goes terminal
     // (decode failures share the same reconnect machinery, so a
     // PERSISTENT codec rejection exhausts identically)

@@ -113,7 +113,7 @@ final class MiniKafkaBroker(
     if (got != crc) return None
     val attributes = c.i16
     val codec = attributes & 0x07
-    if (codec > 3) return None // zstd/reserved: CORRUPT_MESSAGE
+    if (codec > 4) return None // reserved codec bits: CORRUPT_MESSAGE
     c.i32 // lastOffsetDelta
     val baseTs = c.i64
     c.i64; c.i64; c.i16; c.i32 // maxTs, producerId, producerEpoch, baseSeq
@@ -132,8 +132,11 @@ final class MiniKafkaBroker(
         new Cursor(ByteBuffer.wrap(gz.readAllBytes()))
       case 2 => new Cursor(ByteBuffer.wrap(
         graft.sources.Snappy.decode(set, bb.position(), recordsLen)))
-      case _ => new Cursor(ByteBuffer.wrap(
+      case 3 => new Cursor(ByteBuffer.wrap(
         graft.sources.Lz4.decodeFrame(set, bb.position(), recordsLen)))
+      case _ => new Cursor(ByteBuffer.wrap( // 4 = zstd; independence
+        // evidence for this codec is ZstdSpec's real-CLI fixtures
+        graft.sources.Zstd.decode(set, bb.position(), recordsLen)))
     }
     val out = Seq.newBuilder[Rec]
     var i = 0
