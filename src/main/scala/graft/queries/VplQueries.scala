@@ -103,6 +103,20 @@ object VplQueries {
       |          status: enrich_status)
       |""".stripMargin
 
+  private val analyticsVpl =
+    """# analytic window builtins (docs/language/builtins.md Window
+      |# Functions — documented in the reference but unimplemented in
+      |# its runtime; graft compiles them to Spark window functions)
+      |stream PurchaseAnalytics = purchase
+      |    .partition_by(user_id)
+      |    .emit(event_id: event_id, user_id: user_id,
+      |          rn: row_number(),
+      |          rk: rank(value),
+      |          prev_value: lag(value, 1),
+      |          next_value: lead(value),
+      |          delta: value - lag(value, 1))
+      |""".stripMargin
+
   private[graft] val stmtFnVpl =
     """# per-event imperative fn body (while/:=/if) over an EVENT FIELD
       |# (varpulis.pest statement grammar; the reference interprets the
@@ -189,6 +203,16 @@ object VplQueries {
         |FROM n GROUP BY 1, 2
         |HAVING SUM(n_b) > 0""".stripMargin)(
       (s, dir) => Vpl.tableStream(s, dir, trendVpl, "SignupTrends")),
+    "x9_vpl_analytics" -> QueryDef.of(
+      """SELECT event_id, user_id,
+        | row_number() OVER w AS rn,
+        | rank() OVER (PARTITION BY user_id ORDER BY value) AS rk,
+        | lag(value, 1) OVER w AS prev_value,
+        | lead(value, 1) OVER w AS next_value,
+        | value - lag(value, 1) OVER w AS delta
+        |FROM events WHERE event_type = 'purchase'
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)""".stripMargin)(
+      (s, dir) => Vpl.tableStream(s, dir, analyticsVpl, "PurchaseAnalytics")),
     "x5_vpl_exprs" -> QueryDef.of(
       """SELECT event_id,
         | (event_id & 255) | 1 AS masked,

@@ -694,7 +694,11 @@ final class VplCompiler(program: VProgram, source: VplSource,
   // ------------------------------------------------------------ expressions
   private final case class ExprCtx(
       bare: String => Option[Column],
-      qualified: (String, String) => Option[Column])
+      qualified: (String, String) => Option[Column],
+      // (partition keys, arrival-order column) for the analytic window
+      // builtins lag/lead/row_number/rank — populated only where a
+      // batch pipeline's select/emit can host a window function
+      analytic: Option[(Seq[String], String)] = None)
 
   private def scalarCtx(df: DataFrame, headAlias: Option[String]): ExprCtx = {
     val cols = df.columns.toSet
@@ -937,6 +941,37 @@ final class VplCompiler(program: VProgram, source: VplSource,
       // event through its engine evaluator)
       case VCall(fn0, args) if fns.contains(fn0) && fns(fn0).stmts.nonEmpty =>
         stmtFnColumn(fn0, args.map(t))
+      // analytic window builtins (builtins.md Window Functions): the
+      // reference's LSP/docs name them but varpulis-runtime has no
+      // evaluator arm — graft compiles them to real Spark window
+      // functions over (partition_by keys, arrival order)
+      case VCall(fn @ ("lag" | "lead" | "row_number" | "rank"), args0) =>
+        import org.apache.spark.sql.expressions.Window
+        val (keys, ord) = ctx.analytic.getOrElse(throw VplCompileError(
+          s"$fn(): analytic window functions run in a BATCH stream " +
+            "pipeline's select/emit (after .partition_by); streaming, " +
+            "sequence and join contexts have no single arrival order " +
+            "to window over"))
+        lazy val w = Window.partitionBy(keys.map(col): _*).orderBy(col(ord))
+        (fn, args0) match {
+          case ("row_number", Nil) => row_number().over(w).cast("long")
+          case ("rank", scala.Seq(x)) =>
+            // rank needs a VALUE ordering: over arrival order (unique)
+            // it would always equal row_number(), so the ranking
+            // expression is explicit — ties share a rank
+            rank().over(Window.partitionBy(keys.map(col): _*)
+              .orderBy(t(x))).cast("long")
+          case ("rank", Nil) => throw VplCompileError(
+            "rank(expr): pass the ranking expression — over the unique " +
+              "arrival order rank() would always equal row_number()")
+          case ("lag", scala.Seq(x))           => lag(t(x), 1).over(w)
+          case ("lag", scala.Seq(x, VInt(n)))  => lag(t(x), n.toInt).over(w)
+          case ("lead", scala.Seq(x))          => lead(t(x), 1).over(w)
+          case ("lead", scala.Seq(x, VInt(n))) => lead(t(x), n.toInt).over(w)
+          case _ => throw VplCompileError(
+            s"unsupported analytic '$fn/${args0.size}' " +
+              "(lag(x[, n]) | lead(x[, n]) | row_number() | rank(x))")
+        }
       case VCall(fn, args) => builtin(fn, args.map(t))
       case VMethod(target, "__index", Seq(i)) =>
         poly(graft.functions.PolyIndex(_, _), t(target), t(i))
@@ -1470,11 +1505,26 @@ final class VplCompiler(program: VProgram, source: VplSource,
         case (None, Some(i)) => joinCtx(i)
         case _ => patternCtx.getOrElse(scalarCtx(df, headAlias))
       }
-      if (extraCols.isEmpty) base
-      else ExprCtx(
-        bare = f => base.bare(f)
-          .orElse(if (extraCols(f)) Some(col(f)) else None),
-        qualified = base.qualified)
+      val withExtra =
+        if (extraCols.isEmpty) base
+        else ExprCtx(
+          bare = f => base.bare(f)
+            .orElse(if (extraCols(f)) Some(col(f)) else None),
+          qualified = base.qualified)
+      // analytic builtins (lag/lead/row_number/rank — builtins.md
+      // Window Functions; the reference documents them but its runtime
+      // has NO implementation, so the semantics here are the w7 DSL
+      // precedent: partitioned by .partition_by, ordered by arrival).
+      // Batch scalar pipelines only — Spark has no streaming window
+      // functions and sequence/join contexts have no single arrival
+      // order.
+      val ord =
+        if (df.columns.contains("event_id")) Some("event_id")
+        else if (df.columns.contains("ts")) Some("ts")
+        else None
+      if (!streaming && seq.isEmpty && joinInputs.isEmpty && ord.isDefined)
+        withExtra.copy(analytic = Some((keys, ord.get)))
+      else withExtra
     }
 
     // `.window(d)` over a join without aggregation = the stream-join

@@ -733,4 +733,52 @@ class VplSpec extends SparkSpec {
     assert(got3.head.getAs[Long]("count") == t3, s"count_trends 3-step: $t3")
     assert(got3.head.getAs[Long]("events") == e3, s"count_events 3-step: $e3")
   }
+
+  // ------------------------------------------ analytic window builtins
+  // builtins.md Window Functions (lag/lead/row_number/rank): the
+  // reference documents them (LSP completion/hover) but its runtime
+  // has NO evaluator arm — graft compiles them to Spark window
+  // functions. The hash-gated realization is x9_vpl_analytics; these
+  // pin the unpartitioned form and the pointed rejections.
+  test("analytic builtins: unpartitioned lag/row_number over arrival order") {
+    val vpl =
+      """stream A = purchase
+        |    .emit(event_id: event_id, v: value, rn: row_number(),
+        |          prev: lag(value, 1), nxt: lead(value))
+        |""".stripMargin
+    val rows = Vpl.tableStream(spark, sf, vpl, "A")
+      .orderBy("event_id").collect()
+    assert(rows.length > 10)
+    // row_number over GLOBAL arrival order = 1..n in event_id order
+    assert(rows.zipWithIndex.forall { case (r, i) =>
+      r.getAs[Long]("rn") == i + 1 })
+    // lag/lead shift by exactly one arrival position
+    assert(rows.head.isNullAt(rows.head.fieldIndex("prev")))
+    assert(rows.last.isNullAt(rows.last.fieldIndex("nxt")))
+    assert(rows.sliding(2).forall { case Array(a, b) =>
+      b.getAs[Double]("prev") == a.getAs[Double]("v") &&
+        a.getAs[Double]("nxt") == b.getAs[Double]("v")
+    })
+  }
+
+  test("analytic builtins: rank() without an expression is a pointed error") {
+    val vpl =
+      """stream A = purchase
+        |    .partition_by(user_id)
+        |    .emit(event_id: event_id, rk: rank())
+        |""".stripMargin
+    val e = intercept[VplCompileError](Vpl.tableStream(spark, sf, vpl, "A"))
+    assert(e.getMessage.contains("rank(expr)"))
+  }
+
+  test("analytic builtins: sequence contexts reject them pointedly") {
+    val vpl =
+      """stream S = signup as a
+        |    -> purchase where user_id == a.user_id as b
+        |    .within(30m)
+        |    .emit(user_id: a.user_id, rn: row_number())
+        |""".stripMargin
+    val e = intercept[VplCompileError](Vpl.tableStream(spark, sf, vpl, "S"))
+    assert(e.getMessage.contains("arrival order"))
+  }
 }
