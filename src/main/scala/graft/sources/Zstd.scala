@@ -27,11 +27,12 @@ package graft.sources
   * decoder accepts (validated against zstd CLI v1.5.7 output at
   * fixture-generation time): greedy hash-table LZ77 match finder,
   * sequences entropy-coded with the spec's PREDEFINED FSE
-  * distributions (zero table-description bytes), raw literals (the
-  * Huffman literal stage is the one deliberate ratio concession —
-  * matches, not literal entropy, carry most of the win on event
-  * payloads), RLE blocks for constant runs, raw-block fallback when
-  * compression would expand, and a real xxHash64 content checksum.
+  * distributions (zero table-description bytes), length-limited
+  * canonical HUFFMAN literals (direct weight table, 1- or 4-stream,
+  * with RLE-literal and raw fallbacks chosen by size), literals-only
+  * compressed blocks for matchless payloads, RLE blocks for constant
+  * runs, raw-block fallback when compression would expand, and a real
+  * xxHash64 content checksum.
   *
   * FSE state machines, the canonical Huffman table construction, and
   * the backward bitstream convention all follow the RFC's normative
@@ -882,6 +883,186 @@ private[graft] object Zstd {
 
   private val blockMaxEnc = 128 * 1024
 
+  // ------------------------------------------------ Huffman (encode)
+
+  /** Length-limited (11-bit) Huffman code lengths for the given byte
+    * histogram — plain two-queue Huffman, then a Kraft-sum repair when
+    * the natural tree exceeds zstd's 11-bit cap. Returns null when the
+    * alphabet has fewer than 2 symbols (callers use RLE literals).
+    */
+  private def huffLengths(counts: Array[Int]): Array[Int] = {
+    val present = (0 until counts.length).filter(counts(_) > 0)
+    if (present.size < 2) return null
+    // two-queue Huffman over (weight, node); leaves sorted by count
+    final case class Node(w: Long, syms: List[Int])
+    var q1 = present.sortBy(counts(_)).map(s => Node(counts(s), List(s))).toList
+    var q2 = List.empty[Node]
+    val depth = new Array[Int](counts.length)
+    def pop(): Node = (q1, q2) match {
+      case (a :: t1, b :: _) if a.w <= b.w => q1 = t1; a
+      case (a :: t1, Nil)                  => q1 = t1; a
+      case (_, b :: t2)                    => q2 = t2; b
+      case _ => throw new IllegalStateException("huffman queues empty")
+    }
+    var n = present.size
+    while (n > 1) {
+      val a = pop(); val b = pop()
+      (a.syms ++ b.syms).foreach(s => depth(s) += 1)
+      q2 = q2 :+ Node(a.w + b.w, a.syms ++ b.syms)
+      n -= 1
+    }
+    val limit = 11
+    present.foreach(s => if (depth(s) > limit) depth(s) = limit)
+    // Kraft repair in units of 2^-limit: lengthen the longest
+    // sub-limit codes while oversubscribed, then shorten the longest
+    // codes that still fit while undersubscribed (completeness is
+    // REQUIRED: the decoder reconstructs the last weight from the
+    // power-of-two completion)
+    def kraft: Long = present.map(s => 1L << (limit - depth(s))).sum
+    while (kraft > (1L << limit)) {
+      val s = present.filter(depth(_) < limit).maxBy(depth(_))
+      depth(s) += 1
+    }
+    var under = (1L << limit) - kraft
+    while (under > 0) {
+      val fit = present.filter(s =>
+        depth(s) > 1 && (1L << (limit - depth(s))) <= under)
+      val s = fit.maxBy(depth(_))
+      under -= 1L << (limit - depth(s))
+      depth(s) -= 1
+    }
+    depth
+  }
+
+  /** Huffman-compress `literals` → full literals section (header +
+    * direct weight table + 1 or 4 backward streams), or null when the
+    * alphabet is unsuitable (>128 max symbol — the direct weight
+    * header's cap; payloads here are JSON/ASCII) or the result would
+    * not be smaller than the raw-literals form.
+    */
+  private def huffLiteralsSection(literals: Array[Byte]): Array[Byte] = {
+    val regen = literals.length
+    if (regen < 64) return null
+    val counts = new Array[Int](256)
+    var i = 0
+    while (i < regen) { counts(literals(i) & 0xff) += 1; i += 1 }
+    val maxSymbol = (255 to 0 by -1).find(counts(_) > 0).get
+    if (maxSymbol > 128) return null
+    val lengths = huffLengths(counts)
+    if (lengths == null) return null
+    val maxBits = (0 to maxSymbol).filter(counts(_) > 0).map(lengths(_)).max
+    // canonical codes exactly as the decode table is filled: weight
+    // ascending, natural symbol order within a weight
+    val code = new Array[Int](maxSymbol + 1)
+    val nbBits = new Array[Int](maxSymbol + 1)
+    var pos = 0
+    var w = 1
+    while (w <= maxBits) {
+      var s = 0
+      while (s <= maxSymbol) {
+        if (counts(s) > 0 && maxBits + 1 - lengths(s) == w) {
+          code(s) = pos >> (w - 1)
+          nbBits(s) = maxBits + 1 - w
+          pos += 1 << (w - 1)
+        }
+        s += 1
+      }
+      w += 1
+    }
+    // direct weight representation: weights for symbols 0..maxSymbol-1,
+    // the last present symbol's weight implicit via completion
+    val numWeights = maxSymbol
+    val tree = new java.io.ByteArrayOutputStream(2 + numWeights / 2)
+    tree.write(127 + numWeights)
+    var k = 0
+    while (k < numWeights) {
+      val wk = if (counts(k) > 0) maxBits + 1 - lengths(k) else 0
+      val wk2 = if (k + 1 < numWeights) {
+        if (counts(k + 1) > 0) maxBits + 1 - lengths(k + 1) else 0
+      } else 0
+      tree.write((wk << 4) | wk2)
+      k += 2
+    }
+    val treeBytes = tree.toByteArray
+    def encodeStream(off: Int, len: Int): Array[Byte] = {
+      val bw = new BitWriter
+      var j = off + len - 1
+      while (j >= off) {
+        val s = literals(j) & 0xff
+        bw.add(code(s).toLong, nbBits(s))
+        j -= 1
+      }
+      bw.close()
+    }
+    val oneStream = regen <= 1023
+    val streams =
+      if (oneStream) Seq(encodeStream(0, regen))
+      else {
+        val per = (regen + 3) / 4
+        Seq(encodeStream(0, per), encodeStream(per, per),
+          encodeStream(2 * per, per), encodeStream(3 * per, regen - 3 * per))
+      }
+    if (!oneStream && streams.take(3).exists(_.length > 65535)) return null
+    val jump = if (oneStream) 0 else 6
+    val comp = treeBytes.length + jump + streams.map(_.length).sum
+    // pick the smallest header whose fields fit
+    val (sf, headerBytes, fieldBits) =
+      if (oneStream) (0, 3, 10)
+      else if (regen <= 1023 && comp <= 1023) (1, 3, 10)
+      else if (regen <= 16383 && comp <= 16383) (2, 4, 14)
+      else (3, 5, 18)
+    if (regen >= (1 << fieldBits) || comp >= (1 << fieldBits)) return null
+    val out = new java.io.ByteArrayOutputStream(headerBytes + comp)
+    var h = 2L | (sf.toLong << 2) | (regen.toLong << 4) |
+      (comp.toLong << (4 + fieldBits))
+    var b = 0
+    while (b < headerBytes) { out.write(((h >> (8 * b)) & 0xff).toInt); b += 1 }
+    out.write(treeBytes, 0, treeBytes.length)
+    if (!oneStream) {
+      for (st <- streams.take(3)) {
+        out.write(st.length & 0xff); out.write((st.length >> 8) & 0xff)
+      }
+    }
+    streams.foreach(st => out.write(st, 0, st.length))
+    val res = out.toByteArray
+    // must beat the raw-literals section (raw header is 1-3 bytes)
+    if (res.length < regen + 1) res else null
+  }
+
+  /** Best literals section for `literals`: RLE (single distinct byte),
+    * Huffman-compressed, or raw.
+    */
+  private def literalsSection(literals: Array[Byte]): Array[Byte] = {
+    val regen = literals.length
+    if (regen > 0 && literals.forall(_ == literals(0))) {
+      // RLE literals: type 1; size formats mirror the raw form
+      val out = new java.io.ByteArrayOutputStream(4)
+      if (regen < 32) out.write((regen << 3) | 1)
+      else if (regen < 4096) {
+        val h = (regen << 4) | (1 << 2) | 1
+        out.write(h & 0xff); out.write((h >> 8) & 0xff)
+      } else {
+        val h = (regen << 4) | (3 << 2) | 1
+        out.write(h & 0xff); out.write((h >> 8) & 0xff); out.write((h >> 16) & 0xff)
+      }
+      out.write(literals(0))
+      return out.toByteArray
+    }
+    val huff = huffLiteralsSection(literals)
+    if (huff != null) return huff
+    val out = new java.io.ByteArrayOutputStream(regen + 3)
+    if (regen < 32) out.write((regen << 3) | 0)
+    else if (regen < 4096) {
+      val h = (regen << 4) | (1 << 2) | 0
+      out.write(h & 0xff); out.write((h >> 8) & 0xff)
+    } else {
+      val h = (regen << 4) | (3 << 2) | 0
+      out.write(h & 0xff); out.write((h >> 8) & 0xff); out.write((h >> 16) & 0xff)
+    }
+    out.write(literals, 0, literals.length)
+    out.toByteArray
+  }
+
   /** One sequence: litLength literals, then matchLength bytes at
     * `offset` back. offsetValue = offset + 3 (repeat codes unused on
     * the encode side — simplest spec-valid form).
@@ -919,21 +1100,18 @@ private[graft] object Zstd {
         anchor = s
       } else s += 1
     }
-    if (seqs.isEmpty) return None
     lits.write(src, anchor, end - anchor)
     val literals = lits.toByteArray
     val body = new java.io.ByteArrayOutputStream(blockLen / 2)
-    // raw literals section header
-    if (literals.length < 32) {
-      body.write((literals.length << 3) | 0) // type 0, size format 00
-    } else if (literals.length < 4096) {
-      val h = (literals.length << 4) | (1 << 2) | 0
-      body.write(h & 0xff); body.write((h >> 8) & 0xff)
-    } else {
-      val h = (literals.length << 4) | (3 << 2) | 0
-      body.write(h & 0xff); body.write((h >> 8) & 0xff); body.write((h >> 16) & 0xff)
+    val litSec = literalsSection(literals)
+    body.write(litSec, 0, litSec.length)
+    if (seqs.isEmpty) {
+      // literals-only compressed block (entropy-only payloads): zero
+      // sequences, the block content IS the literals
+      body.write(0)
+      val res = body.toByteArray
+      return if (res.length < blockLen) Some(res) else None
     }
-    body.write(literals, 0, literals.length)
     // sequence count
     val n = seqs.length
     if (n < 128) body.write(n)

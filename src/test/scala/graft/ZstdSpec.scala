@@ -74,10 +74,25 @@ class ZstdSpec extends AnyFunSuite {
   test("encoder actually compresses repetitive payloads") {
     val raw = res("events.bin")
     val enc = Zstd.compressFrame(raw)
-    assert(enc.length < raw.length / 2,
-      s"expected <50% on events.bin, got ${enc.length}/${raw.length}")
+    info(s"events.bin: ${enc.length}/${raw.length} bytes " +
+      f"(${enc.length * 100.0 / raw.length}%.1f%%)")
+    assert(enc.length < raw.length / 3,
+      s"expected <33% on events.bin, got ${enc.length}/${raw.length}")
     assert(Zstd.compressFrame(res("zeros.bin")).length < 64,
       "RLE blocks should collapse runs")
+  }
+
+  test("encoder: huffman literals carry matchless skewed payloads") {
+    // no repeated 4-gram (so zero LZ sequences), but 2/3 of the bytes
+    // are one symbol → the literals-only compressed block with a
+    // huffman table must still shrink it
+    val raw = new Array[Byte](40 * 3)
+    for (i <- 0 until 40) {
+      raw(3 * i) = 'a'; raw(3 * i + 1) = 'a'; raw(3 * i + 2) = (i + 48).toByte
+    }
+    val enc = Zstd.compressFrame(raw)
+    assert(dec(enc).sameElements(raw))
+    assert(enc.length < raw.length, s"huffman literals: ${enc.length}/${raw.length}")
   }
 
   test("encoder output is accepted by the reference zstd CLI when present") {
