@@ -1188,6 +1188,10 @@ final class VplCompiler(program: VProgram, source: VplSource,
   private def aggColumn(e: VExpr, ctx: ExprCtx,
       orderCol: String = "event_id"): Column = inlineFns(e) match {
     case VCall("count", Nil)      => count(lit(1))
+    // alternative syntax from the 0.2.0 changelog: count(distinct(f))
+    // dispatches to the same aggregate as count_distinct(f)
+    case VCall("count", Seq(VCall("distinct", Seq(x)))) =>
+      count_distinct(translate(x, ctx))
     case VCall("count", Seq(x))   => count(translate(x, ctx))
     case VCall("sum", Seq(x)) =>
       sum(translate(x, ctx).cast("decimal(14,2)")).cast("double")

@@ -761,6 +761,22 @@ class VplSpec extends SparkSpec {
     })
   }
 
+  test("count(distinct(f)) aggregates like count_distinct(f)") {
+    // both syntaxes are documented (0.2.0 changelog: "count_distinct
+    // aggregation — both count_distinct(field) and
+    // count(distinct(field)) syntax supported")
+    val vpl =
+      """stream D = purchase
+        |    .partition_by(user_id)
+        |    .window(1h)
+        |    .aggregate(nd: count(distinct(event_id)), nd2: count_distinct(event_id))
+        |    .emit(user_id: user_id, nd: nd, nd2: nd2)
+        |""".stripMargin
+    val rows = Vpl.tableStream(spark, sf, vpl, "D").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getAs[Long]("nd") == r.getAs[Long]("nd2")))
+  }
+
   test("analytic builtins: rank() without an expression is a pointed error") {
     val vpl =
       """stream A = purchase
