@@ -33,6 +33,13 @@ class ZstdSpec extends AnyFunSuite {
     }
   }
 
+  test("decodes periodic/alternating-run shapes (RLE and repeat-heavy table modes)") {
+    for (base <- Seq("periodic", "altruns"); lvl <- Seq("l1", "l12")) {
+      val raw = res(s"$base.bin")
+      assert(dec(res(s"${base}_$lvl.zst")).sameElements(raw), s"${base}_$lvl mismatch")
+    }
+  }
+
   test("decodes frames without checksum, from stdin (no content size), and long-window") {
     assert(dec(res("events_l3_nocheck.zst")).sameElements(res("events.bin")))
     assert(dec(res("events_l3_stdin.zst")).sameElements(res("events.bin")))
