@@ -50,6 +50,12 @@ object SparkEntry {
     "s39_stream_stmt_fn" -> QueryDef(
       graft.streaming.StreamingQueries.streamStmtFn,
       VplQueries.defs("x8_vpl_stmt_fn").oracle),
+    // s40: incremental dedup of a live crawl delta against the
+    // standing corpus — per-fp O(1) first-occurrence state over a
+    // stream-static fingerprint join; shares d10's oracle verbatim
+    "s40_stream_incremental_dedup" -> QueryDef(
+      graft.streaming.StreamingQueries.streamIncrementalDedup,
+      TextQueries.defs("d10_incremental_dedup").oracle),
     // s27: multimodal frame sampling at ingest — stateless generator
     // fan-out, shares m3's oracle verbatim
     "s27_stream_frames" -> QueryDef(

@@ -43,6 +43,49 @@ object Dedup {
       .groupBy("fp")
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_docs"))
 
+  /** Word-SET fingerprint: order- and multiplicity-insensitive content
+    * key (the "aggressive normalization" pass between crawl
+    * snapshots) — sorted distinct words, 128-bit hashed so the
+    * shuffle never carries raw text.
+    */
+  private[graft] def wordSetFp(text: Column): Column =
+    md5(array_join(array_sort(array_distinct(split(text, " "))), ","))
+
+  /** Incremental (snapshot-vs-snapshot) dedup: flag each INCOMING
+    * document against an existing BASE corpus and against earlier
+    * arrivals of its own batch, on [[wordSetFp]]. This is the
+    * continuous-crawl shape: the base never re-deduplicates; only the
+    * delta is classified.
+    *
+    * Returns one row per incoming doc: (idCol, status) with status ∈
+    * dup_vs_base | dup_in_batch | kept (first occurrence by idCol
+    * wins within the batch; membership in the base dominates).
+    *
+    * Scale shape at 100 TB: the base reduces to DISTINCT fingerprints
+    * once — in production you persist that as a bucketed fingerprint
+    * table keyed on fp and never rescan base text per delta. The
+    * incoming batch (orders of magnitude smaller than the base)
+    * shuffles ONCE on fp, and both the first-occurrence window and
+    * the left join against base fps reuse that same hash
+    * partitioning; base text never moves.
+    */
+  def incremental(base: DataFrame, incoming: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val baseFp = base.select(wordSetFp(col(textCol)).as("fp"))
+      .distinct()
+      .withColumn("in_base", lit(true))
+    val inc = fanOut(incoming, idCol)
+      .select(col(idCol), wordSetFp(col(textCol)).as("fp"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("fp").orderBy(col(idCol))
+    inc.withColumn("rn", row_number().over(w))
+      .join(baseFp, Seq("fp"), "left")
+      .select(col(idCol),
+        when(col("in_base"), "dup_vs_base")
+          .when(col("rn") > 1, "dup_in_batch")
+          .otherwise("kept").as("status"))
+  }
+
   /** Benchmark decontamination: flag corpus documents sharing any
     * word-k-gram with an evaluation/benchmark set — the train/test
     * overlap scrub every serious pretraining pipeline runs (the

@@ -650,6 +650,35 @@ object TextQueries {
         Dedup.scrubSpans(Tables(s, dir).documents, k = 8)
     },
 
+    // --- #35f incremental (snapshot-vs-snapshot) dedup: classify a
+    // new crawl delta against the existing corpus on a word-SET
+    // fingerprint — the base never re-deduplicates. Sources 0-14
+    // play the standing corpus; 15-19 the incoming snapshot.
+    "d10_incremental_dedup" -> QueryDef.of(
+      """WITH fp AS (
+        |  SELECT doc_id,
+        |    CAST(regexp_extract(source, '[0-9]+') AS INT) AS srcnum,
+        |    md5(list_aggr(list_sort(list_distinct(string_split(text, ' '))),
+        |        'string_agg', ',')) AS fp
+        |  FROM documents),
+        |base AS (SELECT DISTINCT fp FROM fp WHERE srcnum < 15),
+        |inc AS (
+        |  SELECT doc_id, fp,
+        |    row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        |  FROM fp WHERE srcnum >= 15)
+        |SELECT i.doc_id,
+        |  CASE WHEN b.fp IS NOT NULL THEN 'dup_vs_base'
+        |       WHEN i.rn > 1 THEN 'dup_in_batch'
+        |       ELSE 'kept' END AS status
+        |FROM inc i LEFT JOIN base b ON i.fp = b.fp""".stripMargin) {
+      (s, dir) => {
+        val docs = Tables(s, dir).documents
+        val srcnum = regexp_extract(col("source"), "[0-9]+", 0).cast("int")
+        Dedup.incremental(
+          docs.where(srcnum < 15), docs.where(srcnum >= 15))
+      }
+    },
+
     // --- #43d stratified domain sampling (training-mixture step):
     // deterministic FNV-1a bucket per doc, per-source keep rate.
     // Oracle re-derives every hash decision bit for bit ---

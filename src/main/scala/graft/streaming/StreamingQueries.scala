@@ -43,6 +43,13 @@ object StreamingQueries {
   final case class PkOut(shard: Long, doc_id: Long, bin: Long,
       bin_used: Long)
 
+  /** streaming incremental-dedup input/state/rows (see
+    * [[streamIncrementalDedup]])
+    */
+  final case class IdIn(fp: String, doc_id: Long, in_base: Boolean)
+  final case class IdState(seen: Boolean)
+  final case class IdOut(doc_id: Long, status: String)
+
   /** streaming rate-limit state/rows (see [[streamRateLimit]]) */
   final case class RlState(buf: List[EmaBuf])
   final case class RlOut(event_id: Long, user_id: Long, win_start: Long,
@@ -1319,6 +1326,55 @@ object StreamingQueries {
     * is absorbed by sorting the group's batch. Shares t10's
     * recursive-CTE oracle, matching batch row for row.
     */
+  /** #35f-streaming: incremental dedup of a LIVE crawl delta against
+    * the standing corpus. The base corpus's DISTINCT word-set
+    * fingerprints are a static frame the arriving stream left-joins
+    * (stream-static join — at test scale Spark broadcasts it; a
+    * 100 TB base becomes a bucketed fingerprint table on the same
+    * key); within-delta first-occurrence is per-fp state (one boolean
+    * per fingerprint — O(1)/key, the s12 dedup-state shape). Arrival
+    * order is the spool contract (doc_id order), so the stream agrees
+    * with batch d10's row_number pick row for row and shares its
+    * oracle verbatim.
+    */
+  def streamIncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val path = s"$dir/documents.parquet"
+    val schema = schemaOf(spark, path)
+    val srcnum = regexp_extract(col("source"), "[0-9]+", 0).cast("int")
+    val baseFp = graft.Tables.normalizeDocuments(spark.read.parquet(path))
+      .where(srcnum < 15)
+      .select(graft.dedup.Dedup.wordSetFp(col("text")).as("fp"))
+      .distinct()
+      .withColumn("in_base", lit(true))
+    val src = graft.Tables.normalizeDocuments(
+      spark.readStream.schema(schema).parquet(streamDir(path)))
+      .where(srcnum >= 15)
+      .select(col("doc_id"), graft.dedup.Dedup.wordSetFp(col("text")).as("fp"))
+    val in = src.join(baseFp, Seq("fp"), "left")
+      .select(col("fp"), col("doc_id"),
+        coalesce(col("in_base"), lit(false)).as("in_base")).as[IdIn]
+    val out = in.groupByKey(_.fp)
+      .flatMapGroupsWithState[IdState, IdOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, it: Iterator[IdIn],
+         state: org.apache.spark.sql.streaming.GroupState[IdState]) =>
+          var seen = state.getOption.exists(_.seen)
+          val rows = it.toArray.sortBy(_.doc_id).map { e =>
+            val status =
+              if (e.in_base) "dup_vs_base"
+              else if (seen) "dup_in_batch"
+              else "kept"
+            seen = true
+            IdOut(e.doc_id, status)
+          }
+          state.update(IdState(seen))
+          rows.iterator
+      }.toDF()
+    runToTable(spark, out, "graft_s40_sink", "append")
+  }
+
   def streamPack(spark: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/documents.parquet"
     val schema = schemaOf(spark, path)

@@ -377,4 +377,28 @@ class DedupSpec extends SparkSpec {
     assert(!got(5L) || !got(4L))
     assert(got(3L))
   }
+
+  test("incremental dedup classifies a delta against base and within batch") {
+    val srcnum = regexp_extract(col("source"), "[0-9]+", 0).cast("int")
+    val out = Dedup.incremental(
+      docs.where(srcnum < 15), docs.where(srcnum >= 15))
+    // every incoming doc classified exactly once
+    assert(out.count() == docs.where(srcnum >= 15).count())
+    val byStatus = out.groupBy("status").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // counts independently derived (DuckDB over the same parquet):
+    // 13 word-set collisions against the base snapshot, 2 within the
+    // delta, 110 genuinely new
+    assert(byStatus == Map(
+      "dup_vs_base" -> 13L, "dup_in_batch" -> 2L, "kept" -> 110L), byStatus)
+    // a doc flagged dup_in_batch must share its fingerprint with a
+    // smaller incoming doc_id that was kept or also in base
+    val inc = docs.where(srcnum >= 15)
+      .select(col("doc_id"), Dedup.wordSetFp(col("text")).as("fp"))
+    val flagged = out.where(col("status") === "dup_in_batch")
+      .join(inc, "doc_id")
+    val earlier = flagged.as("f").join(inc.as("i"),
+      col("i.fp") === col("f.fp") && col("i.doc_id") < col("f.doc_id"))
+    assert(earlier.count() >= flagged.count())
+  }
 }
