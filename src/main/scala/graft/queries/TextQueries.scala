@@ -193,6 +193,45 @@ object TextQueries {
        |SELECT shard, doc_id, bin, used AS bin_used
        |FROM step WHERE rn > 0""".stripMargin
 
+  /** The t17 bigram-LM CTE chain (train on lang=en, integer-exact
+    * Q14 per-doc scores) — shared by t17_lm_fluency and
+    * t19_ccnet_buckets so both oracles derive the SAME scores.
+    */
+  private lazy val lmFluencyCtes: String =
+    s"""dw AS (SELECT doc_id, lang, $wordsSql AS w FROM documents),
+         |tw AS (SELECT w FROM dw WHERE lang = 'en'),
+         |uni AS (
+         |  SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM (SELECT unnest(w) AS tok FROM tw) GROUP BY 1),
+         |tt AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM uni),
+         |tocc AS (
+         |  SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+         |  FROM tw WHERE len(w) >= 2),
+         |bi AS (
+         |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt2
+         |  FROM (SELECT w[i] AS w1, w[i+1] AS w2 FROM tocc) GROUP BY 1, 2),
+         |bi2 AS (
+         |  SELECT bi.w1, bi.w2, bi.cnt2, uni.cnt AS cnt1w1
+         |  FROM bi JOIN uni ON bi.w1 = uni.tok),
+         |occ AS (
+         |  SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+         |  FROM dw WHERE len(w) >= 2),
+         |o2 AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2 FROM occ),
+         |q AS (
+         |  SELECT o2.doc_id,
+         |    CASE WHEN bi2.cnt2 IS NOT NULL
+         |         THEN (bi2.cnt2 * 16384) // bi2.cnt1w1
+         |         ELSE (32768 * COALESCE(u2.cnt, 0)) // (5 * tt.total) END AS q
+         |  FROM o2
+         |  LEFT JOIN bi2 ON o2.w1 = bi2.w1 AND o2.w2 = bi2.w2
+         |  LEFT JOIN uni u2 ON o2.w2 = u2.tok
+         |  CROSS JOIN tt),
+         |d AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |    CAST(sum(q) AS BIGINT) AS sum_q
+         |  FROM q GROUP BY 1)"""
+      .stripMargin
+
   val defs: Map[String, QueryDef] = Map(
 
     // --- #42 language ID (stopword/CJK heuristic, deterministic ties) ---
@@ -748,38 +787,7 @@ object TextQueries {
     // oracle replays every count, every backoff decision, and every
     // fixed-point division bit for bit ---
     "t17_lm_fluency" -> QueryDef.of(
-      s"""WITH dw AS (SELECT doc_id, lang, $wordsSql AS w FROM documents),
-         |tw AS (SELECT w FROM dw WHERE lang = 'en'),
-         |uni AS (
-         |  SELECT tok, CAST(count(*) AS BIGINT) AS cnt
-         |  FROM (SELECT unnest(w) AS tok FROM tw) GROUP BY 1),
-         |tt AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM uni),
-         |tocc AS (
-         |  SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
-         |  FROM tw WHERE len(w) >= 2),
-         |bi AS (
-         |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt2
-         |  FROM (SELECT w[i] AS w1, w[i+1] AS w2 FROM tocc) GROUP BY 1, 2),
-         |bi2 AS (
-         |  SELECT bi.w1, bi.w2, bi.cnt2, uni.cnt AS cnt1w1
-         |  FROM bi JOIN uni ON bi.w1 = uni.tok),
-         |occ AS (
-         |  SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
-         |  FROM dw WHERE len(w) >= 2),
-         |o2 AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2 FROM occ),
-         |q AS (
-         |  SELECT o2.doc_id,
-         |    CASE WHEN bi2.cnt2 IS NOT NULL
-         |         THEN (bi2.cnt2 * 16384) // bi2.cnt1w1
-         |         ELSE (32768 * COALESCE(u2.cnt, 0)) // (5 * tt.total) END AS q
-         |  FROM o2
-         |  LEFT JOIN bi2 ON o2.w1 = bi2.w1 AND o2.w2 = bi2.w2
-         |  LEFT JOIN uni u2 ON o2.w2 = u2.tok
-         |  CROSS JOIN tt),
-         |d AS (
-         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-         |    CAST(sum(q) AS BIGINT) AS sum_q
-         |  FROM q GROUP BY 1)
+      s"""WITH $lmFluencyCtes
          |SELECT doc_id, n_bigrams, sum_q,
          |  CAST(sum_q // n_bigrams AS BIGINT) AS fluency_q14,
          |  CAST(sum_q AS DOUBLE) / (CAST(n_bigrams AS DOUBLE) * 16384.0::DOUBLE)
@@ -790,6 +798,44 @@ object TextQueries {
         graft.text.TextAnalysis.lmFluency(
           Tables(s, dir).documents, col("doc_id"), col("text"),
           trainFilter = col("lang") === "en", keepQ14 = 1200L)
+    },
+
+    // --- #45q CCNet-style perplexity bucketing: per-LANGUAGE
+    // head/middle/tail tiers by LM fluency (CCNet partitions each
+    // language's corpus into perplexity thirds against a clean-corpus
+    // LM; head = most fluent). Rides t17's prefit bigram LM —
+    // integer-exact Q14 scores, ntile(3) over (lang, score DESC,
+    // doc_id): one window shuffle on lang after the broadcast-scored
+    // pass, deterministic under ties ---
+    "t19_ccnet_buckets" -> QueryDef.of(
+      s"""WITH $lmFluencyCtes,
+         |b AS (
+         |  SELECT d.doc_id, dv.lang,
+         |    CAST(d.sum_q // d.n_bigrams AS BIGINT) AS fluency_q14
+         |  FROM d JOIN (SELECT doc_id, lang FROM documents) dv
+         |    ON d.doc_id = dv.doc_id)
+         |SELECT doc_id, lang, fluency_q14,
+         |  CASE ntile(3) OVER (PARTITION BY lang
+         |         ORDER BY fluency_q14 DESC, doc_id)
+         |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+         |  END AS bucket
+         |FROM b""".stripMargin) {
+      (s, dir) => {
+        val docs = Tables(s, dir).documents
+        val scored = graft.text.TextAnalysis.lmFluency(
+          docs, col("doc_id"), col("text"),
+          trainFilter = col("lang") === "en", keepQ14 = 1200L)
+          .select(col("doc_id"), col("fluency_q14"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang")
+          .orderBy(col("fluency_q14").desc, col("doc_id"))
+        scored.join(docs.select(col("doc_id"), col("lang")), "doc_id")
+          .withColumn("tile", ntile(3).over(w))
+          .select(col("doc_id"), col("lang"), col("fluency_q14"),
+            when(col("tile") === 1, "head")
+              .when(col("tile") === 2, "middle")
+              .otherwise("tail").as("bucket"))
+      }
     },
 
     // --- #45p sliding-window document chunking (RAG / context-window

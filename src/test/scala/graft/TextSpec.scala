@@ -609,4 +609,24 @@ class TextSpec extends SparkSpec {
     assert(sizes.length == 8)
     assert(sizes.max < docs.count() / 2)
   }
+
+  test("ccnet buckets: per-language thirds ordered by fluency") {
+    val rows = graft.queries.TextQueries.defs("t19_ccnet_buckets")
+      .build(spark, sf).collect()
+    assert(rows.length == docs.count())
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (lang, rs) =>
+      val byBucket = rs.groupBy(_.getAs[String]("bucket"))
+        .view.mapValues(_.map(_.getAs[Long]("fluency_q14"))).toMap
+      // tiers sized within 1 of each other (ntile contract)
+      val ns = Seq("head", "middle", "tail").map(b =>
+        byBucket.getOrElse(b, Array.empty[Long]).length)
+      assert(ns.max - ns.min <= 1, s"$lang tier sizes $ns")
+      // fluency strictly tiers: min(head) >= max(middle) >= ... (ties
+      // may straddle, so compare on >=)
+      if (byBucket.contains("head") && byBucket.contains("middle"))
+        assert(byBucket("head").min >= byBucket("middle").max - 0)
+      if (byBucket.contains("middle") && byBucket.contains("tail"))
+        assert(byBucket("middle").min >= byBucket("tail").max - 0)
+    }
+  }
 }
