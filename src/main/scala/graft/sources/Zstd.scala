@@ -531,9 +531,15 @@ private[graft] object Zstd {
     val blockMax =
       if (windowSize < 0) 128 * 1024
       else math.min(windowSize, 128L * 1024).toInt
-    // decode into a growable frame-local buffer (matches need history)
+    // decode into a growable frame-local buffer (matches need history).
+    // The INITIAL allocation is capped: a crafted 20-byte frame
+    // declaring a 1 GiB content size must not allocate 1 GiB up
+    // front — honest frames grow geometrically to their real size and
+    // the final content-size check still enforces the declared value.
+    val allocCap = math.max(blockMax.toLong, (end - start).toLong * 64)
     var dst = new Array[Byte](
-      if (contentSize >= 0) contentSize.toInt else math.max(64 * 1024, blockMax))
+      if (contentSize >= 0) math.min(contentSize, allocCap).toInt
+      else math.max(64 * 1024, blockMax))
     var d = 0
     val ctx = new FrameCtx
     var last = false
@@ -550,6 +556,7 @@ private[graft] object Zstd {
       btype match {
         case 0 => // raw
           if (s + bsize > end) fail("raw block runs past input")
+          if (bsize > blockMax) fail("raw block exceeds block maximum")
           ensure(bsize)
           System.arraycopy(src, s, dst, d, bsize); d += bsize; s += bsize
         case 1 => // RLE

@@ -71,6 +71,25 @@ class ZstdSpec extends AnyFunSuite {
     intercept[Zstd.ZstdError](dec(java.util.Arrays.copyOf(good, good.length / 2)))
   }
 
+  test("fuzzed and truncated frames fail as ZstdError — never hang, OOM or leak another exception") {
+    val good = res("events_l3.zst")
+    val rnd = new scala.util.Random(11)
+    for (_ <- 0 until 300) {
+      val b = good.clone()
+      for (_ <- 0 to rnd.nextInt(4))
+        b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      // either decodes (a flip can be a no-op or land in skipped
+      // padding) or raises the codec's own error type; anything else
+      // (NegativeArraySize, OOM, hang) fails the suite
+      try { Zstd.decode(b, 0, b.length); () }
+      catch { case _: Zstd.ZstdError => () }
+    }
+    val small = Zstd.compressFrame(
+      "hello zstd world, hello zstd again".getBytes)
+    for (n <- 0 until small.length)
+      intercept[Zstd.ZstdError](Zstd.decode(small, 0, n))
+  }
+
   test("encoder round-trips through our decoder on every fixture input") {
     for (base <- inputs) {
       val raw = res(s"$base.bin")
