@@ -67,6 +67,26 @@ class Lz4Spec extends SparkSpec {
     intercept[Lz4.Lz4Error](decodeBlockAll(Array[Byte](0x70, 'a'), 16))
   }
 
+  test("fuzzed and truncated frames fail as Lz4Error — never hang or leak another exception") {
+    val good = Lz4.compressFrame(
+      ("lz4 fuzz corpus " * 4000).getBytes("UTF-8"))
+    val rnd = new scala.util.Random(13)
+    for (_ <- 0 until 300) {
+      val b = good.clone()
+      for (_ <- 0 to rnd.nextInt(4))
+        b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      // lz4 frames skip their checksums under the Kafka CRC contract,
+      // so a content-region flip can decode to different bytes — the
+      // contract here is the ERROR TYPE, not detection
+      try { Lz4.decodeFrame(b, 0, b.length); () }
+      catch { case _: Lz4.Lz4Error => () }
+    }
+    val small = Lz4.compressFrame("hello lz4 world, hello again".getBytes)
+    for (n <- 4 until small.length)
+      try { Lz4.decodeFrame(small, 0, n); () }
+      catch { case _: Lz4.Lz4Error => () }
+  }
+
   test("frame: fixture-encoded frames round-trip (compressible, random, empty-ish)") {
     val texts = Seq(
       "the quick brown fox jumps over the lazy dog " * 100,

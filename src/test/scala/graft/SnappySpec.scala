@@ -64,6 +64,23 @@ class SnappySpec extends SparkSpec {
       Array[Byte](9, 0x20, 'a'), 0, 3))
   }
 
+  test("fuzzed and truncated frames fail as SnappyError — never hang or leak another exception") {
+    val good = Snappy.compress(
+      ("snappy fuzz corpus " * 3000).getBytes("UTF-8"))
+    val rnd = new scala.util.Random(17)
+    for (_ <- 0 until 300) {
+      val b = good.clone()
+      for (_ <- 0 to rnd.nextInt(4))
+        b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      try { Snappy.decode(b, 0, b.length); () }
+      catch { case _: Snappy.SnappyError => () }
+    }
+    val small = Snappy.compress("hello snappy world, hello again".getBytes)
+    for (n <- 0 until small.length)
+      try { Snappy.decode(small, 0, n); () }
+      catch { case _: Snappy.SnappyError => () }
+  }
+
   test("round trips through the independent compressor, raw and xerial") {
     val texts = Seq(
       "snappy snappy snappy compression round trip " * 200,
