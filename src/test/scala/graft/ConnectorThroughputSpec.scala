@@ -108,6 +108,38 @@ class ConnectorThroughputSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("Kafka poller spool ceiling, zstd-compressed topic (loopback)") {
+    // same drive as the uncompressed ceiling, but the producer
+    // compresses each batch zstd (codec 4) AND the broker re-serves
+    // zstd on fetch — the poller pays CRC + zstd decode per batch, so
+    // this measures the compressed-topic consumption ceiling end to
+    // end
+    val srv = new MiniKafkaBroker(numPartitions = 2)
+    srv.zstdFetch = true
+    val dir = java.nio.file.Files.createTempDirectory("graft_tp_kzstd_")
+    try {
+      val pre = new KafkaClient("127.0.0.1", srv.port,
+        produceCodec = "zstd")
+      val n = 20000
+      try {
+        pre.partitions("tpz")
+        (0 until n).grouped(500).zipWithIndex.foreach { case (g, c) =>
+          pre.produce("tpz", c % 2, g.map(i => (None, msg(i))).toSeq)
+        }
+      } finally pre.close()
+      val t0 = System.nanoTime()
+      val poller = KafkaPoller.start(
+        () => new KafkaClient("127.0.0.1", srv.port), "tpz", dir.toString,
+        startAt = "earliest", pollIntervalMs = 5L)
+      try {
+        assert(awaitTrue(30000)(poller.recordCount == n),
+          s"spooled ${poller.recordCount}/$n")
+        val sec = (System.nanoTime() - t0) / 1e9
+        info(f"Kafka zstd poller spool: $n msgs in $sec%.2fs = ${n / sec}%.0f msg/s")
+      } finally poller.stop()
+    } finally srv.stop()
+  }
+
   test("Kinesis poller spool ceiling (loopback)") {
     val kin = new MiniKinesis("AK", "sec")
     val dir = java.nio.file.Files.createTempDirectory("graft_tp_kin_")

@@ -71,6 +71,12 @@ final class MiniKafkaBroker(
     * (SnappyFixture).
     */
   @volatile var snappyFetch = false
+  /** Fetch responses carry zstd-compressed batches (attributes=4),
+    * product-encoder framed — decode-side INDEPENDENCE for this codec
+    * lives in ZstdSpec's real-zstd-CLI fixture vectors; this flag
+    * exercises the poller's compressed-fetch path end to end.
+    */
+  @volatile var zstdFetch = false
   /** Flip one CRC-covered byte in the NEXT fetched batch — the
     * corrupt-frame fault MalformedFrameSpec drives through the
     * poller (decode must route to reconnect, never die silently).
@@ -347,6 +353,8 @@ final class MiniKafkaBroker(
                           codec = 3, Lz4Fixture.encodeFrame)
                         else if (snappyFetch) KafkaProto.encodeBatchWith(off,
                           recs, codec = 2, SnappyFixture.encodeXerial(_))
+                        else if (zstdFetch)
+                          KafkaProto.encodeBatch(off, recs, "zstd")
                         else KafkaProto.encodeBatch(off, recs, gzip = gzipFetch)
                       if (corruptNextFetch) {
                         corruptNextFetch = false
