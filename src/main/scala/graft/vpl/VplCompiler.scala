@@ -2491,35 +2491,121 @@ final class VplCompiler(program: VProgram, source: VplSource,
             case SEmitStmt(_, eargs) =>
               rows += eargs.map { case (n, e) => n -> substitute(e, env) }
             case other => throw VplCompileError(
-              s".process bodies support for/emit; $other belongs to " +
-                "the constant-argument interpreted subset (call the fn " +
-                "in expression position instead)")
+              s".process bodies support for/emit plus the interpreted " +
+                s"constant-argument subset; unexpected $other")
           }
-        exec(fn.stmts, fn.params.map(_._1).zip(args).toMap)
-        if (rows.isEmpty)
-          throw VplCompileError(s".process ${fn.name}: no emit reached")
-        val names = rows.head.map(_._1)
-        require(rows.forall(_.map(_._1) == names),
-          ".process: all emits must produce the same fields")
-        if (rows.size > 10000)
-          throw VplCompileError(
-            s".process ${fn.name}: unrolls to ${rows.size} emits (>10000)")
-        val c0 = ctx
-        val structs = rows.toSeq.map(r =>
-          struct(r.map { case (n, e) => translate(e, c0).as(n) }: _*))
-        val carry =
-          (if (df.columns.contains("ts")) Seq(col("ts")) else Nil) ++
-            (if (df.columns.contains("event_id")) Seq(col("event_id")) else Nil)
-        df = df
-          .select(carry :+ posexplode(array(structs: _*)): _*)
-          .withColumnRenamed("col", "__e")
-        val outCols = names.map(n => col(s"__e.$n").as(n)) ++
-          (if (df.columns.contains("ts")) Seq(col("ts")) else Nil) ++
-          (if (df.columns.contains("event_id"))
-            // unique arrival order for the generated events
-            Seq((col("event_id") * rows.size + col("pos")).as("event_id"))
-          else Nil)
-        df = df.select(outCols: _*)
+        def isSimple(sts: Seq[VStmt]): Boolean = sts.forall {
+          case SFor(_, _, _, _, b) => isSimple(b)
+          case _: SEmitStmt        => true
+          case _                   => false
+        }
+        // generated rows too numerous for an array-of-structs literal
+        // land in a driver-built DataFrame instead (cross-joined with
+        // the trigger stream) — batch only
+        var bigGen: Option[(DataFrame, Int, Seq[String])] = None
+        if (isSimple(fn.stmts)) {
+          // pure for/emit bodies unroll symbolically: emitted exprs
+          // may still reference EVENT columns, translated per row
+          exec(fn.stmts, fn.params.map(_._1).zip(args).toMap)
+        } else {
+          // full statement bodies (lets, :=, while, nested fn calls —
+          // the mandelbrot demos' compute_tile) interpret at compile
+          // time under constant args, collecting the emit stream
+          val cvals = VplInterp.constArgs(args).getOrElse(
+            throw VplCompileError(
+              s".process ${fn.name}: statement bodies beyond for/emit " +
+                "interpret at compile time and need CONSTANT arguments"))
+          val emitted = VplInterp.collectEmits(fns, fn, cvals)
+          if (emitted.isEmpty)
+            throw VplCompileError(s".process ${fn.name}: no emit reached")
+          val enames = emitted.head._2.map(_._1)
+          if (!emitted.forall(_._2.map(_._1) == enames))
+            throw VplCompileError(".process: all emits must produce the same fields")
+          if (emitted.size <= 10000) {
+            emitted.foreach { case (_, fs) =>
+              rows += fs.map { case (n, v) => n -> VplInterp.toExpr(v) }
+            }
+          } else if (emitted.size > 1000000) {
+            throw VplCompileError(
+              s".process ${fn.name}: unrolls to ${emitted.size} emits (>1000000)")
+          } else if (streaming) {
+            throw VplCompileError(
+              s".process ${fn.name}: ${emitted.size} generated events " +
+                "exceed the streaming fan-out cap (10000) — stream-side " +
+                "cross joins are unsupported; run this stream in batch")
+          } else {
+            import org.apache.spark.sql.types._
+            // per-field type: Double wins over Long when mixed
+            val fieldTypes = enames.indices.map { fi =>
+              val vs = emitted.iterator.map(_._2(fi)._2)
+              var anyD = false; var anyB = false; var anyS = false
+              vs.foreach {
+                case _: Double  => anyD = true
+                case _: Boolean => anyB = true
+                case _: Long    => ()
+                case _          => anyS = true
+              }
+              if (anyS) StringType
+              else if (anyD) DoubleType
+              else if (anyB) BooleanType
+              else LongType
+            }
+            val schema = StructType(
+              StructField("pos", LongType, nullable = false) +:
+                enames.zip(fieldTypes).map { case (n, t) =>
+                  StructField(n, t, nullable = true)
+                })
+            val rowsJ = new java.util.ArrayList[org.apache.spark.sql.Row](emitted.size)
+            emitted.zipWithIndex.foreach { case ((_, fs), i) =>
+              val vals = fs.map(_._2).zip(fieldTypes).map {
+                case (v: Long, DoubleType) => v.toDouble
+                case (v, StringType) if v != null && !v.isInstanceOf[String] => v.toString
+                case (v, _) => v
+              }
+              rowsJ.add(org.apache.spark.sql.Row.fromSeq(i.toLong +: vals))
+            }
+            bigGen = Some((df.sparkSession.createDataFrame(rowsJ, schema),
+              emitted.size, enames))
+          }
+        }
+        bigGen match {
+          case Some((gen, k, enames)) =>
+            val carry =
+              (if (df.columns.contains("ts")) Seq(col("ts")) else Nil) ++
+                (if (df.columns.contains("event_id")) Seq(col("event_id")) else Nil)
+            df = df.select(carry: _*).crossJoin(gen)
+            val outCols = enames.map(col) ++
+              (if (df.columns.contains("ts")) Seq(col("ts")) else Nil) ++
+              (if (df.columns.contains("event_id"))
+                Seq((col("event_id") * k + col("pos")).as("event_id"))
+              else Nil)
+            df = df.select(outCols: _*)
+          case None =>
+            if (rows.isEmpty)
+              throw VplCompileError(s".process ${fn.name}: no emit reached")
+            val names = rows.head.map(_._1)
+            require(rows.forall(_.map(_._1) == names),
+              ".process: all emits must produce the same fields")
+            if (rows.size > 10000)
+              throw VplCompileError(
+                s".process ${fn.name}: unrolls to ${rows.size} emits (>10000)")
+            val c0 = ctx
+            val structs = rows.toSeq.map(r =>
+              struct(r.map { case (n, e) => translate(e, c0).as(n) }: _*))
+            val carry =
+              (if (df.columns.contains("ts")) Seq(col("ts")) else Nil) ++
+                (if (df.columns.contains("event_id")) Seq(col("event_id")) else Nil)
+            df = df
+              .select(carry :+ posexplode(array(structs: _*)): _*)
+              .withColumnRenamed("col", "__e")
+            val outCols = names.map(n => col(s"__e.$n").as(n)) ++
+              (if (df.columns.contains("ts")) Seq(col("ts")) else Nil) ++
+              (if (df.columns.contains("event_id"))
+                // unique arrival order for the generated events
+                Seq((col("event_id") * rows.size + col("pos")).as("event_id"))
+              else Nil)
+            df = df.select(outCols: _*)
+        }
 
       case OpPartitionBy(cols) => keys = cols
       case w: OpWindow =>

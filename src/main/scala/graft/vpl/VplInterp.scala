@@ -130,6 +130,25 @@ object VplInterp {
       fuelSteps: Long): Any =
     callFn(fns, fn, args, new Fuel(fuelSteps), depth = 0)
 
+  /** Interpret a statement fn with CONSTANT argument values,
+    * collecting `emit` statements in execution order — the `.process`
+    * path for bodies beyond the pure for/emit shape (the mandelbrot
+    * demos' compute_tile: lets, := accumulation, nested statement-fn
+    * calls, while loops). Compile-time, driver-side, once per
+    * declaration — hence its own larger fuel budget.
+    */
+  def collectEmits(fns: Map[String, VFn], fn: VFn, args: Seq[Any],
+      fuelSteps: Long = 2000000000L): Seq[(String, Seq[(String, Any)])] = {
+    if (fn.params.size != args.size) throw InterpError(
+      s"fn ${fn.name}: expected ${fn.params.size} args, got ${args.size}")
+    val env = scala.collection.mutable.Map[String, Any](
+      fn.params.map(_._1).zip(args): _*)
+    val out = scala.collection.mutable.Buffer.empty[(String, Seq[(String, Any)])]
+    try exec(fn.stmts, env, fns, new Fuel(fuelSteps), depth = 0, out)
+    catch { case ReturnEx(_) => () }
+    out.toSeq
+  }
+
   private def callFn(fns: Map[String, VFn], fn: VFn, args: Seq[Any],
       fuel: Fuel, depth: Int): Any = {
     if (depth > 256) throw InterpError(
@@ -147,7 +166,8 @@ object VplInterp {
 
   private def exec(stmts: Seq[VStmt],
       env: scala.collection.mutable.Map[String, Any],
-      fns: Map[String, VFn], fuel: Fuel, depth: Int): Unit =
+      fns: Map[String, VFn], fuel: Fuel, depth: Int,
+      emits: scala.collection.mutable.Buffer[(String, Seq[(String, Any)])] = null): Unit =
     stmts.foreach { st =>
       fuel.tick()
       st match {
@@ -160,12 +180,12 @@ object VplInterp {
         case SContinue     => throw ContinueEx
         case SIf(c, t, e2) =>
           if (truthy(eval(c, env, fns, fuel, depth)))
-            exec(t, env, fns, fuel, depth)
-          else exec(e2, env, fns, fuel, depth)
+            exec(t, env, fns, fuel, depth, emits)
+          else exec(e2, env, fns, fuel, depth, emits)
         case SWhile(c, body) =>
           try while (truthy(eval(c, env, fns, fuel, depth))) {
             fuel.tick()
-            try exec(body, env, fns, fuel, depth)
+            try exec(body, env, fns, fuel, depth, emits)
             catch { case ContinueEx => () }
           } catch { case BreakEx => () }
         case SFor(v, from, to, incl, body) =>
@@ -177,14 +197,17 @@ object VplInterp {
             while (i <= end) {
               fuel.tick()
               env(v) = i
-              try exec(body, env, fns, fuel, depth)
+              try exec(body, env, fns, fuel, depth, emits)
               catch { case ContinueEx => () }
               i += 1
             }
           } catch { case BreakEx => () }
-        case SEmitStmt(t, _) => throw InterpError(
-          s"emit $t: emit-bodied fns run through .process(), not in " +
-            "expression position")
+        case SEmitStmt(t, eargs) =>
+          if (emits == null) throw InterpError(
+            s"emit $t: emit-bodied fns run through .process(), not in " +
+              "expression position")
+          emits += (t -> eargs.map { case (n, e) =>
+            n -> eval(e, env, fns, fuel, depth) })
       }
     }
 

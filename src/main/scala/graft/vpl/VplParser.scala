@@ -122,7 +122,95 @@ object VplParser {
   private val stmtKeywords = Set("stream", "event", "connector", "pattern",
     "fn", "let", "var", "const", "config", "context", "import", "type")
 
-  def parse(src: String): VProgram = new P(tokenize(src), src).program()
+  def parse(src: String): VProgram = {
+    val expanded = expandDeclLoops(src)
+    new P(tokenize(expanded), expanded).program()
+  }
+
+  /** Compile-time expansion of top-level declaration loops (the
+    * parser crate's expand pass, reference expand.rs:13): `for VAR in
+    * A..B:` / `A..=B:` at indent 0 with LITERAL integer bounds
+    * repeats its body — dedented by the first body line's indent —
+    * once per value, textually substituting `{VAR}`. Runs in passes
+    * so a nested loop (dedented to indent 0 by its parent) expands on
+    * the next pass; the mandelbrot demos declare 16 contexts/streams
+    * this way (`context t{row}{col}`). Non-literal bounds never
+    * match, so fn-body `for` statements pass through untouched.
+    */
+  private[vpl] def expandDeclLoops(src: String): String = {
+    val maxIterations = 10000
+    val maxPasses = 10
+    val ForLine =
+      """for\s+([A-Za-z_][A-Za-z0-9_]*)\s+in\s+(-?\d+)\s*\.\.(=?)\s*(-?\d+)\s*:""".r
+    def onePass(s: String): String = {
+      val lines = s.split("\n", -1)
+      val out = new StringBuilder
+      var i = 0
+      while (i < lines.length) {
+        val line = lines(i)
+        val indent = line.length - line.dropWhile(_ == ' ').length
+        val trimmed = line.trim
+        val m = if (indent == 0) ForLine.pattern.matcher(trimmed) else null
+        if (m != null && m.matches()) {
+          val v = m.group(1)
+          val from = m.group(2).toLong
+          val to = m.group(4).toLong + (if (m.group(3) == "=") 1 else 0)
+          if (to - from > maxIterations)
+            throw VplParseError(
+              s"declaration for-loop range too large: ${to - from} " +
+                s"iterations (max $maxIterations)", i + 1)
+          // body: following lines until the next nonempty indent-0 line
+          val bodyStart = i + 1
+          var bodyEnd = bodyStart
+          var bodyIndent = -1
+          var scan = true
+          while (scan && bodyEnd < lines.length) {
+            val bl = lines(bodyEnd)
+            if (bl.trim.isEmpty) bodyEnd += 1
+            else {
+              val bi = bl.length - bl.dropWhile(_ == ' ').length
+              if (bi == 0) scan = false
+              else {
+                if (bodyIndent < 0) bodyIndent = bi
+                bodyEnd += 1
+              }
+            }
+          }
+          val strip = if (bodyIndent < 0) 4 else bodyIndent
+          var value = from
+          while (value < to) {
+            var j = bodyStart
+            while (j < bodyEnd) {
+              val bl = lines(j)
+              if (bl.trim.isEmpty) out.append('\n')
+              else {
+                val ded = if (bl.length >= strip) bl.substring(strip)
+                  else bl.trim
+                out.append(ded.replace(s"{$v}", value.toString)).append('\n')
+              }
+              j += 1
+            }
+            value += 1
+          }
+          i = bodyEnd
+        } else {
+          out.append(line).append('\n')
+          i += 1
+        }
+      }
+      out.toString.stripSuffix("\n")
+    }
+    var cur = src
+    var pass = 0
+    while (pass < maxPasses) {
+      val next = onePass(cur)
+      if (next == cur) return cur
+      cur = next
+      pass += 1
+    }
+    throw VplParseError(
+      s"declaration for-loop expansion exceeded $maxPasses passes", 1)
+  }
 
   private final class P(toks: Vector[Tok], src: String) {
     private var pos = 0
@@ -384,7 +472,11 @@ object VplParser {
         if (c < blockCol) more = false
         else if (c > blockCol) fail("unexpected extra indentation")
         else peek match {
-          case TId("let", _) =>
+          // `var` = `let` in a statement body: both introduce a
+          // binding the `:=` statement may reassign (the reference
+          // treats fn-local let/var identically; the mandelbrot fns
+          // use `var zr = 0.0` + `zr := ...`)
+          case TId("let", _) | TId("var", _) =>
             advance(); val n = ident()
             if (isOp(":")) { advance(); typeExpr() }
             eatOp("=")

@@ -18,9 +18,20 @@ class VplCoverageSpec extends SparkSpec {
     new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)))
 
   test("every reference .vpl parses") {
-    val files = (new java.io.File(ex).listFiles ++ new java.io.File(sc).listFiles)
-      .filter(_.getName.endsWith(".vpl")).sortBy(_.getName)
-    assert(files.length >= 29)
+    // RECURSIVE over examples/ and tests/: picks up the mandelbrot
+    // family (examples/mandelbrot/**, imperative fn + .process grids,
+    // server/worker/web variants) and the hvac-e2e integration
+    // pipeline that the old top-level listing missed
+    def walk(d: java.io.File): Seq[java.io.File] =
+      Option(d.listFiles).toSeq.flatten.flatMap {
+        case f if f.isDirectory => walk(f)
+        case f if f.getName.endsWith(".vpl") => Seq(f)
+        case _ => Nil
+      }
+    val files = (walk(new java.io.File(ex)) ++
+      walk(new java.io.File("/root/reference/tests")))
+      .sortBy(_.getPath)
+    assert(files.length >= 39, s"expected the full corpus, got ${files.length}")
     val failures = files.flatMap { f =>
       try { VplParser.parse(read(f.getPath)); None }
       catch { case e: Throwable => Some(f.getName -> e.getMessage) }
