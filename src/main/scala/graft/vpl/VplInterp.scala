@@ -58,6 +58,21 @@ object VplInterp {
       case l: java.lang.Long   => -l.longValue
       case d: java.lang.Double => -d.doubleValue
     }
+    // constant arithmetic folds too: the declaration-loop demos pass
+    // `{col} * 250`, which lands here as a VBin over literals
+    case VBin(op @ ("+" | "-" | "*" | "/" | "%"), l, r) =>
+      (constOf(l), constOf(r)) match {
+        case (Some(a: java.lang.Long), Some(b: java.lang.Long))
+            if !((op == "/" || op == "%") && b.longValue == 0L) =>
+          Some(op match {
+            case "+" => a.longValue + b.longValue
+            case "-" => a.longValue - b.longValue
+            case "*" => a.longValue * b.longValue
+            case "/" => a.longValue / b.longValue
+            case _   => a.longValue % b.longValue
+          })
+        case _ => None
+      }
     case VList(items) =>
       val vs = items.map(constOf)
       if (vs.forall(_.isDefined)) Some(vs.map(_.get)) else None

@@ -85,6 +85,28 @@ class VplMandelbrotSpec extends SparkSpec {
       prog.streams.map(_.name))
   }
 
+  test("the parallel variant's string-row tiles run: 250 PixelRow strings, exact") {
+    // compute_tile here ACCUMULATES a comma-separated string per row
+    // (var + := over strings inside nested loops) — the interpreted
+    // .process path's string arm, value-checked against the same
+    // independent escape-time loop
+    val vpl = read(s"$base/web/mandelbrot_parallel.vpl")
+    val evt = java.nio.file.Files.createTempFile("graft_mandel_web", ".evt")
+    java.nio.file.Files.write(evt, "ComputeTile00 { id: 1 }\n".getBytes)
+    val df = Vpl.runEvt(spark, vpl, Seq(evt.toString))("Tile00")
+      .getOrElse(fail("Tile00 failed to compile"))
+    val rows = df.select("y", "x_start", "count", "data").collect()
+    assert(rows.length == 250)
+    rows.foreach { r =>
+      val y = r.getLong(0)
+      assert(r.getLong(1) == 0L && r.getLong(2) == 250L)
+      val want = (0 until 250).map { px =>
+        mandel(-2.0 + px * 3.0 / 1000.0, -1.5 + y * 3.0 / 1000.0, 256)
+      }.mkString(",")
+      assert(r.getString(3) == want, s"row $y data mismatch")
+    }
+  }
+
   test("the single-file demo's 16 tile streams all compile (interpreted .process emits)") {
     // compile-only: materializing all 16 x 62,500-pixel tiles belongs
     // to a cluster, not a unit suite; worker_0 above value-checks the
