@@ -848,7 +848,20 @@ object VplParser {
     /** @param filter inside a `->` step's where clause: `.ident(`
       *               terminates the expression (next stream op)
       */
+    // expression-nesting guard: adversarial input like ((((…( must
+    // surface as a VplParseError, not a StackOverflowError crashing
+    // the caller's thread
+    private var exprDepth = 0
+
     def expr(filter: Boolean = false): VExpr = {
+      exprDepth += 1
+      if (exprDepth > 400)
+        throw VplParseError("expression nesting deeper than 400",
+          line(src, peek.pos))
+      try expr0(filter) finally exprDepth -= 1
+    }
+
+    private def expr0(filter: Boolean): VExpr = {
       // lambda: `x => body`
       peek match {
         case TId(p, _) if peekAt(1) == TOp("=>", peekAt(1).pos) =>

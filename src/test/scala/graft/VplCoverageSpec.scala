@@ -39,6 +39,22 @@ class VplCoverageSpec extends SparkSpec {
     assert(failures.isEmpty, s"parse failures: ${failures.toSeq}")
   }
 
+  test("fuzzed program text fails as VplParseError — never a hang, overflow or foreign exception") {
+    val good = read(s"$ex/sase_patterns.vpl")
+    val rnd = new scala.util.Random(19)
+    for (_ <- 0 until 300) {
+      val b = good.toCharArray
+      for (_ <- 0 to rnd.nextInt(4))
+        b(rnd.nextInt(b.length)) = (32 + rnd.nextInt(95)).toChar
+      try { VplParser.parse(new String(b)); () }
+      catch { case _: VplParser.VplParseError => () }
+    }
+    // adversarial nesting must be a pointed error, not a stack overflow
+    val deep = "stream S = E\n    .where(" + "(" * 5000 + "1" + ")" * 5000 + " > 0)\n"
+    val e = intercept[VplParser.VplParseError](VplParser.parse(deep))
+    assert(e.getMessage.contains("nesting"))
+  }
+
   test("every demo and benchmark .vpl parses too") {
     // the full .vpl surface of the reference REPO, beyond the
     // examples/scenarios corpus: live demos and the connector/Apama
