@@ -855,8 +855,10 @@ object VplParser {
 
     def expr(filter: Boolean = false): VExpr = {
       exprDepth += 1
-      if (exprDepth > 400)
-        throw VplParseError("expression nesting deeper than 400",
+      // 128 keeps well inside the smallest test-runner thread stacks
+      // (~20 parser frames per nesting level); real programs nest <50
+      if (exprDepth > 128)
+        throw VplParseError("expression nesting deeper than 128",
           line(src, peek.pos))
       try expr0(filter) finally exprDepth -= 1
     }

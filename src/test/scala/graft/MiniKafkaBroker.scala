@@ -54,8 +54,12 @@ final class MiniKafkaBroker(
     else scala.collection.mutable.Map
       .empty[(String, Int), scala.collection.mutable.ArrayBuffer[Rec]]
   @volatile private var running = true
-  @volatile var producesSeen = 0
-  @volatile var corruptBatches = 0
+  // AtomicInteger, not a @volatile var: executor tasks produce over
+  // CONCURRENT connections and `x += 1` on a volatile loses updates
+  private val producesSeen0 = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val corruptBatches0 = new java.util.concurrent.atomic.AtomicInteger(0)
+  def producesSeen: Int = producesSeen0.get
+  def corruptBatches: Int = corruptBatches0.get
   /** Fetch responses carry gzip-compressed batches (attributes=1) —
     * proves the client decodes producer-compressed topics.
     */
@@ -269,12 +273,12 @@ final class MiniKafkaBroker(
               val parts = (0 until np).map { _ =>
                 val p = c.i32
                 val set = c.nullableBytes.getOrElse(Array.empty[Byte])
-                producesSeen += 1
+                producesSeen0.incrementAndGet()
                 if (!topicExists(topic)) (p, 3, -1L)
                 else if (!leads(p)) (p, 6, -1L) // NOT_LEADER_OR_FOLLOWER
                 else parseBatch(set) match {
                   case None =>
-                    corruptBatches += 1
+                    corruptBatches0.incrementAndGet()
                     (p, 2, -1L) // CORRUPT_MESSAGE
                   case Some(recs) =>
                     val l = log(topic, p)
