@@ -44,6 +44,12 @@ object SparkEntry {
     "s38_stream_lm_fluency" -> QueryDef(
       graft.streaming.StreamingQueries.streamLmFluency,
       TextQueries.defs("t17_lm_fluency").oracle),
+    // s41: CCNet tier assignment at ingest — pre-fit LM + pre-fit
+    // per-language tertile thresholds, row-local map-literal lookup:
+    // shares t19's oracle verbatim
+    "s41_stream_ccnet" -> QueryDef(
+      graft.streaming.StreamingQueries.streamCcnet,
+      TextQueries.defs("t19_ccnet_buckets").oracle),
     // s39: per-event imperative fn fold at ingest (the r13 StmtFnCall
     // path on a live stream) — stateless row-local, integer-exact:
     // shares x8's recursive-CTE oracle verbatim

@@ -803,38 +803,53 @@ object TextQueries {
     // --- #45q CCNet-style perplexity bucketing: per-LANGUAGE
     // head/middle/tail tiers by LM fluency (CCNet partitions each
     // language's corpus into perplexity thirds against a clean-corpus
-    // LM; head = most fluent). Rides t17's prefit bigram LM —
-    // integer-exact Q14 scores, ntile(3) over (lang, score DESC,
-    // doc_id): one window shuffle on lang after the broadcast-scored
-    // pass, deterministic under ties ---
+    // LM; head = most fluent — Wenzek et al. 2020 assign by CUTOFF
+    // scores, which is also the only shape that survives 100 TB: a
+    // per-lang ranking window would sort half the corpus (English) in
+    // ONE task). Rides t17's prefit bigram LM; tertile thresholds
+    // c1/c2 are pre-fit from a per-(lang, score) histogram — bounded
+    // by the Q14 value range, corpus-size-independent — then
+    // broadcast back for row-local assignment. Tie rule: a doc AT a
+    // boundary score joins the more-fluent bucket ---
     "t19_ccnet_buckets" -> QueryDef.of(
       s"""WITH $lmFluencyCtes,
          |b AS (
          |  SELECT d.doc_id, dv.lang,
          |    CAST(d.sum_q // d.n_bigrams AS BIGINT) AS fluency_q14
          |  FROM d JOIN (SELECT doc_id, lang FROM documents) dv
-         |    ON d.doc_id = dv.doc_id)
-         |SELECT doc_id, lang, fluency_q14,
-         |  CASE ntile(3) OVER (PARTITION BY lang
-         |         ORDER BY fluency_q14 DESC, doc_id)
-         |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
-         |  END AS bucket
-         |FROM b""".stripMargin) {
+         |    ON d.doc_id = dv.doc_id),
+         |h AS (
+         |  SELECT lang, fluency_q14, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM b GROUP BY 1, 2),
+         |cm AS (
+         |  SELECT lang, fluency_q14,
+         |    sum(cnt) OVER (PARTITION BY lang
+         |      ORDER BY fluency_q14 DESC) AS cum,
+         |    sum(cnt) OVER (PARTITION BY lang) AS n
+         |  FROM h),
+         |th AS (
+         |  SELECT lang,
+         |    max(CASE WHEN cum >= (n + 2) // 3
+         |             THEN fluency_q14 END) AS c1,
+         |    max(CASE WHEN cum >= (2 * n + 2) // 3
+         |             THEN fluency_q14 END) AS c2
+         |  FROM cm GROUP BY 1)
+         |SELECT b.doc_id, b.lang, b.fluency_q14,
+         |  CASE WHEN b.fluency_q14 >= th.c1 THEN 'head'
+         |       WHEN b.fluency_q14 >= th.c2 THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM b JOIN th ON b.lang = th.lang""".stripMargin) {
       (s, dir) => {
         val docs = Tables(s, dir).documents
         val scored = graft.text.TextAnalysis.lmFluency(
           docs, col("doc_id"), col("text"),
           trainFilter = col("lang") === "en", keepQ14 = 1200L)
           .select(col("doc_id"), col("fluency_q14"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("lang")
-          .orderBy(col("fluency_q14").desc, col("doc_id"))
-        scored.join(docs.select(col("doc_id"), col("lang")), "doc_id")
-          .withColumn("tile", ntile(3).over(w))
+          .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        val th = graft.text.TextAnalysis.ccnetThresholds(scored)
+        graft.text.TextAnalysis.ccnetAssign(scored, th)
           .select(col("doc_id"), col("lang"), col("fluency_q14"),
-            when(col("tile") === 1, "head")
-              .when(col("tile") === 2, "middle")
-              .otherwise("tail").as("bucket"))
+            col("bucket"))
       }
     },
 

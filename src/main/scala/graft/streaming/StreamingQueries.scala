@@ -1117,6 +1117,43 @@ object StreamingQueries {
     runToTable(spark, out, "graft_s38_sink", "append")
   }
 
+  /** #45q-streaming: CCNet tier assignment AT INGEST — the LM (t17's
+    * prefit integer bigram model) and the per-language tertile
+    * thresholds (t19's cutoff pair, from the histogram pass on the
+    * static reference corpus) are both fit ONCE at query start; each
+    * arriving document is then scored row-locally and bucketed
+    * head/middle/tail with one map-literal lookup — zero joins, zero
+    * shuffles, zero state, the s26/s30 train-offline-once pattern.
+    * Integer arithmetic is bit-identical to the batch path, so s41
+    * shares t19's oracle verbatim.
+    */
+  def streamCcnet(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/documents.parquet"
+    val staticDocs = graft.Tables(spark, dir).documents
+    val (bi, uni, total) = graft.text.TextAnalysis.lmFitLocal(
+      staticDocs, col("text"), col("lang") === "en")
+    val scoredStatic = graft.text.TextAnalysis.lmFluency(
+      staticDocs, col("doc_id"), col("text"),
+      trainFilter = col("lang") === "en", keepQ14 = 1200L)
+      .select(col("doc_id"), col("fluency_q14"))
+      .join(staticDocs.select(col("doc_id"), col("lang")), "doc_id")
+    val th = graft.text.TextAnalysis.ccnetThresholds(scoredStatic).collect()
+    val c1 = th.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val c2 = th.map(r => r.getString(0) -> r.getLong(2)).toMap
+    val src = graft.Tables.normalizeDocuments(
+      spark.readStream.schema(schemaOf(spark, path)).parquet(streamDir(path)))
+    val scored = graft.text.TextAnalysis.lmScoreLocal(
+      src, col("doc_id"), col("text"), bi, uni, total, keepQ14 = 1200L,
+      passthrough = Seq("lang" -> col("lang")))
+    val out = scored.select(col("doc_id"), col("lang"), col("fluency_q14"),
+      when(col("fluency_q14") >= element_at(typedLit(c1), col("lang")),
+        "head")
+        .when(col("fluency_q14") >= element_at(typedLit(c2), col("lang")),
+          "middle")
+        .otherwise("tail").as("bucket"))
+    runToTable(spark, out, "graft_s41_sink", "append")
+  }
+
   /** #49b-streaming: the per-event imperative fn fold AT INGEST —
     * the same statement-bodied VPL fn (while/:=/if over an event
     * field) the reference's engine evaluator runs per live event,

@@ -809,6 +809,60 @@ object TextAnalysis {
     lmScore(docs, idCol, textCol, bi, uni, totals, keepQ14)
   }
 
+  /** CCNet-style per-language tertile THRESHOLDS from a scored frame
+    * `(lang, fluency_q14, …)` — the two boundary scores that split
+    * each language's corpus into head/middle/tail fluency tiers
+    * (Wenzek et al. 2020 assign buckets by perplexity cutoffs, not by
+    * ranking every document).
+    *
+    * Definitions (integer-exact so a SQL oracle replays them):
+    * with n = docs in the language and cum(s) = docs scoring >= s,
+    *   c1 = max score with cum(s) >= ceil(n/3)   (= (n+2) div 3)
+    *   c2 = max score with cum(s) >= ceil(2n/3)  (= (2n+2) div 3)
+    * Tie rule: a document AT a boundary score joins the more-fluent
+    * bucket (score >= c1 → head, >= c2 → middle, else tail), so
+    * boundary ties inflate head/middle rather than splitting
+    * arbitrarily.
+    *
+    * Plan shape at 100 TB: the corpus reduces to a per-(lang, score)
+    * HISTOGRAM first — map-side combined, and bounded by the Q14
+    * value range (score is an integer mean of Q14 probabilities), so
+    * its size is corpus-independent. The per-language cumulative walk
+    * then runs over histogram rows only: no language ever sorts its
+    * full document set in one task (the ntile-window formulation this
+    * replaces capped parallelism at n_langs — English alone would be
+    * half the corpus in a single partition).
+    */
+  def ccnetThresholds(scored: DataFrame,
+      langCol: String = "lang", scoreCol: String = "fluency_q14"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = scored.groupBy(col(langCol), col(scoreCol))
+      .agg(count(lit(1)).as("cnt"))
+    val ord = Window.partitionBy(langCol).orderBy(col(scoreCol).desc)
+    hist
+      .withColumn("cum", sum(col("cnt")).over(ord))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(langCol)))
+      .groupBy(col(langCol))
+      .agg(
+        max(when(col("cum") >= expr("(n + 2) div 3"), col(scoreCol)))
+          .as("c1"),
+        max(when(col("cum") >= expr("(2 * n + 2) div 3"), col(scoreCol)))
+          .as("c2"))
+  }
+
+  /** Row-local CCNet tier assignment against pre-fit thresholds:
+    * `(lang, c1, c2)` is a dozens-row table, broadcast back so bucket
+    * assignment is a pure map stage over the scored corpus.
+    */
+  def ccnetAssign(scored: DataFrame, thresholds: DataFrame,
+      langCol: String = "lang", scoreCol: String = "fluency_q14"): DataFrame =
+    scored.join(broadcast(thresholds), langCol)
+      .withColumn("bucket",
+        when(col(scoreCol) >= col("c1"), "head")
+          .when(col(scoreCol) >= col("c2"), "middle")
+          .otherwise("tail"))
+      .drop("c1", "c2")
+
   /** Driver-side LM fit for the ingest twin (the s26/s29
     * train-offline-once pattern): the reference-slice model collects
     * into hash maps, cap-guarded with a limit probe so an oversized
@@ -842,21 +896,24 @@ object TextAnalysis {
   def lmScoreLocal(docs: DataFrame, idCol: Column, textCol: Column,
       bi: java.util.HashMap[String, Array[Long]],
       uni: java.util.HashMap[String, java.lang.Long],
-      total: Long, keepQ14: Long): DataFrame = {
+      total: Long, keepQ14: Long,
+      passthrough: Seq[(String, Column)] = Nil): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     import graft.functions.LmScore
     val sc = ColumnBridge.column(LmScore(
       ColumnBridge.expression(words(textCol)), bi, uni, total))
-    docs.select(idCol.as("doc_id"), sc.as("sc"))
-      .select(col("doc_id"),
-        element_at(col("sc"), 1).as("n_bigrams"),
-        element_at(col("sc"), 2).as("sum_q"))
+    val pt = passthrough.map { case (n, c) => c.as(n) }
+    val ptNames = passthrough.map { case (n, _) => col(n) }
+    docs.select(idCol.as("doc_id") +: sc.as("sc") +: pt: _*)
+      .select(col("doc_id") +:
+        element_at(col("sc"), 1).as("n_bigrams") +:
+        element_at(col("sc"), 2).as("sum_q") +: ptNames: _*)
       .where(col("n_bigrams") > 0L) // batch emits docs with >= 2 words
-      .select(col("doc_id"), col("n_bigrams"), col("sum_q"),
-        expr("sum_q div n_bigrams").as("fluency_q14"),
+      .select(col("doc_id") +: col("n_bigrams") +: col("sum_q") +:
+        expr("sum_q div n_bigrams").as("fluency_q14") +:
         (col("sum_q").cast("double") /
-          (col("n_bigrams").cast("double") * lit(16384.0))).as("fluency"),
-        (expr("sum_q div n_bigrams") >= keepQ14).as("keep"))
+          (col("n_bigrams").cast("double") * lit(16384.0))).as("fluency") +:
+        (expr("sum_q div n_bigrams") >= keepQ14).as("keep") +: ptNames: _*)
   }
 
   /** Sliding-window document chunking — the RAG / context-window

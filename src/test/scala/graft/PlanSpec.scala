@@ -98,6 +98,31 @@ class PlanSpec extends SparkSpec {
       "gram strings cross a gram-keyed exchange:\n" + offenders.mkString("\n"))
   }
 
+  test("t19: tiers assign by broadcast thresholds, never a per-lang doc sort") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val root = q("t19_ccnet_buckets").queryExecution.executedPlan
+    val plan = root match {
+      case a: AdaptiveSparkPlanExec => a.inputPlan
+      case p                        => p
+    }
+    val p = plan.toString()
+    assert(!p.toLowerCase.contains("ntile"),
+      "per-lang ntile ranking is the 100 TB scale-killer\n" + p)
+    // the only windows allowed are the threshold CDF walks over the
+    // per-(lang, score) HISTOGRAM (bounded, corpus-independent) —
+    // never over per-document rows
+    val wins = plan.collect { case w: WindowExec => w }
+    assert(wins.nonEmpty, "threshold CDF window expected\n" + p)
+    wins.foreach { w =>
+      assert(w.child.output.exists(_.name.startsWith("cnt")),
+        "a window consumes document rows, not the histogram:\n" +
+          w.child.output.map(_.name).mkString(",") + "\n" + p)
+    }
+    // the dozens-row threshold table broadcasts back for assignment
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("p1: pattern join is a key equi-join (range preds post-shuffle)") {
     val p = planOf(q("p1_seq2"))
     assert(!p.contains("CartesianProduct"), p)
