@@ -1,0 +1,441 @@
+package graft.server
+
+import java.net.InetSocketAddress
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicLong
+
+import scala.jdk.CollectionConverters._
+import scala.util.{Failure, Success, Try}
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.sources.EventReplay
+import graft.vpl.{VplCompiler, VplParser}
+import graft.vpl.VplAst.VProgram
+import graft.vpl.VplParser.VplParseError
+
+/** The runtime pipeline-management HTTP surface — the reference CLI's
+  * `server` mode (varpulis-cli/src/api.rs:1-2299, docs/api/openapi.yaml
+  * `/api/v1/pipelines*`): POST a VPL program to deploy it, inject
+  * events over HTTP, read back the output events each inject produced,
+  * poll status/metrics, DELETE to undeploy. Tenants/cluster/Raft/chat
+  * endpoints are the §6 infra non-goal; checkpoint encoding is owned
+  * by Spark's state store (VERDICT r13 #5).
+  *
+  * Spark-first shape: a deployed pipeline IS a set of Structured
+  * Streaming queries. Deploy compiles every stream of the program in
+  * streaming mode over a spool directory seeded with a zero-row
+  * staged file ([[EventReplay.stageEmpty]]); each compiled stream
+  * runs append-mode into a memory sink. Inject renders the JSON
+  * events as an `.evt` phase, appends it to the spool
+  * ([[EventReplay.stagePhase]] — zero-padded sequence, disjoint
+  * event_id range, event time advancing 1 s per inject), drives every
+  * query with `processAllAvailable()`, and returns the rows each sink
+  * gained — exactly "the output events emitted by processing this
+  * inject", the reference's synchronous-inject contract
+  * (api.rs handle_inject). Windowed streams emit when their watermark
+  * closes a window, so an inject's outputs can surface on a LATER
+  * inject — the same emit-on-close behavior the reference documents.
+  *
+  * Transport is the JDK built-in HttpServer (the [[graft.metrics
+  * .MetricsServer]] precedent — zero new dependencies), serial
+  * handler dispatch (the data path is the Spark queries, not this
+  * control plane). `apiKey = Some(k)` enforces the reference's
+  * `x-api-key` header on every /api/v1 route (401 `invalid_api_key`);
+  * None runs open, the reference's default standalone mode.
+  */
+final class PipelineServer private (
+    spark: SparkSession,
+    bind: InetSocketAddress,
+    apiKey: Option[String]) {
+
+  import PipelineServer._
+
+  private val mapper = new ObjectMapper()
+  private val pipelines = new ConcurrentHashMap[String, Pipeline]()
+  private val nextId = new AtomicLong(0L)
+  private val startNanos = System.nanoTime()
+
+  private val server: HttpServer = HttpServer.create(bind, 0)
+  server.createContext("/health", exact("/health") { x =>
+    if (x.getRequestMethod != "GET") methodNotAllowed(x)
+    else {
+      val o = mapper.createObjectNode()
+      o.put("status", "healthy")
+      o.put("role", "engine")
+      o.put("version", "graft")
+      o.put("uptime_seconds", (System.nanoTime() - startNanos) / 1e9)
+      respondJson(x, 200, o)
+    }
+  })
+  server.createContext("/ready", exact("/ready") { x =>
+    if (x.getRequestMethod != "GET") methodNotAllowed(x)
+    else {
+      val ps = pipelines.values.asScala.toSeq
+      val o = mapper.createObjectNode()
+      o.put("status", "ready")
+      o.put("engine_loaded", true)
+      o.put("streams_count", ps.map(_.runs.size).sum)
+      o.put("events_processed", ps.map(_.eventsProcessed).sum)
+      o.put("output_events_emitted", ps.map(_.outputEmitted).sum)
+      respondJson(x, 200, o)
+    }
+  })
+  server.createContext("/api/v1/pipelines", new HttpHandler {
+    override def handle(x: HttpExchange): Unit =
+      try route(x)
+      catch {
+        case e: Throwable =>
+          Try(error(x, 500, "engine_error", s"${e.getClass.getSimpleName}: ${e.getMessage}"))
+      }
+  })
+  server.createContext("/", new HttpHandler {
+    override def handle(x: HttpExchange): Unit =
+      error(x, 404, "not_found", "unknown route")
+  })
+  server.setExecutor(null) // control plane: serial dispatch is the contract
+  server.start()
+
+  /** The actually-bound port (differs from the requested one when 0). */
+  def port: Int = server.getAddress.getPort
+
+  def stop(): Unit = {
+    pipelines.keySet().asScala.toSeq.foreach(undeploy)
+    server.stop(0)
+  }
+
+  // ------------------------------------------------------------------
+  // routing
+  // ------------------------------------------------------------------
+
+  private def route(x: HttpExchange): Unit = {
+    if (apiKey.exists(k =>
+        x.getRequestHeaders.getFirst("x-api-key") != k)) {
+      error(x, 401, "invalid_api_key", "Invalid API key"); return
+    }
+    val path = x.getRequestURI.getPath.stripSuffix("/")
+    val m = x.getRequestMethod
+    val parts = path.split("/").filter(_.nonEmpty) // api, v1, pipelines, ...
+    (parts.drop(3).toList, m) match {
+      case (Nil, "POST")   => deploy(x)
+      case (Nil, "GET")    => list(x)
+      case (id :: Nil, "GET")    => withPipeline(x, id)(info(x, _))
+      case (id :: Nil, "DELETE") => withPipeline(x, id) { p =>
+        undeploy(p.id)
+        val o = mapper.createObjectNode(); o.put("deleted", true)
+        respondJson(x, 200, o)
+      }
+      case (id :: "events" :: Nil, "POST") =>
+        withPipeline(x, id)(inject(x, _, batch = false))
+      case (id :: "events-batch" :: Nil, "POST") =>
+        withPipeline(x, id)(inject(x, _, batch = true))
+      case (id :: "metrics" :: Nil, "GET") =>
+        withPipeline(x, id) { p =>
+          val o = mapper.createObjectNode()
+          o.put("pipeline_id", p.id)
+          o.put("events_processed", p.eventsProcessed)
+          o.put("output_events_emitted", p.outputEmitted)
+          respondJson(x, 200, o)
+        }
+      case (Nil, _) | (_ :: Nil, _) | (_ :: "events" :: Nil, _) |
+          (_ :: "events-batch" :: Nil, _) | (_ :: "metrics" :: Nil, _) =>
+        methodNotAllowed(x)
+      case _ => error(x, 404, "not_found", s"unknown route $path")
+    }
+  }
+
+  private def withPipeline(x: HttpExchange, id: String)(
+      f: Pipeline => Unit): Unit =
+    Option(pipelines.get(id)) match {
+      case Some(p) => f(p)
+      case None => error(x, 404, "pipeline_not_found", s"no pipeline '$id'")
+    }
+
+  // ------------------------------------------------------------------
+  // deploy / list / info / undeploy
+  // ------------------------------------------------------------------
+
+  private def deploy(x: HttpExchange): Unit = {
+    val body = readBody(x)
+    val req = Try(mapper.readTree(body)) match {
+      case Success(n) if n.hasNonNull("name") && n.hasNonNull("source") => n
+      case Success(_) =>
+        error(x, 400, "parse_error", "need {name, source}"); return
+      case Failure(e) =>
+        error(x, 400, "parse_error", s"invalid JSON: ${e.getMessage}"); return
+    }
+    val name = req.get("name").asText()
+    val source = req.get("source").asText()
+    val prog =
+      try VplParser.parse(source)
+      catch {
+        case e: VplParseError =>
+          error(x, 400, "parse_error", e.getMessage); return
+      }
+    val id = s"p-${nextId.incrementAndGet()}"
+    val spool = java.nio.file.Files
+      .createTempDirectory(s"graft_api_${id}_").toString
+    val staged = EventReplay.stageEmpty(spark, spool)
+    val decls = prog.events.map(e => e.name -> e).toMap
+    val compiler = new VplCompiler(prog,
+      new graft.vpl.StreamingEvtSource(spark, staged, decls),
+      streaming = true)
+    val compiled = compiler.compileAll()
+    val runs = compiled.toSeq.collect { case (sn, Success(df)) =>
+      startRun(id, sn, df)
+    }
+    if (runs.isEmpty) {
+      val why = compiled.collectFirst { case (_, Failure(e)) => e.getMessage }
+        .getOrElse("program has no streams")
+      error(x, 400, "parse_error", s"no stream compiled: $why"); return
+    }
+    val skipped = compiled.collect { case (sn, Failure(e)) =>
+      sn -> e.getMessage }
+    val p = new Pipeline(id, name, source, prog, staged, runs.toVector,
+      skipped.toMap, System.nanoTime())
+    pipelines.put(id, p)
+    val o = mapper.createObjectNode()
+    o.put("id", id); o.put("name", name); o.put("status", "running")
+    respondJson(x, 201, o)
+  }
+
+  private def startRun(id: String, streamName: String,
+      df: DataFrame): StreamRun = {
+    val sink = s"graft_api_${id.replace('-', '_')}_${streamName.toLowerCase}"
+    spark.sql(s"DROP VIEW IF EXISTS $sink")
+    val q = df.writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    q.processAllAvailable() // consume the zero-row seed batch
+    new StreamRun(streamName, sink, q)
+  }
+
+  private def list(x: HttpExchange): Unit = {
+    val arr = mapper.createArrayNode()
+    pipelines.values.asScala.toSeq.sortBy(_.id).foreach(p =>
+      arr.add(infoNode(p)))
+    val o = mapper.createObjectNode()
+    o.set[ObjectNode]("pipelines", arr)
+    o.put("total", pipelines.size())
+    respondJson(x, 200, o)
+  }
+
+  private def infoNode(p: Pipeline): ObjectNode = {
+    val o = mapper.createObjectNode()
+    o.put("id", p.id); o.put("name", p.name); o.put("status", "running")
+    o.put("source", p.source)
+    o.put("uptime_secs", (System.nanoTime() - p.deployedNanos) / 1000000000L)
+    val streams = mapper.createArrayNode()
+    p.runs.foreach(r => streams.add(r.name))
+    o.set[ObjectNode]("streams", streams)
+    if (p.skipped.nonEmpty) {
+      val sk = mapper.createObjectNode()
+      p.skipped.foreach { case (k, v) => sk.put(k, v) }
+      o.set[ObjectNode]("streams_unsupported_streaming", sk)
+    }
+    o
+  }
+
+  private def info(x: HttpExchange, p: Pipeline): Unit =
+    respondJson(x, 200, infoNode(p))
+
+  private def undeploy(id: String): Unit =
+    Option(pipelines.remove(id)).foreach { p =>
+      p.runs.foreach { r =>
+        Try(r.query.stop())
+        Try(spark.sql(s"DROP VIEW IF EXISTS ${r.sink}"))
+      }
+      Try(deleteRecursively(new java.io.File(p.staged.dir)))
+    }
+
+  // ------------------------------------------------------------------
+  // inject
+  // ------------------------------------------------------------------
+
+  private def inject(x: HttpExchange, p: Pipeline, batch: Boolean): Unit = {
+    val body = readBody(x)
+    val root = Try(mapper.readTree(body)) match {
+      case Success(n) => n
+      case Failure(e) =>
+        error(x, 400, "parse_error", s"invalid JSON: ${e.getMessage}"); return
+    }
+    val events: Seq[JsonNode] =
+      if (batch) {
+        if (!root.hasNonNull("events") || !root.get("events").isArray) {
+          error(x, 400, "parse_error", "need {events: [...]}"); return
+        }
+        root.get("events").elements().asScala.toSeq
+      } else Seq(root)
+    val lines = events.map(evtLine) collect { case Right(l) => l }
+    if (lines.size != events.size) {
+      val firstErr = events.map(evtLine)
+        .collectFirst { case Left(m) => m }.get
+      error(x, 400, "parse_error", firstErr); return
+    }
+    val t0 = System.nanoTime()
+    val out = p.synchronized {
+      val phase = p.nextPhase
+      p.nextPhase += 1
+      val evt = java.nio.file.Files.createTempFile("graft_api_inject_", ".evt")
+      java.nio.file.Files.writeString(evt, lines.mkString("\n") + "\n")
+      p.staged = EventReplay.stagePhase(spark, evt.toString, p.staged,
+        phase = phase, afterDelayMs = phase * 1000L, sentinel = false)
+      java.nio.file.Files.deleteIfExists(evt)
+      p.eventsProcessed += lines.size
+      val fresh = mapper.createArrayNode()
+      p.runs.foreach { r =>
+        r.query.processAllAvailable()
+        val rows = spark.table(r.sink).collect()
+        rows.drop(r.emitted).foreach { row =>
+          val node = rowToJson(mapper, row)
+          node.put("stream", r.name)
+          fresh.add(node)
+        }
+        r.emitted = rows.length
+      }
+      p.outputEmitted += fresh.size()
+      fresh
+    }
+    val o = mapper.createObjectNode()
+    if (batch) {
+      o.put("accepted", lines.size)
+      o.set[ObjectNode]("output_events", out)
+      o.put("processing_time_us", (System.nanoTime() - t0) / 1000L)
+    } else {
+      o.put("accepted", true)
+      o.set[ObjectNode]("output_events", out)
+    }
+    respondJson(x, 200, o)
+  }
+
+  // ------------------------------------------------------------------
+  // http plumbing
+  // ------------------------------------------------------------------
+
+  private def exact(path: String)(f: HttpExchange => Unit): HttpHandler =
+    new HttpHandler {
+      override def handle(x: HttpExchange): Unit =
+        if (x.getRequestURI.getPath.stripSuffix("/") == path) f(x)
+        else error(x, 404, "not_found", "unknown route")
+    }
+
+  private def readBody(x: HttpExchange): String =
+    new String(x.getRequestBody.readAllBytes(), "UTF-8")
+
+  private def methodNotAllowed(x: HttpExchange): Unit =
+    error(x, 405, "method_not_allowed",
+      s"${x.getRequestMethod} not allowed here")
+
+  private def error(x: HttpExchange, code: Int, apiCode: String,
+      msg: String): Unit = {
+    val o = mapper.createObjectNode()
+    o.put("error", msg); o.put("code", apiCode)
+    respondJson(x, code, o)
+  }
+
+  private def respondJson(x: HttpExchange, code: Int, node: JsonNode): Unit = {
+    val bytes = mapper.writeValueAsBytes(node)
+    x.getResponseHeaders.add("Content-Type", "application/json")
+    x.sendResponseHeaders(code, bytes.length.toLong)
+    val os = x.getResponseBody
+    try os.write(bytes) finally os.close()
+  }
+}
+
+object PipelineServer {
+
+  /** Serve on 127.0.0.1:`port` (0 = ephemeral — tests); `apiKey`
+    * enables the reference's x-api-key check on /api/v1 routes.
+    */
+  def start(spark: SparkSession, port: Int = 0,
+      apiKey: Option[String] = None): PipelineServer =
+    new PipelineServer(spark, new InetSocketAddress("127.0.0.1", port), apiKey)
+
+  private final class StreamRun(val name: String, val sink: String,
+      val query: StreamingQuery) {
+    var emitted: Int = 0
+  }
+
+  private final class Pipeline(
+      val id: String,
+      val name: String,
+      val source: String,
+      val prog: VProgram,
+      var staged: EventReplay.Staged,
+      val runs: Vector[StreamRun],
+      val skipped: Map[String, String],
+      val deployedNanos: Long) {
+    var nextPhase: Int = 1
+    var eventsProcessed: Long = 0L
+    var outputEmitted: Long = 0L
+  }
+
+  /** One injected JSON event → one `.evt` line `Type { k: v, … }`.
+    * Values follow the .evt literal forms the [[graft.sources
+    * .EventFile]] reader (and the reference's event_file.rs) accept:
+    * quoted strings, bare integers/floats/booleans. Keys must be
+    * identifiers; strings with quotes/newlines are rejected loudly
+    * rather than silently corrupting the spool line.
+    */
+  private[server] def evtLine(ev: JsonNode): Either[String, String] = {
+    if (!ev.hasNonNull("event_type") || !ev.hasNonNull("fields") ||
+        !ev.get("fields").isObject)
+      return Left("need {event_type, fields}")
+    val t = ev.get("event_type").asText()
+    if (!t.matches("[A-Za-z_][A-Za-z0-9_]*"))
+      return Left(s"invalid event_type '$t'")
+    val fields = ev.get("fields").properties().asScala.toSeq
+    val rendered = fields.map { e =>
+      val (k, v) = (e.getKey, e.getValue)
+      if (!k.matches("[A-Za-z_][A-Za-z0-9_]*"))
+        return Left(s"invalid field name '$k'")
+      val lit =
+        if (v.isTextual) {
+          val s = v.asText()
+          if (s.contains("\"") || s.contains("\n") || s.contains("\r"))
+            return Left(s"field '$k': quotes/newlines not representable " +
+              "in .evt string literals")
+          "\"" + s + "\""
+        } else if (v.isIntegralNumber) v.asLong().toString
+        else if (v.isFloatingPointNumber) v.asDouble().toString
+        else if (v.isBoolean) v.asBoolean().toString
+        else return Left(s"field '$k': unsupported JSON type ${v.getNodeType}")
+      s"$k: $lit"
+    }
+    Right(s"$t { ${rendered.mkString(", ")} }")
+  }
+
+  /** Schema-driven Row → JSON object (output events). */
+  private[server] def rowToJson(mapper: ObjectMapper, row: Row): ObjectNode = {
+    val o = mapper.createObjectNode()
+    row.schema.fields.zipWithIndex.foreach { case (f, i) =>
+      if (row.isNullAt(i)) o.putNull(f.name)
+      else row.get(i) match {
+        case l: Long => o.put(f.name, l)
+        case n: Int => o.put(f.name, n)
+        case d: Double => o.put(f.name, d)
+        case fl: Float => o.put(f.name, fl.toDouble)
+        case b: Boolean => o.put(f.name, b)
+        case d: java.math.BigDecimal => o.put(f.name, d)
+        case d: scala.math.BigDecimal => o.put(f.name, d.bigDecimal)
+        case s: Seq[_] =>
+          val arr = o.putArray(f.name)
+          s.foreach {
+            case l: Long => arr.add(l)
+            case d: Double => arr.add(d)
+            case other => arr.add(String.valueOf(other))
+          }
+        case other => o.put(f.name, String.valueOf(other))
+      }
+    }
+    o
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
+  }
+}

@@ -121,6 +121,37 @@ object EventReplay {
       staged.nBatches + more.nBatches)
   }
 
+  /** Seed a spool directory with a ZERO-ROW staged file — the deploy
+    * shape of the pipeline-management API, where a streaming query
+    * must start on an empty event log (the file source needs at least
+    * one file to carry the schema) and later injects append via
+    * [[stagePhase]].
+    */
+  def stageEmpty(
+      spark: SparkSession,
+      dir: String,
+      baseEpochMs: Long = DefaultBaseEpochMs): Staged = {
+    val target = new java.io.File(dir)
+    target.mkdirs()
+    val empty = spark.range(0).select(
+      lit(0L).as("event_id"),
+      lit("").as("event_type"),
+      timestamp_millis(lit(baseEpochMs)).as("ts"),
+      lit(0L).as("delay_ms"),
+      map().cast("map<string,string>").as("fields"),
+      map().cast("map<string,string>").as("fields_raw"))
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_replay_seed_").toString
+    empty.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val dest = new java.io.File(target, "batch_00000.parquet")
+    java.nio.file.Files.move(part.toPath, dest.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    dest.setLastModified(baseEpochMs)
+    Staged(dir, Seq((dest.getPath, 0L)), 0)
+  }
+
   /** Open the staged directory as a stream, one BATCH per micro-batch. */
   def readStream(spark: SparkSession, staged: Staged): DataFrame = {
     val schema = spark.read.parquet(staged.files.head._1).schema

@@ -1,0 +1,207 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import graft.server.PipelineServer
+
+/** Drives the pipeline-management HTTP surface end-to-end over real
+  * HTTP on loopback: deploy a VPL program → inject events (single +
+  * batch) → read the output events each inject produced → poll
+  * status/metrics → undeploy. Mirrors the reference CLI's server mode
+  * (varpulis-cli/src/api.rs, openapi.yaml /api/v1/pipelines*).
+  */
+class PipelineApiSpec extends SparkSpec {
+
+  private val mapper = new ObjectMapper()
+  private val client = HttpClient.newHttpClient()
+
+  private def req(port: Int, method: String, path: String,
+      body: String = "", key: Option[String] = None)
+      : (Int, com.fasterxml.jackson.databind.JsonNode) = {
+    val b = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+    key.foreach(k => b.header("x-api-key", k))
+    val r = method match {
+      case "GET"    => b.GET()
+      case "DELETE" => b.DELETE()
+      case m => b.method(m, HttpRequest.BodyPublishers.ofString(body))
+    }
+    val resp = client.send(r.build(), HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), mapper.readTree(resp.body()))
+  }
+
+  private val alertsVpl =
+    """event Tick:
+      |    symbol: str
+      |    price: float
+      |
+      |stream Alerts = Tick
+      |    .where(price > 100.0)
+      |    .emit(symbol: symbol, price: price)
+      |""".stripMargin
+
+  private def deployBody(name: String, source: String): String = {
+    val o = mapper.createObjectNode()
+    o.put("name", name); o.put("source", source)
+    mapper.writeValueAsString(o)
+  }
+
+  private def tick(symbol: String, price: Double): String =
+    s"""{"event_type":"Tick","fields":{"symbol":"$symbol","price":$price}}"""
+
+  test("deploy → inject → output events → metrics → undeploy over real HTTP") {
+    val srv = PipelineServer.start(spark)
+    try {
+      val port = srv.port
+
+      // health/ready before anything is deployed
+      val (hc, h) = req(port, "GET", "/health")
+      assert(hc == 200 && h.get("status").asText() == "healthy", h)
+      val (rc0, r0) = req(port, "GET", "/ready")
+      assert(rc0 == 200 && r0.get("status").asText() == "ready", r0)
+
+      // deploy
+      val (dc, d) = req(port, "POST", "/api/v1/pipelines",
+        deployBody("alerts", alertsVpl))
+      assert(dc == 201, d)
+      val id = d.get("id").asText()
+      assert(d.get("status").asText() == "running", d)
+
+      // list + info
+      val (lc, l) = req(port, "GET", "/api/v1/pipelines")
+      assert(lc == 200 && l.get("total").asInt() == 1, l)
+      val (ic, i) = req(port, "GET", s"/api/v1/pipelines/$id")
+      assert(ic == 200 && i.get("name").asText() == "alerts", i)
+      assert(i.get("source").asText() == alertsVpl, i)
+      assert(i.get("streams").size() == 1 &&
+        i.get("streams").get(0).asText() == "Alerts", i)
+
+      // inject below threshold: accepted, no output events
+      val (c1, o1) = req(port, "POST", s"/api/v1/pipelines/$id/events",
+        tick("AAPL", 50.0))
+      assert(c1 == 200 && o1.get("accepted").asBoolean(), o1)
+      assert(o1.get("output_events").size() == 0, o1)
+
+      // inject above threshold: the output event comes back
+      val (c2, o2) = req(port, "POST", s"/api/v1/pipelines/$id/events",
+        tick("MSFT", 150.5))
+      assert(c2 == 200 && o2.get("output_events").size() == 1, o2)
+      val ev = o2.get("output_events").get(0)
+      assert(ev.get("symbol").asText() == "MSFT", ev)
+      assert(ev.get("price").asDouble() == 150.5, ev)
+      assert(ev.get("stream").asText() == "Alerts", ev)
+
+      // batch inject: 3 events, 2 over threshold
+      val batch =
+        s"""{"events":[${tick("A", 10.0)},${tick("B", 200.0)},${tick("C", 300.0)}]}"""
+      val (c3, o3) = req(port, "POST",
+        s"/api/v1/pipelines/$id/events-batch", batch)
+      assert(c3 == 200 && o3.get("accepted").asInt() == 3, o3)
+      assert(o3.get("output_events").size() == 2, o3)
+      assert(o3.get("processing_time_us").asLong() > 0L, o3)
+
+      // metrics: 5 processed, 3 emitted
+      val (mc, m) = req(port, "GET", s"/api/v1/pipelines/$id/metrics")
+      assert(mc == 200, m)
+      assert(m.get("pipeline_id").asText() == id, m)
+      assert(m.get("events_processed").asLong() == 5L, m)
+      assert(m.get("output_events_emitted").asLong() == 3L, m)
+
+      // undeploy: gone afterwards
+      val (uc, u) = req(port, "DELETE", s"/api/v1/pipelines/$id")
+      assert(uc == 200 && u.get("deleted").asBoolean(), u)
+      val (gc, g) = req(port, "GET", s"/api/v1/pipelines/$id")
+      assert(gc == 404 && g.get("code").asText() == "pipeline_not_found", g)
+    } finally srv.stop()
+  }
+
+  test("invalid VPL rejects with 400 parse_error; unknown id 404s") {
+    val srv = PipelineServer.start(spark)
+    try {
+      val (bc, b) = req(srv.port, "POST", "/api/v1/pipelines",
+        deployBody("bad", "stream = ???"))
+      assert(bc == 400 && b.get("code").asText() == "parse_error", b)
+      assert(b.get("error").asText().nonEmpty, b)
+
+      val (nc, n) = req(srv.port, "POST", "/api/v1/pipelines/p-99/events",
+        tick("X", 1.0))
+      assert(nc == 404 && n.get("code").asText() == "pipeline_not_found", n)
+
+      val (jc, j) = req(srv.port, "POST", "/api/v1/pipelines",
+        "{not json")
+      assert(jc == 400 && j.get("code").asText() == "parse_error", j)
+    } finally srv.stop()
+  }
+
+  test("x-api-key is enforced when configured (reference ApiKeyAuth)") {
+    val srv = PipelineServer.start(spark, apiKey = Some("sekrit"))
+    try {
+      val (ac, a) = req(srv.port, "GET", "/api/v1/pipelines")
+      assert(ac == 401 && a.get("code").asText() == "invalid_api_key", a)
+      val (okc, ok) = req(srv.port, "GET", "/api/v1/pipelines",
+        key = Some("sekrit"))
+      assert(okc == 200 && ok.get("total").asInt() == 0, ok)
+      // health probes stay open (k8s liveness, no auth — openapi.yaml)
+      val (hc, _) = req(srv.port, "GET", "/health")
+      assert(hc == 200)
+    } finally srv.stop()
+  }
+
+  test("malformed inject events reject loudly instead of corrupting the spool") {
+    val srv = PipelineServer.start(spark)
+    try {
+      val (_, d) = req(srv.port, "POST", "/api/v1/pipelines",
+        deployBody("alerts", alertsVpl))
+      val id = d.get("id").asText()
+      // bad field name
+      val (c1, e1) = req(srv.port, "POST", s"/api/v1/pipelines/$id/events",
+        """{"event_type":"Tick","fields":{"bad name":1}}""")
+      assert(c1 == 400 && e1.get("code").asText() == "parse_error", e1)
+      // embedded quote in a string value
+      val (c2, e2) = req(srv.port, "POST", s"/api/v1/pipelines/$id/events",
+        """{"event_type":"Tick","fields":{"symbol":"A\"B","price":1.0}}""")
+      assert(c2 == 400, e2)
+      // bad event type
+      val (c3, e3) = req(srv.port, "POST", s"/api/v1/pipelines/$id/events",
+        """{"event_type":"No Type","fields":{}}""")
+      assert(c3 == 400, e3)
+      // a pipeline that rejected injects still counts nothing
+      val (_, m) = req(srv.port, "GET", s"/api/v1/pipelines/$id/metrics")
+      assert(m.get("events_processed").asLong() == 0L, m)
+    } finally srv.stop()
+  }
+
+  test("windowed stream emits on watermark close, not before (streaming semantics)") {
+    val vpl =
+      """event Load:
+        |    val: float
+        |
+        |stream Windowed = Load
+        |    .watermark(out_of_order: 100ms)
+        |    .window(5s)
+        |    .aggregate(n: count())
+        |    .emit(n: n)
+        |""".stripMargin
+    val srv = PipelineServer.start(spark)
+    try {
+      val (dc, d) = req(srv.port, "POST", "/api/v1/pipelines",
+        deployBody("win", vpl))
+      assert(dc == 201, d)
+      val id = d.get("id").asText()
+      def load(v: Double): String =
+        s"""{"event_type":"Load","fields":{"val":$v}}"""
+      // injects land 1s apart in event time: the first window [0,5s)
+      // closes once the watermark passes 5s + out_of_order
+      var emitted = 0
+      (1 to 9).foreach { k =>
+        val (_, o) = req(srv.port, "POST",
+          s"/api/v1/pipelines/$id/events", load(k.toDouble))
+        emitted += o.get("output_events").size()
+      }
+      assert(emitted >= 1,
+        "first tumbling window should have closed and emitted over HTTP")
+    } finally srv.stop()
+  }
+}
