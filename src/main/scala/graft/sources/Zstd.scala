@@ -10,14 +10,18 @@ package graft.sources
   * loudly. The consumer now decodes none/gzip/lz4/snappy/zstd — the
   * FULL rdkafka matrix — and the sink produces all five.
   *
-  * DECODE is spec-complete for dictionary-less frames: raw/RLE/
-  * compressed blocks; raw/RLE/Huffman-compressed/treeless literals
-  * (1-stream and 4-stream, FSE-compressed and direct weight
-  * descriptions); predefined/RLE/FSE-compressed/repeat sequence
-  * tables; the three-slot repeat-offset history; skippable frames;
-  * multi-frame concatenation. Dictionary frames (Dictionary_ID != 0)
-  * are rejected loudly — Kafka producers do not use zstd dictionaries
-  * (rdkafka exposes no such config). Unlike the lz4/snappy decoders,
+  * DECODE is spec-complete: raw/RLE/compressed blocks; raw/RLE/
+  * Huffman-compressed/treeless literals (1-stream and 4-stream,
+  * FSE-compressed and direct weight descriptions); predefined/RLE/
+  * FSE-compressed/repeat sequence tables; the three-slot
+  * repeat-offset history; skippable frames; multi-frame
+  * concatenation; and DICTIONARY frames (RFC 8878 §5) — both
+  * structured `zstd --train` dictionaries (entropy-table preload +
+  * repeat offsets + prefix content) and raw-content dictionaries,
+  * via [[parseDictionary]] + the `decode(..., dict)` overload. A
+  * frame declaring a Dictionary_ID without its dictionary supplied
+  * still fails loudly — Kafka topics never hit this (rdkafka exposes
+  * no zstd-dictionary config). Unlike the lz4/snappy decoders,
   * the CONTENT CHECKSUM (xxHash64 low 32 bits) is VERIFIED when
   * present: zstd's checksum covers the DECODED bytes, which Kafka's
   * batch CRC32C (over the compressed records block) cannot see, so it
@@ -441,11 +445,78 @@ private[graft] object Zstd {
     var rep0 = 1L; var rep1 = 4L; var rep2 = 8L
   }
 
+  /** A parsed zstd dictionary (RFC 8878 §5): either STRUCTURED
+    * (magic 0xEC30A437 + Dictionary_ID + entropy tables + repeat
+    * offsets + content — what `zstd --train` emits) or RAW (any other
+    * byte sequence: pure prefix content, id 0, default entropy state —
+    * the `zstd -D somefile` raw-content convention).
+    */
+  final class ZstdDict private[Zstd] (
+      val id: Long,
+      val content: Array[Byte],
+      private[Zstd] val huff: HuffTable,
+      private[Zstd] val llTable: FseTable,
+      private[Zstd] val mlTable: FseTable,
+      private[Zstd] val ofTable: FseTable,
+      private[Zstd] val rep0: Long,
+      private[Zstd] val rep1: Long,
+      private[Zstd] val rep2: Long) {
+    def structured: Boolean = huff != null
+  }
+
+  private val DictMagic = 0xEC30A437L
+
+  /** Parse dictionary bytes. With the dictionary magic: id, then the
+    * entropy tables in spec order (Huffman literals table, then FSE
+    * tables for offsets, match lengths, literal lengths), then the
+    * three 4-byte initial repeat offsets, then content. Without the
+    * magic: the whole input is raw prefix content.
+    */
+  def parseDictionary(bytes: Array[Byte]): ZstdDict = {
+    @inline def u32(i: Int): Long =
+      (bytes(i) & 0xffL) | ((bytes(i + 1) & 0xffL) << 8) |
+        ((bytes(i + 2) & 0xffL) << 16) | ((bytes(i + 3) & 0xffL) << 24)
+    if (bytes.length < 8 || u32(0) != DictMagic)
+      return new ZstdDict(0L, bytes, null, null, null, null, 1L, 4L, 8L)
+    val id = u32(4)
+    if (id == 0) fail("structured dictionary with reserved id 0")
+    var s = 8
+    val end = bytes.length
+    val (huff, hBytes) = readHuffTableDesc(bytes, s, end)
+    s += hBytes
+    // FSE tables use the same accuracy/symbol caps as block headers
+    val (ofT, ofBytes) = readFseTableDesc(bytes, s, end, 8, 31)
+    s += ofBytes
+    val (mlT, mlBytes) = readFseTableDesc(bytes, s, end, 9, 52)
+    s += mlBytes
+    val (llT, llBytes) = readFseTableDesc(bytes, s, end, 9, 35)
+    s += llBytes
+    if (s + 12 > end) fail("truncated dictionary repeat offsets")
+    val rep0 = u32(s); val rep1 = u32(s + 4); val rep2 = u32(s + 8)
+    s += 12
+    val content = java.util.Arrays.copyOfRange(bytes, s, end)
+    Seq(rep0, rep1, rep2).foreach { r =>
+      if (r == 0 || r > content.length.toLong)
+        fail(s"dictionary repeat offset $r outside content (${content.length})")
+    }
+    new ZstdDict(id, content, huff, llT, mlT, ofT, rep0, rep1, rep2)
+  }
+
   /** Decode all zstd frames in `src[off, off+len)` (skippable frames
     * skipped) and return the concatenated content.
     */
   def decode(src: Array[Byte], off: Int, len: Int): Array[Byte] =
-    try decode0(src, off, len)
+    decode(src, off, len, null)
+
+  /** [[decode]] against a dictionary: each frame starts with the
+    * dictionary's content as match history, its entropy tables as the
+    * initial treeless/repeat state, and its repeat offsets (raw
+    * dictionaries contribute history only). A frame DECLARING a
+    * Dictionary_ID must be given the matching dictionary.
+    */
+  def decode(src: Array[Byte], off: Int, len: Int,
+      dict: ZstdDict): Array[Byte] =
+    try decode0(src, off, len, dict)
     catch {
       case e: ArrayIndexOutOfBoundsException =>
         throw new ZstdError(s"zstd: malformed frame (out of bounds: $e)")
@@ -453,7 +524,8 @@ private[graft] object Zstd {
 
   private val MaxWindow = 1 << 27 // 128 MiB — far above any Kafka batch
 
-  private def decode0(src: Array[Byte], off: Int, len: Int): Array[Byte] = {
+  private def decode0(src: Array[Byte], off: Int, len: Int,
+      dict: ZstdDict): Array[Byte] = {
     var s = off
     val end = off + len
     @inline def u32(i: Int): Long =
@@ -470,7 +542,7 @@ private[graft] object Zstd {
         if (s + 8 + size > end) fail("skippable frame runs past input")
         s += 8 + size.toInt
       } else if (magic == 0xFD2FB528L) {
-        s = decodeFrame(src, s + 4, end, out)
+        s = decodeFrame(src, s + 4, end, out, dict)
         frames += 1
       } else fail(f"bad frame magic 0x$magic%08x")
     }
@@ -482,7 +554,7 @@ private[graft] object Zstd {
     * position.
     */
   private def decodeFrame(src: Array[Byte], start: Int, end: Int,
-      out: java.io.ByteArrayOutputStream): Int = {
+      out: java.io.ByteArrayOutputStream, dict: ZstdDict): Int = {
     var s = start
     if (s >= end) fail("truncated frame header descriptor")
     val fhd = src(s) & 0xff; s += 1
@@ -504,10 +576,10 @@ private[graft] object Zstd {
       var did = 0L; var k = 0
       while (k < didBytes) { did |= (src(s + k) & 0xffL) << (8 * k); k += 1 }
       s += didBytes
-      if (did != 0)
-        fail(s"frame requires dictionary $did — dictionaries are not " +
-          "supported (Kafka producers do not use them; rdkafka exposes " +
-          "no zstd-dictionary config)")
+      if (did != 0 && (dict == null || !dict.structured || dict.id != did))
+        fail(s"frame requires dictionary $did — pass the matching " +
+          "dictionary to decode(src, off, len, dict) (Kafka topics never " +
+          "hit this: rdkafka exposes no zstd-dictionary config)")
     }
     val fcsBytes = fcsFlag match {
       case 0 => if (singleSegment) 1 else 0
@@ -537,11 +609,25 @@ private[graft] object Zstd {
     // front — honest frames grow geometrically to their real size and
     // the final content-size check still enforces the declared value.
     val allocCap = math.max(blockMax.toLong, (end - start).toLong * 64)
-    var dst = new Array[Byte](
+    // dictionary content becomes the frame's pre-history: it sits
+    // BEFORE the frame output in dst, so match offsets reach into it
+    // with no special casing, and is not emitted
+    val prefix = if (dict != null) dict.content.length else 0
+    var dst = new Array[Byte](prefix + (
       if (contentSize >= 0) math.min(contentSize, allocCap).toInt
-      else math.max(64 * 1024, blockMax))
-    var d = 0
+      else math.max(64 * 1024, blockMax)))
+    if (prefix > 0) System.arraycopy(dict.content, 0, dst, 0, prefix)
+    var d = prefix
     val ctx = new FrameCtx
+    if (dict != null && dict.structured) {
+      // entropy tables preload as the initial treeless/repeat state;
+      // repeat offsets start from the dictionary's triple
+      ctx.huff = dict.huff
+      ctx.llTable = dict.llTable
+      ctx.mlTable = dict.mlTable
+      ctx.ofTable = dict.ofTable
+      ctx.rep0 = dict.rep0; ctx.rep1 = dict.rep1; ctx.rep2 = dict.rep2
+    }
     var last = false
     while (!last) {
       if (s + 3 > end) fail("truncated block header")
@@ -573,18 +659,18 @@ private[graft] object Zstd {
         case _ => fail("reserved block type")
       }
     }
-    if (contentSize >= 0 && d != contentSize)
-      fail(s"content size mismatch (header $contentSize, got $d)")
+    if (contentSize >= 0 && d - prefix != contentSize)
+      fail(s"content size mismatch (header $contentSize, got ${d - prefix})")
     if (hasChecksum) {
       if (s + 4 > end) fail("truncated content checksum")
       val want = (src(s) & 0xffL) | ((src(s + 1) & 0xffL) << 8) |
         ((src(s + 2) & 0xffL) << 16) | ((src(s + 3) & 0xffL) << 24)
       s += 4
-      val got = xxh64(dst, 0, d, 0L) & 0xffffffffL
+      val got = xxh64(dst, prefix, d - prefix, 0L) & 0xffffffffL
       if (got != want)
         fail(f"content checksum mismatch (got 0x$got%08x want 0x$want%08x)")
     }
-    out.write(dst, 0, d)
+    out.write(dst, prefix, d - prefix)
     s
   }
 
@@ -1120,7 +1206,12 @@ private[graft] object Zstd {
       val h = hash(v)
       val cand = table(h)
       table(h) = s
-      if (cand >= histStart && cand < s && u32(cand) == v) {
+      // cap the match distance: offsets encode as highbit(offset+3)
+      // against the predefined OF table (max symbol 28), so a
+      // candidate further back than ~256 MiB of frame history would
+      // index past the table — force long-range matches to literals
+      if (cand >= histStart && cand < s && s - cand + 3 < (1 << 28) &&
+          u32(cand) == v) {
         var m = 4
         while (s + m < end && src(cand + m) == src(s + m)) m += 1
         val litLen = s - anchor

@@ -75,6 +75,24 @@ case class StmtFnCall(fnName: String, fns: Map[String, VFn],
       s"fn $fnName declared -> ${dt.simpleString} but returned $other")
   }
 
+  /** Bounded LRU memo on the argument tuple: statement-fn bodies are
+    * pure (no event-external state in the interpreter), so equal args
+    * give equal results, and real feeds repeat them heavily (x8's
+    * seed has 97 distinct values across 10k events). The key is built
+    * from the CONVERTED args (String/Long/Double/Boolean — immutable
+    * copies; the raw UTF8String from codegen may alias a reused row
+    * buffer and must never be stored). Per deserialized task instance
+    * (transient lazy), synchronized because interpreted-mode eval can
+    * share an instance across threads.
+    */
+  @transient private lazy val memo =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[AnyRef, AnyRef](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[AnyRef, AnyRef]): Boolean =
+          size() > StmtFnCall.memoCap
+      })
+
   /** Row-level entry: boxed Catalyst argument values in, boxed
     * Catalyst result out (null on any null argument). Public for the
     * generated code.
@@ -85,8 +103,18 @@ case class StmtFnCall(fnName: String, fns: Map[String, VFn],
       if (args(i) == null) return null
       i += 1
     }
-    toCatalyst(VplInterp.callFn(fns, fns(fnName),
-      args.toSeq.map(fromCatalyst), perRowFuel))
+    val conv = args.map(fromCatalyst)
+    val key: AnyRef = conv.toList
+    val hit = memo.get(key)
+    if (hit != null) {
+      if (hit eq StmtFnCall.NullResult) null else hit
+    } else {
+      val res = toCatalyst(VplInterp.callFn(fns, fns(fnName),
+        conv.toSeq, perRowFuel))
+      memo.put(key,
+        if (res == null) StmtFnCall.NullResult else res.asInstanceOf[AnyRef])
+      res
+    }
   }
 
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
@@ -122,4 +150,17 @@ case class StmtFnCall(fnName: String, fns: Map[String, VFn],
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): StmtFnCall =
     copy(children = newChildren)
+}
+
+object StmtFnCall {
+  /** LRU entry cap — small enough to be memory-trivial per task,
+    * large enough to cover realistic low-cardinality argument
+    * domains.
+    */
+  val memoCap: Int = 4096
+
+  /** Stored in the memo for a legitimately-null result (a raw null
+    * value would read as a miss).
+    */
+  private[vpl] object NullResult
 }

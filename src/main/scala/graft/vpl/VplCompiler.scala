@@ -1185,8 +1185,14 @@ final class VplCompiler(program: VProgram, source: VplSource,
   /** Aggregate calls — DECIMAL-exact sums (hash parity with DuckDB,
     * see QueryDef scaladoc), native everything.
     */
-  private def aggColumn(e: VExpr, ctx: ExprCtx,
-      orderCol: String = "event_id"): Column = inlineFns(e) match {
+  private def aggColumn(e: VExpr, ctx0: ExprCtx,
+      orderCol: String = "event_id"): Column = {
+    // window functions cannot nest inside aggregates: unset the
+    // analytic context so lag/lead/row_number/rank written in
+    // .aggregate() raise the pointed VplCompileError instead of a raw
+    // Spark AnalysisException
+    val ctx = ctx0.copy(analytic = None)
+    inlineFns(e) match {
     case VCall("count", Nil)      => count(lit(1))
     // alternative syntax from the 0.2.0 changelog: count(distinct(f))
     // dispatches to the same aggregate as count_distinct(f)
@@ -1209,6 +1215,7 @@ final class VplCompiler(program: VProgram, source: VplSource,
     case VCall("percentile", Seq(x, VNum(p))) =>
       expr_percentile(translate(x, ctx), p)
     case other => throw VplCompileError(s"unsupported aggregate: $other")
+    }
   }
 
   private def expr_percentile(c: Column, p: Double): Column = {
@@ -2568,8 +2575,27 @@ final class VplCompiler(program: VProgram, source: VplSource,
               emitted.size, enames))
           }
         }
+        // the generated frame rides next to carried ts/event_id/pos
+        // columns — an emit field reusing those names would shadow the
+        // carry silently (crossJoin + col(name) ambiguity)
+        def rejectReservedEmits(names: Seq[String]): Unit = {
+          val clash = names.filter(Set("ts", "event_id", "pos"))
+          if (clash.nonEmpty) throw VplCompileError(
+            s".process ${fn.name}: emit field(s) ${clash.mkString(", ")} " +
+              "collide with the carried ts/event_id/pos columns — " +
+              "rename the emitted field(s)")
+        }
+        // event_id * k + pos must not wrap: k is the per-event fan-out
+        def composedId(k: Int): Column = {
+          val cap = Long.MaxValue / math.max(k, 1)
+          when(col("event_id") > cap || col("event_id") < 0L,
+            expr(s"raise_error('.process ${fn.name}: event_id * $k " +
+              "overflows the synthesized arrival order')").cast("long"))
+            .otherwise(col("event_id") * k + col("pos"))
+        }
         bigGen match {
           case Some((gen, k, enames)) =>
+            rejectReservedEmits(enames)
             val carry =
               (if (df.columns.contains("ts")) Seq(col("ts")) else Nil) ++
                 (if (df.columns.contains("event_id")) Seq(col("event_id")) else Nil)
@@ -2577,7 +2603,7 @@ final class VplCompiler(program: VProgram, source: VplSource,
             val outCols = enames.map(col) ++
               (if (df.columns.contains("ts")) Seq(col("ts")) else Nil) ++
               (if (df.columns.contains("event_id"))
-                Seq((col("event_id") * k + col("pos")).as("event_id"))
+                Seq(composedId(k).as("event_id"))
               else Nil)
             df = df.select(outCols: _*)
           case None =>
@@ -2586,6 +2612,7 @@ final class VplCompiler(program: VProgram, source: VplSource,
             val names = rows.head.map(_._1)
             require(rows.forall(_.map(_._1) == names),
               ".process: all emits must produce the same fields")
+            rejectReservedEmits(names)
             if (rows.size > 10000)
               throw VplCompileError(
                 s".process ${fn.name}: unrolls to ${rows.size} emits (>10000)")
@@ -2602,7 +2629,7 @@ final class VplCompiler(program: VProgram, source: VplSource,
               (if (df.columns.contains("ts")) Seq(col("ts")) else Nil) ++
               (if (df.columns.contains("event_id"))
                 // unique arrival order for the generated events
-                Seq((col("event_id") * rows.size + col("pos")).as("event_id"))
+                Seq(composedId(rows.size).as("event_id"))
               else Nil)
             df = df.select(outCols: _*)
         }

@@ -184,8 +184,11 @@ object VplParser {
               val bl = lines(j)
               if (bl.trim.isEmpty) out.append('\n')
               else {
-                val ded = if (bl.length >= strip) bl.substring(strip)
-                  else bl.trim
+                // dedent by at most the line's OWN indent: a ragged
+                // body line indented less than the first body line
+                // must never lose non-whitespace content to the slice
+                val bi = bl.length - bl.dropWhile(_ == ' ').length
+                val ded = bl.substring(math.min(strip, bi))
                 out.append(ded.replace(s"{$v}", value.toString)).append('\n')
               }
               j += 1

@@ -797,4 +797,47 @@ class VplSpec extends SparkSpec {
     val e = intercept[VplCompileError](Vpl.tableStream(spark, sf, vpl, "S"))
     assert(e.getMessage.contains("arrival order"))
   }
+
+  test("analytic builtins inside .aggregate() raise the pointed error, not a raw Spark one") {
+    val vpl =
+      """stream S = purchase
+        |    .partition_by(user_id)
+        |    .window(5m)
+        |    .aggregate(x: sum(lag(value)))
+        |    .emit(x: x)
+        |""".stripMargin
+    val e = intercept[VplCompileError](Vpl.tableStream(spark, sf, vpl, "S"))
+    assert(e.getMessage.contains("analytic"), e.getMessage)
+  }
+
+  test("declaration-loop bodies with ragged indentation never lose content to the dedent") {
+    // first body line fixes the dedent at 8; the second sits at 4 — a
+    // byte-slice dedent would eat `let ` and corrupt the program
+    val vpl =
+      "for i in 0..2:\n" +
+        "        let a{i} = {i}\n" +
+        "    let b{i} = {i} + 10\n"
+    val prog = VplParser.parse(vpl)
+    val names = prog.lets.map(_.name)
+    assert(names == Seq("a0", "b0", "a1", "b1"), names)
+  }
+
+  test(".process emit fields shadowing carried ts/event_id/pos are rejected") {
+    val evt = java.nio.file.Files.createTempFile("graft_vpl_resv", ".evt")
+    java.nio.file.Files.write(evt, "Go { id: 1 }\n".getBytes)
+    val vpl =
+      """event Go:
+        |    id: int
+        |
+        |fn bad():
+        |    emit Out(event_id: 1, v: 2)
+        |
+        |stream S = Go
+        |    .process(bad())
+        |""".stripMargin
+    val r = Vpl.runEvt(spark, vpl, Seq(evt.toString))("S")
+    assert(r.isFailure)
+    val msg = r.failed.get.getMessage
+    assert(msg.contains("collide") && msg.contains("event_id"), msg)
+  }
 }

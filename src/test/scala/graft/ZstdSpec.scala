@@ -58,7 +58,7 @@ class ZstdSpec extends AnyFunSuite {
     assert(e.getMessage.contains("checksum"))
   }
 
-  test("rejects dictionary frames, bad magic and truncation loudly") {
+  test("rejects dictionary-declaring frames WITHOUT their dictionary, bad magic and truncation") {
     // magic, then a single-segment FHD with Dictionary_ID_flag=1 and a
     // nonzero id byte (0x21 = single-segment | did flag 1)
     val dict = Array[Byte](0x28, 0xb5.toByte, 0x2f, 0xfd.toByte,
@@ -69,6 +69,80 @@ class ZstdSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("magic"))
     val good = res("events_l3.zst")
     intercept[Zstd.ZstdError](dec(java.util.Arrays.copyOf(good, good.length / 2)))
+  }
+
+  // ---- dictionary frames (RFC 8878 §5): fixtures are real
+  // `zstd --train` output + `zstd -D` compressions (v1.5.7)
+
+  test("parses a real zstd --train dictionary (entropy tables + reps + content)") {
+    val d = Zstd.parseDictionary(res("sensors.dict"))
+    assert(d.structured, "trained dictionary must carry entropy tables")
+    assert(d.id != 0L)
+    assert(d.content.nonEmpty && d.content.length < 16384)
+    // raw-content dictionaries parse as prefix-only
+    val r = Zstd.parseDictionary(res("raw.dict"))
+    assert(!r.structured && r.id == 0L)
+    assert(r.content.length == res("raw.dict").length)
+  }
+
+  test("decodes zstd -D frames against the trained dictionary at levels 1, 3, 19") {
+    val d = Zstd.parseDictionary(res("sensors.dict"))
+    for (base <- Seq("small", "medium", "large"); lvl <- Seq("l1", "l3", "l19")) {
+      val raw = res(s"$base.bin")
+      val z = res(s"${base}_dict_$lvl.zst")
+      assert(Zstd.decode(z, 0, z.length, d).sameElements(raw),
+        s"${base}_dict_$lvl mismatch")
+    }
+  }
+
+  test("decodes a raw-content-dictionary frame (prefix history only)") {
+    val d = Zstd.parseDictionary(res("raw.dict"))
+    val raw = res("medium.bin")
+    val z = res("medium_rawdict_l5.zst")
+    assert(Zstd.decode(z, 0, z.length, d).sameElements(raw))
+  }
+
+  test("dictionary-less fixtures still decode when a dictionary is supplied") {
+    // the dict is extra history/initial state; frames that never
+    // reference it must decode unchanged
+    val d = Zstd.parseDictionary(res("sensors.dict"))
+    val raw = res("events.bin")
+    val z = res("events_l3.zst")
+    assert(Zstd.decode(z, 0, z.length, d).sameElements(raw))
+  }
+
+  test("a dict frame without (or with the wrong) dictionary fails loudly") {
+    val z = res("medium_dict_l3.zst")
+    val e1 = intercept[Zstd.ZstdError](dec(z))
+    assert(e1.getMessage.contains("dictionar"), e1.getMessage)
+    // a raw dictionary cannot satisfy a declared Dictionary_ID
+    val wrong = Zstd.parseDictionary(res("raw.dict"))
+    val e2 = intercept[Zstd.ZstdError](Zstd.decode(z, 0, z.length, wrong))
+    assert(e2.getMessage.contains("dictionar"), e2.getMessage)
+  }
+
+  test("fuzzed dict frames fail as ZstdError or decode — never another exception") {
+    val d = Zstd.parseDictionary(res("sensors.dict"))
+    val good = res("medium_dict_l3.zst")
+    val rnd = new scala.util.Random(13)
+    for (_ <- 0 until 300) {
+      val b = good.clone()
+      for (_ <- 0 to rnd.nextInt(4))
+        b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      try { Zstd.decode(b, 0, b.length, d); () }
+      catch { case _: Zstd.ZstdError => () }
+    }
+    for (n <- 0 until good.length)
+      intercept[Zstd.ZstdError](Zstd.decode(good, 0, n, d))
+    // fuzzed DICTIONARY bytes: parse either succeeds or raises ZstdError
+    val dictBytes = res("sensors.dict")
+    for (_ <- 0 until 300) {
+      val b = dictBytes.clone()
+      for (_ <- 0 to rnd.nextInt(4))
+        b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      try { Zstd.parseDictionary(b); () }
+      catch { case _: Zstd.ZstdError => () }
+    }
   }
 
   test("fuzzed and truncated frames fail as ZstdError — never hang, OOM or leak another exception") {
