@@ -1132,11 +1132,12 @@ object StreamingQueries {
     val staticDocs = graft.Tables(spark, dir).documents
     val (bi, uni, total) = graft.text.TextAnalysis.lmFitLocal(
       staticDocs, col("text"), col("lang") === "en")
-    val scoredStatic = graft.text.TextAnalysis.lmFluency(
-      staticDocs, col("doc_id"), col("text"),
-      trainFilter = col("lang") === "en", keepQ14 = 1200L)
-      .select(col("doc_id"), col("fluency_q14"))
-      .join(staticDocs.select(col("doc_id"), col("lang")), "doc_id")
+    // threshold pre-fit scores through the SAME row-local scorer the
+    // stream uses (bit-identical to the batch join chain, zero model
+    // shuffles, lang rides as passthrough instead of a join)
+    val scoredStatic = graft.text.TextAnalysis.lmScoreLocal(
+      staticDocs, col("doc_id"), col("text"), bi, uni, total,
+      keepQ14 = 1200L, passthrough = Seq("lang" -> col("lang")))
     val th = graft.text.TextAnalysis.ccnetThresholds(scoredStatic).collect()
     val c1 = th.map(r => r.getString(0) -> r.getLong(1)).toMap
     val c2 = th.map(r => r.getString(0) -> r.getLong(2)).toMap
