@@ -97,7 +97,11 @@ final class PipelineServer private (
     override def handle(x: HttpExchange): Unit =
       error(x, 404, "not_found", "unknown route")
   })
-  server.setExecutor(null) // control plane: serial dispatch is the contract
+  // a cached daemon pool rather than serial dispatch: /logs holds an
+  // SSE connection open and must not block the control plane (the
+  // mutating routes serialize per pipeline via p.synchronized)
+  server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool(
+    r => { val t = new Thread(r, "graft-api"); t.setDaemon(true); t }))
   server.start()
 
   /** The actually-bound port (differs from the requested one when 0). */
@@ -133,6 +137,10 @@ final class PipelineServer private (
         withPipeline(x, id)(inject(x, _, batch = false))
       case (id :: "events-batch" :: Nil, "POST") =>
         withPipeline(x, id)(inject(x, _, batch = true))
+      case (id :: "reload" :: Nil, "POST") =>
+        withPipeline(x, id)(reload(x, _))
+      case (id :: "logs" :: Nil, "GET") =>
+        withPipeline(x, id)(logsSse(x, _))
       case (id :: "metrics" :: Nil, "GET") =>
         withPipeline(x, id) { p =>
           val o = mapper.createObjectNode()
@@ -142,7 +150,8 @@ final class PipelineServer private (
           respondJson(x, 200, o)
         }
       case (Nil, _) | (_ :: Nil, _) | (_ :: "events" :: Nil, _) |
-          (_ :: "events-batch" :: Nil, _) | (_ :: "metrics" :: Nil, _) =>
+          (_ :: "events-batch" :: Nil, _) | (_ :: "metrics" :: Nil, _) |
+          (_ :: "reload" :: Nil, _) | (_ :: "logs" :: Nil, _) =>
         methodNotAllowed(x)
       case _ => error(x, 404, "not_found", s"unknown route $path")
     }
@@ -242,13 +251,71 @@ final class PipelineServer private (
   private def info(x: HttpExchange, p: Pipeline): Unit =
     respondJson(x, 200, infoNode(p))
 
-  private def undeploy(id: String): Unit =
-    Option(pipelines.remove(id)).foreach { p =>
+  /** POST /{id}/reload — swap the program (openapi
+    * ReloadPipelineRequest): recompile the new source in streaming
+    * mode, restart the queries over the SAME spool (the standing
+    * event log replays through the new program — the reference keeps
+    * the pipeline id and its state semantics are its engine's), and
+    * mark the replayed rows as already-emitted so the next inject
+    * reports only genuinely fresh output events.
+    */
+  private def reload(x: HttpExchange, p: Pipeline): Unit = {
+    val body = readBody(x)
+    val src = Try(mapper.readTree(body)) match {
+      case Success(n) if n.hasNonNull("source") => n.get("source").asText()
+      case Success(_) =>
+        error(x, 400, "parse_error", "need {source}"); return
+      case Failure(e) =>
+        error(x, 400, "parse_error", s"invalid JSON: ${e.getMessage}"); return
+    }
+    val prog =
+      try VplParser.parse(src)
+      catch {
+        case e: VplParseError =>
+          error(x, 400, "parse_error", e.getMessage); return
+      }
+    val decls = prog.events.map(e => e.name -> e).toMap
+    val compiled = new VplCompiler(prog,
+      new graft.vpl.StreamingEvtSource(spark, p.staged, decls),
+      streaming = true).compileAll()
+    if (!compiled.values.exists(_.isSuccess)) {
+      val why = compiled.collectFirst { case (_, Failure(e)) => e.getMessage }
+        .getOrElse("program has no streams")
+      error(x, 400, "parse_error", s"no stream compiled: $why"); return
+    }
+    p.synchronized {
       p.runs.foreach { r =>
         Try(r.query.stop())
         Try(spark.sql(s"DROP VIEW IF EXISTS ${r.sink}"))
       }
-      Try(deleteRecursively(new java.io.File(p.staged.dir)))
+      p.runs = compiled.toSeq.collect { case (sn, Success(df)) =>
+        startRun(p.id, sn, df)
+      }.toVector
+      p.skipped = compiled.collect { case (sn, Failure(e)) =>
+        sn -> e.getMessage }.toMap
+      // the new queries replayed the whole spool: absorb it silently
+      p.runs.foreach { r =>
+        r.query.processAllAvailable()
+        r.emitted = spark.table(r.sink).count().toInt
+      }
+      p.source = src
+      p.prog = prog
+    }
+    val o = mapper.createObjectNode(); o.put("reloaded", true)
+    respondJson(x, 200, o)
+  }
+
+  private def undeploy(id: String): Unit =
+    Option(pipelines.remove(id)).foreach { p =>
+      // serialize with a concurrent inject/reload on the thread pool
+      p.synchronized {
+        p.runs.foreach { r =>
+          Try(r.query.stop())
+          Try(spark.sql(s"DROP VIEW IF EXISTS ${r.sink}"))
+        }
+        Try(deleteRecursively(new java.io.File(p.staged.dir)))
+      }
+      ()
     }
 
   // ------------------------------------------------------------------
@@ -293,6 +360,12 @@ final class PipelineServer private (
           val node = rowToJson(mapper, row)
           node.put("stream", r.name)
           fresh.add(node)
+          // /logs SSE feed: the openapi LogEvent envelope
+          val le = mapper.createObjectNode()
+          le.put("event_type", "output")
+          le.put("timestamp", java.time.Instant.now().toString)
+          le.set[ObjectNode]("data", node.deepCopy[ObjectNode]())
+          p.logs.append(mapper.writeValueAsString(le))
         }
         r.emitted = rows.length
       }
@@ -309,6 +382,33 @@ final class PipelineServer private (
       o.set[ObjectNode]("output_events", out)
     }
     respondJson(x, 200, o)
+  }
+
+  /** GET /{id}/logs — Server-Sent Events stream of output events
+    * (openapi streamPipelineLogs: each `data:` payload is a JSON
+    * LogEvent). Replays the retained ring, then follows live injects;
+    * ends when the pipeline is undeployed or the client disconnects.
+    */
+  private def logsSse(x: HttpExchange, p: Pipeline): Unit = {
+    x.getResponseHeaders.add("Content-Type", "text/event-stream")
+    x.getResponseHeaders.add("Cache-Control", "no-cache")
+    x.sendResponseHeaders(200, 0L) // chunked
+    val os = x.getResponseBody
+    var pos = 0L
+    try {
+      var live = true
+      while (live) {
+        val (events, next) = p.logs.from(pos)
+        pos = next
+        events.foreach { e => os.write(s"data: $e\n\n".getBytes("UTF-8")) }
+        if (events.nonEmpty) os.flush()
+        if (!pipelines.containsKey(p.id)) live = false
+        else Thread.sleep(100)
+      }
+    } catch {
+      case _: java.io.IOException => () // client went away
+      case _: InterruptedException => ()
+    } finally Try(os.close())
   }
 
   // ------------------------------------------------------------------
@@ -362,15 +462,47 @@ object PipelineServer {
   private final class Pipeline(
       val id: String,
       val name: String,
-      val source: String,
-      val prog: VProgram,
+      var source: String,
+      var prog: VProgram,
       var staged: EventReplay.Staged,
-      val runs: Vector[StreamRun],
-      val skipped: Map[String, String],
+      var runs: Vector[StreamRun],
+      var skipped: Map[String, String],
       val deployedNanos: Long) {
     var nextPhase: Int = 1
     var eventsProcessed: Long = 0L
     var outputEmitted: Long = 0L
+    val logs = new LogRing(10000)
+  }
+
+  /** Bounded append-only log with absolute positions: SSE readers
+    * resume from their own offset; entries older than the retention
+    * cap are dropped (a reader that fell that far behind skips ahead).
+    */
+  private final class LogRing(cap: Int) {
+    private val buf = new java.util.ArrayDeque[String]()
+    private var start = 0L // absolute index of buf's head
+    def append(e: String): Unit = synchronized {
+      buf.addLast(e)
+      if (buf.size > cap) { buf.removeFirst(); start += 1 }
+    }
+    /** Entries at absolute positions >= pos; returns (entries, next). */
+    def from(pos: Long): (Seq[String], Long) = synchronized {
+      val end = start + buf.size
+      if (pos >= end) (Nil, end)
+      else {
+        val skip = math.max(pos - start, 0L).toInt
+        val out = new scala.collection.mutable.ArrayBuffer[String](
+          buf.size - skip)
+        val it = buf.iterator()
+        var i = 0
+        while (it.hasNext) {
+          val e = it.next()
+          if (i >= skip) out += e
+          i += 1
+        }
+        (out.toSeq, end)
+      }
+    }
   }
 
   /** One injected JSON event → one `.evt` line `Type { k: v, … }`.

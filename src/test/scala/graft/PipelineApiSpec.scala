@@ -173,6 +173,88 @@ class PipelineApiSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("reload swaps the program over the standing event log") {
+    val srv = PipelineServer.start(spark)
+    try {
+      val (_, d) = req(srv.port, "POST", "/api/v1/pipelines",
+        deployBody("alerts", alertsVpl))
+      val id = d.get("id").asText()
+      val (_, o1) = req(srv.port, "POST", s"/api/v1/pipelines/$id/events",
+        tick("MSFT", 150.0))
+      assert(o1.get("output_events").size() == 1, o1)
+
+      // raise the threshold to 200
+      val v2 = alertsVpl.replace("price > 100.0", "price > 200.0")
+      val body = mapper.createObjectNode(); body.put("source", v2)
+      val (rc, r) = req(srv.port, "POST", s"/api/v1/pipelines/$id/reload",
+        mapper.writeValueAsString(body))
+      assert(rc == 200 && r.get("reloaded").asBoolean(), r)
+      val (_, i) = req(srv.port, "GET", s"/api/v1/pipelines/$id")
+      assert(i.get("source").asText() == v2, i)
+
+      // 150 no longer alerts; 250 does — and the replayed MSFT row is
+      // absorbed, not re-reported
+      val (_, o2) = req(srv.port, "POST", s"/api/v1/pipelines/$id/events",
+        tick("ABC", 150.0))
+      assert(o2.get("output_events").size() == 0, o2)
+      val (_, o3) = req(srv.port, "POST", s"/api/v1/pipelines/$id/events",
+        tick("XYZ", 250.0))
+      assert(o3.get("output_events").size() == 1, o3)
+      assert(o3.get("output_events").get(0).get("symbol").asText() == "XYZ")
+
+      // bad reload source → 400, pipeline keeps running
+      val bad = mapper.createObjectNode(); bad.put("source", "stream = ???")
+      val (bc, b) = req(srv.port, "POST", s"/api/v1/pipelines/$id/reload",
+        mapper.writeValueAsString(bad))
+      assert(bc == 400 && b.get("code").asText() == "parse_error", b)
+      val (_, m) = req(srv.port, "GET", s"/api/v1/pipelines/$id/metrics")
+      assert(m.get("events_processed").asLong() == 3L, m)
+    } finally srv.stop()
+  }
+
+  test("/logs streams output events as SSE LogEvents (replay + live follow)") {
+    val srv = PipelineServer.start(spark)
+    try {
+      val (_, d) = req(srv.port, "POST", "/api/v1/pipelines",
+        deployBody("alerts", alertsVpl))
+      val id = d.get("id").asText()
+      // one event BEFORE attaching (replayed from the ring)
+      val (_, _) = req(srv.port, "POST", s"/api/v1/pipelines/$id/events",
+        tick("PRE", 150.0))
+      val r = HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:${srv.port}/api/v1/pipelines/$id/logs"))
+        .GET().build()
+      val resp = client.send(r, HttpResponse.BodyHandlers.ofInputStream())
+      assert(resp.statusCode() == 200)
+      assert(resp.headers().firstValue("Content-Type").orElse("")
+        .startsWith("text/event-stream"))
+      val reader = new java.io.BufferedReader(
+        new java.io.InputStreamReader(resp.body(), "UTF-8"))
+      // one event AFTER attaching (followed live) — inject from
+      // another thread so the blocking read below can't deadlock
+      val injector = new Thread(() => {
+        Thread.sleep(300)
+        req(srv.port, "POST", s"/api/v1/pipelines/$id/events",
+          tick("LIVE", 250.0))
+        ()
+      })
+      injector.setDaemon(true); injector.start()
+      def nextData(): com.fasterxml.jackson.databind.JsonNode = {
+        var line = reader.readLine()
+        while (line != null && !line.startsWith("data: ")) line = reader.readLine()
+        assert(line != null, "SSE stream ended early")
+        mapper.readTree(line.drop(6))
+      }
+      val first = nextData()
+      assert(first.get("event_type").asText() == "output", first)
+      assert(first.get("data").get("symbol").asText() == "PRE", first)
+      val second = nextData()
+      assert(second.get("data").get("symbol").asText() == "LIVE", second)
+      injector.join(5000)
+      reader.close()
+    } finally srv.stop()
+  }
+
   test("windowed stream emits on watermark close, not before (streaming semantics)") {
     val vpl =
       """event Load:

@@ -610,23 +610,32 @@ class TextSpec extends SparkSpec {
     assert(sizes.max < docs.count() / 2)
   }
 
-  test("ccnet buckets: per-language thirds ordered by fluency") {
+  test("ccnet buckets: per-language threshold tiers ordered by fluency") {
     val rows = graft.queries.TextQueries.defs("t19_ccnet_buckets")
       .build(spark, sf).collect()
     assert(rows.length == docs.count())
     rows.groupBy(_.getAs[String]("lang")).foreach { case (lang, rs) =>
       val byBucket = rs.groupBy(_.getAs[String]("bucket"))
         .view.mapValues(_.map(_.getAs[Long]("fluency_q14"))).toMap
-      // tiers sized within 1 of each other (ntile contract)
-      val ns = Seq("head", "middle", "tail").map(b =>
-        byBucket.getOrElse(b, Array.empty[Long]).length)
-      assert(ns.max - ns.min <= 1, s"$lang tier sizes $ns")
-      // fluency strictly tiers: min(head) >= max(middle) >= ... (ties
-      // may straddle, so compare on >=)
+      // threshold contract (r14, replacing the ntile plan): tiers are
+      // cutoff-assigned — each holds AT LEAST its tertile share
+      // (ceil(n/3) head, ceil(2n/3) head+middle) and boundary ties
+      // promote upward, so head/middle may run over but never under
+      val n = rs.length
+      val nHead = byBucket.getOrElse("head", Array.empty[Long]).length
+      val nMiddle = byBucket.getOrElse("middle", Array.empty[Long]).length
+      assert(nHead >= (n + 2) / 3, s"$lang head $nHead of $n")
+      assert(nHead + nMiddle >= (2 * n + 2) / 3,
+        s"$lang head+middle ${nHead + nMiddle} of $n")
+      // fluency tiers strictly: every head score >= every middle
+      // score STRICTLY above the boundary (ties promoted, so the
+      // bucket boundaries never interleave)
       if (byBucket.contains("head") && byBucket.contains("middle"))
-        assert(byBucket("head").min >= byBucket("middle").max - 0)
+        assert(byBucket("head").min > byBucket("middle").max,
+          s"$lang head/middle interleave")
       if (byBucket.contains("middle") && byBucket.contains("tail"))
-        assert(byBucket("middle").min >= byBucket("tail").max - 0)
+        assert(byBucket("middle").min > byBucket("tail").max,
+          s"$lang middle/tail interleave")
     }
   }
 }
