@@ -189,27 +189,39 @@ final class PipelineServer private (
     val spool = java.nio.file.Files
       .createTempDirectory(s"graft_api_${id}_").toString
     val staged = EventReplay.stageEmpty(spark, spool)
+    compileAndStart(id, prog, staged) match {
+      case Left(why) =>
+        error(x, 400, "parse_error", s"no stream compiled: $why")
+      case Right((runs, skipped)) =>
+        val p = new Pipeline(id, name, source, prog, staged, runs,
+          skipped, System.nanoTime())
+        pipelines.put(id, p)
+        val o = mapper.createObjectNode()
+        o.put("id", id); o.put("name", name); o.put("status", "running")
+        respondJson(x, 201, o)
+    }
+  }
+
+  /** Compile every stream of `prog` in streaming mode over the spool
+    * and start one memory-sink query per compiled stream (shared by
+    * deploy and reload). Left(reason) when nothing compiles — no
+    * queries started in that case.
+    */
+  private def compileAndStart(id: String, prog: VProgram,
+      staged: EventReplay.Staged)
+      : Either[String, (Vector[StreamRun], Map[String, String])] = {
     val decls = prog.events.map(e => e.name -> e).toMap
-    val compiler = new VplCompiler(prog,
+    val compiled = new VplCompiler(prog,
       new graft.vpl.StreamingEvtSource(spark, staged, decls),
-      streaming = true)
-    val compiled = compiler.compileAll()
-    val runs = compiled.toSeq.collect { case (sn, Success(df)) =>
-      startRun(id, sn, df)
-    }
-    if (runs.isEmpty) {
-      val why = compiled.collectFirst { case (_, Failure(e)) => e.getMessage }
-        .getOrElse("program has no streams")
-      error(x, 400, "parse_error", s"no stream compiled: $why"); return
-    }
-    val skipped = compiled.collect { case (sn, Failure(e)) =>
-      sn -> e.getMessage }
-    val p = new Pipeline(id, name, source, prog, staged, runs.toVector,
-      skipped.toMap, System.nanoTime())
-    pipelines.put(id, p)
-    val o = mapper.createObjectNode()
-    o.put("id", id); o.put("name", name); o.put("status", "running")
-    respondJson(x, 201, o)
+      streaming = true).compileAll()
+    if (!compiled.values.exists(_.isSuccess))
+      Left(compiled.collectFirst { case (_, Failure(e)) => e.getMessage }
+        .getOrElse("program has no streams"))
+    else Right((
+      compiled.toSeq.collect { case (sn, Success(df)) =>
+        startRun(id, sn, df)
+      }.toVector,
+      compiled.collect { case (sn, Failure(e)) => sn -> e.getMessage }.toMap))
   }
 
   private def startRun(id: String, streamName: String,
@@ -274,32 +286,46 @@ final class PipelineServer private (
         case e: VplParseError =>
           error(x, 400, "parse_error", e.getMessage); return
       }
+    // dry-run compile first (no queries started): a bad program must
+    // reject 400 while the old one keeps running
     val decls = prog.events.map(e => e.name -> e).toMap
-    val compiled = new VplCompiler(prog,
+    val probe = new VplCompiler(prog,
       new graft.vpl.StreamingEvtSource(spark, p.staged, decls),
       streaming = true).compileAll()
-    if (!compiled.values.exists(_.isSuccess)) {
-      val why = compiled.collectFirst { case (_, Failure(e)) => e.getMessage }
+    if (!probe.values.exists(_.isSuccess)) {
+      val why = probe.collectFirst { case (_, Failure(e)) => e.getMessage }
         .getOrElse("program has no streams")
       error(x, 400, "parse_error", s"no stream compiled: $why"); return
     }
-    p.synchronized {
-      p.runs.foreach { r =>
-        Try(r.query.stop())
-        Try(spark.sql(s"DROP VIEW IF EXISTS ${r.sink}"))
+    val swapped = p.synchronized {
+      // a concurrent DELETE may have won the race since withPipeline:
+      // starting queries for a removed pipeline would leak them
+      if (!pipelines.containsKey(p.id)) false
+      else {
+        p.runs.foreach { r =>
+          Try(r.query.stop())
+          Try(spark.sql(s"DROP VIEW IF EXISTS ${r.sink}"))
+        }
+        compileAndStart(p.id, prog, p.staged) match {
+          case Right((runs, skipped)) =>
+            // the new queries replayed the whole spool: absorb it
+            // silently so the next inject reports only fresh rows
+            runs.foreach { r =>
+              r.query.processAllAvailable()
+              r.emitted = spark.table(r.sink).count().toInt
+            }
+            p.runs = runs
+            p.skipped = skipped
+            p.source = src
+            p.prog = prog
+            true
+          case Left(_) => false // probe passed; cannot happen
+        }
       }
-      p.runs = compiled.toSeq.collect { case (sn, Success(df)) =>
-        startRun(p.id, sn, df)
-      }.toVector
-      p.skipped = compiled.collect { case (sn, Failure(e)) =>
-        sn -> e.getMessage }.toMap
-      // the new queries replayed the whole spool: absorb it silently
-      p.runs.foreach { r =>
-        r.query.processAllAvailable()
-        r.emitted = spark.table(r.sink).count().toInt
-      }
-      p.source = src
-      p.prog = prog
+    }
+    if (!swapped) {
+      error(x, 404, "pipeline_not_found",
+        s"pipeline '${p.id}' was deleted during reload"); return
     }
     val o = mapper.createObjectNode(); o.put("reloaded", true)
     respondJson(x, 200, o)
@@ -397,11 +423,22 @@ final class PipelineServer private (
     var pos = 0L
     try {
       var live = true
+      var idleTicks = 0
       while (live) {
         val (events, next) = p.logs.from(pos)
         pos = next
         events.foreach { e => os.write(s"data: $e\n\n".getBytes("UTF-8")) }
-        if (events.nonEmpty) os.flush()
+        if (events.nonEmpty) { os.flush(); idleTicks = 0 }
+        else {
+          // heartbeat comment every ~1.5 s of idle: writing is the
+          // only way to notice a vanished client — without it an
+          // idle pipeline pins this thread + socket forever
+          idleTicks += 1
+          if (idleTicks >= 15) {
+            os.write(": keepalive\n\n".getBytes("UTF-8")); os.flush()
+            idleTicks = 0
+          }
+        }
         if (!pipelines.containsKey(p.id)) live = false
         else Thread.sleep(100)
       }
@@ -459,18 +496,21 @@ object PipelineServer {
     var emitted: Int = 0
   }
 
+  // mutated under p.synchronized (inject/reload/undeploy) but read
+  // lock-free by /ready, list and info on other pool threads —
+  // volatile gives those reads a happens-before edge
   private final class Pipeline(
       val id: String,
       val name: String,
-      var source: String,
-      var prog: VProgram,
-      var staged: EventReplay.Staged,
-      var runs: Vector[StreamRun],
-      var skipped: Map[String, String],
+      @volatile var source: String,
+      @volatile var prog: VProgram,
+      @volatile var staged: EventReplay.Staged,
+      @volatile var runs: Vector[StreamRun],
+      @volatile var skipped: Map[String, String],
       val deployedNanos: Long) {
     var nextPhase: Int = 1
-    var eventsProcessed: Long = 0L
-    var outputEmitted: Long = 0L
+    @volatile var eventsProcessed: Long = 0L
+    @volatile var outputEmitted: Long = 0L
     val logs = new LogRing(10000)
   }
 

@@ -160,10 +160,14 @@ object HvacSimulator {
   def ticks(spark: SparkSession, nTicks: Long,
       cfg: SimulatorConfig = defaultConfig,
       baseEpochMs: Long = EventReplay.DefaultBaseEpochMs): DataFrame = {
-    val intervalMs = 1000L / math.max(cfg.eventsPerSecond, 1)
+    // microsecond tick spacing: millisecond division truncates to 0
+    // past 1000 ev/s (freezing event time) and drifts at rates like 3
+    require(cfg.eventsPerSecond >= 1 && cfg.eventsPerSecond <= 1000000,
+      s"eventsPerSecond ${cfg.eventsPerSecond} outside [1, 1e6]")
+    val intervalUs = 1000000L / cfg.eventsPerSecond
     expand(cfg, spark.range(1, nTicks + 1).select(
       col("id").as("tick"),
-      timestamp_millis(lit(baseEpochMs) + (col("id") - 1) * intervalMs)
+      timestamp_micros(lit(baseEpochMs * 1000L) + (col("id") - 1) * intervalUs)
         .as("ts")))
   }
 }

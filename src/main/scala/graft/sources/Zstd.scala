@@ -472,7 +472,14 @@ private[graft] object Zstd {
     * three 4-byte initial repeat offsets, then content. Without the
     * magic: the whole input is raw prefix content.
     */
-  def parseDictionary(bytes: Array[Byte]): ZstdDict = {
+  def parseDictionary(bytes: Array[Byte]): ZstdDict =
+    try parseDictionary0(bytes)
+    catch {
+      case e: ArrayIndexOutOfBoundsException =>
+        throw new ZstdError(s"zstd: malformed dictionary (out of bounds: $e)")
+    }
+
+  private def parseDictionary0(bytes: Array[Byte]): ZstdDict = {
     @inline def u32(i: Int): Long =
       (bytes(i) & 0xffL) | ((bytes(i + 1) & 0xffL) << 8) |
         ((bytes(i + 2) & 0xffL) << 16) | ((bytes(i + 3) & 0xffL) << 24)

@@ -20,9 +20,20 @@ import graft.sources.HvacSimulator
   */
 object Simulate {
   def main(args: Array[String]): Unit = {
-    val opts = args.sliding(2, 2).collect {
-      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
-    }.toMap ++ (if (args.contains("--live")) Map("live" -> "1") else Map.empty)
+    // --live is valueless: a pairwise slide would misalign every
+    // option after it, silently dropping them
+    def parse(rest: List[String], acc: Map[String, String]): Map[String, String] =
+      rest match {
+        case Nil => acc
+        case "--live" :: tail => parse(tail, acc + ("live" -> "1"))
+        case flag :: v :: tail if flag.startsWith("--") && !v.startsWith("--") =>
+          parse(tail, acc + (flag.drop(2) -> v))
+        case other :: _ =>
+          System.err.println(s"bad argument '$other' — usage: " +
+            "[--scenario S] [--ticks N] [--out DIR] [--live] [--rate N] [--seed N]")
+          sys.exit(2)
+      }
+    val opts = parse(args.toList, Map.empty)
     val base = opts.getOrElse("scenario", "default") match {
       case "default"     => HvacSimulator.defaultConfig
       case "anomaly"     => HvacSimulator.anomalyConfig

@@ -2586,8 +2586,10 @@ final class VplCompiler(program: VProgram, source: VplSource,
               "rename the emitted field(s)")
         }
         // event_id * k + pos must not wrap: k is the per-event fan-out
+        // (pos < k, so the safe cap leaves room for the largest pos)
         def composedId(k: Int): Column = {
-          val cap = Long.MaxValue / math.max(k, 1)
+          val k1 = math.max(k, 1)
+          val cap = (Long.MaxValue - (k1 - 1)) / k1
           when(col("event_id") > cap || col("event_id") < 0L,
             expr(s"raise_error('.process ${fn.name}: event_id * $k " +
               "overflows the synthesized arrival order')").cast("long"))
