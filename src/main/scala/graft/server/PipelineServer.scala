@@ -189,17 +189,100 @@ final class PipelineServer private (
     val spool = java.nio.file.Files
       .createTempDirectory(s"graft_api_${id}_").toString
     val staged = EventReplay.stageEmpty(spark, spool)
-    compileAndStart(id, prog, staged) match {
+    // bind ONCE and share between compile and ingest: every bind
+    // constructs fresh landing dirs, so a second bind would subscribe
+    // into spools no compiled stream reads
+    val conns = graft.vpl.ConnectorBinder.bind(prog)
+    compileAndStart(id, prog, staged, conns) match {
       case Left(why) =>
         error(x, 400, "parse_error", s"no stream compiled: $why")
       case Right((runs, skipped)) =>
         val p = new Pipeline(id, name, source, prog, staged, runs,
           skipped, System.nanoTime())
+        try p.ingests = startIngests(prog, conns)
+        catch {
+          case e: Exception =>
+            // a dead broker must not leak the started queries
+            runs.foreach { r =>
+              Try(r.query.stop())
+              Try(spark.sql(s"DROP VIEW IF EXISTS ${r.sink}"))
+            }
+            error(x, 500, "engine_error",
+              s"connector start failed: ${e.getMessage}")
+            return
+        }
         pipelines.put(id, p)
+        startDrainer(p)
         val o = mapper.createObjectNode()
         o.put("id", id); o.put("name", name); o.put("status", "running")
         respondJson(x, 201, o)
     }
+  }
+
+  /** Live transport ingestion for `.from(Connector)`-bound streams —
+    * the reference server starts a pipeline's connectors on deploy
+    * (api.rs; the compose demos publish MQTT/Kafka straight at a
+    * deployed pipeline). [[graft.vpl.ConnectorBinder]] constructs the
+    * connector; here the matching subscriber/poller is started so
+    * messages land in its spool, which the streaming compile already
+    * tails ([[graft.vpl.VplCompiler]] boundSource). MQTT, Kafka and
+    * NATS have bundled drivers; other transports' landing dirs are
+    * fed externally (file/http connectors need no driver at all).
+    * Dedup by landing dir so two streams off one connector share one
+    * driver.
+    */
+  private def startIngests(prog: VProgram,
+      conns: Map[String, graft.sources.Connector]): Vector[() => Unit] = {
+    import graft.sources._
+    import graft.vpl.VplAst.{OpFrom, VStr}
+    val effective = prog.streams.flatMap(_.ops).collect {
+      case OpFrom(c, ps) if conns.contains(c) =>
+        val target = Seq("topic", "subject", "channel", "index").flatMap {
+          k => ps.collectFirst { case (kk, VStr(v)) if kk == k => v }
+        }.headOption
+        target.fold(conns(c))(conns(c).withTarget)
+    }
+    effective.distinct.flatMap {
+      case m: MqttConnector =>
+        val s = MqttSubscriber.start(m.host, m.port, m.topic, m.spoolDir,
+          clientId = m.clientId.getOrElse(s"graft-api-${m.name}"),
+          qos = m.qos, username = m.username, password = m.password)
+        Some(() => s.stop())
+      case k: KafkaConnector =>
+        val p = KafkaPoller.start(
+          () => new KafkaClient(k.host, k.port), k.topic, k.spoolDir,
+          startAt = "earliest")
+        Some(() => p.stop())
+      case n: NatsConnector =>
+        val s = NatsSubscriber.start(n.host, n.port, n.subject, n.spoolDir,
+          username = n.username, password = n.password, token = n.token)
+        Some(() => s.stop())
+      case _ => None
+    }.toVector
+  }
+
+  /** Per-pipeline drainer: connector-fed pipelines produce output
+    * with no inject to collect it, so a daemon sweeps each sink for
+    * fresh rows (skipping queries whose batch id hasn't moved) and
+    * feeds the /logs ring. Lives until the pipeline leaves the map.
+    */
+  private def startDrainer(p: Pipeline): Unit = {
+    val t = new Thread(() => {
+      try {
+        while (pipelines.containsKey(p.id)) {
+          p.synchronized {
+            val moved = p.runs.exists { r =>
+              val lp = r.query.lastProgress
+              lp != null && lp.batchId != r.drainedBatch
+            }
+            if (moved) { drainRuns(p); () }
+          }
+          Thread.sleep(250)
+        }
+      } catch { case _: InterruptedException => () }
+    }, s"graft-api-drain-${p.id}")
+    t.setDaemon(true)
+    t.start()
   }
 
   /** Compile every stream of `prog` in streaming mode over the spool
@@ -208,12 +291,16 @@ final class PipelineServer private (
     * queries started in that case.
     */
   private def compileAndStart(id: String, prog: VProgram,
-      staged: EventReplay.Staged)
+      staged: EventReplay.Staged,
+      conns: Map[String, graft.sources.Connector])
       : Either[String, (Vector[StreamRun], Map[String, String])] = {
     val decls = prog.events.map(e => e.name -> e).toMap
+    // sinks stay unbound in server mode: outputs flow back over
+    // inject responses + /logs (a streaming `.to` would need
+    // foreachBatch wiring the memory-sink contract can't share)
     val compiled = new VplCompiler(prog,
       new graft.vpl.StreamingEvtSource(spark, staged, decls),
-      streaming = true).compileAll()
+      streaming = true, sourceConns = conns).compileAll()
     if (!compiled.values.exists(_.isSuccess))
       Left(compiled.collectFirst { case (_, Failure(e)) => e.getMessage }
         .getOrElse("program has no streams"))
@@ -289,9 +376,10 @@ final class PipelineServer private (
     // dry-run compile first (no queries started): a bad program must
     // reject 400 while the old one keeps running
     val decls = prog.events.map(e => e.name -> e).toMap
+    val conns = graft.vpl.ConnectorBinder.bind(prog)
     val probe = new VplCompiler(prog,
       new graft.vpl.StreamingEvtSource(spark, p.staged, decls),
-      streaming = true).compileAll()
+      streaming = true, sourceConns = conns).compileAll()
     if (!probe.values.exists(_.isSuccess)) {
       val why = probe.collectFirst { case (_, Failure(e)) => e.getMessage }
         .getOrElse("program has no streams")
@@ -302,11 +390,12 @@ final class PipelineServer private (
       // starting queries for a removed pipeline would leak them
       if (!pipelines.containsKey(p.id)) false
       else {
+        p.ingests.foreach(stop => Try(stop()))
         p.runs.foreach { r =>
           Try(r.query.stop())
           Try(spark.sql(s"DROP VIEW IF EXISTS ${r.sink}"))
         }
-        compileAndStart(p.id, prog, p.staged) match {
+        compileAndStart(p.id, prog, p.staged, conns) match {
           case Right((runs, skipped)) =>
             // the new queries replayed the whole spool: absorb it
             // silently so the next inject reports only fresh rows
@@ -316,6 +405,7 @@ final class PipelineServer private (
             }
             p.runs = runs
             p.skipped = skipped
+            p.ingests = startIngests(prog, conns)
             p.source = src
             p.prog = prog
             true
@@ -335,6 +425,7 @@ final class PipelineServer private (
     Option(pipelines.remove(id)).foreach { p =>
       // serialize with a concurrent inject/reload on the thread pool
       p.synchronized {
+        p.ingests.foreach(stop => Try(stop()))
         p.runs.foreach { r =>
           Try(r.query.stop())
           Try(spark.sql(s"DROP VIEW IF EXISTS ${r.sink}"))
@@ -378,25 +469,8 @@ final class PipelineServer private (
         phase = phase, afterDelayMs = phase * 1000L, sentinel = false)
       java.nio.file.Files.deleteIfExists(evt)
       p.eventsProcessed += lines.size
-      val fresh = mapper.createArrayNode()
-      p.runs.foreach { r =>
-        r.query.processAllAvailable()
-        val rows = spark.table(r.sink).collect()
-        rows.drop(r.emitted).foreach { row =>
-          val node = rowToJson(mapper, row)
-          node.put("stream", r.name)
-          fresh.add(node)
-          // /logs SSE feed: the openapi LogEvent envelope
-          val le = mapper.createObjectNode()
-          le.put("event_type", "output")
-          le.put("timestamp", java.time.Instant.now().toString)
-          le.set[ObjectNode]("data", node.deepCopy[ObjectNode]())
-          p.logs.append(mapper.writeValueAsString(le))
-        }
-        r.emitted = rows.length
-      }
-      p.outputEmitted += fresh.size()
-      fresh
+      p.runs.foreach(_.query.processAllAvailable())
+      drainRuns(p)
     }
     val o = mapper.createObjectNode()
     if (batch) {
@@ -448,6 +522,33 @@ final class PipelineServer private (
     } finally Try(os.close())
   }
 
+  /** Sweep every sink for rows beyond the emitted watermark: returns
+    * them (inject's synchronous response) and feeds the /logs ring.
+    * Callers hold p's lock.
+    */
+  private def drainRuns(p: Pipeline): ArrayNode = {
+    val fresh = mapper.createArrayNode()
+    p.runs.foreach { r =>
+      val lp = r.query.lastProgress
+      if (lp != null) r.drainedBatch = lp.batchId
+      val rows = spark.table(r.sink).collect()
+      rows.drop(r.emitted).foreach { row =>
+        val node = rowToJson(mapper, row)
+        node.put("stream", r.name)
+        fresh.add(node)
+        // /logs SSE feed: the openapi LogEvent envelope
+        val le = mapper.createObjectNode()
+        le.put("event_type", "output")
+        le.put("timestamp", java.time.Instant.now().toString)
+        le.set[ObjectNode]("data", node.deepCopy[ObjectNode]())
+        p.logs.append(mapper.writeValueAsString(le))
+      }
+      r.emitted = rows.length
+    }
+    p.outputEmitted += fresh.size()
+    fresh
+  }
+
   // ------------------------------------------------------------------
   // http plumbing
   // ------------------------------------------------------------------
@@ -494,6 +595,7 @@ object PipelineServer {
   private final class StreamRun(val name: String, val sink: String,
       val query: StreamingQuery) {
     var emitted: Int = 0
+    var drainedBatch: Long = -1L // last batch id the drainer swept
   }
 
   // mutated under p.synchronized (inject/reload/undeploy) but read
@@ -511,6 +613,7 @@ object PipelineServer {
     var nextPhase: Int = 1
     @volatile var eventsProcessed: Long = 0L
     @volatile var outputEmitted: Long = 0L
+    @volatile var ingests: Vector[() => Unit] = Vector.empty
     val logs = new LogRing(10000)
   }
 

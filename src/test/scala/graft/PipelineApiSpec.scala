@@ -6,6 +6,7 @@ import java.net.http.{HttpClient, HttpRequest, HttpResponse}
 import com.fasterxml.jackson.databind.ObjectMapper
 
 import graft.server.PipelineServer
+import graft.sources.MqttClient
 
 /** Drives the pipeline-management HTTP surface end-to-end over real
   * HTTP on loopback: deploy a VPL program → inject events (single +
@@ -253,6 +254,71 @@ class PipelineApiSpec extends SparkSpec {
       injector.join(5000)
       reader.close()
     } finally srv.stop()
+  }
+
+  test("deploy with a bound MQTT source consumes live broker traffic (server mode)") {
+    val mqtt = new MiniMqttBroker()
+    val srv = PipelineServer.start(spark)
+    try {
+      val vpl =
+        s"""event TemperatureReading:
+           |    sensor_id: str
+           |    zone: str
+           |    value: float
+           |
+           |connector MqttSensors = mqtt(
+           |    host: "127.0.0.1",
+           |    port: ${mqtt.port},
+           |    topic: "graft/api/readings"
+           |)
+           |
+           |stream Hot = TemperatureReading
+           |    .from(MqttSensors)
+           |    .where(value > 25.0)
+           |    .emit(sensor: sensor_id, zone: zone, value: value)
+           |""".stripMargin
+      val (dc, d) = req(srv.port, "POST", "/api/v1/pipelines",
+        deployBody("live-mqtt", vpl))
+      assert(dc == 201, d)
+      val id = d.get("id").asText()
+
+      // publish straight at the broker — no HTTP inject anywhere
+      val pub = new MqttClient("127.0.0.1", mqtt.port, "api-pub")
+      try pub.publishAll("graft/api/readings", Seq(
+        """{"sensor_id":"S1","zone":"A","value":20.0}""",
+        """{"sensor_id":"S9","zone":"B","value":30.0}""",
+        """{"sensor_id":"S2","zone":"A","value":21.5}"""), qos = 1)
+      finally pub.close()
+
+      // the subscriber lands them, the stream tails the landing dir,
+      // the drainer sweeps the sink: metrics show the one hot reading
+      val deadline = System.nanoTime() + 30L * 1000000000L
+      var emitted = 0L
+      while (emitted < 1L && System.nanoTime() < deadline) {
+        Thread.sleep(250)
+        val (_, m) = req(srv.port, "GET", s"/api/v1/pipelines/$id/metrics")
+        emitted = m.get("output_events_emitted").asLong()
+      }
+      assert(emitted == 1L, s"expected the hot reading to surface, got $emitted")
+
+      // and /logs replays it as a LogEvent
+      val r = HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:${srv.port}/api/v1/pipelines/$id/logs"))
+        .GET().build()
+      val resp = client.send(r, HttpResponse.BodyHandlers.ofInputStream())
+      val reader = new java.io.BufferedReader(
+        new java.io.InputStreamReader(resp.body(), "UTF-8"))
+      var line = reader.readLine()
+      while (line != null && !line.startsWith("data: ")) line = reader.readLine()
+      assert(line != null, "no LogEvent on /logs")
+      val ev = mapper.readTree(line.drop(6))
+      assert(ev.get("data").get("sensor").asText() == "S9", ev)
+      assert(ev.get("data").get("value").asDouble() == 30.0, ev)
+      reader.close()
+
+      val (uc, _) = req(srv.port, "DELETE", s"/api/v1/pipelines/$id")
+      assert(uc == 200)
+    } finally { srv.stop(); mqtt.stop() }
   }
 
   test("windowed stream emits on watermark close, not before (streaming semantics)") {
