@@ -30,11 +30,12 @@ import graft.vpl.VplParser.VplParseError
   * Streaming queries. Deploy compiles every stream of the program in
   * streaming mode over a spool directory seeded with a zero-row
   * staged file ([[EventReplay.stageEmpty]]); each compiled stream
-  * runs append-mode into a memory sink. Inject renders the JSON
-  * events as an `.evt` phase, appends it to the spool
+  * runs append-mode through foreachBatch into a driver-side buffer
+  * AND out through its bound `.to` connectors. Inject renders the
+  * JSON events as an `.evt` phase, appends it to the spool
   * ([[EventReplay.stagePhase]] — zero-padded sequence, disjoint
   * event_id range, event time advancing 1 s per inject), drives every
-  * query with `processAllAvailable()`, and returns the rows each sink
+  * query with `processAllAvailable()`, and returns the rows each run
   * gained — exactly "the output events emitted by processing this
   * inject", the reference's synchronous-inject contract
   * (api.rs handle_inject). Windowed streams emit when their watermark
@@ -42,9 +43,10 @@ import graft.vpl.VplParser.VplParseError
   * inject — the same emit-on-close behavior the reference documents.
   *
   * Transport is the JDK built-in HttpServer (the [[graft.metrics
-  * .MetricsServer]] precedent — zero new dependencies), serial
-  * handler dispatch (the data path is the Spark queries, not this
-  * control plane). `apiKey = Some(k)` enforces the reference's
+  * .MetricsServer]] precedent — zero new dependencies) on a daemon
+  * thread pool (an open /logs SSE connection must not block the
+  * control plane; the data path is the Spark queries, not this
+  * server). `apiKey = Some(k)` enforces the reference's
   * `x-api-key` header on every /api/v1 route (401 `invalid_api_key`);
   * None runs open, the reference's default standalone mode.
   */
@@ -193,6 +195,7 @@ final class PipelineServer private (
     // constructs fresh landing dirs, so a second bind would subscribe
     // into spools no compiled stream reads
     val conns = graft.vpl.ConnectorBinder.bind(prog)
+    ensureSpools(prog, conns)
     compileAndStart(id, prog, staged, conns) match {
       case Left(why) =>
         error(x, 400, "parse_error", s"no stream compiled: $why")
@@ -203,10 +206,7 @@ final class PipelineServer private (
         catch {
           case e: Exception =>
             // a dead broker must not leak the started queries
-            runs.foreach { r =>
-              Try(r.query.stop())
-              Try(spark.sql(s"DROP VIEW IF EXISTS ${r.sink}"))
-            }
+            runs.foreach(r => Try(r.query.stop()))
             error(x, 500, "engine_error",
               s"connector start failed: ${e.getMessage}")
             return
@@ -231,18 +231,44 @@ final class PipelineServer private (
     * Dedup by landing dir so two streams off one connector share one
     * driver.
     */
+  /** The effective (target-overridden) connector of every bound
+    * `.from` op in the program.
+    */
+  private def effectiveSources(prog: VProgram,
+      conns: Map[String, graft.sources.Connector])
+      : Seq[graft.sources.Connector] = {
+    import graft.vpl.VplAst.OpFrom
+    prog.streams.flatMap(_.ops).collect {
+      case OpFrom(c, ps) if conns.contains(c) =>
+        opTargetOf(ps).fold(conns(c))(conns(c).withTarget)
+    }.distinct
+  }
+
+  /** Pre-create every effective source connector's landing dir: the
+    * streaming compile opens a file stream on it, and a per-op
+    * `topic:` override re-aims into a subdir that only the
+    * subscriber (started AFTER compile) would otherwise create.
+    */
+  private def ensureSpools(prog: VProgram,
+      conns: Map[String, graft.sources.Connector]): Unit = {
+    import graft.sources._
+    effectiveSources(prog, conns).foreach {
+      case m: MqttConnector    => new java.io.File(m.spoolDir).mkdirs(); ()
+      case k: KafkaConnector   => new java.io.File(k.spoolDir).mkdirs(); ()
+      case n: NatsConnector    => new java.io.File(n.spoolDir).mkdirs(); ()
+      case r: RedisConnector   => new java.io.File(r.spoolDir).mkdirs(); ()
+      case h: HttpConnector    => new java.io.File(h.spoolDir).mkdirs(); ()
+      case k: KinesisConnector => new java.io.File(k.spoolDir).mkdirs(); ()
+      case r: RestConnector    => new java.io.File(r.spoolDir).mkdirs(); ()
+      case _                   => ()
+    }
+  }
+
   private def startIngests(prog: VProgram,
       conns: Map[String, graft.sources.Connector]): Vector[() => Unit] = {
     import graft.sources._
-    import graft.vpl.VplAst.{OpFrom, VStr}
-    val effective = prog.streams.flatMap(_.ops).collect {
-      case OpFrom(c, ps) if conns.contains(c) =>
-        val target = Seq("topic", "subject", "channel", "index").flatMap {
-          k => ps.collectFirst { case (kk, VStr(v)) if kk == k => v }
-        }.headOption
-        target.fold(conns(c))(conns(c).withTarget)
-    }
-    effective.distinct.flatMap {
+    val effective = effectiveSources(prog, conns)
+    effective.flatMap {
       case m: MqttConnector =>
         val s = MqttSubscriber.start(m.host, m.port, m.topic, m.spoolDir,
           clientId = m.clientId.getOrElse(s"graft-api-${m.name}"),
@@ -295,9 +321,9 @@ final class PipelineServer private (
       conns: Map[String, graft.sources.Connector])
       : Either[String, (Vector[StreamRun], Map[String, String])] = {
     val decls = prog.events.map(e => e.name -> e).toMap
-    // sinks stay unbound in server mode: outputs flow back over
-    // inject responses + /logs (a streaming `.to` would need
-    // foreachBatch wiring the memory-sink contract can't share)
+    // the compiler's own sink map stays empty: in streaming mode the
+    // server owns sink writes (per micro-batch in startRun), not the
+    // compiler's batch-flavored write-at-compile
     val compiled = new VplCompiler(prog,
       new graft.vpl.StreamingEvtSource(spark, staged, decls),
       streaming = true, sourceConns = conns).compileAll()
@@ -306,19 +332,56 @@ final class PipelineServer private (
         .getOrElse("program has no streams"))
     else Right((
       compiled.toSeq.collect { case (sn, Success(df)) =>
-        startRun(id, sn, df)
+        startRun(id, sn, df, sinkConnsFor(prog, sn, conns))
       }.toVector,
       compiled.collect { case (sn, Failure(e)) => sn -> e.getMessage }.toMap))
   }
 
-  private def startRun(id: String, streamName: String,
-      df: DataFrame): StreamRun = {
-    val sink = s"graft_api_${id.replace('-', '_')}_${streamName.toLowerCase}"
-    spark.sql(s"DROP VIEW IF EXISTS $sink")
-    val q = df.writeStream.format("memory").queryName(sink)
-      .outputMode("append").start()
+  /** Effective `.to` connectors of one stream (per-op topic/subject
+    * override applied).
+    */
+  private def sinkConnsFor(prog: VProgram, streamName: String,
+      conns: Map[String, graft.sources.Connector])
+      : Seq[graft.sources.Connector] = {
+    import graft.vpl.VplAst.OpTo
+    prog.streams.filter(_.name == streamName).flatMap(_.ops).collect {
+      case OpTo(c, ps) if conns.contains(c) =>
+        opTargetOf(ps).fold(conns(c))(conns(c).withTarget)
+    }.distinct
+  }
+
+  /** The topic/subject/channel/index override of a `.from`/`.to` op. */
+  private def opTargetOf(
+      ps: Seq[(String, graft.vpl.VplAst.VExpr)]): Option[String] = {
+    import graft.vpl.VplAst.VStr
+    Seq("topic", "subject", "channel", "index").flatMap { k =>
+      ps.collectFirst { case (kk, VStr(v)) if kk == k => v }
+    }.headOption
+  }
+
+  /** Start one streaming query for a compiled stream: every
+    * micro-batch lands in the run's driver-side buffer (the inject
+    * response / drainer / /logs feed) AND goes out through the
+    * stream's bound `.to` connectors — the foreachBatch form of the
+    * batch compiler's sink write, so `.to(KafkaAlerts, topic: …)`
+    * produces live from a deployed pipeline exactly like the
+    * reference server's compose stack.
+    */
+  private def startRun(id: String, streamName: String, df: DataFrame,
+      sinkConns: Seq[graft.sources.Connector]): StreamRun = {
+    val label = s"graft_api_${id.replace('-', '_')}_${streamName.toLowerCase}"
+    val buf = new java.util.ArrayList[Row]()
+    val q = df.writeStream.queryName(label).outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        val cached = b.persist()
+        try {
+          val rows = cached.collect()
+          buf.synchronized { rows.foreach { r => buf.add(r); () } }
+          sinkConns.foreach(_.write(cached))
+        } finally { cached.unpersist(); () }
+      }.start()
     q.processAllAvailable() // consume the zero-row seed batch
-    new StreamRun(streamName, sink, q)
+    new StreamRun(streamName, label, q, buf)
   }
 
   private def list(x: HttpExchange): Unit = {
@@ -377,6 +440,7 @@ final class PipelineServer private (
     // reject 400 while the old one keeps running
     val decls = prog.events.map(e => e.name -> e).toMap
     val conns = graft.vpl.ConnectorBinder.bind(prog)
+    ensureSpools(prog, conns)
     val probe = new VplCompiler(prog,
       new graft.vpl.StreamingEvtSource(spark, p.staged, decls),
       streaming = true, sourceConns = conns).compileAll()
@@ -391,17 +455,14 @@ final class PipelineServer private (
       if (!pipelines.containsKey(p.id)) false
       else {
         p.ingests.foreach(stop => Try(stop()))
-        p.runs.foreach { r =>
-          Try(r.query.stop())
-          Try(spark.sql(s"DROP VIEW IF EXISTS ${r.sink}"))
-        }
+        p.runs.foreach(r => Try(r.query.stop()))
         compileAndStart(p.id, prog, p.staged, conns) match {
           case Right((runs, skipped)) =>
             // the new queries replayed the whole spool: absorb it
             // silently so the next inject reports only fresh rows
             runs.foreach { r =>
               r.query.processAllAvailable()
-              r.emitted = spark.table(r.sink).count().toInt
+              r.emitted = r.rows().length
             }
             p.runs = runs
             p.skipped = skipped
@@ -426,10 +487,7 @@ final class PipelineServer private (
       // serialize with a concurrent inject/reload on the thread pool
       p.synchronized {
         p.ingests.foreach(stop => Try(stop()))
-        p.runs.foreach { r =>
-          Try(r.query.stop())
-          Try(spark.sql(s"DROP VIEW IF EXISTS ${r.sink}"))
-        }
+        p.runs.foreach(r => Try(r.query.stop()))
         Try(deleteRecursively(new java.io.File(p.staged.dir)))
       }
       ()
@@ -531,7 +589,7 @@ final class PipelineServer private (
     p.runs.foreach { r =>
       val lp = r.query.lastProgress
       if (lp != null) r.drainedBatch = lp.batchId
-      val rows = spark.table(r.sink).collect()
+      val rows = r.rows()
       rows.drop(r.emitted).foreach { row =>
         val node = rowToJson(mapper, row)
         node.put("stream", r.name)
@@ -592,10 +650,12 @@ object PipelineServer {
       apiKey: Option[String] = None): PipelineServer =
     new PipelineServer(spark, new InetSocketAddress("127.0.0.1", port), apiKey)
 
-  private final class StreamRun(val name: String, val sink: String,
-      val query: StreamingQuery) {
+  private final class StreamRun(val name: String, val label: String,
+      val query: StreamingQuery, val buffer: java.util.ArrayList[Row]) {
     var emitted: Int = 0
     var drainedBatch: Long = -1L // last batch id the drainer swept
+    def rows(): Array[Row] =
+      buffer.synchronized(buffer.toArray(new Array[Row](buffer.size())))
   }
 
   // mutated under p.synchronized (inject/reload/undeploy) but read

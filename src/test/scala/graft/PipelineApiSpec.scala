@@ -321,6 +321,86 @@ class PipelineApiSpec extends SparkSpec {
     } finally { srv.stop(); mqtt.stop() }
   }
 
+  test("the reference hvac-e2e pipeline deploys over HTTP: MQTT in, Kafka alerts out") {
+    val mqtt = new MiniMqttBroker()
+    val kafka = new MiniKafkaBroker(numPartitions = 1)
+    val srv = PipelineServer.start(spark)
+    try {
+      // the compose stack's own pipeline, hosts/ports patched to the
+      // loopback brokers. The reference engine types the payload
+      // dynamically; a streaming file source needs the declared
+      // schema, so the event block is prepended (the VplFlinkBench
+      // external-wiring precedent).
+      val vpl =
+        "event TemperatureReading:\n" +
+          "    sensor_id: str\n    zone: str\n    value: float\n\n" +
+          new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+            "/root/reference/tests/integration/hvac-e2e/hvac_pipeline.vpl")),
+            "UTF-8")
+            .replace("\"mosquitto\"", "\"127.0.0.1\"")
+            .replace("port: 1883", s"port: ${mqtt.port}")
+            .replace("\"kafka:29092\"", s"\"127.0.0.1:${kafka.port}\"")
+      // pre-create the alert topic like the compose stack's kafka does
+      val pre = new graft.sources.KafkaClient("127.0.0.1", kafka.port)
+      pre.partitions("hvac-alerts"); pre.close()
+
+      val (dc, d) = req(srv.port, "POST", "/api/v1/pipelines",
+        deployBody("hvac", vpl))
+      assert(dc == 201, d)
+      val id = d.get("id").asText()
+      val (_, i) = req(srv.port, "GET", s"/api/v1/pipelines/$id")
+      assert(i.get("streams").size() == 3, i) // Temperatures + 2 alerts
+
+      // producer.py's EVENTS list, verbatim values and order
+      val events = Seq(
+        ("S1", "A", 22.0), ("S2", "B", 21.5), ("S1", "A", 23.0),
+        ("S3", "C", 20.0), ("S2", "B", 25.0),
+        ("S1", "A", 30.0), ("S2", "B", 33.0), ("S3", "C", 35.0),
+        ("S1", "A", 12.0), ("S2", "B", 14.0))
+      val pub = new MqttClient("127.0.0.1", mqtt.port, "hvac-api-pub")
+      try pub.publishAll("varpulis/events/TemperatureReading",
+        events.map { case (s, z, v) =>
+          s"""{"sensor_id":"$s","zone":"$z","value":$v}""" }, qos = 1)
+      finally pub.close()
+
+      // 10 pass-through rows + 3 HIGH + 2 LOW = 15 outputs
+      val deadline = System.nanoTime() + 40L * 1000000000L
+      var emitted = 0L
+      while (emitted < 15L && System.nanoTime() < deadline) {
+        Thread.sleep(250)
+        val (_, m) = req(srv.port, "GET", s"/api/v1/pipelines/$id/metrics")
+        emitted = m.get("output_events_emitted").asLong()
+      }
+      assert(emitted == 15L, s"expected 15 outputs, got $emitted")
+
+      // consumer.py's validation against the BROKER's copy: the .to
+      // sink produced the alerts to Kafka from the deployed pipeline
+      val outDir = java.nio.file.Files
+        .createTempDirectory("graft_api_hvac_out").toString
+      val poller = graft.sources.KafkaPoller.start(
+        () => new graft.sources.KafkaClient("127.0.0.1", kafka.port),
+        "hvac-alerts", outDir, startAt = "earliest", pollIntervalMs = 20L)
+      try {
+        val d2 = System.nanoTime() + 15L * 1000000000L
+        while (poller.recordCount < 5 && System.nanoTime() < d2)
+          Thread.sleep(100)
+        assert(poller.recordCount == 5,
+          s"alert topic delivered ${poller.recordCount}/5")
+      } finally poller.stop()
+      val alerts = spark.read.json(outDir)
+        .select("alert_type", "zone", "sensor", "temperature")
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getDouble(3)))
+        .toSet
+      assert(alerts == Set(
+        ("HIGH_TEMPERATURE", "A", "S1", 30.0),
+        ("HIGH_TEMPERATURE", "B", "S2", 33.0),
+        ("HIGH_TEMPERATURE", "C", "S3", 35.0),
+        ("LOW_TEMPERATURE", "A", "S1", 12.0),
+        ("LOW_TEMPERATURE", "B", "S2", 14.0)), alerts)
+    } finally { srv.stop(); kafka.stop(); mqtt.stop() }
+  }
+
   test("windowed stream emits on watermark close, not before (streaming semantics)") {
     val vpl =
       """event Load:
