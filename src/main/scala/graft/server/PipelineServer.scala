@@ -396,7 +396,15 @@ final class PipelineServer private (
 
   private def infoNode(p: Pipeline): ObjectNode = {
     val o = mapper.createObjectNode()
-    o.put("id", p.id); o.put("name", p.name); o.put("status", "running")
+    // honest status, not a constant: a stream whose query died (e.g.
+    // the spool vanished, an executor-side failure) reports failed
+    val status =
+      if (p.runs.forall(r => r.query.isActive)) "running"
+      else if (p.runs.exists(r => r.query.isActive)) "degraded"
+      else "failed"
+    o.put("id", p.id); o.put("name", p.name); o.put("status", status)
+    p.runs.flatMap(_.query.exception).headOption
+      .foreach { e => o.put("error", e.getMessage); () }
     o.put("source", p.source)
     o.put("uptime_secs", (System.nanoTime() - p.deployedNanos) / 1000000000L)
     val streams = mapper.createArrayNode()

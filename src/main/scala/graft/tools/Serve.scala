@@ -1,0 +1,49 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.server.PipelineServer
+
+/** CLI twin of `varpulis server` (varpulis-cli main; the API surface
+  * is [[graft.server.PipelineServer]]): start the pipeline-management
+  * HTTP server and serve until killed. Pairs with
+  * [[graft.metrics.MetricsServer]] for the Prometheus scrape side.
+  *
+  * Usage:
+  *   runMain graft.tools.Serve [options]
+  *     --port N        bind port (default 3000, the reference's)
+  *     --api-key K     require x-api-key K on /api/v1 routes
+  *     --master M      Spark master (default local[*])
+  */
+object Serve {
+  def main(args: Array[String]): Unit = {
+    def parse(rest: List[String], acc: Map[String, String]): Map[String, String] =
+      rest match {
+        case Nil => acc
+        case flag :: v :: tail if flag.startsWith("--") && !v.startsWith("--") =>
+          parse(tail, acc + (flag.drop(2) -> v))
+        case other :: _ =>
+          System.err.println(s"bad argument '$other' — usage: " +
+            "[--port N] [--api-key K] [--master M]")
+          sys.exit(2)
+      }
+    val opts = parse(args.toList, Map.empty)
+    val b = SparkSession.builder()
+      .master(opts.getOrElse("master",
+        sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]")))
+      .appName("graft-server")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.ui.enabled", "false")
+    graft.Tables.sessionConfs.foreach { case (k, v) => b.config(k, v) }
+    val spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val srv = PipelineServer.start(spark,
+      port = opts.get("port").map(_.toInt).getOrElse(3000),
+      apiKey = opts.get("api-key"))
+    println(s"[serve] pipeline API on http://127.0.0.1:${srv.port} " +
+      s"(auth: ${if (opts.contains("api-key")) "x-api-key" else "open"})")
+    sys.addShutdownHook { srv.stop(); spark.stop() }
+    Thread.currentThread.join() // serve until killed
+  }
+}
