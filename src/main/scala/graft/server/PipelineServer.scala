@@ -141,6 +141,10 @@ final class PipelineServer private (
         withPipeline(x, id)(inject(x, _, batch = true))
       case (id :: "reload" :: Nil, "POST") =>
         withPipeline(x, id)(reload(x, _))
+      case (id :: "checkpoint" :: Nil, "POST") =>
+        withPipeline(x, id)(checkpoint(x, _))
+      case (id :: "restore" :: Nil, "POST") =>
+        withPipeline(x, id)(restore(x, _))
       case (id :: "logs" :: Nil, "GET") =>
         withPipeline(x, id)(logsSse(x, _))
       case (id :: "metrics" :: Nil, "GET") =>
@@ -153,7 +157,8 @@ final class PipelineServer private (
         }
       case (Nil, _) | (_ :: Nil, _) | (_ :: "events" :: Nil, _) |
           (_ :: "events-batch" :: Nil, _) | (_ :: "metrics" :: Nil, _) |
-          (_ :: "reload" :: Nil, _) | (_ :: "logs" :: Nil, _) =>
+          (_ :: "reload" :: Nil, _) | (_ :: "logs" :: Nil, _) |
+          (_ :: "checkpoint" :: Nil, _) | (_ :: "restore" :: Nil, _) =>
         methodNotAllowed(x)
       case _ => error(x, 404, "not_found", s"unknown route $path")
     }
@@ -429,6 +434,115 @@ final class PipelineServer private (
     * mark the replayed rows as already-emitted so the next inject
     * reports only genuinely fresh output events.
     */
+  /** POST /{id}/checkpoint — openapi CheckpointResponse. The
+    * reference's EngineCheckpoint is an opaque engine-state blob;
+    * graft's engine state IS the spool event log plus deterministic
+    * replay, so the blob records the spool extent (injected phases)
+    * and the counters. Restore rewinds to exactly that point.
+    */
+  private def checkpoint(x: HttpExchange, p: Pipeline): Unit = {
+    val o = mapper.createObjectNode()
+    o.put("pipeline_id", p.id)
+    val cp = mapper.createObjectNode()
+    p.synchronized {
+      cp.put("spool_phases", p.nextPhase - 1)
+      cp.put("events_processed", p.eventsProcessed)
+      cp.put("output_events_emitted", p.outputEmitted)
+    }
+    o.set[ObjectNode]("checkpoint", cp)
+    o.put("events_processed", cp.get("events_processed").asLong())
+    respondJson(x, 200, o)
+  }
+
+  /** POST /{id}/restore {checkpoint} — rewind the pipeline to a
+    * [[checkpoint]] blob: a FRESH spool gets the seed plus every
+    * staged file from phases <= the recorded extent, the program
+    * recompiles over it and replays (absorbed silently), counters
+    * reset to the blob's values, and later injects continue from the
+    * next phase. Events injected after the checkpoint are discarded —
+    * the reference's restore-from-blob contract. Live connector feeds
+    * are not part of the inject log; they re-attach and consume
+    * forward (the reference's Kafka sources likewise resume from
+    * their own offsets).
+    */
+  private def restore(x: HttpExchange, p: Pipeline): Unit = {
+    val body = readBody(x)
+    val cp = Try(mapper.readTree(body)) match {
+      case Success(n) if n.hasNonNull("checkpoint") &&
+          n.get("checkpoint").hasNonNull("spool_phases") =>
+        n.get("checkpoint")
+      case Success(_) =>
+        error(x, 400, "parse_error",
+          "need {checkpoint: {spool_phases, …}}"); return
+      case Failure(e) =>
+        error(x, 400, "parse_error", s"invalid JSON: ${e.getMessage}"); return
+    }
+    val phases = cp.get("spool_phases").asInt()
+    if (phases < 0 || phases >= p.nextPhase) {
+      error(x, 400, "parse_error",
+        s"checkpoint extent $phases outside this pipeline's log " +
+          s"[0, ${p.nextPhase - 1}]"); return
+    }
+    val conns = graft.vpl.ConnectorBinder.bind(p.prog)
+    ensureSpools(p.prog, conns)
+    val restored = p.synchronized {
+      if (!pipelines.containsKey(p.id)) false
+      else {
+        p.ingests.foreach(stop => Try(stop()))
+        p.runs.foreach(r => Try(r.query.stop()))
+        // fresh spool: seed + every staged file with phase <= extent
+        // (stagePhase names files batch_<phase*10000 + i> and pins
+        // modtimes, so the numeric part IS the phase-ordered index)
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"graft_api_${p.id}_restore_").toString
+        val cut = (phases + 1) * 10000
+        val kept = p.staged.files.filter { case (f, _) =>
+          val num = new java.io.File(f).getName
+            .stripPrefix("batch_").stripSuffix(".parquet")
+          Try(num.toInt).toOption.exists(_ < cut)
+        }.map { case (f, d) =>
+          val src = new java.io.File(f)
+          val dst = new java.io.File(dir, src.getName)
+          java.nio.file.Files.copy(src.toPath, dst.toPath)
+          dst.setLastModified(src.lastModified)
+          (dst.getPath, d)
+        }
+        val staged = EventReplay.Staged(dir, kept, phases)
+        compileAndStart(p.id, p.prog, staged, conns) match {
+          case Right((runs, skipped)) =>
+            runs.foreach { r =>
+              r.query.processAllAvailable()
+              r.emitted = r.rows().length // absorb the replay
+            }
+            val oldSpool = p.staged.dir
+            p.staged = staged
+            p.runs = runs
+            p.skipped = skipped
+            p.ingests = startIngests(p.prog, conns)
+            p.nextPhase = phases + 1
+            p.eventsProcessed =
+              if (cp.hasNonNull("events_processed"))
+                cp.get("events_processed").asLong() else p.eventsProcessed
+            p.outputEmitted =
+              if (cp.hasNonNull("output_events_emitted"))
+                cp.get("output_events_emitted").asLong() else p.outputEmitted
+            Try(deleteRecursively(new java.io.File(oldSpool)))
+            true
+          case Left(_) => false // compiled at deploy; cannot happen
+        }
+      }
+    }
+    if (!restored) {
+      error(x, 404, "pipeline_not_found",
+        s"pipeline '${p.id}' was deleted during restore"); return
+    }
+    val o = mapper.createObjectNode()
+    o.put("pipeline_id", p.id)
+    o.put("restored", true)
+    o.put("events_restored", p.eventsProcessed)
+    respondJson(x, 200, o)
+  }
+
   private def reload(x: HttpExchange, p: Pipeline): Unit = {
     val body = readBody(x)
     val src = Try(mapper.readTree(body)) match {

@@ -321,6 +321,62 @@ class PipelineApiSpec extends SparkSpec {
     } finally { srv.stop(); mqtt.stop() }
   }
 
+  test("checkpoint/restore rewinds the pipeline to the recorded spool extent") {
+    val srv = PipelineServer.start(spark)
+    try {
+      val (_, d) = req(srv.port, "POST", "/api/v1/pipelines",
+        deployBody("alerts", alertsVpl))
+      val id = d.get("id").asText()
+      val (_, o1) = req(srv.port, "POST", s"/api/v1/pipelines/$id/events",
+        tick("MSFT", 150.0))
+      assert(o1.get("output_events").size() == 1)
+
+      // checkpoint after the first inject
+      val (cc, c) = req(srv.port, "POST", s"/api/v1/pipelines/$id/checkpoint")
+      assert(cc == 200 && c.get("pipeline_id").asText() == id, c)
+      val blob = c.get("checkpoint")
+      assert(blob.get("spool_phases").asInt() == 1, blob)
+      assert(c.get("events_processed").asLong() == 1L, c)
+
+      // a post-checkpoint inject that restore must discard
+      val (_, o2) = req(srv.port, "POST", s"/api/v1/pipelines/$id/events",
+        tick("XYZ", 250.0))
+      assert(o2.get("output_events").size() == 1)
+      val (_, m1) = req(srv.port, "GET", s"/api/v1/pipelines/$id/metrics")
+      assert(m1.get("events_processed").asLong() == 2L)
+
+      // restore: counters rewind, the XYZ event is gone from the log
+      val rbody = mapper.createObjectNode()
+      rbody.set[com.fasterxml.jackson.databind.node.ObjectNode](
+        "checkpoint", blob.deepCopy())
+      val (rc, r) = req(srv.port, "POST", s"/api/v1/pipelines/$id/restore",
+        mapper.writeValueAsString(rbody))
+      assert(rc == 200 && r.get("restored").asBoolean(), r)
+      assert(r.get("events_restored").asLong() == 1L, r)
+      val (_, m2) = req(srv.port, "GET", s"/api/v1/pipelines/$id/metrics")
+      assert(m2.get("events_processed").asLong() == 1L, m2)
+      assert(m2.get("output_events_emitted").asLong() == 1L, m2)
+
+      // the pipeline continues from the checkpoint: a new inject
+      // reports only ITS events (the rewound XYZ does not reappear)
+      val (_, o3) = req(srv.port, "POST", s"/api/v1/pipelines/$id/events",
+        tick("ABC", 300.0))
+      assert(o3.get("output_events").size() == 1, o3)
+      assert(o3.get("output_events").get(0).get("symbol").asText() == "ABC")
+      val (_, m3) = req(srv.port, "GET", s"/api/v1/pipelines/$id/metrics")
+      assert(m3.get("events_processed").asLong() == 2L, m3)
+
+      // a checkpoint beyond the (rewound) log rejects pointedly
+      val bad = mapper.createObjectNode()
+      val badCp = mapper.createObjectNode(); badCp.put("spool_phases", 99)
+      bad.set[com.fasterxml.jackson.databind.node.ObjectNode](
+        "checkpoint", badCp)
+      val (bc, b) = req(srv.port, "POST", s"/api/v1/pipelines/$id/restore",
+        mapper.writeValueAsString(bad))
+      assert(bc == 400 && b.get("code").asText() == "parse_error", b)
+    } finally srv.stop()
+  }
+
   test("the reference hvac-e2e pipeline deploys over HTTP: MQTT in, Kafka alerts out") {
     val mqtt = new MiniMqttBroker()
     val kafka = new MiniKafkaBroker(numPartitions = 1)
