@@ -288,6 +288,18 @@ final class PipelineServer private (
         val s = NatsSubscriber.start(n.host, n.port, n.subject, n.spoolDir,
           username = n.username, password = n.password, token = n.token)
         Some(() => s.stop())
+      case r: RedisConnector =>
+        val s = RedisSubscriber.start(r.host, r.port, r.channel, r.spoolDir,
+          timeoutMs = r.timeoutMs)
+        Some(() => s.stop())
+      case k: KinesisConnector =>
+        val p = KinesisPoller.start(
+          new KinesisClient(k.endpoint, k.region, k.accessKey, k.secretKey),
+          k.stream, k.spoolDir)
+        Some(() => p.stop())
+      // http (webhook receiver needs its own inbound port config) and
+      // rest (the poll URL is not part of the connector decl) land
+      // externally; file connectors need no driver at all
       case _ => None
     }.toVector
   }
