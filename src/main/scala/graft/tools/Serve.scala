@@ -13,6 +13,8 @@ import graft.server.PipelineServer
   *   runMain graft.tools.Serve [options]
   *     --port N        bind port (default 3000, the reference's)
   *     --api-key K     require x-api-key K on /api/v1 routes
+  *     --rate-limit R  throttle /api/v1 to R requests/s per client
+  *                     (token bucket, burst 2R — reference rate_limit.rs)
   *     --master M      Spark master (default local[*])
   */
 object Serve {
@@ -24,7 +26,7 @@ object Serve {
           parse(tail, acc + (flag.drop(2) -> v))
         case other :: _ =>
           System.err.println(s"bad argument '$other' — usage: " +
-            "[--port N] [--api-key K] [--master M]")
+            "[--port N] [--api-key K] [--rate-limit R] [--master M]")
           sys.exit(2)
       }
     val opts = parse(args.toList, Map.empty)
@@ -40,9 +42,11 @@ object Serve {
     spark.sparkContext.setLogLevel("WARN")
     val srv = PipelineServer.start(spark,
       port = opts.get("port").map(_.toInt).getOrElse(3000),
-      apiKey = opts.get("api-key"))
+      apiKey = opts.get("api-key"),
+      requestsPerSecond = opts.get("rate-limit").map(_.toInt))
     println(s"[serve] pipeline API on http://127.0.0.1:${srv.port} " +
-      s"(auth: ${if (opts.contains("api-key")) "x-api-key" else "open"})")
+      s"(auth: ${if (opts.contains("api-key")) "x-api-key" else "open"}, " +
+      s"throttle: ${opts.getOrElse("rate-limit", "off")})")
     sys.addShutdownHook { srv.stop(); spark.stop() }
     Thread.currentThread.join() // serve until killed
   }

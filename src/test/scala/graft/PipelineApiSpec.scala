@@ -19,9 +19,9 @@ class PipelineApiSpec extends SparkSpec {
   private val mapper = new ObjectMapper()
   private val client = HttpClient.newHttpClient()
 
-  private def req(port: Int, method: String, path: String,
+  private def reqFull(port: Int, method: String, path: String,
       body: String = "", key: Option[String] = None)
-      : (Int, com.fasterxml.jackson.databind.JsonNode) = {
+      : HttpResponse[String] = {
     val b = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
     key.foreach(k => b.header("x-api-key", k))
     val r = method match {
@@ -29,7 +29,13 @@ class PipelineApiSpec extends SparkSpec {
       case "DELETE" => b.DELETE()
       case m => b.method(m, HttpRequest.BodyPublishers.ofString(body))
     }
-    val resp = client.send(r.build(), HttpResponse.BodyHandlers.ofString())
+    client.send(r.build(), HttpResponse.BodyHandlers.ofString())
+  }
+
+  private def req(port: Int, method: String, path: String,
+      body: String = "", key: Option[String] = None)
+      : (Int, com.fasterxml.jackson.databind.JsonNode) = {
+    val resp = reqFull(port, method, path, body, key)
     (resp.statusCode(), mapper.readTree(resp.body()))
   }
 
@@ -455,6 +461,186 @@ class PipelineApiSpec extends SparkSpec {
         ("LOW_TEMPERATURE", "A", "S1", 12.0),
         ("LOW_TEMPERATURE", "B", "S2", 14.0)), alerts)
     } finally { srv.stop(); kafka.stop(); mqtt.stop() }
+  }
+
+  test("per-stream output buffer stays bounded across drainer sweeps (live feed soak)") {
+    // VERDICT r14 #1: a live-connector pipeline used to accumulate
+    // every output row ever emitted in StreamRun.buffer; drained rows
+    // must now be trimmed, so the buffer holds at most one sweep's
+    // production while inject responses and /logs stay intact
+    val mqtt = new MiniMqttBroker()
+    val srv = PipelineServer.start(spark)
+    try {
+      val vpl =
+        s"""event Reading:
+           |    n: int
+           |
+           |connector Feed = mqtt(
+           |    host: "127.0.0.1",
+           |    port: ${mqtt.port},
+           |    topic: "graft/soak"
+           |)
+           |
+           |stream All = Reading
+           |    .from(Feed)
+           |    .emit(n: n)
+           |""".stripMargin
+      val (dc, d) = req(srv.port, "POST", "/api/v1/pipelines",
+        deployBody("soak", vpl))
+      assert(dc == 201, d)
+      val id = d.get("id").asText()
+
+      // three publish waves with a pause between them, so the drainer
+      // sweeps (250 ms cadence) interleave with production
+      val pub = new MqttClient("127.0.0.1", mqtt.port, "soak-pub")
+      var expected = 0L
+      try (1 to 3).foreach { wave =>
+        pub.publishAll("graft/soak",
+          (1 to 20).map(k => s"""{"n":${wave * 100 + k}}"""), qos = 1)
+        expected += 20
+        val deadline = System.nanoTime() + 30L * 1000000000L
+        var emitted = 0L
+        while (emitted < expected && System.nanoTime() < deadline) {
+          Thread.sleep(100)
+          val (_, m) = req(srv.port, "GET", s"/api/v1/pipelines/$id/metrics")
+          emitted = m.get("output_events_emitted").asLong()
+        }
+        assert(emitted == expected, s"wave $wave: $emitted/$expected")
+        // every emitted row has been swept: the buffer must be empty,
+        // not holding the $expected rows the unbounded version kept
+        assert(srv.bufferedRows(id) == 0,
+          s"wave $wave: buffer holds ${srv.bufferedRows(id)} drained rows")
+      } finally pub.close()
+
+      // /logs still replays the full retained history after trimming
+      val r = HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:${srv.port}/api/v1/pipelines/$id/logs"))
+        .GET().build()
+      val resp = client.send(r, HttpResponse.BodyHandlers.ofInputStream())
+      val reader = new java.io.BufferedReader(
+        new java.io.InputStreamReader(resp.body(), "UTF-8"))
+      val seen = scala.collection.mutable.Set.empty[Int]
+      val deadline = System.nanoTime() + 15L * 1000000000L
+      while (seen.size < 60 && System.nanoTime() < deadline) {
+        val line = reader.readLine()
+        if (line == null) { assert(false, "SSE ended early") }
+        else if (line.startsWith("data: ")) {
+          seen += mapper.readTree(line.drop(6)).get("data").get("n").asInt()
+          ()
+        }
+      }
+      reader.close()
+      assert(seen.size == 60, s"/logs replayed ${seen.size}/60 events")
+    } finally { srv.stop(); mqtt.stop() }
+  }
+
+  test("inject-driven pipelines hold an empty buffer after each synchronous drain") {
+    val srv = PipelineServer.start(spark)
+    try {
+      val (_, d) = req(srv.port, "POST", "/api/v1/pipelines",
+        deployBody("alerts", alertsVpl))
+      val id = d.get("id").asText()
+      (1 to 10).foreach { k =>
+        val (_, o) = req(srv.port, "POST", s"/api/v1/pipelines/$id/events",
+          tick(s"T$k", 100.0 + k))
+        assert(o.get("output_events").size() == 1, o)
+        assert(srv.bufferedRows(id) == 0,
+          s"inject $k left ${srv.bufferedRows(id)} rows buffered")
+      }
+      val (_, m) = req(srv.port, "GET", s"/api/v1/pipelines/$id/metrics")
+      assert(m.get("output_events_emitted").asLong() == 10L, m)
+    } finally srv.stop()
+  }
+
+  test("token-bucket throttle: burst 429s with Retry-After, per-key buckets, refill") {
+    // reference rate_limit.rs: burst = 2× rate, 429 rate_limited when
+    // the bucket is empty, Retry-After >= 1, refill restores service
+    val srv = PipelineServer.start(spark, requestsPerSecond = Some(2))
+    try {
+      val rs = (1 to 12).map(_ =>
+        reqFull(srv.port, "GET", "/api/v1/pipelines", key = Some("alice")))
+      val allowed = rs.filter(_.statusCode() == 200)
+      val limited = rs.filter(_.statusCode() == 429)
+      assert(allowed.size >= 4, s"burst of 4 should pass, got ${allowed.size}")
+      assert(limited.nonEmpty, "burst of 12 at 2 rps must throttle")
+      assert(allowed.head.headers().firstValue("X-RateLimit-Remaining")
+        .isPresent)
+      val l = limited.head
+      assert(mapper.readTree(l.body()).get("code").asText() == "rate_limited")
+      assert(l.headers().firstValue("Retry-After").orElse("0").toLong >= 1L)
+
+      // a different key gets its own bucket (alice's flood can't
+      // starve bob — the reference's per-client tracking)
+      val bob = reqFull(srv.port, "GET", "/api/v1/pipelines", key = Some("bob"))
+      assert(bob.statusCode() == 200, bob.body())
+
+      // refill: after ~1.1 s at 2 tokens/s alice is served again
+      Thread.sleep(1100)
+      val again = reqFull(srv.port, "GET", "/api/v1/pipelines",
+        key = Some("alice"))
+      assert(again.statusCode() == 200, again.body())
+
+      // health probes are never throttled (k8s liveness)
+      (1 to 10).foreach { _ =>
+        val (hc, _) = req(srv.port, "GET", "/health"); assert(hc == 200)
+      }
+    } finally srv.stop()
+  }
+
+  test("/api/v1/usage reports tenant counters and the default quota") {
+    val srv = PipelineServer.start(spark)
+    try {
+      val (uc0, u0) = req(srv.port, "GET", "/api/v1/usage")
+      assert(uc0 == 200 && u0.get("active_pipelines").asInt() == 0, u0)
+
+      val (_, d) = req(srv.port, "POST", "/api/v1/pipelines",
+        deployBody("alerts", alertsVpl))
+      val id = d.get("id").asText()
+      req(srv.port, "POST", s"/api/v1/pipelines/$id/events", tick("A", 150.0))
+      req(srv.port, "POST", s"/api/v1/pipelines/$id/events", tick("B", 50.0))
+
+      val (uc, u) = req(srv.port, "GET", "/api/v1/usage")
+      assert(uc == 200, u)
+      assert(u.get("tenant_id").asText() == "default", u)
+      assert(u.get("events_processed").asLong() == 2L, u)
+      assert(u.get("output_events_emitted").asLong() == 1L, u)
+      assert(u.get("active_pipelines").asInt() == 1, u)
+      val q = u.get("quota")
+      assert(q.get("max_pipelines").asInt() == 10, q)
+      assert(q.get("max_events_per_second").asLong() == 10000L, q)
+      assert(q.get("max_streams_per_pipeline").asInt() == 50, q)
+
+      // method + auth contracts match the other /api/v1 routes
+      val (mc, _) = req(srv.port, "POST", "/api/v1/usage")
+      assert(mc == 405)
+    } finally srv.stop()
+    val keyed = PipelineServer.start(spark, apiKey = Some("sekrit"))
+    try {
+      val (ac, a) = req(keyed.port, "GET", "/api/v1/usage")
+      assert(ac == 401 && a.get("code").asText() == "invalid_api_key", a)
+      val (okc, _) = req(keyed.port, "GET", "/api/v1/usage",
+        key = Some("sekrit"))
+      assert(okc == 200)
+    } finally keyed.stop()
+  }
+
+  test("path segment boundaries 404 instead of prefix-matching (ADVICE r14 #3)") {
+    val srv = PipelineServer.start(spark)
+    try {
+      // /api/v1/pipelinesfoo used to dispatch as list/deploy via the
+      // JDK server's longest-string-prefix context match
+      val (c1, b1) = req(srv.port, "GET", "/api/v1/pipelinesfoo")
+      assert(c1 == 404 && b1.get("code").asText() == "not_found", b1)
+      val (c2, _) = req(srv.port, "POST", "/api/v1/pipelinesfoo",
+        deployBody("x", alertsVpl))
+      assert(c2 == 404)
+      val (c3, _) = req(srv.port, "GET", "/api/v1/usagefoo")
+      assert(c3 == 404)
+      val (c4, _) = req(srv.port, "GET", "/api/v1/usage/extra")
+      assert(c4 == 404)
+      val (c5, _) = req(srv.port, "GET", "/api/v1")
+      assert(c5 == 404)
+    } finally srv.stop()
   }
 
   test("windowed stream emits on watermark close, not before (streaming semantics)") {
