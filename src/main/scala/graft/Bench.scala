@@ -135,6 +135,64 @@ object Bench {
     (ratio, ratio > noiseThreshold)
   }
 
+  /** Multicore memory-bandwidth probe (r15 — VERDICT r14 directive 2:
+    * BENCH_r14 read a uniform 1.46x on byte-untouched plans while the
+    * single-thread CPU probe said 1.03x, because the drift lives in
+    * memory bandwidth / multicore contention that a register-only
+    * loop cannot see). This probe stresses what a Spark scan does:
+    * [[memProbeThreads]] threads each stream-sum a private 32 MiB
+    * long array ([[memProbeSweeps]] sequential sweeps, no allocation
+    * in the timed region) and the wall time of the joint sweep is the
+    * reading. A co-tenant saturating the memory bus inflates this
+    * probe even when single-thread CPU stays quiet, so contended
+    * windows self-certify as noisy instead of minting phantom
+    * regressions. Verdict logic is shared ([[noiseVerdict]] on min
+    * ratio vs [[memProbeFloorSec]]); suspected = EITHER probe flags.
+    */
+  private[graft] val memProbeThreads = 8
+  private val memProbeWords = 4 << 20 // 32 MiB of longs per thread
+  private[graft] val memProbeSweeps = 120
+  private lazy val memProbeData: Array[Array[Long]] =
+    Array.tabulate(memProbeThreads)(t =>
+      Array.tabulate(memProbeWords)(i => i * 0x9E3779B97F4A7C15L + t))
+  @volatile private var memProbeSink = 0L
+  private[graft] def memProbeOnce(sweeps: Int = memProbeSweeps): Double = {
+    val threads = memProbeData.map { arr =>
+      new Thread(() => {
+        var acc = 0L
+        var sweep = 0
+        while (sweep < sweeps) {
+          var i = 0
+          while (i < arr.length) { acc += arr(i); i += 1 }
+          sweep += 1
+        }
+        // data dependence defeats dead-code elimination; never true
+        if (acc == 42L) memProbeSink = acc
+      })
+    }
+    val t0 = System.nanoTime()
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Quiet-host floor for [[memProbeOnce]], pinned at the quiet
+    * MINIMUM like [[probeFloorSec]] — but calibrated IN SITU, between
+    * passes of a full sf0.1 bench run, NOT in an idle JVM: at sf0.1
+    * the bench JVM's own heap/GC traffic keeps the bus busier than an
+    * idle process (idle-JVM probes read 0.42-0.57 s on the same quiet
+    * host where in-run probes read 0.66-0.95 s), and the probe must
+    * measure the HOST, not the bench's own working set. Pinned r15
+    * from a certified-clean window (total 118 s — inside the verdict's
+    * 95-125 s band — with CPU probe at 1.02x and every per-query diff
+    * vs the slow r14 artifact FASTER). SPARK_GRAFT_MEMPROBE_FLOOR
+    * overrides for other hardware.
+    */
+  private[graft] val memProbeFloorSec: Double =
+    sys.env.get("SPARK_GRAFT_MEMPROBE_FLOOR")
+      .flatMap(s => scala.util.Try(s.toDouble).toOption)
+      .filter(_ > 0).getOrElse(0.66)
+
   /** Bench-line seconds formatting: enough resolution at every
     * magnitude (ms below 1 s, cs below 10 s, ds above), no trailing
     * zeros, never scientific notation — keeps the stdout line small.
@@ -166,7 +224,8 @@ object Bench {
     */
   private[graft] def benchLine(results: Seq[(String, Double)],
       errors: Seq[(String, String)], sfDir: String,
-      noise: Option[(Double, Boolean)] = None): String = {
+      noise: Option[(Double, Boolean)] = None,
+      memRatio: Option[Double] = None): String = {
     def jstr(s: String) = "\"" + s + "\""
     require(results.map(r => shortName(r._1)).distinct.size == results.size,
       "bench short names must stay unique — rename the colliding query")
@@ -179,7 +238,8 @@ object Bench {
       if (qs.length + errFull.length < 1700) errFull
       else s"""{"_failed":${errors.size}}"""
     val noiseJson = noise.fold("") { case (ratio, suspected) =>
-      s""","probe_ratio":${fmtSec(ratio)},"host_noise_suspected":$suspected"""
+      val mem = memRatio.fold("")(r => s""","mem_ratio":${fmtSec(r)}""")
+      s""","probe_ratio":${fmtSec(ratio)}$mem,"host_noise_suspected":$suspected"""
     }
     s"""{"metric":"total","value":${fmtSec(total)},"unit":"sec","queries":$qs,"errors":$errJson$noiseJson,"sf":"$sfDir"}"""
   }
@@ -321,16 +381,21 @@ object Bench {
     val nPasses = sys.env.get("SPARK_GRAFT_BENCH_N")
       .flatMap(s => scala.util.Try(s.toInt).toOption)
       .filter(_ >= 1).getOrElse(2)
-    // host-noise probes bracket every pass (JIT-warm the loop first —
+    // host-noise probes bracket every pass (JIT-warm the loops first —
     // an unwarmed probe would read slow and false-flag a clean run)
     probeOnce(probeIters / 10)
+    memProbeOnce(memProbeSweeps / 10)
     val probeSecs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val memProbeSecs = scala.collection.mutable.ArrayBuffer.empty[Double]
     def runProbe(tag: String): Unit = {
       val s = probeOnce()
       probeSecs += s
+      val m = memProbeOnce()
+      memProbeSecs += m
       System.err.println(
-        f"[bench-probe] $tag: $s%.3fs (floor $probeFloorSec%.2fs, " +
-          f"ratio ${s / probeFloorSec}%.2fx)")
+        f"[bench-probe] $tag: cpu $s%.3fs (floor $probeFloorSec%.2fs, " +
+          f"ratio ${s / probeFloorSec}%.2fx), mem $m%.3fs " +
+          f"(floor $memProbeFloorSec%.2fs, ratio ${m / memProbeFloorSec}%.2fx)")
     }
     runProbe("before pass 1")
     val passes = (1 to nPasses).map { p =>
@@ -383,21 +448,27 @@ object Bench {
     }
     def jstr(s: String) = "\"" + s + "\""
     val total = results.map(_._2).filter(_ >= 0).sum
-    val (probeRatio, noiseSuspected) = noiseVerdict(probeSecs.toSeq)
+    val (cpuRatio, cpuSuspected) = noiseVerdict(probeSecs.toSeq)
+    val (memRatio, memSuspected) =
+      noiseVerdict(memProbeSecs.toSeq, memProbeFloorSec)
+    val probeRatio = cpuRatio
+    val noiseSuspected = cpuSuspected || memSuspected
     if (noiseSuspected)
       System.err.println(
-        f"[bench-probe] HOST NOISE SUSPECTED: min probe ratio " +
-          f"$probeRatio%.2fx > ${noiseThreshold}x — every probe ran slow, " +
-          "treat this artifact's absolute figures as contaminated")
+        f"[bench-probe] HOST NOISE SUSPECTED: min cpu ratio $cpuRatio%.2fx, " +
+          f"min mem-bandwidth ratio $memRatio%.2fx (threshold " +
+          f"${noiseThreshold}x) — every probe ran slow, treat this " +
+          "artifact's absolute figures as contaminated")
     val line = benchLine(results, errors.toSeq, sfDir,
-      Some((probeRatio, noiseSuspected)))
+      Some((probeRatio, noiseSuspected)), Some(memRatio))
     val fullLine = {
       val fq = results.map { case (k, v) => jstr(k) + ":" + v }
         .mkString("{", ",", "}")
       val fe = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
         .mkString("{", ",", "}")
       val fp = probeSecs.map(s => f"$s%.3f").mkString("[", ",", "]")
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fq,"errors":$fe,"probe_secs":$fp,"probe_ratio":$probeRatio,"host_noise_suspected":$noiseSuspected,"sf":"$sfDir"}"""
+      val fm = memProbeSecs.map(s => f"$s%.3f").mkString("[", ",", "]")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fq,"errors":$fe,"probe_secs":$fp,"probe_ratio":$probeRatio,"mem_probe_secs":$fm,"mem_ratio":$memRatio,"host_noise_suspected":$noiseSuspected,"sf":"$sfDir"}"""
     }
     scala.util.Try(java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_FULL.json"),

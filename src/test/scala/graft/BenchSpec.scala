@@ -140,10 +140,41 @@ class BenchSpec extends AnyFunSuite {
     val names = SparkEntry.queries.keys.toSeq.sorted
     val results = names.map(n => n -> 123.456789)
     val line = Bench.benchLine(results, Nil, "/root/testdata/sf0.1",
-      Some((2.37, true)))
+      Some((2.37, true)), Some(1.83))
     assert(line.contains(""""probe_ratio":2.37"""))
+    assert(line.contains(""""mem_ratio":1.83"""))
     assert(line.contains(""""host_noise_suspected":true"""))
     assert(line.length < 1700, s"bench line too long: ${line.length}")
+  }
+
+  test("a bandwidth-loaded memory probe reads slower than a quiet one") {
+    // r15: the r14 slow window inflated the mixed scan/shuffle profile
+    // 1.46x while the single-thread CPU probe read 1.03x — the drift
+    // lives in memory bandwidth, so the mem probe must see saturation
+    // the CPU probe misses. Ratio-based like the CPU-probe test.
+    Bench.memProbeOnce(Bench.memProbeSweeps / 10) // JIT warm
+    val quiet = (1 to 3).map(_ => Bench.memProbeOnce(Bench.memProbeSweeps / 4)).min
+    val cores = Runtime.getRuntime.availableProcessors()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // bandwidth hogs: each thread streams its own 32 MiB array
+    val hogs = (1 to cores).map { t =>
+      val arr = Array.tabulate(4 << 20)(i => i.toLong * t)
+      val th = new Thread(() => {
+        var acc = 0L
+        while (!stop.get()) {
+          var i = 0
+          while (i < arr.length) { acc += arr(i); i += 1 }
+        }
+        if (acc == 42L) System.err.print("")
+      })
+      th.setDaemon(true); th.start(); th
+    }
+    try {
+      val loaded = (1 to 3).map(_ => Bench.memProbeOnce(Bench.memProbeSweeps / 4)).min
+      info(f"quiet=${quiet}%.3fs loaded=${loaded}%.3fs (${loaded / quiet}%.2fx)")
+      assert(loaded > quiet * 1.3,
+        f"loaded mem probe ${loaded}%.3fs not slower than quiet ${quiet}%.3fs")
+    } finally { stop.set(true); hogs.foreach(_.join(1000)) }
   }
 
   test("retimeSet caps: at most 12 regressions + 8 no-prev") {
