@@ -300,39 +300,6 @@ final class PipelineServer private (
     * Dedup by landing dir so two streams off one connector share one
     * driver.
     */
-  /** The effective (target-overridden) connector of every bound
-    * `.from` op in the program.
-    */
-  private def effectiveSources(prog: VProgram,
-      conns: Map[String, graft.sources.Connector])
-      : Seq[graft.sources.Connector] = {
-    import graft.vpl.VplAst.OpFrom
-    prog.streams.flatMap(_.ops).collect {
-      case OpFrom(c, ps) if conns.contains(c) =>
-        opTargetOf(ps).fold(conns(c))(conns(c).withTarget)
-    }.distinct
-  }
-
-  /** Pre-create every effective source connector's landing dir: the
-    * streaming compile opens a file stream on it, and a per-op
-    * `topic:` override re-aims into a subdir that only the
-    * subscriber (started AFTER compile) would otherwise create.
-    */
-  private def ensureSpools(prog: VProgram,
-      conns: Map[String, graft.sources.Connector]): Unit = {
-    import graft.sources._
-    effectiveSources(prog, conns).foreach {
-      case m: MqttConnector    => new java.io.File(m.spoolDir).mkdirs(); ()
-      case k: KafkaConnector   => new java.io.File(k.spoolDir).mkdirs(); ()
-      case n: NatsConnector    => new java.io.File(n.spoolDir).mkdirs(); ()
-      case r: RedisConnector   => new java.io.File(r.spoolDir).mkdirs(); ()
-      case h: HttpConnector    => new java.io.File(h.spoolDir).mkdirs(); ()
-      case k: KinesisConnector => new java.io.File(k.spoolDir).mkdirs(); ()
-      case r: RestConnector    => new java.io.File(r.spoolDir).mkdirs(); ()
-      case _                   => ()
-    }
-  }
-
   private def startIngests(prog: VProgram,
       conns: Map[String, graft.sources.Connector]): Vector[() => Unit] = {
     import graft.sources._
@@ -442,14 +409,6 @@ final class PipelineServer private (
     }.distinct
   }
 
-  /** The topic/subject/channel/index override of a `.from`/`.to` op. */
-  private def opTargetOf(
-      ps: Seq[(String, graft.vpl.VplAst.VExpr)]): Option[String] = {
-    import graft.vpl.VplAst.VStr
-    Seq("topic", "subject", "channel", "index").flatMap { k =>
-      ps.collectFirst { case (kk, VStr(v)) if kk == k => v }
-    }.headOption
-  }
 
   /** Start one streaming query for a compiled stream: every
     * micro-batch lands in the run's driver-side buffer (the inject
@@ -869,6 +828,48 @@ object PipelineServer {
       requestsPerSecond: Option[Int] = None): PipelineServer =
     new PipelineServer(spark, new InetSocketAddress("127.0.0.1", port),
       apiKey, requestsPerSecond)
+
+  /** The effective (target-overridden) connector of every bound
+    * `.from` op in the program.
+    */
+  private[server] def effectiveSources(prog: VProgram,
+      conns: Map[String, graft.sources.Connector])
+      : Seq[graft.sources.Connector] = {
+    import graft.vpl.VplAst.OpFrom
+    prog.streams.flatMap(_.ops).collect {
+      case OpFrom(c, ps) if conns.contains(c) =>
+        opTargetOf(ps).fold(conns(c))(conns(c).withTarget)
+    }.distinct
+  }
+
+  /** Pre-create every effective source connector's landing dir: the
+    * streaming compile opens a file stream on it, and a per-op
+    * `topic:` override re-aims into a subdir that only the
+    * subscriber (started AFTER compile) would otherwise create.
+    */
+  private[server] def ensureSpools(prog: VProgram,
+      conns: Map[String, graft.sources.Connector]): Unit = {
+    import graft.sources._
+    effectiveSources(prog, conns).foreach {
+      case m: MqttConnector    => new java.io.File(m.spoolDir).mkdirs(); ()
+      case k: KafkaConnector   => new java.io.File(k.spoolDir).mkdirs(); ()
+      case n: NatsConnector    => new java.io.File(n.spoolDir).mkdirs(); ()
+      case r: RedisConnector   => new java.io.File(r.spoolDir).mkdirs(); ()
+      case h: HttpConnector    => new java.io.File(h.spoolDir).mkdirs(); ()
+      case k: KinesisConnector => new java.io.File(k.spoolDir).mkdirs(); ()
+      case r: RestConnector    => new java.io.File(r.spoolDir).mkdirs(); ()
+      case _                   => ()
+    }
+  }
+
+  /** The topic/subject/channel/index override of a `.from`/`.to` op. */
+  private[server] def opTargetOf(
+      ps: Seq[(String, graft.vpl.VplAst.VExpr)]): Option[String] = {
+    import graft.vpl.VplAst.VStr
+    Seq("topic", "subject", "channel", "index").flatMap { k =>
+      ps.collectFirst { case (kk, VStr(v)) if kk == k => v }
+    }.headOption
+  }
 
   /** Per-client token bucket — the reference's rate-limit semantics
     * (varpulis-cluster/src/rate_limit.rs TokenBucket/RateLimiter):

@@ -1,0 +1,572 @@
+package graft.server
+
+import java.io.{BufferedInputStream, BufferedOutputStream, InputStream, OutputStream}
+import java.net.{InetSocketAddress, ServerSocket, Socket}
+import java.util.concurrent.CopyOnWriteArrayList
+
+import scala.jdk.CollectionConverters._
+import scala.util.{Failure, Success, Try}
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.ObjectNode
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.sources.EventReplay
+import graft.vpl.{VplCompiler, VplParser}
+import graft.vpl.VplParser.VplParseError
+
+/** WebSocket live event push — the reference CLI's `/ws` endpoint
+  * (varpulis-cli/src/websocket.rs:1-981, the VS Code extension's
+  * transport): a client sends `load_file` / `inject_event` /
+  * `get_streams` / `get_metrics` messages (the WsMessage vocabulary,
+  * snake_case `type` tag) and receives `load_result` / `streams` /
+  * `metrics` / `event_injected` / `error` responses plus asynchronous
+  * `output_event` pushes BROADCAST to every connected client
+  * (websocket.rs forward_output_events_to_websocket).
+  *
+  * Transport is a hand-rolled RFC 6455 server over a raw
+  * ServerSocket — the JDK HttpServer the REST surface uses cannot
+  * hijack a connection for the upgrade, so graft serves `ws://` on
+  * its own port next to the REST port (the reference co-hosts both
+  * on one warp listener; the split is a documented divergence, the
+  * message vocabulary is identical). Zero new dependencies: SHA-1 +
+  * Base64 for the handshake come from the JDK, JSON from Spark's
+  * bundled Jackson.
+  *
+  * Engine semantics mirror [[PipelineServer]]'s Spark-first shape:
+  * `load_file` compiles the program's streams in STREAMING mode over
+  * a fresh spool (each load replaces the engine, the reference's
+  * Engine::new-per-load), `inject_event` stages one `.evt` phase,
+  * drives the queries, and broadcasts each fresh output row as an
+  * `output_event`. The file path resolves against an allowed working
+  * directory and must stay inside it (security.rs validate_path);
+  * read failures report the reference's deliberately generic
+  * "Failed to read file". `apiKey` enforces x-api-key on the upgrade
+  * request (401 before the handshake) — the reference runs the same
+  * auth filter ahead of its ws route.
+  */
+final class WsServer private (
+    spark: SparkSession,
+    bindPort: Int,
+    apiKey: Option[String],
+    workdir: java.io.File) {
+
+  import PipelineServer.{ensureSpools, evtLine, rowToJson}
+  import WsServer._
+
+  private val mapper = new ObjectMapper()
+  private val startNanos = System.nanoTime()
+  private val server = new ServerSocket()
+  server.bind(new InetSocketAddress("127.0.0.1", bindPort))
+  @volatile private var live = true
+
+  /** One run of a loaded stream: buffer trimmed on every drain (the
+    * r14 #1 lesson — drained rows are never re-read).
+    */
+  private final class Run(val name: String, val query: StreamingQuery,
+      buf: java.util.ArrayList[Row]) {
+    def drainFresh(): Array[Row] = buf.synchronized {
+      val out = buf.toArray(new Array[Row](buf.size()))
+      buf.clear()
+      out
+    }
+  }
+
+  // engine state — one engine per server like the reference's
+  // ServerState, replaced wholesale on each load_file; all mutation
+  // under this lock (the RwLock twin)
+  private object engine {
+    var staged: EventReplay.Staged = null
+    var runs: Vector[Run] = Vector.empty
+    var nextPhase: Int = 1
+    var eventsProcessed: Long = 0L
+    var outputEmitted: Long = 0L
+  }
+
+  private val clients = new CopyOnWriteArrayList[ClientConn]()
+
+  private final class ClientConn(val sock: Socket, val out: OutputStream) {
+    /** Serializes response writes with broadcast pushes. */
+    val writeLock = new Object
+  }
+
+  def port: Int = server.getLocalPort
+
+  def stop(): Unit = {
+    live = false
+    Try(server.close())
+    clients.asScala.foreach(c => Try(c.sock.close()))
+    engine.synchronized {
+      engine.runs.foreach(r => Try(r.query.stop()))
+      if (engine.staged != null)
+        Try(deleteRecursively(new java.io.File(engine.staged.dir)))
+    }
+  }
+
+  private val acceptThread = new Thread(() => {
+    while (live) {
+      val sock =
+        try server.accept()
+        catch { case _: Exception => null } // closed on stop
+      if (sock != null) {
+        val t = new Thread(() => serveClient(sock), s"graft-ws-client")
+        t.setDaemon(true)
+        t.start()
+      }
+    }
+  }, "graft-ws-accept")
+  acceptThread.setDaemon(true)
+  acceptThread.start()
+
+  // ------------------------------------------------------------------
+  // connection lifecycle
+  // ------------------------------------------------------------------
+
+  private def serveClient(sock: Socket): Unit = {
+    val in = new BufferedInputStream(sock.getInputStream)
+    val out = new BufferedOutputStream(sock.getOutputStream)
+    try {
+      handshake(in, out) match {
+        case Left(httpError) =>
+          out.write(httpError.getBytes("UTF-8")); out.flush()
+          return
+        case Right(()) => ()
+      }
+      val conn = new ClientConn(sock, out)
+      clients.add(conn)
+      try frameLoop(in, conn)
+      finally { clients.remove(conn); () }
+    } catch {
+      case _: java.io.IOException => () // client went away
+    } finally Try(sock.close())
+  }
+
+  /** Read the HTTP upgrade request and answer 101, or Left(an HTTP
+    * error response) — 401 on a bad api key, 400 on a malformed
+    * upgrade (wrong path, missing key header).
+    */
+  private def handshake(in: InputStream,
+      out: OutputStream): Either[String, Unit] = {
+    val headers = scala.collection.mutable.Map.empty[String, String]
+    var requestLine: String = null
+    var line = readHeaderLine(in)
+    requestLine = line
+    line = readHeaderLine(in)
+    while (line != null && line.nonEmpty) {
+      val i = line.indexOf(':')
+      if (i > 0)
+        headers(line.substring(0, i).trim.toLowerCase) =
+          line.substring(i + 1).trim
+      line = readHeaderLine(in)
+    }
+    def httpErr(code: Int, label: String, body: String): Left[String, Unit] =
+      Left(s"HTTP/1.1 $code $label\r\nContent-Type: application/json\r\n" +
+        s"Content-Length: ${body.length}\r\nConnection: close\r\n\r\n$body")
+    if (requestLine == null || !requestLine.startsWith("GET "))
+      return httpErr(400, "Bad Request", """{"error":"ws needs GET"}""")
+    val path = requestLine.split(" ")(1).takeWhile(_ != '?')
+    if (path != "/ws")
+      return httpErr(404, "Not Found", """{"error":"unknown route"}""")
+    if (apiKey.exists(k => !headers.get("x-api-key").contains(k)))
+      return httpErr(401, "Unauthorized",
+        """{"error":"Invalid API key","code":"invalid_api_key"}""")
+    if (!headers.get("upgrade").exists(_.equalsIgnoreCase("websocket")))
+      return httpErr(400, "Bad Request", """{"error":"not a ws upgrade"}""")
+    headers.get("sec-websocket-key") match {
+      case None =>
+        httpErr(400, "Bad Request", """{"error":"missing ws key"}""")
+      case Some(key) =>
+        out.write(("HTTP/1.1 101 Switching Protocols\r\n" +
+          "Upgrade: websocket\r\nConnection: Upgrade\r\n" +
+          s"Sec-WebSocket-Accept: ${acceptKeyOf(key)}\r\n\r\n")
+          .getBytes("UTF-8"))
+        out.flush()
+        Right(())
+    }
+  }
+
+  /** Frames in, responses out, until close/EOF. Text messages may be
+    * fragmented (continuation frames accumulate); ping answers pong;
+    * close answers close.
+    */
+  private def frameLoop(in: InputStream, conn: ClientConn): Unit = {
+    val msgBuf = new java.io.ByteArrayOutputStream()
+    var msgOpcode = -1
+    var open = true
+    while (open) {
+      readFrame(in) match {
+        case None => open = false // EOF
+        case Some(Frame(fin, opcode, payload)) =>
+          opcode match {
+            case 0x9 => // ping → pong with the same payload
+              conn.writeLock.synchronized {
+                writeFrame(conn.out, 0xA, payload)
+              }
+            case 0xA => () // unsolicited pong
+            case 0x8 =>
+              conn.writeLock.synchronized { writeFrame(conn.out, 0x8, payload) }
+              open = false
+            case 0x1 | 0x2 | 0x0 =>
+              if (opcode != 0x0) { msgBuf.reset(); msgOpcode = opcode }
+              msgBuf.write(payload)
+              if (msgBuf.size > MaxMessageBytes) {
+                // the reference caps messages at 1 MiB; oversized →
+                // close 1009 (message too big)
+                conn.writeLock.synchronized {
+                  writeFrame(conn.out, 0x8, Array[Byte](0x03, 0xF1.toByte))
+                }
+                open = false
+              } else if (fin && msgOpcode == 0x1) {
+                val text = new String(msgBuf.toByteArray, "UTF-8")
+                msgBuf.reset()
+                val resp = handleMessage(text)
+                conn.writeLock.synchronized {
+                  writeFrame(conn.out, 0x1, resp.getBytes("UTF-8"))
+                }
+              } else if (fin) msgBuf.reset() // binary: vocabulary is text-only
+            case _ => open = false // reserved opcode: drop the client
+          }
+      }
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // WsMessage vocabulary
+  // ------------------------------------------------------------------
+
+  private def handleMessage(text: String): String = {
+    val node = Try(mapper.readTree(text)) match {
+      case Success(n) if n != null && n.hasNonNull("type") => n
+      case _ => return errorMsg("malformed message: need {type, ...}")
+    }
+    node.get("type").asText() match {
+      case "load_file"    => loadFile(node)
+      case "inject_event" => injectEvent(node)
+      case "get_streams"  => getStreams()
+      case "get_metrics"  => getMetrics()
+      case other          => errorMsg(s"unsupported message type '$other'")
+    }
+  }
+
+  private def errorMsg(message: String): String = {
+    val o = mapper.createObjectNode()
+    o.put("type", "error"); o.put("message", message)
+    mapper.writeValueAsString(o)
+  }
+
+  private def loadResult(success: Boolean, loaded: Int,
+      error: Option[String]): String = {
+    val o = mapper.createObjectNode()
+    o.put("type", "load_result")
+    o.put("success", success)
+    o.put("streams_loaded", loaded)
+    error match {
+      case Some(e) => o.put("error", e)
+      case None    => o.putNull("error")
+    }
+    mapper.writeValueAsString(o)
+  }
+
+  /** load_file {path}: resolve against the workdir (absolute paths
+    * allowed but the CANONICAL result must stay inside it —
+    * security.rs validate_path), read, parse, compile streaming over
+    * a fresh spool, replace the engine.
+    */
+  private def loadFile(node: JsonNode): String = {
+    if (!node.hasNonNull("path")) return errorMsg("load_file needs {path}")
+    val raw = node.get("path").asText()
+    val requested = new java.io.File(raw)
+    val absolute =
+      if (requested.isAbsolute) requested else new java.io.File(workdir, raw)
+    val wd = workdir.getCanonicalFile
+    val canonical = Try(absolute.getCanonicalFile) match {
+      case Success(c) => c
+      case Failure(_) =>
+        return loadResult(success = false, 0, Some("Failed to read file"))
+    }
+    if (canonical != wd &&
+        !canonical.getPath.startsWith(wd.getPath + java.io.File.separator))
+      return loadResult(success = false, 0,
+        Some(s"path escapes the working directory"))
+    val source = Try(new String(
+      java.nio.file.Files.readAllBytes(canonical.toPath), "UTF-8")) match {
+      case Success(s) => s
+      case Failure(_) =>
+        // generic on purpose: no fs-layout disclosure (websocket.rs)
+        return loadResult(success = false, 0, Some("Failed to read file"))
+    }
+    val prog =
+      try VplParser.parse(source)
+      catch {
+        case e: VplParseError =>
+          return loadResult(success = false, 0,
+            Some(s"Parse error: ${e.getMessage}"))
+      }
+    engine.synchronized {
+      // each load replaces the engine (websocket.rs Engine::new) —
+      // stop the old queries and drop the old spool before compiling
+      engine.runs.foreach(r => Try(r.query.stop()))
+      val oldSpool = Option(engine.staged).map(_.dir)
+      val spool = java.nio.file.Files
+        .createTempDirectory("graft_ws_").toString
+      val staged = EventReplay.stageEmpty(spark, spool)
+      val decls = prog.events.map(e => e.name -> e).toMap
+      val conns = graft.vpl.ConnectorBinder.bind(prog)
+      // landing dirs for `.from`-bound streams so they compile; live
+      // ingest drivers are the REST server's deploy concern — the ws
+      // surface is the interactive load+inject tooling transport
+      ensureSpools(prog, conns)
+      val compiled = new VplCompiler(prog,
+        new graft.vpl.StreamingEvtSource(spark, staged, decls),
+        streaming = true, sourceConns = conns).compileAll()
+      if (!compiled.values.exists(_.isSuccess)) {
+        Try(deleteRecursively(new java.io.File(spool)))
+        val why = compiled.collectFirst { case (_, Failure(e)) => e.getMessage }
+          .getOrElse("program has no streams")
+        loadResult(success = false, 0, Some(why))
+      } else {
+        val runs = compiled.toSeq.collect { case (sn, Success(df)) =>
+          startRun(sn, df)
+        }.toVector
+        engine.staged = staged
+        engine.runs = runs
+        engine.nextPhase = 1
+        engine.eventsProcessed = 0L
+        engine.outputEmitted = 0L
+        oldSpool.foreach(d => Try(deleteRecursively(new java.io.File(d))))
+        loadResult(success = true, runs.size, None)
+      }
+    }
+  }
+
+  private def startRun(streamName: String, df: DataFrame): Run = {
+    val label = s"graft_ws_${streamName.toLowerCase}_${System.nanoTime()}"
+    val buf = new java.util.ArrayList[Row]()
+    val q = df.writeStream.queryName(label).outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        val rows = b.collect()
+        buf.synchronized { rows.foreach { r => buf.add(r); () } }
+      }.start()
+    q.processAllAvailable() // consume the zero-row seed batch
+    new Run(streamName, q, buf)
+  }
+
+  /** inject_event {event_type, data}: stage one .evt phase, drive the
+    * queries, broadcast each fresh output row as an output_event to
+    * EVERY connected client, answer event_injected.
+    */
+  private def injectEvent(node: JsonNode): String = {
+    if (!node.hasNonNull("event_type"))
+      return errorMsg("inject_event needs {event_type, data}")
+    val eventType = node.get("event_type").asText()
+    val data = Option(node.get("data")).filter(_.isObject)
+      .getOrElse(mapper.createObjectNode())
+    if (data.size() > MaxEventFields)
+      return errorMsg(
+        s"Event exceeds maximum field count (${data.size()} > $MaxEventFields)")
+    val ev = mapper.createObjectNode()
+    ev.put("event_type", eventType)
+    ev.set[ObjectNode]("fields", data.deepCopy[JsonNode]())
+    val line = evtLine(ev) match {
+      case Right(l)  => l
+      case Left(why) => return errorMsg(s"Failed to process event: $why")
+    }
+    val fresh: Seq[(String, Row)] = engine.synchronized {
+      if (engine.staged == null)
+        return errorMsg("No engine loaded. Load a .vpl file first.")
+      val phase = engine.nextPhase
+      engine.nextPhase += 1
+      val evt = java.nio.file.Files.createTempFile("graft_ws_inject_", ".evt")
+      java.nio.file.Files.writeString(evt, line + "\n")
+      engine.staged = EventReplay.stagePhase(spark, evt.toString,
+        engine.staged, phase = phase, afterDelayMs = phase * 1000L,
+        sentinel = false)
+      java.nio.file.Files.deleteIfExists(evt)
+      engine.eventsProcessed += 1
+      engine.runs.foreach(_.query.processAllAvailable())
+      val out = engine.runs.flatMap(r => r.drainFresh().map(r.name -> _))
+      engine.outputEmitted += out.size
+      out
+    }
+    fresh.foreach { case (_, row) => broadcastOutput(row) }
+    val o = mapper.createObjectNode()
+    o.put("type", "event_injected")
+    o.put("event_type", eventType)
+    o.put("success", true)
+    mapper.writeValueAsString(o)
+  }
+
+  /** Push one output row to every connected client (websocket.rs
+    * broadcast channel). A client whose socket fails is dropped.
+    */
+  private def broadcastOutput(row: Row): Unit = {
+    val o = mapper.createObjectNode()
+    o.put("type", "output_event")
+    o.put("event_type", "output")
+    o.set[ObjectNode]("data", rowToJson(mapper, row))
+    o.put("timestamp", java.time.Instant.now().toString)
+    val bytes = mapper.writeValueAsString(o).getBytes("UTF-8")
+    clients.asScala.foreach { c =>
+      try c.writeLock.synchronized { writeFrame(c.out, 0x1, bytes) }
+      catch { case _: java.io.IOException =>
+        clients.remove(c); Try(c.sock.close()); ()
+      }
+    }
+  }
+
+  private def getStreams(): String = {
+    val o = mapper.createObjectNode()
+    o.put("type", "streams")
+    val arr = o.putArray("data")
+    engine.synchronized {
+      engine.runs.foreach { r =>
+        val s = arr.addObject()
+        s.put("name", r.name)
+        // the reference fills these placeholders the same way
+        // (websocket.rs handle_load_file StreamInfo construction)
+        s.put("source", "")
+        s.putArray("operations")
+        s.put("events_per_second", 0.0)
+        s.put("status", "active")
+      }
+    }
+    mapper.writeValueAsString(o)
+  }
+
+  private def getMetrics(): String = {
+    val o = mapper.createObjectNode()
+    o.put("type", "metrics")
+    engine.synchronized {
+      o.put("events_processed", engine.eventsProcessed)
+      o.put("output_events_emitted", engine.outputEmitted)
+      o.put("active_streams", engine.runs.size)
+    }
+    o.put("uptime", (System.nanoTime() - startNanos) / 1e9)
+    o.put("memory_usage", rssBytes())
+    // CPU needs sampling over time; the reference snapshots 0.0 too
+    o.put("cpu_usage", 0.0)
+    mapper.writeValueAsString(o)
+  }
+
+  /** Process RSS from /proc/self/statm (websocket.rs
+    * process_rss_bytes); 0 where unreadable.
+    */
+  private def rssBytes(): Long =
+    Try {
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/self/statm")), "UTF-8")
+        .trim.split("\\s+")(1).toLong * 4096L
+    }.getOrElse(0L)
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
+  }
+}
+
+object WsServer {
+
+  /** Serve ws://127.0.0.1:`port`/ws (0 = ephemeral — tests). `apiKey`
+    * guards the upgrade request; `workdir` bounds load_file paths.
+    */
+  def start(spark: SparkSession, port: Int = 0,
+      apiKey: Option[String] = None,
+      workdir: java.io.File = new java.io.File(".")): WsServer =
+    new WsServer(spark, port, apiKey, workdir)
+
+  /** The reference caps ws frames and messages at 1 MiB
+    * (main.rs max_frame_size/max_message_size).
+    */
+  private val MaxMessageBytes: Int = 1024 * 1024
+  /** websocket.rs MAX_EVENT_FIELDS. */
+  private val MaxEventFields: Int = 256
+
+  private val WsGuid = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
+
+  /** RFC 6455 §1.3 accept key: Base64(SHA-1(key + GUID)). */
+  private[server] def acceptKeyOf(key: String): String = {
+    val sha = java.security.MessageDigest.getInstance("SHA-1")
+    java.util.Base64.getEncoder.encodeToString(
+      sha.digest((key + WsGuid).getBytes("UTF-8")))
+  }
+
+  private[server] final case class Frame(fin: Boolean, opcode: Int,
+      payload: Array[Byte])
+
+  /** One header line, CRLF-terminated (CR tolerated absent). */
+  private def readHeaderLine(in: InputStream): String = {
+    val sb = new StringBuilder
+    var c = in.read()
+    while (c != -1 && c != '\n') {
+      if (c != '\r') sb.append(c.toChar)
+      c = in.read()
+    }
+    if (c == -1 && sb.isEmpty) null else sb.toString
+  }
+
+  /** Read one frame (client frames MUST be masked — RFC 6455 §5.1);
+    * None on EOF.
+    */
+  private[server] def readFrame(in: InputStream): Option[Frame] = {
+    val b0 = in.read()
+    if (b0 == -1) return None
+    val b1 = in.read()
+    if (b1 == -1) return None
+    val fin = (b0 & 0x80) != 0
+    val opcode = b0 & 0x0F
+    val masked = (b1 & 0x80) != 0
+    var len: Long = (b1 & 0x7F).toLong
+    if (len == 126) {
+      len = (readByte(in) << 8 | readByte(in)).toLong
+    } else if (len == 127) {
+      len = 0L
+      var i = 0
+      while (i < 8) { len = (len << 8) | readByte(in); i += 1 }
+    }
+    if (len < 0 || len > MaxMessageBytes)
+      throw new java.io.IOException(s"ws frame too large: $len")
+    val mask = if (masked) Array.fill(4)(readByte(in).toByte) else null
+    val payload = new Array[Byte](len.toInt)
+    var off = 0
+    while (off < len) {
+      val n = in.read(payload, off, len.toInt - off)
+      if (n < 0) throw new java.io.IOException("ws frame truncated")
+      off += n
+    }
+    if (masked) {
+      var i = 0
+      while (i < payload.length) {
+        payload(i) = (payload(i) ^ mask(i % 4)).toByte
+        i += 1
+      }
+    }
+    Some(Frame(fin, opcode, payload))
+  }
+
+  private def readByte(in: InputStream): Int = {
+    val b = in.read()
+    if (b == -1) throw new java.io.IOException("ws frame truncated")
+    b
+  }
+
+  /** Write one unmasked (server-side) frame. Callers hold the
+    * connection's write lock.
+    */
+  private[server] def writeFrame(out: OutputStream, opcode: Int,
+      payload: Array[Byte]): Unit = {
+    out.write(0x80 | opcode)
+    val n = payload.length
+    if (n < 126) out.write(n)
+    else if (n < 65536) {
+      out.write(126); out.write((n >> 8) & 0xff); out.write(n & 0xff)
+    } else {
+      out.write(127)
+      var i = 7
+      while (i >= 0) { out.write(((n.toLong >> (8 * i)) & 0xff).toInt); i -= 1 }
+    }
+    out.write(payload)
+    out.flush()
+  }
+}

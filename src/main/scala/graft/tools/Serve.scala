@@ -15,6 +15,12 @@ import graft.server.PipelineServer
   *     --api-key K     require x-api-key K on /api/v1 routes
   *     --rate-limit R  throttle /api/v1 to R requests/s per client
   *                     (token bucket, burst 2R — reference rate_limit.rs)
+  *     --ws-port N     also serve ws://127.0.0.1:N/ws (the reference
+  *                     co-hosts /ws on the REST port; graft's JDK
+  *                     HttpServer cannot hijack an upgrade, so the ws
+  *                     transport gets its own listener — same
+  *                     WsMessage vocabulary, same x-api-key)
+  *     --workdir D     load_file root for the ws transport (default .)
   *     --master M      Spark master (default local[*])
   */
 object Serve {
@@ -47,7 +53,14 @@ object Serve {
     println(s"[serve] pipeline API on http://127.0.0.1:${srv.port} " +
       s"(auth: ${if (opts.contains("api-key")) "x-api-key" else "open"}, " +
       s"throttle: ${opts.getOrElse("rate-limit", "off")})")
-    sys.addShutdownHook { srv.stop(); spark.stop() }
+    val ws = opts.get("ws-port").map { p =>
+      val w = graft.server.WsServer.start(spark, port = p.toInt,
+        apiKey = opts.get("api-key"),
+        workdir = new java.io.File(opts.getOrElse("workdir", ".")))
+      println(s"[serve] ws transport on ws://127.0.0.1:${w.port}/ws")
+      w
+    }
+    sys.addShutdownHook { ws.foreach(_.stop()); srv.stop(); spark.stop() }
     Thread.currentThread.join() // serve until killed
   }
 }
