@@ -59,7 +59,7 @@ object ScaleBench {
     // ---- stage the 10× derivation (idempotent) ----------------------
     // marker name versions the derivation: widening the query set to
     // events/embeddings consumers re-stages those tables
-    val marker = new java.io.File(s"$scaledDir/_staged_v4")
+    val marker = new java.io.File(s"$scaledDir/_staged_v5")
     if (!marker.exists()) {
       val docs = spark.read.parquet(s"$baseDir/documents.parquet")
       val reps = (0 until nReps).map { i =>
@@ -123,13 +123,24 @@ object ScaleBench {
       java.nio.file.Files.move(part.toPath, evDest)
       new java.io.File(evTmp).listFiles().foreach(_.delete())
       java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(evTmp))
-      // embeddings: disjoint vec_ids, vectors unchanged — the v1/v3
-      // query side stays the fixed vec_id<10 broadcast set, so the
-      // measurement is corpus-side scan/bucket scaling
+      // embeddings: disjoint vec_ids AND disjoint labels per replica,
+      // vectors unchanged — the v1/v3 query side stays the fixed
+      // vec_id<10 broadcast set, so the measurement is corpus-side
+      // scan/bucket scaling. Labels must scale WITH the corpus (v5,
+      // the documents word-suffix lesson re-learned for v2): the base
+      // table has 10 labels over 2k rows, and keeping them fixed at
+      // 100x grows each label block 100x denser — v2's within-block
+      // pair candidates then grow 10^4x and the measured 258x was the
+      // block-join's quadratic candidate count, a derivation artifact,
+      // not a plan property. A real 100x corpus has ~100x the label
+      // values at the same per-label density; replica-disjoint labels
+      // model exactly that (same-key density constant, the users/
+      // words derivation principle).
       val emb = spark.read.parquet(s"$baseDir/embeddings.parquet")
       val embReps = (0 until nReps).map { i =>
         if (i == 0) emb
         else emb.withColumn("vec_id", col("vec_id") + lit(i * 100000000L))
+          .withColumn("label", col("label") + lit(i * 1000))
       }
       embReps.reduce(_.unionByName(_)).write.mode("overwrite")
         .parquet(s"$scaledDir/embeddings.parquet")

@@ -570,6 +570,15 @@ object Dedup {
   /** Embedding-cosine near-dup pairs within blocking buckets. Norms
     * are computed once per vector before the pair join (a per-pair
     * norm recompute would triple the fold work).
+    *
+    * Scale contract: work is quadratic IN THE BLOCK, linear in the
+    * number of blocks — one shuffle on the blocking column, pairs
+    * formed within partitions. Sound at 100 TB exactly when per-block
+    * cardinality is bounded (label/domain/shard blocking); for a
+    * corpus whose blocks grow with it, the sub-quadratic paths are
+    * LSH bucketing ([[graft.ann.Knn.lshTopK]] shape, v3/v5) or
+    * SemDeDup cluster bucketing ([[graft.ann.Knn]], v7) — the same
+    * exact-vs-bucketed trade the reference documents for near-dup.
     */
   def embeddingPairs(
       embs: DataFrame,
