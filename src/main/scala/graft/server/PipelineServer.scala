@@ -129,12 +129,18 @@ final class PipelineServer private (
 
   private def route(x: HttpExchange): Unit = {
     // throttle BEFORE auth so a keyless flood can't buy unthrottled
-    // 401 work; buckets key on the presented api key (the reference's
-    // per-tenant accounting) falling back to the client address, so a
-    // guesser can't drain an honest key's bucket
+    // 401 work. Buckets key on the api key ONLY when it is the
+    // VALID configured key (the authenticated tenant's own bucket —
+    // per-tenant accounting); anything else keys on the client
+    // address (the reference's per-IP tracking). Keying on the
+    // PRESENTED header would let a flooder mint a fresh full bucket
+    // per request by rotating arbitrary key values — and evict honest
+    // buckets through the LRU cap while doing it.
     limiter.foreach { l =>
-      val key = Option(x.getRequestHeaders.getFirst("x-api-key"))
-        .getOrElse(x.getRemoteAddress.getAddress.getHostAddress)
+      val presented = Option(x.getRequestHeaders.getFirst("x-api-key"))
+      val key =
+        if (apiKey.isDefined && presented == apiKey) "key:" + presented.get
+        else "ip:" + x.getRemoteAddress.getAddress.getHostAddress
       l.check(key) match {
         case Left(retryAfterSecs) =>
           x.getResponseHeaders.add("Retry-After", retryAfterSecs.toString)
@@ -410,30 +416,11 @@ final class PipelineServer private (
   }
 
 
-  /** Start one streaming query for a compiled stream: every
-    * micro-batch lands in the run's driver-side buffer (the inject
-    * response / drainer / /logs feed) AND goes out through the
-    * stream's bound `.to` connectors — the foreachBatch form of the
-    * batch compiler's sink write, so `.to(KafkaAlerts, topic: …)`
-    * produces live from a deployed pipeline exactly like the
-    * reference server's compose stack.
-    */
   private def startRun(id: String, streamName: String, df: DataFrame,
-      sinkConns: Seq[graft.sources.Connector]): StreamRun = {
-    val label = s"graft_api_${id.replace('-', '_')}_${streamName.toLowerCase}"
-    val buf = new java.util.ArrayList[Row]()
-    val q = df.writeStream.queryName(label).outputMode("append")
-      .foreachBatch { (b: org.apache.spark.sql.Dataset[Row], _: Long) =>
-        val cached = b.persist()
-        try {
-          val rows = cached.collect()
-          buf.synchronized { rows.foreach { r => buf.add(r); () } }
-          sinkConns.foreach(_.write(cached))
-        } finally { cached.unpersist(); () }
-      }.start()
-    q.processAllAvailable() // consume the zero-row seed batch
-    new StreamRun(streamName, label, q, buf)
-  }
+      sinkConns: Seq[graft.sources.Connector]): StreamRun =
+    PipelineServer.startRun(
+      s"graft_api_${id.replace('-', '_')}_${streamName.toLowerCase}",
+      streamName, df, sinkConns)
 
   private def list(x: HttpExchange): Unit = {
     val arr = mapper.createArrayNode()
@@ -907,7 +894,34 @@ object PipelineServer {
     }
   }
 
-  private final class StreamRun(val name: String, val label: String,
+  /** Start one streaming query for a compiled stream: every
+    * micro-batch lands in the run's driver-side buffer (the inject
+    * response / drainer / /logs / ws-broadcast feed) AND goes out
+    * through the stream's bound `.to` connectors — the foreachBatch
+    * form of the batch compiler's sink write, so `.to(KafkaAlerts,
+    * topic: …)` produces live from a deployed pipeline exactly like
+    * the reference server's compose stack. Shared by the REST
+    * pipeline server and the ws transport so buffer semantics (the
+    * r14 #1 trim fix) exist exactly once.
+    */
+  private[server] def startRun(label: String, streamName: String,
+      df: DataFrame,
+      sinkConns: Seq[graft.sources.Connector]): StreamRun = {
+    val buf = new java.util.ArrayList[Row]()
+    val q = df.writeStream.queryName(label).outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        val cached = b.persist()
+        try {
+          val rows = cached.collect()
+          buf.synchronized { rows.foreach { r => buf.add(r); () } }
+          sinkConns.foreach(_.write(cached))
+        } finally { cached.unpersist(); () }
+      }.start()
+    q.processAllAvailable() // consume the zero-row seed batch
+    new StreamRun(streamName, label, q, buf)
+  }
+
+  private[server] final class StreamRun(val name: String, val label: String,
       val query: StreamingQuery, val buffer: java.util.ArrayList[Row]) {
     var drainedBatch: Long = -1L // last batch id the drainer swept
     /** Take every buffered row and TRIM the buffer: drained rows are

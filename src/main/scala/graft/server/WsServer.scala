@@ -9,8 +9,7 @@ import scala.util.{Failure, Success, Try}
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.fasterxml.jackson.databind.node.ObjectNode
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.{Row, SparkSession}
 
 import graft.sources.EventReplay
 import graft.vpl.{VplCompiler, VplParser}
@@ -61,24 +60,14 @@ final class WsServer private (
   server.bind(new InetSocketAddress("127.0.0.1", bindPort))
   @volatile private var live = true
 
-  /** One run of a loaded stream: buffer trimmed on every drain (the
-    * r14 #1 lesson — drained rows are never re-read).
-    */
-  private final class Run(val name: String, val query: StreamingQuery,
-      buf: java.util.ArrayList[Row]) {
-    def drainFresh(): Array[Row] = buf.synchronized {
-      val out = buf.toArray(new Array[Row](buf.size()))
-      buf.clear()
-      out
-    }
-  }
-
   // engine state — one engine per server like the reference's
   // ServerState, replaced wholesale on each load_file; all mutation
-  // under this lock (the RwLock twin)
+  // under this lock (the RwLock twin). Runs are [[PipelineServer
+  // .StreamRun]]s started through the SHARED startRun, so buffer
+  // semantics (the r14 #1 trim fix) exist exactly once.
   private object engine {
     var staged: EventReplay.Staged = null
-    var runs: Vector[Run] = Vector.empty
+    var runs: Vector[PipelineServer.StreamRun] = Vector.empty
     var nextPhase: Int = 1
     var eventsProcessed: Long = 0L
     var outputEmitted: Long = 0L
@@ -127,18 +116,29 @@ final class WsServer private (
     val in = new BufferedInputStream(sock.getInputStream)
     val out = new BufferedOutputStream(sock.getOutputStream)
     try {
+      // a half-open handshake must not pin this thread forever: 10 s
+      // to complete the upgrade, then no timeout (an idle ESTABLISHED
+      // ws connection is legitimate — the VS Code client sits quiet)
+      sock.setSoTimeout(10000)
+      if (clients.size() >= MaxConnections) {
+        out.write(("HTTP/1.1 503 Service Unavailable\r\n" +
+          "Content-Length: 0\r\nConnection: close\r\n\r\n").getBytes("UTF-8"))
+        out.flush()
+        return
+      }
       handshake(in, out) match {
         case Left(httpError) =>
           out.write(httpError.getBytes("UTF-8")); out.flush()
           return
         case Right(()) => ()
       }
+      sock.setSoTimeout(0)
       val conn = new ClientConn(sock, out)
       clients.add(conn)
       try frameLoop(in, conn)
       finally { clients.remove(conn); () }
     } catch {
-      case _: java.io.IOException => () // client went away
+      case _: java.io.IOException => () // client went away / timed out
     } finally Try(sock.close())
   }
 
@@ -220,7 +220,16 @@ final class WsServer private (
               } else if (fin && msgOpcode == 0x1) {
                 val text = new String(msgBuf.toByteArray, "UTF-8")
                 msgBuf.reset()
-                val resp = handleMessage(text)
+                // exception barrier (the route() try/catch twin): a
+                // runtime failure inside a handler must answer an
+                // error message, not kill the connection silently
+                val resp =
+                  try handleMessage(text)
+                  catch {
+                    case e: Throwable => errorMsg(
+                      s"engine error: ${e.getClass.getSimpleName}: " +
+                        s"${e.getMessage}")
+                  }
                 conn.writeLock.synchronized {
                   writeFrame(conn.out, 0x1, resp.getBytes("UTF-8"))
                 }
@@ -304,10 +313,11 @@ final class WsServer private (
             Some(s"Parse error: ${e.getMessage}"))
       }
     engine.synchronized {
-      // each load replaces the engine (websocket.rs Engine::new) —
-      // stop the old queries and drop the old spool before compiling
-      engine.runs.foreach(r => Try(r.query.stop()))
-      val oldSpool = Option(engine.staged).map(_.dir)
+      // the NEW engine compiles and starts COMPLETELY before the old
+      // one is touched: a load that fails after a successful one must
+      // leave the working engine running (tearing down first left a
+      // half-dead engine whose injects falsely succeeded on stopped
+      // queries — r15 self-review #2)
       val spool = java.nio.file.Files
         .createTempDirectory("graft_ws_").toString
       val staged = EventReplay.stageEmpty(spark, spool)
@@ -326,9 +336,30 @@ final class WsServer private (
           .getOrElse("program has no streams")
         loadResult(success = false, 0, Some(why))
       } else {
-        val runs = compiled.toSeq.collect { case (sn, Success(df)) =>
-          startRun(sn, df)
-        }.toVector
+        // start the new runs; a failure mid-start stops the ones
+        // already running and drops the spool (no leaked queries),
+        // then the barrier in frameLoop answers the error — the old
+        // engine is still intact either way
+        val started = scala.collection.mutable.ArrayBuffer
+          .empty[PipelineServer.StreamRun]
+        val runs =
+          try {
+            compiled.toSeq.foreach { case (sn, r) =>
+              r.foreach { df =>
+                started += PipelineServer.startRun(
+                  s"graft_ws_${sn.toLowerCase}_${System.nanoTime()}",
+                  sn, df, sinkConns = Nil)
+              }
+            }
+            started.toVector
+          } catch {
+            case e: Throwable =>
+              started.foreach(r => Try(r.query.stop()))
+              Try(deleteRecursively(new java.io.File(spool)))
+              throw e
+          }
+        val oldSpool = Option(engine.staged).map(_.dir)
+        engine.runs.foreach(r => Try(r.query.stop()))
         engine.staged = staged
         engine.runs = runs
         engine.nextPhase = 1
@@ -338,18 +369,6 @@ final class WsServer private (
         loadResult(success = true, runs.size, None)
       }
     }
-  }
-
-  private def startRun(streamName: String, df: DataFrame): Run = {
-    val label = s"graft_ws_${streamName.toLowerCase}_${System.nanoTime()}"
-    val buf = new java.util.ArrayList[Row]()
-    val q = df.writeStream.queryName(label).outputMode("append")
-      .foreachBatch { (b: org.apache.spark.sql.Dataset[Row], _: Long) =>
-        val rows = b.collect()
-        buf.synchronized { rows.foreach { r => buf.add(r); () } }
-      }.start()
-    q.processAllAvailable() // consume the zero-row seed batch
-    new Run(streamName, q, buf)
   }
 
   /** inject_event {event_type, data}: stage one .evt phase, drive the
@@ -482,6 +501,11 @@ object WsServer {
   private val MaxMessageBytes: Int = 1024 * 1024
   /** websocket.rs MAX_EVENT_FIELDS. */
   private val MaxEventFields: Int = 256
+  /** One thread is pinned per connection (blocking IO), so the
+    * connection count is capped — excess connects answer 503 and
+    * close instead of exhausting threads.
+    */
+  private val MaxConnections: Int = 256
 
   private val WsGuid = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
 

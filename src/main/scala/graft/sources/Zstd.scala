@@ -1280,6 +1280,49 @@ private[graft] object Zstd {
     if (res.length < blockLen) Some(res) else None
   }
 
+  /** Emit the block sequence for `src[from, end)`: RLE blocks for
+    * constant runs, compressed blocks when smaller than raw, raw
+    * fallback; always at least one (possibly empty last) block.
+    * `table` carries the match finder's history and may be pre-seeded
+    * over a dictionary prefix BEFORE `from` — shared by the plain and
+    * dictionary [[compressFrame]] forms so block emission exists once.
+    */
+  private def emitBlocks(src: Array[Byte], from: Int, end: Int,
+      table: Array[Int], out: java.io.ByteArrayOutputStream): Unit = {
+    var off = from
+    var emitted = false
+    while (off < end || !emitted) {
+      val blockLen = math.min(blockMaxEnc, end - off)
+      val isLast = off + blockLen >= end
+      val lastBit = if (isLast) 1 else 0
+      // constant run → RLE block
+      var allSame = blockLen > 0
+      var k = 1
+      while (allSame && k < blockLen) {
+        if (src(off + k) != src(off)) allSame = false
+        k += 1
+      }
+      if (blockLen > 0 && allSame && blockLen >= 2) {
+        val bh = lastBit | (1 << 1) | (blockLen << 3)
+        out.write(bh & 0xff); out.write((bh >> 8) & 0xff); out.write((bh >> 16) & 0xff)
+        out.write(src(off))
+      } else {
+        compressBlockBody(src, off, blockLen, histStart = 0, table) match {
+          case Some(body) =>
+            val bh = lastBit | (2 << 1) | (body.length << 3)
+            out.write(bh & 0xff); out.write((bh >> 8) & 0xff); out.write((bh >> 16) & 0xff)
+            out.write(body, 0, body.length)
+          case None =>
+            val bh = lastBit | (0 << 1) | (blockLen << 3)
+            out.write(bh & 0xff); out.write((bh >> 8) & 0xff); out.write((bh >> 16) & 0xff)
+            out.write(src, off, blockLen)
+        }
+      }
+      off += blockLen
+      emitted = true
+    }
+  }
+
   /** Encode one zstd frame: single-segment, frame content size, real
     * xxHash64 content checksum; per-128 KiB-block greedy LZ77 with
     * predefined-FSE sequences, RLE blocks for constant runs, raw
@@ -1305,38 +1348,7 @@ private[graft] object Zstd {
     }
     val table = new Array[Int](1 << 16)
     java.util.Arrays.fill(table, -1)
-    var off = 0
-    var emitted = false
-    while (off < n || !emitted) {
-      val blockLen = math.min(blockMaxEnc, n - off)
-      val isLast = off + blockLen >= n
-      val lastBit = if (isLast) 1 else 0
-      // constant run → RLE block
-      var allSame = blockLen > 0
-      var k = 1
-      while (allSame && k < blockLen) {
-        if (data(off + k) != data(off)) allSame = false
-        k += 1
-      }
-      if (blockLen > 0 && allSame && blockLen >= 2) {
-        val bh = lastBit | (1 << 1) | (blockLen << 3)
-        out.write(bh & 0xff); out.write((bh >> 8) & 0xff); out.write((bh >> 16) & 0xff)
-        out.write(data(off))
-      } else {
-        compressBlockBody(data, off, blockLen, histStart = 0, table) match {
-          case Some(body) =>
-            val bh = lastBit | (2 << 1) | (body.length << 3)
-            out.write(bh & 0xff); out.write((bh >> 8) & 0xff); out.write((bh >> 16) & 0xff)
-            out.write(body, 0, body.length)
-          case None =>
-            val bh = lastBit | (0 << 1) | (blockLen << 3)
-            out.write(bh & 0xff); out.write((bh >> 8) & 0xff); out.write((bh >> 16) & 0xff)
-            out.write(data, off, blockLen)
-        }
-      }
-      off += blockLen
-      emitted = true
-    }
+    emitBlocks(data, 0, n, table, out)
     w32(xxh64(data, 0, data.length, 0L) & 0xffffffffL)
     out.toByteArray
   }
@@ -1403,38 +1415,7 @@ private[graft] object Zstd {
       table(((u32(k) * -1640531535) >>> 15) & (table.length - 1)) = k
       k += 1
     }
-    var off = p
-    val end = p + n
-    var emitted = false
-    while (off < end || !emitted) {
-      val blockLen = math.min(blockMaxEnc, end - off)
-      val isLast = off + blockLen >= end
-      val lastBit = if (isLast) 1 else 0
-      var allSame = blockLen > 0
-      var j = 1
-      while (allSame && j < blockLen) {
-        if (src(off + j) != src(off)) allSame = false
-        j += 1
-      }
-      if (blockLen > 0 && allSame && blockLen >= 2) {
-        val bh = lastBit | (1 << 1) | (blockLen << 3)
-        out.write(bh & 0xff); out.write((bh >> 8) & 0xff); out.write((bh >> 16) & 0xff)
-        out.write(src(off))
-      } else {
-        compressBlockBody(src, off, blockLen, histStart = 0, table) match {
-          case Some(body) =>
-            val bh = lastBit | (2 << 1) | (body.length << 3)
-            out.write(bh & 0xff); out.write((bh >> 8) & 0xff); out.write((bh >> 16) & 0xff)
-            out.write(body, 0, body.length)
-          case None =>
-            val bh = lastBit | (0 << 1) | (blockLen << 3)
-            out.write(bh & 0xff); out.write((bh >> 8) & 0xff); out.write((bh >> 16) & 0xff)
-            out.write(src, off, blockLen)
-        }
-      }
-      off += blockLen
-      emitted = true
-    }
+    emitBlocks(src, p, p + n, table, out)
     w32(xxh64(data, 0, data.length, 0L) & 0xffffffffL)
     out.toByteArray
   }

@@ -32,7 +32,8 @@ object Serve {
           parse(tail, acc + (flag.drop(2) -> v))
         case other :: _ =>
           System.err.println(s"bad argument '$other' — usage: " +
-            "[--port N] [--api-key K] [--rate-limit R] [--master M]")
+            "[--port N] [--api-key K] [--rate-limit R] [--ws-port N] " +
+            "[--workdir D] [--master M]")
           sys.exit(2)
       }
     val opts = parse(args.toList, Map.empty)

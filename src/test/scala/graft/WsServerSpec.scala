@@ -265,6 +265,70 @@ class WsServerSpec extends SparkSpec {
     } finally open.stop()
   }
 
+  test("a failed load after a successful one keeps the old engine running") {
+    // self-review r15 #2: tearing the old engine down BEFORE the new
+    // compile left stopped queries whose injects falsely succeeded
+    val wd = java.nio.file.Files.createTempDirectory("graft_ws_wd_").toFile
+    writeVpl(wd, "alerts.vpl", alertsVpl)
+    // parses fine, compiles to zero streams (unknown function)
+    writeVpl(wd, "nocompile.vpl",
+      """event Tick:
+        |    price: float
+        |
+        |stream Bad = Tick
+        |    .emit(p: frobnicate(price))
+        |""".stripMargin)
+    val srv = WsServer.start(spark, workdir = wd)
+    val c = new WsClient(srv.port)
+    try {
+      c.handshake()
+      c.sendText("""{"type":"load_file","path":"alerts.vpl"}""")
+      assert(c.readJson().get("success").asBoolean())
+      c.sendText("""{"type":"load_file","path":"nocompile.vpl"}""")
+      val bad = c.readJson()
+      assert(bad.get("type").asText() == "load_result" &&
+        !bad.get("success").asBoolean(), bad)
+      // the OLD program still runs: an above-threshold inject both
+      // answers event_injected AND pushes the output_event
+      c.sendText("""{"type":"inject_event","event_type":"Tick","data":{"symbol":"Z","price":400.0}}""")
+      val got = Seq(c.readJson(), c.readJson())
+        .map(n => n.get("type").asText() -> n).toMap
+      assert(got.contains("output_event"),
+        s"old engine dead after failed load: ${got.keys}")
+      assert(got("output_event").get("data").get("symbol").asText() == "Z")
+    } finally { c.close(); srv.stop() }
+  }
+
+  test("a runtime failure inside a handler answers error and keeps the connection") {
+    // self-review r15 #3: exceptions beyond VplParseError (here a
+    // malformed broker port exploding in ConnectorBinder) used to
+    // kill the client thread with no response
+    val wd = java.nio.file.Files.createTempDirectory("graft_ws_wd_").toFile
+    writeVpl(wd, "badconn.vpl",
+      """event Tick:
+        |    price: float
+        |
+        |connector K = kafka(brokers: "127.0.0.1:notaport", topic: "t")
+        |
+        |stream S = Tick
+        |    .from(K)
+        |    .emit(p: price)
+        |""".stripMargin)
+    writeVpl(wd, "alerts.vpl", alertsVpl)
+    val srv = WsServer.start(spark, workdir = wd)
+    val c = new WsClient(srv.port)
+    try {
+      c.handshake()
+      c.sendText("""{"type":"load_file","path":"badconn.vpl"}""")
+      val err = c.readJson()
+      assert(err.get("type").asText() == "error", err)
+      assert(err.get("message").asText().contains("engine error"), err)
+      // the connection survived and still works
+      c.sendText("""{"type":"load_file","path":"alerts.vpl"}""")
+      assert(c.readJson().get("success").asBoolean())
+    } finally { c.close(); srv.stop() }
+  }
+
   test("a second load replaces the engine and resets counters") {
     val wd = java.nio.file.Files.createTempDirectory("graft_ws_wd_").toFile
     writeVpl(wd, "alerts.vpl", alertsVpl)
