@@ -339,6 +339,12 @@ object SparkEntry {
     "s34_stream_bpe" -> QueryDef(
       graft.streaming.StreamingQueries.streamBpeEncode,
       TextQueries.defs("t15_bpe_encode").oracle),
+    // s42: per-language tokenizer fertility maintained live — prefit
+    // merges, row-local encode, one complete-mode agg (state = one
+    // row per language); long sums commute so it shares t20's oracle
+    "s42_stream_fertility" -> QueryDef(
+      graft.streaming.StreamingQueries.streamFertility,
+      TextQueries.defs("t20_tokenizer_fertility").oracle),
     // s15: streaming model scoring (stateless map), sharing m2's oracle
     "s15_stream_score" -> QueryDef.of(
       """SELECT event_id,

@@ -148,6 +148,45 @@ object TextQueries {
          |  array_to_string(tokens, ' ') AS tokens_joined
          |FROM enc""".stripMargin
     }
+
+    /** t20: per-language fertility report over t15's encode chain —
+      * the per-doc enc CTE carries lang through, then aggregates.
+      * Ratios integer-scaled (×1e6, floor //) with explicit
+      * zero-denominator guards (DuckDB // by zero is an error, not
+      * null).
+      */
+    def t20Sql(n: Int): String = {
+      var s = s"$Sep||array_to_string(list_transform(w, " +
+        s"x -> array_to_string(string_split(x, ''), $Sep)), $WordBound)||$Sep"
+      for (r <- 1 to n) {
+        val a = s"coalesce((SELECT a FROM b$r), chr(3))"
+        val b = s"coalesce((SELECT b FROM b$r), chr(3))"
+        s = s"replace($s,\n      ($S||$a||$Sep||$b||$S), ($S||$a||$b||$S))"
+      }
+      s"""WITH ${trainCtes(n)},
+         |dw AS (SELECT doc_id, lang, $wordsSql AS w FROM documents),
+         |enc AS (
+         |  SELECT lang, CAST(len(w) AS BIGINT) AS n_words,
+         |    CASE WHEN len(w) = 0 THEN CAST([] AS VARCHAR[])
+         |         ELSE list_filter(string_split(trim($s, $S), $Sep), t -> t != chr(2))
+         |    END AS tokens
+         |  FROM dw),
+         |m AS (SELECT lang, n_words,
+         |    CAST(len(tokens) AS BIGINT) AS n_tokens,
+         |    CAST(length(array_to_string(tokens, '')) AS BIGINT) AS n_chars
+         |  FROM enc)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_words) AS BIGINT) AS total_words,
+         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         |  CASE WHEN sum(n_words) = 0 THEN NULL
+         |    ELSE CAST(sum(n_tokens) * 1000000 // sum(n_words) AS BIGINT)
+         |  END AS fertility_q6,
+         |  CASE WHEN sum(n_tokens) = 0 THEN NULL
+         |    ELSE CAST(sum(n_chars) * 1000000 // sum(n_tokens) AS BIGINT)
+         |  END AS chars_per_token_q6
+         |FROM m GROUP BY lang""".stripMargin
+    }
   }
 
   /** t5's deterministic PII-bearing text synthesized from customer
@@ -1223,6 +1262,23 @@ object TextQueries {
           .select(col("doc_id"), col("n_words"), col("n_tokens"),
             col("n_chars"),
             array_join(col("tokens"), " ").as("tokens_joined"))
+      }
+    },
+
+    // --- #45r tokenizer fertility by language: the tokenizer-quality
+    // report a trainer reads before committing a vocab — per lang,
+    // corpus totals + fertility (tokens/word) and chars/token
+    // (compression), integer-scaled ×1e6 for a hash-exact gate. One
+    // row-local native-BpeEncode pass over the broadcast merge list +
+    // one map-side-combined agg on lang; no joins (lang rides as
+    // passthrough). Shares t14/t15's trained-merges chain ---
+    "t20_tokenizer_fertility" -> QueryDef.of(BpeOracle.t20Sql(8)) {
+      (s, dir) => {
+        val docs = Tables(s, dir).documents
+        val merges = graft.text.TextAnalysis
+          .trainedMergesCached(docs, col("text"), nMerges = 8, cacheKey = dir)
+        graft.text.TextAnalysis
+          .tokenizerFertility(docs, col("text"), merges, col("lang"))
       }
     },
 

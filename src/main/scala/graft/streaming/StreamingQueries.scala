@@ -1094,6 +1094,30 @@ object StreamingQueries {
     runToTable(spark, out, "graft_s34_sink", "append")
   }
 
+  /** #45r-streaming: the per-language tokenizer fertility report
+    * maintained LIVE — the trainer watches tokens/word and
+    * chars/token converge while the crawl streams in, instead of
+    * waiting for a batch pass. Merges pre-fit once on the static
+    * corpus (s34's pattern); the encode is row-local native
+    * [[graft.functions.BpeEncode]]; the per-language totals are one
+    * complete-mode streaming aggregation (map-side-combined partials,
+    * state = one row per language — bounded by the language space,
+    * never the corpus). Long sums commute, so the final table is
+    * bit-identical to batch t20 and s42 shares its oracle verbatim.
+    */
+  def streamFertility(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/documents.parquet"
+    val staticDocs = graft.Tables(spark, dir).documents
+    val merges = graft.text.TextAnalysis
+      .trainedMergesCached(staticDocs, col("text"), nMerges = 8, cacheKey = dir)
+    val src = graft.Tables.normalizeDocuments(
+      spark.readStream.schema(schemaOf(spark, path)).parquet(streamDir(path)))
+    val out = graft.text.TextAnalysis.fertilityAgg(
+      graft.text.TextAnalysis.bpeEncode(src, col("text"), merges,
+        passthrough = Seq("lang" -> col("lang"))))
+    runToTable(spark, out, "graft_s42_sink", "complete")
+  }
+
   /** #45o-streaming: bigram-LM fluency filtering AT INGEST — the
     * CCNet-style quality gate applied before anything lands in the
     * lake. The stupid-backoff model (bigram + unigram count maps +

@@ -701,22 +701,59 @@ object TextAnalysis {
       docs: DataFrame,
       textCol: Column,
       merges: Seq[(String, String)],
-      idCol: Column = col("doc_id")): DataFrame = {
+      idCol: Column = col("doc_id"),
+      passthrough: Seq[(String, Column)] = Nil): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     val toks = ColumnBridge.column(graft.functions.BpeEncode(
       ColumnBridge.expression(words(textCol)), merges))
-    docs.select(
+    val pass = passthrough.map { case (n, c) => c.as(n) }
+    val passNames = passthrough.map { case (n, _) => col(n) }
+    docs.select(Seq(
       idCol.as("doc_id"),
       size(words(textCol)).cast("long").as("n_words"),
-      toks.as("tokens"))
-      .select(col("doc_id"), col("n_words"),
+      toks.as("tokens")) ++ pass: _*)
+      .select(Seq(col("doc_id"), col("n_words"),
         size(col("tokens")).cast("long").as("n_tokens"),
         // total encoded chars = length of the token concatenation
         // (codegen'd; encoding is lossless so this equals the summed
         // word lengths — spec-pinned)
         length(array_join(col("tokens"), "")).cast("long").as("n_chars"),
-        col("tokens"))
+        col("tokens")) ++ passNames: _*)
   }
+
+  /** #45r tokenizer fertility by language — the tokenizer-quality
+    * report a trainer reads before committing a vocab: per language,
+    * corpus totals and the two standard ratios — fertility
+    * (tokens per word: how many pieces the tokenizer shatters a word
+    * into) and chars-per-token (compression). Ratios are integer-
+    * scaled (×1e6, floor division) so the oracle comparison is
+    * hash-exact; a language with zero tokens/words reports null
+    * rather than tripping a division. One row-local encode pass
+    * (native [[graft.functions.BpeEncode]] over the broadcast merge
+    * list) + one map-side-combined aggregation on lang — no joins,
+    * the shape a 100 TB tokenizer report must have.
+    */
+  def tokenizerFertility(docs: DataFrame, textCol: Column,
+      merges: Seq[(String, String)], langCol: Column): DataFrame =
+    fertilityAgg(bpeEncode(docs, textCol, merges,
+      passthrough = Seq("lang" -> langCol)))
+
+  /** The aggregation half of [[tokenizerFertility]] — shared verbatim
+    * by the streaming twin (complete-mode groupBy over the same
+    * row-local encode).
+    */
+  def fertilityAgg(enc: DataFrame): DataFrame =
+    enc.groupBy(col("lang")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_words")).as("total_words"),
+      sum(col("n_tokens")).as("total_tokens"),
+      sum(col("n_chars")).as("total_chars"),
+      expr("CASE WHEN sum(n_words) = 0 THEN NULL " +
+        "ELSE sum(n_tokens) * 1000000L div sum(n_words) END")
+        .as("fertility_q6"),
+      expr("CASE WHEN sum(n_tokens) = 0 THEN NULL " +
+        "ELSE sum(n_chars) * 1000000L div sum(n_tokens) END")
+        .as("chars_per_token_q6"))
 
   /** Gopher/C4-style heuristic filter battery (Rae et al. 2021 §A1.1;
     * Raffel et al. 2020 C4 rules): every rule a pure column
