@@ -578,6 +578,34 @@ class TextSpec extends SparkSpec {
     assert(got(1).getAs[Long]("n_tokens") == 4L)
   }
 
+  test("tokenizer fertility: hand-computed ratios; zero-token langs report null") {
+    import spark.implicits._
+    val merges = Seq(("t", "h"), ("h", "e"), ("th", "e"))
+    val docs = Seq(
+      (1L, "the he", "en"),  // 2 words -> tokens [the],[he]: 2 tokens, 5 chars
+      (2L, "tht", "en"),     // 1 word -> [th,t]: 2 tokens, 3 chars
+      (3L, "", "zz"))        // empty text: 0 words, 0 tokens
+      .toDF("doc_id", "text", "lang")
+    val got = graft.text.TextAnalysis
+      .tokenizerFertility(docs, col("text"), merges, col("lang"))
+      .orderBy("lang").collect()
+    val en = got(0)
+    assert(en.getAs[Long]("n_docs") == 2L)
+    assert(en.getAs[Long]("total_words") == 3L)
+    assert(en.getAs[Long]("total_tokens") == 4L)
+    assert(en.getAs[Long]("total_chars") == 8L)
+    // 4 tokens / 3 words -> floor(4e6/3) = 1333333
+    assert(en.getAs[Long]("fertility_q6") == 1333333L)
+    // 8 chars / 4 tokens -> 2.0
+    assert(en.getAs[Long]("chars_per_token_q6") == 2000000L)
+    // the zero-token language reports null ratios, not a crash — the
+    // guard branch the oracle corpus never exercises
+    val zz = got(1)
+    assert(zz.getAs[Long]("total_tokens") == 0L)
+    assert(zz.isNullAt(zz.fieldIndex("fertility_q6")), zz)
+    assert(zz.isNullAt(zz.fieldIndex("chars_per_token_q6")), zz)
+  }
+
   test("bpe encode over the real corpus: lossless and bounded") {
     val docs = Tables(spark, sf).documents.limit(200)
     val merges = graft.text.TextAnalysis.bpeTrain(docs, col("text"), 5)
