@@ -127,7 +127,12 @@ object TextQueries {
          |FROM ($union)""".stripMargin
     }
 
-    def t15Sql(n: Int): String = {
+    /** The per-doc encode chain shared by t15/t20: the n-round
+      * merge-replace expression over pseudo-symbol-joined words, as
+      * `WITH` CTEs `dw` (words + any carried columns) and `enc`
+      * (token array + n_words + carried columns).
+      */
+    private def encCtes(n: Int, carry: String): String = {
       var s = s"$Sep||array_to_string(list_transform(w, " +
         s"x -> array_to_string(string_split(x, ''), $Sep)), $WordBound)||$Sep"
       for (r <- 1 to n) {
@@ -135,42 +140,32 @@ object TextQueries {
         val b = s"coalesce((SELECT b FROM b$r), chr(3))"
         s = s"replace($s,\n      ($S||$a||$Sep||$b||$S), ($S||$a||$b||$S))"
       }
-      s"""WITH ${trainCtes(n)},
-         |dw AS (SELECT doc_id, $wordsSql AS w FROM documents),
+      s"""${trainCtes(n)},
+         |dw AS (SELECT $carry, $wordsSql AS w FROM documents),
          |enc AS (
-         |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+         |  SELECT $carry, CAST(len(w) AS BIGINT) AS n_words,
          |    CASE WHEN len(w) = 0 THEN CAST([] AS VARCHAR[])
          |         ELSE list_filter(string_split(trim($s, $S), $Sep), t -> t != chr(2))
          |    END AS tokens
-         |  FROM dw)
+         |  FROM dw)""".stripMargin
+    }
+
+    def t15Sql(n: Int): String =
+      s"""WITH ${encCtes(n, "doc_id")}
          |SELECT doc_id, n_words, CAST(len(tokens) AS BIGINT) AS n_tokens,
          |  CAST(length(array_to_string(tokens, '')) AS BIGINT) AS n_chars,
          |  array_to_string(tokens, ' ') AS tokens_joined
          |FROM enc""".stripMargin
-    }
 
     /** t20: per-language fertility report over t15's encode chain —
       * the per-doc enc CTE carries lang through, then aggregates.
       * Ratios integer-scaled (×1e6, floor //) with explicit
       * zero-denominator guards (DuckDB // by zero is an error, not
-      * null).
+      * null); sums run in HUGEINT natively, matching Spark's
+      * DECIMAL(38,0) path.
       */
-    def t20Sql(n: Int): String = {
-      var s = s"$Sep||array_to_string(list_transform(w, " +
-        s"x -> array_to_string(string_split(x, ''), $Sep)), $WordBound)||$Sep"
-      for (r <- 1 to n) {
-        val a = s"coalesce((SELECT a FROM b$r), chr(3))"
-        val b = s"coalesce((SELECT b FROM b$r), chr(3))"
-        s = s"replace($s,\n      ($S||$a||$Sep||$b||$S), ($S||$a||$b||$S))"
-      }
-      s"""WITH ${trainCtes(n)},
-         |dw AS (SELECT doc_id, lang, $wordsSql AS w FROM documents),
-         |enc AS (
-         |  SELECT lang, CAST(len(w) AS BIGINT) AS n_words,
-         |    CASE WHEN len(w) = 0 THEN CAST([] AS VARCHAR[])
-         |         ELSE list_filter(string_split(trim($s, $S), $Sep), t -> t != chr(2))
-         |    END AS tokens
-         |  FROM dw),
+    def t20Sql(n: Int): String =
+      s"""WITH ${encCtes(n, "lang")},
          |m AS (SELECT lang, n_words,
          |    CAST(len(tokens) AS BIGINT) AS n_tokens,
          |    CAST(length(array_to_string(tokens, '')) AS BIGINT) AS n_chars
@@ -186,7 +181,6 @@ object TextQueries {
          |    ELSE CAST(sum(n_chars) * 1000000 // sum(n_tokens) AS BIGINT)
          |  END AS chars_per_token_q6
          |FROM m GROUP BY lang""".stripMargin
-    }
   }
 
   /** t5's deterministic PII-bearing text synthesized from customer

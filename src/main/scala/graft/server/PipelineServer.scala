@@ -100,8 +100,11 @@ final class PipelineServer private (
     override def handle(x: HttpExchange): Unit =
       try route(x)
       catch {
-        case e: Throwable =>
-          Try(error(x, 500, "engine_error", s"${e.getClass.getSimpleName}: ${e.getMessage}"))
+        // NonFatal: a VM error must propagate, not answer a chatty 500
+        case scala.util.control.NonFatal(e) =>
+          Try(error(x, 500, "engine_error",
+            s"${e.getClass.getSimpleName}: " +
+              s"${Option(e.getMessage).getOrElse("(no message)")}"))
       }
   })
   server.createContext("/", new HttpHandler {
@@ -910,12 +913,21 @@ object PipelineServer {
     val buf = new java.util.ArrayList[Row]()
     val q = df.writeStream.queryName(label).outputMode("append")
       .foreachBatch { (b: org.apache.spark.sql.Dataset[Row], _: Long) =>
-        val cached = b.persist()
-        try {
-          val rows = cached.collect()
+        if (sinkConns.isEmpty) {
+          // no second consumer — skip the persist bookkeeping (the
+          // whole ws path and sink-less pipelines land here)
+          val rows = b.collect()
           buf.synchronized { rows.foreach { r => buf.add(r); () } }
-          sinkConns.foreach(_.write(cached))
-        } finally { cached.unpersist(); () }
+        } else {
+          // persist only when the batch is read twice: once collected
+          // for the buffer, once written to each bound connector
+          val cached = b.persist()
+          try {
+            val rows = cached.collect()
+            buf.synchronized { rows.foreach { r => buf.add(r); () } }
+            sinkConns.foreach(_.write(cached))
+          } finally { cached.unpersist(); () }
+        }
       }.start()
     q.processAllAvailable() // consume the zero-row seed batch
     new StreamRun(streamName, label, q, buf)

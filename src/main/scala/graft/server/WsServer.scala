@@ -93,15 +93,35 @@ final class WsServer private (
     }
   }
 
+  // one thread per connection (blocking IO): the cap is enforced AT
+  // ACCEPT on a counter covering in-handshake sockets too, so a burst
+  // of half-open upgrades can't spawn unbounded threads before any of
+  // them registers as a client
+  private val active = new java.util.concurrent.atomic.AtomicInteger(0)
+
   private val acceptThread = new Thread(() => {
     while (live) {
       val sock =
         try server.accept()
         catch { case _: Exception => null } // closed on stop
       if (sock != null) {
-        val t = new Thread(() => serveClient(sock), s"graft-ws-client")
-        t.setDaemon(true)
-        t.start()
+        if (active.get() >= MaxConnections) {
+          Try {
+            sock.getOutputStream.write(
+              ("HTTP/1.1 503 Service Unavailable\r\nContent-Length: 0\r\n" +
+                "Connection: close\r\n\r\n").getBytes("UTF-8"))
+            sock.getOutputStream.flush()
+          }
+          Try(sock.close())
+          ()
+        } else {
+          active.incrementAndGet()
+          val t = new Thread(() =>
+            try serveClient(sock)
+            finally { active.decrementAndGet(); () }, s"graft-ws-client")
+          t.setDaemon(true)
+          t.start()
+        }
       }
     }
   }, "graft-ws-accept")
@@ -116,17 +136,13 @@ final class WsServer private (
     val in = new BufferedInputStream(sock.getInputStream)
     val out = new BufferedOutputStream(sock.getOutputStream)
     try {
-      // a half-open handshake must not pin this thread forever: 10 s
-      // to complete the upgrade, then no timeout (an idle ESTABLISHED
-      // ws connection is legitimate — the VS Code client sits quiet)
-      sock.setSoTimeout(10000)
-      if (clients.size() >= MaxConnections) {
-        out.write(("HTTP/1.1 503 Service Unavailable\r\n" +
-          "Content-Length: 0\r\nConnection: close\r\n\r\n").getBytes("UTF-8"))
-        out.flush()
-        return
-      }
-      handshake(in, out) match {
+      // a half-open or trickle-fed handshake must not pin this thread:
+      // an ABSOLUTE 15 s deadline (the soTimeout is re-armed with the
+      // remaining budget before every byte, so one-byte-per-9s
+      // slowloris feeding can't reset it) plus an 8 KiB header cap.
+      // After the upgrade the timeout comes off — an idle ESTABLISHED
+      // ws connection is legitimate (the VS Code client sits quiet).
+      handshake(sock, in, out) match {
         case Left(httpError) =>
           out.write(httpError.getBytes("UTF-8")); out.flush()
           return
@@ -144,21 +160,36 @@ final class WsServer private (
 
   /** Read the HTTP upgrade request and answer 101, or Left(an HTTP
     * error response) — 401 on a bad api key, 400 on a malformed
-    * upgrade (wrong path, missing key header).
+    * upgrade (wrong path, missing key header). Bounded: 15 s absolute
+    * deadline re-armed per byte, 8 KiB total header budget.
     */
-  private def handshake(in: InputStream,
+  private def handshake(sock: Socket, in: InputStream,
       out: OutputStream): Either[String, Unit] = {
+    val deadline = System.nanoTime() + 15L * 1000000000L
+    var budget = 8192
+    def readLine(): String = {
+      val sb = new StringBuilder
+      var c = 0
+      while (c != -1 && c != '\n') {
+        val remainMs = (deadline - System.nanoTime()) / 1000000L
+        if (remainMs <= 0 || budget <= 0)
+          throw new java.io.IOException("ws handshake deadline/size exceeded")
+        sock.setSoTimeout(math.max(1L, math.min(remainMs, 10000L)).toInt)
+        c = in.read()
+        budget -= 1
+        if (c != -1 && c != '\n' && c != '\r') sb.append(c.toChar)
+      }
+      if (c == -1 && sb.isEmpty) null else sb.toString
+    }
     val headers = scala.collection.mutable.Map.empty[String, String]
-    var requestLine: String = null
-    var line = readHeaderLine(in)
-    requestLine = line
-    line = readHeaderLine(in)
+    val requestLine: String = readLine()
+    var line = readLine()
     while (line != null && line.nonEmpty) {
       val i = line.indexOf(':')
       if (i > 0)
         headers(line.substring(0, i).trim.toLowerCase) =
           line.substring(i + 1).trim
-      line = readHeaderLine(in)
+      line = readLine()
     }
     def httpErr(code: Int, label: String, body: String): Left[String, Unit] =
       Left(s"HTTP/1.1 $code $label\r\nContent-Type: application/json\r\n" +
@@ -222,13 +253,15 @@ final class WsServer private (
                 msgBuf.reset()
                 // exception barrier (the route() try/catch twin): a
                 // runtime failure inside a handler must answer an
-                // error message, not kill the connection silently
+                // error message, not kill the connection silently.
+                // NonFatal only — an OOM/VM error must propagate and
+                // kill the thread, not keep serving on a broken heap
                 val resp =
                   try handleMessage(text)
                   catch {
-                    case e: Throwable => errorMsg(
+                    case scala.util.control.NonFatal(e) => errorMsg(
                       s"engine error: ${e.getClass.getSimpleName}: " +
-                        s"${e.getMessage}")
+                        s"${Option(e.getMessage).getOrElse("(no message)")}")
                   }
                 conn.writeLock.synchronized {
                   writeFrame(conn.out, 0x1, resp.getBytes("UTF-8"))
@@ -320,16 +353,26 @@ final class WsServer private (
       // queries — r15 self-review #2)
       val spool = java.nio.file.Files
         .createTempDirectory("graft_ws_").toString
-      val staged = EventReplay.stageEmpty(spark, spool)
+      // anything that throws between here and a successful swap must
+      // not orphan the fresh spool (a bad connector decl exploding in
+      // bind used to leak one temp dir per attempt)
+      def failing[A](body: => A): A =
+        try body
+        catch {
+          case e: Throwable =>
+            Try(deleteRecursively(new java.io.File(spool)))
+            throw e
+        }
+      val staged = failing(EventReplay.stageEmpty(spark, spool))
       val decls = prog.events.map(e => e.name -> e).toMap
-      val conns = graft.vpl.ConnectorBinder.bind(prog)
+      val conns = failing(graft.vpl.ConnectorBinder.bind(prog))
       // landing dirs for `.from`-bound streams so they compile; live
       // ingest drivers are the REST server's deploy concern — the ws
       // surface is the interactive load+inject tooling transport
-      ensureSpools(prog, conns)
-      val compiled = new VplCompiler(prog,
+      failing(ensureSpools(prog, conns))
+      val compiled = failing(new VplCompiler(prog,
         new graft.vpl.StreamingEvtSource(spark, staged, decls),
-        streaming = true, sourceConns = conns).compileAll()
+        streaming = true, sourceConns = conns).compileAll())
       if (!compiled.values.exists(_.isSuccess)) {
         Try(deleteRecursively(new java.io.File(spool)))
         val why = compiled.collectFirst { case (_, Failure(e)) => e.getMessage }
@@ -518,17 +561,6 @@ object WsServer {
 
   private[server] final case class Frame(fin: Boolean, opcode: Int,
       payload: Array[Byte])
-
-  /** One header line, CRLF-terminated (CR tolerated absent). */
-  private def readHeaderLine(in: InputStream): String = {
-    val sb = new StringBuilder
-    var c = in.read()
-    while (c != -1 && c != '\n') {
-      if (c != '\r') sb.append(c.toChar)
-      c = in.read()
-    }
-    if (c == -1 && sb.isEmpty) null else sb.toString
-  }
 
   /** Read one frame (client frames MUST be masked — RFC 6455 §5.1);
     * None on EOF.

@@ -742,18 +742,26 @@ object TextAnalysis {
     * by the streaming twin (complete-mode groupBy over the same
     * row-local encode).
     */
-  def fertilityAgg(enc: DataFrame): DataFrame =
+  def fertilityAgg(enc: DataFrame): DataFrame = {
+    // ratio arithmetic runs in DECIMAL(38,0), not LongType: the
+    // oracle's DuckDB side sums BIGINT into HUGEINT, so a Long
+    // `sum * 1000000` here would silently wrap past ~9e12 total
+    // chars (~9 TB in one language — well inside this operator's
+    // advertised scale) and hash-diverge exactly when the report
+    // matters. floor == truncation since every operand is
+    // non-negative.
+    def q6(num: String, den: String) =
+      expr(s"CASE WHEN sum($den) = 0 THEN NULL ELSE CAST(floor(" +
+        s"CAST(sum($num) AS DECIMAL(38,0)) * 1000000 / sum($den)" +
+        s") AS BIGINT) END")
     enc.groupBy(col("lang")).agg(
       count(lit(1)).as("n_docs"),
       sum(col("n_words")).as("total_words"),
       sum(col("n_tokens")).as("total_tokens"),
       sum(col("n_chars")).as("total_chars"),
-      expr("CASE WHEN sum(n_words) = 0 THEN NULL " +
-        "ELSE sum(n_tokens) * 1000000L div sum(n_words) END")
-        .as("fertility_q6"),
-      expr("CASE WHEN sum(n_tokens) = 0 THEN NULL " +
-        "ELSE sum(n_chars) * 1000000L div sum(n_tokens) END")
-        .as("chars_per_token_q6"))
+      q6("n_tokens", "n_words").as("fertility_q6"),
+      q6("n_chars", "n_tokens").as("chars_per_token_q6"))
+  }
 
   /** Gopher/C4-style heuristic filter battery (Rae et al. 2021 §A1.1;
     * Raffel et al. 2020 C4 rules): every rule a pure column

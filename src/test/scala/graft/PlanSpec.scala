@@ -123,6 +123,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("t20: fertility is encode + one agg — no join, lang rides as passthrough") {
+    val p = planOf(q("t20_tokenizer_fertility"))
+    // lang must NOT arrive via a self-join on doc_id — it rides the
+    // encode projection, so the whole plan is scan → project →
+    // partial agg → exchange-on-lang → final agg
+    assert(!p.contains("Join"), "fertility plan grew a join:\n" + p)
+    assert(!p.toLowerCase.contains("cartesian"), p)
+    assert(p.contains("bpe_encode") || p.contains("BpeEncode") ||
+      p.contains("tokens"), "native encode missing from the plan:\n" + p)
+    // map-side combine: a partial_ aggregate below the exchange
+    assert(p.contains("partial_"), "no map-side partial agg:\n" + p)
+  }
+
   test("p1: pattern join is a key equi-join (range preds post-shuffle)") {
     val p = planOf(q("p1_seq2"))
     assert(!p.contains("CartesianProduct"), p)
