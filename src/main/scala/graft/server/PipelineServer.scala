@@ -272,8 +272,11 @@ final class PipelineServer private (
     ensureSpools(prog, conns)
     compileAndStart(id, prog, staged, conns) match {
       case Left(why) =>
-        // nothing compiled: the spool created above has no owner
+        // nothing compiled: the spool created above (and the
+        // binding's temp landing dirs) have no owner
         Try(deleteRecursively(new java.io.File(spool)))
+        binderTempSpools(conns.values)
+          .foreach(d => Try(deleteRecursively(new java.io.File(d))))
         error(x, 400, "parse_error", s"no stream compiled: $why")
       case Right((runs, skipped)) =>
         val p = new Pipeline(id, name, source, prog, staged, runs,
@@ -281,14 +284,18 @@ final class PipelineServer private (
         try p.ingests = startIngests(prog, conns)
         catch {
           case e: Exception =>
-            // a dead broker must not leak the started queries or the
-            // never-registered pipeline's spool
+            // a dead broker must not leak the started queries, the
+            // never-registered pipeline's spool, or the binding's
+            // temp landing dirs
             runs.foreach(r => Try(r.query.stop()))
             Try(deleteRecursively(new java.io.File(spool)))
+            binderTempSpools(conns.values)
+              .foreach(d => Try(deleteRecursively(new java.io.File(d))))
             error(x, 500, "engine_error",
               s"connector start failed: ${e.getMessage}")
             return
         }
+        p.connSpools = binderTempSpools(conns.values)
         pipelines.put(id, p)
         startDrainer(p)
         val o = mapper.createObjectNode()
@@ -556,6 +563,9 @@ final class PipelineServer private (
             p.runs = runs
             p.skipped = skipped
             p.ingests = startIngests(p.prog, conns)
+            p.connSpools
+              .foreach(d => Try(deleteRecursively(new java.io.File(d))))
+            p.connSpools = binderTempSpools(conns.values)
             p.nextPhase = phases + 1
             p.eventsProcessed =
               if (cp.hasNonNull("events_processed"))
@@ -570,6 +580,9 @@ final class PipelineServer private (
       }
     }
     if (!restored) {
+      // the never-adopted fresh binding has no owner
+      binderTempSpools(conns.values)
+        .foreach(d => Try(deleteRecursively(new java.io.File(d))))
       error(x, 404, "pipeline_not_found",
         s"pipeline '${p.id}' was deleted during restore"); return
     }
@@ -604,6 +617,9 @@ final class PipelineServer private (
       new graft.vpl.StreamingEvtSource(spark, p.staged, decls),
       streaming = true, sourceConns = conns).compileAll()
     if (!probe.values.exists(_.isSuccess)) {
+      // the rejected program's fresh binding has no owner
+      binderTempSpools(conns.values)
+        .foreach(d => Try(deleteRecursively(new java.io.File(d))))
       val why = probe.collectFirst { case (_, Failure(e)) => e.getMessage }
         .getOrElse("program has no streams")
       error(x, 400, "parse_error", s"no stream compiled: $why"); return
@@ -629,12 +645,20 @@ final class PipelineServer private (
             p.ingests = startIngests(prog, conns)
             p.source = src
             p.prog = prog
+            // the replaced binding's temp landing dirs have no
+            // consumer left (old queries + ingests stopped above)
+            p.connSpools
+              .foreach(d => Try(deleteRecursively(new java.io.File(d))))
+            p.connSpools = binderTempSpools(conns.values)
             true
           case Left(_) => false // probe passed; cannot happen
         }
       }
     }
     if (!swapped) {
+      // the never-adopted fresh binding has no owner
+      binderTempSpools(conns.values)
+        .foreach(d => Try(deleteRecursively(new java.io.File(d))))
       error(x, 404, "pipeline_not_found",
         s"pipeline '${p.id}' was deleted during reload"); return
     }
@@ -649,6 +673,7 @@ final class PipelineServer private (
         p.ingests.foreach(stop => Try(stop()))
         p.runs.foreach(r => Try(r.query.stop()))
         Try(deleteRecursively(new java.io.File(p.staged.dir)))
+        p.connSpools.foreach(d => Try(deleteRecursively(new java.io.File(d))))
       }
       ()
     }
@@ -852,6 +877,35 @@ object PipelineServer {
     }
   }
 
+  /** The BINDER-CREATED temp landing dirs of a connector binding —
+    * the `graft_vpl_*` dirs ConnectorBinder.bindOne materializes when
+    * a declaration names no `spool_dir`. These are owned by whoever
+    * holds the binding (a pipeline, the ws engine) and are deleted
+    * when it is replaced or stopped; a USER-provided spool_dir is
+    * never touched (filtered by the temp-dir prefix AND parent).
+    */
+  private[server] def binderTempSpools(
+      conns: Iterable[graft.sources.Connector]): Seq[String] = {
+    import graft.sources._
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+      .getCanonicalFile
+    conns.flatMap {
+      case m: MqttConnector    => Some(m.spoolDir)
+      case k: KafkaConnector   => Some(k.spoolDir)
+      case n: NatsConnector    => Some(n.spoolDir)
+      case r: RedisConnector   => Some(r.spoolDir)
+      case h: HttpConnector    => Some(h.spoolDir)
+      case k: KinesisConnector => Some(k.spoolDir)
+      case r: RestConnector    => Some(r.spoolDir)
+      case _                   => None
+    }.toSeq.distinct.filter { d =>
+      val f = new java.io.File(d)
+      f.getName.startsWith("graft_vpl_") &&
+        scala.util.Try(Option(f.getCanonicalFile.getParentFile))
+          .toOption.flatten.contains(tmp)
+    }
+  }
+
   /** The topic/subject/channel/index override of a `.from`/`.to` op. */
   private[server] def opTargetOf(
       ps: Seq[(String, graft.vpl.VplAst.VExpr)]): Option[String] = {
@@ -969,6 +1023,10 @@ object PipelineServer {
     @volatile var eventsProcessed: Long = 0L
     @volatile var outputEmitted: Long = 0L
     @volatile var ingests: Vector[() => Unit] = Vector.empty
+    // the binding's binder-created landing dirs, deleted on
+    // undeploy/reload/restore replacement (r15 review: repeated
+    // rebinds otherwise accumulate graft_vpl_* temp dirs)
+    @volatile var connSpools: Seq[String] = Vector.empty
     val logs = new LogRing(10000)
   }
 

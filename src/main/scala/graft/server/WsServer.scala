@@ -71,6 +71,9 @@ final class WsServer private (
     var nextPhase: Int = 1
     var eventsProcessed: Long = 0L
     var outputEmitted: Long = 0L
+    // the loaded binding's binder-created landing dirs — deleted on
+    // engine replacement and server stop
+    var connSpools: Seq[String] = Vector.empty
   }
 
   private val clients = new CopyOnWriteArrayList[ClientConn]()
@@ -90,6 +93,8 @@ final class WsServer private (
       engine.runs.foreach(r => Try(r.query.stop()))
       if (engine.staged != null)
         Try(deleteRecursively(new java.io.File(engine.staged.dir)))
+      engine.connSpools
+        .foreach(d => Try(deleteRecursively(new java.io.File(d))))
     }
   }
 
@@ -111,6 +116,13 @@ final class WsServer private (
               ("HTTP/1.1 503 Service Unavailable\r\nContent-Length: 0\r\n" +
                 "Connection: close\r\n\r\n").getBytes("UTF-8"))
             sock.getOutputStream.flush()
+            // drain whatever request bytes are already in the receive
+            // buffer: close() with unread input RSTs the connection
+            // and can discard the in-flight 503
+            sock.shutdownOutput()
+            sock.setSoTimeout(250)
+            val sink = new Array[Byte](512)
+            while (sock.getInputStream.read(sink) != -1) ()
           }
           Try(sock.close())
           ()
@@ -137,9 +149,11 @@ final class WsServer private (
     val out = new BufferedOutputStream(sock.getOutputStream)
     try {
       // a half-open or trickle-fed handshake must not pin this thread:
-      // an ABSOLUTE 15 s deadline (the soTimeout is re-armed with the
-      // remaining budget before every byte, so one-byte-per-9s
-      // slowloris feeding can't reset it) plus an 8 KiB header cap.
+      // a 15 s deadline checked per BYTE (cheap) with the soTimeout
+      // re-armed to the remaining budget per header LINE (one syscall
+      // per line, not per byte) plus an 8 KiB header cap — worst-case
+      // occupancy is bounded by twice the deadline (a read armed just
+      // before the deadline can block one more remaining-budget span).
       // After the upgrade the timeout comes off — an idle ESTABLISHED
       // ws connection is legitimate (the VS Code client sits quiet).
       handshake(sock, in, out) match {
@@ -160,21 +174,24 @@ final class WsServer private (
 
   /** Read the HTTP upgrade request and answer 101, or Left(an HTTP
     * error response) — 401 on a bad api key, 400 on a malformed
-    * upgrade (wrong path, missing key header). Bounded: 15 s absolute
-    * deadline re-armed per byte, 8 KiB total header budget.
+    * upgrade (wrong path, missing key header). Bounded: 15 s deadline
+    * checked per byte (socket timeout re-armed per line), 8 KiB total
+    * header budget.
     */
   private def handshake(sock: Socket, in: InputStream,
       out: OutputStream): Either[String, Unit] = {
     val deadline = System.nanoTime() + 15L * 1000000000L
     var budget = 8192
     def readLine(): String = {
+      val remainMs = (deadline - System.nanoTime()) / 1000000L
+      if (remainMs <= 0)
+        throw new java.io.IOException("ws handshake deadline exceeded")
+      sock.setSoTimeout(math.max(1L, remainMs).toInt)
       val sb = new StringBuilder
       var c = 0
       while (c != -1 && c != '\n') {
-        val remainMs = (deadline - System.nanoTime()) / 1000000L
-        if (remainMs <= 0 || budget <= 0)
+        if (System.nanoTime() > deadline || budget <= 0)
           throw new java.io.IOException("ws handshake deadline/size exceeded")
-        sock.setSoTimeout(math.max(1L, math.min(remainMs, 10000L)).toInt)
         c = in.read()
         budget -= 1
         if (c != -1 && c != '\n' && c != '\r') sb.append(c.toChar)
@@ -194,9 +211,13 @@ final class WsServer private (
     def httpErr(code: Int, label: String, body: String): Left[String, Unit] =
       Left(s"HTTP/1.1 $code $label\r\nContent-Type: application/json\r\n" +
         s"Content-Length: ${body.length}\r\nConnection: close\r\n\r\n$body")
-    if (requestLine == null || !requestLine.startsWith("GET "))
+    // split BEFORE indexing: a bare "GET " line passes startsWith but
+    // has no second token
+    val reqParts =
+      Option(requestLine).map(_.split(" ").filter(_.nonEmpty)).getOrElse(Array.empty)
+    if (reqParts.length < 2 || reqParts(0) != "GET")
       return httpErr(400, "Bad Request", """{"error":"ws needs GET"}""")
-    val path = requestLine.split(" ")(1).takeWhile(_ != '?')
+    val path = reqParts(1).takeWhile(_ != '?')
     if (path != "/ws")
       return httpErr(404, "Not Found", """{"error":"unknown route"}""")
     if (apiKey.exists(k => !headers.get("x-api-key").contains(k)))
@@ -366,15 +387,29 @@ final class WsServer private (
       val staged = failing(EventReplay.stageEmpty(spark, spool))
       val decls = prog.events.map(e => e.name -> e).toMap
       val conns = failing(graft.vpl.ConnectorBinder.bind(prog))
+      // once bound, failure cleanup also covers the binding's own
+      // binder-created landing dirs (graft_vpl_*)
+      def dropBinding(): Unit =
+        PipelineServer.binderTempSpools(conns.values)
+          .foreach(d => Try(deleteRecursively(new java.io.File(d))))
+      def failingB[A](body: => A): A =
+        try body
+        catch {
+          case e: Throwable =>
+            Try(deleteRecursively(new java.io.File(spool)))
+            dropBinding()
+            throw e
+        }
       // landing dirs for `.from`-bound streams so they compile; live
       // ingest drivers are the REST server's deploy concern — the ws
       // surface is the interactive load+inject tooling transport
-      failing(ensureSpools(prog, conns))
-      val compiled = failing(new VplCompiler(prog,
+      failingB(ensureSpools(prog, conns))
+      val compiled = failingB(new VplCompiler(prog,
         new graft.vpl.StreamingEvtSource(spark, staged, decls),
         streaming = true, sourceConns = conns).compileAll())
       if (!compiled.values.exists(_.isSuccess)) {
         Try(deleteRecursively(new java.io.File(spool)))
+        dropBinding()
         val why = compiled.collectFirst { case (_, Failure(e)) => e.getMessage }
           .getOrElse("program has no streams")
         loadResult(success = false, 0, Some(why))
@@ -399,16 +434,20 @@ final class WsServer private (
             case e: Throwable =>
               started.foreach(r => Try(r.query.stop()))
               Try(deleteRecursively(new java.io.File(spool)))
+              dropBinding()
               throw e
           }
         val oldSpool = Option(engine.staged).map(_.dir)
+        val oldConnSpools = engine.connSpools
         engine.runs.foreach(r => Try(r.query.stop()))
         engine.staged = staged
         engine.runs = runs
         engine.nextPhase = 1
         engine.eventsProcessed = 0L
         engine.outputEmitted = 0L
+        engine.connSpools = PipelineServer.binderTempSpools(conns.values)
         oldSpool.foreach(d => Try(deleteRecursively(new java.io.File(d))))
+        oldConnSpools.foreach(d => Try(deleteRecursively(new java.io.File(d))))
         loadResult(success = true, runs.size, None)
       }
     }

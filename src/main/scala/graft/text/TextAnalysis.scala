@@ -748,12 +748,16 @@ object TextAnalysis {
     // `sum * 1000000` here would silently wrap past ~9e12 total
     // chars (~9 TB in one language — well inside this operator's
     // advertised scale) and hash-diverge exactly when the report
-    // matters. floor == truncation since every operand is
-    // non-negative.
+    // matters. The division is `div` (IntegralDivide — EXACT
+    // truncation, == floor on these non-negative sums), NOT
+    // `floor(a / b)`: Spark rounds a decimal fractional division
+    // HALF_UP to the result scale BEFORE floor sees it, so a
+    // quotient within 5e-7 below an integer would floor to the NEXT
+    // integer and diverge from DuckDB's exact `//`.
     def q6(num: String, den: String) =
-      expr(s"CASE WHEN sum($den) = 0 THEN NULL ELSE CAST(floor(" +
-        s"CAST(sum($num) AS DECIMAL(38,0)) * 1000000 / sum($den)" +
-        s") AS BIGINT) END")
+      expr(s"CASE WHEN sum($den) = 0 THEN NULL ELSE CAST(" +
+        s"CAST(sum($num) AS DECIMAL(38,0)) * 1000000 div sum($den)" +
+        s" AS BIGINT) END")
     enc.groupBy(col("lang")).agg(
       count(lit(1)).as("n_docs"),
       sum(col("n_words")).as("total_words"),

@@ -130,8 +130,11 @@ class PlanSpec extends SparkSpec {
     // partial agg → exchange-on-lang → final agg
     assert(!p.contains("Join"), "fertility plan grew a join:\n" + p)
     assert(!p.toLowerCase.contains("cartesian"), p)
-    assert(p.contains("bpe_encode") || p.contains("BpeEncode") ||
-      p.contains("tokens"), "native encode missing from the plan:\n" + p)
+    // the specific native expression (prettyName "bpe_encode"), not a
+    // column-name proxy (a "tokens" disjunct is vacuous — the agg's
+    // output names always contain it)
+    assert(p.contains("bpe_encode"),
+      "native encode missing from the plan:\n" + p)
     // map-side combine: a partial_ aggregate below the exchange
     assert(p.contains("partial_"), "no map-side partial agg:\n" + p)
   }
