@@ -36,7 +36,7 @@ object ScaleBench {
       "e2_asof_enrich", "pipe2_clean_corpus", "t14_bpe_merges",
       "f4_hawkes", "a2_ema", "t15_bpe_encode", "m4_mlp_score",
       "t16_temperature_mix", "t17_lm_fluency", "t18_chunk",
-      "v9_hybrid_rrf")
+      "v9_hybrid_rrf", "t20_tokenizer_fertility")
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -59,7 +59,7 @@ object ScaleBench {
     // ---- stage the 10× derivation (idempotent) ----------------------
     // marker name versions the derivation: widening the query set to
     // events/embeddings consumers re-stages those tables
-    val marker = new java.io.File(s"$scaledDir/_staged_v5")
+    val marker = new java.io.File(s"$scaledDir/_staged_v7")
     if (!marker.exists()) {
       val docs = spark.read.parquet(s"$baseDir/documents.parquet")
       val reps = (0 until nReps).map { i =>
@@ -90,6 +90,38 @@ object ScaleBench {
           .withColumn("text",
             regexp_replace(col("text"), "(\\S+)", s"$$1r$i"))
       }
+      // events land as a single parquet FILE (the shape every
+      // recorded streaming ev/s row was measured under). Documents
+      // stay a DIRECTORY: v6 briefly single-filed them and batch scan
+      // parallelism collapsed to the file's 2-3 row groups (t20 read
+      // 40x instead of 4x) — streamDir now flattens directory tables
+      // into per-part symlinks instead, so the stream side reads them
+      // too (a directory symlink used to feed readStream ZERO rows,
+      // which silently voided documents-based stream-twin numbers at
+      // the scaled tiers).
+      def writeSingleFile(df: DataFrame, table: String): Unit = {
+        val tmp = s"$scaledDir/${table}_tmp"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no part file under $tmp"))
+        val dest = java.nio.file.Paths.get(s"$scaledDir/$table.parquet")
+        // a previous derivation may have left a directory-shaped
+        // table — delete it recursively (bottom-up) so a partitioned
+        // write's subdirectories don't survive File.delete() and
+        // crash the move
+        if (dest.toFile.isDirectory) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(dest).sorted(
+            java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .iterator().asScala.foreach(java.nio.file.Files.delete)
+        }
+        java.nio.file.Files.deleteIfExists(dest)
+        java.nio.file.Files.move(part.toPath, dest)
+        new java.io.File(tmp).listFiles().foreach(_.delete())
+        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(tmp))
+      }
       reps.reduce(_.unionByName(_)).write.mode("overwrite")
         .parquet(s"$scaledDir/documents.parquet")
       val events = spark.read.parquet(s"$baseDir/events.parquet")
@@ -97,32 +129,7 @@ object ScaleBench {
         events.withColumn("event_id", col("event_id") + lit(i * 100000000L))
           .withColumn("user_id", col("user_id") + lit(i * 10000000L))
       }
-      // events must land as a single parquet FILE like the testdata
-      // tables: the streaming tier's staging symlinks the path into a
-      // file-source dir, and a directory-shaped table never feeds the
-      // stream (measured: the x10 tier read 1 row)
-      val evTmp = s"$scaledDir/events_tmp"
-      evReps.reduce(_.unionByName(_)).coalesce(1).write.mode("overwrite")
-        .parquet(evTmp)
-      val part = new java.io.File(evTmp).listFiles()
-        .find(f => f.getName.startsWith("part-") &&
-          f.getName.endsWith(".parquet"))
-        .getOrElse(sys.error(s"no part file under $evTmp"))
-      val evDest = java.nio.file.Paths.get(s"$scaledDir/events.parquet")
-      // a previous derivation may have left a directory-shaped table —
-      // delete it recursively (bottom-up) so a partitioned write's
-      // subdirectories don't survive File.delete() and crash the move
-      val destFile = evDest.toFile
-      if (destFile.isDirectory) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(evDest).sorted(
-          java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .iterator().asScala.foreach(java.nio.file.Files.delete)
-      }
-      java.nio.file.Files.deleteIfExists(evDest)
-      java.nio.file.Files.move(part.toPath, evDest)
-      new java.io.File(evTmp).listFiles().foreach(_.delete())
-      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(evTmp))
+      writeSingleFile(evReps.reduce(_.unionByName(_)), "events")
       // embeddings: disjoint vec_ids AND disjoint labels per replica,
       // vectors unchanged — the v1/v3 query side stays the fixed
       // vec_id<10 broadcast set, so the measurement is corpus-side

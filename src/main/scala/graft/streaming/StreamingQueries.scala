@@ -98,9 +98,24 @@ object StreamingQueries {
   private def streamDir(file: String): String =
     dirCache.getOrElseUpdate(file, {
       import java.nio.file.{Files, Paths}
+      import scala.jdk.CollectionConverters._
       val src = Paths.get(file).toAbsolutePath
       val dir = Files.createTempDirectory("graft_stream_")
-      Files.createSymbolicLink(dir.resolve(src.getFileName), src)
+      if (Files.isDirectory(src)) {
+        // directory-shaped table (a multi-part write, e.g. a
+        // ScaleBench-staged corpus): symlink each part FILE —
+        // readStream.parquet does not recurse into a directory
+        // symlink, so linking the directory itself silently feeds
+        // the stream ZERO rows
+        val parts = Files.list(src).iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+        require(parts.nonEmpty, s"no parquet part files under $src")
+        parts.foreach(p =>
+          Files.createSymbolicLink(dir.resolve(p.getFileName), p))
+      } else {
+        Files.createSymbolicLink(dir.resolve(src.getFileName), src)
+        ()
+      }
       dir.toString
     })
 
