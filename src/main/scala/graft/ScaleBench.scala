@@ -36,7 +36,8 @@ object ScaleBench {
       "e2_asof_enrich", "pipe2_clean_corpus", "t14_bpe_merges",
       "f4_hawkes", "a2_ema", "t15_bpe_encode", "m4_mlp_score",
       "t16_temperature_mix", "t17_lm_fluency", "t18_chunk",
-      "v9_hybrid_rrf", "t20_tokenizer_fertility")
+      "v9_hybrid_rrf", "t20_tokenizer_fertility",
+      "t21_quality_classifier")
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -339,6 +339,12 @@ object SparkEntry {
     "s34_stream_bpe" -> QueryDef(
       graft.streaming.StreamingQueries.streamBpeEncode,
       TextQueries.defs("t15_bpe_encode").oracle),
+    // s43: NB quality classification at ingest — pre-fit model,
+    // row-local native bucket walk, bit-identical to batch: shares
+    // t21's oracle verbatim
+    "s43_stream_quality" -> QueryDef(
+      graft.streaming.StreamingQueries.streamNbQuality,
+      TextQueries.defs("t21_quality_classifier").oracle),
     // s42: per-language tokenizer fertility maintained live — prefit
     // merges, row-local encode, one complete-mode agg (state = one
     // row per language); long sums commute so it shares t20's oracle

@@ -1106,6 +1106,84 @@ object TextQueries {
           regexp_extract(col("source"), "[0-9]+", 0).cast("int") < 5)
     },
 
+    // --- #45s model-based quality classifier (fastText/FineWeb-Edu
+    // shape): multinomial NB fit on the LABELED SEED SLICE (docs with
+    // doc_id % 5 = 0, label = curated sources 0–4), scored
+    // corpus-wide. All arithmetic on 9-dp-scaled longs (exact, order
+    // independent); edu_score tiers via products, never division ---
+    "t21_quality_classifier" -> QueryDef.of(
+      s"""WITH lab AS (
+         |  SELECT doc_id,
+         |    CAST(regexp_extract(source, '[0-9]+') AS INT) < 5 AS is_pos,
+         |    $wordsSql AS w
+         |  FROM documents WHERE doc_id % 5 = 0),
+         |lg AS (
+         |  SELECT is_pos, unnest(w) AS gram FROM lab
+         |  UNION ALL
+         |  SELECT is_pos, w[i] || ' ' || w[i+1] AS gram
+         |  FROM (SELECT is_pos, w,
+         |          unnest(generate_series(1, len(w) - 1)) AS i FROM lab)),
+         |lb AS (
+         |  SELECT is_pos,
+         |    CAST(${fnvSql("gram")} % 4096 AS BIGINT) AS bucket
+         |  FROM lg),
+         |c AS (
+         |  SELECT bucket,
+         |    CAST(sum(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS pos_cnt,
+         |    CAST(sum(CASE WHEN is_pos THEN 0 ELSE 1 END) AS BIGINT) AS neg_cnt
+         |  FROM lb GROUP BY 1),
+         |t AS (SELECT CAST(sum(pos_cnt) AS BIGINT) AS pos_total,
+         |        CAST(sum(neg_cnt) AS BIGINT) AS neg_total FROM c),
+         |f AS (
+         |  SELECT r.range AS bucket,
+         |    coalesce(pos_cnt, 0) AS pos_cnt, coalesce(neg_cnt, 0) AS neg_cnt
+         |  FROM range(0, 4096) r LEFT JOIN c ON c.bucket = r.range),
+         |l AS (
+         |  SELECT bucket,
+         |    CAST(CAST(round(ln(
+         |      (CAST(pos_cnt + 1 AS DOUBLE) / CAST(pos_total + 4096 AS DOUBLE)) /
+         |      (CAST(neg_cnt + 1 AS DOUBLE) / CAST(neg_total + 4096 AS DOUBLE))
+         |    ), 9) AS DECIMAL(28,9)) * 1000000000 AS BIGINT) AS lr_scaled
+         |  FROM f, t),
+         |p AS (
+         |  SELECT CAST(CAST(round(ln(
+         |      CAST(sum(CASE WHEN is_pos THEN 1 ELSE 0 END) + 1 AS DOUBLE) /
+         |      CAST(sum(CASE WHEN is_pos THEN 0 ELSE 1 END) + 1 AS DOUBLE)), 9)
+         |    AS DECIMAL(28,9)) * 1000000000 AS BIGINT) AS prior_scaled
+         |  FROM lab),
+         |aw AS (SELECT doc_id, $wordsSql AS w FROM documents),
+         |ag AS (
+         |  SELECT doc_id, unnest(w) AS gram FROM aw
+         |  UNION ALL
+         |  SELECT doc_id, w[i] || ' ' || w[i+1] AS gram
+         |  FROM (SELECT doc_id, w,
+         |          unnest(generate_series(1, len(w) - 1)) AS i FROM aw)),
+         |ab AS (
+         |  SELECT doc_id,
+         |    CAST(${fnvSql("gram")} % 4096 AS BIGINT) AS bucket
+         |  FROM ag),
+         |s AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |    CAST(sum(lr_scaled) AS BIGINT) AS gsum
+         |  FROM ab JOIN l USING (bucket) GROUP BY doc_id)
+         |SELECT doc_id, n_grams,
+         |  round(CAST(gsum + prior_scaled AS DOUBLE) / 1e9, 6) AS nb_llr,
+         |  CAST(CASE WHEN gsum + prior_scaled >= n_grams * 1000000000 THEN 4
+         |            WHEN gsum + prior_scaled >= n_grams * 400000000 THEN 3
+         |            WHEN gsum + prior_scaled >= 0 THEN 2
+         |            WHEN gsum + prior_scaled >= n_grams * -600000000 THEN 1
+         |            ELSE 0 END AS INT) AS edu_score,
+         |  gsum + prior_scaled > 0 AS keep
+         |FROM s, p""".stripMargin) {
+      (s, dir) =>
+        val docs = Tables(s, dir).documents
+        val (lr, prior) = graft.text.TextAnalysis.nbFit(
+          docs, col("text"), col("doc_id") % 5 === 0,
+          regexp_extract(col("source"), "[0-9]+", 0).cast("int") < 5)
+        graft.text.TextAnalysis.nbScore(
+          docs, col("text"), col("doc_id"), lr, prior)
+    },
+
     // --- #35b-streaming: decontamination AT INGEST — the bench-gram
     // FNV set rides as a sorted model object into a native row-local
     // probe; d6's SQL minus the n_bench_docs column (per-gram

@@ -1261,6 +1261,30 @@ object StreamingQueries {
     runToTable(spark, out, "graft_s26_sink", "append")
   }
 
+  /** #45s-streaming: model-based quality classification AT INGEST —
+    * the FineWeb-Edu placement: the trained classifier gates every
+    * arriving document BEFORE it lands in the lake. The NB model
+    * (4096 scaled log-ratios + the prior) is fit ONCE on the static
+    * corpus's labeled seed slice (the s26/s30 train-offline-once
+    * pattern) and rides into the native row-local bucket walk
+    * ([[graft.functions.DsirScore]] — model-agnostic Σ cell[bucket])
+    * as a codegen reference object: no explode, no shuffle, no
+    * state. Long sums commute, so scores are bit-identical to the
+    * batch join formulation and s43 shares t21's oracle verbatim.
+    */
+  def streamNbQuality(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/documents.parquet"
+    val staticDocs = graft.Tables(spark, dir).documents
+    val (lrArr, prior) = graft.text.TextAnalysis.nbFitLocal(
+      staticDocs, col("text"), col("doc_id") % 5 === 0,
+      regexp_extract(col("source"), "[0-9]+", 0).cast("int") < 5)
+    val src = graft.Tables.normalizeDocuments(
+      spark.readStream.schema(schemaOf(spark, path)).parquet(streamDir(path)))
+    val out = graft.text.TextAnalysis.nbScoreLocal(
+      src, col("doc_id"), col("text"), lrArr, prior)
+    runToTable(spark, out, "graft_s43_sink", "append")
+  }
+
   /** #45b-streaming: PII scrubbing at ingest — redaction BEFORE
     * anything lands in the lake, the flagship privacy placement for
     * this operator. Pure regex column work (t5's zero-shuffle map

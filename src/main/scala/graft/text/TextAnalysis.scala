@@ -551,6 +551,149 @@ object TextAnalysis {
         round(col("wd") / col("n_grams").cast("double"), 6).as("avg_lr"))
   }
 
+  /** Model-based quality classification — the fastText /
+    * FineWeb-Edu shape (Joulin et al. 2017; Penedo et al. 2024): a
+    * multinomial Naive Bayes text classifier FIT on a labeled seed
+    * slice of the corpus (the human/LLM-annotated sample every modern
+    * pipeline starts from), then applied corpus-wide to gate
+    * documents on predicted quality. This is the trained-model
+    * complement to the heuristic batteries (gopherFilter) and the
+    * generative LM gates (lmFluency): it learns which TOKENS
+    * separate curated from uncurated text instead of assuming a rule
+    * set, exactly fastText's bag-of-(uni+bi)grams with the hashing
+    * trick.
+    *
+    * Arithmetic is integer-exact end to end so the gate stays
+    * hash-oracleable: each of the `buckets` hashed gram cells carries
+    * its add-one-smoothed class log-likelihood ratio
+    * ln(P(b|pos)/P(b|neg)) rounded to 9 decimals and SCALED to a long
+    * (×1e9 — the dsirFit representation); a document's score is the
+    * class prior's scaled log-ratio plus the long SUM of its grams'
+    * cells. Long addition commutes, so batch, oracle, and the
+    * row-local streaming twin agree bit for bit; the keep decision
+    * and the FineWeb-Edu-style 0–4 `edu_score` tiers are integer
+    * comparisons (per-gram-mean thresholds applied as products —
+    * `llr ≥ t·n_grams` — so no division ever happens).
+    *
+    * Plan shape at 100 TB: the fit explodes only the LABELED SLICE
+    * (seed samples are ~100k docs, not the corpus) and shuffles on
+    * ≤`buckets` hashed keys with map-side partials; the model is a
+    * `buckets`-row table (corpus-independent — the hashing trick's
+    * point) broadcast back onto one exploded-gram scoring pass whose
+    * only wide exchange is the per-doc rollup. Nothing shuffles gram
+    * strings; nothing is quadratic.
+    *
+    * Reference anchor: varpulis ships `.score(model)` inference for
+    * exactly this gate-at-ingest placement (varpulis-runtime/src/ml —
+    * m2/m4/m5 cover the generic scorer); the NB fit makes the
+    * classifier itself reproducible inside the engine.
+    */
+  def nbFit(
+      docs: DataFrame,
+      textCol: Column,
+      labeledFilter: Column,
+      isPositive: Column,
+      buckets: Int = 4096): (DataFrame, DataFrame) = {
+    val labeled = docs.where(labeledFilter)
+    val bucketed = dsirBuckets(labeled, textCol, lit(0L), isPositive, buckets)
+    val counts = bucketed.groupBy("bucket").agg(
+      sum(when(col("is_tgt"), 1L).otherwise(0L)).as("pos_cnt"),
+      sum(when(col("is_tgt"), 0L).otherwise(1L)).as("neg_cnt"))
+    val totals = counts.agg(
+      sum(col("pos_cnt")).as("pos_total"), sum(col("neg_cnt")).as("neg_total"))
+    // COMPLETE bucket table (unseen cells carry the smoothed
+    // zero-count ratio): corpus grams the seed never saw must score,
+    // unlike DSIR where fit and score ran over the same corpus
+    val full = docs.sparkSession.range(buckets).toDF("bucket")
+      .join(counts, Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("pos_cnt"), lit(0L)).as("pos_cnt"),
+        coalesce(col("neg_cnt"), lit(0L)).as("neg_cnt"))
+    val lr = full.crossJoin(broadcast(totals)).select(
+      col("bucket"),
+      (round(log(
+        ((col("pos_cnt") + lit(1L)).cast("double") /
+          (col("pos_total") + lit(buckets.toLong)).cast("double")) /
+          ((col("neg_cnt") + lit(1L)).cast("double") /
+            (col("neg_total") + lit(buckets.toLong)).cast("double"))), 9)
+        .cast("decimal(18,9)") * lit(1000000000L)).cast("long")
+        .as("lr_scaled"))
+    val prior = labeled.agg(
+      sum(when(isPositive, 1L).otherwise(0L)).as("n_pos"),
+      sum(when(isPositive, 0L).otherwise(1L)).as("n_neg"))
+      .select((round(log(
+        (col("n_pos") + lit(1L)).cast("double") /
+          (col("n_neg") + lit(1L)).cast("double")), 9)
+        .cast("decimal(18,9)") * lit(1000000000L)).cast("long")
+        .as("prior_scaled"))
+    (lr, prior)
+  }
+
+  /** Score every document against a fitted NB model (batch join
+    * formulation): exploded uni+bigrams → broadcast model join →
+    * per-doc long rollup. Emits docs with ≥1 gram (inner-join
+    * semantics, the t13 contract). `edu_score` buckets the per-gram
+    * mean LLR at {−0.6, 0, 0.4, 1.0} nats via exact products.
+    */
+  def nbScore(docs: DataFrame, textCol: Column, idCol: Column,
+      lr: DataFrame, prior: DataFrame, buckets: Int = 4096): DataFrame = {
+    val bucketed = dsirBuckets(docs, textCol, idCol, lit(false), buckets)
+    bucketed.join(broadcast(lr), Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), sum(col("lr_scaled")).as("gsum"))
+      .crossJoin(broadcast(prior))
+      .select(col("doc_id"), col("n_grams"),
+        (col("gsum") + col("prior_scaled")).as("llr_s"))
+      .select(col("doc_id"), col("n_grams"),
+        round(col("llr_s").cast("double") / lit(1e9d), 6).as("nb_llr"),
+        when(col("llr_s") >= col("n_grams") * lit(1000000000L), 4)
+          .when(col("llr_s") >= col("n_grams") * lit(400000000L), 3)
+          .when(col("llr_s") >= lit(0L), 2)
+          .when(col("llr_s") >= col("n_grams") * lit(-600000000L), 1)
+          .otherwise(0).cast("int").as("edu_score"),
+        (col("llr_s") > lit(0L)).as("keep"))
+  }
+
+  /** Fit the NB model and collect it driver-side for the ingest twin
+    * (the s26/s30 train-offline-once pattern): the model is EXACTLY
+    * `buckets` + 1 longs by construction — no cap guard needed, the
+    * hashing trick bounds it regardless of corpus size.
+    */
+  def nbFitLocal(docs: DataFrame, textCol: Column, labeledFilter: Column,
+      isPositive: Column, buckets: Int = 4096): (Array[Long], Long) = {
+    val (lr, prior) = nbFit(docs, textCol, labeledFilter, isPositive, buckets)
+    val arr = new Array[Long](buckets)
+    lr.collect().foreach { r => arr(r.getLong(0).toInt) = r.getLong(1) }
+    (arr, prior.collect()(0).getLong(0))
+  }
+
+  /** Row-local NB scoring against a pre-fit model — the same native
+    * uni+bigram bucket walk DSIR's twin uses ([[graft.functions
+    * .DsirScore]] — the scorer is model-agnostic: Σ cell[bucket(g)]
+    * over scaled longs), plus the prior as a literal. Bit-identical
+    * to [[nbScore]]: both sum the identical scaled longs.
+    */
+  def nbScoreLocal(docs: DataFrame, idCol: Column, textCol: Column,
+      scaledLr: Array[Long], priorScaled: Long): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import graft.functions.DsirScore
+    val sc = ColumnBridge.column(DsirScore(
+      ColumnBridge.expression(words(textCol)), scaledLr))
+    docs.select(idCol.as("doc_id"), sc.as("sc"))
+      .select(col("doc_id"),
+        element_at(col("sc"), 1).as("n_grams"),
+        (element_at(col("sc"), 2) + lit(priorScaled)).as("llr_s"))
+      .where(col("n_grams") > 0L) // batch emits docs with >= 1 gram
+      .select(col("doc_id"), col("n_grams"),
+        round(col("llr_s").cast("double") / lit(1e9d), 6).as("nb_llr"),
+        when(col("llr_s") >= col("n_grams") * lit(1000000000L), 4)
+          .when(col("llr_s") >= col("n_grams") * lit(400000000L), 3)
+          .when(col("llr_s") >= lit(0L), 2)
+          .when(col("llr_s") >= col("n_grams") * lit(-600000000L), 1)
+          .otherwise(0).cast("int").as("edu_score"),
+        (col("llr_s") > lit(0L)).as("keep"))
+  }
+
   /** Distributed BPE tokenizer training (Sennrich et al. 2016): learn
     * the top-`nMerges` byte-pair merges of the corpus — the
     * tokenizer-induction step of a pretraining pipeline, expressed as

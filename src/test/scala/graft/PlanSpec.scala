@@ -295,6 +295,19 @@ class PlanSpec extends SparkSpec {
     assert(exchanged.subsetOf(Set("bucket", "doc_id")), s"$exchanged\n$p")
   }
 
+  test("t21: NB scoring broadcasts the model, no gram-string shuffle") {
+    val p = planOf(q("t21_quality_classifier"))
+    // the corpus-wide scoring join must broadcast the 4096-row model
+    // side — never sort-merge exploded grams — and every hash
+    // exchange carries the long bucket key / doc id, never strings
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("ScalaUDF"), p)
+    val exchanged = "Exchange hashpartitioning\\(([a-z_]+)#".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(exchanged.subsetOf(Set("bucket", "doc_id", "id")), s"$exchanged\n$p")
+  }
+
   test("d9: span scrub exchanges carry hashes/ids, never gram strings") {
     val p = planOf(q("d9_span_scrub"))
     assert(!p.contains("CartesianProduct"), p)

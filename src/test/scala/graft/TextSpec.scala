@@ -447,6 +447,62 @@ class TextSpec extends SparkSpec {
     assert(batch.except(local).isEmpty && local.except(batch).isEmpty)
   }
 
+  test("nb quality classifier: separates curated from junk on held-out docs") {
+    import spark.implicits._
+    // labeled seed slice = docs 0-5; 6-9 are held out. Curated docs
+    // share an academic vocabulary, junk shares a spam vocabulary.
+    val df = Seq(
+      (0L, "theorem proof lemma integral converges bound", true, true),
+      (1L, "lemma proof theorem derivation bound rigorous", true, true),
+      (2L, "proof integral theorem converges lemma", true, true),
+      (3L, "click here buy now cheap deal offer", true, false),
+      (4L, "buy cheap click offer deal now limited", true, false),
+      (5L, "deal click buy now cheap offer", true, false),
+      (6L, "theorem lemma proof bound converges", false, false),
+      (7L, "click buy cheap deal now", false, false),
+      (8L, "theorem proof click buy", false, false))
+      .toDF("doc_id", "text", "labeled", "is_pos")
+    val (lr, prior) = graft.text.TextAnalysis.nbFit(
+      df, col("text"), col("labeled"), col("is_pos"))
+    val got = graft.text.TextAnalysis.nbScore(
+      df, col("text"), col("doc_id"), lr, prior)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Double]("nb_llr"), r.getAs[Int]("edu_score"),
+          r.getAs[Boolean]("keep")))).toMap
+    // held-out curated keeps, held-out junk drops
+    assert(got(6L)._3, s"curated held-out must keep: $got")
+    assert(!got(7L)._3, s"junk held-out must drop: $got")
+    assert(got(6L)._1 > got(8L)._1 && got(8L)._1 > got(7L)._1,
+      s"curated > mixed > junk: $got")
+    // tier ordering follows the per-gram mean
+    assert(got(6L)._2 > got(7L)._2, s"edu tiers must separate: $got")
+    // determinism (the oracle hash gate depends on it)
+    val again = graft.text.TextAnalysis.nbScore(
+      df, col("text"), col("doc_id"), lr, prior)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("nb_llr")).toMap
+    assert(got.view.mapValues(_._1).toMap == again)
+  }
+
+  test("nb quality: row-local native scorer ≡ batch join path") {
+    // the s43 twin's scorer (DsirScore bucket walk + prior literal)
+    // must reproduce the batch broadcast-join formulation
+    // BIT-identically on the real corpus — the property that lets
+    // s43 share t21's oracle
+    val d = docs
+    val labeled = col("doc_id") % 5 === 0
+    val isPos = regexp_extract(col("source"), "[0-9]+", 0).cast("int") < 5
+    val (lr, prior) = graft.text.TextAnalysis.nbFit(
+      d, col("text"), labeled, isPos)
+    val batch = graft.text.TextAnalysis.nbScore(
+      d, col("text"), col("doc_id"), lr, prior)
+    val (arr, p) = graft.text.TextAnalysis.nbFitLocal(
+      d, col("text"), labeled, isPos)
+    val local = graft.text.TextAnalysis.nbScoreLocal(
+      d, col("doc_id"), col("text"), arr, p)
+    assert(batch.count() > 0)
+    assert(batch.except(local).isEmpty && local.except(batch).isEmpty)
+  }
+
   test("lm fluency: oversized vocabulary fails loudly, not silently") {
     val e = intercept[IllegalArgumentException] {
       graft.text.TextAnalysis.lmFitLocal(
