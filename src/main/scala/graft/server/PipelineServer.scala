@@ -222,8 +222,13 @@ final class PipelineServer private (
     val ps = pipelines.values.asScala.toSeq
     val o = mapper.createObjectNode()
     o.put("tenant_id", "default")
-    o.put("events_processed", ps.map(_.eventsProcessed).sum)
-    o.put("output_events_emitted", ps.map(_.outputEmitted).sum)
+    // lifetime counters: active pipelines plus the totals retired on
+    // undeploy — deleting a pipeline must not subtract its history
+    // from the tenant usage report
+    o.put("events_processed",
+      retiredEventsProcessed.get() + ps.map(_.eventsProcessed).sum)
+    o.put("output_events_emitted",
+      retiredOutputEmitted.get() + ps.map(_.outputEmitted).sum)
     o.put("active_pipelines", ps.size)
     val q = mapper.createObjectNode()
     q.put("max_pipelines", 10)
@@ -666,6 +671,14 @@ final class PipelineServer private (
     respondJson(x, 200, o)
   }
 
+  /** Lifetime counters of pipelines that have been undeployed —
+    * /api/v1/usage adds these so removal doesn't erase tenant history.
+    */
+  private val retiredEventsProcessed =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+  private val retiredOutputEmitted =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   private def undeploy(id: String): Unit =
     Option(pipelines.remove(id)).foreach { p =>
       // serialize with a concurrent inject/reload on the thread pool
@@ -674,6 +687,8 @@ final class PipelineServer private (
         p.runs.foreach(r => Try(r.query.stop()))
         Try(deleteRecursively(new java.io.File(p.staged.dir)))
         p.connSpools.foreach(d => Try(deleteRecursively(new java.io.File(d))))
+        retiredEventsProcessed.addAndGet(p.eventsProcessed)
+        retiredOutputEmitted.addAndGet(p.outputEmitted)
       }
       ()
     }

@@ -118,11 +118,22 @@ final class WsServer private (
             sock.getOutputStream.flush()
             // drain whatever request bytes are already in the receive
             // buffer: close() with unread input RSTs the connection
-            // and can discard the in-flight 503
+            // and can discard the in-flight 503. The drain runs on the
+            // single accept thread, so it is hard-bounded — 8 KiB
+            // total / 1 s wall-clock — or a client trickling one byte
+            // per SoTimeout window would pin accept indefinitely
+            // (worst case the trickler sees an RST instead of the 503)
             sock.shutdownOutput()
             sock.setSoTimeout(250)
             val sink = new Array[Byte](512)
-            while (sock.getInputStream.read(sink) != -1) ()
+            val deadline = System.nanoTime() + 1000000000L
+            var drained = 0
+            var n = 0
+            while (n != -1 && drained < 8192 &&
+                System.nanoTime() < deadline) {
+              n = sock.getInputStream.read(sink)
+              if (n > 0) drained += n
+            }
           }
           Try(sock.close())
           ()
@@ -247,8 +258,21 @@ final class WsServer private (
     var msgOpcode = -1
     var open = true
     while (open) {
-      readFrame(in) match {
-        case None => open = false // EOF
+      val frame =
+        try readFrame(in)
+        catch {
+          case e: WsProtocolError =>
+            // fail the connection per RFC 6455 §7.1.7: close 1002
+            // with the reason, then stop reading
+            val reason = e.getMessage.getBytes("UTF-8")
+            val body = new Array[Byte](2 + math.min(reason.length, 123))
+            body(0) = 0x03; body(1) = 0xEA.toByte // 1002
+            System.arraycopy(reason, 0, body, 2, body.length - 2)
+            conn.writeLock.synchronized { writeFrame(conn.out, 0x8, body) }
+            None
+        }
+      frame match {
+        case None => open = false // EOF or failed connection
         case Some(Frame(fin, opcode, payload)) =>
           opcode match {
             case 0x9 => // ping → pong with the same payload
@@ -601,8 +625,16 @@ object WsServer {
   private[server] final case class Frame(fin: Boolean, opcode: Int,
       payload: Array[Byte])
 
-  /** Read one frame (client frames MUST be masked — RFC 6455 §5.1);
-    * None on EOF.
+  /** A frame that violates RFC 6455 framing rules: the connection
+    * must be failed with close code 1002 (protocol error), not served.
+    */
+  private[server] final class WsProtocolError(reason: String)
+      extends java.io.IOException(reason)
+
+  /** Read one frame; None on EOF. Throws [[WsProtocolError]] on
+    * RFC 6455 violations the server must fail the connection for:
+    * unmasked client frames (§5.1) and fragmented or >125-byte
+    * control frames (§5.5).
     */
   private[server] def readFrame(in: InputStream): Option[Frame] = {
     val b0 = in.read()
@@ -620,6 +652,11 @@ object WsServer {
       var i = 0
       while (i < 8) { len = (len << 8) | readByte(in); i += 1 }
     }
+    if (!masked)
+      throw new WsProtocolError("unmasked client frame (RFC 6455 §5.1)")
+    if (opcode >= 0x8 && (len > 125 || !fin))
+      throw new WsProtocolError(
+        "fragmented or oversized control frame (RFC 6455 §5.5)")
     if (len < 0 || len > MaxMessageBytes)
       throw new java.io.IOException(s"ws frame too large: $len")
     val mask = if (masked) Array.fill(4)(readByte(in).toByte) else null

@@ -107,8 +107,12 @@ object StreamingQueries {
         // readStream.parquet does not recurse into a directory
         // symlink, so linking the directory itself silently feeds
         // the stream ZERO rows
-        val parts = Files.list(src).iterator().asScala
-          .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+        // Files.list holds a directory fd until closed — materialize
+        // under Using so the cache doesn't leak one fd per staged table
+        val parts = scala.util.Using.resource(Files.list(src)) { s =>
+          s.iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+        }
         require(parts.nonEmpty, s"no parquet part files under $src")
         parts.foreach(p =>
           Files.createSymbolicLink(dir.resolve(p.getFileName), p))

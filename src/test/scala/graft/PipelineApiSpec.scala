@@ -629,6 +629,16 @@ class PipelineApiSpec extends SparkSpec {
       // method + auth contracts match the other /api/v1 routes
       val (mc, _) = req(srv.port, "POST", "/api/v1/usage")
       assert(mc == 405)
+
+      // lifetime semantics: undeploying must NOT subtract the
+      // pipeline's history from the tenant counters (ADVICE r15 #4)
+      val (dc, _) = req(srv.port, "DELETE", s"/api/v1/pipelines/$id")
+      assert(dc == 200)
+      val (uc2, u2) = req(srv.port, "GET", "/api/v1/usage")
+      assert(uc2 == 200, u2)
+      assert(u2.get("active_pipelines").asInt() == 0, u2)
+      assert(u2.get("events_processed").asLong() == 2L, u2)
+      assert(u2.get("output_events_emitted").asLong() == 1L, u2)
     } finally srv.stop()
     val keyed = PipelineServer.start(spark, apiKey = Some("sekrit"))
     try {

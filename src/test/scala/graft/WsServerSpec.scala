@@ -74,6 +74,30 @@ class WsServerSpec extends SparkSpec {
 
     def sendText(s: String): Unit = sendFrame(0x1, s.getBytes("UTF-8"))
 
+    /** Protocol-violating frame (mask bit clear) — RFC 6455 §5.1 says
+      * the server must fail the connection on it.
+      */
+    def sendUnmaskedFrame(opcode: Int, payload: Array[Byte]): Unit = {
+      out.write(0x80 | opcode)
+      require(payload.length < 126)
+      out.write(payload.length)
+      out.write(payload); out.flush()
+    }
+
+    /** Masked control frame with an oversized (>125) payload, sent as
+      * a 126-length extended frame — forbidden by RFC 6455 §5.5.
+      */
+    def sendOversizedControl(): Unit = {
+      val payload = new Array[Byte](200)
+      out.write(0x80 | 0x9)
+      out.write(0x80 | 126); out.write(0); out.write(200)
+      val mask = Array[Byte](0x11, 0x22, 0x33, 0x44)
+      out.write(mask)
+      out.write(payload.zipWithIndex.map { case (b, i) =>
+        (b ^ mask(i % 4)).toByte
+      }); out.flush()
+    }
+
     /** Read one server frame → (opcode, payload). */
     def readFrame(): (Int, Array[Byte]) = {
       val b0 = in.read(); require(b0 != -1, "ws closed")
@@ -355,5 +379,31 @@ class WsServerSpec extends SparkSpec {
       assert(m2.get("events_processed").asLong() == 1L &&
         m2.get("output_events_emitted").asLong() == 0L, m2)
     } finally { c.close(); srv.stop() }
+  }
+
+  test("protocol violations fail the connection with close 1002") {
+    val wd = java.nio.file.Files.createTempDirectory("graft_ws_wd_").toFile
+    val srv = WsServer.start(spark, workdir = wd)
+    // unmasked client frame — RFC 6455 §5.1
+    val c1 = new WsClient(srv.port)
+    try {
+      c1.handshake()
+      c1.sendUnmaskedFrame(0x1, """{"type":"get_streams"}""".getBytes("UTF-8"))
+      val (op, payload) = c1.readFrame()
+      assert(op == 0x8, s"expected close frame, got opcode $op")
+      val code = ((payload(0) & 0xff) << 8) | (payload(1) & 0xff)
+      assert(code == 1002, s"expected close code 1002, got $code")
+    } finally c1.close()
+    // masked but oversized (200-byte) ping — RFC 6455 §5.5
+    val c2 = new WsClient(srv.port)
+    try {
+      c2.handshake()
+      c2.sendOversizedControl()
+      val (op, payload) = c2.readFrame()
+      assert(op == 0x8, s"expected close frame, got opcode $op")
+      val code = ((payload(0) & 0xff) << 8) | (payload(1) & 0xff)
+      assert(code == 1002, s"expected close code 1002, got $code")
+      srv.stop()
+    } finally c2.close()
   }
 }
