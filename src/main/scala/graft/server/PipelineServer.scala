@@ -54,7 +54,8 @@ final class PipelineServer private (
     spark: SparkSession,
     bind: InetSocketAddress,
     apiKey: Option[String],
-    requestsPerSecond: Option[Int]) {
+    requestsPerSecond: Option[Int],
+    tls: Option[javax.net.ssl.SSLContext]) {
 
   import PipelineServer._
 
@@ -67,7 +68,19 @@ final class PipelineServer private (
   private val nextId = new AtomicLong(0L)
   private val startNanos = System.nanoTime()
 
-  private val server: HttpServer = HttpServer.create(bind, 0)
+  /** "https" when a TLS context is configured (main.rs --tls-cert/
+    * --tls-key: cert+key present ⇒ the listener speaks ONLY TLS —
+    * plaintext requests fail the handshake, there is no downgrade).
+    */
+  def scheme: String = if (tls.isDefined) "https" else "http"
+
+  private val server: HttpServer = tls match {
+    case Some(ctx) =>
+      val s = com.sun.net.httpserver.HttpsServer.create(bind, 0)
+      s.setHttpsConfigurator(new com.sun.net.httpserver.HttpsConfigurator(ctx))
+      s
+    case None => HttpServer.create(bind, 0)
+  }
   server.createContext("/health", exact("/health") { x =>
     if (x.getRequestMethod != "GET") methodNotAllowed(x)
     else {
@@ -851,13 +864,17 @@ object PipelineServer {
     * enables the reference's x-api-key check on /api/v1 routes;
     * `requestsPerSecond` enables the reference's token-bucket request
     * throttle on those routes (rate_limit.rs; burst = 2× the rate,
-    * 429 `rate_limited` + Retry-After when empty).
+    * 429 `rate_limited` + Retry-After when empty); `tlsCertKey`
+    * (PEM cert path, PEM key path) switches the listener to HTTPS
+    * (main.rs --tls-cert/--tls-key — TLS-only once configured).
     */
   def start(spark: SparkSession, port: Int = 0,
       apiKey: Option[String] = None,
-      requestsPerSecond: Option[Int] = None): PipelineServer =
+      requestsPerSecond: Option[Int] = None,
+      tlsCertKey: Option[(String, String)] = None): PipelineServer =
     new PipelineServer(spark, new InetSocketAddress("127.0.0.1", port),
-      apiKey, requestsPerSecond)
+      apiKey, requestsPerSecond,
+      tlsCertKey.map { case (c, k) => Tls.sslContext(c, k) })
 
   /** The effective (target-overridden) connector of every bound
     * `.from` op in the program.

@@ -49,15 +49,26 @@ final class WsServer private (
     spark: SparkSession,
     bindPort: Int,
     apiKey: Option[String],
-    workdir: java.io.File) {
+    workdir: java.io.File,
+    tls: Option[javax.net.ssl.SSLContext]) {
 
   import PipelineServer.{ensureSpools, evtLine, rowToJson}
   import WsServer._
 
   private val mapper = new ObjectMapper()
   private val startNanos = System.nanoTime()
-  private val server = new ServerSocket()
+  // with TLS the listener is an SSLServerSocket — accept() hands back
+  // SSLSockets whose streams handshake transparently on first IO, so
+  // the rest of the server (handshake/frame loop/503 path) is
+  // transport-agnostic
+  private val server: ServerSocket = tls match {
+    case Some(ctx) => ctx.getServerSocketFactory.createServerSocket()
+    case None      => new ServerSocket()
+  }
   server.bind(new InetSocketAddress("127.0.0.1", bindPort))
+
+  /** "wss" when a TLS context is configured. */
+  def scheme: String = if (tls.isDefined) "wss" else "ws"
   @volatile private var live = true
 
   // engine state — one engine per server like the reference's
@@ -594,12 +605,17 @@ final class WsServer private (
 object WsServer {
 
   /** Serve ws://127.0.0.1:`port`/ws (0 = ephemeral — tests). `apiKey`
-    * guards the upgrade request; `workdir` bounds load_file paths.
+    * guards the upgrade request; `workdir` bounds load_file paths;
+    * `tlsCertKey` (PEM cert path, PEM key path) switches the listener
+    * to wss:// (main.rs --tls-cert/--tls-key — TLS-only once
+    * configured; a plaintext client fails the handshake).
     */
   def start(spark: SparkSession, port: Int = 0,
       apiKey: Option[String] = None,
-      workdir: java.io.File = new java.io.File(".")): WsServer =
-    new WsServer(spark, port, apiKey, workdir)
+      workdir: java.io.File = new java.io.File("."),
+      tlsCertKey: Option[(String, String)] = None): WsServer =
+    new WsServer(spark, port, apiKey, workdir,
+      tlsCertKey.map { case (c, k) => Tls.sslContext(c, k) })
 
   /** The reference caps ws frames and messages at 1 MiB
     * (main.rs max_frame_size/max_message_size).

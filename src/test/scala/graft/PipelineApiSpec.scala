@@ -20,22 +20,26 @@ class PipelineApiSpec extends SparkSpec {
   private val client = HttpClient.newHttpClient()
 
   private def reqFull(port: Int, method: String, path: String,
-      body: String = "", key: Option[String] = None)
-      : HttpResponse[String] = {
-    val b = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+      body: String = "", key: Option[String] = None,
+      https: Option[HttpClient] = None): HttpResponse[String] = {
+    val scheme = if (https.isDefined) "https" else "http"
+    val b = HttpRequest.newBuilder(
+      URI.create(s"$scheme://127.0.0.1:$port$path"))
     key.foreach(k => b.header("x-api-key", k))
     val r = method match {
       case "GET"    => b.GET()
       case "DELETE" => b.DELETE()
       case m => b.method(m, HttpRequest.BodyPublishers.ofString(body))
     }
-    client.send(r.build(), HttpResponse.BodyHandlers.ofString())
+    https.getOrElse(client)
+      .send(r.build(), HttpResponse.BodyHandlers.ofString())
   }
 
   private def req(port: Int, method: String, path: String,
-      body: String = "", key: Option[String] = None)
+      body: String = "", key: Option[String] = None,
+      https: Option[HttpClient] = None)
       : (Int, com.fasterxml.jackson.databind.JsonNode) = {
-    val resp = reqFull(port, method, path, body, key)
+    val resp = reqFull(port, method, path, body, key, https)
     (resp.statusCode(), mapper.readTree(resp.body()))
   }
 
@@ -698,6 +702,67 @@ class PipelineApiSpec extends SparkSpec {
       }
       assert(emitted >= 1,
         "first tumbling window should have closed and emitted over HTTP")
+    } finally srv.stop()
+  }
+
+  test("the full contract runs over HTTPS; plaintext is rejected (TLS)") {
+    val cert = "src/test/resources/tls/cert.pem"
+    val key = "src/test/resources/tls/key_pkcs8.pem"
+    val srv = PipelineServer.start(spark, apiKey = Some("sekrit"),
+      tlsCertKey = Some((cert, key)))
+    assert(srv.scheme == "https")
+    // client trusts exactly the committed self-signed fixture
+    val tlsClient = HttpClient.newBuilder()
+      .sslContext(graft.server.Tls.clientContext(cert)).build()
+    val https = Some(tlsClient)
+    try {
+      // deploy → inject → output → usage → undeploy, all over TLS,
+      // with the x-api-key auth layer active underneath it
+      val (hc, h) = req(srv.port, "GET", "/health", https = https)
+      assert(hc == 200 && h.get("status").asText() == "healthy", h)
+      val (ac, a) = req(srv.port, "GET", "/api/v1/pipelines", https = https)
+      assert(ac == 401 && a.get("code").asText() == "invalid_api_key", a)
+      val (dc, d) = req(srv.port, "POST", "/api/v1/pipelines",
+        deployBody("alerts", alertsVpl), key = Some("sekrit"), https = https)
+      assert(dc == 201, d)
+      val id = d.get("id").asText()
+      val (c2, o2) = req(srv.port, "POST", s"/api/v1/pipelines/$id/events",
+        tick("MSFT", 150.5), key = Some("sekrit"), https = https)
+      assert(c2 == 200 && o2.get("output_events").size() == 1, o2)
+      assert(o2.get("output_events").get(0).get("symbol").asText() == "MSFT")
+      val (uc, u) = req(srv.port, "GET", "/api/v1/usage",
+        key = Some("sekrit"), https = https)
+      assert(uc == 200 && u.get("events_processed").asLong() == 1L, u)
+      val (xc, x) = req(srv.port, "DELETE", s"/api/v1/pipelines/$id",
+        key = Some("sekrit"), https = https)
+      assert(xc == 200 && x.get("deleted").asBoolean(), x)
+
+      // a plaintext client fails — TLS-configured means TLS-only
+      intercept[java.io.IOException] {
+        reqFull(srv.port, "GET", "/health")
+      }
+      // and a client that does NOT trust the fixture fails the
+      // handshake (no silent downgrade to trust-everything)
+      intercept[java.io.IOException] {
+        HttpClient.newHttpClient().send(
+          HttpRequest.newBuilder(
+            URI.create(s"https://127.0.0.1:${srv.port}/health"))
+            .GET().build(),
+          HttpResponse.BodyHandlers.ofString())
+      }
+    } finally srv.stop()
+  }
+
+  test("the PKCS#1 fixture key loads too (OpenSSL traditional PEM)") {
+    val srv = PipelineServer.start(spark, tlsCertKey = Some((
+      "src/test/resources/tls/cert.pem",
+      "src/test/resources/tls/key_pkcs1.pem")))
+    val tlsClient = HttpClient.newBuilder()
+      .sslContext(graft.server.Tls.clientContext(
+        "src/test/resources/tls/cert.pem")).build()
+    try {
+      val (hc, h) = req(srv.port, "GET", "/health", https = Some(tlsClient))
+      assert(hc == 200 && h.get("status").asText() == "healthy", h)
     } finally srv.stop()
   }
 }

@@ -21,8 +21,12 @@ class WsServerSpec extends SparkSpec {
 
   /** Minimal RFC 6455 client: masked text frames out, server frames in. */
   private final class WsClient(port: Int, key: Option[String] = None,
-      path: String = "/ws") {
-    val sock = new Socket("127.0.0.1", port)
+      path: String = "/ws",
+      ssl: Option[javax.net.ssl.SSLContext] = None) {
+    val sock: Socket = ssl match {
+      case Some(ctx) => ctx.getSocketFactory.createSocket("127.0.0.1", port)
+      case None      => new Socket("127.0.0.1", port)
+    }
     private val in = new BufferedInputStream(sock.getInputStream)
     private val out = new BufferedOutputStream(sock.getOutputStream)
     val wsKey = java.util.Base64.getEncoder.encodeToString(
@@ -405,5 +409,37 @@ class WsServerSpec extends SparkSpec {
       assert(code == 1002, s"expected close code 1002, got $code")
       srv.stop()
     } finally c2.close()
+  }
+
+  test("the ws vocabulary runs over WSS; plaintext is rejected (TLS)") {
+    val cert = "src/test/resources/tls/cert.pem"
+    val wd = java.nio.file.Files.createTempDirectory("graft_ws_wd_").toFile
+    writeVpl(wd, "alerts.vpl", alertsVpl)
+    val srv = WsServer.start(spark, workdir = wd,
+      tlsCertKey = Some((cert, "src/test/resources/tls/key_pkcs8.pem")))
+    assert(srv.scheme == "wss")
+    val ctx = graft.server.Tls.clientContext(cert)
+    val c = new WsClient(srv.port, ssl = Some(ctx))
+    try {
+      assert(c.handshake().contains("101"))
+      c.sendText("""{"type":"load_file","path":"alerts.vpl"}""")
+      assert(c.readJson().get("success").asBoolean())
+      c.sendText("""{"type":"inject_event","event_type":"Tick","data":{"symbol":"MSFT","price":150.5}}""")
+      val got = Seq(c.readJson(), c.readJson())
+        .map(n => n.get("type").asText() -> n).toMap
+      assert(got.contains("event_injected") && got.contains("output_event"),
+        got)
+
+      // a plaintext client can't speak to the TLS listener: the
+      // handshake bytes aren't a ClientHello, so the read fails or
+      // EOFs — never a 101
+      val plain = new WsClient(srv.port)
+      try {
+        val status =
+          try plain.handshake()
+          catch { case _: java.io.IOException => null }
+        assert(status == null || !status.contains("101"), status)
+      } finally plain.close()
+    } finally { c.close(); srv.stop() }
   }
 }
