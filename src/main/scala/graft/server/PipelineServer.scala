@@ -68,6 +68,21 @@ final class PipelineServer private (
   private val nextId = new AtomicLong(0L)
   private val startNanos = System.nanoTime()
 
+  // ------------------------------------------------------------------
+  // tenants (openapi.yaml /api/v1/tenants*, tenant.rs TenantManager)
+  // ------------------------------------------------------------------
+
+  /** SaaS tenants by id and by api key. The configured server key is
+    * the "default" tenant (the reference's standalone mode) AND the
+    * admin key for the tenant CRUD surface (main.rs: admin_key =
+    * auth_config.api_key()).
+    */
+  private val tenants = new ConcurrentHashMap[String, Tenant]()
+  private val tenantsByKey = new ConcurrentHashMap[String, Tenant]()
+  private val tenantSeq = new AtomicLong(0L) // stable list order
+  private val defaultTenant =
+    new Tenant("default", "default", apiKey.getOrElse(""), Quota.default, 0L)
+
   /** "https" when a TLS context is configured (main.rs --tls-cert/
     * --tls-key: cert+key present ⇒ the listener speaks ONLY TLS —
     * plaintext requests fail the handshake, there is no downgrade).
@@ -145,17 +160,20 @@ final class PipelineServer private (
 
   private def route(x: HttpExchange): Unit = {
     // throttle BEFORE auth so a keyless flood can't buy unthrottled
-    // 401 work. Buckets key on the api key ONLY when it is the
-    // VALID configured key (the authenticated tenant's own bucket —
-    // per-tenant accounting); anything else keys on the client
-    // address (the reference's per-IP tracking). Keying on the
-    // PRESENTED header would let a flooder mint a fresh full bucket
-    // per request by rotating arbitrary key values — and evict honest
-    // buckets through the LRU cap while doing it.
+    // 401 work. Buckets key on the api key ONLY when it is a
+    // VALID key — the configured server key or a live tenant's key
+    // (the authenticated tenant's own bucket — per-tenant
+    // accounting); anything else keys on the client address (the
+    // reference's per-IP tracking). Keying on the PRESENTED header
+    // would let a flooder mint a fresh full bucket per request by
+    // rotating arbitrary key values — and evict honest buckets
+    // through the LRU cap while doing it.
     limiter.foreach { l =>
       val presented = Option(x.getRequestHeaders.getFirst("x-api-key"))
       val key =
         if (apiKey.isDefined && presented == apiKey) "key:" + presented.get
+        else if (presented.exists(tenantsByKey.containsKey))
+          "key:" + presented.get
         else "ip:" + x.getRemoteAddress.getAddress.getHostAddress
       l.check(key) match {
         case Left(retryAfterSecs) =>
@@ -165,18 +183,33 @@ final class PipelineServer private (
           x.getResponseHeaders.add("X-RateLimit-Remaining", remaining.toString)
       }
     }
-    if (apiKey.exists(k =>
-        x.getRequestHeaders.getFirst("x-api-key") != k)) {
-      error(x, 401, "invalid_api_key", "Invalid API key"); return
-    }
     val path = x.getRequestURI.getPath.stripSuffix("/")
     val m = x.getRequestMethod
     val parts = path.split("/").filter(_.nonEmpty) // api, v1, pipelines, ...
+    // tenant-admin routes authenticate with x-admin-key (openapi
+    // AdminKeyAuth), not x-api-key — dispatch them before the
+    // data-plane auth
+    if (parts.length >= 3 && parts(0) == "api" && parts(1) == "v1" &&
+        parts(2) == "tenants") {
+      tenantsRoute(x, parts.drop(3).toList, m, path); return
+    }
+    // data-plane auth: the configured server key acts as the default
+    // tenant; any live tenant's api key scopes the request to it
+    val t: Tenant = {
+      val presented = Option(x.getRequestHeaders.getFirst("x-api-key"))
+      if (apiKey.isEmpty) defaultTenant
+      else if (presented == apiKey) defaultTenant
+      else presented.flatMap(k => Option(tenantsByKey.get(k))) match {
+        case Some(tenant) => tenant
+        case None =>
+          error(x, 401, "invalid_api_key", "Invalid API key"); return
+      }
+    }
     if (parts.length >= 3 && parts(0) == "api" && parts(1) == "v1" &&
         parts(2) == "usage") {
       if (parts.length > 3) { error(x, 404, "not_found", s"unknown route $path") }
       else if (m != "GET") methodNotAllowed(x)
-      else usage(x)
+      else usage(x, t)
       return
     }
     // exact segment boundary: /api/v1/pipelinesfoo must 404, not
@@ -186,28 +219,28 @@ final class PipelineServer private (
       error(x, 404, "not_found", s"unknown route $path"); return
     }
     (parts.drop(3).toList, m) match {
-      case (Nil, "POST")   => deploy(x)
-      case (Nil, "GET")    => list(x)
-      case (id :: Nil, "GET")    => withPipeline(x, id)(info(x, _))
-      case (id :: Nil, "DELETE") => withPipeline(x, id) { p =>
+      case (Nil, "POST")   => deploy(x, t)
+      case (Nil, "GET")    => list(x, t)
+      case (id :: Nil, "GET")    => withPipeline(x, id, t)(info(x, _))
+      case (id :: Nil, "DELETE") => withPipeline(x, id, t) { p =>
         undeploy(p.id)
         val o = mapper.createObjectNode(); o.put("deleted", true)
         respondJson(x, 200, o)
       }
       case (id :: "events" :: Nil, "POST") =>
-        withPipeline(x, id)(inject(x, _, batch = false))
+        withPipeline(x, id, t)(inject(x, _, batch = false))
       case (id :: "events-batch" :: Nil, "POST") =>
-        withPipeline(x, id)(inject(x, _, batch = true))
+        withPipeline(x, id, t)(inject(x, _, batch = true))
       case (id :: "reload" :: Nil, "POST") =>
-        withPipeline(x, id)(reload(x, _))
+        withPipeline(x, id, t)(reload(x, _))
       case (id :: "checkpoint" :: Nil, "POST") =>
-        withPipeline(x, id)(checkpoint(x, _))
+        withPipeline(x, id, t)(checkpoint(x, _))
       case (id :: "restore" :: Nil, "POST") =>
-        withPipeline(x, id)(restore(x, _))
+        withPipeline(x, id, t)(restore(x, _))
       case (id :: "logs" :: Nil, "GET") =>
-        withPipeline(x, id)(logsSse(x, _))
+        withPipeline(x, id, t)(logsSse(x, _))
       case (id :: "metrics" :: Nil, "GET") =>
-        withPipeline(x, id) { p =>
+        withPipeline(x, id, t) { p =>
           val o = mapper.createObjectNode()
           o.put("pipeline_id", p.id)
           o.put("events_processed", p.eventsProcessed)
@@ -225,35 +258,160 @@ final class PipelineServer private (
 
   /** GET /api/v1/usage — the reference's tenant usage summary
     * (api.rs handle_usage, openapi UsageResponse): lifetime event
-    * counters, active pipeline count and the quota block. Graft's
-    * server is the reference's standalone single-tenant mode, so the
-    * tenant is "default" and the quota is the reference's default
-    * tier (varpulis-runtime/src/tenant.rs TenantQuota::default —
-    * 10 pipelines, 10k events/s, 50 streams/pipeline).
+    * counters, active pipeline count and the quota block, scoped to
+    * the AUTHENTICATED tenant (the server key is the "default"
+    * tenant running the reference's default tier — tenant.rs
+    * TenantQuota::default: 10 pipelines, 10k ev/s, 50 streams).
     */
-  private def usage(x: HttpExchange): Unit = {
-    val ps = pipelines.values.asScala.toSeq
+  private def usage(x: HttpExchange, t: Tenant): Unit = {
+    val ps = pipelines.values.asScala.toSeq.filter(_.tenant == t.id)
     val o = mapper.createObjectNode()
-    o.put("tenant_id", "default")
+    o.put("tenant_id", t.id)
     // lifetime counters: active pipelines plus the totals retired on
     // undeploy — deleting a pipeline must not subtract its history
     // from the tenant usage report
     o.put("events_processed",
-      retiredEventsProcessed.get() + ps.map(_.eventsProcessed).sum)
+      t.retiredEventsProcessed.get() + ps.map(_.eventsProcessed).sum)
     o.put("output_events_emitted",
-      retiredOutputEmitted.get() + ps.map(_.outputEmitted).sum)
+      t.retiredOutputEmitted.get() + ps.map(_.outputEmitted).sum)
     o.put("active_pipelines", ps.size)
-    val q = mapper.createObjectNode()
-    q.put("max_pipelines", 10)
-    q.put("max_events_per_second", 10000L)
-    q.put("max_streams_per_pipeline", 50)
-    o.set[ObjectNode]("quota", q)
+    o.set[ObjectNode]("quota", quotaJson(t.quota))
     respondJson(x, 200, o)
   }
 
-  private def withPipeline(x: HttpExchange, id: String)(
+  private def quotaJson(q: Quota): ObjectNode = {
+    val o = mapper.createObjectNode()
+    o.put("max_pipelines", q.maxPipelines)
+    o.put("max_events_per_second", q.maxEventsPerSecond)
+    o.put("max_streams_per_pipeline", q.maxStreamsPerPipeline)
+    o
+  }
+
+  // ------------------------------------------------------------------
+  // tenant CRUD (api.rs handle_create_tenant/list/get/delete;
+  // openapi.yaml /api/v1/tenants — AdminKeyAuth via x-admin-key)
+  // ------------------------------------------------------------------
+
+  private def tenantsRoute(x: HttpExchange, rest: List[String],
+      m: String, path: String): Unit = {
+    // admin auth first (api.rs validate_admin_key): no configured
+    // server key means the admin surface is OFF — 403, not open
+    apiKey match {
+      case None =>
+        error(x, 403, "admin_disabled",
+          "Admin API is disabled (no --api-key configured)")
+        return
+      case Some(k) =>
+        if (x.getRequestHeaders.getFirst("x-admin-key") != k) {
+          error(x, 401, "invalid_admin_key", "Invalid admin key"); return
+        }
+    }
+    (rest, m) match {
+      case (Nil, "POST")         => createTenant(x)
+      case (Nil, "GET")          => listTenants(x)
+      case (id :: Nil, "GET")    => tenantDetail(x, id)
+      case (id :: Nil, "DELETE") => deleteTenant(x, id)
+      case (Nil, _) | (_ :: Nil, _) => methodNotAllowed(x)
+      case _ => error(x, 404, "not_found", s"unknown route $path")
+    }
+  }
+
+  private def createTenant(x: HttpExchange): Unit = {
+    val body = new String(x.getRequestBody.readAllBytes(), "UTF-8")
+    val req = Try(mapper.readTree(body)) match {
+      case Success(n) if n != null && n.hasNonNull("name") => n
+      case Success(_) =>
+        error(x, 400, "parse_error", "need {name}"); return
+      case Failure(e) =>
+        error(x, 400, "parse_error", s"invalid JSON: ${e.getMessage}"); return
+    }
+    val quota = Quota.ofTier(Option(req.get("quota_tier")).map(_.asText()))
+    val id = s"t-${java.util.UUID.randomUUID()}"
+    val key = java.util.UUID.randomUUID().toString
+    val t = new Tenant(id, req.get("name").asText(), key, quota,
+      tenantSeq.incrementAndGet())
+    // the UUID key can't collide with a live one, but mirror the
+    // reference's create_tenant AlreadyExists contract anyway
+    if (tenantsByKey.putIfAbsent(key, t) != null) {
+      error(x, 409, "already_exists", "api key already exists"); return
+    }
+    tenants.put(id, t)
+    val o = mapper.createObjectNode()
+    o.put("id", id); o.put("name", t.name); o.put("api_key", key)
+    o.set[ObjectNode]("quota", quotaJson(quota))
+    respondJson(x, 201, o)
+  }
+
+  private def listTenants(x: HttpExchange): Unit = {
+    // pagination contract (varpulis-core pagination.rs): default
+    // limit 50, hard cap 1000 — an over-cap request is a 400, not a
+    // silent clamp
+    val params = Option(x.getRequestURI.getQuery).getOrElse("")
+      .split("&").filter(_.contains("=")).map { kv =>
+        val i = kv.indexOf('='); kv.take(i) -> kv.drop(i + 1)
+      }.toMap
+    def intParam(name: String): Option[Int] =
+      params.get(name).flatMap(v => Try(v.toInt).toOption)
+    val limit = intParam("limit").getOrElse(50)
+    val offset = intParam("offset").getOrElse(0)
+    if (limit > 1000) {
+      error(x, 400, "invalid_limit", "limit must not exceed 1000"); return
+    }
+    val all = tenants.values.asScala.toSeq.sortBy(_.seq)
+    val page = all.slice(offset, offset + math.max(limit, 0))
+    val o = mapper.createObjectNode()
+    val arr = o.putArray("tenants")
+    page.foreach { t =>
+      val e = arr.addObject()
+      e.put("id", t.id); e.put("name", t.name); e.put("api_key", t.apiKey)
+      e.set[ObjectNode]("quota", quotaJson(t.quota)): Unit
+    }
+    o.put("total", all.size)
+    val meta = mapper.createObjectNode()
+    meta.put("total", all.size); meta.put("limit", limit)
+    meta.put("offset", offset)
+    meta.put("has_more", offset + page.size < all.size)
+    o.set[ObjectNode]("pagination", meta)
+    respondJson(x, 200, o)
+  }
+
+  private def tenantDetail(x: HttpExchange, id: String): Unit =
+    Option(tenants.get(id)) match {
+      case None => error(x, 404, "tenant_not_found", "Tenant not found")
+      case Some(t) =>
+        val ps = pipelines.values.asScala.toSeq.filter(_.tenant == t.id)
+        val o = mapper.createObjectNode()
+        o.put("id", t.id); o.put("name", t.name); o.put("api_key", t.apiKey)
+        o.set[ObjectNode]("quota", quotaJson(t.quota))
+        val u = mapper.createObjectNode()
+        u.put("events_processed",
+          t.retiredEventsProcessed.get() + ps.map(_.eventsProcessed).sum)
+        u.put("output_events_emitted",
+          t.retiredOutputEmitted.get() + ps.map(_.outputEmitted).sum)
+        u.put("active_pipelines", ps.size)
+        o.set[ObjectNode]("usage", u)
+        o.put("pipeline_count", ps.size)
+        respondJson(x, 200, o)
+    }
+
+  private def deleteTenant(x: HttpExchange, id: String): Unit =
+    Option(tenants.remove(id)) match {
+      case None => error(x, 404, "not_found", "Tenant not found")
+      case Some(t) =>
+        // revoke the key FIRST (in-flight requests stop resolving),
+        // then tear down the tenant's pipelines
+        tenantsByKey.remove(t.apiKey)
+        pipelines.values.asScala.toSeq.filter(_.tenant == t.id)
+          .foreach(p => undeploy(p.id))
+        val o = mapper.createObjectNode(); o.put("deleted", true)
+        respondJson(x, 200, o)
+    }
+
+  private def withPipeline(x: HttpExchange, id: String, t: Tenant)(
       f: Pipeline => Unit): Unit =
-    Option(pipelines.get(id)) match {
+    // tenant isolation: another tenant's pipeline answers the same
+    // 404 as a nonexistent one — existence must not leak across keys
+    Option(pipelines.get(id)).filter(_.tenant == t.id) match {
       case Some(p) => f(p)
       case None => error(x, 404, "pipeline_not_found", s"no pipeline '$id'")
     }
@@ -262,7 +420,7 @@ final class PipelineServer private (
   // deploy / list / info / undeploy
   // ------------------------------------------------------------------
 
-  private def deploy(x: HttpExchange): Unit = {
+  private def deploy(x: HttpExchange, t: Tenant): Unit = {
     val body = readBody(x)
     val req = Try(mapper.readTree(body)) match {
       case Success(n) if n.hasNonNull("name") && n.hasNonNull("source") => n
@@ -279,6 +437,23 @@ final class PipelineServer private (
         case e: VplParseError =>
           error(x, 400, "parse_error", e.getMessage); return
       }
+    // tenant quotas at the control plane (tenant.rs deploy_pipeline:
+    // QuotaExceeded → 429 quota_exceeded). The default tenant is the
+    // reference's standalone mode — unmetered
+    if (t.id != "default") {
+      val owned = pipelines.values.asScala.count(_.tenant == t.id)
+      if (owned >= t.quota.maxPipelines) {
+        error(x, 429, "quota_exceeded",
+          s"pipeline quota exceeded (max ${t.quota.maxPipelines})")
+        return
+      }
+      if (prog.streams.size > t.quota.maxStreamsPerPipeline) {
+        error(x, 429, "quota_exceeded",
+          s"stream quota exceeded (max ${t.quota.maxStreamsPerPipeline} " +
+            "streams per pipeline)")
+        return
+      }
+    }
     val id = s"p-${nextId.incrementAndGet()}"
     val spool = java.nio.file.Files
       .createTempDirectory(s"graft_api_${id}_").toString
@@ -298,7 +473,7 @@ final class PipelineServer private (
         error(x, 400, "parse_error", s"no stream compiled: $why")
       case Right((runs, skipped)) =>
         val p = new Pipeline(id, name, source, prog, staged, runs,
-          skipped, System.nanoTime())
+          skipped, System.nanoTime(), t.id)
         try p.ingests = startIngests(prog, conns)
         catch {
           case e: Exception =>
@@ -450,13 +625,14 @@ final class PipelineServer private (
       s"graft_api_${id.replace('-', '_')}_${streamName.toLowerCase}",
       streamName, df, sinkConns)
 
-  private def list(x: HttpExchange): Unit = {
+  private def list(x: HttpExchange, t: Tenant): Unit = {
+    val mine = pipelines.values.asScala.toSeq
+      .filter(_.tenant == t.id).sortBy(_.id)
     val arr = mapper.createArrayNode()
-    pipelines.values.asScala.toSeq.sortBy(_.id).foreach(p =>
-      arr.add(infoNode(p)))
+    mine.foreach(p => arr.add(infoNode(p)))
     val o = mapper.createObjectNode()
     o.set[ObjectNode]("pipelines", arr)
-    o.put("total", pipelines.size())
+    o.put("total", mine.size)
     respondJson(x, 200, o)
   }
 
@@ -684,14 +860,6 @@ final class PipelineServer private (
     respondJson(x, 200, o)
   }
 
-  /** Lifetime counters of pipelines that have been undeployed —
-    * /api/v1/usage adds these so removal doesn't erase tenant history.
-    */
-  private val retiredEventsProcessed =
-    new java.util.concurrent.atomic.AtomicLong(0L)
-  private val retiredOutputEmitted =
-    new java.util.concurrent.atomic.AtomicLong(0L)
-
   private def undeploy(id: String): Unit =
     Option(pipelines.remove(id)).foreach { p =>
       // serialize with a concurrent inject/reload on the thread pool
@@ -700,8 +868,17 @@ final class PipelineServer private (
         p.runs.foreach(r => Try(r.query.stop()))
         Try(deleteRecursively(new java.io.File(p.staged.dir)))
         p.connSpools.foreach(d => Try(deleteRecursively(new java.io.File(d))))
-        retiredEventsProcessed.addAndGet(p.eventsProcessed)
-        retiredOutputEmitted.addAndGet(p.outputEmitted)
+        // retire the counters into the owning tenant so /usage keeps
+        // reporting lifetime totals (a deleted TENANT drops its
+        // history with it — the reference removes the whole record)
+        val owner =
+          if (p.tenant == "default") Some(defaultTenant)
+          else Option(tenants.get(p.tenant))
+        owner.foreach { t =>
+          t.retiredEventsProcessed.addAndGet(p.eventsProcessed)
+          t.retiredOutputEmitted.addAndGet(p.outputEmitted)
+          ()
+        }
       }
       ()
     }
@@ -729,6 +906,21 @@ final class PipelineServer private (
       val firstErr = events.map(evtLine)
         .collectFirst { case Left(m) => m }.get
       error(x, 400, "parse_error", firstErr); return
+    }
+    // per-tenant event-rate quota (tenant.rs TenantUsage.record_event:
+    // a per-second window counter against quota.max_events_per_second;
+    // RateLimitExceeded → 429 rate_limited). The default tenant is
+    // standalone mode — unmetered, like the reference without a
+    // tenant manager
+    val overRate = p.tenant != "default" &&
+      Option(tenants.get(p.tenant)).exists(t => !t.recordEvents(lines.size))
+    if (overRate) {
+      val max = Option(tenants.get(p.tenant))
+        .map(_.quota.maxEventsPerSecond).getOrElse(0L)
+      x.getResponseHeaders.add("Retry-After", "1")
+      error(x, 429, "rate_limited",
+        s"event rate quota exceeded (max $max events/s)")
+      return
     }
     val t0 = System.nanoTime()
     val out = p.synchronized {
@@ -1039,6 +1231,56 @@ object PipelineServer {
     def bufferedCount: Int = buffer.synchronized(buffer.size())
   }
 
+  /** Per-tenant quota — tenant.rs TenantQuota and its tier
+    * constructors (free/pro/enterprise/default), openapi QuotaInfo.
+    */
+  private[server] final case class Quota(maxPipelines: Int,
+      maxEventsPerSecond: Long, maxStreamsPerPipeline: Int)
+
+  private[server] object Quota {
+    val default: Quota = Quota(10, 10000L, 50)
+    val free: Quota = Quota(2, 100L, 5)
+    val pro: Quota = Quota(20, 50000L, 100)
+    val enterprise: Quota = Quota(1000, 500000L, 500)
+
+    /** api.rs quota_from_tier: unknown/absent tiers get the default. */
+    def ofTier(tier: Option[String]): Quota = tier match {
+      case Some("free")       => free
+      case Some("pro")        => pro
+      case Some("enterprise") => enterprise
+      case _                  => default
+    }
+  }
+
+  /** A SaaS tenant: identity, api key, quota, and the usage state the
+    * quota checks meter (tenant.rs Tenant + TenantUsage).
+    */
+  private[server] final class Tenant(val id: String, val name: String,
+      val apiKey: String, val quota: Quota, val seq: Long) {
+    /** Lifetime counters of this tenant's UNDEPLOYED pipelines —
+      * usage sums these plus the live pipelines'.
+      */
+    val retiredEventsProcessed = new AtomicLong(0L)
+    val retiredOutputEmitted = new AtomicLong(0L)
+
+    // events-per-second quota: the reference's per-second window
+    // counter (tenant.rs TenantUsage::record_event), not a token
+    // bucket — mirror its exact semantics
+    private var windowSec = 0L
+    private var windowCount = 0L
+
+    /** Record `n` injected events; false when this second's window
+      * would exceed the quota (the events are NOT counted then —
+      * a rejected inject processes nothing).
+      */
+    def recordEvents(n: Int): Boolean = synchronized {
+      val nowSec = System.nanoTime() / 1000000000L
+      if (nowSec != windowSec) { windowSec = nowSec; windowCount = 0L }
+      if (windowCount + n > quota.maxEventsPerSecond) false
+      else { windowCount += n; true }
+    }
+  }
+
   // mutated under p.synchronized (inject/reload/undeploy) but read
   // lock-free by /ready, list and info on other pool threads —
   // volatile gives those reads a happens-before edge
@@ -1050,7 +1292,8 @@ object PipelineServer {
       @volatile var staged: EventReplay.Staged,
       @volatile var runs: Vector[StreamRun],
       @volatile var skipped: Map[String, String],
-      val deployedNanos: Long) {
+      val deployedNanos: Long,
+      val tenant: String = "default") {
     var nextPhase: Int = 1
     @volatile var eventsProcessed: Long = 0L
     @volatile var outputEmitted: Long = 0L

@@ -21,11 +21,13 @@ class PipelineApiSpec extends SparkSpec {
 
   private def reqFull(port: Int, method: String, path: String,
       body: String = "", key: Option[String] = None,
-      https: Option[HttpClient] = None): HttpResponse[String] = {
+      https: Option[HttpClient] = None,
+      admin: Option[String] = None): HttpResponse[String] = {
     val scheme = if (https.isDefined) "https" else "http"
     val b = HttpRequest.newBuilder(
       URI.create(s"$scheme://127.0.0.1:$port$path"))
     key.foreach(k => b.header("x-api-key", k))
+    admin.foreach(k => b.header("x-admin-key", k))
     val r = method match {
       case "GET"    => b.GET()
       case "DELETE" => b.DELETE()
@@ -37,9 +39,10 @@ class PipelineApiSpec extends SparkSpec {
 
   private def req(port: Int, method: String, path: String,
       body: String = "", key: Option[String] = None,
-      https: Option[HttpClient] = None)
+      https: Option[HttpClient] = None,
+      admin: Option[String] = None)
       : (Int, com.fasterxml.jackson.databind.JsonNode) = {
-    val resp = reqFull(port, method, path, body, key, https)
+    val resp = reqFull(port, method, path, body, key, https, admin)
     (resp.statusCode(), mapper.readTree(resp.body()))
   }
 
@@ -702,6 +705,120 @@ class PipelineApiSpec extends SparkSpec {
       }
       assert(emitted >= 1,
         "first tumbling window should have closed and emitted over HTTP")
+    } finally srv.stop()
+  }
+
+  test("tenant lifecycle: create, scoped deploy/inject, quotas, delete revokes") {
+    val srv = PipelineServer.start(spark, apiKey = Some("admin-secret"))
+    val adm = Some("admin-secret")
+    try {
+      // admin auth: wrong key 401, data-plane key in the wrong header
+      // doesn't help
+      val (nc, nb) = req(srv.port, "GET", "/api/v1/tenants",
+        admin = Some("wrong"))
+      assert(nc == 401 && nb.get("code").asText() == "invalid_admin_key", nb)
+
+      // create a free-tier tenant (max 2 pipelines, 100 ev/s, 5 streams)
+      val (cc, c) = req(srv.port, "POST", "/api/v1/tenants",
+        """{"name":"acme","quota_tier":"free"}""", admin = adm)
+      assert(cc == 201, c)
+      val tid = c.get("id").asText()
+      val tkey = c.get("api_key").asText()
+      assert(c.get("name").asText() == "acme", c)
+      assert(c.get("quota").get("max_pipelines").asInt() == 2, c)
+      assert(c.get("quota").get("max_events_per_second").asLong() == 100L, c)
+
+      // the tenant's key authenticates the data plane, scoped to it
+      val (dc, d) = req(srv.port, "POST", "/api/v1/pipelines",
+        deployBody("alerts", alertsVpl), key = Some(tkey))
+      assert(dc == 201, d)
+      val pid = d.get("id").asText()
+      val (ic, _) = req(srv.port, "POST", s"/api/v1/pipelines/$pid/events",
+        tick("MSFT", 150.5), key = Some(tkey))
+      assert(ic == 200)
+
+      // isolation both ways: the server (default-tenant) key can't
+      // see the tenant's pipeline, and vice versa
+      val (xc, xb) = req(srv.port, "GET", s"/api/v1/pipelines/$pid",
+        key = adm)
+      assert(xc == 404 && xb.get("code").asText() == "pipeline_not_found", xb)
+      val (lc, l) = req(srv.port, "GET", "/api/v1/pipelines", key = adm)
+      assert(lc == 200 && l.get("total").asInt() == 0, l)
+      val (ltc, lt) = req(srv.port, "GET", "/api/v1/pipelines",
+        key = Some(tkey))
+      assert(ltc == 200 && lt.get("total").asInt() == 1, lt)
+
+      // event-rate quota: a 150-event batch exceeds free's 100/s
+      val batch = (1 to 150).map(i => tick(s"S$i", 1.0)).mkString(",")
+      val (rc, rb) = req(srv.port, "POST",
+        s"/api/v1/pipelines/$pid/events-batch", s"""{"events":[$batch]}""",
+        key = Some(tkey))
+      assert(rc == 429 && rb.get("code").asText() == "rate_limited", rb)
+
+      // pipeline-count quota: free allows 2 — the 3rd deploy 429s
+      val (d2c, _) = req(srv.port, "POST", "/api/v1/pipelines",
+        deployBody("alerts2", alertsVpl), key = Some(tkey))
+      assert(d2c == 201)
+      val (d3c, d3) = req(srv.port, "POST", "/api/v1/pipelines",
+        deployBody("alerts3", alertsVpl), key = Some(tkey))
+      assert(d3c == 429 && d3.get("code").asText() == "quota_exceeded", d3)
+
+      // per-tenant usage: only acme's counters, acme's quota block
+      val (uc, u) = req(srv.port, "GET", "/api/v1/usage", key = Some(tkey))
+      assert(uc == 200 && u.get("tenant_id").asText() == tid, u)
+      assert(u.get("events_processed").asLong() == 1L, u)
+      assert(u.get("active_pipelines").asInt() == 2, u)
+      assert(u.get("quota").get("max_pipelines").asInt() == 2, u)
+
+      // detail + list via admin
+      val (gc, g) = req(srv.port, "GET", s"/api/v1/tenants/$tid",
+        admin = adm)
+      assert(gc == 200 && g.get("pipeline_count").asInt() == 2, g)
+      assert(g.get("usage").get("events_processed").asLong() == 1L, g)
+      val (tc, tl) = req(srv.port, "GET", "/api/v1/tenants", admin = adm)
+      assert(tc == 200 && tl.get("total").asInt() == 1, tl)
+      assert(tl.get("pagination").get("has_more").asBoolean() == false, tl)
+      val (bc, bb) = req(srv.port, "GET", "/api/v1/tenants?limit=2000",
+        admin = adm)
+      assert(bc == 400 && bb.get("code").asText() == "invalid_limit", bb)
+
+      // delete revokes: the key stops authenticating, pipelines die
+      val (zc, z) = req(srv.port, "DELETE", s"/api/v1/tenants/$tid",
+        admin = adm)
+      assert(zc == 200 && z.get("deleted").asBoolean(), z)
+      val (ac2, a2) = req(srv.port, "GET", "/api/v1/pipelines",
+        key = Some(tkey))
+      assert(ac2 == 401 && a2.get("code").asText() == "invalid_api_key", a2)
+      val (g2c, _) = req(srv.port, "GET", s"/api/v1/tenants/$tid",
+        admin = adm)
+      assert(g2c == 404)
+    } finally srv.stop()
+
+    // no configured server key ⇒ the admin surface is disabled
+    val open = PipelineServer.start(spark)
+    try {
+      val (fc, f) = req(open.port, "POST", "/api/v1/tenants",
+        """{"name":"x"}""", admin = Some("anything"))
+      assert(fc == 403 && f.get("code").asText() == "admin_disabled", f)
+    } finally open.stop()
+  }
+
+  test("free-tier stream quota rejects an over-wide program") {
+    val srv = PipelineServer.start(spark, apiKey = Some("adm"))
+    try {
+      val (_, c) = req(srv.port, "POST", "/api/v1/tenants",
+        """{"name":"t","quota_tier":"free"}""", admin = Some("adm"))
+      val tkey = c.get("api_key").asText()
+      val six = (1 to 6).map(i =>
+        s"""stream S$i = Tick
+           |    .where(price > ${i}.0)
+           |    .emit(symbol: symbol)
+           |""".stripMargin).mkString("\n")
+      val wide = s"event Tick:\n    symbol: str\n    price: float\n\n$six"
+      val (qc, q) = req(srv.port, "POST", "/api/v1/pipelines",
+        deployBody("wide", wide), key = Some(tkey))
+      assert(qc == 429 && q.get("code").asText() == "quota_exceeded", q)
+      assert(q.get("error").asText().contains("stream quota"), q)
     } finally srv.stop()
   }
 
