@@ -103,6 +103,17 @@ object VplQueries {
       |          status: enrich_status)
       |""".stripMargin
 
+  private val httpEnrichVpl =
+    """# enrichment through the HTTP provider (enrichment/http.rs):
+      |# the CustomerAPI connector is a bound http connector — the
+      |# compiler resolves the lookup from the endpoint itself
+      |stream EnrichedPurchases = purchase as e
+      |    .enrich(CustomerAPI, key: user_id, fields: [c_name, c_mktsegment], fallback: "unknown")
+      |    .emit(event_id: e.event_id, user_id: e.user_id,
+      |          cust_name: c_name, segment: c_mktsegment,
+      |          status: enrich_status)
+      |""".stripMargin
+
   private val analyticsVpl =
     """# analytic window builtins (docs/language/builtins.md Window
       |# Functions — documented in the reference but unimplemented in
@@ -172,6 +183,62 @@ object VplQueries {
           lookups = Map("CustomerDB" -> graft.Tables(s, dir).customer
             .withColumnRenamed("c_custkey", "user_id")
             .select("user_id", "c_name", "c_mktsegment")))
+    },
+    // `.enrich` resolved THROUGH the HTTP provider (enrichment/
+    // http.rs): a loopback server serves the customer dim as
+    // `GET ?key=K` JSON; the compiler collects the stream's DISTINCT
+    // keys (bounded), fetches each once (a perfectly-warm cache.rs),
+    // and broadcast-joins the fetched frame. Same oracle as x7 —
+    // identical semantics, point-lookup transport
+    "x10_vpl_http_enrich" -> QueryDef.of(
+      """SELECT event_id, user_id,
+        | COALESCE(c_name, 'unknown') AS cust_name,
+        | COALESCE(c_mktsegment, 'unknown') AS segment,
+        | CASE WHEN c_name IS NULL THEN 'fallback' ELSE 'ok' END AS status
+        |FROM events LEFT JOIN customer ON user_id = c_custkey
+        |WHERE event_type = 'purchase'""".stripMargin) { (s, dir) =>
+      // the loopback dim service: customer is a bounded dimension
+      // (this collect backs the TEST endpoint, not the operator —
+      // production points at a real enrichment service)
+      val cust = graft.Tables(s, dir).customer
+        .select("c_custkey", "c_name", "c_mktsegment").collect()
+        .map(r => r.get(0).toString -> (r.getString(1), r.getString(2)))
+        .toMap
+      val srv = com.sun.net.httpserver.HttpServer.create(
+        new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+      srv.createContext("/lookup", (x: com.sun.net.httpserver.HttpExchange) => {
+        val q = Option(x.getRequestURI.getQuery).getOrElse("")
+        val key = q.split("&").collectFirst {
+          case kv if kv.startsWith("key=") => java.net.URLDecoder
+            .decode(kv.drop(4), "UTF-8")
+        }.getOrElse("")
+        key match {
+          case k if cust.contains(k) =>
+            val (name, seg) = cust(k)
+            val om = new com.fasterxml.jackson.databind.ObjectMapper()
+            val o = om.createObjectNode()
+            o.put("c_name", name); o.put("c_mktsegment", seg)
+            val body = om.writeValueAsBytes(o)
+            x.getResponseHeaders.add("Content-Type", "application/json")
+            x.sendResponseHeaders(200, body.length.toLong)
+            x.getResponseBody.write(body); x.close()
+          case _ =>
+            x.sendResponseHeaders(404, -1L); x.close()
+        }
+      })
+      srv.start()
+      try {
+        val url = s"http://127.0.0.1:${srv.getAddress.getPort}/lookup"
+        val conn = graft.sources.HttpConnector("CustomerAPI",
+          spoolDir = java.nio.file.Files
+            .createTempDirectory("graft_httpenrich_").toString,
+          sinkUrl = url)
+        // the provider fetch happens at compile, so the frame that
+        // returns here carries the lookup rows locally — the server
+        // can stop before the plan ever executes
+        Vpl.tableStreamConns(s, dir, httpEnrichVpl, "EnrichedPurchases",
+          sourceConns = Map("CustomerAPI" -> conn))
+      } finally srv.stop(0)
     },
     // anchored GRETA closed forms under the hash gate: the oracle
     // recomputes n_a per anchor with a correlated join and sums the

@@ -2671,19 +2671,48 @@ final class VplCompiler(program: VProgram, source: VplSource,
           throw VplCompileError(".enrich needs key: expr"))
         val fallbackLit: Option[Column] = pm.get("fallback").map(e =>
           translate(e, ctx))
-        lookups.get(connector) match {
-          case Some(lk) =>
-            val keyName = keyExpr match {
-              case VField(_, f) => f
-              case VRef(f)      => f
-              case _            => "key"
-            }
+        // an `.enrich` aimed at a bound HTTP connector with no
+        // explicit lookup frame resolves one by fetching the stream's
+        // DISTINCT keys from the endpoint (enrichment/http.rs `GET
+        // url?key=K` per key — batched here: one fetch per distinct
+        // key is a perfectly-warm cache.rs). Batch mode only: a
+        // streaming plan can't enumerate its keys up front — long
+        // runs refresh dims via HttpEnrichment.TtlLookup in
+        // foreachBatch instead.
+        val httpLookup: Option[DataFrame] =
+          if (lookups.contains(connector) || streaming) None
+          else sourceConns.get(connector).collect {
+            case h: graft.sources.HttpConnector if h.sinkUrl.nonEmpty =>
+              val keyCol = translate(keyExpr, ctx).cast("string")
+              val keys = df.select(keyCol.as("k")).na.drop().distinct()
+                .limit(graft.sources.HttpEnrichment.MaxKeys + 1)
+                .collect().map(_.getString(0)).toSeq
+              val keyName = "__http_key"
+              graft.sources.HttpEnrichment.lookup(
+                df.sparkSession, h.sinkUrl, keyName, keys, fieldNames,
+                headers = h.headers)
+          }
+        lookups.get(connector).map(lk => (lk, false))
+          .orElse(httpLookup.map(lk => (lk, true))) match {
+          case Some((lk, viaHttp)) =>
+            val keyName =
+              if (viaHttp) "__http_key"
+              else keyExpr match {
+                case VField(_, f) => f
+                case VRef(f)      => f
+                case _            => "key"
+              }
             require(lk.columns.contains(keyName),
               s".enrich: lookup for $connector needs a '$keyName' column")
             val lkSel = lk.select(
               (col(keyName).as("__enrich_key") +: fieldNames.map(col)): _*)
+            // the HTTP lookup carries string keys (JSON transport);
+            // compare in string space so numeric probe keys match
+            val probeKey =
+              if (viaHttp) translate(keyExpr, ctx).cast("string")
+              else translate(keyExpr, ctx)
             df = df.join(broadcast(lkSel),
-              translate(keyExpr, ctx) === col("__enrich_key"), "left")
+              probeKey === col("__enrich_key"), "left")
             df = df.withColumn("enrich_status",
               when(col("__enrich_key").isNotNull, lit("ok"))
                 .otherwise(lit(if (fallbackLit.isDefined) "fallback" else "miss")))
@@ -3237,6 +3266,18 @@ object Vpl {
     val prog = VplParser.parse(vplText)
     new VplCompiler(prog, new TableSource(spark, dir), lookups = lookups)
       .stream(streamName)
+  }
+
+  /** [[tableStream]] with live connector bindings — an `.enrich`
+    * aimed at a bound [[graft.sources.HttpConnector]] resolves its
+    * lookup from the endpoint itself (x10's path).
+    */
+  def tableStreamConns(spark: SparkSession, dir: String, vplText: String,
+      streamName: String,
+      sourceConns: Map[String, graft.sources.Connector]): DataFrame = {
+    val prog = VplParser.parse(vplText)
+    new VplCompiler(prog, new TableSource(spark, dir),
+      sourceConns = sourceConns).stream(streamName)
   }
 
   /** TRUE-STREAMING run of a VPL stream over its .evt scenario: the

@@ -565,4 +565,79 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.toString).sorted
     assert(got.length == want.length && got.sameElements(want))
   }
+
+  test("TtlLookup caches within the TTL and refetches after it") {
+    import graft.sources.HttpEnrichment
+    var fetches = 0
+    val lk = new HttpEnrichment.TtlLookup(() => {
+      fetches += 1
+      spark.range(1).toDF("k")
+    }, ttlMs = 60000L)
+    val first = lk.current()
+    assert((lk.current() eq first) && fetches == 1 && lk.refreshes == 1L,
+      "second call within the TTL must reuse the cached frame")
+    val short = new HttpEnrichment.TtlLookup(() => {
+      fetches += 1; spark.range(1).toDF("k")
+    }, ttlMs = 100L)
+    short.current(); Thread.sleep(250); short.current()
+    assert(short.refreshes == 2L, "an expired lookup must refetch")
+  }
+
+  test("streaming enrich sees a dim update after the TTL (HTTP provider)") {
+    import org.apache.spark.sql.functions.broadcast
+    import graft.sources.HttpEnrichment
+
+    // loopback dim service whose answer we mutate mid-stream —
+    // cache.rs expiry re-expressed as per-micro-batch re-broadcast
+    @volatile var dimName = "alpha"
+    val srv = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    srv.createContext("/dim", (x: com.sun.net.httpserver.HttpExchange) => {
+      val body = s"""{"name":"$dimName"}""".getBytes("UTF-8")
+      x.sendResponseHeaders(200, body.length.toLong)
+      x.getResponseBody.write(body); x.close()
+    })
+    srv.start()
+    val url = s"http://127.0.0.1:${srv.getAddress.getPort}/dim"
+    val lookup = new HttpEnrichment.TtlLookup(
+      () => HttpEnrichment.lookup(spark, url, "k", Seq("1"), Seq("name")),
+      ttlMs = 1500L)
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_ttl_").toString
+    import spark.implicits._
+    Seq(("1", 10L)).toDF("k", "v").coalesce(1).write.parquet(s"$dir/b=0")
+    val schema = spark.read.parquet(s"$dir/b=0").schema
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/b=*")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        // join each micro-batch against the CURRENT dim — the TTL
+        // decides when "current" re-resolves from the provider
+        batch.join(broadcast(lookup.current()), "k")
+          .select("name").collect()
+          .foreach(r => out.add(id -> r.getString(0)))
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(out.asScalaSeq.map(_._2) == Seq("alpha"), out)
+      dimName = "beta" // dim updated at the source
+      Thread.sleep(2000) // let the TTL lapse
+      Seq(("1", 20L)).toDF("k", "v").coalesce(1).write
+        .parquet(s"$dir/b=1")
+      q.processAllAvailable()
+      assert(out.asScalaSeq.map(_._2).sorted == Seq("alpha", "beta"),
+        s"post-TTL micro-batch must see the refreshed dim: $out")
+      assert(lookup.refreshes >= 2L)
+    } finally { q.stop(); srv.stop(0) }
+  }
+
+  private implicit class QueueOps[A](
+      q: java.util.concurrent.ConcurrentLinkedQueue[A]) {
+    def asScalaSeq: Seq[A] = {
+      import scala.jdk.CollectionConverters._
+      q.iterator().asScala.toSeq
+    }
+  }
 }
