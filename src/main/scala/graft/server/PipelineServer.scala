@@ -354,8 +354,11 @@ final class PipelineServer private (
       params.get(name).flatMap(v => Try(v.toInt).toOption)
     val limit = intParam("limit").getOrElse(50)
     val offset = intParam("offset").getOrElse(0)
-    if (limit > 1000) {
-      error(x, 400, "invalid_limit", "limit must not exceed 1000"); return
+    // the reference's params are unsigned (pagination.rs usize) —
+    // negatives are malformed, not clampable
+    if (limit > 1000 || limit < 0 || offset < 0) {
+      error(x, 400, "invalid_limit",
+        "limit must be 0..1000 and offset non-negative"); return
     }
     val all = tenants.values.asScala.toSeq.sortBy(_.seq)
     val page = all.slice(offset, offset + math.max(limit, 0))
@@ -396,6 +399,10 @@ final class PipelineServer private (
 
   private def deleteTenant(x: HttpExchange, id: String): Unit =
     Option(tenants.remove(id)) match {
+      // "not_found" here vs GET's "tenant_not_found" mirrors the
+      // reference exactly: handle_get_tenant emits tenant_not_found,
+      // handle_delete_tenant routes through tenant_error_response
+      // (api.rs:1250-1260) which maps NotFound → not_found
       case None => error(x, 404, "not_found", "Tenant not found")
       case Some(t) =>
         // revoke the key FIRST (in-flight requests stop resolving),
@@ -439,21 +446,36 @@ final class PipelineServer private (
       }
     // tenant quotas at the control plane (tenant.rs deploy_pipeline:
     // QuotaExceeded → 429 quota_exceeded). The default tenant is the
-    // reference's standalone mode — unmetered
+    // reference's standalone mode — unmetered. The pipeline-count
+    // check is check-then-act across a slow compile, so each deploy
+    // RESERVES a slot first: owned + in-flight reservations must fit
+    // the quota, or two concurrent deploys could both slip under it
     if (t.id != "default") {
-      val owned = pipelines.values.asScala.count(_.tenant == t.id)
-      if (owned >= t.quota.maxPipelines) {
-        error(x, 429, "quota_exceeded",
-          s"pipeline quota exceeded (max ${t.quota.maxPipelines})")
-        return
-      }
       if (prog.streams.size > t.quota.maxStreamsPerPipeline) {
         error(x, 429, "quota_exceeded",
           s"stream quota exceeded (max ${t.quota.maxStreamsPerPipeline} " +
             "streams per pipeline)")
         return
       }
+      val reserved = t.deploying.incrementAndGet()
+      val owned = pipelines.values.asScala.count(_.tenant == t.id)
+      if (owned + reserved > t.quota.maxPipelines) {
+        t.deploying.decrementAndGet()
+        error(x, 429, "quota_exceeded",
+          s"pipeline quota exceeded (max ${t.quota.maxPipelines})")
+        return
+      }
     }
+    try deployReserved(x, t, name, source, prog)
+    finally { if (t.id != "default") t.deploying.decrementAndGet(); () }
+  }
+
+  /** The deploy body proper — runs with the caller's quota slot
+    * reserved (released by deploy's finally once the pipeline is
+    * either registered, where it counts as owned, or failed).
+    */
+  private def deployReserved(x: HttpExchange, t: Tenant, name: String,
+      source: String, prog: VProgram): Unit = {
     val id = s"p-${nextId.incrementAndGet()}"
     val spool = java.nio.file.Files
       .createTempDirectory(s"graft_api_${id}_").toString
@@ -490,6 +512,15 @@ final class PipelineServer private (
         }
         p.connSpools = binderTempSpools(conns.values)
         pipelines.put(id, p)
+        // close the delete race: if the tenant was deleted while this
+        // deploy compiled, its sweep may have run before we
+        // registered — tear the orphan down instead of leaving a
+        // pipeline no key can ever reach
+        if (t.id != "default" && !tenants.containsKey(t.id)) {
+          undeploy(id)
+          error(x, 401, "invalid_api_key", "Invalid API key")
+          return
+        }
         startDrainer(p)
         val o = mapper.createObjectNode()
         o.put("id", id); o.put("name", name); o.put("status", "running")
@@ -1262,6 +1293,12 @@ object PipelineServer {
       */
     val retiredEventsProcessed = new AtomicLong(0L)
     val retiredOutputEmitted = new AtomicLong(0L)
+
+    /** In-flight deploy reservations: the pipeline-count quota admits
+      * a deploy only when owned + reserved fits, closing the
+      * check-then-act window across the compile.
+      */
+    val deploying = new java.util.concurrent.atomic.AtomicInteger(0)
 
     // events-per-second quota: the reference's per-second window
     // counter (tenant.rs TenantUsage::record_event), not a token

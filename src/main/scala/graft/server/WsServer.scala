@@ -134,7 +134,10 @@ final class WsServer private (
             // total / 1 s wall-clock — or a client trickling one byte
             // per SoTimeout window would pin accept indefinitely
             // (worst case the trickler sees an RST instead of the 503)
-            sock.shutdownOutput()
+            // own Try: SSLSocket throws UnsupportedOperationException
+            // on half-close — the drain below must still run for TLS
+            // clients or close() RSTs away the in-flight 503
+            Try(sock.shutdownOutput())
             sock.setSoTimeout(250)
             val sink = new Array[Byte](512)
             val deadline = System.nanoTime() + 1000000000L

@@ -33,7 +33,12 @@ object HttpEnrichment {
     */
   val MaxKeys: Int = 100000
 
-  private lazy val http = HttpClient.newHttpClient()
+  // shared client + mapper (thread-safe for readTree); explicit
+  // timeouts so a black-holed endpoint surfaces as a miss, not a
+  // permanently-parked fetch thread
+  private lazy val http = HttpClient.newBuilder()
+    .connectTimeout(java.time.Duration.ofSeconds(10)).build()
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
   /** Fetch one key: `GET/POST base?key=K` → Some(field values, in
     * `fields` order, null per absent field) or None on non-2xx /
@@ -45,14 +50,16 @@ object HttpEnrichment {
     val sep = if (base.contains('?')) '&' else '?'
     val url = s"$base${sep}key=${java.net.URLEncoder.encode(key, "UTF-8")}"
     val b = HttpRequest.newBuilder(URI.create(url))
+      .timeout(java.time.Duration.ofSeconds(10))
     headers.foreach { case (k, v) => b.header(k, v) }
     val req = (if (method.equalsIgnoreCase("POST"))
       b.POST(HttpRequest.BodyPublishers.noBody()) else b.GET()).build()
+    // Try absorbs IO errors AND timeouts — a dead/hung endpoint for
+    // one key is a miss (http.rs NotFound degrades the same way)
     val resp = Try(http.send(req, HttpResponse.BodyHandlers.ofString()))
       .toOption.filter(r => r.statusCode() >= 200 && r.statusCode() < 300)
     resp.flatMap { r =>
-      Try(new com.fasterxml.jackson.databind.ObjectMapper()
-        .readTree(r.body())).toOption
+      Try(mapper.readTree(r.body())).toOption
         .filter(n => n != null && n.isObject)
         .map { node =>
           fields.map { f =>
@@ -75,10 +82,11 @@ object HttpEnrichment {
   def lookup(spark: SparkSession, baseUrl: String, keyName: String,
       keys: Seq[String], fields: Seq[String], method: String = "GET",
       headers: Map[String, String] = Map.empty): DataFrame = {
-    require(keys.size <= MaxKeys,
-      s"http enrichment: ${keys.size} distinct keys exceed the " +
-        s"$MaxKeys cap (cache.rs MAX_ENTRIES) — the key column looks " +
-        "like a fact, not a dimension")
+    val distinctKeys = keys.distinct
+    require(distinctKeys.size <= MaxKeys,
+      s"http enrichment: ${distinctKeys.size} distinct keys exceed " +
+        s"the $MaxKeys cap (cache.rs MAX_ENTRIES) — the key column " +
+        "looks like a fact, not a dimension")
     // a bounded driver-side fetch pool: enrichment dims are small by
     // construction (the cap above); 8-way keeps a slow endpoint from
     // serializing the whole dim fetch
@@ -87,15 +95,15 @@ object HttpEnrichment {
     val rows =
       try {
         import scala.jdk.CollectionConverters._
-        val tasks = keys.distinct.map { k =>
+        val tasks = distinctKeys.map { k =>
           pool.submit(new java.util.concurrent.Callable[Option[Row]] {
             override def call(): Option[Row] =
               fetchOne(baseUrl, k, fields, method, headers)
                 .map(vs => Row.fromSeq(k +: vs))
           })
         }
-        tasks.flatMap(_.get(60, java.util.concurrent.TimeUnit.SECONDS)).asJava
-      } finally pool.shutdown()
+        tasks.flatMap(_.get(120, java.util.concurrent.TimeUnit.SECONDS)).asJava
+      } finally pool.shutdownNow() // interrupt stragglers, not just refuse new
     val schema = StructType(StructField(keyName, StringType) +:
       fields.map(f => StructField(f, StringType)))
     spark.createDataFrame(rows, schema)

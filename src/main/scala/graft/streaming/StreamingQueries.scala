@@ -1285,7 +1285,7 @@ object StreamingQueries {
     val src = graft.Tables.normalizeDocuments(
       spark.readStream.schema(schemaOf(spark, path)).parquet(streamDir(path)))
     val out = graft.text.TextAnalysis.nbScoreLocal(
-      src, col("doc_id"), col("text"), lrArr, prior)
+      src, col("text"), col("doc_id"), lrArr, prior)
     runToTable(spark, out, "graft_s43_sink", "append")
   }
 

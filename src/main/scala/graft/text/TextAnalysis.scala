@@ -673,7 +673,7 @@ object TextAnalysis {
     * over scaled longs), plus the prior as a literal. Bit-identical
     * to [[nbScore]]: both sum the identical scaled longs.
     */
-  def nbScoreLocal(docs: DataFrame, idCol: Column, textCol: Column,
+  def nbScoreLocal(docs: DataFrame, textCol: Column, idCol: Column,
       scaledLr: Array[Long], priorScaled: Long): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     import graft.functions.DsirScore

@@ -62,7 +62,8 @@ object Client {
       case "undeploy"  => undeploy(opts, out, cwd)
       case "logs"      => logs(opts, out, cwd)
       case "init"      => init(opts, out, cwd)
-      case "check"     => check(opts, out)
+      case "check"     => check(opts, out, cwd)
+      case "config-gen" => configGen(opts, out, cwd)
       case other =>
         out.println(s"unknown command '$other'"); out.println(usage); 2
     } catch {
@@ -80,7 +81,8 @@ object Client {
       |  undeploy: --pipeline-id ID
       |  logs:     --pipeline-id ID [--max-events N]
       |  init:     [--server URL] [--api-key K]
-      |  check:    --file F""".stripMargin
+      |  check:    --file F
+      |  config-gen: [--format yaml|toml] [--output F]""".stripMargin
 
   private def parseOpts(rest: Seq[String])
       : Either[String, Map[String, String]] = {
@@ -357,16 +359,67 @@ object Client {
     0
   }
 
+  /** Example server-configuration template (main.rs
+    * Commands::ConfigGen, config.rs Config::example — the same
+    * section vocabulary rendered for graft's surfaces): yaml or toml
+    * to stdout or `--output F`. Unsupported formats error like the
+    * reference.
+    */
+  private def configGen(opts: Map[String, String],
+      out: java.io.PrintStream, cwd: Path): Int = {
+    val sections: Seq[(String, Seq[(String, String)])] = Seq(
+      "server" -> Seq("port" -> "3000", "bind" -> "\"127.0.0.1\"",
+        "metrics_enabled" -> "true", "metrics_port" -> "9090",
+        "workdir" -> "\".\""),
+      "kafka" -> Seq("bootstrap_servers" -> "\"kafka:9092\"",
+        "consumer_group" -> "\"graft-consumer\"",
+        "input_topic" -> "\"events\"", "output_topic" -> "\"alerts\""),
+      "http_webhook" -> Seq("enabled" -> "true", "port" -> "8080",
+        "bind" -> "\"127.0.0.1\"", "api_key" -> "\"your-api-key-here\"",
+        "rate_limit" -> "1000", "max_batch_size" -> "100"),
+      "logging" -> Seq("level" -> "\"info\"", "format" -> "\"json\"",
+        "timestamps" -> "true"),
+      "processing" -> Seq("workers" -> "4",
+        "partition_by" -> "\"source_id\""),
+      "tls" -> Seq("cert" -> "\"/path/to/cert.pem\"",
+        "key" -> "\"/path/to/key.pem\""),
+      "auth" -> Seq("api_key" -> "\"your-websocket-api-key\""))
+    val content = opts.getOrElse("format", "yaml").toLowerCase match {
+      case "yaml" | "yml" =>
+        sections.map { case (name, kvs) =>
+          s"$name:\n" + kvs.map { case (k, v) =>
+            s"  $k: ${v.stripPrefix("\"").stripSuffix("\"")}"
+          }.mkString("\n")
+        }.mkString("# graft server configuration\n", "\n", "\n")
+      case "toml" =>
+        sections.map { case (name, kvs) =>
+          s"[$name]\n" + kvs.map { case (k, v) => s"$k = $v" }.mkString("\n")
+        }.mkString("# graft server configuration\n", "\n\n", "\n")
+      case other =>
+        out.println(s"Unsupported format: $other. Use 'yaml' or 'toml'")
+        return 2
+    }
+    opts.get("output") match {
+      case Some(f) =>
+        val p = cwd.resolve(f)
+        Files.write(p, content.getBytes("UTF-8"))
+        out.println(s"Configuration written to: $p")
+      case None => out.print(content)
+    }
+    0
+  }
+
   /** Local syntax check (main.rs Commands::Check) — parses the file
     * with the VPL front-end, no server involved.
     */
   private def check(opts: Map[String, String],
-      out: java.io.PrintStream): Int = {
+      out: java.io.PrintStream, cwd: Path): Int = {
     val file = opts.get("file") match {
       case Some(f) => f
       case None => out.println("check needs --file"); return 2
     }
-    val src = Try(new String(Files.readAllBytes(Paths.get(file)), "UTF-8"))
+    val src = Try(new String(
+      Files.readAllBytes(cwd.resolve(file)), "UTF-8"))
     src match {
       case scala.util.Failure(e) =>
         out.println(s"cannot read $file: ${e.getMessage}"); 1

@@ -119,8 +119,9 @@ class ClientSpec extends SparkSpec {
       assert(fc == 1, fOut)
 
       Files.write(cwd.resolve("ok.vpl"), alertsVpl.getBytes("UTF-8"))
-      val (cc, cOut) = run(cwd, "check",
-        "--file", cwd.resolve("ok.vpl").toString)
+      // relative path: check resolves against the project cwd like
+      // every other command (not the JVM working directory)
+      val (cc, cOut) = run(cwd, "check", "--file", "ok.vpl")
       assert(cc == 0 && cOut.contains("Syntax OK: 1 stream(s)"), cOut)
       Files.write(cwd.resolve("bad.vpl"),
         "stream X = .where(".getBytes("UTF-8"))
@@ -128,5 +129,21 @@ class ClientSpec extends SparkSpec {
         "--file", cwd.resolve("bad.vpl").toString)
       assert(bc == 1 && bOut.contains("Syntax error"), bOut)
     } finally srv.stop()
+  }
+
+  test("config-gen renders yaml and toml templates (ConfigGen twin)") {
+    val cwd = Files.createTempDirectory("graft_client_")
+    val (yc, yOut) = run(cwd, "config-gen")
+    assert(yc == 0 && yOut.contains("server:") &&
+      yOut.contains("metrics_port: 9090"), yOut)
+    val (tc, tOut) = run(cwd, "config-gen", "--format", "toml",
+      "--output", "graft.toml")
+    assert(tc == 0 && tOut.contains("Configuration written to"), tOut)
+    val toml = new String(Files.readAllBytes(
+      cwd.resolve("graft.toml")), "UTF-8")
+    assert(toml.contains("[server]") && toml.contains("port = 3000"), toml)
+    assert(toml.contains("[http_webhook]") && toml.contains("[tls]"), toml)
+    val (fc, fOut) = run(cwd, "config-gen", "--format", "xml")
+    assert(fc == 2 && fOut.contains("Unsupported format"), fOut)
   }
 }

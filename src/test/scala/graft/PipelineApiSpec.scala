@@ -781,6 +781,11 @@ class PipelineApiSpec extends SparkSpec {
       val (bc, bb) = req(srv.port, "GET", "/api/v1/tenants?limit=2000",
         admin = adm)
       assert(bc == 400 && bb.get("code").asText() == "invalid_limit", bb)
+      // negatives are malformed (usize params in the reference), not
+      // silently clamped into self-inconsistent pagination
+      val (b2c, _) = req(srv.port, "GET", "/api/v1/tenants?offset=-5",
+        admin = adm)
+      assert(b2c == 400)
 
       // delete revokes: the key stops authenticating, pipelines die
       val (zc, z) = req(srv.port, "DELETE", s"/api/v1/tenants/$tid",

@@ -498,7 +498,7 @@ class TextSpec extends SparkSpec {
     val (arr, p) = graft.text.TextAnalysis.nbFitLocal(
       d, col("text"), labeled, isPos)
     val local = graft.text.TextAnalysis.nbScoreLocal(
-      d, col("doc_id"), col("text"), arr, p)
+      d, col("text"), col("doc_id"), arr, p)
     assert(batch.count() > 0)
     assert(batch.except(local).isEmpty && local.except(batch).isEmpty)
   }
