@@ -19,6 +19,7 @@ import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
   */
 final class MetricsServer private (m: GraftMetrics, bind: InetSocketAddress) {
 
+  System.setProperty("sun.net.httpserver.nodelay", "true") // no Nagle+delayed-ACK stalls
   private val server: HttpServer = HttpServer.create(bind, 0)
   // JDK HttpServer routes by longest matching context PREFIX, so the
   // /metrics context also receives /metricsfoo — check the exact path

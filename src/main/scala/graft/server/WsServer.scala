@@ -153,6 +153,9 @@ final class WsServer private (
           ()
         } else {
           active.incrementAndGet()
+          // live pushes are small frames: Nagle+delayed-ACK would add
+          // ~40 ms to each — disable it
+          Try(sock.setTcpNoDelay(true))
           val t = new Thread(() =>
             try serveClient(sock)
             finally { active.decrementAndGet(); () }, s"graft-ws-client")

@@ -191,11 +191,14 @@ object HttpWebhookReceiver {
   def start(spoolDir: String, port: Int = 0, apiKey: Option[String] = None,
       maxBatch: Int = 10000, rateLimit: Int = 0,
       maxEventBytes: Int = 1 << 20, maxBodyBytes: Int = 16 << 20,
-      nowNanos: () => Long = () => System.nanoTime()): HttpWebhookReceiver =
+      nowNanos: () => Long = () => System.nanoTime()): HttpWebhookReceiver = {
+    // no Nagle+delayed-ACK stalls on keep-alive webhook posts
+    System.setProperty("sun.net.httpserver.nodelay", "true")
     new HttpWebhookReceiver(
       HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0),
       spoolDir, apiKey, maxBatch, rateLimit, maxEventBytes, maxBodyBytes,
       nowNanos)
+  }
 }
 
 private[graft] object HttpJson {

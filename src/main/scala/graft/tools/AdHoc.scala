@@ -15,8 +15,19 @@ object AdHoc {
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val name = sys.env.getOrElse("ADHOC_QUERY", "f3_forecast_live")
+    var t0 = System.nanoTime()
+    def lap(tag: String): Unit = {
+      println(f"[adhoc] $tag: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      t0 = System.nanoTime()
+    }
+    spark.range(100000L).selectExpr("sum(id)").collect() // warm
+    lap("warm")
     val df = graft.SparkEntry.queries(name)(spark, sfDir)
-    println(df.queryExecution.executedPlan.toString().take(8000))
+    lap("build")
+    df.write.format("noop").mode("overwrite").save()
+    lap("materialize")
+    df.write.format("noop").mode("overwrite").save()
+    lap("materialize2")
     spark.stop()
   }
 }
