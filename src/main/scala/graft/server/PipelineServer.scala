@@ -175,7 +175,9 @@ final class PipelineServer private (
     limiter.foreach { l =>
       val presented = Option(x.getRequestHeaders.getFirst("x-api-key"))
       val key =
-        if (apiKey.isDefined && presented == apiKey) "key:" + presented.get
+        if (apiKey.isDefined &&
+            presented.exists(p => ctEq(p, apiKey.get)))
+          "key:" + presented.get
         else if (presented.exists(tenantsByKey.containsKey))
           "key:" + presented.get
         else "ip:" + x.getRemoteAddress.getAddress.getHostAddress
@@ -198,11 +200,12 @@ final class PipelineServer private (
       tenantsRoute(x, parts.drop(3).toList, m, path); return
     }
     // data-plane auth: the configured server key acts as the default
-    // tenant; any live tenant's api key scopes the request to it
+    // tenant; any live tenant's api key scopes the request to it.
+    // Comparisons are constant-time (auth.rs constant_time_compare)
     val t: Tenant = {
       val presented = Option(x.getRequestHeaders.getFirst("x-api-key"))
       if (apiKey.isEmpty) defaultTenant
-      else if (presented == apiKey) defaultTenant
+      else if (presented.exists(p => ctEq(p, apiKey.get))) defaultTenant
       else presented.flatMap(k => Option(tenantsByKey.get(k))) match {
         case Some(tenant) => tenant
         case None =>
@@ -306,7 +309,8 @@ final class PipelineServer private (
           "Admin API is disabled (no --api-key configured)")
         return
       case Some(k) =>
-        if (x.getRequestHeaders.getFirst("x-admin-key") != k) {
+        if (!Option(x.getRequestHeaders.getFirst("x-admin-key"))
+            .exists(p => ctEq(p, k))) {
           error(x, 401, "invalid_admin_key", "Invalid admin key"); return
         }
     }
@@ -1264,6 +1268,18 @@ object PipelineServer {
     }
     /** Rows currently awaiting a sweep (bounded) — soak-test probe. */
     def bufferedCount: Int = buffer.synchronized(buffer.size())
+  }
+
+  /** Constant-time credential comparison that leaks neither content
+    * nor the expected key's length (auth.rs constant_time_compare →
+    * varpulis-core security): both sides are hashed to fixed-width
+    * digests first, then compared with the JDK's constant-time
+    * MessageDigest.isEqual.
+    */
+  private[server] def ctEq(a: String, b: String): Boolean = {
+    def d(s: String) = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8"))
+    java.security.MessageDigest.isEqual(d(a), d(b))
   }
 
   /** Per-tenant quota — tenant.rs TenantQuota and its tier

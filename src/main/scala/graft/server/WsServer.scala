@@ -248,7 +248,8 @@ final class WsServer private (
     val path = reqParts(1).takeWhile(_ != '?')
     if (path != "/ws")
       return httpErr(404, "Not Found", """{"error":"unknown route"}""")
-    if (apiKey.exists(k => !headers.get("x-api-key").contains(k)))
+    if (apiKey.exists(k => !headers.get("x-api-key")
+        .exists(p => PipelineServer.ctEq(p, k))))
       return httpErr(401, "Unauthorized",
         """{"error":"Invalid API key","code":"invalid_api_key"}""")
     if (!headers.get("upgrade").exists(_.equalsIgnoreCase("websocket")))
