@@ -26,6 +26,15 @@ final case class Tables(spark: SparkSession, dir: String) {
 }
 
 object Tables {
+
+  // sun.net.httpserver.ServerConfig latches its properties ONCE at
+  // the first HttpServer.create in the JVM — per-server setProperty
+  // calls are no-ops if any server (e.g. a test double) was built
+  // first. Tables loads before any graft entry point serves HTTP, so
+  // this is the reliable chokepoint for the Nagle fix (without it
+  // every keep-alive response stalls ~40 ms behind delayed ACKs).
+  System.setProperty("sun.net.httpserver.nodelay", "true")
+
   /** Normalize the events table's `ts` to session-TZ TIMESTAMP
     * regardless of how the upstream writer encoded it. The staged
     * parquet has shipped with (at least) two physical encodings, and a

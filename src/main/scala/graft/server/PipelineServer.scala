@@ -201,7 +201,10 @@ final class PipelineServer private (
     }
     // data-plane auth: the configured server key acts as the default
     // tenant; any live tenant's api key scopes the request to it.
-    // Comparisons are constant-time (auth.rs constant_time_compare)
+    // The configured-key comparison is constant-time (auth.rs
+    // constant_time_compare); the tenant lookup is a hash-index get —
+    // the reference's own api_key_index HashMap shape
+    // (tenant.rs get_tenant_by_api_key), with random UUID keys
     val t: Tenant = {
       val presented = Option(x.getRequestHeaders.getFirst("x-api-key"))
       if (apiKey.isEmpty) defaultTenant
@@ -369,7 +372,7 @@ final class PipelineServer private (
         "limit must be 0..1000 and offset non-negative"); return
     }
     val all = tenants.values.asScala.toSeq.sortBy(_.seq)
-    val page = all.slice(offset, offset + math.max(limit, 0))
+    val page = all.slice(offset, offset + limit)
     val o = mapper.createObjectNode()
     val arr = o.putArray("tenants")
     page.foreach { t =>
@@ -474,16 +477,25 @@ final class PipelineServer private (
         return
       }
     }
-    try deployReserved(x, t, name, source, prog)
-    finally { if (t.id != "default") t.deploying.decrementAndGet(); () }
+    // idempotent releaser: deployReserved releases AT registration
+    // (the moment the pipeline counts as owned — holding the slot any
+    // longer double-counts it and spuriously 429s a concurrent
+    // under-quota deploy); the finally covers every failure path
+    val released = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val release: () => Unit = () =>
+      if (t.id != "default" && released.compareAndSet(false, true)) {
+        t.deploying.decrementAndGet(); ()
+      }
+    try deployReserved(x, t, name, source, prog, release)
+    finally release()
   }
 
   /** The deploy body proper — runs with the caller's quota slot
-    * reserved (released by deploy's finally once the pipeline is
-    * either registered, where it counts as owned, or failed).
+    * reserved; calls `release` as soon as the pipeline is registered
+    * (failures leave it to deploy's finally).
     */
   private def deployReserved(x: HttpExchange, t: Tenant, name: String,
-      source: String, prog: VProgram): Unit = {
+      source: String, prog: VProgram, release: () => Unit): Unit = {
     val id = s"p-${nextId.incrementAndGet()}"
     val spool = java.nio.file.Files
       .createTempDirectory(s"graft_api_${id}_").toString
@@ -520,6 +532,7 @@ final class PipelineServer private (
         }
         p.connSpools = binderTempSpools(conns.values)
         pipelines.put(id, p)
+        release() // registered: the pipeline now counts as owned
         // close the delete race: if the tenant was deleted while this
         // deploy compiled, its sweep may have run before we
         // registered — tear the orphan down instead of leaving a

@@ -347,6 +347,15 @@ object Client {
     if (Files.exists(path)) {
       out.println(".graft.toml already exists in current directory"); return 1
     }
+    // the values land inside quoted TOML strings — a newline or quote
+    // would silently truncate the credential at parse time; fail at
+    // init instead
+    for (v <- opts.get("server").toSeq ++ opts.get("api-key"))
+      if (v.exists(c => c == '"' || c == '\n' || c == '\r')) {
+        out.println("server/api-key values must not contain quotes " +
+          "or newlines")
+        return 2
+      }
     val sb = new StringBuilder("# graft project configuration\n\n[remote]\n")
     sb ++= s"""url = "${opts.getOrElse("server", "http://localhost:3000")}"\n"""
     opts.get("api-key") match {

@@ -3253,14 +3253,17 @@ object Vpl {
       lookups = lookups).compileAll()
   }
 
-  /** Parse VPL text and compile one stream against the events table. */
+  /** Parse VPL text and compile one stream against the events table.
+    * `lookups` binds `.enrich` lookup frames (x7's path);
+    * `sourceConns` binds live connectors — an `.enrich` aimed at a
+    * bound [[graft.sources.HttpConnector]] then resolves its lookup
+    * from the endpoint itself (x10's path).
+    */
   def tableStream(spark: SparkSession, dir: String, vplText: String,
-      streamName: String): DataFrame = {
-    val prog = VplParser.parse(vplText)
-    new VplCompiler(prog, new TableSource(spark, dir)).stream(streamName)
-  }
+      streamName: String): DataFrame =
+    tableStreamConns(spark, dir, vplText, streamName, Map.empty)
 
-  /** [[tableStream]] with `.enrich` connector bindings (x7's path). */
+  /** [[tableStream]] with `.enrich` lookup-frame bindings. */
   def tableStream(spark: SparkSession, dir: String, vplText: String,
       streamName: String, lookups: Map[String, DataFrame]): DataFrame = {
     val prog = VplParser.parse(vplText)
@@ -3268,10 +3271,7 @@ object Vpl {
       .stream(streamName)
   }
 
-  /** [[tableStream]] with live connector bindings — an `.enrich`
-    * aimed at a bound [[graft.sources.HttpConnector]] resolves its
-    * lookup from the endpoint itself (x10's path).
-    */
+  /** [[tableStream]] with live connector bindings. */
   def tableStreamConns(spark: SparkSession, dir: String, vplText: String,
       streamName: String,
       sourceConns: Map[String, graft.sources.Connector]): DataFrame = {
