@@ -39,6 +39,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("x10: HTTP-provider enrichment broadcasts the fetched dim") {
+    // the endpoint-resolved lookup is driver-local rows — the join
+    // must broadcast them over ONE events scan, never shuffle facts
+    val p = planOf(q("x10_vpl_http_enrich"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("q4: top-k compiles to TakeOrderedAndProject, not a global sort") {
     val p = planOf(q("q4_topk"))
     assert(p.contains("TakeOrderedAndProject"), p)
