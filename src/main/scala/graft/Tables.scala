@@ -129,9 +129,24 @@ object Tables {
       .saveAsTable(table)
   }
 
-  /** Session config every entry point (Verify/Bench/tests) applies. */
+  /** Session config every entry point (Verify/Bench/tests) applies.
+    *
+    * The AQE coalesce floor (guide §2.2 "fewer, larger reduce
+    * partitions" has an inverse at tiny inputs): AQE's
+    * parallelismFirst coalescing targets
+    * max(totalShuffleBytes / defaultParallelism, minPartitionSize),
+    * and the default 1 MB floor collapses every sub-MB exchange to
+    * ONE post-shuffle partition — at bench SFs the window/sort/agg
+    * stages after each exchange all ran single-task (measured: f3
+    * 1.21→0.69 s, f5 1.30→0.60 s, a1 0.99→0.65 s with the floor at
+    * 256k). At production scale per-partition bytes dwarf any floor
+    * value, so the setting is a no-op there — it only stops the
+    * local-mode collapse. Overridable via SPARK_GRAFT_AQE_MIN_PART.
+    */
   val sessionConfs: Seq[(String, String)] = Seq(
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     "spark.sql.session.timeZone" -> "UTC",
-    "spark.sql.adaptive.enabled" -> "true")
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize" ->
+      sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PART", "256k"))
 }
