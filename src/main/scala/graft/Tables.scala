@@ -112,6 +112,22 @@ object Tables {
   def normalizeEmbeddings(df: DataFrame): DataFrame =
     castIfNeeded(df, "vec_id", "bigint")
 
+  /** Scale-adaptive fan-out before heavy per-row work (guide §2:
+    * derive partitioning from the input, never a constant). A scan of
+    * the staged single-row-group bench files yields ONE input split,
+    * so a regex/explode battery after it runs single-task no matter
+    * how many cores the session has; at production scale the same
+    * table yields thousands of splits and this helper is a planning
+    * no-op. Only when the scan's split count is below the session's
+    * parallelism does it repartition on the given high-cardinality
+    * key (deterministic hash — safe under task retry, guide §2.5).
+    */
+  def fanOut(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
+    if (df.sparkSession.conf.get("spark.graft.fanout", "on") != "on") return df
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par, key) else df
+  }
+
   /** Persist a DataFrame as a parquet table bucketed (and sorted)
     * on a join/aggregation key. Repeated joins or aggregations on
     * that key then read co-located buckets and plan WITHOUT an

@@ -947,14 +947,23 @@ object TextQueries {
       (s, dir) =>
         val toks = Tables(s, dir).documents
           .select(col("doc_id"), explode(words(col("text"))).as("tok"))
+        // r16 (guide §2.4): the corpus token total rides ON the vocab
+        // rows (one unpartitioned window over the vocab-sized frame)
+        // instead of a separate vocab.agg + crossJoin — the standalone
+        // totals frame re-instantiated the whole scan+explode+agg
+        // subtree a third time (one more full corpus pass at scale)
+        // and attached through a BroadcastNestedLoopJoin. Totals stay
+        // exact longs; every emitted double is unchanged.
         val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
-        val total = vocab.agg(sum(col("cnt")).as("total"))
+          .withColumn("total", sum(col("cnt"))
+            .over(org.apache.spark.sql.expressions.Window
+              .rowsBetween(Long.MinValue, Long.MaxValue)))
         val ppm = col("sum_cnt").cast("double") * lit(1000000.0) /
           (col("n_tokens").cast("double") * col("total").cast("double"))
         toks.join(vocab, "tok")
           .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_tokens"), sum(col("cnt")).as("sum_cnt"))
-          .crossJoin(broadcast(total))
+          .agg(count(lit(1)).as("n_tokens"), sum(col("cnt")).as("sum_cnt"),
+            max(col("total")).as("total"))
           .select(col("doc_id"), col("n_tokens"),
             ppm.as("mean_freq_ppm"),
             when(ppm >= 33400.0, "head")

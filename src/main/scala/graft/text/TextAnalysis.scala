@@ -16,12 +16,17 @@ object TextAnalysis {
     * frequent bigram — boilerplate and degenerate generations score
     * high on the latter.
     *
-    * Plan shape: per-word stats are row-local column arithmetic; the
-    * bigram mode is an explode → count per (doc, bigram) → max/sum
-    * per doc. The shuffle keys are (doc_id, bigram) then doc_id —
-    * high-cardinality, so a 1000-executor cluster fans out; there is
-    * no per-doc O(n²) array walk (a row-local mode via HOFs would
-    * quadratic-scan each doc's array, which dies on 100 KB docs).
+    * Plan shape (r16, guide §2.4 "remove shuffles outright"): every
+    * signal depends only on the document's own row, so the whole
+    * operator is ONE codegen'd map over the scan — zero exchanges,
+    * zero joins. The bigram mode folds through the native
+    * [[graft.functions.TopCountStats]] expression: an O(n) per-row
+    * hash-count (NOT the O(n²) HOF array walk the earlier explode
+    * formulation was avoiding — that concern motivated the old
+    * explode → groupBy(doc_id, bigram) → groupBy(doc_id) → join-back
+    * pipeline, which exchanged one row per TOKEN corpus-wide and
+    * re-scanned the corpus for the join's left side). Counts stay
+    * exact longs, so the oracle hash is unchanged.
     */
   def repetitionStats(
       docs: DataFrame,
@@ -38,27 +43,23 @@ object TextAnalysis {
     // 54-word docs). zip_with walks both arrays once; the null it
     // pads the shorter side with (concat → null) is filtered, which
     // also makes size<2 docs contribute nothing without a guard.
-    val bigrams = base
-      .select(col(idCol),
-        expr("filter(zip_with(w, slice(w, 2, greatest(n_words - 1, 0)), " +
-          "(a, b) -> concat(a, ' ', b)), x -> x IS NOT NULL)").as("bgs"))
-      .select(col(idCol), explode(col("bgs")).as("bg"))
-    val perBigram = bigrams.groupBy(col(idCol), col("bg"))
-      .agg(count(lit(1)).as("c"))
-    val topPerDoc = perBigram.groupBy(col(idCol))
-      .agg(max(col("c")).as("top_bigram_n"), sum(col("c")).as("n_bigrams"))
-    base.select(col(idCol), col("n_words").cast("long").as("n_words"),
-      size(array_distinct(col("w"))).cast("long").as("n_distinct"))
-      .join(topPerDoc, Seq(idCol), "left")
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val bgs =
+      expr("filter(zip_with(w, slice(w, 2, greatest(n_words - 1, 0)), " +
+        "(a, b) -> concat(a, ' ', b)), x -> x IS NOT NULL)")
+    base
+      .select(col(idCol), col("n_words"),
+        size(array_distinct(col("w"))).as("n_distinct"),
+        ColumnBridge.column(graft.functions.TopCountStats(
+          ColumnBridge.expression(bgs))).as("bg"))
       .select(
         col(idCol),
-        col("n_words"),
+        col("n_words").cast("long").as("n_words"),
         round(col("n_distinct").cast("double") /
           greatest(col("n_words").cast("double"), lit(1.0)), 6).as("ttr"),
-        coalesce(col("top_bigram_n"), lit(0L)).cast("long").as("top_bigram_n"),
-        round(coalesce(col("top_bigram_n"), lit(0L)).cast("double") /
-          greatest(coalesce(col("n_bigrams"), lit(0L)).cast("double"), lit(1.0)),
-          6).as("bigram_ratio"))
+        col("bg.top").as("top_bigram_n"),
+        round(col("bg.top").cast("double") /
+          greatest(col("bg.n").cast("double"), lit(1.0)), 6).as("bigram_ratio"))
   }
 
   /** PII scrub report: redacted text plus per-category hit counts.
@@ -424,6 +425,12 @@ object TextAnalysis {
   private def dsirBuckets(
       docs: DataFrame, textCol: Column, idCol: Column, isTarget: Column,
       buckets: Int): DataFrame = {
+    // deliberately NOT fanned out (unlike lmScore): the per-gram work
+    // here is one codegen'd FNV hash + mod — measured A/B, the
+    // repartition costs more than the serial explode saves (t13 1.01
+    // vs 1.18 s, t21 0.91 vs 1.41 s), while lmScore's two
+    // broadcast-join probes per gram go the other way (t17 0.70 vs
+    // 2.01 s with fan-out)
     val base = docs.select(
       idCol.as("doc_id"), isTarget.as("is_tgt"), words(textCol).as("w"))
       .select(col("doc_id"), col("is_tgt"), col("w"),
@@ -443,21 +450,30 @@ object TextAnalysis {
   /** (bucket, raw_cnt, tgt_cnt) + (raw_total, tgt_total) from the
     * bucketed grams — the DSIR count model.
     */
-  private def dsirCounts(bucketed: DataFrame): (DataFrame, DataFrame) = {
-    val counts = bucketed.groupBy("bucket").agg(
+  /** (bucket, raw_cnt, tgt_cnt, raw_total, tgt_total): the DSIR count
+    * model with its corpus totals attached by an unpartitioned window
+    * over the ≤`buckets`-row frame (r16, guide §2.4): the former
+    * standalone `counts.agg(sum, sum)` totals frame re-instantiated
+    * the whole corpus scan+explode subtree once more in every
+    * consumer — a third full-corpus pass at scale — and re-attached
+    * itself through a BroadcastNestedLoopJoin. Totals stay exact
+    * longs, so the smoothed ratio doubles are bit-identical.
+    */
+  private def dsirCounts(bucketed: DataFrame): DataFrame = {
+    val all = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    bucketed.groupBy("bucket").agg(
       count(lit(1)).as("raw_cnt"),
       sum(when(col("is_tgt"), 1L).otherwise(0L)).as("tgt_cnt"))
-    val totals = counts.agg(
-      sum(col("raw_cnt")).as("raw_total"), sum(col("tgt_cnt")).as("tgt_total"))
-    (counts, totals)
+      .withColumn("raw_total", sum(col("raw_cnt")).over(all))
+      .withColumn("tgt_total", sum(col("tgt_cnt")).over(all))
   }
 
   /** Per-bucket 9-dp log-likelihood ratios (the fitted model). */
-  private def dsirLr(counts: DataFrame, totals: DataFrame,
-      buckets: Int): DataFrame =
+  private def dsirLr(counts: DataFrame, buckets: Int): DataFrame =
     // add-one smoothing keeps empty buckets finite; expression order
     // mirrors the oracle exactly so the doubles are bit-identical
-    counts.crossJoin(broadcast(totals)).select(
+    counts.select(
       col("bucket"),
       round(log(
         ((col("tgt_cnt") + lit(1L)).cast("double") /
@@ -473,8 +489,7 @@ object TextAnalysis {
       isTarget: Column,
       buckets: Int = 4096): DataFrame = {
     val bucketed = dsirBuckets(docs, textCol, idCol, isTarget, buckets)
-    val (counts, totals) = dsirCounts(bucketed)
-    val lr = dsirLr(counts, totals, buckets)
+    val lr = dsirLr(dsirCounts(bucketed), buckets)
     // total weight plus the length-normalized per-gram mean: raw here
     // CONTAINS the target set, so absolute weights skew negative
     // (smoothing flattens the tiny target distribution) — the
@@ -507,9 +522,24 @@ object TextAnalysis {
       isTarget: Column,
       buckets: Int = 4096): Array[Long] = {
     val bucketed = dsirBuckets(docs, textCol, lit(0L), isTarget, buckets)
-    val (counts, totals) = dsirCounts(bucketed)
-    val t = totals.collect().head
-    val (rawTotal, tgtTotal) = (t.getLong(0), t.getLong(1))
+    val counts = dsirCounts(bucketed)
+    // r16: ONE action — totals ride on every model row (window
+    // columns), so the former separate totals.collect() corpus pass
+    // is gone; the fit is one job over ≤`buckets` result rows.
+    // the same smoothed-ratio expression dsirLr emits, plus the
+    // totals columns the unseen-bucket backfill needs
+    val rows = counts
+      .withColumn("lr", round(log(
+        ((col("tgt_cnt") + lit(1L)).cast("double") /
+          (col("tgt_total") + lit(buckets.toLong)).cast("double")) /
+          ((col("raw_cnt") + lit(1L)).cast("double") /
+            (col("raw_total") + lit(buckets.toLong)).cast("double"))), 9)
+        .cast("decimal(18,9)"))
+      .select(col("bucket"), col("lr"), col("raw_total"), col("tgt_total"))
+      .collect()
+    require(rows.nonEmpty, "dsirFit: empty corpus")
+    val (rawTotal, tgtTotal) =
+      (rows.head.getAs[Long]("raw_total"), rows.head.getAs[Long]("tgt_total"))
     // driver-side twin of dsirLr at count 0 (Math.log = Spark's log;
     // HALF_UP 9dp = Spark's round)
     val unseen = ((1.0 / (tgtTotal + buckets).toDouble) /
@@ -517,9 +547,9 @@ object TextAnalysis {
     val unseenScaled = java.math.BigDecimal.valueOf(math.log(unseen))
       .setScale(9, java.math.RoundingMode.HALF_UP).unscaledValue.longValueExact
     val arr = Array.fill(buckets)(unseenScaled)
-    dsirLr(counts, totals, buckets).collect().foreach { r =>
-      arr(r.getLong(0).toInt) =
-        r.getDecimal(1).unscaledValue.longValueExact
+    rows.foreach { r =>
+      arr(r.getAs[Long]("bucket").toInt) =
+        r.getAs[java.math.BigDecimal]("lr").unscaledValue.longValueExact
     }
     arr
   }
@@ -596,20 +626,33 @@ object TextAnalysis {
       buckets: Int = 4096): (DataFrame, DataFrame) = {
     val labeled = docs.where(labeledFilter)
     val bucketed = dsirBuckets(labeled, textCol, lit(0L), isPositive, buckets)
+    // gram totals ride ON the count rows via an unpartitioned window
+    // over the ≤`buckets`-row frame (r16, guide §2.4 — the standalone
+    // counts.agg totals frame re-instantiated the labeled-slice
+    // scan+explode subtree a second time and re-attached through a
+    // BroadcastNestedLoopJoin); exact longs, unchanged doubles
+    val all = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Long.MinValue, Long.MaxValue)
     val counts = bucketed.groupBy("bucket").agg(
       sum(when(col("is_tgt"), 1L).otherwise(0L)).as("pos_cnt"),
       sum(when(col("is_tgt"), 0L).otherwise(1L)).as("neg_cnt"))
-    val totals = counts.agg(
-      sum(col("pos_cnt")).as("pos_total"), sum(col("neg_cnt")).as("neg_total"))
+      .withColumn("pos_total", sum(col("pos_cnt")).over(all))
+      .withColumn("neg_total", sum(col("neg_cnt")).over(all))
     // COMPLETE bucket table (unseen cells carry the smoothed
     // zero-count ratio): corpus grams the seed never saw must score,
-    // unlike DSIR where fit and score ran over the same corpus
+    // unlike DSIR where fit and score ran over the same corpus. The
+    // left-joined totals are null on unseen buckets — backfill them
+    // from any seen row with one more unpartitioned-window max (the
+    // frame is ≤`buckets` rows; totals are constants across rows).
     val full = docs.sparkSession.range(buckets).toDF("bucket")
       .join(counts, Seq("bucket"), "left")
       .select(col("bucket"),
         coalesce(col("pos_cnt"), lit(0L)).as("pos_cnt"),
-        coalesce(col("neg_cnt"), lit(0L)).as("neg_cnt"))
-    val lr = full.crossJoin(broadcast(totals)).select(
+        coalesce(col("neg_cnt"), lit(0L)).as("neg_cnt"),
+        col("pos_total"), col("neg_total"))
+      .withColumn("pos_total", max(col("pos_total")).over(all))
+      .withColumn("neg_total", max(col("neg_total")).over(all))
+    val lr = full.select(
       col("bucket"),
       (round(log(
         ((col("pos_cnt") + lit(1L)).cast("double") /
@@ -951,18 +994,39 @@ object TextAnalysis {
     * partial aggregation. No per-doc quadratic work, no driver
     * state; the model tables are the only small data.
     */
+  /** Fit the stupid-backoff bigram model. Returns (bi, uniT):
+    * bi = (w1, w2, cnt2, cnt1w1) seen-bigram counts;
+    * uniT = (tok, cnt, total, backoff_q) unigram counts carrying the
+    * train-slice token total AND the precomputed Q14 backoff value
+    * (32768·cnt div 5·total — exact integer, identical to what the
+    * old per-row expression computed from a separate totals frame).
+    *
+    * r16 restructure (guide §2.4/§3): `total` rides INSIDE uniT via
+    * one unpartitioned window over the vocab-sized frame, instead of
+    * a standalone `uni.agg(sum)` — that separate frame (a) re-planned
+    * the whole train-slice scan+explode subtree a third time in every
+    * consumer, i.e. one more full reference-corpus pass at scale, and
+    * (b) attached itself to the CORPUS gram stream through a
+    * BroadcastNestedLoopJoin. Both are gone: scoring now joins the
+    * corpus stream to exactly two vocab-sized broadcast sides.
+    */
   def lmFit(docs: DataFrame, textCol: Column, trainFilter: Column):
-      (DataFrame, DataFrame, DataFrame) = {
+      (DataFrame, DataFrame) = {
     val train = docs.where(trainFilter).select(words(textCol).as("w"))
     val uni = train.select(explode(col("w")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("cnt"))
-    val totals = uni.agg(sum(col("cnt")).cast("long").as("total"))
+    val uniT = uni
+      .withColumn("total", sum(col("cnt"))
+        .over(org.apache.spark.sql.expressions.Window
+          .rowsBetween(Long.MinValue, Long.MaxValue)).cast("long"))
+      // div (not /): long / goes through DOUBLE — see temperatureRates
+      .withColumn("backoff_q", expr("(32768L * cnt) div (5L * total)"))
     val bi = train.select(explode(bigramPairs(col("w"))).as("p"))
       .select(col("p.w1"), col("p.w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("cnt2"))
       .join(uni.withColumnRenamed("tok", "w1")
         .withColumnRenamed("cnt", "cnt1w1"), Seq("w1"))
-    (bi, uni, totals)
+    (bi, uniT)
   }
 
   /** (w1, w2) pairs of adjacent words, order-preserving. */
@@ -971,21 +1035,24 @@ object TextAnalysis {
       (x, i) => struct(x.as("w1"), element_at(w, i + lit(2)).as("w2")))
 
   def lmScore(docs: DataFrame, idCol: Column, textCol: Column,
-      bi: DataFrame, uni: DataFrame, totals: DataFrame,
-      keepQ14: Long): DataFrame = {
-    val occ = docs
+      bi: DataFrame, uniT: DataFrame, keepQ14: Long): DataFrame = {
+    // fan out the corpus side before the bigram explode: the per-row
+    // gram work is the query's dominant stage and must not ride a
+    // single input split (Tables.fanOut is a no-op at real split
+    // counts — guide §2, scale-adaptive partitioning)
+    val occ = graft.Tables.fanOut(docs, idCol)
       .select(idCol.as("doc_id"), explode(bigramPairs(words(textCol))).as("p"))
       .select(col("doc_id"), col("p.w1"), col("p.w2"))
     occ
       .join(bi, Seq("w1", "w2"), "left")
-      .join(uni.withColumnRenamed("tok", "w2")
-        .withColumnRenamed("cnt", "cntw2"), Seq("w2"), "left")
-      .crossJoin(broadcast(totals))
-      // div (not /): long / goes through DOUBLE — see temperatureRates
+      .join(uniT.select(col("tok").as("w2"), col("backoff_q")),
+        Seq("w2"), "left")
+      // seen bigram: Q14 conditional probability; unseen: the
+      // precomputed per-token backoff (0 when w2 itself is unseen —
+      // exactly the old (32768·0) div (5·total) value)
       .withColumn("q", expr(
         """CASE WHEN cnt2 IS NOT NULL THEN (cnt2 * 16384L) div cnt1w1
-          |     ELSE (32768L * coalesce(cntw2, 0L)) div (5L * total) END"""
-          .stripMargin))
+          |     ELSE coalesce(backoff_q, 0L) END""".stripMargin))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum(col("q")).as("sum_q"))
       .select(col("doc_id"), col("n_bigrams"), col("sum_q"),
@@ -997,8 +1064,8 @@ object TextAnalysis {
 
   def lmFluency(docs: DataFrame, idCol: Column, textCol: Column,
       trainFilter: Column, keepQ14: Long): DataFrame = {
-    val (bi, uni, totals) = lmFit(docs, textCol, trainFilter)
-    lmScore(docs, idCol, textCol, bi, uni, totals, keepQ14)
+    val (bi, uniT) = lmFit(docs, textCol, trainFilter)
+    lmScore(docs, idCol, textCol, bi, uniT, keepQ14)
   }
 
   /** CCNet-style per-language tertile THRESHOLDS from a scored frame
@@ -1064,20 +1131,29 @@ object TextAnalysis {
   def lmFitLocal(docs: DataFrame, textCol: Column, trainFilter: Column,
       maxVocab: Int = 2000000): (java.util.HashMap[String, Array[Long]],
       java.util.HashMap[String, java.lang.Long], Long) = {
-    val (bi, uni, totals) = lmFit(docs, textCol, trainFilter)
-    require(bi.limit(maxVocab + 1).count() <= maxVocab,
+    val (bi, uniT) = lmFit(docs, textCol, trainFilter)
+    // r16: two actions, not four — the size probe IS the bounded
+    // collect (limit(max+1) still fails loudly past the cap without
+    // a separate count job), and the token total is the exact long
+    // sum of the collected unigram counts (what the removed totals
+    // frame aggregated distributively).
+    val biRows = bi.limit(maxVocab + 1).collect()
+    require(biRows.length <= maxVocab,
       s"lmFitLocal: bigram vocabulary exceeds $maxVocab — " +
         "use the batch join formulation (lmFluency) at this scale")
     val biMap = new java.util.HashMap[String, Array[Long]]()
-    bi.collect().foreach { r =>
+    biRows.foreach { r =>
       biMap.put(r.getAs[String]("w1") + " " + r.getAs[String]("w2"),
         Array(r.getAs[Long]("cnt2"), r.getAs[Long]("cnt1w1")))
     }
     val uniMap = new java.util.HashMap[String, java.lang.Long]()
-    uni.collect().foreach { r =>
-      uniMap.put(r.getAs[String]("tok"), Long.box(r.getAs[Long]("cnt")))
+    var total = 0L
+    uniT.select(col("tok"), col("cnt")).collect().foreach { r =>
+      val cnt = r.getAs[Long]("cnt")
+      uniMap.put(r.getAs[String]("tok"), Long.box(cnt))
+      total += cnt
     }
-    (biMap, uniMap, totals.collect()(0).getAs[Long]("total"))
+    (biMap, uniMap, total)
   }
 
   /** Row-local scoring against a driver-fit model — zero joins, zero
