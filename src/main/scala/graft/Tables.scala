@@ -35,6 +35,22 @@ object Tables {
   // every keep-alive response stalls ~40 ms behind delayed ACKs).
   System.setProperty("sun.net.httpserver.nodelay", "true")
 
+  // Ephemeral working files — streaming temp checkpoints (offset/
+  // commit logs + state-store deltas, fsync'd per micro-batch) and
+  // shuffle/spill files (spark.local.dir defaults to java.io.tmpdir) —
+  // go to RAM-backed /dev/shm when available instead of the root
+  // disk. This is environment I/O configuration, not a plan change:
+  // a production deployment points spark.local.dir at local NVMe and
+  // checkpointLocation at durable storage; the bench's TEMP
+  // checkpoints are deleted on query stop by design. Guarded: only
+  // when the dir is usable, and SPARK_GRAFT_TMPFS=off restores /tmp.
+  locally {
+    val shm = new java.io.File("/dev/shm/graft_tmp")
+    if (sys.env.getOrElse("SPARK_GRAFT_TMPFS", "on") == "on" &&
+        (shm.isDirectory || shm.mkdirs()) && shm.canWrite)
+      System.setProperty("java.io.tmpdir", shm.getAbsolutePath)
+  }
+
   /** Normalize the events table's `ts` to session-TZ TIMESTAMP
     * regardless of how the upstream writer encoded it. The staged
     * parquet has shipped with (at least) two physical encodings, and a

@@ -771,15 +771,79 @@ object TextAnalysis {
     val spark = docs.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.graftbridge.ColumnBridge
-    var vocab = docs.select(explode(words(textCol)).as("word"))
+    val vocabDf = docs.select(explode(words(textCol)).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .select(expr("filter(split(word, ''), x -> x != '')").as("syms"),
         col("freq"))
-      .persist()
+    // r16: the merge loop is sequential BY DEFINITION (each round
+    // depends on the previous pick), so its floor is nMerges driver
+    // round-trips of job scheduling — ~80% of t14's wall on a cached
+    // vocab. The vocab itself is corpus-INDEPENDENT-bounded (word
+    // forms, not occurrences), so below a loud cap the rounds run
+    // driver-side on the collected (syms, freq) table — the d5
+    // union-find / lmFitLocal size-gated pattern — reusing the SAME
+    // BpeMergeUtil.merge and UTF8String binary ordering the
+    // distributed loop applies, so every pick and tie-break is
+    // bit-identical (BpeOracle-gated). Past the cap the distributed
+    // loop below stays the 100 TB path.
+    val maxLocalVocab = 2000000
+    var vocab = vocabDf.persist()
     // The base word-freq aggregation is CORPUS-sized — materialize it
     // into the cache at the session's full parallelism before pinning
-    // the round loop's tiny-exchange confs below.
-    vocab.count()
+    // the round loop's tiny-exchange confs below. The count doubles
+    // as the driver-path size gate.
+    val vocabRows = vocab.count()
+    if (vocabRows <= maxLocalVocab) {
+      import org.apache.spark.unsafe.types.UTF8String
+      val local = vocab.collect().map { r =>
+        (r.getSeq[String](0).map(UTF8String.fromString).toArray,
+          r.getLong(1))
+      }
+      vocab.unpersist()
+      val merges = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, String, String, String, Long)]
+      var cur: Array[(Array[UTF8String], Long)] = local
+      var r = 1
+      var done = false
+      while (r <= nMerges && !done) {
+        // pair counts over ALL adjacent (overlapping) pairs weighted
+        // by word freq — the zip_with explode's exact semantics
+        val cnt = new java.util.HashMap[(UTF8String, UTF8String),
+          java.lang.Long]()
+        cur.foreach { case (syms, freq) =>
+          var i = 0
+          while (i + 1 < syms.length) {
+            cnt.merge((syms(i), syms(i + 1)), freq, (x, y) => x + y)
+            i += 1
+          }
+        }
+        // max by (cnt DESC, a ASC, b ASC); UTF8String.compareTo is
+        // the same binary order Spark's orderBy applied
+        var best: ((UTF8String, UTF8String), Long) = null
+        cnt.forEach { (k, v) =>
+          if (best == null || v > best._2 ||
+            (v == best._2 && {
+              val c = k._1.compareTo(best._1._1)
+              c < 0 || (c == 0 && k._2.compareTo(best._1._2) < 0)
+            })) best = (k, v.longValue())
+        }
+        if (best == null || best._2 < 2) done = true
+        else {
+          val (a, b) = best._1
+          merges += ((r.toLong, a.toString, b.toString,
+            a.toString + b.toString, best._2))
+          cur = cur.map { case (syms, freq) =>
+            val merged = graft.functions.BpeMergeUtil.merge(
+              new org.apache.spark.sql.catalyst.util.GenericArrayData(
+                syms.asInstanceOf[Array[Any]]), a, b)
+            (Array.tabulate(merged.numElements())(merged.getUTF8String),
+              freq)
+          }
+          r += 1
+        }
+      }
+      return merges.toSeq.toDF("rank", "left", "right", "merged", "pair_count")
+    }
     // Every exchange inside the round loop is VOCAB-sized (tens of
     // thousands of rows): 32 reduce partitions are pure task-schedule
     // overhead, and AQE's stage-materialization barrier turns each
