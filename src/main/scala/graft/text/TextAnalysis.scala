@@ -149,16 +149,23 @@ object TextAnalysis {
       groupCol: Column,
       budgetNum: Long,
       budgetDen: Long): DataFrame = {
+    // corpus totals ride ON the group-count rows via an unpartitioned
+    // window over the groups-sized frame (r16, guide §2.4 — the
+    // standalone counts.agg totals frame re-instantiated the corpus
+    // scan+agg subtree a second time and re-attached through a
+    // BroadcastNestedLoopJoin); exact longs, identical quotients
+    val all = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Long.MinValue, Long.MaxValue)
     val counts = docs.groupBy(groupCol.as("grp"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("weight", isqrt(col("cnt")))
-    val totals = counts.agg(sum(col("cnt")).as("total_docs"),
-      sum(col("weight")).as("total_w"))
+      .withColumn("total_docs", sum(col("cnt")).over(all))
+      .withColumn("total_w", sum(col("weight")).over(all))
     // `div` (not `/`): Spark's / on longs goes through DOUBLE, whose
     // rounding can land a quotient one above the true integer floor;
     // every operand here is non-negative so div (truncating) and the
     // oracle's // (flooring) agree exactly
-    counts.crossJoin(broadcast(totals))
+    counts
       .withColumn("budget",
         expr(s"(total_docs * ${budgetNum}L) div ${budgetDen}L"))
       .withColumn("target", expr("(budget * weight) div total_w"))
