@@ -774,7 +774,8 @@ object TextAnalysis {
   def bpeTrain(
       docs: DataFrame,
       textCol: Column,
-      nMerges: Int): DataFrame = {
+      nMerges: Int,
+      maxLocalVocab: Int = 2000000): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -791,9 +792,9 @@ object TextAnalysis {
     // union-find / lmFitLocal size-gated pattern — reusing the SAME
     // BpeMergeUtil.merge and UTF8String binary ordering the
     // distributed loop applies, so every pick and tie-break is
-    // bit-identical (BpeOracle-gated). Past the cap the distributed
-    // loop below stays the 100 TB path.
-    val maxLocalVocab = 2000000
+    // bit-identical (BpeOracle-gated, plus a TextSpec pin that runs
+    // BOTH paths and requires equal merge tables). Past the cap the
+    // distributed loop below stays the 100 TB path.
     var vocab = vocabDf.persist()
     // The base word-freq aggregation is CORPUS-sized — materialize it
     // into the cache at the session's full parallelism before pinning

@@ -722,4 +722,59 @@ class TextSpec extends SparkSpec {
           s"$lang middle/tail interleave")
     }
   }
+
+  // r16 optimization pins: the two operator internals that changed
+  // shape must stay bit-identical to their previous formulations.
+
+  test("r16: bpe driver-side rounds equal the distributed loop") {
+    // maxLocalVocab = 0 forces the distributed path on the same data;
+    // the merge tables (picks, tie-breaks, counts) must be EQUAL
+    import org.apache.spark.sql.functions.col
+    val local = graft.text.TextAnalysis
+      .bpeTrain(docs, col("text"), nMerges = 8)
+      .orderBy("rank").collect().map(_.toSeq)
+    val dist = graft.text.TextAnalysis
+      .bpeTrain(docs, col("text"), nMerges = 8, maxLocalVocab = 0)
+      .orderBy("rank").collect().map(_.toSeq)
+    assert(local.toSeq == dist.toSeq)
+    assert(local.nonEmpty)
+  }
+
+  test("r16: TopCountStats equals the explode-groupBy bigram mode") {
+    // the native per-row mode count vs a recomputation through the
+    // OLD shuffle formulation, over real corpus text plus edge rows
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions.words
+    val edge = spark.createDataFrame(Seq(
+      (100001L, ""), (100002L, "one"), (100003L, "a a a a"),
+      (100004L, "x y x y x"), (100005L, "tie tie bie bie"),
+      (100006L, "é café é café é")))
+      .toDF("doc_id", "text")
+    val in = docs.select(col("doc_id"), col("text")).unionByName(edge)
+    val got = graft.text.TextAnalysis.repetitionStats(in)
+      .select("doc_id", "top_bigram_n", "bigram_ratio")
+    val base = in.select(col("doc_id"), words(col("text")).as("w"))
+      .select(col("doc_id"), col("w"), size(col("w")).as("n_words"))
+    val bigrams = base.select(col("doc_id"),
+      expr("filter(zip_with(w, slice(w, 2, greatest(n_words - 1, 0)), " +
+        "(a, b) -> concat(a, ' ', b)), x -> x IS NOT NULL)").as("bgs"))
+      .select(col("doc_id"), explode(col("bgs")).as("bg"))
+    val old = base.select(col("doc_id"))
+      .join(bigrams.groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(max(col("c")).as("top"), sum(col("c")).as("n")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("top"), lit(0L)).as("top_bigram_n"),
+        round(coalesce(col("top"), lit(0L)).cast("double") /
+          greatest(coalesce(col("n"), lit(0L)).cast("double"), lit(1.0)), 6)
+          .as("bigram_ratio"))
+    val g = got.collect().map(r => r.getLong(0) ->
+      (r.getLong(1), r.getDouble(2))).toMap
+    val o = old.collect().map(r => r.getLong(0) ->
+      (r.getLong(1), r.getDouble(2))).toMap
+    assert(g == o)
+    assert(g(100004L)._1 == 2L) // "x y" twice beats "y x" twice? both 2 — top is 2
+    assert(g(100003L)._1 == 3L) // "a a" three times
+  }
 }
